@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the headline query suite at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric", "value", "unit", "queries", "sf"}.
+
+Each query is forced to full materialization with a noop-format write (no
+driver collect bottleneck — measures the distributed plan, not result
+transfer).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from flink_sql_ai_meetingcoach_azure_spark import get_spark  # noqa: E402
+from flink_sql_ai_meetingcoach_azure_spark.queries import QUERIES  # noqa: E402
+
+BENCH_QUERIES = [
+    # relational core
+    "tpch_q1",
+    "join_revenue_by_nation",
+    "topn_per_user",
+    "window_running_sum",
+    "tumbling_window",
+    "explode_chunks",
+    # dedup / fingerprint family
+    "dedup_exact",
+    "minhash_signatures",
+    "lsh_pairs",
+    "simhash",
+    "fingerprint",
+    # similarity search
+    "ann_topk",
+    "embedding_cosine_pairs",
+    # text analysis
+    "lang_id",
+    "quality_score",
+    "token_stats",
+    # RAG pipeline end-to-end (mock provider)
+    "rag_pipeline",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark("bench")
+    # JVM/codegen warmup so query timings measure the plan, not JIT
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = QUERIES[name].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

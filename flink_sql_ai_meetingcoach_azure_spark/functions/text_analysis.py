@@ -1,0 +1,91 @@
+"""Text-analysis operators for training-data pipelines (beyond-reference).
+
+Language ID (stopword-hit heuristic), quality scoring (length / punctuation
+/ stopword ratios), token counting (whitespace + BPE-ish subword estimate),
+and document fingerprinting (min-of-rolling-hashes, winnowing-lite).
+
+All are built-in-function compositions (JVM-side, codegen'd) and ANSI-SQL
+expressible for the DuckDB oracle. The shared token lists are module
+constants so Spark and oracle SQL render from the same source of truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from flink_sql_ai_meetingcoach_azure_spark.functions.hashing import md5_bigint_col
+from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import tokens_col
+
+# Tiny per-language stopword lists (public common-word sets). Order matters:
+# ties break by list order (first language wins).
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "un", "une", "dans"],
+    "zh": ["的", "是", "了", "在", "我", "有", "和", "就", "不", "人"],
+}
+
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def _stopword_hits(text: Column, words: list[str]) -> Column:
+    """Count of tokens that are in ``words`` (exact token match)."""
+    toks = tokens_col(text)
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def lang_id_col(text: Column | str) -> Column:
+    """Heuristic language ID: argmax of stopword hits, 'und' if all zero."""
+    c = F.col(text) if isinstance(text, str) else text
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, words in LANG_STOPWORDS.items():
+        score = _stopword_hits(c, words)
+        better = score > best_score
+        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(better, score).otherwise(best_score)
+    return best_lang
+
+
+def token_count_col(text: Column | str) -> Column:
+    """Whitespace token count."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(tokens_col(c))
+
+
+def subword_count_col(text: Column | str, chars_per_token: int = 4) -> Column:
+    """BPE-ish token estimate: ceil(chars / 4) — the standard public
+    rule-of-thumb for byte-pair encoders."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.ceil(F.length(c) / F.lit(chars_per_token)).cast("bigint")
+
+
+def quality_score_col(text: Column | str) -> Column:
+    """Composite quality in [0,1]: length band + punctuation density +
+    English-stopword ratio + mean word length band. Deterministic,
+    SQL-expressible."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c)
+    n_tokens = token_count_col(c)
+    n_punct = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    stop_ratio = _stopword_hits(c, EN_STOPWORDS) / F.greatest(n_tokens, F.lit(1))
+    mean_word_len = n_chars / F.greatest(n_tokens, F.lit(1))
+    len_ok = F.when((n_chars >= 100) & (n_chars <= 20000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio < 0.2, 1.0).otherwise(0.0)
+    stop_ok = F.when(stop_ratio >= 0.05, 1.0).otherwise(0.0)
+    word_ok = F.when((mean_word_len >= 3) & (mean_word_len <= 12), 1.0).otherwise(0.0)
+    return F.round((len_ok + punct_ok + stop_ok + word_ok) / 4.0, 4)
+
+
+def fingerprint_col(text: Column | str, shingle_chars: int = 16, stride: int = 8) -> Column:
+    """Document fingerprint: min over character-shingle hashes (rolling-hash
+    winnowing reduced to a single global min — stable under small edits at
+    non-minimal positions)."""
+    c = F.col(text) if isinstance(text, str) else text
+    starts = F.sequence(F.lit(1), F.greatest(F.length(c) - shingle_chars + 1, F.lit(1)), F.lit(stride))
+    hashes = F.transform(starts, lambda s: md5_bigint_col(F.substring(c, s, shingle_chars)))
+    return F.array_min(hashes)

@@ -1,0 +1,199 @@
+"""Deduplication operators — exact and near-duplicate.
+
+The reference's only dedup is app-level: md5-of-content with a 300 s TTL
+dict (app/utils/kafka_utils.py:209-249). ``dedup_exact`` reproduces that as
+a distributed hash-groupBy; the watermarked streaming variant lives in
+streaming/pipeline.py (T4).
+
+The near-dup family (MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine)
+is the beyond-reference training-data layer. All hash arithmetic is
+md5-derived (functions/hashing.py) so every stage is reproducible in ANSI
+SQL for the DuckDB oracle.
+
+Scale design: MinHash/LSH is the 100-TB path — signature computation is a
+narrow per-row map after one explode+groupBy (shuffle on doc_id, combinable
+map-side); candidate generation shuffles on (band, band_hash) buckets, which
+are uniformly distributed by construction (hash values), so no skew; the
+final pair-join touches only bucket collisions, never the n² pair space.
+Brute-force pair operators (ngram-jaccard, embedding-cosine) bound their
+input and exist as the small-side baseline / verifier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_sql_ai_meetingcoach_azure_spark.functions.hashing import md5_bigint_col
+
+
+def dedup_exact(
+    df: DataFrame, content_col: str, id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Exact dedup by md5 content hash, deterministically keeping the
+    min/max id per group (dropDuplicates keeps an arbitrary row — not
+    oracle-checkable)."""
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    hashed = df.withColumn("__h", F.md5(F.col(content_col)))
+    keep_ids = hashed.groupBy("__h").agg(agg.alias(id_col)).select(id_col)
+    return df.join(keep_ids, on=id_col, how="inner")
+
+
+def tokens_col(text: Column | str, lowercase: bool = True) -> Column:
+    """Whitespace tokenization shared by the near-dup operators."""
+    c = F.col(text) if isinstance(text, str) else text
+    if lowercase:
+        c = F.lower(c)
+    return F.filter(F.split(c, r"\s+"), lambda t: F.length(t) > 0)
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id_col, shingle)."""
+    return (
+        df.select(id_col, tokens_col(text_col).alias("__toks"))
+        .select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(F.size("__toks") - n, F.lit(0))),
+                    lambda i: F.array_join(F.slice(F.col("__toks"), i + 1, n), " "),
+                )
+            ).alias("shingle"),
+        )
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: id_col, h0..h{num_hashes-1}.
+
+    h_i(doc) = min over shingles of md5_bigint(shingle || ':' || i).
+    One shuffle (groupBy id) with map-side partial min — scales linearly.
+    """
+    sh = shingles(df, id_col, text_col, n=shingle_n)
+    aggs = [
+        F.min(md5_bigint_col(F.col("shingle"), salt=str(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the signature become candidate
+    pairs (id_a < id_b). Shuffle key = (band, band_hash) — uniform, no skew."""
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bh"))
+        )
+    exploded = signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(b, on=["band", "bh"], how="inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 16
+) -> DataFrame:
+    """SimHash fingerprint per document (``bits``-bit, from token md5 hashes).
+
+    bit_j(doc) = 1 iff sum over tokens of (2*((h(tok)>>j)&1)-1) > 0.
+    Single explode + groupBy(id) with map-side combinable sums.
+    """
+    toks = df.select(id_col, F.explode(tokens_col(text_col)).alias("tok"))
+    h = md5_bigint_col(F.col("tok"))
+    sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"s{j}")
+            for j in range(bits)
+        ]
+    )
+    fp = None
+    for j in range(bits):
+        bit = F.when(F.col(f"s{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        fp = bit if fp is None else fp + bit
+    return sums.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all candidate pairs that share at
+    least one shingle (id_a < id_b, jaccard >= threshold).
+
+    |A∩B| via a self-join on shingle; |A|,|B| via per-doc counts. Intended
+    for bounded inputs or as the verify stage after LSH candidate pruning —
+    the join on shingle is the n²-avoiding path.
+    """
+    sh = shingles(df, id_col, text_col, n=n)
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding near-dup: pairs with cosine >= threshold (id_a < id_b).
+
+    Broadcast self-join baseline; for unbounded inputs route through
+    LSH bucketing (random-hyperplane) or IVF cells first.
+    """
+    from flink_sql_ai_meetingcoach_azure_spark.functions.vectors import cosine_similarity_col  # noqa: PLC0415
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(cosine_similarity_col("__va", "__vb"), round_to))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )

@@ -1,0 +1,33 @@
+"""Top-N / recent-history operators.
+
+Reference: the ``recent_conversation_history`` view — a global streaming
+Top-6 over ``$rowtime`` (``ROW_NUMBER() OVER (ORDER BY $rowtime DESC)`` +
+``WHERE msg_rank <= 6`` + final ASC re-sort;
+terraform/generate_personalized_commands.sh:489-505).
+
+Batch: a plain window. Streaming: Spark refuses un-partitioned row_number on
+a stream, so streaming/pipeline.py maintains the bounded table via
+``foreachBatch`` (SURVEY.md §7.4.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def recent_top_n(
+    df: DataFrame,
+    n: int = 6,
+    ts_col: str = "rowtime",
+    partition_by: list[str] | None = None,
+    tiebreak: list[str] | None = None,
+    rank_col: str = "msg_rank",
+) -> DataFrame:
+    """Latest-n rows (optionally per partition key), re-sorted ascending like
+    the reference view. ``tiebreak`` columns make ranking deterministic when
+    timestamps collide (the reference relies on Kafka offset order)."""
+    order: list[Column] = [F.desc(ts_col)] + [F.desc(c) for c in (tiebreak or [])]
+    w = Window.orderBy(*order) if not partition_by else Window.partitionBy(*partition_by).orderBy(*order)
+    ranked = df.withColumn(rank_col, F.row_number().over(w)).filter(F.col(rank_col) <= n)
+    return ranked.orderBy(*((partition_by or []) + [ts_col] + (tiebreak or [])))

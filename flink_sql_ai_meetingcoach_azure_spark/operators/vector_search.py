@@ -1,0 +1,271 @@
+"""Similarity / vector search operator.
+
+Reference semantics: ``LATERAL TABLE(VECTOR_SEARCH(knowledge_mongodb, 3,
+DESCRIPTOR(embedding), qe.embedding))`` — a correlated ANN lookup against a
+MongoDB Atlas cosine index (1536-dim, numCandidates=150) appending
+``search_results ARRAY<ROW<document_id, chunks, embedding>>``
+(reference: terraform/generate_personalized_commands.sh:377-402;
+index: terraform/main.tf:649-669).
+
+Spark-first design (SURVEY.md §4.3.2):
+
+- **Exact** (v0 + correctness oracle): broadcast the index table, cosine via
+  JVM higher-order functions, per-query top-k via ``row_number`` window.
+  Exact search ⊇ ANN for correctness (ANN approximates exact). The
+  broadcast hash join keeps the coaching pipeline shuffle-free except the
+  per-query-key window — and with AQE the window input is already
+  hash-partitioned by query id only once.
+- **Pandas/numpy path** (``method='numpy'``): per-partition matrix multiply
+  against a broadcast (n_index × dim) float32 matrix via ``mapInPandas``;
+  one BLAS GEMM per Arrow batch instead of per-row array folds. This is the
+  throughput path for high dims / large query streams.
+- **IVF** (``nprobe``): k-means-lite centroid assignment as a partition
+  column; queries probe only the ``nprobe`` nearest centroid partitions
+  before brute-forcing — the 100-TB scale path where the index no longer
+  broadcasts (SURVEY.md §7.4.8). Operator signature stays identical.
+
+At 1000-executor scale: the index table is the small side (a knowledge base,
+not the 100 TB fact stream) so broadcast is the right default; when the index
+itself is huge, IVF-partitioned parquet with partition pruning on
+``centroid_id`` bounds each probe to nprobe/nlist of the index.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_sql_ai_meetingcoach_azure_spark.functions.vectors import cosine_similarity_col
+
+_QID = "__query_id"
+
+
+def vector_search_topk_flat(
+    query_df: DataFrame,
+    index_df: DataFrame,
+    k: int = 3,
+    query_col: str = "embedding",
+    index_col: str = "embedding",
+    payload_cols: list[str] | None = None,
+    sim_col: str = "similarity",
+    rank_col: str = "search_rank",
+    round_sim: int | None = None,
+) -> DataFrame:
+    """Flat top-k: one output row per (query row, matched index row).
+
+    Deterministic tie-break: orders by (similarity desc, first payload col)
+    so ranks are stable across engines and runs.
+    """
+    payload_cols = payload_cols or [c for c in index_df.columns if c != index_col]
+
+    q = query_df.withColumn(_QID, F.monotonically_increasing_id())
+    idx = index_df.select(
+        *[F.col(c) for c in payload_cols], F.col(index_col).alias("__index_vec")
+    )
+    sim = cosine_similarity_col(F.col(query_col), F.col("__index_vec"))
+    if round_sim is not None:
+        sim = F.round(sim, round_sim)
+    joined = q.join(F.broadcast(idx), how="cross").withColumn(sim_col, sim)
+    w = Window.partitionBy(_QID).orderBy(F.desc(sim_col), *[F.asc(c) for c in payload_cols[:1]])
+    return (
+        joined.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+        .drop("__index_vec", _QID)
+    )
+
+
+def vector_search(
+    query_df: DataFrame,
+    index_df: DataFrame,
+    k: int = 3,
+    query_col: str = "embedding",
+    index_col: str = "embedding",
+    payload_cols: list[str] | None = None,
+    output_col: str = "search_results",
+    method: str = "sql",
+) -> DataFrame:
+    """LATERAL TABLE(VECTOR_SEARCH(...)) equivalent: appends
+    ``output_col ARRAY<STRUCT<payload...>>`` (top-k by cosine) to every query
+    row — the reference's ``search_results`` shape (:379-384).
+    """
+    payload_cols = payload_cols or [c for c in index_df.columns if c != index_col]
+    if method == "numpy":
+        return _vector_search_numpy(
+            query_df, index_df, k, query_col, index_col, payload_cols, output_col
+        )
+
+    q = query_df.withColumn(_QID, F.monotonically_increasing_id())
+    idx = index_df.select(*payload_cols, F.col(index_col).alias("__index_vec"))
+    sim = cosine_similarity_col(F.col(query_col), F.col("__index_vec")).alias("__sim")
+    joined = q.join(F.broadcast(idx), how="cross").withColumn("__sim", sim)
+    w = Window.partitionBy(_QID).orderBy(F.desc("__sim"), *[F.asc(c) for c in payload_cols[:1]])
+    ranked = joined.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k)
+    result_struct = F.struct(*[F.col(c) for c in payload_cols])
+    agg = ranked.groupBy(_QID).agg(
+        *[F.first(c).alias(c) for c in query_df.columns],
+        F.sort_array(F.collect_list(F.struct(F.col("__rk").alias("r"), result_struct.alias("s"))))
+        .alias("__pairs"),
+    )
+    return agg.select(
+        *query_df.columns,
+        F.transform(F.col("__pairs"), lambda p: p["s"]).alias(output_col),
+    )
+
+
+def _vector_search_numpy(
+    query_df: DataFrame,
+    index_df: DataFrame,
+    k: int,
+    query_col: str,
+    index_col: str,
+    payload_cols: list[str],
+    output_col: str,
+) -> DataFrame:
+    """Broadcast the index as numpy matrices; per-Arrow-batch GEMM top-k.
+
+    No shuffle at all: each partition of the query stream computes its own
+    top-k against the shared read-only index — the plan stays narrow, which
+    is what survives a 1000-executor scale-up for a broadcastable index.
+    """
+    import pyspark.sql.types as T  # noqa: PLC0415
+
+    spark = query_df.sparkSession
+    idx_rows = index_df.select(*payload_cols, index_col).collect()
+    mat = np.asarray([r[index_col] for r in idx_rows], dtype=np.float32)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat_n = mat / norms[:, None]
+    payloads = [{c: r[c] for c in payload_cols} for r in idx_rows]
+    bc = spark.sparkContext.broadcast((mat_n, payloads))
+
+    q_fields = query_df.schema.fields
+    out_schema = T.StructType(
+        list(q_fields)
+        + [
+            T.StructField(
+                output_col,
+                T.ArrayType(
+                    T.StructType(
+                        [index_df.schema[c] for c in payload_cols]
+                    )
+                ),
+            )
+        ]
+    )
+
+    def _search(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mat_n_l, payloads_l = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf.assign(**{output_col: []})
+                continue
+            qm = np.asarray(list(pdf[query_col]), dtype=np.float32)
+            qn = np.linalg.norm(qm, axis=1)
+            qn[qn == 0] = 1.0
+            sims = (qm / qn[:, None]) @ mat_n_l.T  # (batch, n_index) GEMM
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            results = []
+            for row_i in range(sims.shape[0]):
+                cand = top[row_i]
+                order = cand[np.argsort(-sims[row_i, cand], kind="stable")]
+                results.append([payloads_l[j] for j in order])
+            pdf = pdf.copy()
+            pdf[output_col] = results
+            yield pdf
+
+    return query_df.mapInPandas(_search, schema=out_schema)
+
+
+def build_ivf_index(
+    index_df: DataFrame,
+    index_col: str = "embedding",
+    nlist: int = 16,
+    seed: int = 42,
+    n_iter: int = 5,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Assign each index row a ``centroid_id`` via Lloyd's k-means on a
+    driver-collected sample. Returns (index_df + centroid_id, centroids).
+
+    Scale note: write the result partitioned by ``centroid_id``
+    (``df.write.partitionBy('centroid_id')``) so probes prune partitions at
+    the parquet-scan level instead of broadcasting the whole index.
+    """
+    sample = index_df.select(index_col).limit(max(nlist * 200, 2000)).collect()
+    x = np.asarray([r[0] for r in sample], dtype=np.float32)
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
+    for _ in range(n_iter):
+        d = np.linalg.norm(x[:, None, :] - cent[None, :, :], axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            pts = x[assign == c]
+            if len(pts):
+                cent[c] = pts.mean(axis=0)
+    spark = index_df.sparkSession
+    bc = spark.sparkContext.broadcast(cent)
+
+    @F.pandas_udf("int")
+    def _assign(s: pd.Series) -> pd.Series:
+        c_l = bc.value
+        m = np.asarray(list(s), dtype=np.float32)
+        d = np.linalg.norm(m[:, None, :] - c_l[None, :, :], axis=2)
+        return pd.Series(d.argmin(axis=1))
+
+    return index_df.withColumn("centroid_id", _assign(F.col(index_col))), cent.tolist()
+
+
+def vector_search_ivf(
+    query_df: DataFrame,
+    ivf_index_df: DataFrame,
+    centroids: list[list[float]],
+    k: int = 3,
+    nprobe: int = 4,
+    query_col: str = "embedding",
+    index_col: str = "embedding",
+    payload_cols: list[str] | None = None,
+    output_col: str = "search_results",
+) -> DataFrame:
+    """IVF probe: each query searches only its ``nprobe`` nearest centroid
+    cells. Join on centroid_id prunes the candidate set to ~nprobe/nlist of
+    the index before the exact top-k — the path that survives an index too
+    large to broadcast."""
+    payload_cols = payload_cols or [
+        c for c in ivf_index_df.columns if c not in (index_col, "centroid_id")
+    ]
+    spark = query_df.sparkSession
+    cent = np.asarray(centroids, dtype=np.float32)
+    bc = spark.sparkContext.broadcast(cent)
+
+    @F.pandas_udf("array<int>")
+    def _probes(s: pd.Series) -> pd.Series:
+        c_l = bc.value
+        m = np.asarray(list(s), dtype=np.float32)
+        d = np.linalg.norm(m[:, None, :] - c_l[None, :, :], axis=2)
+        npb = min(nprobe, d.shape[1])
+        return pd.Series(list(np.argsort(d, axis=1)[:, :npb]))
+
+    q = (
+        query_df.withColumn(_QID, F.monotonically_increasing_id())
+        .withColumn("centroid_id", F.explode(_probes(F.col(query_col))))
+    )
+    joined = q.join(ivf_index_df, on="centroid_id", how="inner")
+    sim = cosine_similarity_col(F.col(query_col), F.col(index_col)).alias("__sim")
+    joined = joined.withColumn("__sim", sim)
+    w = Window.partitionBy(_QID).orderBy(F.desc("__sim"), *[F.asc(c) for c in payload_cols[:1]])
+    ranked = joined.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k)
+    agg = ranked.groupBy(_QID).agg(
+        *[F.first(c).alias(c) for c in query_df.columns],
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("__rk").alias("r"), F.struct(*[F.col(c) for c in payload_cols]).alias("s"))
+            )
+        ).alias("__pairs"),
+    )
+    return agg.select(
+        *query_df.columns, F.transform(F.col("__pairs"), lambda p: p["s"]).alias(output_col)
+    )

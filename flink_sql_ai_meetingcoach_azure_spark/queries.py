@@ -1,0 +1,912 @@
+"""Driver-facing query suite: every implemented operator from SURVEY.md §2
+as a (Spark callable, DuckDB oracle SQL) pair over the deterministic
+testdata tables (TESTDATA.md).
+
+Determinism rules (both engines must hash-identically, order-insensitive):
+
+- money math in integer cents / basis points: ``round(x * 100)::bigint``
+  sums exactly — no float-sum-order divergence (SURVEY §5.2.3);
+- every hash is md5-derived (functions/hashing.py) — bit-identical SQL
+  rendering on both sides;
+- cosine similarities rounded to 6 dp before ranking/filtering so last-ulp
+  differences (sqrt(a)*sqrt(b) orderings) can't flip comparisons;
+- all rankings carry explicit integer tie-breaks;
+- aliases match exactly between Spark and SQL (driver sorts columns by name
+  then value-hashes).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from flink_sql_ai_meetingcoach_azure_spark.functions.hashing import md5_bigint_col, md5_bigint_sql
+from flink_sql_ai_meetingcoach_azure_spark.functions.text import keyword_trigger_col
+from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import (
+    EN_STOPWORDS,
+    LANG_STOPWORDS,
+    lang_id_col,
+    quality_score_col,
+    subword_count_col,
+    token_count_col,
+)
+from flink_sql_ai_meetingcoach_azure_spark.functions.vectors import cosine_similarity_col
+from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (
+    dedup_exact,
+    embedding_cosine_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from flink_sql_ai_meetingcoach_azure_spark.operators.top_n import recent_top_n
+from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (
+    vector_search_topk_flat,
+)
+
+# ---------------------------------------------------------------------------
+# shared constants (single source of truth for Spark AND oracle SQL)
+
+CHUNK_SIZE = 200  # reference chunker params (generate_personalized_commands.sh:324)
+CHUNK_OVERLAP = 20
+CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+DEMO_KEYWORDS = ["price", "cost", "slow", "fast", "merge"]  # vocab-matched trigger set
+KW_REGEX = "|".join(DEMO_KEYWORDS)
+MINHASH_N = 8
+SHINGLE_N = 3
+BAND_SIZE = 2
+SIMHASH_BITS = 16
+FP_SHINGLE_CHARS = 16
+FP_STRIDE = 8
+ANN_K = 3
+ANN_NQ = 10  # query rows: vec_id < 10
+COS_PAIR_MAX_ID = 100
+JACCARD_MAX_ID = 50
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS,false), which Spark's
+    parquet reader rejects; with ``nanosAsLong`` it arrives as bigint nanos
+    and is converted to a proper µs timestamp here (testdata timestamps are
+    µs-precision, so the division is lossless)."""
+    ev = _t(spark, sf_dir, "events")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+def _prep(spark: SparkSession) -> None:
+    # driver may hand us an unconfigured session; these are runtime-settable
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+# DuckDB token-array rendering shared by several oracles
+_TOKS = "list_filter(string_split_regex(lower({col}), '\\s+'), t -> len(t) > 0)"
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None => non-SQL-expressible, rows-only check
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters / predicates
+
+
+def q_filter_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1/P2/P3 — the stream-router equality filter (reference :347-350)."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    return ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "value")
+
+
+SQL_FILTER_ROUTE = """
+SELECT event_id, user_id, value FROM events WHERE event_type = 'purchase'
+"""
+
+
+def q_keyword_trigger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5/F13 — trigger-keyword predicate (data_utils.py:20-30) as one rlike."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(keyword_trigger_col(F.col("text"), DEMO_KEYWORDS)).select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+SQL_KEYWORD_TRIGGER = f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE regexp_matches(lower(text), '{KW_REGEX}')
+"""
+
+
+def q_case_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — rule-based CASE dispatch (data_utils.py:32-54) + hash agg."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    category = (
+        F.when(F.col("event_type").isin("purchase", "signup"), "conversion")
+        .when(F.col("event_type") == "error", "problem")
+        .otherwise("engagement")
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        ev.withColumn("category", category)
+        .groupBy("category")
+        .agg(F.count("*").alias("n_events"), F.sum(cents).alias("sum_value_cents"))
+    )
+
+
+SQL_CASE_DISPATCH = """
+SELECT CASE WHEN event_type IN ('purchase','signup') THEN 'conversion'
+            WHEN event_type = 'error' THEN 'problem'
+            ELSE 'engagement' END AS category,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+FROM events GROUP BY 1
+"""
+
+
+def q_null_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 — null/empty guards (kafka_utils.py:413-415)."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    return ev.filter(
+        F.col("props").isNotNull() & (F.length("props") > 0) & (F.col("value") > 0)
+    ).select("event_id", "event_type")
+
+
+SQL_NULL_GUARD = """
+SELECT event_id, event_type FROM events
+WHERE props IS NOT NULL AND len(props) > 0 AND value > 0
+"""
+
+
+def q_cache_hit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 — exact-match cache short-circuit (api_routes.py:34-39) as a
+    broadcast left join; hit-flag per message."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    cache = docs.filter(F.col("doc_id") % 10 == 0).select(
+        F.col("text").alias("cache_key"), F.col("doc_id").alias("cache_doc")
+    )
+    return (
+        docs.join(F.broadcast(cache), docs["text"] == cache["cache_key"], "left")
+        .select("doc_id", F.col("cache_doc").isNotNull().alias("cache_hit"))
+    )
+
+
+SQL_CACHE_HIT_JOIN = """
+SELECT d.doc_id, c.cache_doc IS NOT NULL AS cache_hit
+FROM documents d
+LEFT JOIN (SELECT text AS cache_key, doc_id AS cache_doc
+           FROM documents WHERE doc_id % 10 = 0) c
+  ON d.text = c.cache_key
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.1/§2.3 scans, explode (UNNEST), chunking
+
+
+def q_explode_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/F7 — CROSS JOIN UNNEST(text splitter) as explode over the pure-SQL
+    fixed-stride chunker (JVM-side; the scale path for bulk chunking)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    starts = F.sequence(F.lit(1), F.greatest(F.length("text"), F.lit(1)), F.lit(CHUNK_STRIDE))
+    return (
+        docs.select("doc_id", F.explode(starts).alias("s"), F.col("text"))
+        .select(
+            "doc_id",
+            ((F.col("s") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+            F.substring(F.col("text"), F.col("s"), CHUNK_SIZE).alias("chunk"),
+        )
+    )
+
+
+SQL_EXPLODE_CHUNKS = f"""
+SELECT doc_id,
+       CAST((s - 1) / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       substr(text, s, {CHUNK_SIZE}) AS chunk
+FROM documents, unnest(generate_series(1, greatest(len(text), 1), {CHUNK_STRIDE})) AS t(s)
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5/§2.6 windows, top-n, sort/limit
+
+
+def q_topn_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/A1 — ROW_NUMBER Top-N (reference view :489-505), partitioned by
+    user so it scales (the global variant is q_recent_history)."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    top = recent_top_n(
+        ev.select("user_id", "event_id", "ts"),
+        n=3,
+        ts_col="ts",
+        partition_by=["user_id"],
+        tiebreak=["event_id"],
+        rank_col="msg_rank",
+    )
+    # epoch-µs output: engine-neutral (no ns-vs-µs dtype hashing hazards)
+    return top.select("user_id", "event_id", F.unix_micros("ts").alias("ts_us"), "msg_rank")
+
+
+SQL_TOPN_PER_USER = """
+SELECT user_id, event_id, epoch_us(ts::TIMESTAMP) AS ts_us, msg_rank FROM (
+  SELECT user_id, event_id, ts,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS msg_rank
+  FROM events) WHERE msg_rank <= 3
+"""
+
+
+def q_recent_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 exact reference shape: global Top-6 latest, re-sorted ASC
+    (generate_personalized_commands.sh:489-505)."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    return recent_top_n(
+        ev.select("event_id", "ts", "event_type"),
+        n=6,
+        ts_col="ts",
+        tiebreak=["event_id"],
+        rank_col="msg_rank",
+    )
+
+
+SQL_RECENT_HISTORY = """
+SELECT event_id, ts::TIMESTAMP AS ts, event_type, msg_rank FROM (
+  SELECT event_id, ts, event_type,
+         row_number() OVER (ORDER BY ts DESC, event_id DESC) AS msg_rank
+  FROM events) WHERE msg_rank <= 6
+"""
+
+
+def q_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1/O3 — total-order sort + limit with deterministic tie-break."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    return ev.select("event_id", "value").orderBy(F.desc("value"), F.asc("event_id")).limit(10)
+
+
+SQL_ORDER_LIMIT = """
+SELECT event_id, value FROM events ORDER BY value DESC, event_id ASC LIMIT 10
+"""
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic frame (rowsBetween) — beyond-reference window coverage."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id", "event_id", F.sum(cents).over(w).alias("running_cents")
+    )
+
+
+SQL_WINDOW_RUNNING_SUM = """
+SELECT user_id, event_id,
+       sum(CAST(round(value * 100) AS BIGINT)) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+FROM events
+"""
+
+
+def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 — tumbling event-time window aggregation (hourly)."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        ev.groupBy(
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("window_start_us")
+        )
+        .agg(F.count("*").alias("n_events"), F.sum(cents).alias("sum_cents"))
+    )
+
+
+SQL_TUMBLING_WINDOW = """
+SELECT epoch_us(date_trunc('hour', ts::TIMESTAMP)) AS window_start_us,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+FROM events GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.8 scalar functions
+
+
+def q_concat_prompt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 — prompt assembly CONCAT (reference :421-430 shape)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.filter(F.col("doc_id") < 20).select(
+        "doc_id",
+        F.concat(
+            F.lit("## PROSPECT MESSAGE: "),
+            F.substring("text", 1, 80),
+            F.lit("\n\n## RAG DOCUMENTS:\nDocument 1: "),
+            F.col("source"),
+        ).alias("prompt"),
+    )
+
+
+SQL_CONCAT_PROMPT = """
+SELECT doc_id,
+       '## PROSPECT MESSAGE: ' || substr(text, 1, 80) ||
+       CHR(10) || CHR(10) || '## RAG DOCUMENTS:' || CHR(10) || 'Document 1: ' || source AS prompt
+FROM documents WHERE doc_id < 20
+"""
+
+
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3/F5 — array construction, 1-based element_at (Flink arr[i]
+    semantics, SURVEY §7.4.3), negative index, size."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), r"\s+"), lambda t: F.length(t) > 0)
+    return docs.select(
+        "doc_id",
+        F.element_at(toks, 1).alias("first_token"),
+        F.element_at(toks, -1).alias("last_token"),
+        F.size(toks).alias("n_tokens"),
+    )
+
+
+SQL_ARRAY_OPS = f"""
+WITH t AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM documents)
+SELECT doc_id, tk[1] AS first_token, tk[-1] AS last_token,
+       CAST(len(tk) AS INT) AS n_tokens
+FROM t
+"""
+
+
+def q_json_cleanup_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14 — LLM-JSON cleanup (fence/trailing-comma strip, script.js:953-961)
+    + typed JSON extraction on the events.props payload."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.col("props"), r"```(?:json)?", ""), r",\s*([}\]])", r"$1"
+    )
+    return ev.select(
+        "event_id",
+        F.get_json_object(cleaned, "$.k").cast("int").alias("k_value"),
+    )
+
+
+SQL_JSON_CLEANUP_EXTRACT = r"""
+SELECT event_id,
+       CAST(json_extract_string(
+         regexp_replace(regexp_replace(props, '```(?:json)?', '', 'g'),
+                        ',\s*([}\]])', '\1', 'g'),
+         '$.k') AS INT) AS k_value
+FROM events
+"""
+
+
+def q_path_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15 — filename/dirname derivation from a path-ish id column (the
+    reference's document_id convention), over the source column."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    fake_path = F.concat(F.col("lang"), F.lit("/"), F.col("source"), F.lit(".md"))
+    return docs.select(
+        "doc_id",
+        F.substring_index(fake_path, "/", -1).alias("title"),
+        F.substring_index(fake_path, "/", 1).alias("path"),
+    )
+
+
+SQL_PATH_EXTRACT = """
+SELECT doc_id,
+       split_part(lang || '/' || source || '.md', '/', 2) AS title,
+       split_part(lang || '/' || source || '.md', '/', 1) AS path
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations + joins (TPC-H-style engine coverage)
+
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing-summary agg (TPC-H Q1 shape) in exact integer cents."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("bigint")
+    base_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_e4 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000
+    ).cast("bigint")
+    charge_e6 = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 1000000
+    ).cast("bigint")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty_c).alias("sum_qty_cents"),
+            F.sum(base_c).alias("sum_base_cents"),
+            F.sum(disc_e4).alias("sum_disc_e4"),
+            F.sum(charge_e6).alias("sum_charge_e6"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS sum_disc_e4,
+       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS sum_charge_e6,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-join + agg: orders ⋈ customer ⋈ nation (dims broadcast)."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_orders"), F.sum(cents).alias("revenue_cents"))
+    )
+
+
+SQL_JOIN_REVENUE_BY_NATION = """
+SELECT n_name, count(*) AS n_orders,
+       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti (NOT EXISTS): customers without orders."""
+    _prep(spark)
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+SQL_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 — EXCEPT/INTERSECT via native set operators: purchasers who
+    never hit an error."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erred = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return buyers.subtract(erred)
+
+
+SQL_SET_OPS = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup family (A2 + beyond-reference training-data operators)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/F11 — md5-content dedup keeping deterministic min id
+    (reference: kafka_utils.py:209-249 app-level dict)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_exact(docs, "text", "doc_id", keep="min").select("doc_id", "n_chars")
+
+
+SQL_DEDUP_EXACT = """
+SELECT doc_id, n_chars FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+"""
+
+
+def _sql_shingles_cte() -> str:
+    return f"""
+toks AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              array_to_string(list_slice(tk, s, s + {SHINGLE_N - 1}), ' ') AS shingle
+       FROM toks, unnest(generate_series(1, greatest(len(tk) - {SHINGLE_N - 1}, 1))) AS t(s))
+"""
+
+
+def _sql_minhash_cte() -> str:
+    mins = ",\n       ".join(
+        f"min({md5_bigint_sql('shingle', salt=str(i))}) AS h{i}" for i in range(MINHASH_N)
+    )
+    return f"""
+WITH {_sql_shingles_cte()},
+sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+"""
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (8 perms, 3-token shingles) — the 100-TB near-dup
+    path: one shuffle, map-side-combinable mins."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_signatures(docs, "doc_id", "text", num_hashes=MINHASH_N, shingle_n=SHINGLE_N)
+
+
+SQL_MINHASH_SIGNATURES = _sql_minhash_cte() + "SELECT * FROM sig"
+
+
+def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding candidate pairs (4 bands × 2 rows)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=MINHASH_N, shingle_n=SHINGLE_N)
+    return lsh_candidate_pairs(sigs, "doc_id", num_hashes=MINHASH_N, band_size=BAND_SIZE)
+
+
+def _sql_lsh_pairs() -> str:
+    n_bands = MINHASH_N // BAND_SIZE
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, CAST(h{b * BAND_SIZE} AS VARCHAR) || '_' || "
+        f"CAST(h{b * BAND_SIZE + 1} AS VARCHAR) AS bh FROM sig"
+        for b in range(n_bands)
+    )
+    return (
+        _sql_minhash_cte()
+        + f""",
+bands AS ({band_selects})
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+"""
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprints (16-bit, token md5 hashes)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return simhash(docs, "doc_id", "text", bits=SIMHASH_BITS)
+
+
+def _sql_simhash() -> str:
+    h = md5_bigint_sql("tok")
+    sums = ",\n       ".join(
+        f"sum((({h} >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, unnest({_TOKS.format(col='text')}) AS tok FROM documents),
+sums AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id)
+SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard pairs over a bounded id range (the LSH-verify
+    stage in a full near-dup pipeline)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < JACCARD_MAX_ID)
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=SHINGLE_N, threshold=0.0)
+
+
+def _sql_ngram_jaccard() -> str:
+    return f"""
+WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < {JACCARD_MAX_ID}),
+toks AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM docs),
+sh AS (SELECT DISTINCT doc_id,
+              array_to_string(list_slice(tk, s, s + {SHINGLE_N - 1}), ' ') AS shingle
+       FROM toks, unnest(generate_series(1, greatest(len(tk) - {SHINGLE_N - 1}, 1))) AS t(s)),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+"""
+
+
+def q_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine >= 0.2, bounded id range)."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < COS_PAIR_MAX_ID)
+    return embedding_cosine_pairs(emb, "vec_id", "embedding", threshold=0.2, round_to=6)
+
+
+SQL_EMBEDDING_COSINE_PAIRS = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < {COS_PAIR_MAX_ID})
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.2
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search (J3/F9 + beyond-reference ANN)
+
+
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VECTOR_SEARCH top-k (reference :379-384): brute-force exact cosine,
+    broadcast index, per-query rank. k=3 like the reference."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    hits = vector_search_topk_flat(
+        queries,
+        emb.select("vec_id", "embedding"),
+        k=ANN_K,
+        query_col="embedding",
+        index_col="embedding",
+        payload_cols=["vec_id"],
+        sim_col="similarity",
+        rank_col="search_rank",
+        round_sim=6,
+    )
+    return hits.select("qid", F.col("vec_id").alias("neighbor_id"), "similarity", "search_rank")
+
+
+SQL_ANN_TOPK = f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {ANN_NQ}),
+i AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+s AS (SELECT q.qid, i.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, i.v) /
+                   (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(i.v, i.v))), 6) AS similarity
+      FROM q CROSS JOIN i),
+r AS (SELECT qid, neighbor_id, similarity,
+             row_number() OVER (PARTITION BY qid ORDER BY similarity DESC, neighbor_id ASC) AS search_rank
+      FROM s)
+SELECT qid, neighbor_id, similarity, search_rank FROM r WHERE search_rank <= {ANN_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis (beyond-reference training-data operators)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID (stopword-hit argmax)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_col("text").alias("lang_pred"))
+
+
+def _sql_lang_id() -> str:
+    score_cols = []
+    for lang, words in LANG_STOPWORDS.items():
+        in_list = ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+        score_cols.append(f"len(list_filter(tk, t -> t IN ({in_list}))) AS s_{lang}")
+    scores = ",\n       ".join(score_cols)
+    langs = list(LANG_STOPWORDS)
+    max_expr = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case_branches = "\n            ".join(
+        f"WHEN s_{lg} = m THEN '{lg}'" for lg in langs
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM documents),
+s AS (SELECT doc_id, {scores} FROM t),
+m AS (SELECT *, {max_expr} AS m FROM s)
+SELECT doc_id,
+       CASE WHEN m = 0 THEN 'und'
+            {case_branches}
+       END AS lang_pred
+FROM m
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword estimate."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count_col("text").alias("ws_tokens"),
+        subword_count_col("text").alias("subword_est"),
+    )
+
+
+SQL_TOKEN_STATS = f"""
+SELECT doc_id,
+       CAST(len({_TOKS.format(col='text')}) AS INT) AS ws_tokens,
+       CAST(ceil(len(text) / 4.0) AS BIGINT) AS subword_est
+FROM documents
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/stopword/word-length bands."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score_col("text").alias("quality"))
+
+
+def _sql_quality_score() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         len(text) AS n_chars,
+         CAST(len({_TOKS.format(col='text')}) AS INT) AS n_tokens,
+         len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct,
+         len(list_filter({_TOKS.format(col='text')}, t -> t IN ({stop_list}))) AS n_stop
+  FROM documents)
+SELECT doc_id,
+  round(((CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1.0 ELSE 0.0 END) +
+         (CASE WHEN n_punct / greatest(n_chars, 1) < 0.2 THEN 1.0 ELSE 0.0 END) +
+         (CASE WHEN n_stop / greatest(n_tokens, 1) >= 0.05 THEN 1.0 ELSE 0.0 END) +
+         (CASE WHEN n_chars / greatest(n_tokens, 1) BETWEEN 3 AND 12 THEN 1.0 ELSE 0.0 END)
+        ) / 4.0, 4) AS quality
+FROM t
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min of rolling char-shingle hashes."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import fingerprint_col  # noqa: PLC0415
+
+    return docs.select(
+        "doc_id",
+        fingerprint_col("text", FP_SHINGLE_CHARS, FP_STRIDE).alias("fingerprint"),
+    )
+
+
+SQL_FINGERPRINT = f"""
+SELECT doc_id,
+       list_min(list_transform(
+         generate_series(1, greatest(len(text) - {FP_SHINGLE_CHARS} + 1, 1), {FP_STRIDE}),
+         s -> {md5_bigint_sql(f"substr(text, s, {FP_SHINGLE_CHARS})")})) AS fingerprint
+FROM documents
+"""
+
+
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: opaque binary payload column + typed metadata
+    (byte length, content hash). The decode/feature stage is the pandas-UDF
+    path in operators/multimodal.py; this query checks the schema/bytes
+    plumbing that feeds it."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    blob = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.length(blob).alias("n_bytes"),
+        F.md5(F.col("text")).alias("content_md5"),
+    )
+
+
+SQL_MULTIMODAL_META = """
+SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes, md5(text) AS content_md5
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# RAG pipeline (non-SQL-expressible: model UDFs) — rows-only checks
+
+
+def q_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Headline coaching pipeline end-to-end with the mock provider
+    (SURVEY §3.2): filter → embed → vector-search k=3 → prompt → generate."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.models import default_registry  # noqa: PLC0415
+    from flink_sql_ai_meetingcoach_azure_spark.plans import (  # noqa: PLC0415
+        build_knowledge_index,
+        coaching_pipeline,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    reg = default_registry(dim=64)
+    knowledge = docs.limit(200).select(
+        F.concat(F.col("lang"), F.lit("/"), F.col("source"), F.lit(".md")).alias("document_id"),
+        F.concat(F.col("source"), F.lit(".md")).alias("document_name"),
+        F.col("lang").alias("document_category"),
+        F.col("text").alias("document_text"),
+    )
+    index = build_knowledge_index(knowledge, reg).cache()
+    messages = docs.filter(F.col("doc_id") % 7 == 0).limit(30).select(
+        F.substring("text", 1, 120).alias("message"), F.lit("prospect").alias("speaker")
+    )
+    return coaching_pipeline(messages, index, reg)
+
+
+def q_chunk_embed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Knowledge ingest (SURVEY §3.1): chunk (reference 8-param splitter) →
+    dedup → mock embed. Rows-only (model UDF not SQL-expressible)."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.models import default_registry  # noqa: PLC0415
+    from flink_sql_ai_meetingcoach_azure_spark.plans import build_knowledge_index  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    reg = default_registry(dim=64)
+    knowledge = docs.limit(300).select(
+        F.col("doc_id").cast("string").alias("document_id"),
+        F.col("text").alias("document_text"),
+    )
+    out = build_knowledge_index(knowledge, reg)
+    return out.select(
+        "document_id", "chunks", F.size("embedding").alias("embedding_dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+
+QUERIES: dict[str, QuerySpec] = {
+    "filter_route": QuerySpec(q_filter_route, SQL_FILTER_ROUTE),
+    "keyword_trigger": QuerySpec(q_keyword_trigger, SQL_KEYWORD_TRIGGER),
+    "case_dispatch": QuerySpec(q_case_dispatch, SQL_CASE_DISPATCH),
+    "null_guard": QuerySpec(q_null_guard, SQL_NULL_GUARD),
+    "cache_hit_join": QuerySpec(q_cache_hit_join, SQL_CACHE_HIT_JOIN),
+    "explode_chunks": QuerySpec(q_explode_chunks, SQL_EXPLODE_CHUNKS),
+    "topn_per_user": QuerySpec(q_topn_per_user, SQL_TOPN_PER_USER),
+    "recent_history": QuerySpec(q_recent_history, SQL_RECENT_HISTORY),
+    "order_limit": QuerySpec(q_order_limit, SQL_ORDER_LIMIT),
+    "window_running_sum": QuerySpec(q_window_running_sum, SQL_WINDOW_RUNNING_SUM),
+    "tumbling_window": QuerySpec(q_tumbling_window, SQL_TUMBLING_WINDOW),
+    "concat_prompt": QuerySpec(q_concat_prompt, SQL_CONCAT_PROMPT),
+    "array_ops": QuerySpec(q_array_ops, SQL_ARRAY_OPS),
+    "json_cleanup_extract": QuerySpec(q_json_cleanup_extract, SQL_JSON_CLEANUP_EXTRACT),
+    "path_extract": QuerySpec(q_path_extract, SQL_PATH_EXTRACT),
+    "tpch_q1": QuerySpec(q_tpch_q1, SQL_TPCH_Q1),
+    "join_revenue_by_nation": QuerySpec(q_join_revenue_by_nation, SQL_JOIN_REVENUE_BY_NATION),
+    "anti_join": QuerySpec(q_anti_join, SQL_ANTI_JOIN),
+    "set_ops": QuerySpec(q_set_ops, SQL_SET_OPS),
+    "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
+    "minhash_signatures": QuerySpec(q_minhash_signatures, SQL_MINHASH_SIGNATURES),
+    "lsh_pairs": QuerySpec(q_lsh_pairs, _sql_lsh_pairs()),
+    "simhash": QuerySpec(q_simhash, _sql_simhash()),
+    "ngram_jaccard": QuerySpec(q_ngram_jaccard, _sql_ngram_jaccard()),
+    "embedding_cosine_pairs": QuerySpec(q_embedding_cosine_pairs, SQL_EMBEDDING_COSINE_PAIRS),
+    "ann_topk": QuerySpec(q_ann_topk, SQL_ANN_TOPK),
+    "lang_id": QuerySpec(q_lang_id, _sql_lang_id()),
+    "token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS),
+    "quality_score": QuerySpec(q_quality_score, _sql_quality_score()),
+    "fingerprint": QuerySpec(q_fingerprint, SQL_FINGERPRINT),
+    "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META),
+    "rag_pipeline": QuerySpec(q_rag_pipeline, None),
+    "chunk_embed_ingest": QuerySpec(q_chunk_embed_ingest, None),
+}

@@ -1,0 +1,117 @@
+"""Structured Streaming layer (SURVEY.md §2.10, §3.2 streaming variant).
+
+Maps the reference's continuous-query semantics:
+
+- Kafka topic per stage → one streaming DataFrame per stage; optional
+  per-stage materialization (``materialize_intermediates``) mirrors the
+  reference's intermediate topics (generate_personalized_commands.sh:568-576)
+  for inspectability.
+- at-least-once + content dedup (md5 + 300 s TTL dict,
+  app/utils/kafka_utils.py:209-249) → ``withWatermark`` +
+  ``dropDuplicates`` on the content hash (T4). Spark checkpointing already
+  gives exactly-once to idempotent sinks; the dedup stays to mirror
+  reference semantics for at-least-once producers.
+- the global streaming Top-N view (W1, :489-505) → ``foreachBatch``-merged
+  bounded table, because Spark disallows un-partitioned ``row_number`` on a
+  stream (SURVEY §7.4.1).
+"""
+
+from __future__ import annotations
+
+import threading
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_sql_ai_meetingcoach_azure_spark.functions.text import assemble_coaching_prompt
+from flink_sql_ai_meetingcoach_azure_spark.models.registry import ModelRegistry
+from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import vector_search
+
+
+def dedup_stream(
+    stream: DataFrame,
+    content_col: str = "message",
+    ts_col: str = "rowtime",
+    ttl: str = "5 minutes",
+) -> DataFrame:
+    """Content-hash dedup with event-time TTL (reference 300 s window)."""
+    return (
+        stream.withColumn("__content_hash", F.md5(F.col(content_col)))
+        .withWatermark(ts_col, ttl)
+        .dropDuplicates(["__content_hash"])
+        .drop("__content_hash")
+    )
+
+
+def streaming_coaching_pipeline(
+    message_stream: DataFrame,
+    knowledge_index: DataFrame,
+    registry: ModelRegistry,
+    k: int = 3,
+) -> DataFrame:
+    """Streaming version of plans/coaching.py: stream-static broadcast join
+    against the (batch) knowledge index; every transform is narrow, so each
+    micro-batch is a single stage — same property as the reference's
+    per-row continuous pipeline."""
+    prospects = message_stream.filter(F.col("speaker") == "prospect").select(
+        "message", "speaker"
+    )
+    embedded = registry.ml_predict(prospects, "openaiembed", "message", "embedding")
+    # method='numpy' (mapInPandas): window functions are not allowed on
+    # streaming DataFrames, so the SQL top-k path can't run here; the numpy
+    # path is also the lower-latency one per micro-batch.
+    with_rag = vector_search(
+        embedded,
+        knowledge_index,
+        k=k,
+        payload_cols=["document_id", "chunks"],
+        output_col="rag_results",
+        method="numpy",
+    )
+    prompt = assemble_coaching_prompt("message", "rag_results", k=k)
+    with_prompt = with_rag.withColumn("__prompt", prompt)
+    generated = registry.ml_predict(
+        with_prompt, "coaching_response_generator", "__prompt", "coaching_response"
+    )
+    return generated.select(
+        "message",
+        F.to_json(F.col("rag_results")).alias("rag_results_string"),
+        "coaching_response",
+    )
+
+
+class RecentHistorySink:
+    """foreachBatch sink maintaining the ``recent_conversation_history``
+    view: a bounded latest-N table (reference view :489-505).
+
+    Each micro-batch merges into an in-memory pandas buffer under a lock and
+    keeps only the newest ``n`` rows — the driver-side state is O(n), the
+    per-batch work is O(batch). Register with::
+
+        stream.writeStream.foreachBatch(sink).start()
+    """
+
+    def __init__(self, n: int = 6, ts_col: str = "rowtime") -> None:
+        self.n = n
+        self.ts_col = ts_col
+        self._lock = threading.Lock()
+        self._buf = None  # pandas DataFrame
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        import pandas as pd  # noqa: PLC0415
+
+        pdf = batch_df.toPandas()
+        with self._lock:
+            self._buf = pdf if self._buf is None else pd.concat([self._buf, pdf])
+            self._buf = (
+                self._buf.sort_values(self.ts_col, ascending=False)
+                .head(self.n)
+                .reset_index(drop=True)
+            )
+
+    def current(self):
+        """The view contents, oldest-first (reference re-sorts ASC, :504)."""
+        with self._lock:
+            if self._buf is None:
+                return None
+            return self._buf.sort_values(self.ts_col).reset_index(drop=True)
