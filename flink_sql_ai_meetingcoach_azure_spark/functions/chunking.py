@@ -123,7 +123,9 @@ def chunk_text_udf(
     """Spark UDF: STRING -> ARRAY<STRING>. Compose with ``F.explode`` to get
     the reference's ``CROSS JOIN UNNEST(ML_CHARACTER_TEXT_SPLITTER(...))``."""
 
-    def _f(text: str | None) -> list[str]:
+    # no type hints: F.udf would try (and fail) to infer an eval type from
+    # them, emitting a UserWarning per registration
+    def _f(text):
         return chunk_text(
             text, chunk_size, chunk_overlap, separator, is_regex, trim, keep_separator, position
         )

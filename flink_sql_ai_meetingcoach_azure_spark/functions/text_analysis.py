@@ -38,16 +38,31 @@ def _stopword_hits(text: Column, words: list[str]) -> Column:
 
 
 def lang_id_col(text: Column | str) -> Column:
-    """Heuristic language ID: argmax of stopword hits, 'und' if all zero."""
+    """Heuristic language ID: argmax of stopword hits, 'und' if all zero;
+    ties break by LANG_STOPWORDS order (first language wins).
+
+    Single-pass ``aggregate`` over the token array: the tokenizer subtree
+    appears exactly once in the expression (an earlier nested-``when``
+    formulation embedded it 2^n_langs times, which exploded codegen size and
+    per-row cost)."""
     c = F.col(text) if isinstance(text, str) else text
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang, words in LANG_STOPWORDS.items():
-        score = _stopword_hits(c, words)
-        better = score > best_score
-        best_lang = F.when(better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(better, score).otherwise(best_score)
-    return best_lang
+    langs = list(LANG_STOPWORDS)
+    word_arrays = [F.array(*[F.lit(w) for w in LANG_STOPWORDS[lg]]) for lg in langs]
+    zero = F.array(*[F.lit(0)] * len(langs))
+    scores = F.aggregate(
+        tokens_col(c),
+        zero,
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(*[F.array_contains(wa, t).cast("int") for wa in word_arrays]),
+            lambda a, b: a + b,
+        ),
+    )
+    m = F.array_max(scores)
+    lang_names = F.array(*[F.lit(lg) for lg in langs])
+    return F.when(m == 0, F.lit("und")).otherwise(
+        F.element_at(lang_names, F.array_position(scores, m).cast("int"))
+    )
 
 
 def token_count_col(text: Column | str) -> Column:

@@ -47,9 +47,15 @@ def tokens_col(text: Column | str, lowercase: bool = True) -> Column:
     return F.filter(F.split(c, r"\s+"), lambda t: F.length(t) > 0)
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
-    """Distinct word n-gram shingles per document: (id_col, shingle)."""
-    return (
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Word n-gram shingles per document: (id_col, shingle).
+
+    ``distinct=True`` (set semantics) is required for Jaccard; min-based
+    consumers (MinHash) pass ``distinct=False`` — min is duplicate-invariant,
+    and skipping the distinct removes a whole shuffle."""
+    out = (
         df.select(id_col, tokens_col(text_col).alias("__toks"))
         .select(
             id_col,
@@ -60,8 +66,8 @@ def shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame
                 )
             ).alias("shingle"),
         )
-        .distinct()
     )
+    return out.distinct() if distinct else out
 
 
 def minhash_signatures(
@@ -75,8 +81,10 @@ def minhash_signatures(
 
     h_i(doc) = min over shingles of md5_bigint(shingle || ':' || i).
     One shuffle (groupBy id) with map-side partial min — scales linearly.
+    (No shingle-distinct pass: min is duplicate-invariant, so the extra
+    shuffle would buy nothing.)
     """
-    sh = shingles(df, id_col, text_col, n=shingle_n)
+    sh = shingles(df, id_col, text_col, n=shingle_n, distinct=False)
     aggs = [
         F.min(md5_bigint_col(F.col("shingle"), salt=str(i))).alias(f"h{i}")
         for i in range(num_hashes)

@@ -253,8 +253,13 @@ def vector_search_ivf(
         query_df.withColumn(_QID, F.monotonically_increasing_id())
         .withColumn("centroid_id", F.explode(_probes(F.col(query_col))))
     )
-    joined = q.join(ivf_index_df, on="centroid_id", how="inner")
-    sim = cosine_similarity_col(F.col(query_col), F.col(index_col)).alias("__sim")
+    # alias the index vector: query_col and index_col are usually both
+    # named "embedding", which would make the join output ambiguous
+    idx = ivf_index_df.select(
+        "centroid_id", *payload_cols, F.col(index_col).alias("__index_vec")
+    )
+    joined = q.join(idx, on="centroid_id", how="inner")
+    sim = cosine_similarity_col(F.col(query_col), F.col("__index_vec")).alias("__sim")
     joined = joined.withColumn("__sim", sim)
     w = Window.partitionBy(_QID).orderBy(F.desc("__sim"), *[F.asc(c) for c in payload_cols[:1]])
     ranked = joined.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k)

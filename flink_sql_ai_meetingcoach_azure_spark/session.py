@@ -43,6 +43,13 @@ def get_spark(
         # timestamp type — read as bigint nanos and convert (queries._events)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # many distinct codegen'd plans in one session (bench/correctness
+        # suites) exhaust the default JVM code cache, stalling JIT/Janino —
+        # first big query of each family then pays minutes, not seconds
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m -XX:+UseCodeCacheFlushing",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -39,10 +39,15 @@ class ResponseCache:
         df.coalesce(1).write.mode("overwrite").option("header", "true").csv(self.path)
 
     def add(self, message: str, response: str, reasoning: str = "", used_excerpts: str = "", rag_sources: str = "") -> None:
-        new = self.spark.createDataFrame(
-            [(message, response, reasoning, used_excerpts, rag_sources)], CACHED_RESPONSES
-        )
-        self.save(self.load().filter(F.col("Message") != message).unionByName(new))
+        # materialize the current rows BEFORE overwriting: save() rewrites the
+        # path a lazy load() plan would still be reading from (self-overwrite
+        # -> FAILED_READ_FILE). The cache is small by contract (human-curated
+        # golden set), so a driver-side collect is the correct trade.
+        existing = [
+            tuple(r) for r in self.load().filter(F.col("Message") != message).collect()
+        ]
+        rows = existing + [(message, response, reasoning, used_excerpts, rag_sources)]
+        self.save(self.spark.createDataFrame(rows, CACHED_RESPONSES))
 
     def lookup_join(self, messages: DataFrame, message_col: str = "message") -> DataFrame:
         """Broadcast left join: appends cache columns; null Response = miss."""

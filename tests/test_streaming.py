@@ -1,0 +1,122 @@
+"""Structured Streaming layer (SURVEY.md §2.10): streaming coaching
+pipeline (stream-static vector search), content-hash dedup with watermark,
+foreachBatch recent-history sink."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_sql_ai_meetingcoach_azure_spark.models import default_registry
+from flink_sql_ai_meetingcoach_azure_spark.plans import build_knowledge_index
+from flink_sql_ai_meetingcoach_azure_spark.streaming.pipeline import (
+    RecentHistorySink,
+    dedup_stream,
+    streaming_coaching_pipeline,
+)
+
+MSG_SCHEMA = T.StructType(
+    [
+        T.StructField("message", T.StringType()),
+        T.StructField("speaker", T.StringType()),
+        T.StructField("rowtime", T.TimestampType()),
+    ]
+)
+
+
+def _write_batch(path, rows, n=0):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, f"batch_{n}.json"), "w") as f:
+        for m, s, ts in rows:
+            f.write(json.dumps({"message": m, "speaker": s, "rowtime": ts}) + "\n")
+
+
+def test_streaming_coaching_pipeline(spark, tmp_path):
+    src = str(tmp_path / "messages")
+    _write_batch(
+        src,
+        [
+            ("Tell me about pricing options", "prospect", "2026-01-01T10:00:00"),
+            ("Sure, one moment", "salesperson", "2026-01-01T10:00:05"),
+            ("What about integration effort?", "prospect", "2026-01-01T10:00:10"),
+        ],
+    )
+    reg = default_registry(dim=32)
+    knowledge = spark.createDataFrame(
+        [("kb/pricing.md", "Pricing tiers ### start at $10 per seat."),
+         ("kb/integration.md", "Integration ### takes two weeks typically.")],
+        ["document_id", "document_text"],
+    )
+    index = build_knowledge_index(knowledge, reg)
+
+    stream = spark.readStream.schema(MSG_SCHEMA).json(src)
+    out = streaming_coaching_pipeline(stream, index, reg, k=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("coaching_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM coaching_out").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 2  # salesperson filtered
+    by_msg = {r["message"]: r for r in rows}
+    assert set(by_msg) == {"Tell me about pricing options", "What about integration effort?"}
+    for r in rows:
+        rag = json.loads(r["rag_results_string"])
+        assert len(rag) == 2
+        assert r["coaching_response"].startswith("```json")
+
+
+def test_dedup_stream(spark, tmp_path):
+    src = str(tmp_path / "dups")
+    _write_batch(
+        src,
+        [
+            ("same message", "prospect", "2026-01-01T10:00:00"),
+            ("same message", "prospect", "2026-01-01T10:00:01"),
+            ("other message", "prospect", "2026-01-01T10:00:02"),
+        ],
+    )
+    stream = spark.readStream.schema(MSG_SCHEMA).json(src)
+    deduped = dedup_stream(stream, content_col="message", ts_col="rowtime")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        msgs = sorted(r["message"] for r in spark.sql("SELECT * FROM dedup_out").collect())
+    finally:
+        q.stop()
+    assert msgs == ["other message", "same message"]
+
+
+def test_recent_history_sink(spark, tmp_path):
+    src = str(tmp_path / "hist")
+    rows = [(f"m{i}", "prospect", f"2026-01-01T10:00:{i:02d}") for i in range(10)]
+    _write_batch(src, rows)
+    sink = RecentHistorySink(n=6, ts_col="rowtime")
+    stream = spark.readStream.schema(MSG_SCHEMA).json(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    cur = sink.current()
+    assert list(cur["message"]) == [f"m{i}" for i in range(4, 10)]  # latest 6, ASC
