@@ -1,0 +1,173 @@
+"""Multimodal (image/audio/video) column operators — beyond-reference
+training-data plumbing.
+
+Design: media payloads are opaque ``binary`` columns with typed metadata
+(modality, byte length, content hash); all heavy per-item work runs as
+Arrow-batched pandas functions over ``mapInPandas`` so each task processes
+a whole batch with NumPy, and partitioning/pushdown stay Spark-native.
+
+The actual codec work (JPEG/PNG decode, audio resample, video demux) needs
+libraries not present in this container, so the decode step is STUBBED:
+``decoder='fake'`` (default) derives a deterministic small tensor from the
+bytes (md5-seeded) so every downstream stage — feature extraction, resize,
+frame sampling, batching shapes — is real and testable; ``decoder='real'``
+raises ``NotImplementedError`` at the exact seam where a PIL/ffmpeg call
+would go.
+
+Scale notes (100 TB): the input is typically parquet with a binary column;
+``spark.sql.files.maxPartitionBytes`` bounds task size, mapInPandas streams
+Arrow batches (no whole-partition materialization), and nothing here
+shuffles — the pipeline is embarrassingly parallel per file split. Keep
+metadata-only predicates (modality, n_bytes bounds) BEFORE the decode stage
+so Catalyst prunes work at the scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("modality", T.StringType()),  # image | audio | video
+        T.StructField("n_bytes", T.IntegerType()),
+        T.StructField("content_md5", T.StringType()),
+    ]
+)
+
+
+def attach_media_metadata(
+    df: DataFrame, payload_col: str = "payload", modality_col: str | None = None
+) -> DataFrame:
+    """Typed metadata columns for an opaque binary payload column —
+    the cheap, JVM-side stage every multimodal pipeline starts with."""
+    out = df.withColumn("n_bytes", F.length(F.col(payload_col)).cast("int")).withColumn(
+        "content_md5", F.md5(F.col(payload_col))
+    )
+    if modality_col is None and "modality" not in out.columns:
+        out = out.withColumn("modality", F.lit("image"))
+    return out
+
+
+def _fake_decode(payload: bytes, h: int, w: int) -> np.ndarray:
+    """Deterministic stand-in for an image decode: md5-seeded uint8 HxWx3.
+
+    Same bytes -> same tensor, across processes — lets tests assert real
+    invariants (shapes, determinism, resize math) with zero codec deps.
+    """
+    seed = int.from_bytes(hashlib.md5(payload or b"").digest()[:4], "big")
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def decode_and_featurize(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    height: int = 32,
+    width: int = 32,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Decode each payload and emit per-item image features.
+
+    Output: (id_col, height, width, mean_intensity, channel_means[3],
+    feature[64] float32). Runs as one Arrow batch per task via
+    ``mapInPandas`` — the real-decoder seam is marked below.
+    """
+    if decoder not in ("fake", "real"):
+        raise ValueError(f"unknown decoder {decoder!r}")
+
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("height", T.IntegerType()),
+            T.StructField("width", T.IntegerType()),
+            T.StructField("mean_intensity", T.DoubleType()),
+            T.StructField("channel_means", T.ArrayType(T.DoubleType())),
+            T.StructField("feature", T.ArrayType(T.FloatType())),
+        ]
+    )
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r[payload_col]
+                if decoder == "real":
+                    # REAL-DECODER SEAM: PIL.Image.open(io.BytesIO(payload))
+                    raise NotImplementedError(
+                        "real image decoding requires PIL/opencv (not in this "
+                        "container); use decoder='fake'"
+                    )
+                img = _fake_decode(payload, height, width)
+                flat = img.astype(np.float32) / 255.0
+                # 64-dim pooled feature: mean over an 8x8 grid of cells
+                gh, gw = 8, 8
+                cells = flat[: gh * (height // gh), : gw * (width // gw), :].reshape(
+                    gh, height // gh, gw, width // gw, 3
+                )
+                feat = cells.mean(axis=(1, 3)).mean(axis=2).reshape(-1)
+                rows.append(
+                    {
+                        id_col: r[id_col],
+                        "height": int(img.shape[0]),
+                        "width": int(img.shape[1]),
+                        "mean_intensity": float(img.mean()),
+                        "channel_means": [float(m) for m in img.mean(axis=(0, 1))],
+                        "feature": feat.astype(np.float32).tolist(),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(_proc, schema=out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    n_frames: int = 4,
+    height: int = 16,
+    width: int = 16,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Frame sampling: one output row per (video, frame_idx) — the 1→N
+    explode shape of a real video pipeline, with the demux stubbed."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("frame_idx", T.IntegerType()),
+            T.StructField("frame_md5", T.StringType()),
+            T.StructField("mean_intensity", T.DoubleType()),
+        ]
+    )
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r[payload_col] or b""
+                if decoder == "real":
+                    raise NotImplementedError(
+                        "real video demux requires ffmpeg (not in this container)"
+                    )
+                for i in range(n_frames):
+                    frame = _fake_decode(payload + i.to_bytes(4, "big"), height, width)
+                    rows.append(
+                        {
+                            id_col: r[id_col],
+                            "frame_idx": i,
+                            "frame_md5": hashlib.md5(frame.tobytes()).hexdigest(),
+                            "mean_intensity": float(frame.mean()),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(_proc, schema=out_schema)

@@ -493,35 +493,42 @@ GROUP BY n_name
 
 
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """left_anti (NOT EXISTS): customers without orders."""
+    """left_anti (NOT EXISTS): customers with no order above 300k (the
+    bare no-orders variant is empty on the dense testdata — a 0-row match
+    would be a vacuous correctness check)."""
     _prep(spark)
     customer = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     return customer.join(
-        orders, customer["c_custkey"] == orders["o_custkey"], "left_anti"
+        big, customer["c_custkey"] == big["o_custkey"], "left_anti"
     ).select("c_custkey", "c_name")
 
 
 SQL_ANTI_JOIN = """
 SELECT c_custkey, c_name FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
 """
 
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.7 — EXCEPT/INTERSECT via native set operators: purchasers who
-    never hit an error."""
+    """§2.7 — EXCEPT via native set operators at (user, day) grain:
+    days a user purchased but did not hit an error (user-grain is empty on
+    the dense testdata — every user does everything)."""
     _prep(spark)
     ev = _events(spark, sf_dir)
-    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-    erred = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
-    return buyers.subtract(erred)
+    day = F.unix_micros(F.date_trunc("day", F.col("ts"))).alias("day_us")
+    buy_days = ev.filter(F.col("event_type") == "purchase").select("user_id", day).distinct()
+    err_days = ev.filter(F.col("event_type") == "error").select("user_id", day).distinct()
+    return buy_days.subtract(err_days)
 
 
 SQL_SET_OPS = """
-SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+SELECT DISTINCT user_id, epoch_us(date_trunc('day', ts::TIMESTAMP)) AS day_us
+FROM events WHERE event_type = 'purchase'
 EXCEPT
-SELECT user_id FROM events WHERE event_type = 'error'
+SELECT DISTINCT user_id, epoch_us(date_trunc('day', ts::TIMESTAMP))
+FROM events WHERE event_type = 'error'
 """
 
 
@@ -825,6 +832,28 @@ FROM documents
 """
 
 
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode→featurize over binary payloads (mapInPandas with
+    the deterministic fake decoder, operators/multimodal.py). Rows-only:
+    the Arrow-batched decode stage is not SQL-expressible."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+        attach_media_metadata,
+        decode_and_featurize,
+    )
+
+    docs = _t(spark, sf_dir, "documents").limit(100)
+    media = docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    meta = attach_media_metadata(media)
+    feats = decode_and_featurize(meta.filter(F.col("n_bytes") > 0), height=16, width=16)
+    return feats.select(
+        "media_id", "height", "width", F.round("mean_intensity", 4).alias("mean_intensity")
+    )
+
+
 # ---------------------------------------------------------------------------
 # RAG pipeline (non-SQL-expressible: model UDFs) — rows-only checks
 
@@ -907,6 +936,7 @@ QUERIES: dict[str, QuerySpec] = {
     "quality_score": QuerySpec(q_quality_score, _sql_quality_score()),
     "fingerprint": QuerySpec(q_fingerprint, SQL_FINGERPRINT),
     "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META),
+    "multimodal_features": QuerySpec(q_multimodal_features, None),
     "rag_pipeline": QuerySpec(q_rag_pipeline, None),
     "chunk_embed_ingest": QuerySpec(q_chunk_embed_ingest, None),
 }

@@ -80,6 +80,81 @@ def streaming_coaching_pipeline(
     )
 
 
+def staged_coaching_pipeline(
+    spark,
+    source_stream: DataFrame,
+    knowledge_index: DataFrame,
+    registry: ModelRegistry,
+    out_root: str,
+    k: int = 3,
+):
+    """The reference's 4 chained CTAS statements with one materialized
+    intermediate per stage (generate_personalized_commands.sh:347-433: each
+    stage writes its own Kafka topic; here each writes a parquet dir under
+    ``out_root`` and the next stage ``readStream``s it).
+
+    Returns the list of StreamingQuery handles (callers stop them or
+    ``processAllAvailable`` in tests). The fused single-plan variant
+    (:func:`streaming_coaching_pipeline`) is the performance path; this one
+    exists for the reference's per-stage inspectability — the demo's
+    observability depends on the intermediate topics existing.
+    """
+    root = out_root.rstrip("/")
+    queries = []
+
+    def _sink(df: DataFrame, name: str):
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", f"{root}/{name}")
+            .option("checkpointLocation", f"{root}/_ckpt/{name}")
+            .outputMode("append")
+            .start()
+        )
+        queries.append(q)
+        return q
+
+    # stage a: messages_prospect = SELECT * WHERE speaker='prospect' (:347-350)
+    prospects = source_stream.filter(F.col("speaker") == "prospect").select(
+        "message", "speaker"
+    )
+    _sink(prospects, "messages_prospect")
+
+    # stage b: + embedding via ML_PREDICT('openaiembed', message) (:355-362)
+    st_a = spark.readStream.schema(prospects.schema).parquet(f"{root}/messages_prospect")
+    embedded = registry.ml_predict(st_a, "openaiembed", "message", "embedding")
+    _sink(embedded, "messages_prospect_embeddings")
+
+    # stage c: + rag_results via VECTOR_SEARCH(..., k) (:367-385)
+    st_b = spark.readStream.schema(embedded.schema).parquet(
+        f"{root}/messages_prospect_embeddings"
+    )
+    with_rag = vector_search(
+        st_b,
+        knowledge_index,
+        k=k,
+        payload_cols=["document_id", "chunks"],
+        output_col="rag_results",
+        method="numpy",
+    )
+    _sink(with_rag, "messages_prospect_rag_results")
+
+    # stage d: prompt CONCAT + generation (:412-433)
+    st_c = spark.readStream.schema(with_rag.schema).parquet(
+        f"{root}/messages_prospect_rag_results"
+    )
+    prompt = assemble_coaching_prompt("message", "rag_results", k=k)
+    generated = registry.ml_predict(
+        st_c.withColumn("__prompt", prompt), "coaching_response_generator",
+        "__prompt", "coaching_response",
+    ).select(
+        "message",
+        F.to_json(F.col("rag_results")).alias("rag_results_string"),
+        "coaching_response",
+    )
+    _sink(generated, "messages_prospect_rag_llm_response")
+    return queries
+
+
 class RecentHistorySink:
     """foreachBatch sink maintaining the ``recent_conversation_history``
     view: a bounded latest-N table (reference view :489-505).

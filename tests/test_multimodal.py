@@ -1,0 +1,67 @@
+"""Multimodal plumbing: binary payload columns, metadata, mapInPandas
+decode/featurize/frame-sample with the deterministic fake decoder."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+    attach_media_metadata,
+    decode_and_featurize,
+    sample_video_frames,
+)
+
+
+def _media(spark):
+    rows = [
+        ("m1", bytearray(b"payload-bytes-one")),
+        ("m2", bytearray(b"payload-bytes-two")),
+        ("m3", bytearray(b"payload-bytes-one")),  # same content as m1
+    ]
+    return spark.createDataFrame(rows, "media_id string, payload binary")
+
+
+def test_metadata(spark):
+    out = attach_media_metadata(_media(spark)).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert by_id["m1"]["n_bytes"] == len(b"payload-bytes-one")
+    assert by_id["m1"]["content_md5"] == by_id["m3"]["content_md5"]
+    assert by_id["m1"]["content_md5"] != by_id["m2"]["content_md5"]
+    assert by_id["m1"]["modality"] == "image"
+
+
+def test_decode_featurize_deterministic(spark):
+    out = decode_and_featurize(_media(spark), height=32, width=32).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert len(out) == 3
+    for r in out:
+        assert (r["height"], r["width"]) == (32, 32)
+        assert len(r["feature"]) == 64
+        assert len(r["channel_means"]) == 3
+        assert 0 <= r["mean_intensity"] <= 255
+    # identical payload -> identical tensor -> identical features
+    assert by_id["m1"]["feature"] == by_id["m3"]["feature"]
+    assert by_id["m1"]["feature"] != by_id["m2"]["feature"]
+
+
+def test_real_decoder_raises(spark):
+    with pytest.raises(Exception, match="NotImplementedError|real image"):
+        decode_and_featurize(_media(spark), decoder="real").collect()
+
+
+def test_frame_sampling(spark):
+    out = sample_video_frames(_media(spark).filter("media_id='m1'"), n_frames=4).collect()
+    assert len(out) == 4
+    assert [r["frame_idx"] for r in out] == [0, 1, 2, 3]
+    # frames differ from each other
+    assert len({r["frame_md5"] for r in out}) == 4
+
+
+def test_metadata_predicate_before_decode(spark):
+    """Metadata-only filters run JVM-side before the decode stage — the
+    pattern that lets Catalyst prune work at the scan."""
+    df = attach_media_metadata(_media(spark))
+    small = df.filter(F.col("n_bytes") > 0).filter(F.col("modality") == "image")
+    out = decode_and_featurize(small).collect()
+    assert len(out) == 3

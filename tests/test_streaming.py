@@ -16,6 +16,7 @@ from flink_sql_ai_meetingcoach_azure_spark.plans import build_knowledge_index
 from flink_sql_ai_meetingcoach_azure_spark.streaming.pipeline import (
     RecentHistorySink,
     dedup_stream,
+    staged_coaching_pipeline,
     streaming_coaching_pipeline,
 )
 
@@ -74,6 +75,46 @@ def test_streaming_coaching_pipeline(spark, tmp_path):
         rag = json.loads(r["rag_results_string"])
         assert len(rag) == 2
         assert r["coaching_response"].startswith("```json")
+
+
+def test_staged_pipeline_materializes_intermediates(spark, tmp_path):
+    """Every reference stage exists as an inspectable materialized table
+    (mirrors the per-stage Kafka topics, :568-576)."""
+    src = str(tmp_path / "msgs")
+    out = str(tmp_path / "stages")
+    _write_batch(
+        src,
+        [("Pricing is steep", "prospect", "2026-01-01T10:00:00"),
+         ("Noted", "salesperson", "2026-01-01T10:00:01")],
+    )
+    reg = default_registry(dim=32)
+    knowledge = spark.createDataFrame(
+        [("kb/pricing.md", "Pricing tiers ### start at $10 per seat.")],
+        ["document_id", "document_text"],
+    )
+    index = build_knowledge_index(knowledge, reg)
+    stream = spark.readStream.schema(MSG_SCHEMA).json(src)
+    queries = staged_coaching_pipeline(spark, stream, index, reg, out)
+    try:
+        # drain stage-by-stage: each stage's input is the previous stage's
+        # materialized output, so one pass per stage is required
+        for q in queries:
+            q.processAllAvailable()
+    finally:
+        for q in queries:
+            q.stop()
+    stages = [
+        "messages_prospect",
+        "messages_prospect_embeddings",
+        "messages_prospect_rag_results",
+        "messages_prospect_rag_llm_response",
+    ]
+    counts = {s: spark.read.parquet(f"{out}/{s}").count() for s in stages}
+    assert counts == {s: 1 for s in stages}  # salesperson row filtered in stage a
+    final = spark.read.parquet(f"{out}/messages_prospect_rag_llm_response").head()
+    assert final["message"] == "Pricing is steep"
+    assert "pricing.md" in final["rag_results_string"]
+    assert final["coaching_response"].startswith("```json")
 
 
 def test_dedup_stream(spark, tmp_path):
