@@ -1,0 +1,65 @@
+"""Property-based tests (hypothesis) for the pure-Python kernels: chunker
+coverage invariants and Avro codec roundtrips. These run without Spark."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_sql_ai_meetingcoach_azure_spark.functions.chunking import chunk_text
+from flink_sql_ai_meetingcoach_azure_spark.models.providers import mock_embedding
+from flink_sql_ai_meetingcoach_azure_spark.sources.avro_codec import (
+    decode_record,
+    encode_record,
+)
+
+TEXT = st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=600)
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXT, st.integers(20, 200), st.integers(0, 19))
+def test_chunk_size_bound(text, size, overlap):
+    for c in chunk_text(text, chunk_size=size, chunk_overlap=overlap, separator="###"):
+        assert 0 < len(c) <= size
+
+
+@settings(max_examples=60, deadline=None)
+@given(TEXT)
+def test_chunk_no_separator_lossless(text):
+    """Without separators in the text and zero overlap, chunks concatenate
+    back to the input (nothing lost, nothing duplicated)."""
+    chunks = chunk_text(text, chunk_size=50, chunk_overlap=0, separator="###")
+    if "###" not in text:
+        assert "".join(chunks) == text
+
+
+@settings(max_examples=40, deadline=None)
+@given(TEXT)
+def test_mock_embedding_unit_norm(text):
+    v = mock_embedding(text, dim=32)
+    assert len(v) == 32
+    assert abs(sum(x * x for x in v) - 1.0) < 1e-6
+
+
+AVRO_SCHEMA = {
+    "type": "record",
+    "name": "r",
+    "fields": [
+        {"name": "s", "type": ["null", "string"], "default": None},
+        {"name": "n", "type": "long"},
+        {"name": "f", "type": {"type": "array", "items": "double"}},
+        {"name": "b", "type": "boolean"},
+    ],
+}
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    st.one_of(st.none(), st.text(max_size=100)),
+    st.integers(min_value=-(2**62), max_value=2**62),
+    st.lists(st.floats(allow_nan=False, allow_infinity=False, width=64), max_size=8),
+    st.booleans(),
+)
+def test_avro_roundtrip_property(s, n, f, b):
+    rec = {"s": s, "n": n, "f": f, "b": b}
+    assert decode_record(AVRO_SCHEMA, encode_record(AVRO_SCHEMA, rec)) == rec
