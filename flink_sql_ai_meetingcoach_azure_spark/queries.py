@@ -696,6 +696,49 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("qid", F.col("vec_id").alias("neighbor_id"), "similarity", "search_rank")
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned vector search (the scale path where the index no
+    longer broadcasts). Run with nprobe == nlist so every cell is probed —
+    results are then EXACT and share ann_topk's oracle; smaller nprobe
+    trades recall for a nlist/nprobe scan reduction."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # noqa: PLC0415
+        build_ivf_index,
+        vector_search_ivf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    ivf, centroids = build_ivf_index(emb.select("vec_id", "embedding"), nlist=8)
+    hits = vector_search_ivf(
+        queries, ivf, centroids, k=ANN_K, nprobe=8, payload_cols=["vec_id"],
+        output_col="search_results",
+    )
+    # re-derive (similarity, rank) columns for output parity with ann_topk's
+    # oracle (the operator returns the packed array-of-struct shape)
+    return (
+        hits.select("qid", F.explode("search_results").alias("__s"))
+        .join(emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("__qv")), "qid")
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("__nv")),
+            F.col("__s.vec_id") == F.col("neighbor_id"),
+        )
+        .select(
+            "qid",
+            "neighbor_id",
+            F.round(cosine_similarity_col("__qv", "__nv"), 6).alias("similarity"),
+        )
+        .withColumn(
+            "search_rank",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(F.desc("similarity"), F.asc("neighbor_id"))
+            ),
+        )
+    )
+
+
 SQL_ANN_TOPK = f"""
 WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < {ANN_NQ}),
 i AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -707,6 +750,34 @@ r AS (SELECT qid, neighbor_id, similarity,
              row_number() OVER (PARTITION BY qid ORDER BY similarity DESC, neighbor_id ASC) AS search_rank
       FROM s)
 SELECT qid, neighbor_id, similarity, search_rank FROM r WHERE search_rank <= {ANN_K}
+"""
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof_join.py): each purchase matched to the
+    latest preceding view of the same user. Union + one window pass — no
+    pair-space materialization (the 100-TB path)."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.asof_join import asof_join  # noqa: PLC0415
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("v_ts"), F.col("event_id").alias("view_id")
+    )
+    out = asof_join(purchases, views, "user_id", "p_ts", "v_ts", ["view_id"])
+    return out.select("user_id", "purchase_id", "view_id")
+
+
+SQL_ASOF_JOIN = """
+SELECT p.user_id, p.purchase_id, v.view_id
+FROM (SELECT user_id, event_id AS purchase_id, ts FROM events
+      WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT user_id, event_id AS view_id, ts FROM events
+                WHERE event_type = 'view') v
+  ON p.user_id = v.user_id AND v.ts <= p.ts
 """
 
 
@@ -931,6 +1002,8 @@ QUERIES: dict[str, QuerySpec] = {
     "ngram_jaccard": QuerySpec(q_ngram_jaccard, _sql_ngram_jaccard()),
     "embedding_cosine_pairs": QuerySpec(q_embedding_cosine_pairs, SQL_EMBEDDING_COSINE_PAIRS),
     "ann_topk": QuerySpec(q_ann_topk, SQL_ANN_TOPK),
+    "ann_ivf_topk": QuerySpec(q_ann_ivf_topk, SQL_ANN_TOPK),  # exact at nprobe=nlist
+    "asof_join": QuerySpec(q_asof_join, SQL_ASOF_JOIN),
     "lang_id": QuerySpec(q_lang_id, _sql_lang_id()),
     "token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS),
     "quality_score": QuerySpec(q_quality_score, _sql_quality_score()),
