@@ -36,13 +36,19 @@ BENCH_QUERIES = [
     "fingerprint",
     # similarity search
     "ann_topk",
+    "ann_ivf_topk",
     "embedding_cosine_pairs",
+    # joins beyond the reference
+    "asof_join",
     # text analysis
     "lang_id",
     "quality_score",
     "token_stats",
-    # RAG pipeline end-to-end (mock provider)
+    # multimodal plumbing
+    "multimodal_features",
+    # RAG pipeline end-to-end (mock provider): correctness-shaped + bulk
     "rag_pipeline",
+    "rag_pipeline_bulk",
 ]
 
 

@@ -8,3 +8,22 @@ from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: F40
     minhash_signatures,
     lsh_candidate_pairs,
 )
+from flink_sql_ai_meetingcoach_azure_spark.operators.asof_join import asof_join  # noqa: F401
+from flink_sql_ai_meetingcoach_azure_spark.operators.skew import (  # noqa: F401
+    salted_count_by_key,
+    salted_join,
+)
+from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: F401
+    attach_media_metadata,
+    decode_and_featurize,
+    sample_video_frames,
+)
+from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # noqa: F401
+    build_ivf_index,
+    vector_search_ivf,
+)
+from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: F401
+    embedding_cosine_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)

@@ -195,13 +195,20 @@ def embedding_cosine_pairs(
     Broadcast self-join baseline; for unbounded inputs route through
     LSH bucketing (random-hyperplane) or IVF cells first.
     """
-    from flink_sql_ai_meetingcoach_azure_spark.functions.vectors import cosine_similarity_col  # noqa: PLC0415
+    from flink_sql_ai_meetingcoach_azure_spark.functions.vectors import dot_col, norm_col  # noqa: PLC0415
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    # norms once per side (not per pair): one zip_with dot per pair instead
+    # of three array aggregates
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    ).withColumn("__na", norm_col("__va"))
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    ).withColumn("__nb", norm_col("__vb"))
+    sim = dot_col("__va", "__vb") / (F.col("__na") * F.col("__nb"))
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .withColumn("cos_sim", F.round(cosine_similarity_col("__va", "__vb"), round_to))
+        .withColumn("cos_sim", F.round(sim, round_to))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )

@@ -954,6 +954,33 @@ def q_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coaching_pipeline(messages, index, reg)
 
 
+def q_rag_pipeline_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput-shaped RAG workload: 2 000 messages × 500-doc knowledge
+    base × 256-dim embeddings, GEMM retrieval. The small `rag_pipeline`
+    entry checks correctness shape; this one is what bench.py measures —
+    per-row cost, not session overhead. Rows-only (model UDFs)."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.models import default_registry  # noqa: PLC0415
+    from flink_sql_ai_meetingcoach_azure_spark.plans import (  # noqa: PLC0415
+        build_knowledge_index,
+        coaching_pipeline,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    reg = default_registry(dim=256)
+    knowledge = docs.limit(500).select(
+        F.concat(F.col("lang"), F.lit("/"), F.col("source"), F.lit(".md")).alias("document_id"),
+        F.col("source").alias("document_name"),
+        F.col("lang").alias("document_category"),
+        F.col("text").alias("document_text"),
+    )
+    index = build_knowledge_index(knowledge, reg)
+    messages = docs.limit(2000).select(
+        F.substring("text", 1, 120).alias("message"), F.lit("prospect").alias("speaker")
+    )
+    return coaching_pipeline(messages, index, reg, search_method="numpy")
+
+
 def q_chunk_embed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Knowledge ingest (SURVEY §3.1): chunk (reference 8-param splitter) →
     dedup → mock embed. Rows-only (model UDF not SQL-expressible)."""
@@ -1011,5 +1038,6 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_features": QuerySpec(q_multimodal_features, None),
     "rag_pipeline": QuerySpec(q_rag_pipeline, None),
+    "rag_pipeline_bulk": QuerySpec(q_rag_pipeline_bulk, None),
     "chunk_embed_ingest": QuerySpec(q_chunk_embed_ingest, None),
 }

@@ -1,0 +1,67 @@
+"""Physical-plan regression tests: the PLANS.md properties, asserted.
+
+These lock in the scale-critical plan shapes — pushdown reaching the scan,
+column pruning, dims broadcast, no Python in relational hot paths — so a
+refactor that silently degrades a plan fails CI, not the cluster.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from flink_sql_ai_meetingcoach_azure_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_tpch_q1_pushdown_and_pruning(spark):
+    plan = _plan(spark, "tpch_q1")
+    assert "LessThanOrEqual(l_shipdate" in plan  # filter reached the scan
+    assert "l_comment" not in plan  # untouched wide column pruned
+    # map-side partial aggregation before the single exchange
+    assert plan.count("Exchange") >= 1
+    assert "HashAggregate" in plan
+
+
+def test_join_revenue_broadcasts_dims(spark):
+    plan = _plan(spark, "join_revenue_by_nation")
+    # formatted output repeats node names (tree + detail); assert presence,
+    # not count
+    assert "BroadcastHashJoin" in plan  # customer and nation build sides
+    assert "SortMergeJoin" not in plan  # fact side never shuffles pre-agg
+    # fact scan reads only the two needed columns
+    assert "o_comment" not in plan and "o_orderdate" not in plan
+
+
+def test_ann_topk_broadcasts_index(spark):
+    plan = _plan(spark, "ann_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_relational_queries_stay_jvm_side(spark):
+    """No Python UDF stages in any oracle-checked relational query — the
+    whole §2 relational surface is built-ins (WholeStageCodegen-able)."""
+    # ann_ivf_topk has an oracle but legitimately runs a pandas UDF
+    # (centroid assignment) — the exactness is what's oracle-checked there
+    python_ok = {"ann_ivf_topk"}
+    for name, spec in QUERIES.items():
+        if spec.sql is None or name in python_ok:
+            continue  # model/multimodal pipelines legitimately use Python
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_filter_route_pushdown(spark):
+    plan = _plan(spark, "filter_route")
+    assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]" in plan

@@ -144,6 +144,43 @@ def test_dedup_stream(spark, tmp_path):
     assert msgs == ["other message", "same message"]
 
 
+def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
+    """T3/T6: stop a checkpointed query, add data, restart with the same
+    checkpoint — the restarted query processes only the new files, and the
+    sink holds each row exactly once."""
+    src = str(tmp_path / "cp_src")
+    out = str(tmp_path / "cp_out")
+    ckpt = str(tmp_path / "cp_ckpt")
+    _write_batch(src, [("m1", "prospect", "2026-01-01T10:00:00")], n=0)
+
+    def start():
+        stream = spark.readStream.schema(MSG_SCHEMA).json(src)
+        return (
+            stream.select("message", "speaker")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert spark.read.parquet(out).count() == 1
+
+    _write_batch(src, [("m2", "prospect", "2026-01-01T10:00:05")], n=1)
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    msgs = sorted(r["message"] for r in spark.read.parquet(out).collect())
+    assert msgs == ["m1", "m2"]  # m1 not reprocessed, m2 picked up
+
+
 def test_recent_history_sink(spark, tmp_path):
     src = str(tmp_path / "hist")
     rows = [(f"m{i}", "prospect", f"2026-01-01T10:00:{i:02d}") for i in range(10)]
