@@ -24,7 +24,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from flink_sql_ai_meetingcoach_azure_spark.functions.hashing import md5_bigint_col
+from flink_sql_ai_meetingcoach_azure_spark.functions.hashing import (
+    affine_hash_col,
+    md5_bigint_col,
+    md5_int32_col,
+)
 
 
 def dedup_exact(
@@ -79,14 +83,23 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: id_col, h0..h{num_hashes-1}.
 
-    h_i(doc) = min over shingles of md5_bigint(shingle || ':' || i).
+    h_i(doc) = min over shingles of (a_i·md5_32(shingle) + b_i) mod P —
+    the classical affine permutation family: ONE md5 per shingle, the other
+    num_hashes-1 permutations are two integer ops each (an earlier variant
+    salted+md5'd every shingle num_hashes times).
     One shuffle (groupBy id) with map-side partial min — scales linearly.
     (No shingle-distinct pass: min is duplicate-invariant, so the extra
     shuffle would buy nothing.)
     """
-    sh = shingles(df, id_col, text_col, n=shingle_n, distinct=False)
+    from flink_sql_ai_meetingcoach_azure_spark.functions.hashing import AFFINE_A  # noqa: PLC0415
+
+    if num_hashes > len(AFFINE_A):
+        raise ValueError(f"num_hashes > {len(AFFINE_A)} needs a larger affine table")
+    sh = shingles(df, id_col, text_col, n=shingle_n, distinct=False).withColumn(
+        "__h", md5_int32_col("shingle")
+    )
     aggs = [
-        F.min(md5_bigint_col(F.col("shingle"), salt=str(i))).alias(f"h{i}")
+        F.min(affine_hash_col(F.col("__h"), i)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -99,7 +112,12 @@ def lsh_candidate_pairs(
     band_size: int = 2,
 ) -> DataFrame:
     """LSH banding: docs sharing any band of the signature become candidate
-    pairs (id_a < id_b). Shuffle key = (band, band_hash) — uniform, no skew."""
+    pairs (id_a < id_b). Shuffle key = (band, band_hash) — uniform, no skew.
+
+    The signature input is persisted before the self-join: Spark does not
+    reuse the (explode + md5 + groupBy-min) subtree across the two join
+    sides on its own, and recomputing it doubles the dominant cost."""
+    signatures = signatures.persist()
     n_bands = num_hashes // band_size
     bands = []
     for b in range(n_bands):

@@ -23,7 +23,12 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from flink_sql_ai_meetingcoach_azure_spark.functions.hashing import md5_bigint_col, md5_bigint_sql
+from flink_sql_ai_meetingcoach_azure_spark.functions.hashing import (
+    affine_hash_sql,
+    md5_bigint_col,
+    md5_bigint_sql,
+    md5_int32_sql,
+)
 from flink_sql_ai_meetingcoach_azure_spark.functions.text import keyword_trigger_col
 from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import (
     EN_STOPWORDS,
@@ -560,12 +565,14 @@ sh AS (SELECT DISTINCT doc_id,
 
 
 def _sql_minhash_cte() -> str:
+    base = md5_int32_sql("shingle")
     mins = ",\n       ".join(
-        f"min({md5_bigint_sql('shingle', salt=str(i))}) AS h{i}" for i in range(MINHASH_N)
+        f"min({affine_hash_sql('bh', i)}) AS h{i}" for i in range(MINHASH_N)
     )
     return f"""
 WITH {_sql_shingles_cte()},
-sig AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id)
+shh AS (SELECT doc_id, {base} AS bh FROM sh),
+sig AS (SELECT doc_id, {mins} FROM shh GROUP BY doc_id)
 """
 
 
