@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "topn_per_user",
     "window_running_sum",
     "tumbling_window",
+    "session_window",
     "explode_chunks",
     # dedup / fingerprint family
     "dedup_exact",

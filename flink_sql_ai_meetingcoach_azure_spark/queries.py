@@ -336,6 +336,44 @@ FROM events GROUP BY 1
 """
 
 
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2 — session windows (30-min gap) per user via native
+    ``F.session_window``; oracle = gaps-and-islands SQL. The streaming
+    variant is the same expression over readStream with a watermark."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.sum(cents).alias("sum_cents"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("session_start_us"),
+            F.unix_micros(F.col("w.end")).alias("session_end_us"),
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
+SQL_SESSION_WINDOW = """
+WITH o AS (SELECT user_id, ts::TIMESTAMP AS ts, value FROM events),
+m AS (SELECT *, CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS new_s
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+g AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+FROM g GROUP BY user_id, sid
+"""
+
+
 # ---------------------------------------------------------------------------
 # §2.8 scalar functions
 
@@ -1021,6 +1059,7 @@ QUERIES: dict[str, QuerySpec] = {
     "order_limit": QuerySpec(q_order_limit, SQL_ORDER_LIMIT),
     "window_running_sum": QuerySpec(q_window_running_sum, SQL_WINDOW_RUNNING_SUM),
     "tumbling_window": QuerySpec(q_tumbling_window, SQL_TUMBLING_WINDOW),
+    "session_window": QuerySpec(q_session_window, SQL_SESSION_WINDOW),
     "concat_prompt": QuerySpec(q_concat_prompt, SQL_CONCAT_PROMPT),
     "array_ops": QuerySpec(q_array_ops, SQL_ARRAY_OPS),
     "json_cleanup_extract": QuerySpec(q_json_cleanup_extract, SQL_JSON_CLEANUP_EXTRACT),
