@@ -80,6 +80,36 @@ def streaming_coaching_pipeline(
     )
 
 
+def join_streams_on_key_within(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "10 minutes",
+    watermark: str = "5 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream equi-join bounded by an event-time interval:
+    right rows match left rows with ``right_ts`` in
+    ``[left_ts, left_ts + max_delay]``.
+
+    Not exercised by the reference (its joins are all correlated lateral
+    lookups, SURVEY §2.3) but part of the engine north star. Watermarks on
+    BOTH sides bound the join state Spark must retain — without them a
+    stream-stream join's state grows without limit; with them, rows older
+    than (watermark + max_delay) are evicted. That bounded state is what
+    makes this join viable on an unbounded 100-TB stream."""
+    l_marked = left.withWatermark(left_ts, watermark)
+    r_marked = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l_marked[on] == r_marked[on])
+        & (r_marked[right_ts] >= l_marked[left_ts])
+        & (r_marked[right_ts] <= l_marked[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return l_marked.join(r_marked, cond, how).drop(r_marked[on])
+
+
 def staged_coaching_pipeline(
     spark,
     source_stream: DataFrame,

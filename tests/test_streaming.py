@@ -16,6 +16,7 @@ from flink_sql_ai_meetingcoach_azure_spark.plans import build_knowledge_index
 from flink_sql_ai_meetingcoach_azure_spark.streaming.pipeline import (
     RecentHistorySink,
     dedup_stream,
+    join_streams_on_key_within,
     staged_coaching_pipeline,
     streaming_coaching_pipeline,
 )
@@ -179,6 +180,47 @@ def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
         q.stop()
     msgs = sorted(r["message"] for r in spark.read.parquet(out).collect())
     assert msgs == ["m1", "m2"]  # m1 not reprocessed, m2 picked up
+
+
+def test_stream_stream_join_within_interval(spark, tmp_path):
+    """Stream-stream equi-join with event-time bounds and watermarks on
+    both sides (bounded state)."""
+    import json as _json
+
+    q_src = str(tmp_path / "questions")
+    a_src = str(tmp_path / "answers")
+    os.makedirs(q_src), os.makedirs(a_src)
+    with open(os.path.join(q_src, "q.json"), "w") as f:
+        f.write(_json.dumps({"conv_id": "c1", "q": "price?", "q_ts": "2026-01-01T10:00:00"}) + "\n")
+        f.write(_json.dumps({"conv_id": "c2", "q": "late?", "q_ts": "2026-01-01T10:00:00"}) + "\n")
+    with open(os.path.join(a_src, "a.json"), "w") as f:
+        f.write(_json.dumps({"conv_id": "c1", "a": "ten", "a_ts": "2026-01-01T10:05:00"}) + "\n")
+        # outside the 10-minute interval — must NOT join
+        f.write(_json.dumps({"conv_id": "c2", "a": "nope", "a_ts": "2026-01-01T10:30:00"}) + "\n")
+
+    q_schema = T.StructType([T.StructField("conv_id", T.StringType()),
+                             T.StructField("q", T.StringType()),
+                             T.StructField("q_ts", T.TimestampType())])
+    a_schema = T.StructType([T.StructField("conv_id", T.StringType()),
+                             T.StructField("a", T.StringType()),
+                             T.StructField("a_ts", T.TimestampType())])
+    joined = join_streams_on_key_within(
+        spark.readStream.schema(q_schema).json(q_src),
+        spark.readStream.schema(a_schema).json(a_src),
+        on="conv_id", left_ts="q_ts", right_ts="a_ts", max_delay="10 minutes",
+    )
+    q = (
+        joined.writeStream.format("memory").queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ss_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql("SELECT conv_id, q, a FROM ss_join").collect()
+    finally:
+        q.stop()
+    assert [(r["conv_id"], r["a"]) for r in rows] == [("c1", "ten")]
 
 
 def test_recent_history_sink(spark, tmp_path):
