@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from flink_sql_ai_meetingcoach_azure_spark.functions.chunking import chunk_text
-from flink_sql_ai_meetingcoach_azure_spark.functions.hashing import md5_bigint_col
 from flink_sql_ai_meetingcoach_azure_spark.models.registry import ModelRegistry
 from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import vector_search
 
