@@ -149,6 +149,7 @@ def q_case_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.withColumn("category", category)
         .groupBy("category")
         .agg(F.count("*").alias("n_events"), F.sum(cents).alias("sum_value_cents"))
+        .orderBy("category")
     )
 
 
@@ -158,7 +159,7 @@ SELECT CASE WHEN event_type IN ('purchase','signup') THEN 'conversion'
             ELSE 'engagement' END AS category,
        count(*) AS n_events,
        sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
-FROM events GROUP BY 1
+FROM events GROUP BY 1 ORDER BY category
 """
 
 
@@ -303,7 +304,7 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.select(
         "user_id", "event_id", F.sum(cents).over(w).alias("running_cents")
-    )
+    ).orderBy("user_id", "event_id")
 
 
 SQL_WINDOW_RUNNING_SUM = """
@@ -311,7 +312,7 @@ SELECT user_id, event_id,
        sum(CAST(round(value * 100) AS BIGINT)) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
-FROM events
+FROM events ORDER BY user_id, event_id
 """
 
 
@@ -325,6 +326,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("window_start_us")
         )
         .agg(F.count("*").alias("n_events"), F.sum(cents).alias("sum_cents"))
+        .orderBy("window_start_us")
     )
 
 
@@ -332,7 +334,7 @@ SQL_TUMBLING_WINDOW = """
 SELECT epoch_us(date_trunc('hour', ts::TIMESTAMP)) AS window_start_us,
        count(*) AS n_events,
        sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
-FROM events GROUP BY 1
+FROM events GROUP BY 1 ORDER BY window_start_us
 """
 
 
@@ -353,6 +355,7 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "sum_cents",
         )
+        .orderBy("user_id", "session_start_us")
     )
 
 
@@ -371,6 +374,7 @@ SELECT user_id,
        count(*) AS n_events,
        sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
 FROM g GROUP BY user_id, sid
+ORDER BY user_id, session_start_us
 """
 
 
@@ -494,6 +498,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(charge_e6).alias("sum_charge_e6"),
             F.count("*").alias("count_order"),
         )
+        .orderBy("l_returnflag", "l_linestatus")
     )
 
 
@@ -507,6 +512,7 @@ SELECT l_returnflag, l_linestatus,
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
 """
 
 
@@ -522,6 +528,7 @@ def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         .groupBy("n_name")
         .agg(F.count("*").alias("n_orders"), F.sum(cents).alias("revenue_cents"))
+        .orderBy("n_name")
     )
 
 
@@ -531,7 +538,7 @@ SELECT n_name, count(*) AS n_orders,
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
-GROUP BY n_name
+GROUP BY n_name ORDER BY n_name
 """
 
 
