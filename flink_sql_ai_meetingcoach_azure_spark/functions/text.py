@@ -30,7 +30,12 @@ def keyword_trigger_col(message: Column | str, keywords: list[str] | None = None
     (reference: app/utils/data_utils.py:29-30) as a single JVM-side rlike."""
     c = F.col(message) if isinstance(message, str) else message
     kws = keywords if keywords is not None else TRIGGER_KEYWORDS
-    return F.lower(c).rlike("|".join(kws))
+    # regex-escape each keyword: the contract is plain substring containment
+    # (reference does `kw in message`), so metacharacters in caller-supplied
+    # keywords must match literally
+    import re  # noqa: PLC0415
+
+    return F.lower(c).rlike("|".join(re.escape(k) for k in kws))
 
 
 def assemble_coaching_prompt(

@@ -114,10 +114,14 @@ def lsh_candidate_pairs(
     """LSH banding: docs sharing any band of the signature become candidate
     pairs (id_a < id_b). Shuffle key = (band, band_hash) — uniform, no skew.
 
-    The signature input is persisted before the self-join: Spark does not
-    reuse the (explode + md5 + groupBy-min) subtree across the two join
-    sides on its own, and recomputing it doubles the dominant cost."""
-    signatures = signatures.persist()
+    The signature input is materialized once via ``localCheckpoint`` before
+    the self-join: Spark does not reuse the (explode + md5 + groupBy-min)
+    subtree across the two join sides on its own, and recomputing it doubles
+    the dominant cost. localCheckpoint (not ``persist``): its blocks are
+    released by the ContextCleaner when the plan is garbage-collected, so a
+    long-lived session doesn't accumulate leaked cache entries, and the
+    caller's DataFrame storage level is never mutated."""
+    signatures = signatures.localCheckpoint(eager=False)
     n_bands = num_hashes // band_size
     bands = []
     for b in range(n_bands):
@@ -169,6 +173,7 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.0,
+    max_doc_freq: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all candidate pairs that share at
     least one shingle (id_a < id_b, jaccard >= threshold).
@@ -176,8 +181,24 @@ def ngram_jaccard_pairs(
     |A∩B| via a self-join on shingle; |A|,|B| via per-doc counts. Intended
     for bounded inputs or as the verify stage after LSH candidate pruning —
     the join on shingle is the n²-avoiding path.
+
+    ``max_doc_freq`` caps shingle document frequency BEFORE the self-join:
+    one ubiquitous shingle (a stopword trigram appearing in m docs) would
+    otherwise contribute an m² bucket to the join — the quadratic skew
+    killer at scale. Shingles above the cap are excluded from both the
+    intersection AND the per-doc sizes, so the jaccard stays a true Jaccard
+    over the retained shingle sets. Default 1000 bounds any single join
+    bucket at ~10⁶ pairs; ``None`` disables.
     """
     sh = shingles(df, id_col, text_col, n=n)
+    if max_doc_freq is not None:
+        freq_ok = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("shingle")
+        )
+        sh = sh.join(freq_ok, on="shingle", how="inner")
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -210,8 +231,10 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """Embedding near-dup: pairs with cosine >= threshold (id_a < id_b).
 
-    Broadcast self-join baseline; for unbounded inputs route through
-    LSH bucketing (random-hyperplane) or IVF cells first.
+    All-pairs broadcast baseline — O(n²), bounded inputs ONLY (it is the
+    verifier / small-side path). The scale path is
+    :func:`embedding_lsh_pairs`: random-hyperplane bucketing first, exact
+    cosine only within buckets.
     """
     from flink_sql_ai_meetingcoach_azure_spark.functions.vectors import dot_col, norm_col  # noqa: PLC0415
 
@@ -226,6 +249,94 @@ def embedding_cosine_pairs(
     sim = dot_col("__va", "__vb") / (F.col("__na") * F.col("__nb"))
     return (
         a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("cos_sim", F.round(sim, round_to))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
+def random_hyperplanes(
+    dim: int, n_planes: int, n_tables: int = 1, seed: str = "rp"
+) -> list[list[list[float]]]:
+    """Deterministic md5-derived hyperplanes, ``[table][plane][dim]``.
+
+    Component (t, p, j) = md5_60bit(f"{seed}:{t}:{p}:{j}") / 2^59 - 1 ∈
+    [-1, 1). Driver-side plain Python: the SAME floats are embedded as
+    literals in the Spark plan and in the DuckDB oracle SQL (``repr`` of a
+    Python float round-trips exactly to the identical IEEE double), so the
+    bucketing is bit-reproducible across engines.
+    """
+    import hashlib  # noqa: PLC0415
+
+    def comp(t: int, p: int, j: int) -> float:
+        h = int(hashlib.md5(f"{seed}:{t}:{p}:{j}".encode()).hexdigest()[:15], 16)
+        return h / 2.0**59 - 1.0
+
+    return [
+        [[comp(t, p, j) for j in range(dim)] for p in range(n_planes)]
+        for t in range(n_tables)
+    ]
+
+
+def embedding_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding near-dup at scale: random-hyperplane LSH bucketing, then
+    exact cosine only WITHIN buckets — never touches the n² pair space.
+
+    Each table hashes a vector to an ``n_planes``-bit bucket
+    (bit p = sign of ⟨v, plane_p⟩); vectors agreeing on all bits of any
+    table become candidates (SimHash-LSH: P[bit match] = 1 − θ/π, so near
+    pairs collide with prob ≈ (1−θ/π)^n_planes per table, boosted by
+    ``n_tables`` independent tables). Shuffle key = (table, bucket) —
+    hash-uniform for centered data, no skew; the exact-cosine verify join
+    runs per bucket. Recall < 1 by design (tune n_planes down / n_tables up
+    to raise it); :func:`embedding_cosine_pairs` is the exact verifier on
+    bounded inputs.
+
+    Dot signs are taken on the 6-dp-rounded dot product so a last-ulp
+    divergence between engines cannot flip a bucket bit.
+    """
+    from flink_sql_ai_meetingcoach_azure_spark.functions.vectors import dot_col, norm_col  # noqa: PLC0415
+
+    planes = random_hyperplanes(dim, n_planes, n_tables)
+    buckets = []
+    for t in range(n_tables):
+        bucket = None
+        for p in range(n_planes):
+            plane_lit = F.array(*[F.lit(v) for v in planes[t][p]])
+            bit = (F.round(dot_col(F.col(vec_col), plane_lit), 6) > 0).cast("int")
+            term = bit * F.lit(2**p)
+            bucket = term if bucket is None else bucket + term
+        buckets.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))
+    keyed = df.select(
+        F.col(id_col), F.explode(F.array(*buckets)).alias("tb")
+    ).select(id_col, F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    cand = (
+        a.join(b, on=["t", "b"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")).withColumn(
+        "__na", norm_col("__va")
+    )
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")).withColumn(
+        "__nb", norm_col("__vb")
+    )
+    sim = dot_col("__va", "__vb") / (F.col("__na") * F.col("__nb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
         .withColumn("cos_sim", F.round(sim, round_to))
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")

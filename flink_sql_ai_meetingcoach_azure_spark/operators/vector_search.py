@@ -199,6 +199,76 @@ def _vector_search_numpy(
     return query_df.mapInPandas(_search, schema=out_schema)
 
 
+def embed_and_search_numpy(
+    query_df: DataFrame,
+    index_df: DataFrame,
+    provider,
+    k: int = 3,
+    text_col: str = "message",
+    index_col: str = "embedding",
+    payload_cols: list[str] | None = None,
+    embed_col: str = "embedding",
+    output_col: str = "search_results",
+) -> DataFrame:
+    """Fused embed + retrieve: ONE ``mapInPandas`` stage computes the
+    embedding (provider batch call) and the GEMM top-k against the broadcast
+    index for each Arrow batch.
+
+    Unfused, the pipeline pays two Python worker stages back-to-back (embed
+    pandas-UDF, then search ``mapInPandas``) with a full Arrow
+    serialize/deserialize round-trip of the embedding column between them —
+    at 256+ dims that intermediate is wider than the text itself. Fusing
+    halves the Python-stage count of the coaching pipeline's hot path and
+    keeps the plan narrow (no shuffle at all).
+    """
+    import pyspark.sql.types as T  # noqa: PLC0415
+
+    payload_cols = payload_cols or [c for c in index_df.columns if c != index_col]
+    spark = query_df.sparkSession
+    idx_rows = index_df.select(*payload_cols, index_col).collect()
+    mat = np.asarray([r[index_col] for r in idx_rows], dtype=np.float32)
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    mat_n = mat / norms[:, None]
+    payloads = [{c: r[c] for c in payload_cols} for r in idx_rows]
+    bc = spark.sparkContext.broadcast((mat_n, payloads))
+
+    out_schema = T.StructType(
+        list(query_df.schema.fields)
+        + [
+            T.StructField(embed_col, T.ArrayType(T.FloatType())),
+            T.StructField(
+                output_col,
+                T.ArrayType(T.StructType([index_df.schema[c] for c in payload_cols])),
+            ),
+        ]
+    )
+
+    def _fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mat_n_l, payloads_l = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                yield pdf.assign(**{embed_col: [], output_col: []})
+                continue
+            qm = np.asarray(provider.embed(pdf[text_col].tolist()), dtype=np.float32)
+            qn = np.linalg.norm(qm, axis=1)
+            qn[qn == 0] = 1.0
+            sims = (qm / qn[:, None]) @ mat_n_l.T
+            kk = min(k, sims.shape[1])
+            top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            results = []
+            for row_i in range(sims.shape[0]):
+                cand = top[row_i]
+                order = cand[np.argsort(-sims[row_i, cand], kind="stable")]
+                results.append([payloads_l[j] for j in order])
+            pdf = pdf.copy()
+            pdf[embed_col] = list(qm)
+            pdf[output_col] = results
+            yield pdf
+
+    return query_df.mapInPandas(_fused, schema=out_schema)
+
+
 def build_ivf_index(
     index_df: DataFrame,
     index_col: str = "embedding",
@@ -213,7 +283,16 @@ def build_ivf_index(
     (``df.write.partitionBy('centroid_id')``) so probes prune partitions at
     the parquet-scan level instead of broadcasting the whole index.
     """
-    sample = index_df.select(index_col).limit(max(nlist * 200, 2000)).collect()
+    # uniform sample, NOT limit(): limit takes whatever rows arrive first
+    # (file order), so on sorted/clustered data the centroids collapse onto
+    # one region and recall at nprobe < nlist silently degrades
+    target = max(nlist * 200, 2000)
+    n_total = index_df.count()
+    if n_total > target:
+        fraction = min(1.0, (target * 1.2) / n_total)
+        sample = index_df.select(index_col).sample(False, fraction, seed=seed).collect()
+    else:
+        sample = index_df.select(index_col).collect()
     x = np.asarray([r[0] for r in sample], dtype=np.float32)
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=min(nlist, len(x)), replace=False)]
@@ -267,10 +346,8 @@ def vector_search_ivf(
         npb = min(nprobe, d.shape[1])
         return pd.Series(list(np.argsort(d, axis=1)[:, :npb]))
 
-    q = (
-        query_df.withColumn(_QID, F.monotonically_increasing_id())
-        .withColumn("centroid_id", F.explode(_probes(F.col(query_col))))
-    )
+    q0 = query_df.withColumn(_QID, F.monotonically_increasing_id())
+    q = q0.withColumn("centroid_id", F.explode(_probes(F.col(query_col))))
     # alias the index vector: query_col and index_col are usually both
     # named "embedding", which would make the join output ambiguous
     idx = ivf_index_df.select(
@@ -282,13 +359,23 @@ def vector_search_ivf(
     w = Window.partitionBy(_QID).orderBy(F.desc("__sim"), *[F.asc(c) for c in payload_cols[:1]])
     ranked = joined.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k)
     agg = ranked.groupBy(_QID).agg(
-        *[F.first(c).alias(c) for c in query_df.columns],
         F.sort_array(
             F.collect_list(
                 F.struct(F.col("__rk").alias("r"), F.struct(*[F.col(c) for c in payload_cols]).alias("s"))
             )
         ).alias("__pairs"),
     )
-    return agg.select(
-        *query_df.columns, F.transform(F.col("__pairs"), lambda p: p["s"]).alias(output_col)
+    results = agg.select(
+        _QID, F.transform(F.col("__pairs"), lambda p: p["s"]).alias(output_col)
+    )
+    # left-join back onto the original query rows: a query whose nprobe
+    # probed cells contain no index rows must still appear (with an empty
+    # search_results array) — the operator appends a column to EVERY row
+    import pyspark.sql.types as T  # noqa: PLC0415
+
+    empty = F.array().cast(
+        T.ArrayType(T.StructType([ivf_index_df.schema[c] for c in payload_cols]))
+    )
+    return q0.join(results, on=_QID, how="left").select(
+        *query_df.columns, F.coalesce(F.col(output_col), empty).alias(output_col)
     )

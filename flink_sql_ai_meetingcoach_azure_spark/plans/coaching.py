@@ -55,20 +55,40 @@ def coaching_pipeline(
     # a. route prospect messages only — pushed below everything expensive
     prospects = filter_prospect(messages).select("message", "speaker")
 
-    # b. embed
-    embedded = registry.ml_predict(prospects, embed_model, "message", "embedding")
+    if search_method == "numpy":
+        # b+c fused: ONE mapInPandas stage embeds the batch (provider call)
+        # and GEMMs it against the broadcast index — halves the Python
+        # worker stages on the hot path (see embed_and_search_numpy)
+        from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # noqa: PLC0415
+            embed_and_search_numpy,
+        )
 
-    # c. retrieve top-k, strip embeddings from payload (reference :372-376)
-    with_rag = vector_search(
-        embedded,
-        knowledge_index,
-        k=k,
-        query_col="embedding",
-        index_col="embedding",
-        payload_cols=["document_id", "chunks"],
-        output_col="rag_results",
-        method=search_method,
-    )
+        with_rag = embed_and_search_numpy(
+            prospects,
+            knowledge_index,
+            registry.get(embed_model).provider,
+            k=k,
+            text_col="message",
+            index_col="embedding",
+            payload_cols=["document_id", "chunks"],
+            embed_col="embedding",
+            output_col="rag_results",
+        )
+    else:
+        # b. embed
+        embedded = registry.ml_predict(prospects, embed_model, "message", "embedding")
+
+        # c. retrieve top-k, strip embeddings from payload (reference :372-376)
+        with_rag = vector_search(
+            embedded,
+            knowledge_index,
+            k=k,
+            query_col="embedding",
+            index_col="embedding",
+            payload_cols=["document_id", "chunks"],
+            output_col="rag_results",
+            method=search_method,
+        )
 
     # d. prompt assembly + generation
     prompt = assemble_coaching_prompt("message", "rag_results", k=k)

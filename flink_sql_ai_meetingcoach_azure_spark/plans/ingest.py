@@ -42,11 +42,17 @@ def build_knowledge_index(
     knowledge_embeddings_chunked table (document_id, chunks, embedding)."""
     chunked = chunk_documents(knowledge, **chunk_params)
     if dedup_chunks:
-        # embed each distinct chunk text once, then re-attach to documents
-        distinct_chunks = chunked.select("chunks").distinct()
-        embedded = registry.ml_predict(distinct_chunks, model, "chunks", "embedding")
-        return chunked.join(embedded, on="chunks", how="inner").select(
-            "document_id", "chunks", "embedding"
+        # embed each distinct chunk text once. groupBy+collect_list+explode
+        # instead of distinct+self-join: ONE shuffle (map-side combinable)
+        # and the chunk subtree is evaluated exactly once — the
+        # distinct/join formulation scanned+chunked the knowledge base
+        # twice per action and shuffled both join sides.
+        grouped = chunked.groupBy("chunks").agg(
+            F.collect_list("document_id").alias("__doc_ids")
+        )
+        embedded = registry.ml_predict(grouped, model, "chunks", "embedding")
+        return embedded.select(
+            F.explode("__doc_ids").alias("document_id"), "chunks", "embedding"
         )
     return registry.ml_predict(chunked, model, "chunks", "embedding").select(
         "document_id", "chunks", "embedding"

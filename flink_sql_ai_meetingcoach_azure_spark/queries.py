@@ -70,6 +70,10 @@ ANN_K = 3
 ANN_NQ = 10  # query rows: vec_id < 10
 COS_PAIR_MAX_ID = 100
 JACCARD_MAX_ID = 50
+NGRAM_MAX_DF = 20  # shingle document-frequency cap (hot-shingle skew guard)
+EMB_DIM = 64  # embeddings.parquet vector width
+RP_PLANES = 8
+RP_TABLES = 4
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -684,16 +688,21 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage in a full near-dup pipeline)."""
     _prep(spark)
     docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < JACCARD_MAX_ID)
-    return ngram_jaccard_pairs(docs, "doc_id", "text", n=SHINGLE_N, threshold=0.0)
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=SHINGLE_N, threshold=0.0, max_doc_freq=NGRAM_MAX_DF
+    )
 
 
 def _sql_ngram_jaccard() -> str:
     return f"""
 WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < {JACCARD_MAX_ID}),
 toks AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM docs),
-sh AS (SELECT DISTINCT doc_id,
+sh0 AS (SELECT DISTINCT doc_id,
               array_to_string(list_slice(tk, s, s + {SHINGLE_N - 1}), ' ') AS shingle
        FROM toks, unnest(generate_series(1, greatest(len(tk) - {SHINGLE_N - 1}, 1))) AS t(s)),
+sh AS (SELECT doc_id, shingle FROM sh0
+       WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY shingle
+                         HAVING count(*) <= {NGRAM_MAX_DF})),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
           FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -719,6 +728,50 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.v, b.v) /
             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.2
+"""
+
+
+def q_embedding_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup THE SCALE WAY: random-hyperplane LSH buckets
+    (4 tables × 8 bits), exact cosine only within buckets. Same threshold
+    as `embedding_cosine_pairs` — its output is the LSH-recall subset of
+    that all-pairs baseline, and never touches the n² pair space."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import embedding_lsh_pairs  # noqa: PLC0415
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < COS_PAIR_MAX_ID)
+    return embedding_lsh_pairs(
+        emb, "vec_id", "embedding", dim=EMB_DIM, threshold=0.2,
+        n_planes=RP_PLANES, n_tables=RP_TABLES, round_to=6,
+    )
+
+
+def _sql_embedding_lsh_pairs() -> str:
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import random_hyperplanes  # noqa: PLC0415
+
+    planes = random_hyperplanes(EMB_DIM, RP_PLANES, RP_TABLES)
+    table_selects = []
+    for t in range(RP_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN round(list_dot_product(v, "
+            f"[{', '.join(repr(c) for c in planes[t][p])}]::DOUBLE[]), 6) > 0 "
+            f"THEN {2**p} ELSE 0 END)"
+            for p in range(RP_PLANES)
+        )
+        table_selects.append(f"SELECT vec_id, {t} AS t, {bits} AS b FROM e")
+    union = " UNION ALL ".join(table_selects)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id < {COS_PAIR_MAX_ID}),
+k AS ({union}),
+cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         FROM k a JOIN k b ON a.t = b.t AND a.b = b.b AND a.vec_id < b.vec_id)
+SELECT id_a, id_b,
+       round(list_dot_product(ea.v, eb.v) /
+             (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cos_sim
+FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b
+WHERE round(list_dot_product(ea.v, eb.v) /
+            (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) >= 0.2
 """
 
 
@@ -999,7 +1052,7 @@ def q_rag_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("lang").alias("document_category"),
         F.col("text").alias("document_text"),
     )
-    index = build_knowledge_index(knowledge, reg).cache()
+    index = build_knowledge_index(knowledge, reg)
     messages = docs.filter(F.col("doc_id") % 7 == 0).limit(30).select(
         F.substring("text", 1, 120).alias("message"), F.lit("prospect").alias("speaker")
     )
@@ -1081,6 +1134,7 @@ QUERIES: dict[str, QuerySpec] = {
     "simhash": QuerySpec(q_simhash, _sql_simhash()),
     "ngram_jaccard": QuerySpec(q_ngram_jaccard, _sql_ngram_jaccard()),
     "embedding_cosine_pairs": QuerySpec(q_embedding_cosine_pairs, SQL_EMBEDDING_COSINE_PAIRS),
+    "embedding_lsh_pairs": QuerySpec(q_embedding_lsh_pairs, _sql_embedding_lsh_pairs()),
     "ann_topk": QuerySpec(q_ann_topk, SQL_ANN_TOPK),
     "ann_ivf_topk": QuerySpec(q_ann_ivf_topk, SQL_ANN_TOPK),  # exact at nprobe=nlist
     "asof_join": QuerySpec(q_asof_join, SQL_ASOF_JOIN),

@@ -34,13 +34,24 @@ def dedup_stream(
     ts_col: str = "rowtime",
     ttl: str = "5 minutes",
 ) -> DataFrame:
-    """Content-hash dedup with event-time TTL (reference 300 s window)."""
-    return (
-        stream.withColumn("__content_hash", F.md5(F.col(content_col)))
-        .withWatermark(ts_col, ttl)
-        .dropDuplicates(["__content_hash"])
-        .drop("__content_hash")
+    """Content-hash dedup with event-time TTL (reference 300 s window).
+
+    ``dropDuplicatesWithinWatermark`` (not plain ``dropDuplicates``): with
+    the event-time column absent from the keys, plain streaming dedup never
+    evicts state — duplicates would be suppressed forever and state grows
+    unboundedly. The watermark-scoped variant matches the reference's
+    300 s TTL dict exactly: a duplicate arriving within the TTL is dropped,
+    one arriving after it is re-admitted, and state is bounded by the
+    watermark delay (app/utils/kafka_utils.py:209-249).
+    """
+    hashed = stream.withColumn("__content_hash", F.md5(F.col(content_col))).withWatermark(
+        ts_col, ttl
     )
+    if stream.isStreaming:
+        deduped = hashed.dropDuplicatesWithinWatermark(["__content_hash"])
+    else:  # batch DataFrames don't support the watermark-scoped variant
+        deduped = hashed.dropDuplicates(["__content_hash"])
+    return deduped.drop("__content_hash")
 
 
 def streaming_coaching_pipeline(
