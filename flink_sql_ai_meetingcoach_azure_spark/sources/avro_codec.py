@@ -152,6 +152,17 @@ def decode_record(schema: dict, payload: bytes) -> dict:
     return _decode_value(io.BytesIO(payload), schema)
 
 
+def normalize_cell(v: Any) -> Any:
+    """pandas renders null numeric cells as NaN (float dtype) / NaT, which
+    the union null-check ``v is None`` would miss — ``int(NaN)`` crashes and
+    double silently encodes NaN for null. Map scalar NaN/NaT to None; arrays
+    keep their value (``pd.isna`` on an array is elementwise, not a scalar
+    truth)."""
+    if isinstance(v, (list, tuple)) or (type(v).__module__ == "numpy" and getattr(v, "ndim", 0)):
+        return v
+    return None if pd.isna(v) else v
+
+
 def confluent_wire_frame(payload: bytes, schema_id: int) -> bytes:
     """Confluent Schema-Registry wire format: magic 0 + 4-byte schema id
     big-endian + Avro body (what the reference's AvroSerializer emits)."""
@@ -200,7 +211,7 @@ def to_avro_udf(schema_json: str):
     def _enc(s: pd.DataFrame) -> pd.Series:
         return pd.Series(
             [
-                encode_record(schema, {k: row[k] for k in field_names})
+                encode_record(schema, {k: normalize_cell(row[k]) for k in field_names})
                 for row in s.to_dict("records")
             ]
         )

@@ -123,7 +123,7 @@ def join_streams_on_key_within(
 
 def staged_coaching_pipeline(
     spark,
-    source_stream: DataFrame,
+    source_stream: DataFrame | dict,
     knowledge_index: DataFrame,
     registry: ModelRegistry,
     out_root: str,
@@ -134,12 +134,27 @@ def staged_coaching_pipeline(
     stage writes its own Kafka topic; here each writes a parquet dir under
     ``out_root`` and the next stage ``readStream``s it).
 
+    ``source_stream`` may be a DataFrame or a source-config dict
+    (``sources.kafka.open_message_stream``): ``{"type": "kafka",
+    "bootstrap_servers", "topic", "registry"}`` reads the reference's input
+    topic with Confluent-Avro decode; ``{"type": "file", ...}`` is the
+    brokerless stand-in the tests drive.
+
     Returns the list of StreamingQuery handles (callers stop them or
     ``processAllAvailable`` in tests). The fused single-plan variant
     (:func:`streaming_coaching_pipeline`) is the performance path; this one
     exists for the reference's per-stage inspectability — the demo's
     observability depends on the intermediate topics existing.
     """
+    if isinstance(source_stream, dict):
+        # config-selected source: {"type": "kafka", ...} for the reference's
+        # messages_conversation topic (Confluent-Avro decoded through the
+        # registry seam), {"type": "file", ...} for the brokerless stand-in
+        from flink_sql_ai_meetingcoach_azure_spark.sources.kafka import (  # noqa: PLC0415
+            open_message_stream,
+        )
+
+        source_stream = open_message_stream(spark, source_stream)
     root = out_root.rstrip("/")
     queries = []
 
