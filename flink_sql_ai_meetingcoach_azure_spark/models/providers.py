@@ -111,6 +111,57 @@ class MockProvider:
         return [_mock_coaching_json(p) for p in prompts]
 
 
+def semantic_mock_embedding(
+    text: str | None, dim: int = 256, stopwords: frozenset[str] | None = None
+) -> list[float]:
+    """Deterministic SEMANTIC-ish embedding: hashing-TF bag of words.
+
+    Each non-stopword token hashes (md5) to a dimension bucket with
+    sublinear tf weight; the vector is L2-normalized, so cosine ≈
+    vocabulary overlap. Unlike :func:`mock_embedding` (whole-text hash —
+    deliberately non-semantic, only exact match retrieves), texts SHARING
+    WORDS land near each other: enough signal for retrieval goldens like
+    "pricing objection retrieves the pricing playbook"
+    (sample-data/README.md demo concept) without any model dependency.
+    """
+    if not text:
+        return [0.0] * dim
+    counts: dict[int, int] = {}
+    for tok in text.lower().split():
+        tok = tok.strip(".,;:!?()[]\"'`*#")
+        if not tok or (stopwords and tok in stopwords):
+            continue
+        b = int(hashlib.md5(tok.encode("utf-8", "surrogatepass")).hexdigest()[:8], 16) % dim
+        counts[b] = counts.get(b, 0) + 1
+    vals = [0.0] * dim
+    for b, c in counts.items():
+        vals[b] = 1.0 + math.log(c)  # sublinear tf
+    norm = math.sqrt(sum(v * v for v in vals)) or 1.0
+    return [v / norm for v in vals]
+
+
+_EN_STOP = frozenset(
+    "a an and are as at be but by for from has have i in is it its of on or that the "
+    "this to was we what which will with you your our".split()
+)
+
+
+@dataclass
+class SemanticMockProvider:
+    """Deterministic hermetic provider whose embedding space is lexical
+    (hashing-TF): near-duplicates and topically-overlapping texts get high
+    cosine. Use for semantic-retrieval goldens; :class:`MockProvider` stays
+    the default (exact-match-only, maximally collision-free)."""
+
+    dim: int = 256
+
+    def embed(self, texts: list[str | None]) -> list[list[float]]:
+        return [semantic_mock_embedding(t, self.dim, _EN_STOP) for t in texts]
+
+    def generate(self, prompts: list[str | None]) -> list[str]:
+        return [_mock_coaching_json(p) for p in prompts]
+
+
 @dataclass
 class AzureOpenAIProvider:
     """Azure OpenAI over REST (embeddings + chat completions).

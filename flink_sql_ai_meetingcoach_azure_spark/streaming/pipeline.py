@@ -220,25 +220,57 @@ class RecentHistorySink:
     per-batch work is O(batch). Register with::
 
         stream.writeStream.foreachBatch(sink).start()
+
+    With ``view_name`` set (default: the reference's view name), every batch
+    re-registers the buffer as a queryable view, so OTHER SQL can select
+    from it mid-stream exactly like the reference's
+    ``recent_conversation_history`` table (:489-505). foreachBatch runs in a
+    CLONED SparkSession, so a plain temp view registered there would be
+    invisible to the driving session — the sink therefore registers a
+    GLOBAL temp view (cross-session by definition), and, when the driving
+    session is passed as ``spark``, a session-local view with the bare
+    reference name too::
+
+        sink = RecentHistorySink(n=6, spark=spark)
+        stream.writeStream.foreachBatch(sink).start()
+        spark.sql("SELECT * FROM recent_conversation_history")       # bare
+        spark.sql("SELECT * FROM global_temp.recent_conversation_history")
     """
 
-    def __init__(self, n: int = 6, ts_col: str = "rowtime") -> None:
+    def __init__(
+        self,
+        n: int = 6,
+        ts_col: str = "rowtime",
+        view_name: str | None = "recent_conversation_history",
+        spark=None,
+    ) -> None:
         self.n = n
         self.ts_col = ts_col
+        self.view_name = view_name
+        self._spark = spark
         self._lock = threading.Lock()
         self._buf = None  # pandas DataFrame
+        self._schema = None
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         import pandas as pd  # noqa: PLC0415
 
         pdf = batch_df.toPandas()
         with self._lock:
+            self._schema = batch_df.schema
             self._buf = pdf if self._buf is None else pd.concat([self._buf, pdf])
             self._buf = (
                 self._buf.sort_values(self.ts_col, ascending=False)
                 .head(self.n)
                 .reset_index(drop=True)
             )
+            if self.view_name:
+                ordered = self._buf.sort_values(self.ts_col).reset_index(drop=True)
+                session = self._spark or batch_df.sparkSession
+                view = session.createDataFrame(ordered, schema=self._schema)
+                view.createOrReplaceGlobalTempView(self.view_name)
+                if self._spark is not None:
+                    view.createOrReplaceTempView(self.view_name)
 
     def current(self):
         """The view contents, oldest-first (reference re-sorts ASC, :504)."""

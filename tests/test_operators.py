@@ -83,6 +83,49 @@ def test_ngram_jaccard(spark):
     assert (1, 4) not in pairs  # no shared shingles
 
 
+def test_ngram_jaccard_hot_shingle_cap(spark):
+    """One ubiquitous shingle must not create a quadratic join bucket: with
+    a document-frequency cap below the corpus size, pairs connected ONLY
+    through the hot shingle vanish, while genuinely-similar pairs keep a
+    (cap-consistent) jaccard."""
+    hot = "the quick fox"  # one shared trigram across ALL docs
+    rows = [(i, f"{hot} unique{i} marker{i} tail{i} words{i}") for i in range(10)]
+    rows += [(100, f"{hot} shared body of text here"),
+             (101, f"{hot} shared body of text here")]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                ngram_jaccard_pairs(df, "id", "text", n=3, max_doc_freq=None).collect()}
+    capped = {(r["id_a"], r["id_b"]) for r in
+              ngram_jaccard_pairs(df, "id", "text", n=3, max_doc_freq=5).collect()}
+    # uncapped: every pair shares the hot shingle -> ~n² pairs
+    assert len(uncapped) == 12 * 11 // 2
+    # capped: only the true near-dup pair survives
+    assert capped == {(100, 101)}
+
+
+def test_embedding_lsh_pairs_subset_of_exact(spark):
+    """LSH-bucketed near-dup returns a subset of the all-pairs result with
+    identical similarities, and catches true near-duplicates (which agree
+    on every hyperplane sign with high probability)."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import embedding_lsh_pairs
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),  # near dup of 1
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    exact = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in
+             embedding_cosine_pairs(df, "id", "v", threshold=0.95).collect()}
+    lsh = {(r["id_a"], r["id_b"]): r["cos_sim"] for r in
+           embedding_lsh_pairs(df, "id", "v", dim=4, threshold=0.95,
+                               n_planes=4, n_tables=4).collect()}
+    assert set(lsh) <= set(exact)
+    assert (1, 2) in lsh  # the true near-dup pair is found
+    assert lsh[(1, 2)] == exact[(1, 2)]
+
+
 def test_embedding_cosine_pairs(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
@@ -147,6 +190,60 @@ def test_ivf_finds_same_top1(spark, sf_dir):
                for r in vector_search_ivf(q, ivf, centroids, k=1, nprobe=4,
                                           payload_cols=["vec_id"]).collect()}
     assert exact == ivf_out
+
+
+def test_ivf_recall_on_clustered_sorted_index(spark):
+    """Centroid training must SAMPLE, not limit(): on an index laid out
+    sorted/clustered (the common case — data written cluster by cluster),
+    first-N sampling collapses centroids onto the leading clusters and
+    recall at nprobe < nlist silently dies. With uniform sampling, probing
+    nprobe = nlist/4 cells on well-separated clusters keeps recall@k high."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    n_clusters, per_cluster, dim = 8, 300, 16
+    centers = rng.randn(n_clusters, dim) * 10
+    rows = []
+    vid = 0
+    for c in range(n_clusters):  # SORTED by cluster — the worst file order
+        for _ in range(per_cluster):
+            v = centers[c] + rng.randn(dim) * 0.2
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"]).coalesce(1).cache()
+
+    ivf, centroids = build_ivf_index(emb, "embedding", nlist=n_clusters)
+    q_rows = [(f"q{c}", [float(x) for x in centers[c] + rng.randn(dim) * 0.2])
+              for c in range(n_clusters)]
+    q = spark.createDataFrame(q_rows, ["qid", "embedding"])
+
+    k = 5
+    exact = {r["qid"]: {s["vec_id"] for s in r["search_results"]}
+             for r in vector_search(q, emb, k=k, payload_cols=["vec_id"]).collect()}
+    approx = {r["qid"]: {s["vec_id"] for s in r["search_results"]}
+              for r in vector_search_ivf(q, ivf, centroids, k=k,
+                                         nprobe=n_clusters // 4,
+                                         payload_cols=["vec_id"]).collect()}
+    hits = sum(len(exact[qid] & approx[qid]) for qid in exact)
+    recall = hits / (len(exact) * k)
+    assert recall >= 0.9, recall
+
+
+def test_ivf_query_with_empty_probe_cells_keeps_row(spark):
+    """A query whose probed cells hold no index rows must still appear,
+    with an empty search_results array (operator contract: append a column
+    to EVERY query row)."""
+    # index with an explicit centroid assignment far from the query
+    ivf = spark.createDataFrame(
+        [(1, [10.0, 0.0], 0)], ["vec_id", "embedding", "centroid_id"]
+    )
+    centroids = [[10.0, 0.0], [-10.0, 0.0]]  # cell 1 is empty
+    q = spark.createDataFrame([("lonely", [-10.0, 0.1])], ["qid", "embedding"])
+    out = vector_search_ivf(q, ivf, centroids, k=3, nprobe=1,
+                            payload_cols=["vec_id"]).collect()
+    assert len(out) == 1
+    assert out[0]["qid"] == "lonely"
+    assert out[0]["search_results"] == []
 
 
 def test_recent_top_n_global_and_partitioned(spark):

@@ -227,7 +227,7 @@ def test_recent_history_sink(spark, tmp_path):
     src = str(tmp_path / "hist")
     rows = [(f"m{i}", "prospect", f"2026-01-01T10:00:{i:02d}") for i in range(10)]
     _write_batch(src, rows)
-    sink = RecentHistorySink(n=6, ts_col="rowtime")
+    sink = RecentHistorySink(n=6, ts_col="rowtime", spark=spark)
     stream = spark.readStream.schema(MSG_SCHEMA).json(src)
     q = (
         stream.writeStream.foreachBatch(sink)
@@ -240,3 +240,95 @@ def test_recent_history_sink(spark, tmp_path):
         q.stop()
     cur = sink.current()
     assert list(cur["message"]) == [f"m{i}" for i in range(4, 10)]  # latest 6, ASC
+    # the reference's view is SQL-queryable by other statements (:489-505)
+    via_sql = spark.sql(
+        "SELECT message FROM recent_conversation_history ORDER BY rowtime"
+    ).collect()
+    assert [r["message"] for r in via_sql] == [f"m{i}" for i in range(4, 10)]
+
+
+def test_recent_history_view_updates_mid_stream(spark, tmp_path):
+    """The temp view tracks the stream: after more batches arrive, SQL over
+    the view sees the new latest-N without restarting anything."""
+    src = str(tmp_path / "hist2")
+    _write_batch(src, [("a1", "prospect", "2026-01-01T10:00:00")], n=0)
+    sink = RecentHistorySink(n=2, ts_col="rowtime", spark=spark)
+    stream = spark.readStream.schema(MSG_SCHEMA).json(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        first = [r["message"] for r in spark.sql(
+            "SELECT message FROM recent_conversation_history").collect()]
+        _write_batch(src, [("a2", "prospect", "2026-01-01T10:00:05"),
+                           ("a3", "prospect", "2026-01-01T10:00:06")], n=1)
+        q.processAllAvailable()
+        second = [r["message"] for r in spark.sql(
+            "SELECT message FROM recent_conversation_history ORDER BY rowtime").collect()]
+    finally:
+        q.stop()
+    assert first == ["a1"]
+    assert second == ["a2", "a3"]  # bounded at n=2, latest wins
+
+
+def test_reset_stream_state_replays_from_start(spark, tmp_path):
+    """T6: checkpoint reset = the reference's consumer-group offset reset
+    (app/scripts/kafka/reset_consumer_group.py:22-44). After reset, a
+    restarted query replays the source from startingOffsets instead of
+    resuming — observable as the sink receiving the backlog again."""
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.state import (
+        is_checkpoint_dir,
+        reset_stream_state,
+    )
+
+    src = str(tmp_path / "rs_src")
+    ckpt = str(tmp_path / "rs_ckpt")
+    _write_batch(src, [("m1", "prospect", "2026-01-01T10:00:00")], n=0)
+
+    def run():
+        """One start→drain→stop cycle; returns the messages this run saw.
+        foreachBatch (unlike the memory sink) supports checkpoint
+        recovery, so the resumed run replays nothing already committed."""
+        seen: list[str] = []
+
+        def collect(batch_df, batch_id):
+            seen.extend(r["message"] for r in batch_df.collect())
+
+        stream = spark.readStream.schema(MSG_SCHEMA).json(src)
+        q = (
+            stream.select("message")
+            .writeStream.foreachBatch(collect)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return sorted(seen)
+
+    assert run() == ["m1"]
+    assert is_checkpoint_dir(ckpt)
+    # no reset -> resume: nothing new to process
+    assert run() == []
+    # reset -> replay the backlog
+    assert reset_stream_state(ckpt)
+    assert run() == ["m1"]
+    # resetting an absent checkpoint is a no-op, not an error
+    assert reset_stream_state(str(tmp_path / "nope")) is False
+
+
+def test_reset_stream_state_refuses_non_checkpoint(tmp_path):
+    import pytest
+
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.state import reset_stream_state
+
+    d = tmp_path / "just_data"
+    d.mkdir()
+    (d / "important.txt").write_text("hi")
+    with pytest.raises(ValueError):
+        reset_stream_state(str(d))
+    assert (d / "important.txt").exists()
