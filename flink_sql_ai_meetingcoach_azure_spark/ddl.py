@@ -1,0 +1,887 @@
+"""Statement-level SQL surface: accept the reference's Flink SQL DDL.
+
+The reference's ENTIRE user interface is SQL statements typed into a Flink
+workspace (terraform/generate_personalized_commands.sh): ``CREATE MODEL``
+(:215-259), ``CREATE TABLE ... WITH (connector options)`` (:269-305),
+``INSERT INTO ... SELECT`` (:313-334), ``CREATE TABLE ... AS SELECT``
+(:345-433), ``CREATE VIEW`` (:489-505), ``ALTER TABLE ... SET`` (:514-521)
+and ``INSERT INTO ... VALUES`` (:528-545). :class:`FlinkStatementSession`
+executes those statement FORMS against the Spark engine, so a user can paste
+the reference's script and run it here.
+
+Translation strategy (thin, shape-directed — not a general Flink parser):
+
+- catalog qualifiers ``\\`env\\`.\\`cluster\\`.name`` collapse to the bare
+  ``name`` registered as a Spark temp view; ``$rowtime`` (Flink's system
+  column) maps to a ``rowtime`` column on the source;
+- ``CREATE MODEL name INPUT(..) OUTPUT(col T) WITH('task'=..)`` registers
+  the model in a :class:`~..models.registry.ModelRegistry` via a pluggable
+  ``provider_factory`` (default: the deterministic mock);
+- ``CREATE TABLE name (schema) WITH (options)`` maps Flink column types to
+  Spark types and registers an empty table (or a caller-provided source via
+  ``register_source`` — the brokerless stand-in for the Kafka-backed
+  tables; options are recorded on the :class:`TableSpec`, and a
+  ``connector``-less table is Kafka-backed by default as on Confluent);
+- SELECT bodies are rewritten Flink → Spark SQL:
+  ``CROSS JOIN UNNEST(f(..)) AS t(c)`` → ``LATERAL VIEW explode(f(..)) t AS
+  c``; ``LATERAL TABLE(ML_PREDICT('m', e))`` → the scalar ``ml_embed`` /
+  ``ml_generate`` call (sqlapi.py) aliased to the model's declared OUTPUT
+  column; ``LATERAL TABLE(VECTOR_SEARCH(idx, k, DESCRIPTOR(c), q.e))`` →
+  the :func:`~..operators.vector_search.vector_search` operator
+  materialized as a scoped temp view; 1-based subscripts ``a[1]`` →
+  ``element_at(a, 1)``; ``ARRAY[..]`` → ``array(..)``; ``CAST(ROW(..) AS
+  ROW<n T, ..>)`` → ``named_struct('n', ..)``; ``CAST(x AS STRING)`` on a
+  complex type → ``to_json(x)`` (Flink's textual rendering of
+  ``ARRAY<ROW>`` is engine-specific; JSON is this engine's documented
+  rendering, SURVEY.md §7.4.4).
+
+Batch-vs-stream semantics: each CTAS/VIEW materializes a SNAPSHOT plan over
+its sources (Flink's are continuous). The statement journal + :meth:`refresh`
+re-runs the derived statements after new ``INSERT``\\ s — the batch-style
+equivalent of the reference's always-running pipeline; the continuous form
+lives in streaming/pipeline.py.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from flink_sql_ai_meetingcoach_azure_spark.models.registry import ModelRegistry
+from flink_sql_ai_meetingcoach_azure_spark.sqlapi import register_engine_sql
+
+__all__ = [
+    "FlinkStatementSession",
+    "TableSpec",
+    "split_statements",
+    "strip_comments",
+    "normalize_identifiers",
+    "rewrite_select",
+    "flink_type_to_spark",
+]
+
+
+# ---------------------------------------------------------------------------
+# lexical helpers — every scan is quote-aware ('' is the escape, SQL-style)
+
+
+def _mask(s: str) -> str:
+    """Same-length copy with string-literal CONTENTS replaced by \\x00 so
+    regex/scans never match inside literals (quotes themselves survive)."""
+    out = list(s)
+    i, n = 0, len(s)
+    while i < n:
+        if s[i] == "'":
+            i += 1
+            while i < n:
+                if s[i] == "'":
+                    if i + 1 < n and s[i + 1] == "'":
+                        out[i] = out[i + 1] = "\x00"
+                        i += 2
+                        continue
+                    break
+                out[i] = "\x00"
+                i += 1
+        i += 1
+    return "".join(out)
+
+
+def _scan(s: str, open_idx: int, open_ch: str = "(", close_ch: str = ")") -> int:
+    """Index of the bracket matching ``s[open_idx]``, skipping literals."""
+    masked = _mask(s)
+    depth = 0
+    for i in range(open_idx, len(s)):
+        c = masked[i]
+        if c == open_ch:
+            depth += 1
+        elif c == close_ch:
+            depth -= 1
+            if depth == 0:
+                return i
+    raise ValueError(f"unbalanced {open_ch!r} at {open_idx} in {s[open_idx:open_idx+60]!r}")
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split at top-level separators (outside (), [], <> and literals)."""
+    masked = _mask(s)
+    parts, depth, start = [], 0, 0
+    for i, c in enumerate(masked):
+        if c in "([<":
+            depth += 1
+        elif c in ")]>":
+            depth -= 1
+        elif c == sep and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p for p in (x.strip() for x in parts) if p]
+
+
+def strip_comments(sql: str) -> str:
+    """Drop ``--`` line comments (quote-aware; the reference embeds one
+    inside a CTAS body, generate_personalized_commands.sh:366)."""
+    masked = _mask(sql)
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        if masked[i] == "-" and i + 1 < n and masked[i + 1] == "-":
+            j = sql.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        out.append(sql[i])
+        i += 1
+    return "".join(out)
+
+
+def split_statements(script: str) -> list[str]:
+    """Split a multi-statement script on top-level ``;``."""
+    masked = _mask(script)
+    stmts, start = [], 0
+    for i, c in enumerate(masked):
+        if c == ";":
+            stmts.append(script[start:i])
+            start = i + 1
+    stmts.append(script[start:])
+    return [s for s in (x.strip() for x in stmts) if s]
+
+
+def normalize_identifiers(sql: str) -> str:
+    """``\\`env\\`.\\`cluster\\`.name`` → ``name``; bare backtick quotes
+    dropped; ``$rowtime`` → ``rowtime`` — all outside string literals."""
+    masked = _mask(sql)
+    # dotted backticked qualifier prefixes vanish entirely
+    spans = [m.span() for m in re.finditer(r"(?:`[^`\x00]*`\s*\.\s*)+", masked)]
+    out, prev = [], 0
+    for a, b in spans:
+        out.append(sql[prev:a])
+        prev = b
+    out.append(sql[prev:])
+    sql = "".join(out)
+    masked = _mask(sql)
+    sql = "".join(c for c, m in zip(sql, masked) if m != "`")
+    masked = _mask(sql)
+    out, i = [], 0
+    while i < len(sql):
+        if masked[i] == "$" and masked[i : i + 8] == "$rowtime":
+            out.append("rowtime")
+            i += 8
+            continue
+        out.append(sql[i])
+        i += 1
+    return "".join(out)
+
+
+def _parse_quoted_options(s: str) -> dict[str, str]:
+    """Parse ``'k' = 'v', ...`` (Flink WITH-clause body; '' unescapes)."""
+    toks: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        if s[i] == "'":
+            buf, i = [], i + 1
+            while i < n:
+                if s[i] == "'":
+                    if i + 1 < n and s[i + 1] == "'":
+                        buf.append("'")
+                        i += 2
+                        continue
+                    break
+                buf.append(s[i])
+                i += 1
+            toks.append("".join(buf))
+            i += 1
+        else:
+            i += 1
+    if len(toks) % 2:
+        raise ValueError(f"odd option tokens in WITH clause: {toks[:6]}...")
+    return {toks[i]: toks[i + 1] for i in range(0, len(toks), 2)}
+
+
+# ---------------------------------------------------------------------------
+# type mapping (Flink DDL types → Spark types)
+
+
+def flink_type_to_spark(t: str) -> T.DataType:
+    s = t.strip()
+    u = s.upper()
+    if u.startswith("ARRAY"):
+        lt = _scan(s, s.index("<"), "<", ">")
+        return T.ArrayType(flink_type_to_spark(s[s.index("<") + 1 : lt]))
+    if u.startswith("ROW"):
+        lt = _scan(s, s.index("<"), "<", ">")
+        fields = []
+        for f in _split_top(s[s.index("<") + 1 : lt]):
+            name, _, ftype = f.strip().partition(" ")
+            fields.append(T.StructField(name, flink_type_to_spark(ftype)))
+        return T.StructType(fields)
+    if u.startswith("DECIMAL") or u.startswith("NUMERIC"):
+        m = re.match(r"\w+\s*\(\s*(\d+)\s*(?:,\s*(\d+))?\s*\)", s)
+        return T.DecimalType(int(m.group(1)), int(m.group(2) or 0)) if m else T.DecimalType()
+    base = re.sub(r"\s*\(.*", "", u)  # VARCHAR(n), TIMESTAMP(3) → bare name
+    simple = {
+        "STRING": T.StringType(),
+        "VARCHAR": T.StringType(),
+        "CHAR": T.StringType(),
+        "BOOLEAN": T.BooleanType(),
+        "TINYINT": T.ByteType(),
+        "SMALLINT": T.ShortType(),
+        "INT": T.IntegerType(),
+        "INTEGER": T.IntegerType(),
+        "BIGINT": T.LongType(),
+        "FLOAT": T.FloatType(),
+        "DOUBLE": T.DoubleType(),
+        "BYTES": T.BinaryType(),
+        "VARBINARY": T.BinaryType(),
+        "DATE": T.DateType(),
+        "TIMESTAMP": T.TimestampType(),
+        "TIMESTAMP_LTZ": T.TimestampType(),
+    }
+    if base in simple:
+        return simple[base]
+    raise ValueError(f"unsupported Flink type {t!r}")
+
+
+def _parse_columns(body: str) -> T.StructType:
+    fields = []
+    for col in _split_top(body):
+        m = re.match(r"(\w+)\s+(.*?)(\s+NOT\s+NULL)?$", col.strip(), re.S | re.I)
+        fields.append(
+            T.StructField(m.group(1), flink_type_to_spark(m.group(2)), m.group(3) is None)
+        )
+    return T.StructType(fields)
+
+
+# ---------------------------------------------------------------------------
+# SELECT-body rewrites (pure string → string, model-aware where needed)
+
+
+def _rewrite_unnest(sql: str) -> str:
+    """``CROSS JOIN UNNEST(expr) AS t(c)`` → ``LATERAL VIEW explode(expr) t
+    AS c`` (reference :323-328). explode keeps the join colocated — no
+    shuffle, exactly Flink's correlated-unnest semantics for 1→N."""
+    pat = re.compile(r"CROSS\s+JOIN\s+UNNEST\s*\(", re.I)
+    while True:
+        m = pat.search(_mask(sql))
+        if not m:
+            return sql
+        open_i = m.end() - 1
+        close_i = _scan(sql, open_i)
+        inner = sql[open_i + 1 : close_i]
+        tail = sql[close_i + 1 :]
+        m2 = re.match(r"\s*AS\s+(\w+)\s*\(\s*(\w+)\s*\)", tail, re.I)
+        if not m2:
+            raise ValueError("UNNEST must be followed by AS t(col)")
+        repl = f"LATERAL VIEW explode({inner}) {m2.group(1)} AS {m2.group(2)}"
+        sql = sql[: m.start()] + repl + tail[m2.end() :]
+
+
+def _rewrite_ml_predict(sql: str, registry: ModelRegistry) -> str:
+    """``, LATERAL TABLE(ML_PREDICT('m', expr)) [AS p]`` drops out of FROM
+    and the single reference to the model's OUTPUT column (``p.out`` or bare
+    ``out``, reference :332-335, :360-361, :417-432) becomes the scalar
+    ``ml_embed``/``ml_generate`` call — Flink's 1-in-1-out lateral is a
+    column append, which in Spark is just an expression."""
+    pat = re.compile(r",\s*LATERAL\s+TABLE\s*\(\s*ML_PREDICT\s*\(\s*'([^']+)'\s*,", re.I)
+    while True:
+        masked = _mask(sql)
+        m = pat.search(masked)
+        if not m:
+            return sql
+        model = sql[m.start(1) : m.end(1)]
+        mp_open = masked.rindex("(", m.start(), m.end(1))  # ML_PREDICT's paren
+        mp_close = _scan(sql, mp_open)
+        expr = sql[m.end() : mp_close].strip()
+        m3 = re.match(r"\s*\)", sql[mp_close + 1 :])
+        if not m3:
+            raise ValueError("malformed LATERAL TABLE(ML_PREDICT(..))")
+        lt_end = mp_close + 1 + m3.end()
+        m4 = re.match(r"\s+AS\s+(\w+)", sql[lt_end:], re.I)
+        alias = m4.group(1) if m4 else None
+        entry = registry.get(model)
+        fn = "ml_embed" if entry.task == "embedding" else "ml_generate"
+        call = f"{fn}('{model}', {expr})"
+        sql = sql[: m.start()] + sql[lt_end + (m4.end() if m4 else 0) :]
+        ref = (
+            rf"\b{alias}\s*\.\s*{entry.output_col}\b"
+            if alias
+            else rf"\b{entry.output_col}\b"
+        )
+        mref = re.search(rf"{ref}(\s+AS\s+(\w+))?", _mask(sql), re.I)
+        if not mref:
+            raise ValueError(
+                f"model output column {entry.output_col!r} not referenced in statement"
+            )
+        out_name = mref.group(2) or entry.output_col
+        sql = sql[: mref.start()] + f"{call} AS {out_name}" + sql[mref.end() :]
+
+
+def _rewrite_subscripts(sql: str) -> str:
+    """1-based ``a[i]`` → ``element_at(a, i)`` (F2; Spark's ``[]`` is
+    0-based, Flink's and element_at are 1-based)."""
+    pat = re.compile(r"([A-Za-z_][\w.]*)\s*\[\s*(\d+)\s*\]")
+    while True:
+        m = pat.search(_mask(sql))
+        if not m:
+            return sql
+        sql = sql[: m.start()] + f"element_at({m.group(1)}, {m.group(2)})" + sql[m.end() :]
+
+
+def _rewrite_array_ctor(sql: str) -> str:
+    """``ARRAY[a, b]`` → ``array(a, b)`` (F5)."""
+    pat = re.compile(r"\bARRAY\s*\[", re.I)
+    while True:
+        masked = _mask(sql)
+        m = pat.search(masked)
+        if not m:
+            return sql
+        open_i = masked.index("[", m.start())
+        close_i = _scan(sql, open_i, "[", "]")
+        sql = sql[: m.start()] + "array(" + sql[open_i + 1 : close_i] + ")" + sql[close_i + 1 :]
+
+
+def _rewrite_cast_row(sql: str) -> str:
+    """``CAST(ROW(a, b) AS ROW<x T, y T>)`` → ``named_struct('x', a, 'y',
+    b)`` (F4, reference :372-376). Field types are carried by the argument
+    expressions (the reference casts STRING fields from STRING columns)."""
+    pat = re.compile(r"\bCAST\s*\(\s*ROW\s*\(", re.I)
+    while True:
+        masked = _mask(sql)
+        m = pat.search(masked)
+        if not m:
+            return sql
+        row_open = m.end() - 1
+        row_close = _scan(sql, row_open)
+        m2 = re.match(r"\s*AS\s+ROW\s*<", sql[row_close + 1 :], re.I)
+        if not m2:
+            raise ValueError("CAST(ROW(..)) must target ROW<..>")
+        angle_open = row_close + 1 + m2.end() - 1
+        angle_close = _scan(sql, angle_open, "<", ">")
+        m3 = re.match(r"\s*\)", sql[angle_close + 1 :])
+        if not m3:
+            raise ValueError("malformed CAST(ROW(..) AS ROW<..>)")
+        args = _split_top(sql[row_open + 1 : row_close])
+        names = [f.strip().split()[0] for f in _split_top(sql[angle_open + 1 : angle_close])]
+        if len(args) != len(names):
+            raise ValueError("ROW arity mismatch with ROW<..> field list")
+        repl = "named_struct(" + ", ".join(f"'{n}', {a}" for n, a in zip(names, args)) + ")"
+        sql = sql[: m.start()] + repl + sql[angle_close + 1 + m3.end() :]
+
+
+def rewrite_select(sql: str, registry: ModelRegistry) -> str:
+    """All pure-string Flink→Spark rewrites, in dependency order.
+    (VECTOR_SEARCH laterals need DataFrames — handled by the session.)"""
+    sql = normalize_identifiers(strip_comments(sql))
+    sql = _rewrite_unnest(sql)
+    sql = _rewrite_ml_predict(sql, registry)
+    sql = _rewrite_subscripts(sql)
+    sql = _rewrite_array_ctor(sql)
+    sql = _rewrite_cast_row(sql)
+    return sql
+
+
+def _casts_to_json(sql: str) -> list[str]:
+    """Variants of ``sql`` with one ``CAST(x AS STRING)`` site replaced by
+    ``to_json(x)`` each — the analysis-failure fallback for complex-typed
+    casts (Flink renders ARRAY<ROW> text; this engine renders JSON)."""
+    out = []
+    masked = _mask(sql)
+    for m in re.finditer(r"\bCAST\s*\(", masked, re.I):
+        open_i = m.end() - 1
+        close_i = _scan(sql, open_i)
+        inner = sql[open_i + 1 : close_i]
+        m2 = re.search(r"\s+AS\s+STRING\s*$", inner, re.I)
+        if m2:
+            out.append(
+                sql[: m.start()] + f"to_json({inner[: m2.start()]})" + sql[close_i + 1 :]
+            )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# the session
+
+
+@dataclass
+class TableSpec:
+    name: str
+    schema: T.StructType | None
+    options: dict[str, str] = field(default_factory=dict)
+    kind: str = "table"  # 'table' | 'ctas' | 'view' | 'source'
+
+    @property
+    def connector(self) -> str:
+        # Confluent-Flink tables without an explicit connector are Kafka
+        # topics (reference :269-288 declares none)
+        return self.options.get("connector", "kafka")
+
+
+@dataclass
+class ModelSpec:
+    name: str
+    input_schema: T.StructType
+    output_col: str
+    output_type: T.DataType
+    options: dict[str, str]
+
+
+class FlinkStatementSession:
+    """Executes the reference's SQL statement forms on Spark.
+
+    ``provider_factory(name, options) -> provider`` chooses the model
+    backend per CREATE MODEL (default: the deterministic
+    :class:`~..models.providers.MockProvider`; pass a factory returning
+    :class:`~..models.providers.AzureOpenAIProvider` for live inference).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        registry: ModelRegistry | None = None,
+        provider_factory=None,
+        mock_dim: int = 1536,
+    ) -> None:
+        self.spark = spark
+        self.registry = registry or ModelRegistry()
+        self.tables: dict[str, TableSpec] = {}
+        self.models: dict[str, ModelSpec] = {}
+        self.journal: list[str] = []  # derived (CTAS/VIEW/INSERT-SELECT) statements
+        self._provider_factory = provider_factory or self._default_provider
+        self._mock_dim = mock_dim
+        register_engine_sql(spark, self.registry)
+
+    def _default_provider(self, name: str, options: dict[str, str]):
+        from flink_sql_ai_meetingcoach_azure_spark.models.providers import (  # noqa: PLC0415
+            MockProvider,
+        )
+
+        return MockProvider(dim=self._mock_dim)
+
+    # -- sources ------------------------------------------------------------
+
+    def register_source(self, name: str, df: DataFrame) -> None:
+        """Bind a table name to an existing DataFrame — the brokerless
+        stand-in for the reference's Kafka-topic-backed tables."""
+        df.createOrReplaceTempView(name)
+        self.tables[name] = TableSpec(name, df.schema, {}, kind="source")
+
+    # -- execution ----------------------------------------------------------
+
+    def execute_script(self, script: str) -> list[DataFrame | None]:
+        # comments go first: a ';' inside a '--' comment must not split
+        return [self.execute(s) for s in split_statements(strip_comments(script))]
+
+    def execute(self, sql: str) -> DataFrame | None:
+        stmt = normalize_identifiers(strip_comments(sql)).strip()
+        head = re.match(
+            r"(CREATE\s+MODEL|CREATE\s+TABLE|CREATE\s+(?:OR\s+REPLACE\s+)?VIEW"
+            r"|INSERT\s+INTO|ALTER\s+TABLE|SELECT|WITH)\b",
+            stmt,
+            re.I,
+        )
+        if not head:
+            raise ValueError(f"unsupported statement: {stmt[:80]!r}")
+        kind = re.sub(r"\s+", " ", head.group(1).upper())
+        if kind == "CREATE MODEL":
+            return self._create_model(stmt)
+        if kind == "CREATE TABLE":
+            return self._create_table(stmt, sql)
+        if kind.endswith("VIEW"):
+            return self._create_view(stmt, sql)
+        if kind == "INSERT INTO":
+            return self._insert(stmt, sql)
+        if kind == "ALTER TABLE":
+            return self._alter(stmt)
+        return self._run_select(sql)  # SELECT / WITH
+
+    # -- statement handlers --------------------------------------------------
+
+    def _create_model(self, stmt: str) -> None:
+        m = re.match(r"CREATE\s+MODEL\s+(\w+)\s+INPUT\s*\(", stmt, re.I)
+        if not m:
+            raise ValueError("malformed CREATE MODEL")
+        name = m.group(1)
+        in_close = _scan(stmt, m.end() - 1)
+        m2 = re.match(r"\s*OUTPUT\s*\(", stmt[in_close + 1 :], re.I)
+        out_open = in_close + 1 + m2.end() - 1
+        out_close = _scan(stmt, out_open)
+        m3 = re.match(r"\s*WITH\s*\(", stmt[out_close + 1 :], re.I)
+        with_open = out_close + 1 + m3.end() - 1
+        with_close = _scan(stmt, with_open)
+        options = _parse_quoted_options(stmt[with_open + 1 : with_close])
+        input_schema = _parse_columns(stmt[m.end() : in_close])
+        out_field = _parse_columns(stmt[out_open + 1 : out_close])[0]
+        provider = self._provider_factory(name, options)
+        task = options.get("task", "embedding")
+        if task == "embedding":
+            self.registry.register_embedding(name, provider, output_col=out_field.name)
+        elif task == "text_generation":
+            self.registry.register_text_generation(name, provider, output_col=out_field.name)
+        else:
+            raise ValueError(f"unsupported model task {task!r}")
+        self.models[name] = ModelSpec(
+            name, input_schema, out_field.name, out_field.dataType, options
+        )
+        # re-register the SQL functions: spark.udf.register pickles the
+        # registry SNAPSHOT into the Python-worker closure, so models added
+        # after registration would be missing worker-side otherwise
+        register_engine_sql(self.spark, self.registry)
+
+    def _create_table(self, stmt: str, raw: str) -> DataFrame | None:
+        m = re.match(r"CREATE\s+TABLE\s+(\w+)\s*(.)", stmt, re.I | re.S)
+        name, nxt = m.group(1), m.group(2)
+        if nxt == "(":
+            open_i = m.end() - 1
+            close_i = _scan(stmt, open_i)
+            schema = _parse_columns(stmt[open_i + 1 : close_i])
+            m2 = re.match(r"\s*WITH\s*\(", stmt[close_i + 1 :], re.I)
+            options = {}
+            if m2:
+                w_open = close_i + 1 + m2.end() - 1
+                options = _parse_quoted_options(stmt[w_open + 1 : _scan(stmt, w_open)])
+            prior = self.tables.get(name)
+            if prior is not None and prior.kind == "source":
+                prior.options.update(options)  # keep the bound stand-in data
+                return None
+            self.tables[name] = TableSpec(name, schema, options)
+            self.spark.createDataFrame([], schema).createOrReplaceTempView(name)
+            return None
+        # CTAS
+        m3 = re.match(r"CREATE\s+TABLE\s+(\w+)\s+AS\s+(.*)$", stmt, re.I | re.S)
+        if not m3:
+            raise ValueError(f"malformed CREATE TABLE: {stmt[:80]!r}")
+        df = self._run_select(m3.group(2))
+        df.createOrReplaceTempView(name)
+        self.tables[name] = TableSpec(name, df.schema, {}, kind="ctas")
+        self.journal.append(raw)
+        return df
+
+    def _create_view(self, stmt: str, raw: str) -> DataFrame:
+        m = re.match(r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.*)$", stmt, re.I | re.S)
+        df = self._run_select(m.group(2))
+        df.createOrReplaceTempView(m.group(1))
+        self.tables[m.group(1)] = TableSpec(m.group(1), df.schema, {}, kind="view")
+        self.journal.append(raw)
+        return df
+
+    def _insert(self, stmt: str, raw: str) -> None:
+        m = re.match(r"INSERT\s+INTO\s+(\w+)\s+(.*)$", stmt, re.I | re.S)
+        name, body = m.group(1), m.group(2).strip()
+        if re.match(r"VALUES\b", body, re.I):
+            spec = self.tables.get(name)
+            if spec is None or spec.schema is None:
+                raise ValueError(f"INSERT VALUES into unknown table {name!r}")
+            cols = ", ".join(f.name for f in spec.schema.fields)
+            casts = ", ".join(
+                f"CAST({f.name} AS {f.dataType.simpleString()}) AS {f.name}"
+                for f in spec.schema.fields
+            )
+            new = self.spark.sql(f"SELECT {casts} FROM {body} AS __v({cols})")
+        else:
+            new = self._run_select(body)
+        if self.spark.catalog.tableExists(name):
+            merged = self.spark.table(name).unionByName(new)
+        else:  # reference inserts into Terraform-created tables (:313 note)
+            merged = new
+            self.tables.setdefault(name, TableSpec(name, new.schema, {}, kind="ctas"))
+        merged.createOrReplaceTempView(name)
+        if not re.match(r"VALUES\b", body, re.I):
+            self.journal.append(raw)
+
+    def _alter(self, stmt: str) -> None:
+        m = re.match(r"ALTER\s+TABLE\s+(\w+)\s+SET\s*\(", stmt, re.I)
+        if not m:
+            raise ValueError(f"unsupported ALTER TABLE form: {stmt[:80]!r}")
+        close_i = _scan(stmt, m.end() - 1)
+        opts = _parse_quoted_options(stmt[m.end() : close_i])
+        self.tables.setdefault(m.group(1), TableSpec(m.group(1), None)).options.update(opts)
+
+    def refresh(self) -> None:
+        """Re-run every derived statement in order — the batch equivalent of
+        the reference's continuously-running CTAS chain picking up new
+        inserts."""
+        journal, self.journal = self.journal, []
+        for stmt in journal:
+            self.execute(stmt)
+
+    # -- SELECT execution ----------------------------------------------------
+
+    def _run_select(self, sql: str) -> DataFrame:
+        sql = rewrite_select(sql, self.registry)
+        sql = self._materialize_vector_search(sql)
+        # Flink's CAST(<complex> AS STRING) rendering is engine-specific;
+        # this engine's documented rendering is JSON (SURVEY.md §7.4.4), so
+        # rewrite each cast site to to_json WHERE IT ANALYZES (complex
+        # argument) and keep the plain cast for atomics (to_json rejects
+        # them at analysis, so acceptance doubles as the type check).
+        changed = True
+        while changed:
+            changed = False
+            for variant in _casts_to_json(sql):
+                try:
+                    self.spark.sql(variant)
+                except Exception:  # noqa: BLE001 — atomic cast, keep it
+                    continue
+                sql = variant
+                changed = True
+                break
+        return self.spark.sql(sql)
+
+    def _materialize_vector_search(self, sql: str) -> str:
+        """``FROM q [AS] qe, LATERAL TABLE(VECTOR_SEARCH(idx, k,
+        DESCRIPTOR(c), qe.e)) AS vs`` (reference :377-384) → run the
+        broadcast vector-search operator, publish it as a scoped temp view,
+        and point the FROM at it. ``vs.search_results`` re-qualifies onto
+        the view, which carries every query column plus the results array."""
+        from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # noqa: PLC0415
+            vector_search,
+        )
+
+        pat = re.compile(
+            r"FROM\s+(\w+)(?:\s+AS)?\s+(\w+)\s*,\s*LATERAL\s+TABLE\s*\(\s*VECTOR_SEARCH\s*\(",
+            re.I,
+        )
+        while True:
+            masked = _mask(sql)
+            m = pat.search(masked)
+            if not m:
+                return sql
+            q_table, q_alias = m.group(1), m.group(2)
+            vs_open = m.end() - 1
+            vs_close = _scan(sql, vs_open)
+            args = _split_top(sql[vs_open + 1 : vs_close])
+            if len(args) != 4:
+                raise ValueError(f"VECTOR_SEARCH expects 4 args, got {len(args)}")
+            index_table, k_s, desc, q_expr = args
+            md = re.match(r"DESCRIPTOR\s*\(\s*(\w+)\s*\)", desc, re.I)
+            index_col = md.group(1)
+            q_col = re.sub(rf"^{q_alias}\s*\.\s*", "", q_expr.strip())
+            m2 = re.match(r"\s*\)", sql[vs_close + 1 :])
+            lt_end = vs_close + 1 + m2.end()
+            m3 = re.match(r"\s+AS\s+(\w+)", sql[lt_end:], re.I)
+            if not m3:
+                raise ValueError("LATERAL TABLE(VECTOR_SEARCH(..)) needs AS <alias>")
+            vs_alias = m3.group(1)
+            idx_df = self.spark.table(index_table)
+            out = vector_search(
+                self.spark.table(q_table),
+                idx_df,
+                k=int(k_s),
+                query_col=q_col,
+                index_col=index_col,
+                payload_cols=[c for c in idx_df.columns if c != index_col],
+            )
+            view = f"__vs_{q_table}__{index_table}"
+            out.createOrReplaceTempView(view)
+            sql = sql[: m.start()] + f"FROM {view} {q_alias}" + sql[lt_end + m3.end() :]
+            sql = re.sub(rf"\b{vs_alias}\s*\.\s*", f"{q_alias}.", sql)
+
+
+# ---------------------------------------------------------------------------
+# the reference's pipeline, statement for statement
+
+
+#: the catalog qualifier the reference's generated script uses
+#: (``\`$ENVIRONMENT_NAME\`.\`$KAFKA_CLUSTER_NAME\`.``) with demo values.
+Q = "`demo-env`.`demo-cluster`."
+
+
+def reference_pipeline_script() -> str:
+    """The reference's SQL pipeline VERBATIM in statement shape
+    (terraform/generate_personalized_commands.sh — line cites inline),
+    against sources ``knowledge(document_id, document_name,
+    document_category, document_text)`` and ``messages_conversation(message,
+    speaker, rowtime)``. One extra statement stands in for the
+    Kafka→MongoDB sink connector (the reference moves
+    ``knowledge_embeddings_chunked`` into the ``knowledge_mongodb`` search
+    table out-of-band; here it is an explicit INSERT ... SELECT)."""
+    return f"""
+-- :215-223  Step 3.1 embedding model
+CREATE MODEL openaiembed
+INPUT (input STRING)
+OUTPUT (embedding ARRAY<FLOAT>)
+WITH(
+  'azureopenai.connection' = 'azure-openai-embedding-connection',
+  'azureopenai.input_format' = 'OPENAI-EMBED',
+  'provider' = 'azureopenai',
+  'task' = 'embedding'
+);
+
+-- :229-259  Step 3.2 generation model (system prompt abridged; parser
+-- handles the full multi-line text with parentheses and quotes)
+CREATE MODEL coaching_response_generator
+INPUT (prompt STRING)
+OUTPUT (coaching_response STRING)
+WITH(
+  'provider' = 'azureopenai',
+  'task' = 'text_generation',
+  'azureopenai.connection' = 'gpt-4-connection',
+  'azureopenai.model_version' = 'gpt-4',
+  'azureopenai.system_prompt' = 'You are an expert sales coach AI. Provide actionable sales guidance formatted as JSON.
+
+## OUTPUT REQUIREMENTS:
+1. Create a JSON response with these fields:
+  - suggested_response: A concise, actionable talking point (75 words max)
+  - sources: An array with 3 objects (one for each document)
+2. Ensure your response is valid JSON that can be automatically parsed.'
+);
+
+-- :269-277  Step 4.1 knowledge table (Kafka-backed; no explicit connector)
+CREATE TABLE {Q}knowledge (
+  document_id STRING,
+  document_name STRING,
+  document_category STRING,
+  document_text STRING
+) WITH (
+  'kafka.consumer.isolation-level' = 'read-uncommitted'
+);
+
+-- :281-288  Step 4.2 conversation table
+CREATE TABLE {Q}messages_conversation (
+  message STRING NOT NULL,
+  speaker STRING
+) WITH (
+  'kafka.consumer.isolation-level' = 'read-uncommitted'
+);
+
+-- :292-305  Step 4.3 vector-search table
+CREATE TABLE {Q}knowledge_mongodb (
+  document_id STRING,
+  chunks STRING,
+  embedding ARRAY<FLOAT>
+) WITH (
+  'connector' = 'mongodb',
+  'mongodb.connection' = 'mongodb-connection',
+  'mongodb.database' = 'meetingcoach',
+  'mongodb.collection' = 'knowledge',
+  'mongodb.index' = 'vector_index',
+  'mongodb.embedding_column' = 'embedding',
+  'mongodb.numCandidates' = '150'
+);
+
+-- :313-334  Step 5.1 chunk + embed the knowledge base
+INSERT INTO {Q}knowledge_embeddings_chunked
+WITH chunked_texts AS (
+  SELECT
+    document_id,
+    document_text,
+    chunks
+  FROM {Q}knowledge
+  CROSS JOIN UNNEST(
+    ML_CHARACTER_TEXT_SPLITTER(
+      document_text, 200, 20, '###', false, false, true, 'START'
+    )
+  ) AS t(chunks)
+)
+SELECT
+  document_id,
+  chunks,
+  embedding AS embedding
+FROM chunked_texts,
+LATERAL TABLE(
+  ML_PREDICT('openaiembed', chunks)
+);
+
+-- stand-in for the Kafka->MongoDB sink connector (out-of-band in the
+-- reference): the chunked+embedded topic becomes the search table
+INSERT INTO {Q}knowledge_mongodb
+SELECT document_id, chunks, embedding FROM {Q}knowledge_embeddings_chunked;
+
+-- :345-349  Step 6.1 route prospect messages
+CREATE TABLE {Q}messages_prospect AS
+SELECT * FROM {Q}messages_conversation
+WHERE speaker = 'prospect';
+
+-- :353-361  Step 6.2 embed prospect messages
+CREATE TABLE {Q}messages_prospect_embeddings AS
+SELECT
+  message,
+  speaker,
+  embedding
+FROM {Q}messages_prospect,
+LATERAL TABLE(ML_PREDICT('openaiembed', message));
+
+-- :365-384  Step 6.3 top-3 retrieval, embeddings stripped from the payload
+CREATE TABLE {Q}messages_prospect_rag_results AS
+SELECT
+    qe.message,
+    qe.speaker,
+    -- Transform the array with named fields to exclude embeddings
+    ARRAY[
+        CAST(ROW(vs.search_results[1].document_id, vs.search_results[1].chunks) AS ROW<document_id STRING, chunks STRING>),
+        CAST(ROW(vs.search_results[2].document_id, vs.search_results[2].chunks) AS ROW<document_id STRING, chunks STRING>),
+        CAST(ROW(vs.search_results[3].document_id, vs.search_results[3].chunks) AS ROW<document_id STRING, chunks STRING>)
+    ] AS rag_results
+FROM
+    {Q}messages_prospect_embeddings AS qe,
+    LATERAL TABLE(VECTOR_SEARCH(
+        {Q}knowledge_mongodb,
+        3,
+        DESCRIPTOR(embedding),
+        qe.embedding
+    )) AS vs;
+
+-- :408-433  Step 7.1 prompt assembly + generation
+CREATE TABLE {Q}messages_prospect_rag_llm_response AS
+SELECT
+    qr.message,
+    CAST(qr.rag_results AS STRING) AS rag_results_string,
+    pred.coaching_response
+FROM {Q}messages_prospect_rag_results qr,
+LATERAL TABLE(
+    ml_predict(
+        'coaching_response_generator',
+        CONCAT(
+            '## PROSPECT MESSAGE: ', qr.message,
+            '\\n\\n## RAG DOCUMENTS:\\n',
+            'Document 1: ', qr.rag_results[1].document_id, '\\n',
+            qr.rag_results[1].chunks, '\\n\\n',
+            'Document 2: ', qr.rag_results[2].document_id, '\\n',
+            qr.rag_results[2].chunks, '\\n\\n',
+            'Document 3: ', qr.rag_results[3].document_id, '\\n',
+            qr.rag_results[3].chunks
+        )
+    )
+) AS pred;
+
+-- :489-505  Step 8.1 recent-history monitoring view ($rowtime system col)
+CREATE VIEW {Q}recent_conversation_history AS
+WITH ranked_messages AS (
+  SELECT
+    message,
+    speaker,
+    $rowtime,
+    ROW_NUMBER() OVER (ORDER BY $rowtime DESC) AS msg_rank
+  FROM {Q}messages_conversation
+)
+SELECT
+  message,
+  speaker,
+  $rowtime
+FROM ranked_messages
+WHERE msg_rank <= 6;
+
+-- :514-521  Step 9.1 isolation levels
+ALTER TABLE {Q}knowledge SET ('kafka.consumer.isolation-level' = 'read-uncommitted');
+ALTER TABLE {Q}messages_prospect SET ('kafka.consumer.isolation-level' = 'read-uncommitted');
+"""
+
+
+def run_reference_pipeline(
+    spark: SparkSession,
+    knowledge_df: DataFrame,
+    messages_df: DataFrame,
+    mock_dim: int = 256,
+    provider_factory=None,
+) -> FlinkStatementSession:
+    """Execute the verbatim reference pipeline against bound sources.
+    ``knowledge_df`` needs (document_id, document_name, document_category,
+    document_text); ``messages_df`` (message, speaker, rowtime). Returns the
+    session — the final table is ``messages_prospect_rag_llm_response``."""
+    sess = FlinkStatementSession(
+        spark, mock_dim=mock_dim, provider_factory=provider_factory
+    )
+    sess.register_source("knowledge", knowledge_df)
+    sess.register_source("messages_conversation", messages_df)
+    sess.execute_script(reference_pipeline_script())
+    return sess

@@ -60,8 +60,9 @@ def assemble_coaching_prompt(
             F.coalesce(el["document_id"], F.lit("")),
             F.lit("\n"),
             F.coalesce(el["chunks"], F.lit("")),
-            F.lit("\n\n"),
         ]
+        if i < k:  # reference CONCAT (:421-430) has no trailing separator
+            parts.append(F.lit("\n\n"))
     return F.concat(*parts)
 
 

@@ -1107,6 +1107,143 @@ def q_chunk_embed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# SQL DDL surface (ddl.py): the reference's statement forms executed verbatim
+
+
+def q_ddl_ctas_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL surface end-to-end: CREATE TABLE ... AS SELECT (reference
+    :345-349) chained into CREATE VIEW with the $rowtime ROW_NUMBER Top-6
+    (:489-505), executed as STATEMENTS through FlinkStatementSession —
+    catalog-qualified names, $rowtime mapping and CTAS/view registration all
+    exercised. (A deterministic tie-break is added over the reference's
+    bare ORDER BY $rowtime DESC so the oracle hash is stable.)"""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.ddl import FlinkStatementSession  # noqa: PLC0415
+
+    sess = FlinkStatementSession(spark)
+    ev = _events(spark, sf_dir)
+    sess.register_source(
+        "messages_conversation",
+        ev.select(
+            F.col("event_id").cast("string").alias("message"),
+            F.col("event_type").alias("speaker"),
+            F.col("ts").alias("rowtime"),
+        ),
+    )
+    sess.execute_script("""
+CREATE TABLE `demo-env`.`demo-cluster`.messages_prospect AS
+SELECT * FROM `demo-env`.`demo-cluster`.messages_conversation
+WHERE speaker = 'purchase';
+
+CREATE VIEW `demo-env`.`demo-cluster`.recent_conversation_history AS
+WITH ranked_messages AS (
+  SELECT
+    message,
+    speaker,
+    $rowtime,
+    ROW_NUMBER() OVER (ORDER BY $rowtime DESC, message DESC) AS msg_rank
+  FROM `demo-env`.`demo-cluster`.messages_prospect
+)
+SELECT message, speaker, $rowtime
+FROM ranked_messages
+WHERE msg_rank <= 6;
+""")
+    return sess.execute(
+        "SELECT message, speaker, rowtime FROM recent_conversation_history "
+        "ORDER BY rowtime, message"
+    )
+
+
+SQL_DDL_CTAS_TOPN = """
+WITH mc AS (SELECT CAST(event_id AS VARCHAR) AS message, event_type AS speaker,
+                   ts::TIMESTAMP AS rowtime
+            FROM events WHERE event_type = 'purchase'),
+ranked AS (SELECT message, speaker, rowtime,
+                  row_number() OVER (ORDER BY rowtime DESC, message DESC) AS msg_rank
+           FROM mc)
+SELECT message, speaker, rowtime FROM ranked WHERE msg_rank <= 6
+ORDER BY rowtime, message
+"""
+
+
+def q_ddl_struct_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL rewrites for the reference's stage-c shape (:365-384): ARRAY[..]
+    constructor, CAST(ROW(..) AS ROW<..>) → named_struct, 1-based
+    subscripts → element_at, and CAST(<complex> AS STRING) → the engine's
+    JSON rendering — all via SQL statements."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.ddl import FlinkStatementSession  # noqa: PLC0415
+
+    sess = FlinkStatementSession(spark)
+    sess.register_source(
+        "events_src", _events(spark, sf_dir).select("event_id", "event_type", "user_id")
+    )
+    sess.execute("""
+CREATE TABLE `demo-env`.`demo-cluster`.event_struct AS
+SELECT event_id,
+  ARRAY[
+    CAST(ROW(event_type, CAST(user_id AS STRING)) AS ROW<document_id STRING, chunks STRING>),
+    CAST(ROW(CAST(user_id AS STRING), event_type) AS ROW<document_id STRING, chunks STRING>)
+  ] AS rag_results
+FROM `demo-env`.`demo-cluster`.events_src
+""")
+    return sess.execute("""
+SELECT event_id,
+       rag_results[1].document_id AS first_doc,
+       rag_results[2].chunks AS second_chunks,
+       CAST(rag_results AS STRING) AS rag_results_string
+FROM event_struct
+ORDER BY event_id
+""")
+
+
+SQL_DDL_STRUCT_ARRAY = """
+WITH es AS (
+  SELECT event_id,
+         [{'document_id': event_type, 'chunks': CAST(user_id AS VARCHAR)},
+          {'document_id': CAST(user_id AS VARCHAR), 'chunks': event_type}] AS rag_results
+  FROM events)
+SELECT event_id,
+       rag_results[1].document_id AS first_doc,
+       rag_results[2].chunks AS second_chunks,
+       to_json(rag_results) AS rag_results_string
+FROM es
+ORDER BY event_id
+"""
+
+
+def q_ddl_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's ENTIRE SQL script (models, tables, chunk+embed
+    INSERT, 4-stage CTAS chain, monitoring view, ALTERs — ddl.py
+    reference_pipeline_script) executed statement-for-statement on testdata
+    stand-ins. Model UDFs make it rows-only, like rag_pipeline; the
+    statement-vs-programmatic byte-parity is pinned by
+    tests/test_ddl.py."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.ddl import run_reference_pipeline  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    knowledge = docs.select(
+        F.concat_ws("/", "source", F.col("doc_id").cast("string")).alias("document_id"),
+        F.col("doc_id").cast("string").alias("document_name"),
+        F.col("source").alias("document_category"),
+        F.col("text").alias("document_text"),
+    )
+    ev = _events(spark, sf_dir).filter(F.col("event_id") < 60)
+    messages = ev.select(
+        F.concat_ws(" ", F.lit("msg"), F.col("event_id").cast("string"), "props").alias(
+            "message"
+        ),
+        F.when(F.col("event_type") == "purchase", "prospect")
+        .otherwise(F.col("event_type"))
+        .alias("speaker"),
+        F.col("ts").alias("rowtime"),
+    )
+    run_reference_pipeline(spark, knowledge, messages, mock_dim=EMB_DIM)
+    return spark.table("messages_prospect_rag_llm_response").orderBy("message")
+
+
 QUERIES: dict[str, QuerySpec] = {
     "filter_route": QuerySpec(q_filter_route, SQL_FILTER_ROUTE),
     "keyword_trigger": QuerySpec(q_keyword_trigger, SQL_KEYWORD_TRIGGER),
@@ -1147,4 +1284,7 @@ QUERIES: dict[str, QuerySpec] = {
     "rag_pipeline": QuerySpec(q_rag_pipeline, None),
     "rag_pipeline_bulk": QuerySpec(q_rag_pipeline_bulk, None),
     "chunk_embed_ingest": QuerySpec(q_chunk_embed_ingest, None),
+    "ddl_ctas_topn": QuerySpec(q_ddl_ctas_topn, SQL_DDL_CTAS_TOPN),
+    "ddl_struct_array": QuerySpec(q_ddl_struct_array, SQL_DDL_STRUCT_ARRAY),
+    "ddl_reference_pipeline": QuerySpec(q_ddl_reference_pipeline, None),
 }

@@ -1,0 +1,246 @@
+"""SQL DDL surface (ddl.py): the reference's statement forms.
+
+The reference's whole user interface is the SQL script in
+terraform/generate_personalized_commands.sh; these tests feed those
+statement SHAPES (same clauses, same qualifiers, same functions) through
+FlinkStatementSession and pin (a) each rewrite in isolation and (b) the
+verbatim end-to-end pipeline BYTE-EQUAL to the programmatic
+plans/coaching.py path on the same sources."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_sql_ai_meetingcoach_azure_spark.ddl import (
+    FlinkStatementSession,
+    flink_type_to_spark,
+    normalize_identifiers,
+    rewrite_select,
+    run_reference_pipeline,
+    split_statements,
+    strip_comments,
+)
+from flink_sql_ai_meetingcoach_azure_spark.models.providers import MockProvider
+from flink_sql_ai_meetingcoach_azure_spark.models.registry import ModelRegistry
+
+
+def _registry(dim: int = 64) -> ModelRegistry:
+    reg = ModelRegistry()
+    p = MockProvider(dim=dim)
+    reg.register_embedding("openaiembed", p)
+    reg.register_text_generation("coaching_response_generator", p)
+    return reg
+
+
+# ---------------------------------------------------------------------------
+# pure string-level units (no Spark)
+
+
+def test_split_and_comments_are_quote_aware():
+    stmts = split_statements("a; b 'x;y'; c")
+    assert stmts == ["a", "b 'x;y'", "c"]
+    out = strip_comments("SELECT '--keep', x -- drop; this\nFROM t")
+    assert "'--keep'" in out and "drop" not in out
+
+
+def test_normalize_identifiers():
+    s = "SELECT $rowtime FROM `env-1`.`clu-2`.messages_conversation WHERE a = '`$rowtime`'"
+    out = normalize_identifiers(s)
+    assert out == "SELECT rowtime FROM messages_conversation WHERE a = '`$rowtime`'"
+
+
+def test_rewrite_unnest_to_lateral_view():
+    out = rewrite_select(
+        "SELECT document_id, chunks FROM knowledge CROSS JOIN UNNEST("
+        "ML_CHARACTER_TEXT_SPLITTER(document_text, 200, 20, '###', false, false, true,"
+        " 'START')) AS t(chunks)",
+        _registry(),
+    )
+    assert "LATERAL VIEW explode(ML_CHARACTER_TEXT_SPLITTER(" in out
+    assert ") t AS chunks" in out
+    assert "UNNEST" not in out
+
+
+def test_rewrite_ml_predict_bare_and_aliased():
+    reg = _registry()
+    out = rewrite_select(
+        "SELECT message, embedding FROM m, LATERAL TABLE(ML_PREDICT('openaiembed',"
+        " message))",
+        reg,
+    )
+    assert "ml_embed('openaiembed', message) AS embedding" in out
+    assert "LATERAL TABLE" not in out
+    out = rewrite_select(
+        "SELECT qr.message, pred.coaching_response FROM qr, LATERAL TABLE(ml_predict("
+        "'coaching_response_generator', CONCAT('x: ', qr.message))) AS pred",
+        reg,
+    )
+    assert (
+        "ml_generate('coaching_response_generator', CONCAT('x: ', qr.message))"
+        " AS coaching_response" in out
+    )
+
+
+def test_rewrite_subscript_array_row():
+    out = rewrite_select(
+        "SELECT ARRAY[CAST(ROW(vs.search_results[1].document_id,"
+        " vs.search_results[1].chunks) AS ROW<document_id STRING, chunks STRING>)] AS r"
+        " FROM x",
+        _registry(),
+    )
+    assert "array(named_struct('document_id', element_at(vs.search_results, 1)" in out
+    assert "[1]" not in out and "ARRAY[" not in out
+
+
+def test_flink_types():
+    assert flink_type_to_spark("ARRAY<FLOAT>") == T.ArrayType(T.FloatType())
+    assert flink_type_to_spark("TIMESTAMP(3)") == T.TimestampType()
+    assert flink_type_to_spark("ROW<a STRING, b ARRAY<INT>>") == T.StructType(
+        [
+            T.StructField("a", T.StringType()),
+            T.StructField("b", T.ArrayType(T.IntegerType())),
+        ]
+    )
+
+
+# ---------------------------------------------------------------------------
+# statement execution
+
+
+def test_create_table_insert_values_and_alter(spark):
+    sess = FlinkStatementSession(spark)
+    sess.execute("""
+CREATE TABLE `e`.`c`.knowledge (
+  document_id STRING,
+  document_name STRING,
+  document_category STRING,
+  document_text STRING
+) WITH ('kafka.consumer.isolation-level' = 'read-uncommitted')""")
+    # reference Step 10.1 test-data insert (:528-536)
+    sess.execute("""
+INSERT INTO `e`.`c`.knowledge VALUES (
+  'sample/test_document.md', 'Test Document', 'sample',
+  'This is a sample document for testing the RAG pipeline.')""")
+    rows = spark.table("knowledge").collect()
+    assert len(rows) == 1
+    assert rows[0]["document_id"] == "sample/test_document.md"
+    # Kafka-backed by default (no explicit connector, like Confluent Flink)
+    assert sess.tables["knowledge"].connector == "kafka"
+    sess.execute("ALTER TABLE `e`.`c`.knowledge SET ('scan.startup.mode' = 'latest-offset')")
+    assert sess.tables["knowledge"].options["scan.startup.mode"] == "latest-offset"
+
+
+def test_create_model_parses_multiline_prompt_with_parens(spark):
+    sess = FlinkStatementSession(spark)
+    sess.execute("""
+CREATE MODEL coaching_response_generator
+INPUT (prompt STRING)
+OUTPUT (coaching_response STRING)
+WITH(
+  'provider' = 'azureopenai',
+  'task' = 'text_generation',
+  'azureopenai.system_prompt' = 'You are a coach.
+ - sources: An array with 3 objects (one for each document)
+ - don''t break on quotes; or semicolons'
+)""")
+    spec = sess.models["coaching_response_generator"]
+    assert spec.output_col == "coaching_response"
+    assert "(one for each document)" in spec.options["azureopenai.system_prompt"]
+    assert "don't break" in spec.options["azureopenai.system_prompt"]
+    assert sess.registry.get("coaching_response_generator").task == "text_generation"
+
+
+def test_ctas_refresh_picks_up_new_inserts(spark):
+    sess = FlinkStatementSession(spark)
+    sess.execute("CREATE TABLE `e`.`c`.src (message STRING NOT NULL, speaker STRING)")
+    sess.execute("INSERT INTO `e`.`c`.src VALUES ('m1', 'prospect')")
+    sess.execute(
+        "CREATE TABLE `e`.`c`.routed AS SELECT * FROM `e`.`c`.src WHERE speaker = 'prospect'"
+    )
+    assert spark.table("routed").count() == 1
+    sess.execute("INSERT INTO `e`.`c`.src VALUES ('m2', 'prospect')")
+    assert spark.table("routed").count() == 1  # snapshot semantics
+    sess.refresh()  # batch-style equivalent of Flink's continuous CTAS
+    assert spark.table("routed").count() == 2
+
+
+@pytest.fixture(scope="module")
+def ref_pipeline(spark):
+    docs = spark.createDataFrame(
+        [
+            (
+                f"cat{i % 3}/doc{i}.md",
+                f"doc{i}.md",
+                f"cat{i % 3}",
+                " ".join(f"w{i}t{j} tok{(i * j) % 17}" for j in range(120)),
+            )
+            for i in range(8)
+        ],
+        ["document_id", "document_name", "document_category", "document_text"],
+    )
+    msgs = spark.createDataFrame(
+        [
+            ("hello pricing w3t5 tok4", "prospect", "2026-01-01T10:00:00"),
+            ("ignore me", "salesperson", "2026-01-01T10:00:01"),
+            ("competitor w5t2 tok9 question", "prospect", "2026-01-01T10:00:02"),
+        ],
+        ["message", "speaker", "rowtime"],
+    ).withColumn("rowtime", F.to_timestamp("rowtime"))
+    sess = run_reference_pipeline(spark, docs, msgs, mock_dim=64)
+    return sess, docs, msgs
+
+
+def test_reference_script_end_to_end(spark, ref_pipeline):
+    sess, docs, msgs = ref_pipeline
+    out = spark.table("messages_prospect_rag_llm_response")
+    assert out.columns == ["message", "rag_results_string", "coaching_response"]
+    rows = out.collect()
+    assert {r["message"] for r in rows} == {
+        "hello pricing w3t5 tok4",
+        "competitor w5t2 tok9 question",
+    }  # salesperson routed out (stage 6.1)
+    # monitoring view (stage 8.1) is SQL-queryable and ASC-ordered
+    hist = spark.sql("SELECT message FROM recent_conversation_history").collect()
+    assert len(hist) == 3
+    # chunked+embedded knowledge flowed through both topics (stage 5.1)
+    assert spark.table("knowledge_mongodb").count() == spark.table(
+        "knowledge_embeddings_chunked"
+    ).count()
+    assert sess.tables["knowledge_mongodb"].connector == "mongodb"
+
+
+def test_reference_script_matches_programmatic_pipeline(spark, ref_pipeline):
+    """The DDL statement chain and plans/coaching.py produce BYTE-EQUAL
+    (message, rag_results_string, coaching_response) rows on the same
+    sources — the 'same query surface' guarantee."""
+    from flink_sql_ai_meetingcoach_azure_spark.plans.coaching import coaching_pipeline
+
+    sess, docs, msgs = ref_pipeline
+    ddl_rows = {r["message"]: r for r in spark.table("messages_prospect_rag_llm_response").collect()}
+    prog = coaching_pipeline(msgs, spark.table("knowledge_mongodb"), _registry(64), k=3).collect()
+    assert len(prog) == len(ddl_rows) == 2
+    for r in prog:
+        d = ddl_rows[r["message"]]
+        assert d["rag_results_string"] == r["rag_results_string"]
+        assert d["coaching_response"] == r["coaching_response"]
+
+
+def test_ddl_chunker_matches_python_chunker(spark, ref_pipeline):
+    """Stage 5.1's SQL ML_CHARACTER_TEXT_SPLITTER equals the Python
+    chunk_text on every document (same 8 reference parameters)."""
+    from flink_sql_ai_meetingcoach_azure_spark.functions.chunking import chunk_text
+
+    sess, docs, msgs = ref_pipeline
+    got = {
+        (r["document_id"], r["chunks"])
+        for r in spark.table("knowledge_embeddings_chunked")
+        .select("document_id", "chunks")
+        .collect()
+    }
+    want = set()
+    for d in docs.collect():
+        for c in chunk_text(d["document_text"], 200, 20, "###", False, False, True, "START"):
+            want.add((d["document_id"], c))
+    assert got == want
