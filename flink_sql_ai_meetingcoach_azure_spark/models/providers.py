@@ -162,6 +162,30 @@ class SemanticMockProvider:
         return [_mock_coaching_json(p) for p in prompts]
 
 
+def azure_provider_factory(name: str, options: dict[str, str]):
+    """``CREATE MODEL ... WITH(...)`` options → a live
+    :class:`AzureOpenAIProvider` — plug into
+    :class:`~..ddl.FlinkStatementSession` as ``provider_factory`` to make
+    the reference's model DDL (generate_personalized_commands.sh:215-259)
+    build real endpoints. ``azureopenai.connection`` names a Confluent-side
+    connection object holding endpoint+key out-of-band; the equivalent here
+    is the provider's env-var config (.env.template:18-23 mirror)."""
+    kw: dict[str, str] = {}
+    task = options.get("task", "embedding")
+    deployment = options.get("azureopenai.deployment") or options.get(
+        "azureopenai.model_version"
+    )
+    if deployment:
+        kw["chat_deployment" if task == "text_generation" else "embed_deployment"] = (
+            deployment
+        )
+    if "azureopenai.system_prompt" in options:
+        kw["system_prompt"] = options["azureopenai.system_prompt"]
+    if "azureopenai.api_version" in options:
+        kw["api_version"] = options["azureopenai.api_version"]
+    return AzureOpenAIProvider(**kw)
+
+
 @dataclass
 class AzureOpenAIProvider:
     """Azure OpenAI over REST (embeddings + chat completions).

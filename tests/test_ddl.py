@@ -105,6 +105,26 @@ def test_flink_types():
     )
 
 
+# string-literal safety properties: whatever a literal contains — statement
+# separators, comment markers, qualifiers, subscripts, $rowtime — the
+# rewriter must pass it through untouched
+
+_literal_texts = __import__("hypothesis").strategies.text(
+    alphabet=list("abc;-`$[]()<>,.' \n"), min_size=0, max_size=40
+)
+
+
+@__import__("hypothesis").given(t=_literal_texts)
+@__import__("hypothesis").settings(max_examples=200, deadline=None)
+def test_literals_survive_every_rewrite(t):
+    lit = "'" + t.replace("'", "''") + "'"
+    sql = f"SELECT a[1], {lit} AS x FROM `e`.`c`.t WHERE b = {lit}"
+    out = rewrite_select(sql, _registry())
+    assert out.count(lit) == 2
+    assert "element_at(a, 1)" in out
+    assert split_statements(sql) == [sql]  # ';' inside the literal never splits
+
+
 # ---------------------------------------------------------------------------
 # statement execution
 
@@ -150,6 +170,32 @@ WITH(
     assert "(one for each document)" in spec.options["azureopenai.system_prompt"]
     assert "don't break" in spec.options["azureopenai.system_prompt"]
     assert sess.registry.get("coaching_response_generator").task == "text_generation"
+
+
+def test_create_model_with_azure_factory(spark):
+    """provider_factory wires CREATE MODEL options to the live provider
+    class (no HTTP here — construction only)."""
+    from flink_sql_ai_meetingcoach_azure_spark.models.providers import (
+        AzureOpenAIProvider,
+        azure_provider_factory,
+    )
+
+    sess = FlinkStatementSession(spark, provider_factory=azure_provider_factory)
+    sess.execute("""
+CREATE MODEL coaching_response_generator
+INPUT (prompt STRING)
+OUTPUT (coaching_response STRING)
+WITH(
+  'provider' = 'azureopenai',
+  'task' = 'text_generation',
+  'azureopenai.connection' = 'gpt-4-connection',
+  'azureopenai.model_version' = 'gpt-4',
+  'azureopenai.system_prompt' = 'You are an expert sales coach AI.'
+)""")
+    p = sess.registry.get("coaching_response_generator").provider
+    assert isinstance(p, AzureOpenAIProvider)
+    assert p.chat_deployment == "gpt-4"
+    assert p.system_prompt == "You are an expert sales coach AI."
 
 
 def test_ctas_refresh_picks_up_new_inserts(spark):
