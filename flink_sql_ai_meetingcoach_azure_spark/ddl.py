@@ -475,13 +475,38 @@ class FlinkStatementSession:
         stmt = normalize_identifiers(strip_comments(sql)).strip()
         head = re.match(
             r"(CREATE\s+MODEL|CREATE\s+TABLE|CREATE\s+(?:OR\s+REPLACE\s+)?VIEW"
-            r"|INSERT\s+INTO|ALTER\s+TABLE|SELECT|WITH)\b",
+            r"|INSERT\s+INTO|ALTER\s+TABLE|SELECT|WITH|SHOW\s+TABLES|SHOW\s+MODELS"
+            r"|DESCRIBE|EXPLAIN)\b",
             stmt,
             re.I,
         )
         if not head:
             raise ValueError(f"unsupported statement: {stmt[:80]!r}")
         kind = re.sub(r"\s+", " ", head.group(1).upper())
+        if kind == "SHOW TABLES":
+            return self.spark.createDataFrame(
+                [(t.name, t.kind, t.connector) for t in self.tables.values()]
+                or [("", "", "")],
+                "table_name string, kind string, connector string",
+            ).filter("table_name != ''")
+        if kind == "SHOW MODELS":
+            return self.spark.createDataFrame(
+                [
+                    (m.name, self.registry.get(m.name).task, m.output_col)
+                    for m in self.models.values()
+                ]
+                or [("", "", "")],
+                "model_name string, task string, output_col string",
+            ).filter("model_name != ''")
+        if kind == "DESCRIBE":
+            target = re.match(r"DESCRIBE\s+(\w+)", stmt, re.I).group(1)
+            return self.spark.sql(f"DESCRIBE {target}")
+        if kind == "EXPLAIN":
+            body = re.match(r"EXPLAIN\s+(.*)$", stmt, re.I | re.S).group(1)
+            rewritten = self._materialize_vector_search(
+                rewrite_select(body, self.registry)
+            )
+            return self.spark.sql(f"EXPLAIN {rewritten}")
         if kind == "CREATE MODEL":
             return self._create_model(stmt)
         if kind == "CREATE TABLE":

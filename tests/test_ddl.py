@@ -212,6 +212,29 @@ def test_ctas_refresh_picks_up_new_inserts(spark):
     assert spark.table("routed").count() == 2
 
 
+def test_show_describe_explain(spark):
+    sess = FlinkStatementSession(spark)
+    sess.execute("CREATE TABLE `e`.`c`.k (document_id STRING, document_text STRING)")
+    sess.execute("""
+CREATE MODEL openaiembed INPUT (input STRING) OUTPUT (embedding ARRAY<FLOAT>)
+WITH ('provider' = 'azureopenai', 'task' = 'embedding')""")
+    tables = {r["table_name"]: r for r in sess.execute("SHOW TABLES").collect()}
+    assert tables["k"]["connector"] == "kafka"
+    models = {r["model_name"]: r for r in sess.execute("SHOW MODELS").collect()}
+    assert models["openaiembed"]["task"] == "embedding"
+    desc = sess.execute("DESCRIBE `e`.`c`.k").collect()
+    assert {r["col_name"] for r in desc} >= {"document_id", "document_text"}
+    plan = "\n".join(
+        r["plan"]
+        for r in sess.execute(
+            "EXPLAIN SELECT document_id, x2 FROM `e`.`c`.k "
+            "CROSS JOIN UNNEST(ML_CHARACTER_TEXT_SPLITTER(document_text, 200, 20, "
+            "'###', false, false, true, 'START')) AS t(x2)"
+        ).collect()
+    )
+    assert "Generate explode" in plan or "explode" in plan
+
+
 @pytest.fixture(scope="module")
 def ref_pipeline(spark):
     docs = spark.createDataFrame(
