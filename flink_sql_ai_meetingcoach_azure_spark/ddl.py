@@ -465,6 +465,33 @@ class FlinkStatementSession:
         df.createOrReplaceTempView(name)
         self.tables[name] = TableSpec(name, df.schema, {}, kind="source")
 
+    def source_config(
+        self, name: str, bootstrap_servers: str, registry=None, **overrides
+    ) -> dict:
+        """A ``sources.kafka.open_message_stream`` config dict for a
+        Kafka-backed table declared via CREATE TABLE — topic = table name
+        (Confluent Flink's table↔topic identity), Flink ``scan.startup.mode``
+        → ``startingOffsets``, consumer isolation level passed through as a
+        ``kafka.``-prefixed option. This is the seam between the DDL catalog
+        and the streaming pipeline when a real broker exists."""
+        spec = self.tables[name]
+        if spec.connector != "kafka":
+            raise ValueError(f"table {name!r} uses connector {spec.connector!r}, not kafka")
+        mode = spec.options.get("scan.startup.mode", "latest-offset")
+        cfg: dict = {
+            "type": "kafka",
+            "topic": name,
+            "bootstrap_servers": bootstrap_servers,
+            "starting_offsets": "earliest" if "earliest" in mode else "latest",
+        }
+        iso = spec.options.get("kafka.consumer.isolation-level")
+        if iso:
+            cfg["extra"] = {"kafka.isolation.level": iso.replace("-", "_")}
+        if registry is not None:
+            cfg["registry"] = registry
+        cfg.update(overrides)
+        return cfg
+
     # -- execution ----------------------------------------------------------
 
     def execute_script(self, script: str) -> list[DataFrame | None]:

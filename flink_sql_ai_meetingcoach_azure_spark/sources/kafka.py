@@ -225,6 +225,7 @@ def open_message_stream(spark: SparkSession, source: dict) -> DataFrame:
             starting_offsets=source.get("starting_offsets", "latest"),
             group_id=source.get("group_id"),
             max_offsets_per_trigger=source.get("max_offsets_per_trigger"),
+            extra=source.get("extra", {}),
         )
         raw = read_kafka_stream(spark, cfg)
         decoded = decode_kafka_avro(raw, source["registry"], cfg.topic)

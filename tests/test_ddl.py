@@ -212,6 +212,46 @@ def test_ctas_refresh_picks_up_new_inserts(spark):
     assert spark.table("routed").count() == 2
 
 
+def test_source_config_maps_table_options_to_kafka(spark):
+    """DDL catalog → streaming seam: a Kafka-backed CREATE TABLE yields the
+    open_message_stream config with the reference's consumer options mapped
+    (isolation level, startup mode → startingOffsets)."""
+    from flink_sql_ai_meetingcoach_azure_spark.sources.kafka import (
+        KafkaSourceConfig,
+        build_kafka_options,
+    )
+
+    sess = FlinkStatementSession(spark)
+    sess.execute("""
+CREATE TABLE `e`.`c`.messages_conversation (message STRING NOT NULL, speaker STRING)
+WITH ('kafka.consumer.isolation-level' = 'read-uncommitted')""")
+    sess.execute(
+        "ALTER TABLE `e`.`c`.messages_conversation SET ('scan.startup.mode' = 'earliest-offset')"
+    )
+    cfg = sess.source_config("messages_conversation", "broker:9092")
+    assert cfg["type"] == "kafka"
+    assert cfg["topic"] == "messages_conversation"
+    assert cfg["starting_offsets"] == "earliest"
+    assert cfg["extra"] == {"kafka.isolation.level": "read_uncommitted"}
+    opts = build_kafka_options(
+        KafkaSourceConfig(
+            bootstrap_servers=cfg["bootstrap_servers"],
+            topic=cfg["topic"],
+            starting_offsets=cfg["starting_offsets"],
+            extra=cfg["extra"],
+        )
+    )
+    assert opts["subscribe"] == "messages_conversation"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["kafka.isolation.level"] == "read_uncommitted"
+    # non-kafka connectors refuse
+    sess.execute(
+        "CREATE TABLE `e`.`c`.km (document_id STRING) WITH ('connector' = 'mongodb')"
+    )
+    with pytest.raises(ValueError):
+        sess.source_config("km", "broker:9092")
+
+
 def test_show_describe_explain(spark):
     sess = FlinkStatementSession(spark)
     sess.execute("CREATE TABLE `e`.`c`.k (document_id STRING, document_text STRING)")
