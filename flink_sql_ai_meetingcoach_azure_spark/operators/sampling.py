@@ -1,0 +1,106 @@
+"""Deterministic sampling / splitting for training-data curation.
+
+Beyond-reference training-data operators (task mandate alongside the dedup
+family): every large-scale pipeline needs to cut corpora into train/val
+splits, downsample dominant strata, and fix a global example order. At
+100 TB these must be:
+
+- **a narrow map** — no shuffle, no count job, no driver round-trip;
+- **retry-stable** — a task retry or speculative duplicate must select the
+  SAME rows. ``rand()``-based sampling silently violates exactly-once
+  under retries; hash-of-key sampling cannot;
+- **engine-reproducible** — the md5-derived buckets match bit-for-bit in
+  the DuckDB oracle (functions/hashing.py contract), so the sampled SETS
+  are assertable, not just their sizes.
+
+All operators key on a stable id column and salt the hash, so different
+decisions (sample vs split) are independent and re-salting redraws.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from flink_sql_ai_meetingcoach_azure_spark.functions.hashing import (
+    md5_bigint_col,
+    md5_bigint_sql,
+)
+
+#: hash-bucket resolution: rates are quantized to 1/10000
+N_BUCKETS = 10_000
+
+
+def hash_bucket_col(key: Column | str, salt: str) -> Column:
+    """Uniform bucket in [0, N_BUCKETS) from a 60-bit md5 hash of the key."""
+    c = F.col(key) if isinstance(key, str) else key
+    return md5_bigint_col(c.cast("string"), salt) % N_BUCKETS
+
+
+def hash_bucket_sql(key_expr: str, salt: str) -> str:
+    """DuckDB rendering of :func:`hash_bucket_col` (oracle parity)."""
+    return f"{md5_bigint_sql(f'CAST({key_expr} AS VARCHAR)', salt)} % {N_BUCKETS}"
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "sample"
+) -> DataFrame:
+    """Keep ≈``fraction`` of rows by hash bucket — a pure filter that stays
+    inside the scan's WholeStageCodegen (narrow; no shuffle, no count job,
+    composes with any downstream op)."""
+    return df.filter(hash_bucket_col(key_col, salt) < int(round(fraction * N_BUCKETS)))
+
+
+def deterministic_split(
+    df: DataFrame,
+    key_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Label every row with a split name by hash range — disjoint,
+    exhaustive, stable under any partitioning/retry (the classical
+    train/val/test cut)."""
+    weights = weights or {"train": 0.8, "val": 0.1, "test": 0.1}
+    total = sum(weights.values())
+    b = hash_bucket_col(key_col, salt)
+    expr: Column | None = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total
+        edge = int(round(acc * N_BUCKETS))
+        expr = (
+            F.when(b < edge, name) if expr is None else expr.when(b < edge, name)
+        )
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 1.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic rate (downsample a dominant language /
+    source while keeping the tail intact). Still a pure filter: the
+    per-row threshold is a CASE on the stratum, compared to the hash
+    bucket — no shuffle, no per-stratum count pass."""
+    thr: Column = F.lit(int(round(default_fraction * N_BUCKETS)))
+    for value, frac in sorted(fractions.items()):
+        thr = F.when(
+            F.col(strata_col) == value, int(round(frac * N_BUCKETS))
+        ).otherwise(thr)
+    return df.filter(hash_bucket_col(key_col, salt) < thr)
+
+
+def shuffle_by_hash(df: DataFrame, key_col: str, salt: str = "shuffle") -> DataFrame:
+    """Global deterministic example shuffle (pre-training order
+    randomization): total order by (hash, key). One range-partitioned sort
+    — the unavoidable cost of a global order — but reproducible across
+    runs, engines and retries, unlike ``orderBy(rand())``."""
+    return df.orderBy(md5_bigint_col(F.col(key_col).cast("string"), salt), key_col)

@@ -1108,6 +1108,112 @@ def q_chunk_embed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # ---------------------------------------------------------------------------
+# deterministic sampling / splitting (operators/sampling.py) — training-data
+# curation ops: narrow, retry-stable, hash-bucket-exact vs the oracle
+
+
+def q_deterministic_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test labeling by md5 hash range: disjoint, exhaustive,
+    stable under any partitioning — the rand()-free split."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.sampling import (  # noqa: PLC0415
+        deterministic_split,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return deterministic_split(docs, "doc_id").orderBy("doc_id")
+
+
+def _sql_deterministic_split() -> str:
+    from flink_sql_ai_meetingcoach_azure_spark.operators.sampling import (  # noqa: PLC0415
+        hash_bucket_sql,
+    )
+
+    b = hash_bucket_sql("doc_id", "split")
+    return f"""
+SELECT doc_id, lang,
+       CASE WHEN {b} < 8000 THEN 'train'
+            WHEN {b} < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic downsampling (halve the dominant 'en'
+    stratum, keep the tail) — a pure filter, no count pass, no shuffle."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.sampling import (  # noqa: PLC0415
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs, "doc_id", "lang", fractions={"en": 0.5}, default_fraction=1.0
+    ).orderBy("doc_id")
+
+
+def _sql_stratified_sample() -> str:
+    from flink_sql_ai_meetingcoach_azure_spark.operators.sampling import (  # noqa: PLC0415
+        hash_bucket_sql,
+    )
+
+    b = hash_bucket_sql("doc_id", "strat")
+    return f"""
+SELECT doc_id, lang FROM documents
+WHERE {b} < (CASE WHEN lang = 'en' THEN 5000 ELSE 10000 END)
+ORDER BY doc_id
+"""
+
+
+def q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data curation flow: exact dedup (keep min id)
+    → length floor → stratified downsample of the dominant language →
+    train/val/test split. Every stage is a narrow filter or one combinable
+    shuffle (the dedup groupBy) — the whole pipeline is two exchanges at
+    any scale (dedup + final sort)."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import dedup_exact  # noqa: PLC0415
+    from flink_sql_ai_meetingcoach_azure_spark.operators.sampling import (  # noqa: PLC0415
+        deterministic_split,
+        stratified_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "n_chars")
+    deduped = dedup_exact(docs, "text", "doc_id", keep="min")
+    sized = deduped.filter(F.col("n_chars") >= 100)
+    sampled = stratified_sample(
+        sized, "doc_id", "lang", fractions={"en": 0.5}, default_fraction=1.0
+    )
+    split = deterministic_split(sampled, "doc_id")
+    return split.select("doc_id", "lang", "n_chars", "split").orderBy("doc_id")
+
+
+def _sql_curation_pipeline() -> str:
+    from flink_sql_ai_meetingcoach_azure_spark.operators.sampling import (  # noqa: PLC0415
+        hash_bucket_sql,
+    )
+
+    bs = hash_bucket_sql("doc_id", "strat")
+    bp = hash_bucket_sql("doc_id", "split")
+    return f"""
+WITH deduped AS (
+  SELECT doc_id, lang, n_chars FROM documents
+  WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))),
+sized AS (SELECT * FROM deduped WHERE n_chars >= 100),
+sampled AS (SELECT * FROM sized
+            WHERE {bs} < (CASE WHEN lang = 'en' THEN 5000 ELSE 10000 END))
+SELECT doc_id, lang, n_chars,
+       CASE WHEN {bp} < 8000 THEN 'train'
+            WHEN {bp} < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM sampled
+ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # SQL DDL surface (ddl.py): the reference's statement forms executed verbatim
 
 
@@ -1284,6 +1390,9 @@ QUERIES: dict[str, QuerySpec] = {
     "rag_pipeline": QuerySpec(q_rag_pipeline, None),
     "rag_pipeline_bulk": QuerySpec(q_rag_pipeline_bulk, None),
     "chunk_embed_ingest": QuerySpec(q_chunk_embed_ingest, None),
+    "deterministic_split": QuerySpec(q_deterministic_split, _sql_deterministic_split()),
+    "stratified_sample": QuerySpec(q_stratified_sample, _sql_stratified_sample()),
+    "curation_pipeline": QuerySpec(q_curation_pipeline, _sql_curation_pipeline()),
     "ddl_ctas_topn": QuerySpec(q_ddl_ctas_topn, SQL_DDL_CTAS_TOPN),
     "ddl_struct_array": QuerySpec(q_ddl_struct_array, SQL_DDL_STRUCT_ARRAY),
     "ddl_reference_pipeline": QuerySpec(q_ddl_reference_pipeline, None),

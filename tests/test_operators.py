@@ -246,6 +246,47 @@ def test_ivf_query_with_empty_probe_cells_keeps_row(spark):
     assert out[0]["search_results"] == []
 
 
+def test_deterministic_sampling_family(spark):
+    """Hash-bucket sampling: retry/partitioning-stable, monotone in the
+    fraction (a smaller sample is a SUBSET of a larger one, same salt),
+    stratified rates land near target, split is disjoint+exhaustive."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.sampling import (
+        deterministic_sample,
+        deterministic_split,
+        shuffle_by_hash,
+        stratified_sample,
+    )
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(2000)]
+    df = spark.createDataFrame(rows, ["id", "lang"])
+
+    s30 = {r["id"] for r in deterministic_sample(df, "id", 0.3).collect()}
+    s60 = {r["id"] for r in deterministic_sample(df, "id", 0.6).collect()}
+    assert s30 <= s60  # monotone thresholds, not independent draws
+    assert abs(len(s30) / 2000 - 0.3) < 0.05 and abs(len(s60) / 2000 - 0.6) < 0.05
+    # partitioning must not change the selected SET (retry/scale stability)
+    s30_rep = {r["id"] for r in deterministic_sample(df.repartition(13), "id", 0.3).collect()}
+    assert s30_rep == s30
+
+    split = deterministic_split(df, "id").collect()
+    by = {}
+    for r in split:
+        by.setdefault(r["split"], set()).add(r["id"])
+    assert sum(len(v) for v in by.values()) == 2000  # exhaustive
+    assert len(by["train"] | by["val"] | by["test"]) == 2000  # disjoint
+    assert abs(len(by["train"]) / 2000 - 0.8) < 0.05
+
+    strat = stratified_sample(df, "id", "lang", {"en": 0.25}, default_fraction=1.0).collect()
+    en = [r for r in strat if r["lang"] == "en"]
+    de = [r for r in strat if r["lang"] == "de"]
+    assert len(de) == 2000 // 3 + 1  # untouched stratum keeps every row
+    assert abs(len(en) / (2000 - len(de)) - 0.25) < 0.06
+
+    o1 = [r["id"] for r in shuffle_by_hash(df, "id").collect()]
+    o2 = [r["id"] for r in shuffle_by_hash(df.repartition(7), "id").collect()]
+    assert o1 == o2 and o1 != sorted(o1)  # total deterministic non-trivial order
+
+
 def test_recent_top_n_global_and_partitioned(spark):
     import datetime as dt
 
