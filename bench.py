@@ -39,14 +39,19 @@ BENCH_QUERIES = [
     "ann_topk",
     "ann_ivf_topk",
     "embedding_cosine_pairs",
+    "embedding_lsh_pairs",
     # joins beyond the reference
     "asof_join",
     # text analysis
     "lang_id",
     "quality_score",
     "token_stats",
+    # curation: dedup + stratified downsample + split composed
+    "curation_pipeline",
     # multimodal plumbing
     "multimodal_features",
+    # SQL DDL statement path (translator overhead ~0: same operators)
+    "ddl_ctas_topn",
     # RAG pipeline end-to-end (mock provider): correctness-shaped + bulk
     "rag_pipeline",
     "rag_pipeline_bulk",
