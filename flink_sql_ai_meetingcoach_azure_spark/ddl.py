@@ -492,6 +492,33 @@ class FlinkStatementSession:
         cfg.update(overrides)
         return cfg
 
+    def start_streaming_pipeline(
+        self,
+        source,
+        knowledge_index: DataFrame,
+        out_root: str,
+        k: int = 3,
+        **source_kwargs,
+    ):
+        """Run the script's CTAS chain CONTINUOUSLY — the reference's actual
+        execution model (each CTAS is an always-on Flink job). Stages come
+        from streaming/pipeline.py::staged_coaching_pipeline (one
+        materialized dir per stage, mirroring the per-stage topics); models
+        come from this session's CREATE MODEL registry. ``source`` is a
+        table name declared Kafka-backed via CREATE TABLE (resolved through
+        :meth:`source_config`; pass ``bootstrap_servers=...``), an
+        ``open_message_stream`` config dict, or a streaming DataFrame.
+        Returns the StreamingQuery handles."""
+        from flink_sql_ai_meetingcoach_azure_spark.streaming.pipeline import (  # noqa: PLC0415
+            staged_coaching_pipeline,
+        )
+
+        if isinstance(source, str):
+            source = self.source_config(source, **source_kwargs)
+        return staged_coaching_pipeline(
+            self.spark, source, knowledge_index, self.registry, out_root, k=k
+        )
+
     # -- execution ----------------------------------------------------------
 
     def execute_script(self, script: str) -> list[DataFrame | None]:

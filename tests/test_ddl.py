@@ -252,6 +252,66 @@ WITH ('kafka.consumer.isolation-level' = 'read-uncommitted')""")
         sess.source_config("km", "broker:9092")
 
 
+def test_start_streaming_pipeline_from_ddl_session(spark, tmp_path):
+    """The DDL session's CREATE MODELs drive the CONTINUOUS staged pipeline
+    (the reference's execution model): file-source stand-in, one parquet
+    dir per stage, final stage carries the coaching output."""
+    import json as _json
+    import os
+
+    from flink_sql_ai_meetingcoach_azure_spark.plans.ingest import build_knowledge_index
+
+    sess = FlinkStatementSession(spark, mock_dim=32)
+    sess.execute("""
+CREATE MODEL openaiembed INPUT (input STRING) OUTPUT (embedding ARRAY<FLOAT>)
+WITH ('provider' = 'azureopenai', 'task' = 'embedding')""")
+    sess.execute("""
+CREATE MODEL coaching_response_generator INPUT (prompt STRING)
+OUTPUT (coaching_response STRING)
+WITH ('provider' = 'azureopenai', 'task' = 'text_generation')""")
+
+    docs = spark.createDataFrame(
+        [(f"d{i}.md", f"doc {i}", f"c{i}", f"text body {i} " * 30) for i in range(4)],
+        ["document_id", "document_name", "document_category", "document_text"],
+    )
+    index = build_knowledge_index(docs, sess.registry).cache()
+
+    src = str(tmp_path / "msgs")
+    os.makedirs(src)
+    with open(os.path.join(src, "b0.json"), "w") as f:
+        for m, s in [("need pricing text body 2", "prospect"), ("hi", "salesperson")]:
+            f.write(
+                _json.dumps(
+                    {"message": m, "speaker": s, "rowtime": "2026-01-01T10:00:00"}
+                )
+                + "\n"
+            )
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("message", T.StringType()),
+            T.StructField("speaker", T.StringType()),
+            T.StructField("rowtime", T.StringType()),
+        ]
+    )
+    queries = sess.start_streaming_pipeline(
+        {"type": "file", "path": src, "schema": schema, "format": "json"},
+        index,
+        str(tmp_path / "stages"),
+    )
+    try:
+        for q in queries:
+            q.processAllAvailable()
+    finally:
+        for q in queries:
+            q.stop()
+    final = spark.read.parquet(str(tmp_path / "stages" / "messages_prospect_rag_llm_response"))
+    rows = final.collect()
+    assert [r["message"] for r in rows] == ["need pricing text body 2"]
+    assert rows[0]["coaching_response"]
+
+
 def test_show_describe_explain(spark):
     sess = FlinkStatementSession(spark)
     sess.execute("CREATE TABLE `e`.`c`.k (document_id STRING, document_text STRING)")
