@@ -278,6 +278,47 @@ def random_hyperplanes(
     ]
 
 
+def _rp_bits_numpy(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    planes: list[list[list[float]]],
+    round_to: int = 6,
+) -> DataFrame:
+    """(id, table, bucket) via ONE vectorized pass: all table×plane dots as
+    a single GEMM per Arrow batch. The Catalyst-expression path costs ~µs
+    per element in interpreted higher-order lambdas (n·tables·planes·dim
+    ops — the known slow path at corpus scale); this is the same
+    numpy-for-bulk-dense-math tradeoff as vector_search's GEMM route.
+    Dots are rounded to ``round_to`` dp before the sign, so buckets are
+    bit-identical to the expression path and the DuckDB oracle."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    n_tables, n_planes = len(planes), len(planes[0])
+    mat = np.asarray(planes, dtype=np.float64).reshape(n_tables * n_planes, -1)
+    pow2 = 2 ** np.arange(n_planes, dtype=np.int64)
+    id_type = dict(df.dtypes)[id_col]
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            bits = (np.round(x @ mat.T, round_to) > 0).reshape(
+                len(pdf), n_tables, n_planes
+            )
+            buckets = (bits * pow2).sum(axis=2)
+            for t in range(n_tables):
+                yield pd.DataFrame(
+                    {id_col: pdf[id_col], "t": t, "b": buckets[:, t]}
+                )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        gen, schema=f"{id_col} {id_type}, t int, b long"
+    )
+
+
 def embedding_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -287,6 +328,7 @@ def embedding_lsh_pairs(
     n_planes: int = 8,
     n_tables: int = 4,
     round_to: int = 6,
+    method: str = "numpy",
 ) -> DataFrame:
     """Embedding near-dup at scale: random-hyperplane LSH bucketing, then
     exact cosine only WITHIN buckets — never touches the n² pair space.
@@ -307,18 +349,24 @@ def embedding_lsh_pairs(
     from flink_sql_ai_meetingcoach_azure_spark.functions.vectors import dot_col, norm_col  # noqa: PLC0415
 
     planes = random_hyperplanes(dim, n_planes, n_tables)
-    buckets = []
-    for t in range(n_tables):
-        bucket = None
-        for p in range(n_planes):
-            plane_lit = F.array(*[F.lit(v) for v in planes[t][p]])
-            bit = (F.round(dot_col(F.col(vec_col), plane_lit), 6) > 0).cast("int")
-            term = bit * F.lit(2**p)
-            bucket = term if bucket is None else bucket + term
-        buckets.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))
-    keyed = df.select(
-        F.col(id_col), F.explode(F.array(*buckets)).alias("tb")
-    ).select(id_col, F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    if method == "numpy":
+        # bulk path: one GEMM per Arrow batch for every table×plane dot
+        keyed = _rp_bits_numpy(df, id_col, vec_col, planes, round_to=6)
+    else:
+        # Catalyst-expression path: plan-inspectable, JVM-only — costs
+        # interpreted-lambda time per element, keep for small inputs/tests
+        buckets = []
+        for t in range(n_tables):
+            bucket = None
+            for p in range(n_planes):
+                plane_lit = F.array(*[F.lit(v) for v in planes[t][p]])
+                bit = (F.round(dot_col(F.col(vec_col), plane_lit), 6) > 0).cast("int")
+                term = bit * F.lit(2**p)
+                bucket = term if bucket is None else bucket + term
+            buckets.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))
+        keyed = df.select(
+            F.col(id_col), F.explode(F.array(*buckets)).alias("tb")
+        ).select(id_col, F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
     a = keyed.alias("a")
     b = keyed.alias("b")
     cand = (

@@ -126,6 +126,23 @@ def test_embedding_lsh_pairs_subset_of_exact(spark):
     assert lsh[(1, 2)] == exact[(1, 2)]
 
 
+def test_embedding_lsh_methods_agree(spark):
+    """The numpy GEMM bucket path and the Catalyst-expression path produce
+    IDENTICAL pairs (dots rounded to 6 dp before the sign in both)."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import embedding_lsh_pairs
+
+    rng_rows = [
+        (i, [((i * 37 + j * 11) % 19 - 9) / 7.0 for j in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rng_rows, ["id", "v"])
+    kw = dict(dim=8, threshold=0.2, n_planes=4, n_tables=3)
+    a = {(r["id_a"], r["id_b"], r["cos_sim"]) for r in
+         embedding_lsh_pairs(df, "id", "v", method="numpy", **kw).collect()}
+    b = {(r["id_a"], r["id_b"], r["cos_sim"]) for r in
+         embedding_lsh_pairs(df, "id", "v", method="sql", **kw).collect()}
+    assert a == b and a
+
+
 def test_embedding_cosine_pairs(spark):
     rows = [
         (1, [1.0, 0.0, 0.0]),
