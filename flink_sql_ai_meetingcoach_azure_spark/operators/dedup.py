@@ -43,6 +43,38 @@ def dedup_exact(
     return df.join(keep_ids, on=id_col, how="inner")
 
 
+def dedup_keep_best(
+    df: DataFrame, content_col: str, id_col: str, quality_col: str
+) -> DataFrame:
+    """Exact dedup keeping the BEST row per content group (quality desc,
+    id asc tie-break) instead of the min id — the curation policy when
+    duplicates differ in metadata quality. One shuffle (window partitioned
+    by content hash, uniform keys)."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(F.md5(F.col(content_col))).orderBy(
+        F.desc(quality_col), F.asc(id_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def neardup_survivors(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
+    """Apply a near-dup pair set (``id_a < id_b``, e.g. from
+    :func:`embedding_lsh_pairs` / :func:`lsh_candidate_pairs`): drop every
+    row that near-duplicates ANY smaller id — one distinct + one anti-join,
+    no iteration. Deterministic and single-pass; along transitive chains
+    a~b~c it removes both b and c (greedy union-find clustering would keep
+    c when a≁c) — the standard large-scale tradeoff, documented rather than
+    hidden behind an iterative connected-components pass Spark can't do
+    without multiple jobs."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, id_col, "left_anti")
+
+
 def tokens_col(text: Column | str, lowercase: bool = True) -> Column:
     """Whitespace tokenization shared by the near-dup operators."""
     c = F.col(text) if isinstance(text, str) else text

@@ -1107,6 +1107,63 @@ def q_chunk_embed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup: per content group keep the row with the
+    most chars (id asc tie-break) — the curation policy when duplicates
+    differ in metadata quality."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import dedup_keep_best  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source", "n_chars")
+    return (
+        dedup_keep_best(docs, "text", "doc_id", "n_chars")
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+SQL_DEDUP_KEEP_BEST = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY md5(text)
+                            ORDER BY n_chars DESC, doc_id ASC) AS rn
+  FROM documents)
+WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+def q_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup REMOVAL end-to-end: LSH candidate pairs → drop
+    every vector near-duplicating a smaller id. One GEMM bucket pass, one
+    bucketed self-join, one anti-join — no n² pair space, no iteration."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: PLC0415
+        embedding_lsh_pairs,
+        neardup_survivors,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < COS_PAIR_MAX_ID)
+    pairs = embedding_lsh_pairs(
+        emb, "vec_id", "embedding", dim=EMB_DIM, threshold=0.2,
+        n_planes=RP_PLANES, n_tables=RP_TABLES, round_to=6,
+    )
+    return (
+        neardup_survivors(emb.select("vec_id"), pairs, "vec_id").orderBy("vec_id")
+    )
+
+
+def _sql_neardup_dedup() -> str:
+    lsh = _sql_embedding_lsh_pairs()
+    return f"""
+WITH pairs AS ({lsh})
+SELECT vec_id FROM embeddings
+WHERE vec_id < {COS_PAIR_MAX_ID}
+  AND vec_id NOT IN (SELECT id_b FROM pairs)
+ORDER BY vec_id
+"""
+
+
 # ---------------------------------------------------------------------------
 # deterministic sampling / splitting (operators/sampling.py) — training-data
 # curation ops: narrow, retry-stable, hash-bucket-exact vs the oracle
@@ -1390,6 +1447,8 @@ QUERIES: dict[str, QuerySpec] = {
     "rag_pipeline": QuerySpec(q_rag_pipeline, None),
     "rag_pipeline_bulk": QuerySpec(q_rag_pipeline_bulk, None),
     "chunk_embed_ingest": QuerySpec(q_chunk_embed_ingest, None),
+    "dedup_keep_best": QuerySpec(q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+    "neardup_dedup": QuerySpec(q_neardup_dedup, _sql_neardup_dedup()),
     "deterministic_split": QuerySpec(q_deterministic_split, _sql_deterministic_split()),
     "stratified_sample": QuerySpec(q_stratified_sample, _sql_stratified_sample()),
     "curation_pipeline": QuerySpec(q_curation_pipeline, _sql_curation_pipeline()),

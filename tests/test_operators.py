@@ -126,6 +126,28 @@ def test_embedding_lsh_pairs_subset_of_exact(spark):
     assert lsh[(1, 2)] == exact[(1, 2)]
 
 
+def test_dedup_keep_best_and_neardup_survivors(spark):
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (
+        dedup_keep_best,
+        neardup_survivors,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "same text", 10), (2, "same text", 99), (3, "other", 5)],
+        ["id", "text", "quality"],
+    )
+    kept = {r["id"] for r in dedup_keep_best(df, "text", "id", "quality").collect()}
+    assert kept == {2, 3}  # highest quality wins the dup group
+
+    docs = spark.createDataFrame([(i,) for i in range(1, 6)], ["id"])
+    # chain a~b~c plus isolated pair d~e: drop every id_b
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], ["id_a", "id_b"]
+    )
+    kept = {r["id"] for r in neardup_survivors(docs, pairs, "id").collect()}
+    assert kept == {1, 4}  # documented greedy policy: 3 goes with its chain
+
+
 def test_embedding_lsh_methods_agree(spark):
     """The numpy GEMM bucket path and the Catalyst-expression path produce
     IDENTICAL pairs (dots rounded to 6 dp before the sign in both)."""
