@@ -63,3 +63,31 @@ AVRO_SCHEMA = {
 def test_avro_roundtrip_property(s, n, f, b):
     rec = {"s": s, "n": n, "f": f, "b": b}
     assert decode_record(AVRO_SCHEMA, encode_record(AVRO_SCHEMA, rec)) == rec
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=30),
+    st.sampled_from(["sample", "split", "strat"]),
+)
+def test_hash_bucket_duckdb_matches_python(key, salt):
+    """The sampling operators' cross-engine contract: DuckDB's rendering of
+    the md5 bucket equals the plain-Python reference for arbitrary unicode
+    keys (the Spark side is pinned by the 40+ hash-green oracle entries
+    built on the same conv(substr(md5)) formula)."""
+    import hashlib
+
+    import duckdb
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.sampling import (
+        N_BUCKETS,
+        hash_bucket_sql,
+    )
+
+    expected = (
+        int(hashlib.md5(f"{key}:{salt}".encode()).hexdigest()[:15], 16) % N_BUCKETS
+    )
+    got = duckdb.execute(
+        f"SELECT {hash_bucket_sql('?', salt)}", [key]
+    ).fetchone()[0]
+    assert got == expected
