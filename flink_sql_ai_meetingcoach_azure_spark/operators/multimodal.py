@@ -97,34 +97,41 @@ def decode_and_featurize(
 
     def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = r[payload_col]
-                if decoder == "real":
-                    # REAL-DECODER SEAM: PIL.Image.open(io.BytesIO(payload))
-                    raise NotImplementedError(
-                        "real image decoding requires PIL/opencv (not in this "
-                        "container); use decoder='fake'"
-                    )
-                img = _fake_decode(payload, height, width)
-                flat = img.astype(np.float32) / 255.0
-                # 64-dim pooled feature: mean over an 8x8 grid of cells
-                gh, gw = 8, 8
-                cells = flat[: gh * (height // gh), : gw * (width // gw), :].reshape(
-                    gh, height // gh, gw, width // gw, 3
+            if not len(pdf):
+                continue
+            if decoder == "real":
+                # REAL-DECODER SEAM: PIL.Image.open(io.BytesIO(payload)),
+                # one call per item — decoding is inherently per-item
+                raise NotImplementedError(
+                    "real image decoding requires PIL/opencv (not in this "
+                    "container); use decoder='fake'"
                 )
-                feat = cells.mean(axis=(1, 3)).mean(axis=2).reshape(-1)
-                rows.append(
-                    {
-                        id_col: r[id_col],
-                        "height": int(img.shape[0]),
-                        "width": int(img.shape[1]),
-                        "mean_intensity": float(img.mean()),
-                        "channel_means": [float(m) for m in img.mean(axis=(0, 1))],
-                        "feature": feat.astype(np.float32).tolist(),
-                    }
-                )
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            # decode per item (a real codec is per-item too), then compute
+            # every statistic over the STACKED batch — one numpy pass
+            # instead of per-row Python
+            imgs = np.stack(
+                [_fake_decode(p, height, width) for p in pdf[payload_col]]
+            )  # (n, H, W, 3) uint8
+            n = len(pdf)
+            flat = imgs.astype(np.float32) / 255.0
+            # 64-dim pooled feature: mean over an 8x8 grid of cells
+            gh, gw = 8, 8
+            cells = flat[:, : gh * (height // gh), : gw * (width // gw), :].reshape(
+                n, gh, height // gh, gw, width // gw, 3
+            )
+            feats = cells.mean(axis=(2, 4)).mean(axis=3).reshape(n, -1)
+            ch_means = imgs.mean(axis=(1, 2))  # (n, 3)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "height": np.full(n, imgs.shape[1], dtype=np.int32),
+                    "width": np.full(n, imgs.shape[2], dtype=np.int32),
+                    "mean_intensity": imgs.reshape(n, -1).mean(axis=1).astype(float),
+                    "channel_means": [[float(c) for c in m] for m in ch_means],
+                    "feature": [f.astype(np.float32).tolist() for f in feats],
+                },
+                columns=[f.name for f in out_schema.fields],
+            )
 
     return df.mapInPandas(_proc, schema=out_schema)
 
