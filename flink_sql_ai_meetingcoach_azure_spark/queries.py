@@ -1107,6 +1107,33 @@ def q_chunk_embed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-set aggregates for corpus profiling: exact interpolated
+    median/p90 of document length per language (the pre-curation
+    distribution check). Exact percentile = one sort-based agg per group;
+    at 100 TB swap in approx_percentile (t-digest sketch, map-side
+    combinable) — documented tradeoff, exact kept for oracle parity."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50_chars"),
+            F.round(F.expr("percentile(n_chars, 0.9)"), 6).alias("p90_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_LENGTH_PERCENTILES = """
+SELECT lang, count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+       round(quantile_cont(n_chars, 0.9), 6) AS p90_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware exact dedup: per content group keep the row with the
     most chars (id asc tie-break) — the curation policy when duplicates
@@ -1447,6 +1474,7 @@ QUERIES: dict[str, QuerySpec] = {
     "rag_pipeline": QuerySpec(q_rag_pipeline, None),
     "rag_pipeline_bulk": QuerySpec(q_rag_pipeline_bulk, None),
     "chunk_embed_ingest": QuerySpec(q_chunk_embed_ingest, None),
+    "length_percentiles": QuerySpec(q_length_percentiles, SQL_LENGTH_PERCENTILES),
     "dedup_keep_best": QuerySpec(q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "neardup_dedup": QuerySpec(q_neardup_dedup, _sql_neardup_dedup()),
     "deterministic_split": QuerySpec(q_deterministic_split, _sql_deterministic_split()),
