@@ -199,6 +199,66 @@ def simhash(
     return sums.select(F.col(id_col), fp.cast("bigint").alias("simhash"))
 
 
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs from SimHash fingerprints, band-bucketed.
+
+    Pigeonhole EXACTNESS: a pair within ``max_hamming`` bit flips leaves at
+    least one of ``bands`` bands untouched whenever ``max_hamming <
+    bands`` — so banding loses nothing vs the all-pairs scan (unlike
+    probabilistic MinHash-LSH recall) while the join only meets within
+    band buckets, never the n² pair space. Verification is one
+    ``bit_count(xor)`` per candidate. Scale config: 60-bit fingerprints
+    with 4×15-bit bands keeps band buckets hash-sparse at corpus size;
+    the 16-bit default matches the ``simhash`` fingerprint entry."""
+    band_bits = bits // bands
+    mask = (1 << band_bits) - 1
+    fp = simhash(df, id_col, text_col, bits=bits)
+    keyed = (
+        fp.select(
+            id_col,
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("t"),
+                            F.shiftright("simhash", t * band_bits)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("b"),
+                        )
+                        for t in range(bands)
+                    ]
+                )
+            ).alias("tb"),
+        ).select(id_col, "simhash", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cand = (
+        a.join(b, on=["t", "b"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("__ha"),
+            F.col("b.simhash").alias("__hb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("__ha").bitwiseXOR(F.col("__hb"))).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,

@@ -668,7 +668,7 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(docs, "doc_id", "text", bits=SIMHASH_BITS)
 
 
-def _sql_simhash() -> str:
+def _sql_simhash(where: str = "") -> str:
     h = md5_bigint_sql("tok")
     sums = ",\n       ".join(
         f"sum((({h} >> {j}) & 1) * 2 - 1) AS s{j}" for j in range(SIMHASH_BITS)
@@ -677,9 +677,39 @@ def _sql_simhash() -> str:
         f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(SIMHASH_BITS)
     )
     return f"""
-WITH toks AS (SELECT doc_id, unnest({_TOKS.format(col='text')}) AS tok FROM documents),
+WITH toks AS (SELECT doc_id, unnest({_TOKS.format(col='text')}) AS tok
+              FROM documents {where}),
 sums AS (SELECT doc_id, {sums} FROM toks GROUP BY doc_id)
 SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM sums
+"""
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: band-bucketed join (bands > max_hamming ⇒
+    pigeonhole-EXACT, so the all-pairs oracle matches identically), one
+    popcount(xor) verify per candidate."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import simhash_pairs  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < SIMHASH_PAIR_MAX_ID)
+    return (
+        simhash_pairs(docs, "doc_id", "text", bits=SIMHASH_BITS, bands=4, max_hamming=3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+SIMHASH_PAIR_MAX_ID = 200
+
+
+def _sql_simhash_pairs() -> str:
+    fp = _sql_simhash(where=f"WHERE doc_id < {SIMHASH_PAIR_MAX_ID}")
+    return f"""
+WITH fp AS ({fp})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b
 """
 
 
@@ -1459,6 +1489,7 @@ QUERIES: dict[str, QuerySpec] = {
     "minhash_signatures": QuerySpec(q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "lsh_pairs": QuerySpec(q_lsh_pairs, _sql_lsh_pairs()),
     "simhash": QuerySpec(q_simhash, _sql_simhash()),
+    "simhash_pairs": QuerySpec(q_simhash_pairs, _sql_simhash_pairs()),
     "ngram_jaccard": QuerySpec(q_ngram_jaccard, _sql_ngram_jaccard()),
     "embedding_cosine_pairs": QuerySpec(q_embedding_cosine_pairs, SQL_EMBEDDING_COSINE_PAIRS),
     "embedding_lsh_pairs": QuerySpec(q_embedding_lsh_pairs, _sql_embedding_lsh_pairs()),

@@ -126,6 +126,33 @@ def test_embedding_lsh_pairs_subset_of_exact(spark):
     assert lsh[(1, 2)] == exact[(1, 2)]
 
 
+def test_simhash_pairs_pigeonhole_exact(spark):
+    """With bands > max_hamming, banded candidates lose NOTHING vs the
+    brute-force hamming scan (pigeonhole: <=3 flips leave >=1 of 4 bands
+    intact) — banded output == all-pairs output."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (
+        simhash,
+        simhash_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"shared body of words unique{i % 7} tail{i % 3} x{i % 2}") for i in range(40)],
+        ["id", "text"],
+    )
+    fps = {r["id"]: r["simhash"] for r in simhash(docs, "id", "text", bits=16).collect()}
+    brute = {
+        (a, b)
+        for a in fps
+        for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(docs, "id", "text", bits=16, bands=4, max_hamming=3).collect()
+    }
+    assert got == brute and brute
+
+
 def test_dedup_keep_best_and_neardup_survivors(spark):
     from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (
         dedup_keep_best,
