@@ -1137,6 +1137,40 @@ def q_chunk_embed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 
+def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 vocabulary terms: explode → count (map-side
+    combinable partial aggs absorb the token flood) → per-group top-k
+    window. Deterministic tie-break (count desc, term asc) keeps ranks
+    stable across engines. At 100 TB the token count shuffle is keyed by
+    (lang, token) — uniform save stopwords, which partial aggregation
+    collapses before the exchange."""
+    _prep(spark)
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import tokens_col  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(tokens_col("text")).alias("term"))
+    counts = toks.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.desc("n"), F.asc("term"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .orderBy("lang", "rank")
+    )
+
+
+SQL_TOP_TERMS = f"""
+WITH toks AS (SELECT lang, unnest({_TOKS.format(col='text')}) AS term FROM documents),
+counts AS (SELECT lang, term, count(*) AS n FROM toks GROUP BY lang, term),
+ranked AS (SELECT lang, term, n,
+                  row_number() OVER (PARTITION BY lang ORDER BY n DESC, term ASC) AS rank
+           FROM counts)
+SELECT lang, term, n, rank FROM ranked WHERE rank <= 10
+ORDER BY lang, rank
+"""
+
+
 def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-set aggregates for corpus profiling: exact interpolated
     median/p90 of document length per language (the pre-curation
@@ -1505,6 +1539,7 @@ QUERIES: dict[str, QuerySpec] = {
     "rag_pipeline": QuerySpec(q_rag_pipeline, None),
     "rag_pipeline_bulk": QuerySpec(q_rag_pipeline_bulk, None),
     "chunk_embed_ingest": QuerySpec(q_chunk_embed_ingest, None),
+    "top_terms": QuerySpec(q_top_terms, SQL_TOP_TERMS),
     "length_percentiles": QuerySpec(q_length_percentiles, SQL_LENGTH_PERCENTILES),
     "dedup_keep_best": QuerySpec(q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "neardup_dedup": QuerySpec(q_neardup_dedup, _sql_neardup_dedup()),
