@@ -31,9 +31,12 @@ BENCH_QUERIES = [
     "explode_chunks",
     # dedup / fingerprint family
     "dedup_exact",
+    "dedup_keep_best",
     "minhash_signatures",
     "lsh_pairs",
     "simhash",
+    "simhash_pairs",
+    "neardup_dedup",
     "fingerprint",
     # similarity search
     "ann_topk",
@@ -46,6 +49,8 @@ BENCH_QUERIES = [
     "lang_id",
     "quality_score",
     "token_stats",
+    "top_terms",
+    "length_percentiles",
     # curation: dedup + stratified downsample + split composed
     "curation_pipeline",
     # multimodal plumbing

@@ -5,8 +5,18 @@ from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # n
 from flink_sql_ai_meetingcoach_azure_spark.operators.top_n import recent_top_n  # noqa: F401
 from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: F401
     dedup_exact,
-    minhash_signatures,
+    dedup_keep_best,
+    embedding_lsh_pairs,
     lsh_candidate_pairs,
+    minhash_signatures,
+    neardup_survivors,
+    simhash_pairs,
+)
+from flink_sql_ai_meetingcoach_azure_spark.operators.sampling import (  # noqa: F401
+    deterministic_sample,
+    deterministic_split,
+    shuffle_by_hash,
+    stratified_sample,
 )
 from flink_sql_ai_meetingcoach_azure_spark.operators.asof_join import asof_join  # noqa: F401
 from flink_sql_ai_meetingcoach_azure_spark.operators.skew import (  # noqa: F401
