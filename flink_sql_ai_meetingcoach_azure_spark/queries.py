@@ -1137,6 +1137,29 @@ def q_chunk_embed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated join, driver-verified: every event row joined to its
+    event-type rollup through an 8-way SALTED join (big side salted by
+    stable hash, medium side replicated per salt). Salting changes the
+    partitioning, never the semantics — the oracle is the PLAIN join."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.skew import salted_join  # noqa: PLC0415
+
+    ev = _events(spark, sf_dir).select("event_id", "event_type")
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_total"))
+    out = salted_join(ev, dim, on="event_type", n_salts=8)
+    return out.select("event_id", "event_type", "type_total").orderBy("event_id")
+
+
+SQL_SALTED_JOIN = """
+SELECT event_id, e.event_type, type_total
+FROM events e
+JOIN (SELECT event_type, count(*) AS type_total FROM events GROUP BY event_type) d
+  USING (event_type)
+ORDER BY event_id
+"""
+
+
 def q_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language top-10 vocabulary terms: explode → count (map-side
     combinable partial aggs absorb the token flood) → per-group top-k
@@ -1539,6 +1562,7 @@ QUERIES: dict[str, QuerySpec] = {
     "rag_pipeline": QuerySpec(q_rag_pipeline, None),
     "rag_pipeline_bulk": QuerySpec(q_rag_pipeline_bulk, None),
     "chunk_embed_ingest": QuerySpec(q_chunk_embed_ingest, None),
+    "salted_join": QuerySpec(q_salted_join, SQL_SALTED_JOIN),
     "top_terms": QuerySpec(q_top_terms, SQL_TOP_TERMS),
     "length_percentiles": QuerySpec(q_length_percentiles, SQL_LENGTH_PERCENTILES),
     "dedup_keep_best": QuerySpec(q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
