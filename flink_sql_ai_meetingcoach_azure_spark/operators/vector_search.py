@@ -316,6 +316,88 @@ def build_ivf_index(
     return index_df.withColumn("centroid_id", _assign(F.col(index_col))), cent.tolist()
 
 
+def _probe_udf(centroids: list[list[float]], nprobe: int, spark):
+    """pandas UDF: query embedding → its ``nprobe`` nearest centroid ids."""
+    cent = np.asarray(centroids, dtype=np.float32)
+    bc = spark.sparkContext.broadcast(cent)
+
+    @F.pandas_udf("array<int>")
+    def _probes(s: pd.Series) -> pd.Series:
+        c_l = bc.value
+        m = np.asarray(list(s), dtype=np.float32)
+        d = np.linalg.norm(m[:, None, :] - c_l[None, :, :], axis=2)
+        npb = min(nprobe, d.shape[1])
+        return pd.Series(list(np.argsort(d, axis=1)[:, :npb]))
+
+    return _probes
+
+
+def write_ivf_index(ivf_index_df: DataFrame, centroids: list[list[float]], path: str) -> None:
+    """Persist an IVF index PARTITIONED BY centroid_id (one directory per
+    cell) plus a centroids sidecar. This is the 100-TB shape the in-memory
+    join approximates: probes become PARTITION FILTERS on the parquet scan,
+    so only ~nprobe/nlist of the index is READ from storage, not
+    scanned-and-filtered."""
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    ivf_index_df.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(centroids, f)
+
+
+def read_ivf_centroids(path: str) -> list[list[float]]:
+    import json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        return json.load(f)
+
+
+def ivf_pruned_scan(spark, path: str, cells: list[int]) -> DataFrame:
+    """The probed cells as a partition-pruned parquet scan (explain shows
+    ``PartitionFilters: [centroid_id IN (...)]`` — asserted in tests)."""
+    return spark.read.parquet(path).filter(F.col("centroid_id").isin([int(c) for c in cells]))
+
+
+def vector_search_ivf_parquet(
+    query_df: DataFrame,
+    path: str,
+    k: int = 3,
+    nprobe: int = 4,
+    query_col: str = "embedding",
+    index_col: str = "embedding",
+    payload_cols: list[str] | None = None,
+    output_col: str = "search_results",
+) -> DataFrame:
+    """IVF probe against an on-disk partitioned index: one small job over
+    the (query-side) stream collects the distinct probed cells, the index
+    scan prunes to exactly those partitions, then the per-query probe join
+    runs as in :func:`vector_search_ivf` — identical results, but storage
+    reads scale with nprobe/nlist instead of the index size."""
+    spark = query_df.sparkSession
+    centroids = read_ivf_centroids(path)
+    probes = _probe_udf(centroids, nprobe, spark)
+    cells = [
+        r[0]
+        for r in query_df.select(
+            F.explode(probes(F.col(query_col))).alias("c")
+        ).distinct().collect()
+    ]
+    idx = ivf_pruned_scan(spark, path, cells)
+    return vector_search_ivf(
+        query_df,
+        idx,
+        centroids,
+        k=k,
+        nprobe=nprobe,
+        query_col=query_col,
+        index_col=index_col,
+        payload_cols=payload_cols,
+        output_col=output_col,
+    )
+
+
 def vector_search_ivf(
     query_df: DataFrame,
     ivf_index_df: DataFrame,
@@ -335,16 +417,7 @@ def vector_search_ivf(
         c for c in ivf_index_df.columns if c not in (index_col, "centroid_id")
     ]
     spark = query_df.sparkSession
-    cent = np.asarray(centroids, dtype=np.float32)
-    bc = spark.sparkContext.broadcast(cent)
-
-    @F.pandas_udf("array<int>")
-    def _probes(s: pd.Series) -> pd.Series:
-        c_l = bc.value
-        m = np.asarray(list(s), dtype=np.float32)
-        d = np.linalg.norm(m[:, None, :] - c_l[None, :, :], axis=2)
-        npb = min(nprobe, d.shape[1])
-        return pd.Series(list(np.argsort(d, axis=1)[:, :npb]))
+    _probes = _probe_udf(centroids, nprobe, spark)
 
     q0 = query_df.withColumn(_QID, F.monotonically_increasing_id())
     q = q0.withColumn("centroid_id", F.explode(_probes(F.col(query_col))))

@@ -295,6 +295,59 @@ def test_ivf_recall_on_clustered_sorted_index(spark):
     assert recall >= 0.9, recall
 
 
+def test_ivf_parquet_partition_pruning(spark, tmp_path):
+    """The on-disk IVF path: results identical to the in-memory probe join
+    at the same nprobe, and the index scan carries a centroid_id
+    PartitionFilter — probes prune PARTITIONS (files read ∝ nprobe/nlist),
+    not rows post-scan."""
+    import numpy as np
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (
+        ivf_pruned_scan,
+        read_ivf_centroids,
+        vector_search_ivf_parquet,
+        write_ivf_index,
+    )
+
+    rng = np.random.RandomState(3)
+    centers = rng.randn(6, 8) * 10
+    rows = []
+    for c in range(6):
+        for j in range(50):
+            v = centers[c] + rng.randn(8) * 0.3
+            rows.append((c * 50 + j, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    ivf, centroids = build_ivf_index(emb, "embedding", nlist=6)
+    path = str(tmp_path / "ivf_idx")
+    write_ivf_index(ivf, centroids, path)
+    assert read_ivf_centroids(path) == centroids
+
+    q = spark.createDataFrame(
+        [(f"q{c}", [float(x) for x in centers[c]]) for c in range(2)],
+        ["qid", "embedding"],
+    )
+    on_disk = {
+        r["qid"]: [s["vec_id"] for s in r["search_results"]]
+        for r in vector_search_ivf_parquet(
+            q, path, k=3, nprobe=2, payload_cols=["vec_id"]
+        ).collect()
+    }
+    in_mem = {
+        r["qid"]: [s["vec_id"] for s in r["search_results"]]
+        for r in vector_search_ivf(
+            q, ivf, centroids, k=3, nprobe=2, payload_cols=["vec_id"]
+        ).collect()
+    }
+    assert on_disk == in_mem and len(on_disk) == 2
+
+    # the scan itself must prune partitions, not filter rows
+    plan = ivf_pruned_scan(spark, path, [0, 3])._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters", 1)[1][:200]
+    assert ivf_pruned_scan(spark, path, [0]).select("centroid_id").distinct().count() == 1
+
+
 def test_ivf_query_with_empty_probe_cells_keeps_row(spark):
     """A query whose probed cells hold no index rows must still appear,
     with an empty search_results array (operator contract: append a column
