@@ -77,6 +77,16 @@ def test_streaming_coaching_pipeline(spark, tmp_path):
         assert len(rag) == 2
         assert r["coaching_response"].startswith("```json")
 
+    # streaming == batch, byte for byte: the same micro-batched plan must
+    # produce exactly what the batch pipeline produces on the same input
+    from flink_sql_ai_meetingcoach_azure_spark.plans.coaching import coaching_pipeline
+
+    batch_msgs = spark.read.schema(MSG_SCHEMA).json(src)
+    batch_rows = coaching_pipeline(batch_msgs, index, reg, k=2).collect()
+    assert {r["message"]: (r["rag_results_string"], r["coaching_response"]) for r in batch_rows} == {
+        m: (r["rag_results_string"], r["coaching_response"]) for m, r in by_msg.items()
+    }
+
 
 def test_staged_pipeline_materializes_intermediates(spark, tmp_path):
     """Every reference stage exists as an inspectable materialized table
