@@ -211,6 +211,47 @@ def staged_coaching_pipeline(
     return queries
 
 
+def speaker_running_stats(stream: DataFrame, n_context: int = 3) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` — the escape
+    hatch for semantics no built-in stateful op covers (SURVEY §7.3): each
+    speaker carries a running message count and a rolling last-N context
+    across micro-batches in explicit GroupState. Emits one row per input
+    message with the state AS OF that message (context = the N messages
+    before it), so downstream prompt assembly can cite per-speaker
+    conversation history without a global shuffle — state lives with the
+    speaker's partition.
+
+    The reference keeps the analogous rolling context client-side
+    (recent_conversation_history view + app polling); here it is engine
+    state: bounded (count + N strings per speaker), checkpointed, and
+    restored on restart like any Structured Streaming state.
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    def fn(key, pdfs, state):
+        (speaker,) = key
+        count, recent = state.get if state.exists else (0, [])
+        recent = list(recent)
+        rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("rowtime")
+            for m in pdf["message"]:
+                count += 1
+                rows.append((speaker, m, count, list(recent)))
+                recent = (recent + [m])[-n_context:]
+        state.update((count, recent))
+        yield pd.DataFrame(rows, columns=["speaker", "message", "msg_seq", "context"])
+
+    return stream.groupBy("speaker").applyInPandasWithState(
+        fn,
+        outputStructType="speaker string, message string, msg_seq long, context array<string>",
+        stateStructType="count long, recent array<string>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 class RecentHistorySink:
     """foreachBatch sink maintaining the ``recent_conversation_history``
     view: a bounded latest-N table (reference view :489-505).

@@ -233,6 +233,85 @@ def test_stream_stream_join_within_interval(spark, tmp_path):
     assert [(r["conv_id"], r["a"]) for r in rows] == [("c1", "ten")]
 
 
+def test_speaker_running_stats_state_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-speaker GroupState (count + rolling
+    context) persists across micro-batches — batch 2 continues batch 1's
+    sequence numbers and sees its messages as context."""
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.pipeline import (
+        speaker_running_stats,
+    )
+
+    src = str(tmp_path / "stateful_src")
+    _write_batch(src, [("m1", "prospect", "2026-01-01T10:00:00"),
+                       ("m2", "prospect", "2026-01-01T10:00:01"),
+                       ("x1", "salesperson", "2026-01-01T10:00:02")], n=0)
+    stream = spark.readStream.schema(MSG_SCHEMA).json(src)
+    out = speaker_running_stats(stream, n_context=3)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("speaker_stats")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_stateful"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(src, [("m3", "prospect", "2026-01-01T10:00:10")], n=1)
+        q.processAllAvailable()
+        rows = {(r["speaker"], r["message"]): r
+                for r in spark.sql("SELECT * FROM speaker_stats").collect()}
+    finally:
+        q.stop()
+    assert rows[("prospect", "m1")]["msg_seq"] == 1
+    assert rows[("prospect", "m1")]["context"] == []
+    assert rows[("prospect", "m2")]["msg_seq"] == 2
+    assert rows[("prospect", "m2")]["context"] == ["m1"]
+    assert rows[("salesperson", "x1")]["msg_seq"] == 1  # independent key state
+    # batch 2: state carried over the micro-batch boundary
+    assert rows[("prospect", "m3")]["msg_seq"] == 3
+    assert rows[("prospect", "m3")]["context"] == ["m1", "m2"]
+
+
+def test_streaming_tumbling_window_drops_late_rows(spark, tmp_path):
+    """Watermarked streaming windowed agg (T1/T2 streaming form): append
+    mode emits a window once the watermark passes it, and a row arriving
+    later than watermark+window is dropped from the aggregate."""
+    src = str(tmp_path / "win_src")
+    _write_batch(src, [("a", "prospect", "2026-01-01T10:00:05"),
+                       ("b", "prospect", "2026-01-01T10:00:20")], n=0)
+    stream = (
+        spark.readStream.schema(MSG_SCHEMA).json(src)
+        .withColumn("ts", F.to_timestamp("rowtime"))
+    )
+    agg = (
+        stream.withWatermark("ts", "5 seconds")
+        .groupBy(F.window("ts", "10 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("w_start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_win"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # advance the watermark far past the first window, then send a
+        # LATE row into it — must be dropped, not re-emitted
+        _write_batch(src, [("late", "prospect", "2026-01-01T10:00:06"),
+                           ("c", "prospect", "2026-01-01T10:01:00")], n=1)
+        q.processAllAvailable()
+        _write_batch(src, [("d", "prospect", "2026-01-01T10:02:00")], n=2)
+        q.processAllAvailable()
+        rows = {r["w_start"]: r["n"] for r in spark.sql("SELECT * FROM win_counts").collect()}
+    finally:
+        q.stop()
+    assert rows.get("2026-01-01 10:00:00") == 1  # 'late' did NOT land here
+    assert rows.get("2026-01-01 10:00:20") == 1
+
+
 def test_recent_history_sink(spark, tmp_path):
     src = str(tmp_path / "hist")
     rows = [(f"m{i}", "prospect", f"2026-01-01T10:00:{i:02d}") for i in range(10)]
