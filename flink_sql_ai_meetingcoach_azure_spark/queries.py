@@ -1137,6 +1137,35 @@ def q_chunk_embed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 
+def q_vocab_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language vocabulary size: exact COUNT(DISTINCT token) + total
+    token count in one aggregate (Spark plans the distinct via expand +
+    two-phase agg — partials combine map-side, so the exchange carries
+    (lang, token) partials, not raw tokens). At 100 TB swap the exact
+    distinct for approx_count_distinct (HLL, one pass, mergeable) — the
+    exact form is kept for oracle parity."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import tokens_col  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("lang", F.explode(tokens_col("text")).alias("term"))
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.countDistinct("term").alias("vocab"),
+            F.count(F.lit(1)).alias("total_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_VOCAB_SIZE = f"""
+WITH toks AS (SELECT lang, unnest({_TOKS.format(col='text')}) AS term FROM documents)
+SELECT lang, count(DISTINCT term) AS vocab, count(*) AS total_tokens
+FROM toks GROUP BY lang ORDER BY lang
+"""
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-mitigated join, driver-verified: every event row joined to its
     event-type rollup through an 8-way SALTED join (big side salted by
@@ -1563,6 +1592,7 @@ QUERIES: dict[str, QuerySpec] = {
     "rag_pipeline_bulk": QuerySpec(q_rag_pipeline_bulk, None),
     "chunk_embed_ingest": QuerySpec(q_chunk_embed_ingest, None),
     "salted_join": QuerySpec(q_salted_join, SQL_SALTED_JOIN),
+    "vocab_size": QuerySpec(q_vocab_size, SQL_VOCAB_SIZE),
     "top_terms": QuerySpec(q_top_terms, SQL_TOP_TERMS),
     "length_percentiles": QuerySpec(q_length_percentiles, SQL_LENGTH_PERCENTILES),
     "dedup_keep_best": QuerySpec(q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),

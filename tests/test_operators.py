@@ -365,6 +365,18 @@ def test_ivf_query_with_empty_probe_cells_keeps_row(spark):
     assert out[0]["search_results"] == []
 
 
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    """Backs the documented 100-TB swap-in: approx_percentile (t-digest,
+    map-side mergeable) lands within 5% of the exact interpolated
+    percentile on the documents length distribution."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    row = docs.agg(
+        F.expr("percentile(n_chars, 0.9)").alias("exact"),
+        F.expr("approx_percentile(n_chars, 0.9, 1000)").alias("approx"),
+    ).head()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
 def test_deterministic_sampling_family(spark):
     """Hash-bucket sampling: retry/partitioning-stable, monotone in the
     fraction (a smaller sample is a SUBSET of a larger one, same salt),
