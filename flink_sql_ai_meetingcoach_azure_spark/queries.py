@@ -1118,21 +1118,78 @@ def q_rag_pipeline_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_chunk_embed_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Knowledge ingest (SURVEY §3.1): chunk (reference 8-param splitter) →
-    dedup → mock embed. Rows-only (model UDF not SQL-expressible)."""
+    dedup → mock embed — HASH-CHECKED end-to-end: the oracle reproduces the
+    splitter in closed form (validated chunk-for-chunk against chunk_text on
+    all 5 000 sf0.1 docs — testdata contains no '###' separator, so the
+    greedy merge collapses to stride windows plus one documented
+    tail-merge case) and the md5-block mock embedding bit-for-bit
+    (components cast through FLOAT exactly as Spark's array<float>)."""
     _prep(spark)
     from flink_sql_ai_meetingcoach_azure_spark.models import default_registry  # noqa: PLC0415
     from flink_sql_ai_meetingcoach_azure_spark.plans import build_knowledge_index  # noqa: PLC0415
 
-    docs = _t(spark, sf_dir, "documents")
-    reg = default_registry(dim=64)
-    knowledge = docs.limit(300).select(
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < INGEST_MAX_ID)
+    reg = default_registry(dim=EMB_DIM)
+    knowledge = docs.select(
         F.col("doc_id").cast("string").alias("document_id"),
         F.col("text").alias("document_text"),
     )
     out = build_knowledge_index(knowledge, reg)
-    return out.select(
-        "document_id", "chunks", F.size("embedding").alias("embedding_dim")
+    return out.select("document_id", "chunks", "embedding").orderBy(
+        "document_id", "chunks"
     )
+
+
+INGEST_MAX_ID = 300
+
+
+def _sql_mock_embedding_raw(text_expr: str) -> str:
+    """DuckDB list expr: the mock provider's md5-block embedding of
+    ``text_expr`` BEFORE normalization (providers.mock_embedding)."""
+    return (
+        f"list_transform(range(0, {EMB_DIM}), j -> "
+        f"(('0x' || substr(md5({text_expr} || chr(0) || CAST(j // 16 AS VARCHAR)), "
+        f"(j % 16) * 2 + 1, 2))::INT - 127.5) / 127.5)"
+    )
+
+
+#: normalize + cast through FLOAT: bit-identical to Spark's array<float>
+_SQL_EMB_NORM = (
+    "list_transform(raw, x -> "
+    "CAST(x / sqrt(list_sum(list_transform(raw, y -> y * y))) AS FLOAT))"
+)
+
+
+def _sql_chunk_cte(max_id: int) -> str:
+    """Closed-form ML_CHARACTER_TEXT_SPLITTER over documents (validated
+    chunk-for-chunk vs chunk_text on all 5 000 sf0.1 docs; no '###' in
+    testdata, so splits collapse to stride windows + one tail-merge case):
+    CTE chain ``docs → starts → ch(document_id, chunks)``."""
+    size, ov = CHUNK_SIZE, CHUNK_OVERLAP
+    stride = size - ov
+    return f"""
+docs AS (SELECT CAST(doc_id AS VARCHAR) AS document_id, text
+         FROM documents WHERE doc_id < {max_id}),
+starts AS (SELECT document_id, text, s,
+                  row_number() OVER (PARTITION BY document_id ORDER BY s) AS i,
+                  count(*) OVER (PARTITION BY document_id) AS n
+           FROM docs,
+                unnest(generate_series(0, greatest(len(text) - {ov + 1}, 0), {stride})) AS t(s)),
+ch AS (SELECT document_id,
+              CASE WHEN i = n AND n > 1 AND (len(text) - s) <= {stride}
+                   THEN substr(text, s + 1, {ov}) || substr(text, s + 1, len(text) - s)
+                   ELSE substr(text, s + 1, {size}) END AS chunks
+       FROM starts)"""
+
+
+def _sql_chunk_embed_ingest() -> str:
+    return f"""
+WITH {_sql_chunk_cte(INGEST_MAX_ID)},
+r AS (SELECT document_id, chunks, {_sql_mock_embedding_raw('chunks')} AS raw FROM ch)
+SELECT document_id, chunks, {_SQL_EMB_NORM} AS embedding
+FROM r
+ORDER BY document_id, chunks
+"""
 
 
 # ---------------------------------------------------------------------------
@@ -1413,6 +1470,78 @@ ORDER BY doc_id
 """
 
 
+RAG_NQ = 30  # retrieval queries: event_id < 30
+
+
+def q_rag_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG retrieval chain HASH-CHECKED end-to-end: message text →
+    embed UDF (mock model) → top-3 cosine against the chunked+embedded
+    knowledge base (reference stages 6.2+6.3), flat one-row-per-hit output.
+    The oracle recomputes the chunker, BOTH embeddings (md5-block mock,
+    float32-exact) and the ranked dot products in pure SQL — so the
+    model-UDF pipeline itself is value-verified, not just rows-counted.
+    Similarity = dot product on unit vectors, rounded to 6 dp before
+    ranking; ties broken by (document_id, chunks)."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.functions.vectors import dot_col  # noqa: PLC0415
+    from flink_sql_ai_meetingcoach_azure_spark.models import default_registry  # noqa: PLC0415
+    from flink_sql_ai_meetingcoach_azure_spark.plans import build_knowledge_index  # noqa: PLC0415
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    reg = default_registry(dim=EMB_DIM)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < INGEST_MAX_ID)
+    knowledge = build_knowledge_index(
+        docs.select(
+            F.col("doc_id").cast("string").alias("document_id"),
+            F.col("text").alias("document_text"),
+        ),
+        reg,
+    )
+    msgs = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_id") < RAG_NQ)
+        .select(
+            F.concat(F.lit("msg "), F.col("event_id").cast("string"), F.lit(" "),
+                     F.col("event_type")).alias("message")
+        )
+    )
+    qe = reg.ml_predict(msgs, "openaiembed", "message", "qv")
+    scored = qe.join(F.broadcast(knowledge)).withColumn(
+        "sim", F.round(dot_col(F.col("qv"), F.col("embedding")), 6)
+    )
+    w = Window.partitionBy("message").orderBy(
+        F.desc("sim"), F.asc("document_id"), F.asc("chunks")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("message", "rank", "document_id", "chunks", "sim")
+        .orderBy("message", "rank")
+    )
+
+
+def _sql_rag_retrieval() -> str:
+    return f"""
+WITH {_sql_chunk_cte(INGEST_MAX_ID)},
+r AS (SELECT document_id, chunks, {_sql_mock_embedding_raw('chunks')} AS raw FROM ch),
+idx AS (SELECT document_id, chunks, {_SQL_EMB_NORM} AS embedding FROM r),
+msgs AS (SELECT 'msg ' || CAST(event_id AS VARCHAR) || ' ' || event_type AS message
+         FROM events WHERE event_id < {RAG_NQ}),
+mr AS (SELECT message, {_sql_mock_embedding_raw('message')} AS raw FROM msgs),
+qe AS (SELECT message, {_SQL_EMB_NORM} AS qv FROM mr),
+scored AS (SELECT message, document_id, chunks,
+                  round(list_dot_product(qv::DOUBLE[], embedding::DOUBLE[]), 6) AS sim
+           FROM qe, idx),
+ranked AS (SELECT message, document_id, chunks, sim,
+                  row_number() OVER (PARTITION BY message
+                                     ORDER BY sim DESC, document_id, chunks) AS rank
+           FROM scored)
+SELECT message, rank, document_id, chunks, sim
+FROM ranked WHERE rank <= 3
+ORDER BY message, rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # SQL DDL surface (ddl.py): the reference's statement forms executed verbatim
 
@@ -1588,9 +1717,10 @@ QUERIES: dict[str, QuerySpec] = {
     "fingerprint": QuerySpec(q_fingerprint, SQL_FINGERPRINT),
     "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_features": QuerySpec(q_multimodal_features, None),
+    "rag_retrieval": QuerySpec(q_rag_retrieval, _sql_rag_retrieval()),
     "rag_pipeline": QuerySpec(q_rag_pipeline, None),
     "rag_pipeline_bulk": QuerySpec(q_rag_pipeline_bulk, None),
-    "chunk_embed_ingest": QuerySpec(q_chunk_embed_ingest, None),
+    "chunk_embed_ingest": QuerySpec(q_chunk_embed_ingest, _sql_chunk_embed_ingest()),
     "salted_join": QuerySpec(q_salted_join, SQL_SALTED_JOIN),
     "vocab_size": QuerySpec(q_vocab_size, SQL_VOCAB_SIZE),
     "top_terms": QuerySpec(q_top_terms, SQL_TOP_TERMS),
