@@ -91,3 +91,27 @@ def test_hash_bucket_duckdb_matches_python(key, salt):
         f"SELECT {hash_bucket_sql('?', salt)}", [key]
     ).fetchone()[0]
     assert got == expected
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)), max_size=900))
+def test_closed_form_chunker_matches_chunk_text(text):
+    """Guards the SQL oracles of chunk_embed_ingest / rag_retrieval: for
+    any text WITHOUT the separator, chunk_text collapses to the closed
+    form the DuckDB SQL implements (stride windows + the tail-merge case).
+    If chunk_text's merge logic ever changes, this fails before the
+    correctness gate does."""
+    if "###" in text or not text:
+        return
+    size, ov = 200, 20
+    stride = size - ov
+    starts = list(range(0, max(len(text) - ov, 1), stride))
+    n = len(starts)
+    closed = []
+    for i, s in enumerate(starts):
+        tail_len = len(text) - s
+        if i == n - 1 and n > 1 and tail_len <= stride:
+            closed.append(text[s : s + ov] + text[s : s + tail_len])
+        else:
+            closed.append(text[s : s + size])
+    assert closed == chunk_text(text, size, ov, "###", False, False, True, "START")
