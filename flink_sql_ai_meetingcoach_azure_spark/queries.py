@@ -1160,7 +1160,7 @@ _SQL_EMB_NORM = (
 )
 
 
-def _sql_chunk_cte(max_id: int) -> str:
+def _sql_chunk_cte(max_id: int, extra_where: str = "") -> str:
     """Closed-form ML_CHARACTER_TEXT_SPLITTER over documents (validated
     chunk-for-chunk vs chunk_text on all 5 000 sf0.1 docs; no '###' in
     testdata, so splits collapse to stride windows + one tail-merge case):
@@ -1169,7 +1169,7 @@ def _sql_chunk_cte(max_id: int) -> str:
     stride = size - ov
     return f"""
 docs AS (SELECT CAST(doc_id AS VARCHAR) AS document_id, text
-         FROM documents WHERE doc_id < {max_id}),
+         FROM documents WHERE doc_id < {max_id} {extra_where}),
 starts AS (SELECT document_id, text, s,
                   row_number() OVER (PARTITION BY document_id ORDER BY s) AS i,
                   count(*) OVER (PARTITION BY document_id) AS n
@@ -1542,6 +1542,145 @@ ORDER BY message, rank
 """
 
 
+#: defensive JSON-cleanliness predicate for the verified-generation oracle:
+#: printable ASCII without quotes/backslashes means json.dumps adds ZERO
+#: escapes and the coaching JSON is pure concatenation (currently a no-op
+#: on testdata — all 300 docs qualify — but keeps the oracle honest)
+_JSON_CLEAN_RE = '[^ -~]|["\\\\]'
+
+
+def q_rag_pipeline_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE coaching pipeline hash-checked: message → embed UDF →
+    deterministic top-3 retrieval → reference prompt CONCAT → generation
+    UDF, with the oracle reproducing every stage in pure SQL — including
+    the generated coaching JSON byte-for-byte (mock provider; the
+    knowledge subset is filtered to printable-ASCII-no-quote text both
+    sides, so json.dumps introduces no escapes and the JSON is exact
+    string algebra). Retrieval ordering is pinned (sim desc, document_id,
+    chunks on the 6-dp dot product) so generation inputs are identical
+    across engines."""
+    _prep(spark)
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    from flink_sql_ai_meetingcoach_azure_spark.functions.text import (  # noqa: PLC0415
+        assemble_coaching_prompt,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.functions.vectors import dot_col  # noqa: PLC0415
+    from flink_sql_ai_meetingcoach_azure_spark.models import default_registry  # noqa: PLC0415
+    from flink_sql_ai_meetingcoach_azure_spark.plans import build_knowledge_index  # noqa: PLC0415
+
+    reg = default_registry(dim=EMB_DIM)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < INGEST_MAX_ID)
+        .filter(~F.col("text").rlike(_JSON_CLEAN_RE))
+    )
+    knowledge = build_knowledge_index(
+        docs.select(
+            F.col("doc_id").cast("string").alias("document_id"),
+            F.col("text").alias("document_text"),
+        ),
+        reg,
+    ).dropDuplicates(["document_id", "chunks"])
+    msgs = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_id") < RAG_NQ)
+        .select(
+            F.concat(F.lit("msg "), F.col("event_id").cast("string"), F.lit(" "),
+                     F.col("event_type")).alias("message")
+        )
+    )
+    qe = reg.ml_predict(msgs, "openaiembed", "message", "qv")
+    scored = qe.join(F.broadcast(knowledge)).withColumn(
+        "sim", F.round(dot_col(F.col("qv"), F.col("embedding")), 6)
+    )
+    w = Window.partitionBy("message").orderBy(
+        F.desc("sim"), F.asc("document_id"), F.asc("chunks")
+    )
+    ranked = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 3)
+    agg = ranked.groupBy("message").agg(
+        *[
+            F.max(F.when(F.col("rank") == i, F.col(c))).alias(f"__{c}{i}")
+            for i in (1, 2, 3)
+            for c in ("document_id", "chunks")
+        ]
+    )
+    rag = F.array(
+        *[
+            F.struct(
+                F.col(f"__document_id{i}").alias("document_id"),
+                F.col(f"__chunks{i}").alias("chunks"),
+            )
+            for i in (1, 2, 3)
+        ]
+    )
+    with_rag = agg.withColumn("rag_results", rag)
+    with_prompt = with_rag.withColumn(
+        "__prompt", assemble_coaching_prompt("message", "rag_results", k=3)
+    )
+    gen = reg.ml_predict(
+        with_prompt, "coaching_response_generator", "__prompt", "coaching_response"
+    )
+    return gen.select(
+        "message",
+        F.to_json("rag_results").alias("rag_results_string"),
+        "coaching_response",
+    ).orderBy("message")
+
+
+def _sql_rag_pipeline_verified() -> str:
+    n = "chr(10)"
+    src = lambda i: (  # noqa: E731 — one json source object, json.dumps spacing
+        f"'{{\"document_index\": {i}, \"document_id\": \"' || d{i} || "
+        f"'\", \"title\": \"' || d{i} || '\", \"path\": \"\", \"full_text\": \"' || c{i} || "
+        f"'\", \"used_excerpt\": \"' || substr(c{i}, 1, 80) || '\"}}'"
+    )
+    return f"""
+WITH {_sql_chunk_cte(INGEST_MAX_ID, "AND NOT regexp_matches(text, '" + _JSON_CLEAN_RE + "')")},
+chd AS (SELECT DISTINCT document_id, chunks FROM ch),
+r AS (SELECT document_id, chunks, {_sql_mock_embedding_raw('chunks')} AS raw FROM chd),
+idx AS (SELECT document_id, chunks, {_SQL_EMB_NORM} AS embedding FROM r),
+msgs AS (SELECT 'msg ' || CAST(event_id AS VARCHAR) || ' ' || event_type AS message
+         FROM events WHERE event_id < {RAG_NQ}),
+mr AS (SELECT message, {_sql_mock_embedding_raw('message')} AS raw FROM msgs),
+qe AS (SELECT message, {_SQL_EMB_NORM} AS qv FROM mr),
+scored AS (SELECT message, document_id, chunks,
+                  round(list_dot_product(qv::DOUBLE[], embedding::DOUBLE[]), 6) AS sim
+           FROM qe, idx),
+ranked AS (SELECT message, document_id, chunks,
+                  row_number() OVER (PARTITION BY message
+                                     ORDER BY sim DESC, document_id, chunks) AS rank
+           FROM scored),
+agg AS (SELECT message,
+               max(CASE WHEN rank = 1 THEN document_id END) AS d1,
+               max(CASE WHEN rank = 1 THEN chunks END) AS c1,
+               max(CASE WHEN rank = 2 THEN document_id END) AS d2,
+               max(CASE WHEN rank = 2 THEN chunks END) AS c2,
+               max(CASE WHEN rank = 3 THEN document_id END) AS d3,
+               max(CASE WHEN rank = 3 THEN chunks END) AS c3
+        FROM ranked WHERE rank <= 3 GROUP BY message),
+p AS (SELECT *,
+             '## PROSPECT MESSAGE: ' || message || {n} || {n} || '## RAG DOCUMENTS:' || {n} ||
+             'Document 1: ' || d1 || {n} || c1 || {n} || {n} ||
+             'Document 2: ' || d2 || {n} || c2 || {n} || {n} ||
+             'Document 3: ' || d3 || {n} || c3 AS prompt
+      FROM agg),
+g AS (SELECT *, substr(md5(prompt), 1, 8) AS h FROM p)
+SELECT message,
+       '[{{"document_id":"' || d1 || '","chunks":"' || c1 ||
+       '"}},{{"document_id":"' || d2 || '","chunks":"' || c2 ||
+       '"}},{{"document_id":"' || d3 || '","chunks":"' || c3 || '"}}]' AS rag_results_string,
+       '```json' || {n} ||
+       '{{"suggested_response": "[mock:' || h || '] Address the point: ' ||
+       substr(message, 1, 120) ||
+       '", "sources": [' || {src(1)} || ', ' || {src(2)} || ', ' || {src(3)} ||
+       '], "reasoning": "Top documents matched the message (mock ' || h || ')."}}' ||
+       {n} || '```' AS coaching_response
+FROM g
+ORDER BY message
+"""
+
+
 # ---------------------------------------------------------------------------
 # SQL DDL surface (ddl.py): the reference's statement forms executed verbatim
 
@@ -1718,6 +1857,7 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META),
     "multimodal_features": QuerySpec(q_multimodal_features, None),
     "rag_retrieval": QuerySpec(q_rag_retrieval, _sql_rag_retrieval()),
+    "rag_pipeline_verified": QuerySpec(q_rag_pipeline_verified, _sql_rag_pipeline_verified()),
     "rag_pipeline": QuerySpec(q_rag_pipeline, None),
     "rag_pipeline_bulk": QuerySpec(q_rag_pipeline_bulk, None),
     "chunk_embed_ingest": QuerySpec(q_chunk_embed_ingest, _sql_chunk_embed_ingest()),
