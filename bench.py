@@ -60,6 +60,9 @@ BENCH_QUERIES = [
     # RAG pipeline end-to-end (mock provider): correctness-shaped + bulk
     "rag_pipeline",
     "rag_pipeline_bulk",
+    # hash-verified chains (oracle reproduces embed/retrieve/generate in SQL)
+    "rag_retrieval",
+    "rag_pipeline_verified",
 ]
 
 
