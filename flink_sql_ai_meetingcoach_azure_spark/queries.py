@@ -86,8 +86,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     and is converted to a proper µs timestamp here (testdata timestamps are
     µs-precision, so the division is lossless)."""
     ev = _t(spark, sf_dir, "events")
-    if dict(ev.dtypes).get("ts") == "bigint":
+    ts_type = dict(ev.dtypes).get("ts")
+    if ts_type == "bigint":
         ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # newer readers surface NANOS as TIMESTAMP_NTZ; with the session tz
+        # pinned to UTC (_prep) this cast is wall-clock-preserving and gives
+        # the LTZ type unix_micros/session_window expect
+        ev = ev.withColumn("ts", F.col("ts").cast("timestamp"))
     return ev
 
 
@@ -162,7 +168,7 @@ SELECT CASE WHEN event_type IN ('purchase','signup') THEN 'conversion'
             WHEN event_type = 'error' THEN 'problem'
             ELSE 'engagement' END AS category,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_value_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_value_cents
 FROM events GROUP BY 1 ORDER BY category
 """
 
@@ -313,9 +319,9 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_WINDOW_RUNNING_SUM = """
 SELECT user_id, event_id,
-       sum(CAST(round(value * 100) AS BIGINT)) OVER (
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
          PARTITION BY user_id ORDER BY ts, event_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_cents
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
 FROM events ORDER BY user_id, event_id
 """
 
@@ -337,7 +343,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_TUMBLING_WINDOW = """
 SELECT epoch_us(date_trunc('hour', ts::TIMESTAMP)) AS window_start_us,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY 1 ORDER BY window_start_us
 """
 
@@ -376,7 +382,7 @@ SELECT user_id,
        epoch_us(min(ts)) AS session_start_us,
        epoch_us(max(ts) + INTERVAL 30 MINUTE) AS session_end_us,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM g GROUP BY user_id, sid
 ORDER BY user_id, session_start_us
 """
@@ -508,10 +514,10 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
-       sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_cents,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS sum_disc_e4,
-       sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS sum_charge_e6,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_e4,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000) AS BIGINT)) AS BIGINT) AS sum_charge_e6,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -538,7 +544,7 @@ def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_JOIN_REVENUE_BY_NATION = """
 SELECT n_name, count(*) AS n_orders,
-       sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
