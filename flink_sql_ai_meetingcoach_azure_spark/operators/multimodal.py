@@ -57,14 +57,22 @@ def attach_media_metadata(
 
 
 def _fake_decode(payload: bytes, h: int, w: int) -> np.ndarray:
-    """Deterministic stand-in for an image decode: md5-seeded uint8 HxWx3.
+    """Deterministic stand-in for an image decode: md5 counter-mode uint8
+    HxWx3 — pixel stream = md5(payload·0) || md5(payload·1) || … (the same
+    ``payload \\x00 block`` framing as providers.mock_embedding).
 
     Same bytes -> same tensor, across processes — lets tests assert real
-    invariants (shapes, determinism, resize math) with zero codec deps.
+    invariants (shapes, determinism, resize math) with zero codec deps; and
+    because it is pure hash math (no RNG), the DuckDB correctness oracle for
+    the ``multimodal_features`` entry recomputes it in SQL.
     """
-    seed = int.from_bytes(hashlib.md5(payload or b"").digest()[:4], "big")
-    rng = np.random.RandomState(seed)
-    return rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    n = h * w * 3
+    payload = payload or b""
+    stream = b"".join(
+        hashlib.md5(payload + b"\x00" + str(b).encode("ascii")).digest()
+        for b in range((n + 15) // 16)
+    )
+    return np.frombuffer(stream[:n], dtype=np.uint8).reshape(h, w, 3).copy()
 
 
 def decode_and_featurize(
@@ -77,8 +85,10 @@ def decode_and_featurize(
 ) -> DataFrame:
     """Decode each payload and emit per-item image features.
 
-    Output: (id_col, height, width, mean_intensity, channel_means[3],
-    feature[64] float32). Runs as one Arrow batch per task via
+    Output: (id_col, height, width, intensity_sum, mean_intensity,
+    channel_means[3], feature[64] float32) — ``intensity_sum`` is the exact
+    integer sum of all decoded bytes (float-free, so correctness oracles can
+    compare it bit-exactly). Runs as one Arrow batch per task via
     ``mapInPandas`` — the real-decoder seam is marked below.
     """
     if decoder not in ("fake", "real"):
@@ -89,6 +99,7 @@ def decode_and_featurize(
             df.schema[id_col],
             T.StructField("height", T.IntegerType()),
             T.StructField("width", T.IntegerType()),
+            T.StructField("intensity_sum", T.LongType()),
             T.StructField("mean_intensity", T.DoubleType()),
             T.StructField("channel_means", T.ArrayType(T.DoubleType())),
             T.StructField("feature", T.ArrayType(T.FloatType())),
@@ -126,6 +137,7 @@ def decode_and_featurize(
                     id_col: pdf[id_col].to_numpy(),
                     "height": np.full(n, imgs.shape[1], dtype=np.int32),
                     "width": np.full(n, imgs.shape[2], dtype=np.int32),
+                    "intensity_sum": imgs.reshape(n, -1).sum(axis=1, dtype=np.int64),
                     "mean_intensity": imgs.reshape(n, -1).mean(axis=1).astype(float),
                     "channel_means": [[float(c) for c in m] for m in ch_means],
                     "feature": [f.astype(np.float32).tolist() for f in feats],

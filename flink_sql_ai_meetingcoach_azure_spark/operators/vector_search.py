@@ -209,6 +209,7 @@ def embed_and_search_numpy(
     payload_cols: list[str] | None = None,
     embed_col: str = "embedding",
     output_col: str = "search_results",
+    exact: bool = False,
 ) -> DataFrame:
     """Fused embed + retrieve: ONE ``mapInPandas`` stage computes the
     embedding (provider batch call) and the GEMM top-k against the broadcast
@@ -220,6 +221,15 @@ def embed_and_search_numpy(
     at 256+ dims that intermediate is wider than the text itself. Fusing
     halves the Python-stage count of the coaching pipeline's hot path and
     keeps the plan narrow (no shuffle at all).
+
+    ``exact=True`` makes the ranking engine-reproducible for correctness
+    oracles: vectors are ASSUMED pre-normalized (skipping the float32
+    renormalization), the GEMM runs in float64 over the float32-quantized
+    components, similarities are rounded to 6 dp and ties break
+    lexicographically on the payload tuple — exactly the ordering a SQL
+    oracle computes with ``round(dot, 6) DESC, payload...``. GEMM cost is
+    unchanged at knowledge-base scale (the embed call dominates); the
+    default float32 path remains the raw-throughput mode.
     """
     import pyspark.sql.types as T  # noqa: PLC0415
 
@@ -227,11 +237,16 @@ def embed_and_search_numpy(
     spark = query_df.sparkSession
     idx_rows = index_df.select(*payload_cols, index_col).collect()
     mat = np.asarray([r[index_col] for r in idx_rows], dtype=np.float32)
-    norms = np.linalg.norm(mat, axis=1)
-    norms[norms == 0] = 1.0
-    mat_n = mat / norms[:, None]
+    if exact:
+        mat_n = mat.astype(np.float64)
+        payload_keys = [tuple(str(r[c]) for c in payload_cols) for r in idx_rows]
+    else:
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat_n = mat / norms[:, None]
+        payload_keys = None
     payloads = [{c: r[c] for c in payload_cols} for r in idx_rows]
-    bc = spark.sparkContext.broadcast((mat_n, payloads))
+    bc = spark.sparkContext.broadcast((mat_n, payloads, payload_keys))
 
     out_schema = T.StructType(
         list(query_df.schema.fields)
@@ -245,21 +260,34 @@ def embed_and_search_numpy(
     )
 
     def _fused(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        mat_n_l, payloads_l = bc.value
+        mat_n_l, payloads_l, keys_l = bc.value
         for pdf in batches:
             if pdf.empty:
                 yield pdf.assign(**{embed_col: [], output_col: []})
                 continue
             qm = np.asarray(provider.embed(pdf[text_col].tolist()), dtype=np.float32)
-            qn = np.linalg.norm(qm, axis=1)
-            qn[qn == 0] = 1.0
-            sims = (qm / qn[:, None]) @ mat_n_l.T
+            if exact:
+                sims = np.round(qm.astype(np.float64) @ mat_n_l.T, 6)
+            else:
+                qn = np.linalg.norm(qm, axis=1)
+                qn[qn == 0] = 1.0
+                sims = (qm / qn[:, None]) @ mat_n_l.T
             kk = min(k, sims.shape[1])
             top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
             results = []
             for row_i in range(sims.shape[0]):
                 cand = top[row_i]
-                order = cand[np.argsort(-sims[row_i, cand], kind="stable")]
+                if exact:
+                    # rounded sims tie often; pull in EVERY candidate at or
+                    # above the kth value, then order by (-sim, payload) —
+                    # the oracle's row_number ordering
+                    row = sims[row_i]
+                    cand = np.flatnonzero(row >= row[cand].min())
+                    order = sorted(
+                        cand.tolist(), key=lambda j: (-row[j], keys_l[j])
+                    )[:kk]
+                else:
+                    order = cand[np.argsort(-sims[row_i, cand], kind="stable")]
                 results.append([payloads_l[j] for j in order])
             pdf = pdf.copy()
             pdf[embed_col] = list(qm)

@@ -42,6 +42,7 @@ def coaching_pipeline(
     embed_model: str = "openaiembed",
     gen_model: str = "coaching_response_generator",
     search_method: str = "numpy",
+    exact_retrieval: bool = False,
 ) -> DataFrame:
     """messages(message, speaker, ...) + index(document_id, chunks,
     embedding) -> (message, rag_results_string, coaching_response)
@@ -73,6 +74,7 @@ def coaching_pipeline(
             payload_cols=["document_id", "chunks"],
             embed_col="embedding",
             output_col="rag_results",
+            exact=exact_retrieval,
         )
     else:
         # b. embed

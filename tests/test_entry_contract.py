@@ -14,7 +14,7 @@ def test_entry_contract_shape():
     oracles = e.oracle_sql()
     assert len(qs) >= 54
     assert set(oracles) <= set(qs)  # every oracle belongs to a query
-    assert len(oracles) >= 50
+    assert len(oracles) >= 52
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(v, str) and v.strip() for v in oracles.values())
     # the rows-only entries are a deliberate, named set — additions to it
@@ -22,7 +22,15 @@ def test_entry_contract_shape():
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "rag_pipeline",
-        "rag_pipeline_bulk",
-        "multimodal_features",
         "ddl_reference_pipeline",
     }, rows_only
+    # the driver checks the FIRST 50 entries; the tail 4 are the deliberate
+    # out-of-window set (rows-only chains + oracle-backed entries subsumed
+    # by an in-window hash-checked superset — see queries.QUERIES)
+    assert list(qs)[50:] == [
+        "rag_retrieval",
+        "multimodal_meta",
+        "rag_pipeline",
+        "ddl_reference_pipeline",
+    ]
+    assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed

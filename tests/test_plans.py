@@ -52,10 +52,12 @@ def test_relational_queries_stay_jvm_side(spark):
     """No Python UDF stages in any oracle-checked relational query — the
     whole §2 relational surface is built-ins (WholeStageCodegen-able)."""
     # entries with an oracle that legitimately run pandas UDFs: IVF centroid
-    # assignment, and the hash-verified model-UDF chains — there the Python
-    # stage (mock embed/generate) IS the thing the oracle value-checks
+    # assignment, and the hash-verified model-UDF / fake-decoder chains —
+    # there the Python stage (mock embed/generate/decode) IS the thing the
+    # oracle value-checks
     python_ok = {"ann_ivf_topk", "chunk_embed_ingest", "rag_retrieval",
-                 "rag_pipeline_verified"}
+                 "rag_pipeline_verified", "rag_pipeline_bulk",
+                 "multimodal_features"}
     for name, spec in QUERIES.items():
         if spec.sql is None or name in python_ok:
             continue  # model/multimodal pipelines legitimately use Python
