@@ -446,6 +446,10 @@ class FlinkStatementSession:
         self.tables: dict[str, TableSpec] = {}
         self.models: dict[str, ModelSpec] = {}
         self.journal: list[str] = []  # derived (CTAS/VIEW/INSERT-SELECT) statements
+        # per INSERT-SELECT target: the table content BEFORE its first
+        # journaled insert — refresh() restores this so replay recreates
+        # (base ∪ selects) instead of appending onto already-inserted rows
+        self.insert_bases: dict[str, DataFrame | None] = {}
         self._provider_factory = provider_factory or self._default_provider
         self._mock_dim = mock_dim
         register_engine_sql(spark, self.registry)
@@ -658,13 +662,24 @@ class FlinkStatementSession:
             new = self.spark.sql(f"SELECT {casts} FROM {body} AS __v({cols})")
         else:
             new = self._run_select(body)
-        if self.spark.catalog.tableExists(name):
+        is_values = bool(re.match(r"VALUES\b", body, re.I))
+        exists = self.spark.catalog.tableExists(name)
+        if not is_values and name not in self.insert_bases:
+            # DataFrames resolve the view eagerly, so this snapshots the
+            # pre-insert PLAN (not the post-union view) for refresh()
+            self.insert_bases[name] = self.spark.table(name) if exists else None
+        elif is_values and name in self.insert_bases:
+            # literal rows landing after a journaled insert belong to the
+            # replay base, or refresh() would silently drop them
+            prior = self.insert_bases[name]
+            self.insert_bases[name] = new if prior is None else prior.unionByName(new)
+        if exists:
             merged = self.spark.table(name).unionByName(new)
         else:  # reference inserts into Terraform-created tables (:313 note)
             merged = new
             self.tables.setdefault(name, TableSpec(name, new.schema, {}, kind="ctas"))
         merged.createOrReplaceTempView(name)
-        if not re.match(r"VALUES\b", body, re.I):
+        if not is_values:
             self.journal.append(raw)
 
     def _alter(self, stmt: str) -> None:
@@ -678,7 +693,18 @@ class FlinkStatementSession:
     def refresh(self) -> None:
         """Re-run every derived statement in order — the batch equivalent of
         the reference's continuously-running CTAS chain picking up new
-        inserts."""
+        inserts (each input row processed exactly once, as Flink's
+        continuous INSERT does).
+
+        INSERT-SELECT targets are first restored to their pre-insert base so
+        the replay RECREATES each target as (base ∪ selects); replaying as
+        append-onto-current would re-add rows already present and double the
+        table on every refresh."""
+        for name, base in self.insert_bases.items():
+            if base is None:
+                self.spark.catalog.dropTempView(name)
+            else:
+                base.createOrReplaceTempView(name)
         journal, self.journal = self.journal, []
         for stmt in journal:
             self.execute(stmt)

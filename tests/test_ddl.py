@@ -198,6 +198,38 @@ WITH(
     assert p.system_prompt == "You are an expert sales coach AI."
 
 
+def test_refresh_insert_select_exactly_once(spark):
+    """refresh() recreates INSERT-SELECT targets as (pre-insert base ∪
+    selects) — Flink's continuous INSERT processes each input row exactly
+    once (the reference's knowledge_embeddings_chunked ingest,
+    generate_personalized_commands.sh:315-335), so a replayed insert must
+    never re-append rows the target already holds."""
+    sess = FlinkStatementSession(spark)
+    sess.execute("CREATE TABLE `e`.`c`.knowledge (document_id STRING, document_text STRING)")
+    sess.execute("INSERT INTO `e`.`c`.knowledge VALUES ('d1', 'alpha')")
+    sess.execute("CREATE TABLE `e`.`c`.sink (document_id STRING, document_text STRING)")
+    sess.execute(
+        "INSERT INTO `e`.`c`.sink SELECT document_id, document_text FROM `e`.`c`.knowledge"
+    )
+    sess.execute("CREATE TABLE `e`.`c`.downstream AS SELECT document_id FROM `e`.`c`.sink")
+    assert spark.table("sink").count() == 1
+    sess.refresh()
+    assert spark.table("sink").count() == 1  # no-op refresh is a no-op
+    sess.refresh()
+    assert spark.table("sink").count() == 1
+    sess.execute("INSERT INTO `e`.`c`.knowledge VALUES ('d2', 'beta')")
+    sess.refresh()
+    # new source row picked up exactly once, through the whole chain
+    assert spark.table("sink").count() == 2
+    assert spark.table("downstream").count() == 2
+    # literal rows landing in the target AFTER the journaled insert must
+    # survive refresh (they join the replay base)
+    sess.execute("INSERT INTO `e`.`c`.sink VALUES ('lit', 'x')")
+    sess.refresh()
+    assert spark.table("sink").count() == 3
+    assert spark.table("downstream").count() == 3
+
+
 def test_ctas_refresh_picks_up_new_inserts(spark):
     sess = FlinkStatementSession(spark)
     sess.execute("CREATE TABLE `e`.`c`.src (message STRING NOT NULL, speaker STRING)")
