@@ -372,12 +372,70 @@ def rewrite_select(sql: str, registry: ModelRegistry) -> str:
     """All pure-string Flink→Spark rewrites, in dependency order.
     (VECTOR_SEARCH laterals need DataFrames — handled by the session.)"""
     sql = normalize_identifiers(strip_comments(sql))
+    sql = _rewrite_global_topn(sql)
     sql = _rewrite_unnest(sql)
     sql = _rewrite_ml_predict(sql, registry)
     sql = _rewrite_subscripts(sql)
     sql = _rewrite_array_ctor(sql)
     sql = _rewrite_cast_row(sql)
     return sql
+
+
+def _rewrite_global_topn(sql: str) -> str:
+    """Flink's global Top-N idiom (reference :489-505) — a rank CTE plus
+    ``WHERE rank <= n`` where the rank column is NOT projected — is exactly
+    ``ORDER BY … LIMIT n``. Spark plans the rewritten form as
+    TakeOrderedAndProject (each task keeps an n-row heap; no shuffle of the
+    full input), where the literal window form plans an unpartitioned
+    WindowExec — a single-partition global sort that dies at 100-TB scale.
+    (Catalyst does push the rank filter down to a TakeOrderedAndProject
+    below the window, but the empty-spec window node itself survives; this
+    rewrite removes it outright.) Conservative: only the exact
+    one-CTE/plain-scan shape rewrites; anything richer keeps the window."""
+    masked = _mask(sql)
+    m = re.match(r"\s*WITH\s+(\w+)\s+AS\s*\(", masked, re.I)
+    if not m:
+        return sql
+    cte = m.group(1)
+    open_i = m.end() - 1
+    close_i = _scan(sql, open_i)
+    body, outer = sql[open_i + 1 : close_i], sql[close_i + 1 :]
+    mo = re.match(
+        rf"\s*SELECT\s+(.*?)\s+FROM\s+{cte}\s+WHERE\s+(\w+)\s*<=\s*(\d+)\s*$",
+        outer,
+        re.I | re.S,
+    )
+    if not mo:
+        return sql
+    outer_cols, rk, n = mo.group(1), mo.group(2), int(mo.group(3))
+    if re.search(rf"\b{re.escape(rk)}\b", outer_cols, re.I):
+        return sql  # rank projected: the window column is genuinely needed
+    mb = re.search(r"ROW_NUMBER\s*\(\s*\)\s*OVER\s*\(", body, re.I)
+    if not mb:
+        return sql
+    over_close = _scan(body, mb.end() - 1)
+    m_ord = re.match(r"\s*ORDER\s+BY\s+(.+)$", body[mb.end() : over_close], re.I | re.S)
+    if not m_ord:
+        return sql  # PARTITION BY present → per-key rank, already scale-safe
+    order_by = m_ord.group(1).strip()
+    m_as = re.match(rf"\s*AS\s+{re.escape(rk)}\b", body[over_close + 1 :], re.I)
+    if not m_as:
+        return sql
+    head = body[: mb.start()].rstrip()
+    m_sel = re.match(r"\s*SELECT\s+(.*)$", head, re.I | re.S)
+    if not m_sel or not m_sel.group(1).rstrip().endswith(","):
+        return sql  # rank not the last select-list item — bail
+    select_cols = m_sel.group(1).rstrip().rstrip(",")
+    m_from = re.match(r"\s*FROM\s+(.+)$", body[over_close + 1 + m_as.end() :], re.I | re.S)
+    if not m_from:
+        return sql
+    src = m_from.group(1).strip()
+    if re.search(r"\b(WHERE|GROUP\s+BY|ORDER\s+BY|LIMIT|JOIN|UNION|SELECT)\b", src, re.I):
+        return sql
+    return (
+        f"SELECT {outer_cols} FROM "
+        f"(SELECT {select_cols} FROM {src} ORDER BY {order_by} LIMIT {n}) AS {cte}"
+    )
 
 
 def _casts_to_json(sql: str) -> list[str]:
