@@ -5,6 +5,14 @@ JSON line: {"metric", "value", "unit", "queries", "sf"}.
 Each query is forced to full materialization with a noop-format write (no
 driver collect bottleneck — measures the distributed plan, not result
 transfer).
+
+Every query runs N_RUNS=3 times in-process and reports the PER-QUERY MEDIAN
+(the suite value is the sum of medians): a single host stall — the VM noise
+mode documented in BASELINE.md — then skews one run, not the artifact.
+``ann_ivf_topk`` is special-cased: its first (cold) run builds the IVF index
+and is reported as-is (build+probe), then the cached-index steady-state
+probes report separately as ``ann_ivf_probe`` — an IVF index is built once
+and probed many times in any real deployment, so query cost is the probe.
 """
 
 from __future__ import annotations
@@ -66,6 +74,9 @@ BENCH_QUERIES = [
 ]
 
 
+N_RUNS = 3
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -74,12 +85,25 @@ def main() -> None:
     # JVM/codegen warmup so query timings measure the plan, not JIT
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    def run_once(name: str) -> float:
         t0 = time.time()
         df = QUERIES[name].fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        return round(time.time() - t0, 3)
+
+    def median(name: str, n: int = N_RUNS) -> float:
+        return sorted(run_once(name) for _ in range(n))[n // 2]
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        if name == "ann_ivf_topk":
+            from flink_sql_ai_meetingcoach_azure_spark.queries import _IVF_CACHE  # noqa: PLC0415
+
+            _IVF_CACHE.clear()
+            timings[name] = run_once(name)  # cold: index build + probe
+            timings["ann_ivf_probe"] = median(name)  # steady state: probe only
+        else:
+            timings[name] = median(name)
 
     total = round(sum(timings.values()), 3)
     print(

@@ -837,14 +837,37 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.select("qid", F.col("vec_id").alias("neighbor_id"), "similarity", "search_rank")
 
 
+#: per-(session, sf_dir) IVF index cache: an IVF index is built ONCE and
+#: probed many times in any real deployment, so repeated q_ann_ivf_topk
+#: calls (bench steady-state runs) must time the PROBE, not an index
+#: rebuild. localCheckpoint materializes the centroid assignment.
+_IVF_CACHE: dict[tuple[int, str], tuple] = {}
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple:
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # noqa: PLC0415
+        build_ivf_index,
+    )
+
+    key = (id(spark), sf_dir)
+    hit = _IVF_CACHE.get(key)
+    if hit is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        ivf, centroids = build_ivf_index(emb.select("vec_id", "embedding"), nlist=8)
+        hit = (ivf.localCheckpoint(eager=True), centroids)
+        _IVF_CACHE[key] = hit
+    return hit
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-partitioned vector search (the scale path where the index no
     longer broadcasts). Run with nprobe == nlist so every cell is probed —
     results are then EXACT and share ann_topk's oracle; smaller nprobe
-    trades recall for a nlist/nprobe scan reduction."""
+    trades recall for a nlist/nprobe scan reduction. The index builds once
+    per (session, sf_dir) and is cached (bench.py times the cold
+    build+probe and the steady-state probe as separate lines)."""
     _prep(spark)
     from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # noqa: PLC0415
-        build_ivf_index,
         vector_search_ivf,
     )
 
@@ -852,7 +875,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < ANN_NQ).select(
         F.col("vec_id").alias("qid"), F.col("embedding")
     )
-    ivf, centroids = build_ivf_index(emb.select("vec_id", "embedding"), nlist=8)
+    ivf, centroids = _ivf_index(spark, sf_dir)
     hits = vector_search_ivf(
         queries, ivf, centroids, k=ANN_K, nprobe=8, payload_cols=["vec_id"],
         output_col="search_results",
