@@ -435,15 +435,15 @@ def embedding_lsh_pairs(
     to raise it); :func:`embedding_cosine_pairs` is the exact verifier on
     bounded inputs.
 
-    Dot signs are taken on the 6-dp-rounded dot product so a last-ulp
-    divergence between engines cannot flip a bucket bit.
+    Dot signs are taken on the ``round_to``-dp-rounded dot product so a
+    last-ulp divergence between engines cannot flip a bucket bit.
     """
     from flink_sql_ai_meetingcoach_azure_spark.functions.vectors import dot_col, norm_col  # noqa: PLC0415
 
     planes = random_hyperplanes(dim, n_planes, n_tables)
     if method == "numpy":
         # bulk path: one GEMM per Arrow batch for every table×plane dot
-        keyed = _rp_bits_numpy(df, id_col, vec_col, planes, round_to=6)
+        keyed = _rp_bits_numpy(df, id_col, vec_col, planes, round_to=round_to)
     else:
         # Catalyst-expression path: plan-inspectable, JVM-only — costs
         # interpreted-lambda time per element, keep for small inputs/tests
@@ -452,7 +452,7 @@ def embedding_lsh_pairs(
             bucket = None
             for p in range(n_planes):
                 plane_lit = F.array(*[F.lit(v) for v in planes[t][p]])
-                bit = (F.round(dot_col(F.col(vec_col), plane_lit), 6) > 0).cast("int")
+                bit = (F.round(dot_col(F.col(vec_col), plane_lit), round_to) > 0).cast("int")
                 term = bit * F.lit(2**p)
                 bucket = term if bucket is None else bucket + term
             buckets.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))

@@ -365,21 +365,32 @@ def write_ivf_index(ivf_index_df: DataFrame, centroids: list[list[float]], path:
     cell) plus a centroids sidecar. This is the 100-TB shape the in-memory
     join approximates: probes become PARTITION FILTERS on the parquet scan,
     so only ~nprobe/nlist of the index is READ from storage, not
-    scanned-and-filtered."""
-    import json  # noqa: PLC0415
-    import os  # noqa: PLC0415
+    scanned-and-filtered.
 
+    The sidecar is written THROUGH Spark (a tiny JSON dataset under
+    ``<path>/_centroids``) rather than a local ``open()`` so the index works
+    on any Hadoop filesystem (hdfs://, s3a://, abfs://) — the deployments
+    the partitioned layout exists for. The ``_``-prefixed directory is
+    invisible to ``spark.read.parquet(path)`` (Hadoop hidden-path filter)."""
+    spark = ivf_index_df.sparkSession
     ivf_index_df.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
-    with open(os.path.join(path, "_centroids.json"), "w") as f:
-        json.dump(centroids, f)
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    (
+        spark.createDataFrame(rows, "centroid_id int, centroid array<double>")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .json(f"{path.rstrip('/')}/_centroids")
+    )
 
 
-def read_ivf_centroids(path: str) -> list[list[float]]:
-    import json  # noqa: PLC0415
-    import os  # noqa: PLC0415
-
-    with open(os.path.join(path, "_centroids.json")) as f:
-        return json.load(f)
+def read_ivf_centroids(spark, path: str) -> list[list[float]]:
+    rows = (
+        spark.read.schema("centroid_id int, centroid array<double>")
+        .json(f"{path.rstrip('/')}/_centroids")
+        .orderBy("centroid_id")
+        .collect()
+    )
+    return [list(r["centroid"]) for r in rows]
 
 
 def ivf_pruned_scan(spark, path: str, cells: list[int]) -> DataFrame:
@@ -404,7 +415,7 @@ def vector_search_ivf_parquet(
     runs as in :func:`vector_search_ivf` — identical results, but storage
     reads scale with nprobe/nlist instead of the index size."""
     spark = query_df.sparkSession
-    centroids = read_ivf_centroids(path)
+    centroids = read_ivf_centroids(spark, path)
     probes = _probe_udf(centroids, nprobe, spark)
     cells = [
         r[0]

@@ -81,10 +81,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS,false), which Spark's
-    parquet reader rejects; with ``nanosAsLong`` it arrives as bigint nanos
-    and is converted to a proper µs timestamp here (testdata timestamps are
-    µs-precision, so the division is lossless)."""
+    """events.parquet stores ts as TIMESTAMP(NANOS,false). Older Spark
+    parquet readers reject NANOS outright; with ``nanosAsLong`` (set in
+    ``_prep``) it arrives as bigint nanos and is converted to a proper µs
+    timestamp here (testdata timestamps are µs-precision, so the division
+    is lossless). Newer readers instead surface NANOS as TIMESTAMP_NTZ;
+    that branch casts NTZ→LTZ, which is wall-clock-preserving because
+    ``_prep`` pins the session timezone to UTC — yielding the LTZ type
+    ``unix_micros``/``session_window`` expect either way."""
     ev = _t(spark, sf_dir, "events")
     ts_type = dict(ev.dtypes).get("ts")
     if ts_type == "bigint":

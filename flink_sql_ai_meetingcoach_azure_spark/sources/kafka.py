@@ -141,7 +141,14 @@ def decode_kafka_avro(
             schema = cache.get(sid)
             if schema is None:
                 schema_str = schemas_by_id.get(sid)
-                schema = json.loads(schema_str) if schema_str else reader_schema
+                if schema_str is None:
+                    # Avro binary is NOT self-describing: decoding an unknown
+                    # writer-schema id with the reader schema can produce
+                    # silently-wrong values, so an unknown id yields a null
+                    # record exactly like a malformed frame
+                    rows.append({k: None for k in field_names})
+                    continue
+                schema = json.loads(schema_str)
                 cache[sid] = schema
             rec = decode_record(schema, framed[5:])
             rows.append({k: rec.get(k) for k in field_names})

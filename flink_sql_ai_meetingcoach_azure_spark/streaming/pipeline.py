@@ -234,12 +234,16 @@ def speaker_running_stats(stream: DataFrame, n_context: int = 3) -> DataFrame:
         count, recent = state.get if state.exists else (0, [])
         recent = list(recent)
         rows = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("rowtime")
-            for m in pdf["message"]:
-                count += 1
-                rows.append((speaker, m, count, list(recent)))
-                recent = (recent + [m])[-n_context:]
+        # ``pdfs`` iterates Arrow CHUNKS of one group's micro-batch; rowtime
+        # order only holds after sorting the WHOLE group, not each chunk —
+        # materialize first (bounded by the micro-batch), stable-sort once
+        whole = pd.concat(list(pdfs), ignore_index=True)
+        if len(whole):
+            whole = whole.sort_values("rowtime", kind="mergesort")
+        for m in whole["message"]:
+            count += 1
+            rows.append((speaker, m, count, list(recent)))
+            recent = (recent + [m])[-n_context:]
         state.update((count, recent))
         yield pd.DataFrame(rows, columns=["speaker", "message", "msg_seq", "context"])
 

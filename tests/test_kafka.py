@@ -164,6 +164,19 @@ def test_decode_bad_frame_yields_nulls(spark):
     assert out[0]["message"] is None and out[0]["speaker"] is None
 
 
+def test_decode_unknown_schema_id_yields_nulls_not_garbage(spark):
+    """Avro binary is not self-describing: a frame whose writer-schema id the
+    registry snapshot doesn't know must decode to a NULL record like any
+    malformed frame — silently falling back to the reader schema can produce
+    well-typed garbage values with no error."""
+    reg = _registry()
+    body = encode_record(json.loads(MSG_SCHEMA_STR), {"message": "m", "speaker": "s"})
+    framed = confluent_wire_frame(body, 999)  # id never registered
+    df = spark.createDataFrame([Row(value=bytearray(framed))])
+    out = decode_kafka_avro(df, reg, TOPIC).select("record.*").collect()
+    assert out[0]["message"] is None and out[0]["speaker"] is None
+
+
 def test_encode_null_numeric_fields_encode_as_null_branch(spark):
     """Advice fix: pandas NaN in numeric columns must take the union null
     branch (int(NaN) used to crash; double silently encoded NaN)."""

@@ -3,6 +3,7 @@ top-n."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (
@@ -175,16 +176,20 @@ def test_dedup_keep_best_and_neardup_survivors(spark):
     assert kept == {1, 4}  # documented greedy policy: 3 goes with its chain
 
 
-def test_embedding_lsh_methods_agree(spark):
+@pytest.mark.parametrize("round_to", [6, 1])
+def test_embedding_lsh_methods_agree(spark, round_to):
     """The numpy GEMM bucket path and the Catalyst-expression path produce
-    IDENTICAL pairs (dots rounded to 6 dp before the sign in both)."""
+    IDENTICAL pairs (dots rounded to round_to dp before the sign in both).
+    round_to=1 coarsens many dots to 0.0 — a sign flip vs 6 dp — so this
+    also pins that BOTH paths honor the round_to parameter rather than
+    hardcoding 6 (a silent recall change at any other setting)."""
     from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import embedding_lsh_pairs
 
     rng_rows = [
         (i, [((i * 37 + j * 11) % 19 - 9) / 7.0 for j in range(8)]) for i in range(60)
     ]
     df = spark.createDataFrame(rng_rows, ["id", "v"])
-    kw = dict(dim=8, threshold=0.2, n_planes=4, n_tables=3)
+    kw = dict(dim=8, threshold=0.2, n_planes=4, n_tables=3, round_to=round_to)
     a = {(r["id_a"], r["id_b"], r["cos_sim"]) for r in
          embedding_lsh_pairs(df, "id", "v", method="numpy", **kw).collect()}
     b = {(r["id_a"], r["id_b"], r["cos_sim"]) for r in
@@ -320,7 +325,10 @@ def test_ivf_parquet_partition_pruning(spark, tmp_path):
     ivf, centroids = build_ivf_index(emb, "embedding", nlist=6)
     path = str(tmp_path / "ivf_idx")
     write_ivf_index(ivf, centroids, path)
-    assert read_ivf_centroids(path) == centroids
+    # sidecar round-trips through Spark (Hadoop-FS-portable, no local open())
+    assert read_ivf_centroids(spark, path) == centroids
+    # the _-prefixed sidecar dir must stay invisible to the index scan
+    assert set(spark.read.parquet(path).columns) == {"vec_id", "embedding", "centroid_id"}
 
     q = spark.createDataFrame(
         [(f"q{c}", [float(x) for x in centers[c]]) for c in range(2)],
