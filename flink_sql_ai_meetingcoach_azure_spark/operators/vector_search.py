@@ -47,6 +47,30 @@ from flink_sql_ai_meetingcoach_azure_spark.functions.vectors import (
 
 _QID = "__query_id"
 
+#: driver-side index materialization ceiling for the numpy/broadcast paths:
+#: past this, collect+broadcast is the wrong physical strategy (at 256 dims
+#: float32 this is ~1 GB of vectors before payloads) — the index belongs on
+#: disk as IVF-partitioned parquet probed via :func:`vector_search_ivf_parquet`
+MAX_BROADCAST_INDEX_ROWS = 1_000_000
+
+
+def _collect_index_rows(index_df: DataFrame, cols: list[str], max_rows: int | None) -> list:
+    """Collect the index for broadcasting, guarded: the limit rides the same
+    job (no extra count pass), and crossing it raises with the scale path
+    spelled out instead of stalling or OOMing the driver."""
+    if max_rows is None:
+        return index_df.select(*cols).collect()
+    rows = index_df.select(*cols).limit(max_rows + 1).collect()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"vector-search index exceeds max_index_rows={max_rows}: a "
+            "driver-collected broadcast does not survive this scale. Build an "
+            "on-disk IVF index (build_ivf_index + write_ivf_index) and probe "
+            "it with vector_search_ivf_parquet (partition-pruned reads), or "
+            "pass a larger max_index_rows explicitly if the driver can hold it."
+        )
+    return rows
+
 
 def vector_search_topk_flat(
     query_df: DataFrame,
@@ -98,6 +122,7 @@ def vector_search(
     payload_cols: list[str] | None = None,
     output_col: str = "search_results",
     method: str = "sql",
+    max_index_rows: int | None = MAX_BROADCAST_INDEX_ROWS,
 ) -> DataFrame:
     """LATERAL TABLE(VECTOR_SEARCH(...)) equivalent: appends
     ``output_col ARRAY<STRUCT<payload...>>`` (top-k by cosine) to every query
@@ -106,7 +131,8 @@ def vector_search(
     payload_cols = payload_cols or [c for c in index_df.columns if c != index_col]
     if method == "numpy":
         return _vector_search_numpy(
-            query_df, index_df, k, query_col, index_col, payload_cols, output_col
+            query_df, index_df, k, query_col, index_col, payload_cols, output_col,
+            max_index_rows=max_index_rows,
         )
 
     q = query_df.withColumn(_QID, F.monotonically_increasing_id()).withColumn(
@@ -142,6 +168,7 @@ def _vector_search_numpy(
     index_col: str,
     payload_cols: list[str],
     output_col: str,
+    max_index_rows: int | None = MAX_BROADCAST_INDEX_ROWS,
 ) -> DataFrame:
     """Broadcast the index as numpy matrices; per-Arrow-batch GEMM top-k.
 
@@ -152,7 +179,7 @@ def _vector_search_numpy(
     import pyspark.sql.types as T  # noqa: PLC0415
 
     spark = query_df.sparkSession
-    idx_rows = index_df.select(*payload_cols, index_col).collect()
+    idx_rows = _collect_index_rows(index_df, [*payload_cols, index_col], max_index_rows)
     mat = np.asarray([r[index_col] for r in idx_rows], dtype=np.float32)
     norms = np.linalg.norm(mat, axis=1)
     norms[norms == 0] = 1.0
@@ -210,6 +237,7 @@ def embed_and_search_numpy(
     embed_col: str = "embedding",
     output_col: str = "search_results",
     exact: bool = False,
+    max_index_rows: int | None = MAX_BROADCAST_INDEX_ROWS,
 ) -> DataFrame:
     """Fused embed + retrieve: ONE ``mapInPandas`` stage computes the
     embedding (provider batch call) and the GEMM top-k against the broadcast
@@ -235,7 +263,7 @@ def embed_and_search_numpy(
 
     payload_cols = payload_cols or [c for c in index_df.columns if c != index_col]
     spark = query_df.sparkSession
-    idx_rows = index_df.select(*payload_cols, index_col).collect()
+    idx_rows = _collect_index_rows(index_df, [*payload_cols, index_col], max_index_rows)
     mat = np.asarray([r[index_col] for r in idx_rows], dtype=np.float32)
     if exact:
         mat_n = mat.astype(np.float64)

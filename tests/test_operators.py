@@ -243,6 +243,31 @@ def test_vector_search_numpy_agrees_with_sql(spark):
     assert sql_out == np_out
 
 
+def test_vector_search_broadcast_guard(spark):
+    """The numpy/broadcast paths refuse to driver-collect an index past
+    max_index_rows, naming the on-disk IVF path in the error; at or under
+    the ceiling they run normally."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (
+        embed_and_search_numpy,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.models.providers import MockProvider
+
+    q = spark.createDataFrame([("q1", [1.0, 0.0, 0.0])], ["qid", "embedding"])
+    idx = _index(spark)  # 4 rows
+    with pytest.raises(ValueError, match="vector_search_ivf_parquet"):
+        vector_search(q, idx, k=2, payload_cols=["document_id"],
+                      method="numpy", max_index_rows=3)
+    ok = vector_search(q, idx, k=2, payload_cols=["document_id"],
+                       method="numpy", max_index_rows=4).head()
+    assert len(ok["search_results"]) == 2
+
+    msgs = spark.createDataFrame([("hello",)], ["message"])
+    with pytest.raises(ValueError, match="max_index_rows=2"):
+        embed_and_search_numpy(msgs, idx.withColumn(
+            "embedding", F.expr("transform(sequence(1, 3), x -> cast(x as float))")),
+            MockProvider(dim=3), k=1, payload_cols=["document_id"], max_index_rows=2)
+
+
 def test_vector_search_flat_rank(spark):
     q = spark.createDataFrame([("q1", [1.0, 0.0, 0.0])], ["qid", "embedding"])
     rows = vector_search_topk_flat(q, _index(spark).select("document_id", "embedding"),
