@@ -82,3 +82,76 @@ class MockSchemaRegistry:
         hold live registry connections; a bounded id->schema dict is the
         broadcastable equivalent of the reference's client-side cache)."""
         return dict(self._by_id)
+
+
+class HttpSchemaRegistry:
+    """Confluent Schema Registry REST client behind the same lookup-only
+    protocol (reference: app/utils/kafka_utils.py:273-309 — fetch the
+    ``<topic>-value`` subject's latest schema over HTTP, basic-auth
+    key/secret, never register from the data path).
+
+    ``auto.register.schemas=False`` semantics are structural: there is
+    deliberately NO ``register()`` here — schemas are created by admin
+    tooling (Terraform/Flink in the reference), the serializer only reads.
+
+    httpx-gated like the Azure provider: absent httpx (or network) it
+    raises at first CALL, never at import; tests inject a stub ``client``
+    with the same ``get(url) -> response`` surface. Fetched schemas are
+    cached driver-side, and :meth:`snapshot_by_id` ships that bounded cache
+    into decode UDFs — executors never hold live registry connections.
+    """
+
+    def __init__(
+        self,
+        base_url: str,
+        auth: tuple[str, str] | None = None,
+        timeout_s: float = 10.0,
+        client=None,
+    ) -> None:
+        self._base = base_url.rstrip("/")
+        self._auth = auth
+        self._timeout = timeout_s
+        self._client = client
+        self._by_id_cache: dict[int, str] = {}
+
+    def _http(self):
+        if self._client is None:
+            try:
+                import httpx  # noqa: PLC0415
+            except ImportError as e:  # pragma: no cover
+                raise RuntimeError(
+                    "HttpSchemaRegistry requires httpx; use MockSchemaRegistry "
+                    "for hermetic runs"
+                ) from e
+            self._client = httpx.Client(timeout=self._timeout, auth=self._auth)
+        return self._client
+
+    def _get(self, path: str) -> dict:
+        resp = self._http().get(self._base + path)
+        if resp.status_code == 404:
+            # protocol contract: unknown subject/id is KeyError (the
+            # reference falls back to a hardcoded schema at the APP layer,
+            # kafka_utils.py:281-294 — not here)
+            raise KeyError(f"schema registry 404: {path}")
+        resp.raise_for_status()
+        return resp.json()
+
+    def latest(self, subject: str) -> tuple[int, str]:
+        out = self._get(f"/subjects/{subject}/versions/latest")
+        sid, schema = int(out["id"]), out["schema"]
+        self._by_id_cache[sid] = schema
+        return sid, schema
+
+    def by_id(self, schema_id: int) -> str:
+        hit = self._by_id_cache.get(schema_id)
+        if hit is None:
+            hit = self._get(f"/schemas/ids/{schema_id}")["schema"]
+            self._by_id_cache[schema_id] = hit
+        return hit
+
+    def snapshot_by_id(self, subjects: tuple[str, ...] = ()) -> dict[int, str]:
+        """Optionally prefetch ``subjects`` (one latest() each), then return
+        the bounded id->schema cache for broadcasting into decode UDFs."""
+        for s in subjects:
+            self.latest(s)
+        return dict(self._by_id_cache)

@@ -222,3 +222,97 @@ def test_open_message_stream_kafka_branch_builds_plan_options():
             },
         )
     assert "kafka" in str(ei.value).lower()
+
+
+# ---------------------------------------------------------------------------
+# HTTP Schema-Registry client (stubbed transport — no network, no httpx need)
+
+
+class _StubResponse:
+    def __init__(self, status_code: int, payload: dict | None = None):
+        self.status_code = status_code
+        self._payload = payload or {}
+
+    def json(self):
+        return self._payload
+
+    def raise_for_status(self):
+        if self.status_code >= 400:
+            raise RuntimeError(f"http {self.status_code}")
+
+
+class _StubClient:
+    """Same get(url)->response surface as httpx.Client, serving a canned
+    registry: subject latest + schemas-by-id, with a call counter."""
+
+    def __init__(self, subjects: dict[str, tuple[int, str]], by_id: dict[int, str]):
+        self.subjects, self.by_id, self.calls = subjects, by_id, []
+
+    def get(self, url):
+        self.calls.append(url)
+        m = url.split("/")
+        if "/subjects/" in url and url.endswith("/versions/latest"):
+            sub = m[m.index("subjects") + 1]
+            if sub not in self.subjects:
+                return _StubResponse(404)
+            sid, schema = self.subjects[sub]
+            return _StubResponse(200, {"id": sid, "schema": schema, "subject": sub})
+        if "/schemas/ids/" in url:
+            sid = int(m[-1])
+            if sid not in self.by_id:
+                return _StubResponse(404)
+            return _StubResponse(200, {"schema": self.by_id[sid]})
+        return _StubResponse(404)
+
+
+def _http_registry():
+    from flink_sql_ai_meetingcoach_azure_spark.sources.schema_registry import (
+        HttpSchemaRegistry,
+    )
+
+    stub = _StubClient(
+        subjects={subject_for_topic(TOPIC): (7, MSG_SCHEMA_STR)},
+        by_id={7: MSG_SCHEMA_STR, 3: MSG_SCHEMA_STR},
+    )
+    return HttpSchemaRegistry("http://sr.example:8081/", client=stub), stub
+
+
+def test_http_registry_latest_fetches_topic_value_subject():
+    reg, stub = _http_registry()
+    sid, schema = reg.latest(subject_for_topic(TOPIC))
+    assert (sid, json.loads(schema)["name"]) == (7, json.loads(MSG_SCHEMA_STR)["name"])
+    assert stub.calls == [
+        f"http://sr.example:8081/subjects/{TOPIC}-value/versions/latest"
+    ]
+
+
+def test_http_registry_unknown_subject_is_keyerror_no_autoregister():
+    """auto.register.schemas=False semantics: an unknown subject raises
+    (KeyError per the protocol) — and the client has no register() at all."""
+    reg, _ = _http_registry()
+    with pytest.raises(KeyError):
+        reg.latest("nope-value")
+    assert not hasattr(reg, "register")
+
+
+def test_http_registry_by_id_caches():
+    reg, stub = _http_registry()
+    assert json.loads(reg.by_id(3))["type"] == "record"
+    assert json.loads(reg.by_id(3))["type"] == "record"
+    assert len(stub.calls) == 1  # second lookup served from cache
+    with pytest.raises(KeyError):
+        reg.by_id(999)
+
+
+def test_http_registry_drives_the_avro_codec_end_to_end(spark):
+    """The HTTP client slots behind the same protocol the codec UDFs use:
+    encode resolves <topic>-value latest once at plan time, decode resolves
+    writer ids from the snapshot cache."""
+    reg, _ = _http_registry()
+    df = spark.createDataFrame([("hi", "prospect")], ["message", "speaker"])
+    encoded = encode_kafka_avro(df, reg, TOPIC)
+    val = bytes(encoded.select("value").head()[0])
+    assert val[:5] == b"\x00\x00\x00\x00\x07"  # framed with the registry id
+    reg.snapshot_by_id((subject_for_topic(TOPIC),))
+    out = decode_kafka_avro(encoded, reg, TOPIC).select("record.*").head()
+    assert (out["message"], out["speaker"]) == ("hi", "prospect")
