@@ -527,6 +527,15 @@ class FlinkStatementSession:
         df.createOrReplaceTempView(name)
         self.tables[name] = TableSpec(name, df.schema, {}, kind="source")
 
+    def register_streaming_source(self, name: str, stream: DataFrame) -> None:
+        """Bind a table name to a STREAMING DataFrame — the reference's
+        Kafka-backed CREATE TABLE shape. Statements executed over it compose
+        lazily (CTAS/VIEW registration never runs an action);
+        :meth:`start_continuous` then turns the journaled chain into standing
+        queries, Flink's every-statement-is-continuous model."""
+        stream.createOrReplaceTempView(name)
+        self.tables[name] = TableSpec(name, stream.schema, {}, kind="streaming_source")
+
     def source_config(
         self, name: str, bootstrap_servers: str, registry=None, **overrides
     ) -> dict:
@@ -766,6 +775,109 @@ class FlinkStatementSession:
         journal, self.journal = self.journal, []
         for stmt in journal:
             self.execute(stmt)
+
+    def start_continuous(self, out_root: str) -> list:
+        """Flink's execution model for the whole statement surface: every
+        journaled CTAS / INSERT-SELECT whose plan reads a streaming source
+        becomes a STANDING query materializing a per-stage parquet "topic"
+        under ``out_root/<table>`` (one intermediate topic per statement,
+        generate_personalized_commands.sh:347-433,568-576), and downstream
+        statements re-read that topic as a stream — so each stage is an
+        independently-checkpointed job exactly like the reference's chained
+        continuous statements.
+
+        Static subtrees (e.g. the knowledge chunk+embed ingest over a batch
+        corpus) were already materialized by the batch ``execute`` and are
+        left as-is; ``refresh()`` remains their batch re-run. A VIEW whose
+        streaming plan needs a global sort+limit — the reference's
+        recent-history monitoring view (:489-505) — cannot run as a
+        streaming query (Spark disallows unpartitioned sorts on streams), so
+        it is maintained under the same view name by a foreachBatch
+        :class:`~..streaming.pipeline.RecentHistorySink`, the engine's
+        documented translation (SURVEY §7.4.1). Other streaming views stay
+        virtual (they compose into their consumers' plans).
+
+        Returns the started StreamingQuery handles; callers stop them or
+        ``processAllAvailable()`` in tests.
+        """
+        root = out_root.rstrip("/")
+        handles = []
+        for raw in list(self.journal):
+            stmt = normalize_identifiers(strip_comments(raw)).strip()
+            m = re.match(r"CREATE\s+TABLE\s+(\w+)\s+AS\s+(.*)$", stmt, re.I | re.S) or re.match(
+                r"INSERT\s+INTO\s+(\w+)\s+((?:SELECT|WITH)\b.*)$", stmt, re.I | re.S
+            )
+            m_view = (
+                None
+                if m
+                else re.match(
+                    r"CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(\w+)\s+AS\s+(.*)$",
+                    stmt,
+                    re.I | re.S,
+                )
+            )
+            if not m and not m_view:
+                continue
+            name, body = (m or m_view).group(1), (m or m_view).group(2)
+            if m_view:
+                topn_q = self._continuous_topn_view(name, body)
+                if topn_q is not None:
+                    handles.append(topn_q)
+                    continue
+            df = self._run_select(body)
+            if not df.isStreaming:
+                continue  # static subtree: batch execute already materialized it
+            if m_view:
+                df.createOrReplaceTempView(name)
+                continue
+            q = (
+                df.writeStream.format("parquet")
+                .option("path", f"{root}/{name}")
+                .option("checkpointLocation", f"{root}/_ckpt/{name}")
+                .outputMode("append")
+                .start()
+            )
+            handles.append(q)
+            # downstream statements re-read the materialized stage topic
+            self.spark.readStream.schema(df.schema).parquet(
+                f"{root}/{name}"
+            ).createOrReplaceTempView(name)
+        return handles
+
+    def _continuous_topn_view(self, name: str, body: str):
+        """The reference's global Top-N monitoring view over a STREAMING
+        parent → a started RecentHistorySink query registering ``name``;
+        None when the view is not that shape (or the parent is batch)."""
+        sql = rewrite_select(body, self.registry)
+        m = re.match(
+            r"\s*SELECT\s+(.*?)\s+FROM\s+\(SELECT\s+(.*?)\s+FROM\s+(\w+)\s+"
+            r"ORDER\s+BY\s+(.*?)\s+LIMIT\s+(\d+)\)\s+AS\s+\w+\s*$",
+            sql,
+            re.I | re.S,
+        )
+        if not m:
+            return None
+        try:
+            parent = self.spark.table(m.group(3))
+        except Exception:  # noqa: BLE001 — unknown parent: not our shape
+            return None
+        if not parent.isStreaming:
+            return None
+        from flink_sql_ai_meetingcoach_azure_spark.streaming.pipeline import (  # noqa: PLC0415
+            RecentHistorySink,
+        )
+
+        ts_col = re.split(r"[\s,]+", m.group(4).strip())[0]
+        cols = [c.strip() for c in m.group(2).split(",")]
+        sink = RecentHistorySink(
+            n=int(m.group(5)), ts_col=ts_col, view_name=name, spark=self.spark
+        )
+        return (
+            parent.selectExpr(*cols)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .start()
+        )
 
     # -- SELECT execution ----------------------------------------------------
 

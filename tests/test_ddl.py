@@ -230,6 +230,57 @@ def test_refresh_insert_select_exactly_once(spark):
     assert spark.table("downstream").count() == 3
 
 
+def test_start_continuous_runs_journaled_ctas_as_streaming_stages(spark, tmp_path):
+    """Statement-level parity with Confluent Flink's execution model: every
+    journaled CTAS becomes a STANDING streaming query with its own
+    materialized stage topic (parquet dir), chained stages re-read the
+    previous stage's topic as a stream, and the reference's global Top-N
+    monitoring view (:489-505) is maintained continuously by the
+    RecentHistorySink translation under the same view name."""
+    sess = FlinkStatementSession(spark)
+    src_dir = str(tmp_path / "src")
+    seed = spark.createDataFrame(
+        [(f"m{i}", "purchase" if i % 2 else "view", i) for i in range(10)],
+        "message string, speaker string, seq long",
+    ).withColumn("rowtime", F.timestamp_seconds(F.col("seq") + 1_700_000_000))
+    seed.write.parquet(src_dir)
+    stream = spark.readStream.schema(seed.schema).parquet(src_dir)
+    sess.register_streaming_source("messages_conversation", stream)
+    sess.execute_script("""
+CREATE TABLE `e`.`c`.messages_prospect AS
+SELECT message, speaker, rowtime FROM `e`.`c`.messages_conversation
+WHERE speaker = 'purchase';
+
+CREATE TABLE `e`.`c`.prospect_upper AS
+SELECT upper(message) AS msg, rowtime FROM `e`.`c`.messages_prospect;
+
+CREATE VIEW `e`.`c`.recent_conversation_history AS
+WITH ranked_messages AS (
+  SELECT message, speaker, $rowtime,
+    ROW_NUMBER() OVER (ORDER BY $rowtime DESC) AS msg_rank
+  FROM `e`.`c`.messages_prospect
+)
+SELECT message, speaker, $rowtime FROM ranked_messages WHERE msg_rank <= 3;
+""")
+    out = str(tmp_path / "stages")
+    handles = sess.start_continuous(out)
+    try:
+        assert len(handles) == 3  # 2 stage queries + the Top-N sink
+        for _ in range(2):  # chained stages: let outputs propagate downstream
+            for q in handles:
+                q.processAllAvailable()
+        routed = spark.read.parquet(f"{out}/messages_prospect")
+        assert routed.count() == 5
+        assert set(r["speaker"] for r in routed.collect()) == {"purchase"}
+        upper = spark.read.parquet(f"{out}/prospect_upper")
+        assert {r["msg"] for r in upper.collect()} == {"M1", "M3", "M5", "M7", "M9"}
+        hist = spark.table("recent_conversation_history").collect()
+        assert [r["message"] for r in hist] == ["m5", "m7", "m9"]  # latest-3, ASC
+    finally:
+        for q in handles:
+            q.stop()
+
+
 def test_ctas_refresh_picks_up_new_inserts(spark):
     sess = FlinkStatementSession(spark)
     sess.execute("CREATE TABLE `e`.`c`.src (message STRING NOT NULL, speaker STRING)")
