@@ -690,7 +690,7 @@ class FlinkStatementSession:
                 w_open = close_i + 1 + m2.end() - 1
                 options = _parse_quoted_options(stmt[w_open + 1 : _scan(stmt, w_open)])
             prior = self.tables.get(name)
-            if prior is not None and prior.kind == "source":
+            if prior is not None and prior.kind in ("source", "streaming_source"):
                 prior.options.update(options)  # keep the bound stand-in data
                 return None
             self.tables[name] = TableSpec(name, schema, options)
@@ -730,7 +730,11 @@ class FlinkStatementSession:
         else:
             new = self._run_select(body)
         is_values = bool(re.match(r"VALUES\b", body, re.I))
-        exists = self.spark.catalog.tableExists(name)
+        # only a table THIS session declared/registered is an insert base: a
+        # same-named temp view left by another statement session must not be
+        # silently absorbed (the reference's externally-created insert
+        # targets are empty topic shells, :313 note)
+        exists = name in self.tables and self.spark.catalog.tableExists(name)
         if not is_values and name not in self.insert_bases:
             # DataFrames resolve the view eagerly, so this snapshots the
             # pre-insert PLAN (not the post-union view) for refresh()
@@ -938,13 +942,19 @@ class FlinkStatementSession:
                 raise ValueError("LATERAL TABLE(VECTOR_SEARCH(..)) needs AS <alias>")
             vs_alias = m3.group(1)
             idx_df = self.spark.table(index_table)
+            q_df = self.spark.table(q_table)
+            # streaming query side: the SQL top-k path windows over a
+            # monotonically-increasing id, which streams disallow — the
+            # broadcast-GEMM mapInPandas path is the streaming-legal plan
+            # (and the lower-latency one per micro-batch)
             out = vector_search(
-                self.spark.table(q_table),
+                q_df,
                 idx_df,
                 k=int(k_s),
                 query_col=q_col,
                 index_col=index_col,
                 payload_cols=[c for c in idx_df.columns if c != index_col],
+                method="numpy" if q_df.isStreaming else "sql",
             )
             view = f"__vs_{q_table}__{index_table}"
             out.createOrReplaceTempView(view)
@@ -1160,3 +1170,31 @@ def run_reference_pipeline(
     sess.register_source("messages_conversation", messages_df)
     sess.execute_script(reference_pipeline_script())
     return sess
+
+
+def run_reference_pipeline_continuous(
+    spark: SparkSession,
+    knowledge_df: DataFrame,
+    messages_stream: DataFrame,
+    out_root: str,
+    mock_dim: int = 256,
+    provider_factory=None,
+) -> tuple[FlinkStatementSession, list]:
+    """The verbatim reference pipeline under its ACTUAL execution model:
+    ``messages_conversation`` is a stream, and every downstream CTAS runs as
+    a standing per-stage query (:meth:`FlinkStatementSession.start_continuous`)
+    writing its own stage topic under ``out_root`` — statement-level parity
+    with the reference's chained continuous statements (one Kafka topic per
+    stage, generate_personalized_commands.sh:347-433,568-576). The knowledge
+    chunk+embed ingest stays a one-shot batch materialization, exactly like
+    the reference's INSERT (:313-334) feeding the continuously-served search
+    table. Returns (session, StreamingQuery handles); the final stage topic
+    is ``out_root/messages_prospect_rag_llm_response`` and the monitoring
+    view ``recent_conversation_history`` updates continuously."""
+    sess = FlinkStatementSession(
+        spark, mock_dim=mock_dim, provider_factory=provider_factory
+    )
+    sess.register_source("knowledge", knowledge_df)
+    sess.register_streaming_source("messages_conversation", messages_stream)
+    sess.execute_script(reference_pipeline_script())
+    return sess, sess.start_continuous(out_root)

@@ -496,3 +496,67 @@ def test_ddl_chunker_matches_python_chunker(spark, ref_pipeline):
         for c in chunk_text(d["document_text"], 200, 20, "###", False, False, True, "START"):
             want.add((d["document_id"], c))
     assert got == want
+
+
+def test_reference_script_runs_continuously(spark, tmp_path):
+    """The WHOLE reference script under Flink's actual execution model:
+    messages stream in, all four CTAS stages run as standing queries with
+    per-stage topics, the VECTOR_SEARCH lateral takes the streaming-legal
+    GEMM path, the monitoring view updates continuously — and the final
+    stage topic's rows are BYTE-EQUAL to the batch statement chain's."""
+    from flink_sql_ai_meetingcoach_azure_spark.ddl import (
+        run_reference_pipeline_continuous,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (
+                f"cat{i % 3}/doc{i}.md",
+                f"doc{i}.md",
+                f"cat{i % 3}",
+                " ".join(f"w{i}t{j} tok{(i * j) % 17}" for j in range(120)),
+            )
+            for i in range(8)
+        ],
+        ["document_id", "document_name", "document_category", "document_text"],
+    )
+    msgs = spark.createDataFrame(
+        [
+            ("hello pricing w3t5 tok4", "prospect", "2026-01-01T10:00:00"),
+            ("ignore me", "salesperson", "2026-01-01T10:00:01"),
+            ("competitor w5t2 tok9 question", "prospect", "2026-01-01T10:00:02"),
+        ],
+        ["message", "speaker", "rowtime"],
+    ).withColumn("rowtime", F.to_timestamp("rowtime"))
+    src_dir = str(tmp_path / "msgs_topic")
+    msgs.write.parquet(src_dir)
+    stream = spark.readStream.schema(msgs.schema).parquet(src_dir)
+
+    out = str(tmp_path / "stages")
+    sess, handles = run_reference_pipeline_continuous(
+        spark, docs, stream, out, mock_dim=64
+    )
+    try:
+        for _ in range(4):  # 4 chained stages: let each output propagate
+            for q in handles:
+                q.processAllAvailable()
+        final = spark.read.parquet(f"{out}/messages_prospect_rag_llm_response")
+        cont_rows = {r["message"]: r for r in final.collect()}
+        assert set(cont_rows) == {
+            "hello pricing w3t5 tok4",
+            "competitor w5t2 tok9 question",
+        }
+        # continuous output == batch statement-chain output, byte for byte
+        batch_sess = run_reference_pipeline(spark, docs, msgs, mock_dim=64)
+        for r in spark.table("messages_prospect_rag_llm_response").collect():
+            c = cont_rows[r["message"]]
+            assert c["rag_results_string"] == r["rag_results_string"]
+            assert c["coaching_response"] == r["coaching_response"]
+        # the monitoring view updated continuously (latest-6 of 3 messages)
+        hist = spark.sql(
+            "SELECT message FROM global_temp.recent_conversation_history"
+        ).collect()
+        assert len(hist) == 3
+    finally:
+        for q in handles:
+            q.stop()
