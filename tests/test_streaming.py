@@ -272,6 +272,48 @@ def test_speaker_running_stats_state_across_batches(spark, tmp_path):
     assert rows[("prospect", "m3")]["context"] == ["m1", "m2"]
 
 
+def test_speaker_running_stats_orders_across_arrow_chunks(spark, tmp_path):
+    """A group's micro-batch arrives as MULTIPLE Arrow chunks when it
+    exceeds maxRecordsPerBatch; rowtime ordering must hold across the whole
+    group (sorting each chunk independently interleaves sequences)."""
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.pipeline import (
+        speaker_running_stats,
+    )
+
+    prior = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        src = str(tmp_path / "chunked_src")
+        # one speaker, 6 rows written in SHUFFLED rowtime order: with
+        # 2-row Arrow chunks, per-chunk sorting would emit e.g. seq(m1)>seq(m0)
+        order = [3, 0, 5, 2, 4, 1]
+        _write_batch(
+            src,
+            [(f"m{i}", "prospect", f"2026-01-01T10:00:0{i}") for i in order],
+            n=0,
+        )
+        stream = spark.readStream.schema(MSG_SCHEMA).json(src)
+        out = speaker_running_stats(stream, n_context=2)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("chunked_stats")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt_chunked"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            rows = {r["message"]: r
+                    for r in spark.sql("SELECT * FROM chunked_stats").collect()}
+        finally:
+            q.stop()
+        for i in range(6):
+            assert rows[f"m{i}"]["msg_seq"] == i + 1, rows
+        assert rows["m5"]["context"] == ["m3", "m4"]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prior)
+
+
 def test_streaming_tumbling_window_drops_late_rows(spark, tmp_path):
     """Watermarked streaming windowed agg (T1/T2 streaming form): append
     mode emits a window once the watermark passes it, and a row arriving
