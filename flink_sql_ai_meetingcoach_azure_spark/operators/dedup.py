@@ -291,6 +291,13 @@ def ngram_jaccard_pairs(
             .select("shingle")
         )
         sh = sh.join(freq_ok, on="shingle", how="inner")
+    # materialize the filtered shingle set ONCE: it feeds the per-doc sizes
+    # and BOTH self-join sides, and Spark won't reuse the tokenize+explode(+
+    # frequency-filter) subtree across them on its own — unmaterialized, the
+    # plan re-scans and re-explodes the corpus per consumer (audited: 8
+    # parquet scans for this one operator). Same localCheckpoint rationale
+    # as lsh_candidate_pairs (ContextCleaner-released, caller unaffected).
+    sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
