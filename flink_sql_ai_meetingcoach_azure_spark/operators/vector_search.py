@@ -395,30 +395,47 @@ def write_ivf_index(ivf_index_df: DataFrame, centroids: list[list[float]], path:
     so only ~nprobe/nlist of the index is READ from storage, not
     scanned-and-filtered.
 
-    The sidecar is written THROUGH Spark (a tiny JSON dataset under
-    ``<path>/_centroids``) rather than a local ``open()`` so the index works
-    on any Hadoop filesystem (hdfs://, s3a://, abfs://) — the deployments
-    the partitioned layout exists for. The ``_``-prefixed directory is
-    invisible to ``spark.read.parquet(path)`` (Hadoop hidden-path filter)."""
+    The sidecar is written through the HADOOP FILESYSTEM API (one
+    ``_centroids.json`` file beside the partition dirs) rather than a local
+    ``open()`` so the index works on any Hadoop filesystem (hdfs://,
+    s3a://, abfs://) — the deployments the partitioned layout exists for —
+    without paying a Spark write job for an nlist-row file. The ``_``
+    prefix keeps it invisible to ``spark.read.parquet(path)`` (Hadoop
+    hidden-path filter)."""
+    import json  # noqa: PLC0415
+
     spark = ivf_index_df.sparkSession
-    ivf_index_df.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
-    rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    # co-locate each cell before the partitioned write: without this every
+    # input partition emits a file into every cell directory (partitions ×
+    # nlist small files — slower to write and a small-file read penalty on
+    # every probe thereafter); one hash shuffle on centroid_id yields one
+    # file per cell at this scale (at 100 TB, add a second in-cell key to
+    # repartition() to split giant cells across files)
     (
-        spark.createDataFrame(rows, "centroid_id int, centroid array<double>")
-        .coalesce(1)
+        ivf_index_df.repartition("centroid_id")
         .write.mode("overwrite")
-        .json(f"{path.rstrip('/')}/_centroids")
+        .partitionBy("centroid_id")
+        .parquet(path)
     )
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/_centroids.json")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    out.write(bytearray(json.dumps(centroids).encode("utf-8")))
+    out.close()
 
 
 def read_ivf_centroids(spark, path: str) -> list[list[float]]:
-    rows = (
-        spark.read.schema("centroid_id int, centroid array<double>")
-        .json(f"{path.rstrip('/')}/_centroids")
-        .orderBy("centroid_id")
-        .collect()
-    )
-    return [list(r["centroid"]) for r in rows]
+    import json  # noqa: PLC0415
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/_centroids.json")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return json.loads(text)
 
 
 def ivf_pruned_scan(spark, path: str, cells: list[int]) -> DataFrame:

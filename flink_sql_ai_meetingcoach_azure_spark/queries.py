@@ -844,45 +844,52 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: per-(session, sf_dir) IVF index cache: an IVF index is built ONCE and
 #: probed many times in any real deployment, so repeated q_ann_ivf_topk
 #: calls (bench steady-state runs) must time the PROBE, not an index
-#: rebuild. localCheckpoint materializes the centroid assignment.
-_IVF_CACHE: dict[tuple[int, str], tuple] = {}
+#: rebuild. The index is persisted in its 100-TB shape — parquet
+#: PARTITIONED BY centroid_id with the Spark-written centroids sidecar — so
+#: probes exercise file-level partition pruning, not an in-memory join.
+_IVF_CACHE: dict[tuple[int, str], str] = {}
 
 
-def _ivf_index(spark: SparkSession, sf_dir: str) -> tuple:
+def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile  # noqa: PLC0415
+
     from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # noqa: PLC0415
         build_ivf_index,
+        write_ivf_index,
     )
 
     key = (id(spark), sf_dir)
-    hit = _IVF_CACHE.get(key)
-    if hit is None:
+    path = _IVF_CACHE.get(key)
+    if path is None:
         emb = _t(spark, sf_dir, "embeddings")
         ivf, centroids = build_ivf_index(emb.select("vec_id", "embedding"), nlist=8)
-        hit = (ivf.localCheckpoint(eager=True), centroids)
-        _IVF_CACHE[key] = hit
-    return hit
+        path = tempfile.mkdtemp(prefix="ivf_idx_") + "/index"
+        write_ivf_index(ivf, centroids, path)
+        _IVF_CACHE[key] = path
+    return path
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-partitioned vector search (the scale path where the index no
-    longer broadcasts). Run with nprobe == nlist so every cell is probed —
-    results are then EXACT and share ann_topk's oracle; smaller nprobe
-    trades recall for a nlist/nprobe scan reduction. The index builds once
-    per (session, sf_dir) and is cached (bench.py times the cold
+    """IVF-partitioned vector search in its on-disk 100-TB shape: the index
+    lives as parquet PARTITIONED BY centroid_id and probes prune partitions
+    at the scan (PartitionFilters), so storage reads scale with
+    nprobe/nlist instead of index size. Run with nprobe == nlist so every
+    cell is probed — results are then EXACT and share ann_topk's oracle;
+    smaller nprobe trades recall for the scan reduction. The index builds
+    once per (session, sf_dir) and is cached (bench.py times the cold
     build+probe and the steady-state probe as separate lines)."""
     _prep(spark)
     from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # noqa: PLC0415
-        vector_search_ivf,
+        vector_search_ivf_parquet,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < ANN_NQ).select(
         F.col("vec_id").alias("qid"), F.col("embedding")
     )
-    ivf, centroids = _ivf_index(spark, sf_dir)
-    hits = vector_search_ivf(
-        queries, ivf, centroids, k=ANN_K, nprobe=8, payload_cols=["vec_id"],
-        output_col="search_results",
+    hits = vector_search_ivf_parquet(
+        queries, _ivf_index_path(spark, sf_dir), k=ANN_K, nprobe=8,
+        payload_cols=["vec_id"], output_col="search_results",
     )
     # re-derive (similarity, rank) columns for output parity with ann_topk's
     # oracle (the operator returns the packed array-of-struct shape)
