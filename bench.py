@@ -61,6 +61,9 @@ BENCH_QUERIES = [
     "length_percentiles",
     # curation: dedup + stratified downsample + split composed
     "curation_pipeline",
+    # PII scrub + sequence packing (beyond-reference curation ops)
+    "pii_redact",
+    "pack_sequences",
     # multimodal plumbing
     "multimodal_features",
     # SQL DDL statement path (translator overhead ~0: same operators)

@@ -104,3 +104,34 @@ def fingerprint_col(text: Column | str, shingle_chars: int = 16, stride: int = 8
     starts = F.sequence(F.lit(1), F.greatest(F.length(c) - shingle_chars + 1, F.lit(1)), F.lit(stride))
     hashes = F.transform(starts, lambda s: md5_bigint_col(F.substring(c, s, shingle_chars)))
     return F.array_min(hashes)
+
+
+#: (token, pattern) pairs applied IN ORDER — most-specific first so a later
+#: pattern never matches inside an earlier replacement token. Restricted to
+#: the regex subset Java (Spark) and RE2 (DuckDB oracle) agree on: classes,
+#: bounded repetition, alternation, \b word boundaries — no lookaround, no
+#: backreferences (RE2 has neither).
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("SSN", r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"),
+    ("CARD", r"\b[0-9]{4}[ -][0-9]{4}[ -][0-9]{4}[ -][0-9]{4}\b"),
+    ("PHONE", r"\b[0-9]{3}[ -][0-9]{3}-[0-9]{4}\b"),
+    ("IP", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"),
+]
+
+
+def redact_pii_col(text: Column | str) -> Column:
+    """PII redaction for training corpora: emails, SSNs, card numbers,
+    phone numbers and IPv4 addresses become ``[KIND]`` tokens.
+
+    A chained ``regexp_replace`` — pure codegen expressions evaluated inside
+    the scan's WholeStageCodegen, so redaction adds ZERO exchanges and scales
+    as a map-only pass (the property that matters when scrubbing 100 TB).
+    Pattern scope is deliberately high-precision/conservative (formatted
+    identifiers, not free-text names); recall-heavier NER-style scrubbing
+    belongs in a model-provider seam, not regex.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    for kind, pat in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, f"[{kind}]")
+    return c

@@ -1009,6 +1009,88 @@ FROM documents
 """
 
 
+PII_MAX_ID = 500
+PACK_BUDGET = 2048
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (beyond-reference curation op): testdata is PII-free,
+    so the entry PLANTS deterministic formatted identifiers per doc (email,
+    phone, SSN, card, IPv4) and scrubs them with the chained-regexp operator
+    — pure codegen expressions, a map-only pass at any scale. The oracle
+    replays the same plant+scrub in DuckDB (patterns restricted to the
+    Java/RE2-common regex subset)."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import (  # noqa: PLC0415
+        redact_pii_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < PII_MAX_ID)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 60),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-123-4567 ssn 123-45-6789"),
+            F.lit(" card 1234 5678 9012 3456 ip 10.0.0."),
+            (F.col("doc_id") % 255).cast("string"),
+        ).alias("raw"),
+    )
+    return planted.select("doc_id", redact_pii_col("raw").alias("clean"))
+
+
+def _sql_pii_redact() -> str:
+    from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import (  # noqa: PLC0415
+        PII_PATTERNS,
+    )
+
+    expr = "raw"
+    for kind, pat in PII_PATTERNS:
+        escaped = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{escaped}', '[{kind}]', 'g')"
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         substr(text, 1, 60) || ' contact user' || CAST(doc_id AS VARCHAR) ||
+         '@example.com or 555-123-4567 ssn 123-45-6789' ||
+         ' card 1234 5678 9012 3456 ip 10.0.0.' || CAST(doc_id % 255 AS VARCHAR) AS raw
+  FROM documents WHERE doc_id < {PII_MAX_ID})
+SELECT doc_id, {expr} AS clean FROM planted
+"""
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing (beyond-reference curation op): docs fill
+    {PACK_BUDGET}-token bins per language shard — ONE partitioned window
+    (single hash exchange on the shard key), never a global sort; order key
+    is data (doc_id) so bins are retry-deterministic."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.packing import (  # noqa: PLC0415
+        pack_contiguous,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", token_count_col("text").alias("n_tokens"))
+    return pack_contiguous(
+        toks, "doc_id", "n_tokens", budget=PACK_BUDGET, partition_by=["lang"]
+    ).orderBy("doc_id")
+
+
+def _sql_pack_sequences() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, lang,
+                  CAST(len({_TOKS.format(col='text')}) AS INT) AS n_tokens
+           FROM documents)
+SELECT doc_id, lang, n_tokens,
+       CAST(floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id)
+                   - n_tokens) / {PACK_BUDGET}.0) AS BIGINT) AS bin_id,
+       n_tokens > {PACK_BUDGET} AS overflow
+FROM t
+ORDER BY doc_id
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punct/stopword/word-length bands."""
     _prep(spark)
@@ -2036,4 +2118,8 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META),
     "rag_pipeline": QuerySpec(q_rag_pipeline, None),
     "ddl_reference_pipeline": QuerySpec(q_ddl_reference_pipeline, None),
+    # beyond-reference curation ops added after the window composition was
+    # fixed: oracle-backed and pytest-covered, outside the driver window
+    "pii_redact": QuerySpec(q_pii_redact, _sql_pii_redact()),
+    "pack_sequences": QuerySpec(q_pack_sequences, _sql_pack_sequences()),
 }

@@ -98,3 +98,23 @@ def test_vector_math(spark):
     assert rows[0]["d"] == 0.0 and rows[0]["c"] == 0.0
     assert math.isclose(rows[1]["c"], 1.0, rel_tol=1e-9)
     assert math.isclose(rows[1]["n"], math.sqrt(5), rel_tol=1e-9)
+
+
+def test_redact_pii_all_kinds(spark):
+    from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import redact_pii_col
+
+    raw = ("mail a.user+tag@sub.example.org phone 555-123-4567 "
+           "ssn 123-45-6789 card 1234 5678-9012 3456 ip 192.168.0.1 done")
+    out = spark.createDataFrame([(raw,)], ["t"]).select(
+        redact_pii_col("t").alias("c")).head()["c"]
+    assert out == "mail [EMAIL] phone [PHONE] ssn [SSN] card [CARD] ip [IP] done"
+
+
+def test_redact_pii_leaves_clean_text_and_near_misses(spark):
+    from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import redact_pii_col
+
+    # near-misses: 2-3-4 digit groups, version strings, bare numbers
+    raw = "version 1.2.3 order 12-34-5678 total 12345 at example.com"
+    out = spark.createDataFrame([(raw,)], ["t"]).select(
+        redact_pii_col("t").alias("c")).head()["c"]
+    assert out == raw

@@ -464,3 +464,34 @@ def test_recent_top_n_global_and_partitioned(spark):
     out = p.collect()
     assert len(out) == 4
     assert all(r["seq"] >= 8 for r in out)
+
+
+def test_pack_contiguous_bins_and_overflow(spark):
+    from flink_sql_ai_meetingcoach_azure_spark.operators.packing import pack_contiguous
+
+    rows = [
+        # shard A: 600+600 fill bin0 (budget 1500), 500 pushes cum to 1700 ->
+        # doc 3 straddles; doc 4 starts after cum_before=2200 -> bin1
+        ("a", 1, 600), ("a", 2, 600), ("a", 3, 500), ("a", 4, 600),
+        # shard B: independent numbering; 2000 alone exceeds the budget
+        ("b", 1, 2000), ("b", 2, 100),
+    ]
+    df = spark.createDataFrame(rows, ["shard", "doc", "toks"])
+    out = {(r["shard"], r["doc"]): r for r in pack_contiguous(
+        df, "doc", "toks", budget=1500, partition_by=["shard"]).collect()}
+    assert [out[("a", i)]["bin_id"] for i in (1, 2, 3, 4)] == [0, 0, 0, 1]
+    assert [out[("b", i)]["bin_id"] for i in (1, 2)] == [0, 1]
+    assert out[("b", 1)]["overflow"] is True
+    assert not any(out[k]["overflow"] for k in out if k != ("b", 1))
+
+
+def test_pack_contiguous_plan_is_one_partitioned_window(spark):
+    """Packing must stay a per-shard window — no global sort, no
+    unpartitioned-window warning at 100x the shards."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.packing import pack_contiguous
+
+    df = spark.createDataFrame([("a", 1, 10)], ["shard", "doc", "toks"])
+    plan = pack_contiguous(df, "doc", "toks", 100, partition_by=["shard"])._jdf \
+        .queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert "windowspecdefinition(shard" in plan
