@@ -408,7 +408,9 @@ def _rewrite_global_topn(sql: str) -> str:
     if not mo:
         return sql
     outer_cols, rk, n = mo.group(1), mo.group(2), int(mo.group(3))
-    if re.search(rf"\b{re.escape(rk)}\b", outer_cols, re.I):
+    if "*" in outer_cols or re.search(rf"\b{re.escape(rk)}\b", outer_cols, re.I):
+        # a `*` projection would surface the rank column too — rewriting
+        # would silently drop it from the output schema
         return sql  # rank projected: the window column is genuinely needed
     mb = re.search(r"ROW_NUMBER\s*\(\s*\)\s*OVER\s*\(", body, re.I)
     if not mb:
@@ -861,8 +863,9 @@ class FlinkStatementSession:
         )
         if not m:
             return None
+        outer_cols, inner_cols, src = m.group(1), m.group(2), m.group(3)
         try:
-            parent = self.spark.table(m.group(3))
+            parent = self.spark.table(src)
         except Exception:  # noqa: BLE001 — unknown parent: not our shape
             return None
         if not parent.isStreaming:
@@ -872,15 +875,22 @@ class FlinkStatementSession:
         )
 
         ts_col = re.split(r"[\s,]+", m.group(4).strip())[0]
-        cols = [c.strip() for c in m.group(2).split(",")]
+        # build the sink input through SQL (never split select lists on raw
+        # commas — expression columns contain them) and apply the OUTER
+        # projection so the maintained view's schema matches the statement's
+        try:
+            sink_input = self.spark.sql(
+                f"SELECT {outer_cols} FROM (SELECT {inner_cols} FROM {src}) __topn_src"
+            )
+        except Exception:  # noqa: BLE001 — unexpected shape: stay virtual
+            return None
+        if ts_col not in sink_input.columns:
+            return None  # can't maintain latest-n without the order column
         sink = RecentHistorySink(
             n=int(m.group(5)), ts_col=ts_col, view_name=name, spark=self.spark
         )
         return (
-            parent.selectExpr(*cols)
-            .writeStream.foreachBatch(sink)
-            .outputMode("append")
-            .start()
+            sink_input.writeStream.foreachBatch(sink).outputMode("append").start()
         )
 
     # -- SELECT execution ----------------------------------------------------

@@ -9,8 +9,11 @@ Batch global case: ``orderBy(desc).limit(n)`` — Spark plans
 TakeOrderedAndProject (each task keeps a local top-n heap, the driver merges
 n·num_partitions candidates), NOT an unpartitioned ``row_number`` window,
 which would sort the entire input on a single partition and is the classic
-100-TB scale-killer. Ranks are then assigned driver-side on the ≤n collected
-rows (bounded by contract: n is a view size like 6, never data-sized).
+100-TB scale-killer. Ranks are then assigned on the ≤n surviving rows
+(bounded by contract: n is a view size like 6, never data-sized) without a
+window node: the limited set is coalesced to one sorted partition and
+``monotonically_increasing_id`` enumerates it — lazy, JVM-only, and no
+driver round-trip of row values.
 Streaming: Spark refuses un-partitioned row_number on a stream, so
 streaming/pipeline.py maintains the bounded table via ``foreachBatch``
 (SURVEY.md §7.4.1).
@@ -20,7 +23,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def recent_top_n(
@@ -36,14 +38,13 @@ def recent_top_n(
     timestamps collide (the reference relies on Kafka offset order)."""
     order: list[Column] = [F.desc(ts_col)] + [F.desc(c) for c in (tiebreak or [])]
     if not partition_by:
-        # global top-n: TakeOrderedAndProject + driver-side rank on ≤n rows
-        top = df.orderBy(*order).limit(n)
-        rows = top.collect()  # ordered desc by the plan's sort order
-        schema = T.StructType(
-            list(top.schema.fields) + [T.StructField(rank_col, T.IntegerType(), False)]
-        )
-        ranked = df.sparkSession.createDataFrame(
-            [(*row, i + 1) for i, row in enumerate(rows)], schema
+        # global top-n: TakeOrderedAndProject, then rank the ≤n survivors on
+        # ONE sorted partition — monotonically_increasing_id on partition 0
+        # is the 0-based row position, so rank = mid + 1 with no window node
+        # (an empty-spec WindowExec) and no driver collect
+        top = df.orderBy(*order).limit(n).coalesce(1).sortWithinPartitions(*order)
+        ranked = top.withColumn(
+            rank_col, (F.monotonically_increasing_id() + 1).cast("int")
         )
         return ranked.orderBy(*([ts_col] + (tiebreak or [])))
     w = Window.partitionBy(*partition_by).orderBy(*order)

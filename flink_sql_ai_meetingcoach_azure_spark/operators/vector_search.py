@@ -295,7 +295,11 @@ def embed_and_search_numpy(
                 continue
             qm = np.asarray(provider.embed(pdf[text_col].tolist()), dtype=np.float32)
             if exact:
-                sims = np.round(qm.astype(np.float64) @ mat_n_l.T, 6)
+                # round half AWAY from zero, matching SQL round() — np.round
+                # is half-to-even, which diverges from the oracle on an
+                # exact .5 at the 6th decimal
+                raw = qm.astype(np.float64) @ mat_n_l.T
+                sims = np.sign(raw) * np.floor(np.abs(raw) * 1e6 + 0.5) / 1e6
             else:
                 qn = np.linalg.norm(qm, axis=1)
                 qn[qn == 0] = 1.0

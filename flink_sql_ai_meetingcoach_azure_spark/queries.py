@@ -847,10 +847,11 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: rebuild. The index is persisted in its 100-TB shape — parquet
 #: PARTITIONED BY centroid_id with the Spark-written centroids sidecar — so
 #: probes exercise file-level partition pruning, not an in-memory join.
-_IVF_CACHE: dict[tuple[int, str], str] = {}
+_IVF_CACHE: dict[tuple[str, str], str] = {}
 
 
 def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+    import hashlib  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
     from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # noqa: PLC0415
@@ -858,12 +859,17 @@ def _ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
         write_ivf_index,
     )
 
-    key = (id(spark), sf_dir)
+    # applicationId (not id(spark): CPython recycles ids of dead sessions)
+    # + a DETERMINISTIC path per (app, sf_dir): rebuilds overwrite in place,
+    # so cache clears never orphan an unbounded trail of temp dirs
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
     path = _IVF_CACHE.get(key)
     if path is None:
         emb = _t(spark, sf_dir, "embeddings")
         ivf, centroids = build_ivf_index(emb.select("vec_id", "embedding"), nlist=8)
-        path = tempfile.mkdtemp(prefix="ivf_idx_") + "/index"
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = f"{tempfile.gettempdir()}/ivf_idx_{app}_{tag}/index"
         write_ivf_index(ivf, centroids, path)
         _IVF_CACHE[key] = path
     return path
@@ -1188,6 +1194,9 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_multimodal_features() -> str:
     n = MM_H * MM_W * 3
+    # the oracle sums ALL 16 bytes of every md5 block while the decoder
+    # truncates the stream to n bytes — only equivalent when 16 | n
+    assert n % 16 == 0, "MM_H*MM_W*3 must be a multiple of 16 for the oracle"
     blocks = (n + 15) // 16
     return f"""
 SELECT CAST(doc_id AS VARCHAR) AS media_id, {MM_H} AS height, {MM_W} AS width,
@@ -2054,14 +2063,16 @@ def q_ddl_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Entry order is the driver's check order and the driver verifies the FIRST
-# 50 entries; with 54 entries, 4 always sit outside the window. The tail is
+# 50 entries; with 56 entries, 6 sit outside the window. The tail is
 # therefore a deliberate choice: the 2 rows-only entries (rag_pipeline,
 # ddl_reference_pipeline — model-UDF chains whose verified twins
 # rag_pipeline_verified / rag_pipeline_bulk / ddl_ctas_topn ARE hash-checked
-# in-window) plus 2 oracle-backed entries each strictly subsumed by an
+# in-window), 2 oracle-backed entries each strictly subsumed by an
 # in-window hash-checked superset (rag_retrieval ⊂ rag_pipeline_verified;
-# multimodal_meta ⊂ multimodal_features). Every SURVEY §2 operator keeps an
-# in-window oracle-checked entry.
+# multimodal_meta ⊂ multimodal_features), and the 2 post-window-fix
+# beyond-reference additions (pii_redact, pack_sequences — oracle-backed,
+# locally checked via tools/check_correctness.py, pytest-covered). Every
+# SURVEY §2 operator keeps an in-window oracle-checked entry.
 QUERIES: dict[str, QuerySpec] = {
     "filter_route": QuerySpec(q_filter_route, SQL_FILTER_ROUTE),
     "keyword_trigger": QuerySpec(q_keyword_trigger, SQL_KEYWORD_TRIGGER),
