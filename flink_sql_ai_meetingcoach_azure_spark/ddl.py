@@ -747,7 +747,14 @@ class FlinkStatementSession:
             prior = self.insert_bases[name]
             self.insert_bases[name] = new if prior is None else prior.unionByName(new)
         if exists:
-            merged = self.spark.table(name).unionByName(new)
+            prior = self.spark.table(name)
+            if new.isStreaming and not prior.isStreaming:
+                # a STREAMING insert into a declared (empty-batch) table:
+                # the table's content IS the stream of inserted rows —
+                # union with the batch shell is both illegal and empty
+                merged = new
+            else:
+                merged = prior.unionByName(new)
         else:  # reference inserts into Terraform-created tables (:313 note)
             merged = new
             self.tables.setdefault(name, TableSpec(name, new.schema, {}, kind="ctas"))

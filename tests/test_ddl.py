@@ -560,3 +560,43 @@ def test_reference_script_runs_continuously(spark, tmp_path):
     finally:
         for q in handles:
             q.stop()
+
+
+def test_start_continuous_streaming_insert_select_and_virtual_view(spark, tmp_path):
+    """The two start_continuous paths the CTAS test doesn't hit: a
+    journaled INSERT-SELECT over a streaming source becomes its own
+    standing stage query, and a non-Top-N view over a streaming parent
+    stays virtual but composes into downstream consumers."""
+    sess = FlinkStatementSession(spark)
+    src_dir = str(tmp_path / "src")
+    seed = spark.createDataFrame(
+        [(f"m{i}", "prospect" if i % 2 else "bot") for i in range(8)],
+        "message string, speaker string",
+    )
+    seed.write.parquet(src_dir)
+    sess.register_streaming_source(
+        "msgs", spark.readStream.schema(seed.schema).parquet(src_dir)
+    )
+    sess.execute_script("""
+CREATE TABLE routed (message STRING, speaker STRING);
+
+INSERT INTO routed SELECT message, speaker FROM msgs WHERE speaker = 'prospect';
+
+CREATE VIEW shouty AS SELECT upper(message) AS msg FROM routed;
+
+CREATE TABLE shouty_sink AS SELECT msg FROM shouty;
+""")
+    out = str(tmp_path / "stages")
+    handles = sess.start_continuous(out)
+    try:
+        assert len(handles) == 2  # the INSERT stage + the CTAS over the view
+        for _ in range(2):
+            for q in handles:
+                q.processAllAvailable()
+        routed = spark.read.parquet(f"{out}/routed")
+        assert routed.count() == 4
+        sink = spark.read.parquet(f"{out}/shouty_sink")
+        assert {r["msg"] for r in sink.collect()} == {"M1", "M3", "M5", "M7"}
+    finally:
+        for q in handles:
+            q.stop()
