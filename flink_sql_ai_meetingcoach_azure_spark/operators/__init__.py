@@ -37,3 +37,6 @@ from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: F40
     ngram_jaccard_pairs,
     simhash,
 )
+from flink_sql_ai_meetingcoach_azure_spark.operators.packing import (  # noqa: F401
+    pack_contiguous,
+)
