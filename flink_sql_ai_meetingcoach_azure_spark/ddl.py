@@ -215,6 +215,12 @@ def flink_type_to_spark(t: str) -> T.DataType:
             name, _, ftype = f.strip().partition(" ")
             fields.append(T.StructField(name, flink_type_to_spark(ftype)))
         return T.StructType(fields)
+    if u.startswith("MAP"):
+        lt = _scan(s, s.index("<"), "<", ">")
+        kv = _split_top(s[s.index("<") + 1 : lt])
+        if len(kv) != 2:
+            raise ValueError(f"MAP type needs exactly key, value: {t!r}")
+        return T.MapType(flink_type_to_spark(kv[0]), flink_type_to_spark(kv[1]))
     if u.startswith("DECIMAL") or u.startswith("NUMERIC"):
         m = re.match(r"\w+\s*\(\s*(\d+)\s*(?:,\s*(\d+))?\s*\)", s)
         return T.DecimalType(int(m.group(1)), int(m.group(2) or 0)) if m else T.DecimalType()

@@ -103,6 +103,11 @@ def test_flink_types():
             T.StructField("b", T.ArrayType(T.IntegerType())),
         ]
     )
+    # beyond the reference's usage (SURVEY §1.2: design so MAP slots in)
+    assert flink_type_to_spark("MAP<STRING, ARRAY<INT>>") == T.MapType(
+        T.StringType(), T.ArrayType(T.IntegerType())
+    )
+    assert flink_type_to_spark("DECIMAL(12, 2)") == T.DecimalType(12, 2)
 
 
 # string-literal safety properties: whatever a literal contains — statement
