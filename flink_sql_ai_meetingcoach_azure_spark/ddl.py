@@ -816,6 +816,13 @@ class FlinkStatementSession:
         documented translation (SURVEY §7.4.1). Other streaming views stay
         virtual (they compose into their consumers' plans).
 
+        RESTARTABLE: calling this again with the same ``out_root`` (a new
+        process, or after stopping the handles) resumes every stage from its
+        checkpoint — already-committed source files are not reprocessed, so
+        stage topics stay exactly-once across restarts; the Top-N view's
+        in-memory buffer is re-seeded from its materialized source topic so
+        pre-restart history survives.
+
         Returns the started StreamingQuery handles; callers stop them or
         ``processAllAvailable()`` in tests.
         """
@@ -839,7 +846,7 @@ class FlinkStatementSession:
                 continue
             name, body = (m or m_view).group(1), (m or m_view).group(2)
             if m_view:
-                topn_q = self._continuous_topn_view(name, body)
+                topn_q = self._continuous_topn_view(name, body, root)
                 if topn_q is not None:
                     handles.append(topn_q)
                     continue
@@ -863,7 +870,7 @@ class FlinkStatementSession:
             ).createOrReplaceTempView(name)
         return handles
 
-    def _continuous_topn_view(self, name: str, body: str):
+    def _continuous_topn_view(self, name: str, body: str, root: str):
         """The reference's global Top-N monitoring view over a STREAMING
         parent → a started RecentHistorySink query registering ``name``;
         None when the view is not that shape (or the parent is batch)."""
@@ -900,10 +907,29 @@ class FlinkStatementSession:
         if ts_col not in sink_input.columns:
             return None  # can't maintain latest-n without the order column
         sink = RecentHistorySink(
-            n=int(m.group(5)), ts_col=ts_col, view_name=name, spark=self.spark
+            n=int(m.group(5)), ts_col=ts_col, view_name=name, spark=self.spark,
+            dedup=True,
         )
+        # RESTART: the streaming source resumes from its checkpoint, so
+        # pre-restart rows never re-arrive — seed the (in-memory) bounded
+        # buffer from the materialized source topic so the view keeps its
+        # history across restarts (the reference's view is a continuous
+        # query over the full topic, not just post-restart records); rows
+        # committed after the sink's last checkpoint arrive twice (seed +
+        # replay) and collapse via the sink's dedup
+        try:
+            seed = self.spark.sql(
+                f"SELECT {outer_cols} FROM "
+                f"(SELECT {inner_cols} FROM parquet.`{root}/{src}`) __topn_seed"
+            )
+            sink(seed, -1)
+        except Exception:  # noqa: BLE001 — first start: no topic yet
+            pass
         return (
-            sink_input.writeStream.foreachBatch(sink).outputMode("append").start()
+            sink_input.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{root}/_ckpt/__view_{name}")
+            .outputMode("append")
+            .start()
         )
 
     # -- SELECT execution ----------------------------------------------------

@@ -288,11 +288,13 @@ class RecentHistorySink:
         ts_col: str = "rowtime",
         view_name: str | None = "recent_conversation_history",
         spark=None,
+        dedup: bool = False,
     ) -> None:
         self.n = n
         self.ts_col = ts_col
         self.view_name = view_name
         self._spark = spark
+        self._dedup = dedup
         self._lock = threading.Lock()
         self._buf = None  # pandas DataFrame
         self._schema = None
@@ -304,6 +306,14 @@ class RecentHistorySink:
         with self._lock:
             self._schema = batch_df.schema
             self._buf = pdf if self._buf is None else pd.concat([self._buf, pdf])
+            if self._dedup:
+                # restart-seeded sinks (ddl.start_continuous) may see a row
+                # both from the seed and from a post-checkpoint replay —
+                # identical full rows collapse to one
+                try:
+                    self._buf = self._buf.drop_duplicates()
+                except TypeError:  # unhashable cells (array columns)
+                    pass
             self._buf = (
                 self._buf.sort_values(self.ts_col, ascending=False)
                 .head(self.n)

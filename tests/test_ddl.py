@@ -605,3 +605,64 @@ CREATE TABLE shouty_sink AS SELECT msg FROM shouty;
     finally:
         for q in handles:
             q.stop()
+
+
+def test_start_continuous_restart_is_exactly_once(spark, tmp_path):
+    """Stop-and-restart semantics (the reference's statements survive
+    restarts via Flink checkpoints): a second start_continuous over the same
+    out_root resumes every stage from its checkpoint — pre-restart source
+    rows are NOT reprocessed into the stage topics — and the Top-N view
+    keeps its pre-restart history (re-seeded from the materialized topic)."""
+    sess = FlinkStatementSession(spark)
+    src_dir = str(tmp_path / "src")
+    out = str(tmp_path / "stages")
+
+    def rows(lo, hi):
+        df = spark.createDataFrame(
+            [(f"m{i}", "prospect", i) for i in range(lo, hi)],
+            "message string, speaker string, seq long",
+        )
+        return df.withColumn("rowtime", F.timestamp_seconds(F.col("seq") + 1_700_000_000)).drop("seq")
+
+    rows(0, 4).write.mode("append").parquet(src_dir)
+    schema = "message string, speaker string, rowtime timestamp"
+    sess.register_streaming_source(
+        "messages_conversation", spark.readStream.schema(schema).parquet(src_dir)
+    )
+    sess.execute_script("""
+CREATE TABLE routed AS
+SELECT message, speaker, rowtime FROM messages_conversation WHERE speaker = 'prospect';
+
+CREATE VIEW recent_conversation_history AS
+WITH ranked AS (
+  SELECT message, speaker, rowtime,
+    ROW_NUMBER() OVER (ORDER BY rowtime DESC) AS rk
+  FROM routed
+)
+SELECT message, speaker, rowtime FROM ranked WHERE rk <= 3;
+""")
+    h1 = sess.start_continuous(out)
+    for _ in range(2):
+        for q in h1:
+            q.processAllAvailable()
+    for q in h1:
+        q.stop()
+    assert spark.read.parquet(f"{out}/routed").count() == 4
+
+    # new source rows land while "down"; restart resumes from checkpoints
+    rows(4, 6).write.mode("append").parquet(src_dir)
+    h2 = sess.start_continuous(out)
+    try:
+        for _ in range(2):
+            for q in h2:
+                q.processAllAvailable()
+        routed = spark.read.parquet(f"{out}/routed")
+        msgs = [r["message"] for r in routed.collect()]
+        assert sorted(msgs) == [f"m{i}" for i in range(6)]  # exactly once
+        assert len(msgs) == len(set(msgs))
+        # view: latest-3 spans the restart (m5, m4 new; m3 pre-restart)
+        hist = [r["message"] for r in spark.table("recent_conversation_history").collect()]
+        assert hist == ["m3", "m4", "m5"]
+    finally:
+        for q in h2:
+            q.stop()
