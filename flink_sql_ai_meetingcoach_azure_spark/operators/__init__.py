@@ -39,4 +39,5 @@ from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: F40
 )
 from flink_sql_ai_meetingcoach_azure_spark.operators.packing import (  # noqa: F401
     pack_contiguous,
+    write_training_shards,
 )

@@ -50,3 +50,38 @@ def pack_contiguous(
     return df.withColumn(bin_col, (cum_before / F.lit(budget)).cast("bigint")).withColumn(
         "overflow", tok > F.lit(budget)
     )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    split_col: str = "split",
+    key_col: str | None = None,
+    files_per_split: int = 1,
+    order_by: list[str] | None = None,
+) -> None:
+    """Materialize a curated corpus as training shards: one directory per
+    ``split_col`` value (train/val/test), ~``files_per_split`` parquet files
+    per split, each file internally sorted by ``order_by``.
+
+    The layout decisions ARE the operator: file count controls downstream
+    read parallelism and file size (the classic small-files/giant-files
+    trade at 100 TB — tune files_per_split so files land in the 100 MB–1 GB
+    band); in-file ordering keeps packed bins contiguous so a sequential
+    reader streams one bin at a time; file membership hashes a DATA column
+    (``key_col``, default the first order key) so a retried job writes the
+    identical shard assignment — rand()-distributed writes can't.
+
+    One hash exchange total: repartition on (split, file_idx) then a
+    task-local sort feeds ``partitionBy`` directly.
+    """
+    order_by = order_by or []
+    key = key_col or (order_by[0] if order_by else split_col)
+    file_idx = F.pmod(F.xxhash64(F.col(key), F.lit("shardfile")), F.lit(files_per_split))
+    staged = (
+        df.withColumn("__file_idx", file_idx)
+        .repartition(F.col(split_col), F.col("__file_idx"))
+        .sortWithinPartitions(split_col, *order_by)
+        .drop("__file_idx")
+    )
+    staged.write.mode("overwrite").partitionBy(split_col).parquet(path)

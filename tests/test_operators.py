@@ -495,3 +495,44 @@ def test_pack_contiguous_plan_is_one_partitioned_window(spark):
         .queryExecution().explainString(
             spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert "windowspecdefinition(shard" in plan
+
+
+def test_write_training_shards_layout_and_order(spark, tmp_path):
+    import glob
+    import pandas as pd
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.packing import (
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "train" if i % 5 else "val", f"d{i}") for i in range(200)],
+        ["doc_id", "split", "text"],
+    )
+    path = str(tmp_path / "shards")
+    write_training_shards(
+        df, path, split_col="split", files_per_split=4, order_by=["doc_id"]
+    )
+    # one directory per split, rows preserved exactly
+    back = spark.read.parquet(path)
+    assert back.count() == 200
+    assert {r["split"] for r in back.select("split").distinct().collect()} == {"train", "val"}
+    for split, n in (("train", 160), ("val", 40)):
+        files = glob.glob(f"{path}/split={split}/*.parquet")
+        assert 1 <= len(files) <= 4  # ~files_per_split (hash collisions merge)
+        total = 0
+        for f in files:
+            pdf = pd.read_parquet(f)
+            total += len(pdf)
+            # each FILE is internally ordered — sequential readers stream
+            # packed bins contiguously
+            assert pdf["doc_id"].is_monotonic_increasing
+        assert total == n
+    # deterministic: a retried write assigns identical file membership
+    path2 = str(tmp_path / "shards2")
+    write_training_shards(
+        df, path2, split_col="split", files_per_split=4, order_by=["doc_id"]
+    )
+    a = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    b = sorted(tuple(r) for r in spark.read.parquet(path2).collect())
+    assert a == b
