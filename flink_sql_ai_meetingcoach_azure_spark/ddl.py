@@ -894,7 +894,13 @@ class FlinkStatementSession:
             RecentHistorySink,
         )
 
-        ts_col = re.split(r"[\s,]+", m.group(4).strip())[0]
+        # the maintained view always keeps latest-n (max-ts) rows, so only a
+        # DESC global Top-N maps onto it — an ASC shape (oldest-n) must stay
+        # a virtual view rather than silently get inverted semantics
+        order_head = re.split(r",", m.group(4).strip())[0].split()
+        if len(order_head) < 2 or order_head[1].upper() != "DESC":
+            return None
+        ts_col = order_head[0]
         # build the sink input through SQL (never split select lists on raw
         # commas — expression columns contain them) and apply the OUTER
         # projection so the maintained view's schema matches the statement's
@@ -908,7 +914,6 @@ class FlinkStatementSession:
             return None  # can't maintain latest-n without the order column
         sink = RecentHistorySink(
             n=int(m.group(5)), ts_col=ts_col, view_name=name, spark=self.spark,
-            dedup=True,
         )
         # RESTART: the streaming source resumes from its checkpoint, so
         # pre-restart rows never re-arrive — seed the (in-memory) bounded
@@ -916,13 +921,13 @@ class FlinkStatementSession:
         # history across restarts (the reference's view is a continuous
         # query over the full topic, not just post-restart records); rows
         # committed after the sink's last checkpoint arrive twice (seed +
-        # replay) and collapse via the sink's dedup
+        # replay) — the sink trims the seeded copies at the first replayed
+        # batch's min timestamp (RecentHistorySink.seed)
         try:
-            seed = self.spark.sql(
+            sink.seed(self.spark.sql(
                 f"SELECT {outer_cols} FROM "
                 f"(SELECT {inner_cols} FROM parquet.`{root}/{src}`) __topn_seed"
-            )
-            sink(seed, -1)
+            ))
         except Exception:  # noqa: BLE001 — first start: no topic yet
             pass
         return (

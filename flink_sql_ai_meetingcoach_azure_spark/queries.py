@@ -1200,10 +1200,10 @@ def _sql_multimodal_features() -> str:
     blocks = (n + 15) // 16
     return f"""
 SELECT CAST(doc_id AS VARCHAR) AS media_id, {MM_H} AS height, {MM_W} AS width,
-       list_sum(list_transform(range(0, {blocks}), b ->
+       CAST(list_sum(list_transform(range(0, {blocks}), b ->
          list_sum(list_transform(range(0, 16), j ->
            ('0x' || substr(md5(text || chr(0) || CAST(b AS VARCHAR)), j * 2 + 1, 2))::BIGINT
-         )))) AS intensity_sum
+         )))) AS BIGINT) AS intensity_sum
 FROM documents
 WHERE doc_id < {MM_MAX_ID} AND octet_length(encode(text)) > 0
 """

@@ -288,37 +288,53 @@ class RecentHistorySink:
         ts_col: str = "rowtime",
         view_name: str | None = "recent_conversation_history",
         spark=None,
-        dedup: bool = False,
     ) -> None:
         self.n = n
         self.ts_col = ts_col
         self.view_name = view_name
         self._spark = spark
-        self._dedup = dedup
         self._lock = threading.Lock()
         self._buf = None  # pandas DataFrame
         self._schema = None
+        self._seed_overlap_pending = False
+
+    def _batch_top(self, batch_df: DataFrame) -> DataFrame:
+        """Executor-side latest-n of one micro-batch.  ``orderBy(desc).
+        limit(n)`` plans TakeOrderedAndProject — a per-partition bounded
+        heap then an n-row merge on the driver — so a multi-million-row
+        micro-batch never crosses the driver boundary (only ≤ n rows do);
+        the union's top-n is always a subset of buffer ∪ batch-top-n."""
+        return batch_df.orderBy(F.desc(self.ts_col)).limit(self.n)
+
+    def seed(self, snapshot: DataFrame) -> None:
+        """Pre-populate the buffer from a materialized-topic snapshot before
+        (re)starting the stream (ddl.start_continuous restart path).  Rows
+        the topic committed after the view stream's last checkpoint exist in
+        BOTH the snapshot and the post-restart replay; the first replayed
+        micro-batch's min timestamp trims the seeded copies (see __call__),
+        so legitimately duplicate topic rows still count once per occurrence
+        — full-row dedup would collapse them."""
+        pdf = self._batch_top(snapshot).toPandas()
+        with self._lock:
+            self._schema = snapshot.schema
+            self._merge(pdf)
+            self._seed_overlap_pending = True
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        import pandas as pd  # noqa: PLC0415
-
-        pdf = batch_df.toPandas()
+        pdf = self._batch_top(batch_df).toPandas()
         with self._lock:
             self._schema = batch_df.schema
-            self._buf = pdf if self._buf is None else pd.concat([self._buf, pdf])
-            if self._dedup:
-                # restart-seeded sinks (ddl.start_continuous) may see a row
-                # both from the seed and from a post-checkpoint replay —
-                # identical full rows collapse to one
-                try:
-                    self._buf = self._buf.drop_duplicates()
-                except TypeError:  # unhashable cells (array columns)
-                    pass
-            self._buf = (
-                self._buf.sort_values(self.ts_col, ascending=False)
-                .head(self.n)
-                .reset_index(drop=True)
-            )
+            if self._seed_overlap_pending and len(pdf):
+                # overlap trim: everything at/after the earliest replayed
+                # timestamp (of the FULL batch, not its top-n) re-arrives
+                # via the stream, so drop the seeded copies.  Caveat: a
+                # checkpointed row sharing that exact boundary timestamp is
+                # trimmed yet never replayed — ties at the boundary lose.
+                boundary = batch_df.agg(F.min(self.ts_col)).collect()[0][0]
+                if boundary is not None and self._buf is not None:
+                    self._buf = self._buf[self._buf[self.ts_col] < boundary]
+                self._seed_overlap_pending = False
+            self._merge(pdf)
             if self.view_name:
                 ordered = self._buf.sort_values(self.ts_col).reset_index(drop=True)
                 session = self._spark or batch_df.sparkSession
@@ -326,6 +342,16 @@ class RecentHistorySink:
                 view.createOrReplaceGlobalTempView(self.view_name)
                 if self._spark is not None:
                     view.createOrReplaceTempView(self.view_name)
+
+    def _merge(self, pdf) -> None:
+        import pandas as pd  # noqa: PLC0415
+
+        self._buf = pdf if self._buf is None else pd.concat([self._buf, pdf])
+        self._buf = (
+            self._buf.sort_values(self.ts_col, ascending=False)
+            .head(self.n)
+            .reset_index(drop=True)
+        )
 
     def current(self):
         """The view contents, oldest-first (reference re-sorts ASC, :504)."""

@@ -286,6 +286,36 @@ SELECT message, speaker, $rowtime FROM ranked_messages WHERE msg_rank <= 3;
             q.stop()
 
 
+def test_continuous_topn_view_requires_desc(spark, tmp_path):
+    """An ASC global Top-N (oldest-n) must NOT be maintained by the
+    RecentHistorySink (which always keeps max-ts rows) — the translation
+    declines and the view stays virtual (ADVICE r4)."""
+    sess = FlinkStatementSession(spark)
+    src_dir = str(tmp_path / "src")
+    seed = spark.createDataFrame(
+        [(f"m{i}", "p", i) for i in range(4)], "message string, speaker string, seq long"
+    ).withColumn("rowtime", F.timestamp_seconds(F.col("seq") + 1_700_000_000))
+    seed.write.parquet(src_dir)
+    sess.register_streaming_source(
+        "src_msgs", spark.readStream.schema(seed.schema).parquet(src_dir)
+    )
+    asc = ("SELECT message, rowtime FROM "
+           "(SELECT message, rowtime FROM src_msgs ORDER BY rowtime ASC LIMIT 2) AS r")
+    assert sess._continuous_topn_view("v_asc", asc, str(tmp_path / "o1")) is None
+    bare = ("SELECT message, rowtime FROM "
+            "(SELECT message, rowtime FROM src_msgs ORDER BY rowtime LIMIT 2) AS r")
+    assert sess._continuous_topn_view("v_bare", bare, str(tmp_path / "o2")) is None
+    desc = ("SELECT message, rowtime FROM "
+            "(SELECT message, rowtime FROM src_msgs ORDER BY rowtime DESC LIMIT 2) AS r")
+    q = sess._continuous_topn_view("v_desc", desc, str(tmp_path / "o3"))
+    assert q is not None
+    try:
+        q.processAllAvailable()
+        assert [r["message"] for r in spark.table("v_desc").collect()] == ["m2", "m3"]
+    finally:
+        q.stop()
+
+
 def test_ctas_refresh_picks_up_new_inserts(spark):
     sess = FlinkStatementSession(spark)
     sess.execute("CREATE TABLE `e`.`c`.src (message STRING NOT NULL, speaker STRING)")

@@ -405,6 +405,48 @@ def test_recent_history_view_updates_mid_stream(spark, tmp_path):
     assert second == ["a2", "a3"]  # bounded at n=2, latest wins
 
 
+def test_recent_history_sink_plans_take_ordered(spark):
+    """Scale guard: the per-batch work must plan TakeOrderedAndProject (a
+    bounded per-partition heap; ≤ n rows ever reach the driver), never a
+    full-batch collect — mirror of test_plans.py's batch Top-N check."""
+    sink = RecentHistorySink(n=6, ts_col="rowtime", spark=spark)
+    batch = spark.range(1000).select(
+        F.col("id").alias("seq"), F.timestamp_seconds(F.col("id")).alias("rowtime")
+    )
+    plan = sink._batch_top(batch)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_recent_history_seed_overlap_trim(spark):
+    """Restart semantics: rows committed after the view stream's checkpoint
+    are in BOTH the seed snapshot and the replay — the first replayed
+    batch's min ts trims the seeded copies.  Legitimately duplicate topic
+    rows (same message/speaker/rowtime twice) must still count twice; the
+    old full-row dedup collapsed them (ADVICE r4)."""
+    schema = "message string, speaker string, rowtime timestamp"
+
+    def df(rows):
+        return spark.createDataFrame(rows, schema).select(
+            "message", "speaker", F.col("rowtime").cast("timestamp").alias("rowtime")
+        )
+
+    import datetime as dt
+
+    def ts(s):
+        return dt.datetime(2026, 1, 1, 10, 0, s)
+
+    sink = RecentHistorySink(n=4, ts_col="rowtime", spark=spark)
+    # topic snapshot: m0..m3, where m2 appears twice LEGITIMATELY and
+    # m2/m2/m3 were committed after the view stream's last checkpoint
+    sink.seed(df([("m0", "p", ts(0)), ("m1", "p", ts(1)),
+                  ("m2", "p", ts(2)), ("m2", "p", ts(2)), ("m3", "p", ts(3))]))
+    # replay re-delivers the post-checkpoint rows, plus a new m4
+    sink(df([("m2", "p", ts(2)), ("m2", "p", ts(2)),
+             ("m3", "p", ts(3)), ("m4", "p", ts(4))]), 0)
+    cur = sink.current()
+    assert list(cur["message"]) == ["m2", "m2", "m3", "m4"]  # no double-count
+
+
 def test_reset_stream_state_replays_from_start(spark, tmp_path):
     """T6: checkpoint reset = the reference's consumer-group offset reset
     (app/scripts/kafka/reset_consumer_group.py:22-44). After reset, a
