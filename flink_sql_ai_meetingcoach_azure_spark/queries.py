@@ -2067,12 +2067,16 @@ def q_ddl_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 # therefore a deliberate choice: the 2 rows-only entries (rag_pipeline,
 # ddl_reference_pipeline — model-UDF chains whose verified twins
 # rag_pipeline_verified / rag_pipeline_bulk / ddl_ctas_topn ARE hash-checked
-# in-window), 2 oracle-backed entries each strictly subsumed by an
+# in-window), and 4 oracle-backed entries each strictly subsumed by an
 # in-window hash-checked superset (rag_retrieval ⊂ rag_pipeline_verified;
-# multimodal_meta ⊂ multimodal_features), and the 2 post-window-fix
-# beyond-reference additions (pii_redact, pack_sequences — oracle-backed,
-# locally checked via tools/check_correctness.py, pytest-covered). Every
-# SURVEY §2 operator keeps an in-window oracle-checked entry.
+# multimodal_meta ⊂ multimodal_features; minhash_signatures ⊂ lsh_pairs
+# and simhash ⊂ simhash_pairs — the pair queries recompute the signatures
+# they band).  That puts the two beyond-reference curation operators
+# (pii_redact, pack_sequences) INSIDE the window.  Every SURVEY §2
+# operator keeps an in-window oracle-checked entry; the out-of-window
+# oracle-backed entries stay covered by tools/check_correctness.py (full
+# run, no window) and the exact tail list is pinned by
+# tests/test_entry_contract.py.
 QUERIES: dict[str, QuerySpec] = {
     "filter_route": QuerySpec(q_filter_route, SQL_FILTER_ROUTE),
     "keyword_trigger": QuerySpec(q_keyword_trigger, SQL_KEYWORD_TRIGGER),
@@ -2095,9 +2099,7 @@ QUERIES: dict[str, QuerySpec] = {
     "anti_join": QuerySpec(q_anti_join, SQL_ANTI_JOIN),
     "set_ops": QuerySpec(q_set_ops, SQL_SET_OPS),
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
-    "minhash_signatures": QuerySpec(q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "lsh_pairs": QuerySpec(q_lsh_pairs, _sql_lsh_pairs()),
-    "simhash": QuerySpec(q_simhash, _sql_simhash()),
     "simhash_pairs": QuerySpec(q_simhash_pairs, _sql_simhash_pairs()),
     "ngram_jaccard": QuerySpec(q_ngram_jaccard, _sql_ngram_jaccard()),
     "embedding_cosine_pairs": QuerySpec(q_embedding_cosine_pairs, SQL_EMBEDDING_COSINE_PAIRS),
@@ -2122,15 +2124,15 @@ QUERIES: dict[str, QuerySpec] = {
     "deterministic_split": QuerySpec(q_deterministic_split, _sql_deterministic_split()),
     "stratified_sample": QuerySpec(q_stratified_sample, _sql_stratified_sample()),
     "curation_pipeline": QuerySpec(q_curation_pipeline, _sql_curation_pipeline()),
+    "pii_redact": QuerySpec(q_pii_redact, _sql_pii_redact()),
+    "pack_sequences": QuerySpec(q_pack_sequences, _sql_pack_sequences()),
     "ddl_ctas_topn": QuerySpec(q_ddl_ctas_topn, SQL_DDL_CTAS_TOPN),
     "ddl_struct_array": QuerySpec(q_ddl_struct_array, SQL_DDL_STRUCT_ARRAY),
     # --- outside the driver's 50-entry window (see comment above the dict)
     "rag_retrieval": QuerySpec(q_rag_retrieval, _sql_rag_retrieval()),
     "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META),
+    "minhash_signatures": QuerySpec(q_minhash_signatures, SQL_MINHASH_SIGNATURES),
+    "simhash": QuerySpec(q_simhash, _sql_simhash()),
     "rag_pipeline": QuerySpec(q_rag_pipeline, None),
     "ddl_reference_pipeline": QuerySpec(q_ddl_reference_pipeline, None),
-    # beyond-reference curation ops added after the window composition was
-    # fixed: oracle-backed and pytest-covered, outside the driver window
-    "pii_redact": QuerySpec(q_pii_redact, _sql_pii_redact()),
-    "pack_sequences": QuerySpec(q_pack_sequences, _sql_pack_sequences()),
 }

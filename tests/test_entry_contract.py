@@ -25,15 +25,31 @@ def test_entry_contract_shape():
         "ddl_reference_pipeline",
     }, rows_only
     # the driver checks the FIRST 50 entries; the tail is the deliberate
-    # out-of-window set (rows-only chains, oracle-backed entries subsumed
-    # by an in-window hash-checked superset, and post-window-fix additions
-    # — see queries.QUERIES)
+    # out-of-window set (rows-only chains and oracle-backed entries each
+    # subsumed by an in-window hash-checked superset — see queries.QUERIES).
+    # pii_redact / pack_sequences moved INTO the window in round 5.
     assert list(qs)[50:] == [
         "rag_retrieval",
         "multimodal_meta",
+        "minhash_signatures",
+        "simhash",
         "rag_pipeline",
         "ddl_reference_pipeline",
-        "pii_redact",
-        "pack_sequences",
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
+
+
+def test_out_of_window_oracles_stay_green(spark):
+    """The driver never verifies entries past #50, so the subsumption claims
+    for the out-of-window oracle-backed entries could silently drift — run
+    the full gate (rows + schema + dtype drift + values vs DuckDB) for
+    exactly those entries at sf0.001 on every pytest run (ADVICE r4)."""
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from tools.check_correctness import check_entries
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    tail_oracle_backed = [n for n in list(qs)[50:] if n in oracles]
+    assert tail_oracle_backed  # the set exists by construction
+    failures = check_entries(spark, "/root/testdata/sf0.001", tail_oracle_backed)
+    assert not failures, failures

@@ -77,10 +77,10 @@ def norm_rows(pdf: pd.DataFrame):
     )
 
 
-def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("correctness-check")
+def check_entries(spark, sf_dir: str, only=()) -> list[str]:
+    """Run the gate for the named entries (all when empty); returns the
+    failing entry names.  Callable from pytest with a shared session."""
+    only = set(only)
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
@@ -143,7 +143,13 @@ def main() -> int:
             failures.append(name)
             continue
         print(f"ok   {name}: {len(s_pdf)} rows match ({time.time()-t0:.1f}s)")
+    return failures
 
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("correctness-check")
+    failures = check_entries(spark, sf_dir, sys.argv[2:])
     print(f"\n{len(failures)} failures: {failures}" if failures else "\nALL OK")
     spark.stop()
     return 1 if failures else 0
