@@ -54,6 +54,11 @@ _QID = "__query_id"
 MAX_BROADCAST_INDEX_ROWS = 1_000_000
 
 
+class IndexTooLargeError(ValueError):
+    """The index crossed the driver-broadcast ceiling; callers with an
+    on-disk IVF index route to :func:`vector_search_ivf_parquet` instead."""
+
+
 def _collect_index_rows(index_df: DataFrame, cols: list[str], max_rows: int | None) -> list:
     """Collect the index for broadcasting, guarded: the limit rides the same
     job (no extra count pass), and crossing it raises with the scale path
@@ -62,11 +67,12 @@ def _collect_index_rows(index_df: DataFrame, cols: list[str], max_rows: int | No
         return index_df.select(*cols).collect()
     rows = index_df.select(*cols).limit(max_rows + 1).collect()
     if len(rows) > max_rows:
-        raise ValueError(
+        raise IndexTooLargeError(
             f"vector-search index exceeds max_index_rows={max_rows}: a "
             "driver-collected broadcast does not survive this scale. Build an "
             "on-disk IVF index (build_ivf_index + write_ivf_index) and probe "
-            "it with vector_search_ivf_parquet (partition-pruned reads), or "
+            "it with vector_search_ivf_parquet (partition-pruned reads), pass "
+            "fallback_path= to vector_search to route there automatically, or "
             "pass a larger max_index_rows explicitly if the driver can hold it."
         )
     return rows
@@ -123,17 +129,51 @@ def vector_search(
     output_col: str = "search_results",
     method: str = "sql",
     max_index_rows: int | None = MAX_BROADCAST_INDEX_ROWS,
+    fallback_path: str | None = None,
+    fallback_nprobe: int = 4,
 ) -> DataFrame:
     """LATERAL TABLE(VECTOR_SEARCH(...)) equivalent: appends
     ``output_col ARRAY<STRUCT<payload...>>`` (top-k by cosine) to every query
     row — the reference's ``search_results`` shape (:379-384).
+
+    ``fallback_path``: an on-disk IVF index (written by
+    :func:`write_ivf_index`) to route to when the index crosses the
+    broadcast ceiling — past ``max_index_rows`` the search transparently
+    becomes a partition-pruned :func:`vector_search_ivf_parquet` probe with
+    ``fallback_nprobe`` cells instead of raising.  With
+    ``fallback_nprobe >= nlist`` the probe is exhaustive, so results are
+    identical to the broadcast path; smaller values trade recall for reads.
     """
     payload_cols = payload_cols or [c for c in index_df.columns if c != index_col]
-    if method == "numpy":
-        return _vector_search_numpy(
-            query_df, index_df, k, query_col, index_col, payload_cols, output_col,
-            max_index_rows=max_index_rows,
+
+    def _route_to_ivf() -> DataFrame:
+        return vector_search_ivf_parquet(
+            query_df,
+            fallback_path,
+            k=k,
+            nprobe=fallback_nprobe,
+            query_col=query_col,
+            index_col=index_col,
+            payload_cols=payload_cols,
+            output_col=output_col,
         )
+
+    if method == "numpy":
+        try:
+            return _vector_search_numpy(
+                query_df, index_df, k, query_col, index_col, payload_cols, output_col,
+                max_index_rows=max_index_rows,
+            )
+        except IndexTooLargeError:
+            if fallback_path is None:
+                raise
+            return _route_to_ivf()
+    # the sql path broadcasts JVM-side (no driver collect), so it is only
+    # guarded when a fallback exists to route to — the size check is one
+    # limit-riding count, paid solely by fallback users
+    if fallback_path is not None and max_index_rows is not None:
+        if index_df.limit(max_index_rows + 1).count() > max_index_rows:
+            return _route_to_ivf()
 
     q = query_df.withColumn(_QID, F.monotonically_increasing_id()).withColumn(
         "__qnorm", norm_col(query_col)

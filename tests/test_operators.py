@@ -268,6 +268,41 @@ def test_vector_search_broadcast_guard(spark):
             MockProvider(dim=3), k=1, payload_cols=["document_id"], max_index_rows=2)
 
 
+def test_vector_search_autoroutes_to_ivf_past_cliff(spark, tmp_path):
+    """With fallback_path set, an index past max_index_rows transparently
+    takes the partition-pruned on-disk IVF path instead of raising — and at
+    nprobe >= nlist the routed results are identical to the broadcast path
+    (both numpy and sql methods)."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (
+        build_ivf_index,
+        write_ivf_index,
+    )
+
+    idx = _index(spark)  # 4 rows
+    ivf, centroids = build_ivf_index(idx, "embedding", nlist=2)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(ivf, centroids, path)
+    q = spark.createDataFrame(
+        [("q1", [1.0, 0.0, 0.0]), ("q2", [0.1, 0.9, 0.0])], ["qid", "embedding"]
+    )
+
+    def names(df):
+        return {r["qid"]: [s["document_id"] for s in r["search_results"]]
+                for r in df.collect()}
+
+    exact = names(vector_search(q, idx, k=2, payload_cols=["document_id"]))
+    for method in ("numpy", "sql"):
+        routed = vector_search(
+            q, idx, k=2, payload_cols=["document_id"], method=method,
+            max_index_rows=3, fallback_path=path, fallback_nprobe=2,
+        )
+        assert names(routed) == exact
+    # without a fallback the guard still raises with guidance
+    with pytest.raises(ValueError, match="fallback_path"):
+        vector_search(q, idx, k=2, payload_cols=["document_id"],
+                      method="numpy", max_index_rows=3)
+
+
 def test_vector_search_flat_rank(spark):
     q = spark.createDataFrame([("q1", [1.0, 0.0, 0.0])], ["qid", "embedding"])
     rows = vector_search_topk_flat(q, _index(spark).select("document_id", "embedding"),
