@@ -110,6 +110,48 @@ def test_flink_types():
     assert flink_type_to_spark("DECIMAL(12, 2)") == T.DecimalType(12, 2)
 
 
+def test_decimal_round_trips_through_create_insert_ctas(spark):
+    """DECIMAL(p,s) end to end: a declared money column survives CREATE
+    TABLE + INSERT VALUES with exact scale, CTAS arithmetic widens
+    precision the SQL-standard way (no float drift), and an explicit
+    CAST(... AS DECIMAL(p,s)) lands on the requested type — the
+    integer-cents-vs-decimal boundary where money users arrive first
+    (SURVEY §1.2 slot-in)."""
+    from decimal import Decimal
+
+    sess = FlinkStatementSession(spark)
+    sess.execute(
+        "CREATE TABLE `e`.`c`.orders_money "
+        "(order_id INT NOT NULL, price DECIMAL(12, 2), qty INT)"
+    )
+    assert dict(spark.table("orders_money").dtypes)["price"] == "decimal(12,2)"
+    sess.execute(
+        "INSERT INTO `e`.`c`.orders_money VALUES "
+        "(1, 19.99, 3), (2, 0.10, 7), (3, 1200.50, 1)"
+    )
+    sess.execute("""
+CREATE TABLE `e`.`c`.order_totals AS
+SELECT order_id,
+       CAST(price * qty AS DECIMAL(14, 2)) AS line_total,
+       CAST(price * qty * 100 AS BIGINT) AS line_total_cents
+FROM `e`.`c`.orders_money
+""")
+    totals = spark.table("order_totals")
+    assert dict(totals.dtypes)["line_total"] == "decimal(14,2)"
+    got = {r["order_id"]: (r["line_total"], r["line_total_cents"])
+           for r in totals.collect()}
+    # 0.10 * 7 is exactly 0.70 in decimal; a float path would drift
+    assert got == {1: (Decimal("59.97"), 5997),
+                   2: (Decimal("0.70"), 70),
+                   3: (Decimal("1200.50"), 120050)}
+    # aggregate keeps decimal typing (Spark widens precision by +10)
+    total = spark.sql("SELECT SUM(line_total) AS s FROM order_totals").collect()[0]["s"]
+    assert total == Decimal("1261.17")
+    # refresh replays the journaled CTAS over the VALUES base losslessly
+    sess.refresh()
+    assert spark.table("order_totals").count() == 3
+
+
 # string-literal safety properties: whatever a literal contains — statement
 # separators, comment markers, qualifiers, subscripts, $rowtime — the
 # rewriter must pass it through untouched
