@@ -17,6 +17,7 @@ in behind the same two lookup methods.
 from __future__ import annotations
 
 import json
+import urllib.parse
 from typing import Protocol
 
 
@@ -137,7 +138,10 @@ class HttpSchemaRegistry:
         return resp.json()
 
     def latest(self, subject: str) -> tuple[int, str]:
-        out = self._get(f"/subjects/{subject}/versions/latest")
+        # subjects are user-controlled names; slashes/spaces must not break
+        # the path or resolve a different route
+        quoted = urllib.parse.quote(subject, safe="")
+        out = self._get(f"/subjects/{quoted}/versions/latest")
         sid, schema = int(out["id"]), out["schema"]
         self._by_id_cache[sid] = schema
         return sid, schema

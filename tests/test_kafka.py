@@ -286,6 +286,24 @@ def test_http_registry_latest_fetches_topic_value_subject():
     ]
 
 
+def test_http_registry_url_encodes_subject():
+    """Confluent subject names may contain slashes/spaces; they must be
+    percent-encoded so they can't break the path or resolve another route
+    (ADVICE r4)."""
+    from flink_sql_ai_meetingcoach_azure_spark.sources.schema_registry import (
+        HttpSchemaRegistry,
+    )
+
+    stub = _StubClient(subjects={}, by_id={})
+    reg = HttpSchemaRegistry("http://sr.example:8081", client=stub)
+    with pytest.raises(KeyError):
+        reg.latest("weird subject/with-slash-value")
+    assert stub.calls == [
+        "http://sr.example:8081/subjects/"
+        "weird%20subject%2Fwith-slash-value/versions/latest"
+    ]
+
+
 def test_http_registry_unknown_subject_is_keyerror_no_autoregister():
     """auto.register.schemas=False semantics: an unknown subject raises
     (KeyError per the protocol) — and the client has no register() at all."""
