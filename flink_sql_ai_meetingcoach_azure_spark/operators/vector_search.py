@@ -278,10 +278,20 @@ def embed_and_search_numpy(
     output_col: str = "search_results",
     exact: bool = False,
     max_index_rows: int | None = MAX_BROADCAST_INDEX_ROWS,
+    fallback_path: str | None = None,
+    fallback_nprobe: int = 4,
 ) -> DataFrame:
     """Fused embed + retrieve: ONE ``mapInPandas`` stage computes the
     embedding (provider batch call) and the GEMM top-k against the broadcast
     index for each Arrow batch.
+
+    ``fallback_path``: like :func:`vector_search`, an on-disk IVF index to
+    route to past the broadcast ceiling — the fused stage un-fuses into an
+    embed pandas-UDF followed by a partition-pruned
+    :func:`vector_search_ivf_parquet` probe (same output schema: query
+    columns + ``embed_col`` + ``output_col``).  The un-fused shape is the
+    right trade past ~1M index rows: the Arrow round-trip it re-pays is
+    dwarfed by not broadcasting the index at all.
 
     Unfused, the pipeline pays two Python worker stages back-to-back (embed
     pandas-UDF, then search ``mapInPandas``) with a full Arrow
@@ -303,7 +313,29 @@ def embed_and_search_numpy(
 
     payload_cols = payload_cols or [c for c in index_df.columns if c != index_col]
     spark = query_df.sparkSession
-    idx_rows = _collect_index_rows(index_df, [*payload_cols, index_col], max_index_rows)
+    try:
+        idx_rows = _collect_index_rows(index_df, [*payload_cols, index_col], max_index_rows)
+    except IndexTooLargeError:
+        if fallback_path is None:
+            raise
+
+        @F.pandas_udf("array<float>")
+        def _embed_udf(s: pd.Series) -> pd.Series:
+            return pd.Series(provider.embed(s.tolist()))
+
+        embedded = query_df.withColumn(
+            embed_col, _embed_udf.asNondeterministic()(F.col(text_col))
+        )
+        return vector_search_ivf_parquet(
+            embedded,
+            fallback_path,
+            k=k,
+            nprobe=fallback_nprobe,
+            query_col=embed_col,
+            index_col=index_col,
+            payload_cols=payload_cols,
+            output_col=output_col,
+        )
     mat = np.asarray([r[index_col] for r in idx_rows], dtype=np.float32)
     if exact:
         mat_n = mat.astype(np.float64)

@@ -303,6 +303,37 @@ def test_vector_search_autoroutes_to_ivf_past_cliff(spark, tmp_path):
                       method="numpy", max_index_rows=3)
 
 
+def test_embed_and_search_autoroutes_to_ivf_past_cliff(spark, tmp_path):
+    """The fused embed+GEMM path un-fuses past the ceiling: an embed
+    pandas-UDF then the partition-pruned IVF probe, same output schema and
+    (at nprobe >= nlist) identical results to the fused broadcast path."""
+    from flink_sql_ai_meetingcoach_azure_spark.models.providers import MockProvider
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (
+        build_ivf_index,
+        embed_and_search_numpy,
+        write_ivf_index,
+    )
+
+    provider = MockProvider(dim=3)
+    idx = _index(spark)  # 4 rows
+    ivf, centroids = build_ivf_index(idx, "embedding", nlist=2)
+    path = str(tmp_path / "ivf")
+    write_ivf_index(ivf, centroids, path)
+    msgs = spark.createDataFrame([("hello",), ("pricing concern",)], ["message"])
+
+    def shape(df):
+        return df.columns, {r["message"]: [s["document_id"] for s in r["search_results"]]
+                            for r in df.collect()}
+
+    fused_cols, fused = shape(embed_and_search_numpy(
+        msgs, idx, provider, k=2, payload_cols=["document_id"]))
+    routed_cols, routed = shape(embed_and_search_numpy(
+        msgs, idx, provider, k=2, payload_cols=["document_id"],
+        max_index_rows=3, fallback_path=path, fallback_nprobe=2))
+    assert routed_cols == fused_cols
+    assert routed == fused
+
+
 def test_vector_search_flat_rank(spark):
     q = spark.createDataFrame([("q1", [1.0, 0.0, 0.0])], ["qid", "embedding"])
     rows = vector_search_topk_flat(q, _index(spark).select("document_id", "embedding"),
