@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "token_stats",
     "top_terms",
     "length_percentiles",
+    "repetition_scores",
     # curation: dedup + stratified downsample + split composed
     "curation_pipeline",
     # PII scrub + sequence packing (beyond-reference curation ops)

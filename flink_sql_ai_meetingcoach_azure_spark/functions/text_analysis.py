@@ -11,7 +11,7 @@ constants so Spark and oracle SQL render from the same source of truth.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from flink_sql_ai_meetingcoach_azure_spark.functions.hashing import md5_bigint_col
@@ -135,3 +135,59 @@ def redact_pii_col(text: Column | str) -> Column:
     for kind, pat in PII_PATTERNS:
         c = F.regexp_replace(c, pat, f"[{kind}]")
     return c
+
+
+def repetition_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Within-document repetition signals — the standard published
+    pretraining-quality filters for boilerplate/spam (duplicate-line and
+    repeated-n-gram fraction rules in the Gopher/MassiveText and RefinedWeb
+    filtering recipes):
+
+    - ``n_tokens``       whitespace token count
+    - ``dup_word_frac``  1 − distinct(tokens)/tokens — pure expression
+                         (``array_distinct``), no exchange
+    - ``top_bigram_frac`` occurrences of the most frequent word bigram over
+                         all bigrams (0.0 when the doc has < 2 tokens)
+
+    Scale shape: the bigram mode needs a per-(doc, gram) count, done as
+    explode → two partial-aggregated ``groupBy`` stages keyed by (doc_id,
+    gram) then doc_id — the same shuffle pattern as the MinHash shingle
+    stage, linear in corpus token count, no driver state.  Both fractions
+    round to 6 dp so the DuckDB oracle reproduces them exactly.
+    """
+    toks = tokens_col(text_col)
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    n = F.size("__toks")
+    stats = base.select(
+        id_col,
+        n.alias("n_tokens"),
+        F.when(n == 0, F.lit(0.0))
+        .otherwise(F.round(F.lit(1) - F.size(F.array_distinct("__toks")) / n, 6))
+        .alias("dup_word_frac"),
+    )
+    grams = base.filter(n >= 2).select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "zip_with(slice(__toks, 1, size(__toks) - 1), "
+                "slice(__toks, 2, size(__toks) - 1), "
+                "(a, b) -> concat(a, ' ', b))"
+            )
+        ).alias("__gram"),
+    )
+    per_doc = (
+        grams.groupBy(id_col, "__gram")
+        .count()
+        .groupBy(id_col)
+        .agg(F.round(F.max("count") / F.sum("count"), 6).alias("__top"))
+    )
+    return stats.join(per_doc, on=id_col, how="left").select(
+        id_col,
+        "n_tokens",
+        "dup_word_frac",
+        F.coalesce(F.col("__top"), F.lit(0.0)).alias("top_bigram_frac"),
+    )

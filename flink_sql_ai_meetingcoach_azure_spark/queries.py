@@ -1015,6 +1015,39 @@ FROM documents
 """
 
 
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc repetition quality signals (Gopher/RefinedWeb-style
+    duplicate-word and top-bigram fractions) — explode + two
+    partial-aggregated groupBys, linear in corpus tokens."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import (  # noqa: PLC0415
+        repetition_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_scores(docs, "doc_id", "text")
+
+
+SQL_REPETITION_SCORES = f"""
+WITH t AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM documents),
+s AS (
+  SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
+         CASE WHEN len(tk) = 0 THEN 0.0
+              ELSE round(1 - len(list_distinct(tk)) / CAST(len(tk) AS DOUBLE), 6)
+         END AS dup_word_frac
+  FROM t),
+g AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> tk[i] || ' ' || tk[i + 1])) AS gram
+  FROM t WHERE len(tk) >= 2),
+gc AS (SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram),
+pd AS (SELECT doc_id, round(MAX(c) / CAST(SUM(c) AS DOUBLE), 6) AS top_bigram_frac
+       FROM gc GROUP BY doc_id)
+SELECT s.doc_id, s.n_tokens, s.dup_word_frac,
+       coalesce(pd.top_bigram_frac, 0.0) AS top_bigram_frac
+FROM s LEFT JOIN pd ON s.doc_id = pd.doc_id
+"""
+
+
 PII_MAX_ID = 500
 PACK_BUDGET = 2048
 
@@ -2135,4 +2168,7 @@ QUERIES: dict[str, QuerySpec] = {
     "simhash": QuerySpec(q_simhash, _sql_simhash()),
     "rag_pipeline": QuerySpec(q_rag_pipeline, None),
     "ddl_reference_pipeline": QuerySpec(q_ddl_reference_pipeline, None),
+    # r5 addition: repetition quality signals — out-of-window by position,
+    # verified by the pytest out-of-window gate like the rest of the tail
+    "repetition_scores": QuerySpec(q_repetition_scores, SQL_REPETITION_SCORES),
 }

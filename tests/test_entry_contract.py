@@ -35,6 +35,7 @@ def test_entry_contract_shape():
         "simhash",
         "rag_pipeline",
         "ddl_reference_pipeline",
+        "repetition_scores",
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

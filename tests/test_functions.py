@@ -118,3 +118,26 @@ def test_redact_pii_leaves_clean_text_and_near_misses(spark):
     out = spark.createDataFrame([(raw,)], ["t"]).select(
         redact_pii_col("t").alias("c")).head()["c"]
     assert out == raw
+
+
+def test_repetition_scores_crafted(spark):
+    from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import (
+        repetition_scores,
+    )
+
+    rows = [
+        (1, "buy now buy now buy now"),        # 6 tokens, 2 distinct
+        (2, "all words here are unique"),      # no repetition
+        (3, "one"),                            # < 2 tokens: no bigrams
+        (4, ""),                               # empty doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in repetition_scores(df).collect()}
+    assert out[1]["n_tokens"] == 6
+    assert out[1]["dup_word_frac"] == round(1 - 2 / 6, 6)
+    # bigrams: [buy now, now buy, buy now, now buy, buy now] -> 3/5
+    assert out[1]["top_bigram_frac"] == 0.6
+    assert out[2]["dup_word_frac"] == 0.0
+    assert out[2]["top_bigram_frac"] == 0.25  # 4 bigrams, all unique
+    assert out[3]["n_tokens"] == 1 and out[3]["top_bigram_frac"] == 0.0
+    assert out[4]["n_tokens"] == 0 and out[4]["dup_word_frac"] == 0.0
