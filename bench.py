@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "simhash_pairs",
     "neardup_dedup",
     "fingerprint",
+    "line_dedup",
+    "decontaminate",
     # similarity search
     "ann_topk",
     "ann_ivf_topk",

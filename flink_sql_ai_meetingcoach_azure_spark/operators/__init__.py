@@ -4,8 +4,10 @@ from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # n
 )
 from flink_sql_ai_meetingcoach_azure_spark.operators.top_n import recent_top_n  # noqa: F401
 from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: F401
+    contamination_flags,
     dedup_exact,
     dedup_keep_best,
+    dedup_lines,
     embedding_lsh_pairs,
     lsh_candidate_pairs,
     minhash_signatures,

@@ -488,3 +488,94 @@ def embedding_lsh_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .select("id_a", "id_b", "cos_sim")
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    out_col: str = "clean_text",
+) -> DataFrame:
+    """Corpus-level exact line deduplication — the RefinedWeb/CCNet-style
+    boilerplate pass: a line whose exact content appears in >= ``min_docs``
+    DISTINCT documents (headers, footers, cookie banners, nav chrome) is
+    removed from EVERY document; blank lines are never dup-counted.
+
+    Returns one row per input document: (id_col, out_col) with surviving
+    lines rejoined in original order ('' when every line was boilerplate).
+
+    Scale shape: posexplode (no shuffle) → per-line distinct-doc count (one
+    partial-aggregated shuffle keyed by line) → left_anti join back on line
+    → per-doc reassembly (one shuffle keyed by id).  Line text is the join
+    key; at 100 TB swap it for ``md5(line)`` to cut shuffle width — the
+    structure is unchanged.
+    """
+    lines = df.select(
+        F.col(id_col), F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line")
+    )
+    dup = (
+        lines.filter(F.trim(F.col("line")) != "")
+        .groupBy("line")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("line")
+    )
+    kept = lines.join(dup, on="line", how="left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"]
+            ),
+            "\n",
+        ).alias(out_col)
+    )
+    # a doc whose every line was removed must still appear, as ''
+    return df.select(id_col).join(rebuilt, on=id_col, how="left").select(
+        id_col, F.coalesce(F.col(out_col), F.lit("")).alias(out_col)
+    )
+
+
+def contamination_flags(
+    corpus_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_text_col: str | None = None,
+    n: int = 8,
+) -> DataFrame:
+    """Benchmark decontamination: flag every corpus document sharing at
+    least one word ``n``-gram shingle with the eval/benchmark set (the
+    standard published n-gram-collision test for train/test contamination).
+
+    Returns (id_col, n_collisions, contaminated) for EVERY corpus doc.
+
+    Scale shape: the eval set is small by nature (benchmarks are thousands
+    of rows, the corpus is the 100-TB side), so its distinct shingle set is
+    BROADCAST and the collision check is a map-side join against the
+    corpus shingle stream — no corpus-sized shuffle; the per-doc count is
+    one partial-aggregated exchange over the (rare) colliding rows only.
+    """
+    eval_text_col = eval_text_col or text_col
+    c = shingles(corpus_df, id_col, text_col, n=n, distinct=True)
+    e = (
+        shingles(
+            eval_df.select(F.monotonically_increasing_id().alias("__eid"), eval_text_col),
+            "__eid",
+            eval_text_col,
+            n=n,
+            distinct=False,
+        )
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        c.join(F.broadcast(e), on="shingle")
+        .groupBy(id_col)
+        .agg(F.countDistinct("shingle").alias("n_collisions"))
+    )
+    return corpus_df.select(id_col).join(hits, on=id_col, how="left").select(
+        id_col,
+        F.coalesce(F.col("n_collisions"), F.lit(0)).cast("int").alias("n_collisions"),
+        (F.coalesce(F.col("n_collisions"), F.lit(0)) > 0).alias("contaminated"),
+    )

@@ -723,6 +723,92 @@ ORDER BY id_a, id_b
 """
 
 
+LINE_DEDUP_MAX_ID = 300
+CONTAM_N = 8
+
+
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level exact line dedup (RefinedWeb/CCNet boilerplate pass).
+    Testdata docs are single-line, so the entry BUILDS multi-line docs with
+    a shared promo header (every doc), a shared footer (every 3rd doc) and
+    unique content slices — the operator must strip exactly the shared
+    lines from every document and keep the rest in order."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import dedup_lines  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < LINE_DEDUP_MAX_ID)
+    built = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("PROMO HEADER SUBSCRIBE NOW\n"),
+            F.substring("text", 1, 40),
+            F.lit("\n"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit("COPYRIGHT FOOTER 2026"))
+            .otherwise(F.substring("text", 41, 40)),
+            F.lit("\n"),
+            F.substring("text", 81, 40),
+        ).alias("text"),
+    )
+    return dedup_lines(built, "doc_id", "text", min_docs=2)
+
+
+SQL_LINE_DEDUP = f"""
+WITH built AS (
+  SELECT doc_id,
+    'PROMO HEADER SUBSCRIBE NOW' || chr(10) ||
+    substr(text, 1, 40) || chr(10) ||
+    CASE WHEN doc_id % 3 = 0 THEN 'COPYRIGHT FOOTER 2026' ELSE substr(text, 41, 40) END
+      || chr(10) ||
+    substr(text, 81, 40) AS t
+  FROM documents WHERE doc_id < {LINE_DEDUP_MAX_ID}),
+l AS (SELECT doc_id,
+             unnest(string_split(t, chr(10))) AS line,
+             unnest(range(1, len(string_split(t, chr(10))) + 1)) AS pos
+      FROM built),
+dup AS (SELECT line FROM l WHERE trim(line) <> ''
+        GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+kept AS (SELECT * FROM l WHERE line NOT IN (SELECT line FROM dup)),
+agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id)
+SELECT b.doc_id, coalesce(a.clean_text, '') AS clean_text
+FROM built b LEFT JOIN agg a ON b.doc_id = a.doc_id
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: n-gram collision flags for every corpus
+    doc against an eval-set stand-in (every 97th document — which overlaps
+    the corpus range, so self-contamination is exercised)."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: PLC0415
+        contamination_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") < LINE_DEDUP_MAX_ID)
+    eval_df = docs.filter(F.col("doc_id") % 97 == 0)
+    return contamination_flags(corpus, eval_df, "doc_id", "text", n=CONTAM_N)
+
+
+SQL_DECONTAMINATE = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id < {LINE_DEDUP_MAX_ID}),
+ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+ct AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM corpus),
+cs AS (SELECT DISTINCT doc_id,
+              array_to_string(list_slice(tk, s, s + {CONTAM_N - 1}), ' ') AS shingle
+       FROM ct, unnest(generate_series(1, greatest(len(tk) - {CONTAM_N - 1}, 1))) AS t(s)),
+et AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM ev),
+es AS (SELECT DISTINCT array_to_string(list_slice(tk, s, s + {CONTAM_N - 1}), ' ') AS shingle
+       FROM et, unnest(generate_series(1, greatest(len(tk) - {CONTAM_N - 1}, 1))) AS t(s)),
+hits AS (SELECT cs.doc_id, count(DISTINCT cs.shingle) AS n_collisions
+         FROM cs JOIN es USING (shingle) GROUP BY cs.doc_id)
+SELECT c.doc_id,
+       CAST(coalesce(h.n_collisions, 0) AS INT) AS n_collisions,
+       coalesce(h.n_collisions, 0) > 0 AS contaminated
+FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs over a bounded id range (the LSH-verify
     stage in a full near-dup pipeline)."""
@@ -2168,7 +2254,10 @@ QUERIES: dict[str, QuerySpec] = {
     "simhash": QuerySpec(q_simhash, _sql_simhash()),
     "rag_pipeline": QuerySpec(q_rag_pipeline, None),
     "ddl_reference_pipeline": QuerySpec(q_ddl_reference_pipeline, None),
-    # r5 addition: repetition quality signals — out-of-window by position,
-    # verified by the pytest out-of-window gate like the rest of the tail
+    # r5 additions: repetition quality signals, corpus line dedup, and
+    # benchmark decontamination — out-of-window by position, verified by
+    # the pytest out-of-window gate like the rest of the tail
     "repetition_scores": QuerySpec(q_repetition_scores, SQL_REPETITION_SCORES),
+    "line_dedup": QuerySpec(q_line_dedup, SQL_LINE_DEDUP),
+    "decontaminate": QuerySpec(q_decontaminate, SQL_DECONTAMINATE),
 }

@@ -36,6 +36,8 @@ def test_entry_contract_shape():
         "rag_pipeline",
         "ddl_reference_pipeline",
         "repetition_scores",
+        "line_dedup",
+        "decontaminate",
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

@@ -602,3 +602,58 @@ def test_write_training_shards_layout_and_order(spark, tmp_path):
     a = sorted(tuple(r) for r in spark.read.parquet(path).collect())
     b = sorted(tuple(r) for r in spark.read.parquet(path2).collect())
     assert a == b
+
+
+def test_dedup_lines_strips_corpus_boilerplate(spark):
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import dedup_lines
+
+    rows = [
+        (1, "HEADER\nalpha beta\nFOOTER"),
+        (2, "HEADER\ngamma delta\nFOOTER"),
+        (3, "HEADER\nepsilon zeta"),
+        (4, "HEADER"),              # all-boilerplate doc -> ''
+        (5, "solo line stays"),     # unique single-line doc
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["clean_text"] for r in dedup_lines(df).collect()}
+    assert out == {
+        1: "alpha beta",
+        2: "gamma delta",
+        3: "epsilon zeta",
+        4: "",
+        5: "solo line stays",
+    }
+
+
+def test_dedup_lines_preserves_order_and_blank_lines(spark):
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import dedup_lines
+
+    rows = [
+        (1, "DUP\na\n\nb\nDUP\nc"),   # blank line kept, both DUPs removed
+        (2, "DUP\nx"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["clean_text"] for r in dedup_lines(df).collect()}
+    assert out[1] == "a\n\nb\nc"
+    assert out[2] == "x"
+
+
+def test_contamination_flags_ngram_collisions(spark):
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import contamination_flags
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "completely different words having zero overlap whatsoever here now"),
+            (3, "prefix words then the quick brown fox jumps over the lazy dog"),
+        ],
+        ["doc_id", "text"],
+    )
+    eval_df = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",)], ["text"]
+    )
+    out = {r["doc_id"]: (r["n_collisions"], r["contaminated"])
+           for r in contamination_flags(corpus, eval_df, n=8).collect()}
+    assert out[1][1] is True and out[1][0] >= 1
+    assert out[2] == (0, False)
+    assert out[3][1] is True  # contains the full eval 9-gram -> shares 8-grams
