@@ -657,3 +657,41 @@ def test_contamination_flags_ngram_collisions(spark):
     assert out[1][1] is True and out[1][0] >= 1
     assert out[2] == (0, False)
     assert out[3][1] is True  # contains the full eval 9-gram -> shares 8-grams
+
+
+def test_dedup_lines_matches_python_reference_on_random_corpus(spark):
+    """Randomized corpus (seeded) vs a pure-Python reference implementation
+    of the same spec: lines drawn from a small pool force plenty of
+    cross-document duplicates, including all-dup and empty docs."""
+    import random
+
+    rng = random.Random(42)
+    pool = [f"line pool entry {i}" for i in range(12)]  # small -> many dups
+    docs = []
+    for d in range(40):
+        k = rng.randint(0, 6)
+        lines = [
+            rng.choice(pool) if rng.random() < 0.6 else f"unique {d} {j}"
+            for j in range(k)
+        ]
+        docs.append((d, "\n".join(lines)))
+
+    min_docs = 2
+    from collections import defaultdict
+
+    by_line = defaultdict(set)
+    for d, t in docs:
+        for ln in t.split("\n"):
+            if ln.strip():
+                by_line[ln].add(d)
+    dup = {ln for ln, ds in by_line.items() if len(ds) >= min_docs}
+    expected = {
+        d: "\n".join(ln for ln in t.split("\n") if ln not in dup) for d, t in docs
+    }
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r["doc_id"]: r["clean_text"]
+           for r in dedup_lines(df, min_docs=min_docs).collect()}
+    assert got == expected
