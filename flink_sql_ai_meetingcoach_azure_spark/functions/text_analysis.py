@@ -191,3 +191,46 @@ def repetition_scores(
         "dup_word_frac",
         F.coalesce(F.col("__top"), F.lit(0.0)).alias("top_bigram_frac"),
     )
+
+
+#: Gopher-style rule pack (Rae et al. 2021 §A1.1, adapted to the signals
+#: that are pure column expressions in both engines). Name → the rule a
+#: failing document trips; names are emitted in THIS order so the joined
+#: reasons string is deterministic.
+GOPHER_RULES: list[str] = [
+    "too_few_tokens",     # n_tokens < 5
+    "too_many_tokens",    # n_tokens > 5000
+    "bad_mean_word_len",  # mean chars/token outside [2, 12]
+    "symbol_heavy",       # non-word/non-space chars > 25% of chars
+    "digit_heavy",        # digits > 30% of chars
+]
+
+
+def gopher_filter_cols(text: Column | str) -> tuple[Column, Column]:
+    """(passes BOOLEAN, reasons STRING) for the Gopher-style rule pack.
+
+    Every signal is an integer count or a ratio of two integers — the
+    double divisions are bit-identical across engines, so threshold
+    comparisons cannot drift. ``reasons`` joins the tripped rule names in
+    the fixed GOPHER_RULES order ('' when the document passes), making the
+    whole verdict hash-assertable. Pure map — stays inside the scan's
+    WholeStageCodegen at any corpus size.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c)
+    n_tokens = token_count_col(c)
+    n_symbol = n_chars - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    n_digit = n_chars - F.length(F.regexp_replace(c, r"[0-9]", ""))
+    mean_wl = n_chars / F.greatest(n_tokens, F.lit(1))
+    checks = [
+        n_tokens < 5,
+        n_tokens > 5000,
+        (mean_wl < 2) | (mean_wl > 12),
+        n_symbol / F.greatest(n_chars, F.lit(1)) > 0.25,
+        n_digit / F.greatest(n_chars, F.lit(1)) > 0.30,
+    ]
+    flags = F.array(
+        *[F.when(cond, F.lit(name)) for name, cond in zip(GOPHER_RULES, checks)]
+    )
+    tripped = F.filter(flags, lambda x: x.isNotNull())
+    return F.size(tripped) == 0, F.concat_ws(",", tripped)

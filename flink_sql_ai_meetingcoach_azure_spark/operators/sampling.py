@@ -104,3 +104,44 @@ def shuffle_by_hash(df: DataFrame, key_col: str, salt: str = "shuffle") -> DataF
     — the unavoidable cost of a global order — but reproducible across
     runs, engines and retries, unlike ``orderBy(rand())``."""
     return df.orderBy(md5_bigint_col(F.col(key_col).cast("string"), salt), key_col)
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    domain_col: str,
+    scale: float = 2.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Temperature-style domain rebalancing: cap every domain at
+    ``ceil(scale * sqrt(n_domain))`` rows, selected deterministically by
+    salted-md5 rank. Sqrt-scaling keeps tail domains intact while
+    flattening dominant ones — the standard pre-training mixture shape
+    (GPT-3/Pile-style sqrt temperature) without a normalization pass.
+
+    Determinism: the quota is ``ceil`` of ``scale * sqrt(bigint)`` —
+    IEEE-754 sqrt is correctly rounded in every engine, so quotas match
+    exactly; selection ranks by the md5-bucket contract (retry-stable,
+    engine-reproducible). Plan: one count aggregate per domain (tiny,
+    broadcast back) + one window partitioned by domain. At extreme skew
+    (one domain ≫ executor memory), pre-thin that domain with
+    :func:`deterministic_sample` at rate ≈ quota/n first — the hash
+    ranking makes the two-stage selection identical to the one-stage one
+    on the surviving rows.
+    """
+    counts = df.groupBy(domain_col).agg(F.count(F.lit(1)).alias("_n"))
+    quota = counts.select(
+        domain_col,
+        F.ceil(F.lit(scale) * F.sqrt(F.col("_n"))).cast("bigint").alias("_quota"),
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(domain_col).orderBy(
+        md5_bigint_col(F.col(key_col).cast("string"), salt), F.col(key_col)
+    )
+    return (
+        df.join(F.broadcast(quota), domain_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_rn", "_quota")
+    )

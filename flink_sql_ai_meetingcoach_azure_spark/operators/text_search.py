@@ -1,0 +1,150 @@
+"""Keyword (BM25) full-text search and hybrid keyword+vector fusion.
+
+Beyond-reference retrieval operators (task mandate alongside the ANN
+family): the reference retrieves knowledge-base chunks by vector
+similarity only (terraform/main.tf:649-669 — Atlas cosine index). A
+production RAG / training-data pipeline also needs *lexical* retrieval —
+exact keyword matches that embeddings blur — and a principled way to fuse
+both rankings (Reciprocal Rank Fusion, Cormack et al. SIGIR'09).
+
+Scale design (100 TB corpus, ~1e3 query batch):
+
+- the query-term set is tiny and known up front → postings are filtered to
+  query terms **before** the tf aggregation, so the explode→groupBy shuffle
+  carries only matching tokens, not the corpus vocabulary;
+- per-term document frequencies and corpus stats (N, avgdl) are
+  kilobyte-sized aggregates → broadcast joins, never a shuffle of the
+  corpus side;
+- every ranking carries an explicit (score DESC, doc_id ASC) tie-break,
+  so ranks are reproducible across engines and partitionings;
+- scores are summed in **integer micro-points** (round(w·1e6) per term,
+  exact BIGINT sum): double summation is order-dependent across
+  partitionings, integer summation is not — the same convention as the
+  repo's integer-cents money math (queries.py header). BM25's ln() is
+  the one libm call; per-term micro-rounding absorbs last-ulp drift
+  before any cross-row arithmetic happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import tokens_col
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+RRF_K = 60  # Cormack et al.'s constant
+
+
+def _doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        tokens_col(text_col).alias("toks"),
+    ).withColumn("dl", F.size("toks"))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+) -> DataFrame:
+    """Per-(query, document) BM25 score.
+
+    ``queries`` has columns (qid BIGINT, term STRING) — one row per query
+    term, already tokenized/lowercased. Returns (qid, doc_id,
+    score_micro BIGINT) — BM25 in integer micro-points (see module
+    docstring); only documents matching ≥1 query term appear.
+
+    Plan shape: the corpus side is exploded then **immediately filtered to
+    query terms** (broadcast semi join) so the tf shuffle is proportional
+    to query-term matches, not corpus tokens. df/N/avgdl are tiny
+    aggregates joined by broadcast. At 100 TB the only corpus-wide pass is
+    the scan+explode+filter, which stays in WholeStageCodegen.
+    """
+    toks = _doc_tokens(docs, id_col, text_col)
+
+    # corpus stats: one tiny aggregate row, broadcast-crossed onto postings
+    stats = toks.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+
+    qterms = queries.select("qid", "term").distinct()
+    uniq_terms = qterms.select("term").distinct()
+
+    postings = (
+        toks.select("doc_id", "dl", F.explode("toks").alias("term"))
+        .join(F.broadcast(uniq_terms), "term")  # prune before the tf shuffle
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        postings.join(F.broadcast(df_t), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf",
+            F.log(
+                (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5))
+                + F.lit(1.0)
+            ),
+        )
+        .withColumn(
+            "w",
+            F.col("idf")
+            * (F.col("tf") * F.lit(k1 + 1.0))
+            / (
+                F.col("tf")
+                + F.lit(k1)
+                * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .withColumn("w_micro", F.round(F.col("w") * 1_000_000).cast("bigint"))
+    )
+    return scored.groupBy("qid", "doc_id").agg(
+        F.sum("w_micro").alias("score_micro")
+    )
+
+
+def top_k_ranks(
+    scored: DataFrame, k: int, score_col: str = "score_micro", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-qid top-k with rank, tie-broken (score DESC, id ASC)."""
+    w = Window.partitionBy("qid").orderBy(F.desc(score_col), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def rrf_fuse(*rank_lists: DataFrame, k: int, rrf_k: int = RRF_K) -> DataFrame:
+    """Reciprocal Rank Fusion over ≥2 (qid, doc_id, rank) lists.
+
+    rrf_micro = Σ_lists round(1e6/(rrf_k + rank)) — exact BIGINT
+    arithmetic from integer ranks, so fusion is bit-deterministic with no
+    epsilon at all. Top-k per qid by (rrf_micro DESC, doc_id ASC). Each
+    input list is already top-k'd (bounded), so the union + groupBy here
+    shuffles O(queries·k·lists) rows — negligible at any corpus scale.
+    """
+    unioned = rank_lists[0].select("qid", "doc_id", "rank")
+    for other in rank_lists[1:]:
+        unioned = unioned.unionByName(other.select("qid", "doc_id", "rank"))
+    fused = unioned.groupBy("qid", "doc_id").agg(
+        F.sum(
+            F.round(F.lit(1_000_000.0) / (F.lit(rrf_k) + F.col("rank"))).cast("bigint")
+        ).alias("rrf_micro"),
+        F.count(F.lit(1)).alias("n_lists"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("rrf_micro"), F.asc("doc_id"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .filter(F.col("fused_rank") <= k)
+    )

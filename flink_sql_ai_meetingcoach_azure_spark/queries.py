@@ -2182,21 +2182,394 @@ def q_ddl_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Entry order is the driver's check order and the driver verifies the FIRST
-# 50 entries; with 56 entries, 6 sit outside the window. The tail is
-# therefore a deliberate choice: the 2 rows-only entries (rag_pipeline,
-# ddl_reference_pipeline — model-UDF chains whose verified twins
-# rag_pipeline_verified / rag_pipeline_bulk / ddl_ctas_topn ARE hash-checked
-# in-window), and 4 oracle-backed entries each strictly subsumed by an
-# in-window hash-checked superset (rag_retrieval ⊂ rag_pipeline_verified;
-# multimodal_meta ⊂ multimodal_features; minhash_signatures ⊂ lsh_pairs
-# and simhash ⊂ simhash_pairs — the pair queries recompute the signatures
-# they band).  That puts the two beyond-reference curation operators
-# (pii_redact, pack_sequences) INSIDE the window.  Every SURVEY §2
-# operator keeps an in-window oracle-checked entry; the out-of-window
-# oracle-backed entries stay covered by tools/check_correctness.py (full
-# run, no window) and the exact tail list is pinned by
-# tests/test_entry_contract.py.
+# 50 entries; with 68 entries, 18 sit outside the window. Window policy
+# (round 5): NEW operators go in-window — external verification is the
+# strongest check an entry can get — and the slots are freed by moving out
+# entries that are (a) multi-round driver-green already and (b) strictly
+# subsumed by an in-window superset. The tail:
+#   - rows-only by nature: rag_pipeline, ddl_reference_pipeline (model-UDF
+#     chains whose verified twins rag_pipeline_verified / rag_pipeline_bulk
+#     / ddl_ctas_topn ARE hash-checked in-window);
+#   - subsumed since r4: rag_retrieval ⊂ rag_pipeline_verified;
+#     multimodal_meta ⊂ multimodal_features; minhash_signatures ⊂
+#     lsh_pairs; simhash ⊂ simhash_pairs;
+#   - moved out in r5 (each ⊂ an in-window superset): order_limit ⊂
+#     recent_history (same TakeOrderedAndProject shape); window_running_sum
+#     ⊂ window_analytics (its run_sum_cents column); anti_join ⊂
+#     neardup_dedup (left_anti core); embedding_cosine_pairs ⊂ ann_topk
+#     (same 6-dp cosine) + embedding_lsh_pairs (pair semantics);
+#     salted_join ⊂ join_revenue_by_nation (join+agg; salting pinned by
+#     tests/test_skew.py); vocab_size ⊂ top_terms (same explode→count
+#     family); deterministic_split + stratified_sample ⊂ curation_pipeline
+#     (composes both); quality_score + token_stats ⊂ quality_filter (same
+#     signal set, rule-pack verdict).
+# Every SURVEY §2 operator keeps an in-window oracle-checked entry; the
+# out-of-window oracle-backed entries stay covered by
+# tools/check_correctness.py (full run, no window) AND by the per-pytest
+# gate test_out_of_window_oracles_stay_green; the exact tail list is pinned
+# by tests/test_entry_contract.py.
+# ---------------------------------------------------------------------------
+# round-5 additions: lexical + hybrid retrieval, semantic clustering,
+# quality rule-pack, mixture sampling, window analytics, rollup
+
+#: fixed keyword benchmark queries over the synthetic vocabulary
+BM25_QUERIES: list[tuple[int, str]] = [
+    (0, "price cost"),
+    (1, "slow fast"),
+    (2, "merge table row"),
+    (3, "hash value"),
+    (4, "scan batch"),
+]
+BM25_K = 5
+HYBRID_K = 8
+CLUSTER_K = 8  # seed centroids: vec_id < CLUSTER_K
+CLUSTER_SAMPLE_M = 10
+
+
+def _bm25_qterms_df(spark: SparkSession):
+    rows = [(qid, t) for qid, text in BM25_QUERIES for t in text.split()]
+    return spark.createDataFrame(rows, "qid bigint, term string")
+
+
+def _sql_bm25_ctes() -> str:
+    """Shared DuckDB CTE block reproducing operators/text_search.py
+    (tokenize → prune to query terms → tf/df/stats → integer micro-point
+    BM25 → per-qid rank)."""
+    vals = ", ".join(
+        f"({qid}, '{t}')" for qid, text in BM25_QUERIES for t in text.split()
+    )
+    toks = _TOKS.format(col="text")
+    return f"""
+qterms(qid, term) AS (VALUES {vals}),
+dt AS (SELECT doc_id, {toks} AS toks FROM documents),
+dt2 AS (SELECT doc_id, toks, len(toks) AS dl FROM dt),
+stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dt2),
+postings AS (
+  SELECT doc_id, dl, term, count(*) AS tf
+  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM dt2)
+  WHERE term IN (SELECT DISTINCT term FROM qterms)
+  GROUP BY doc_id, dl, term),
+dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+bm_scored AS (
+  SELECT q.qid, p.doc_id,
+         CAST(sum(CAST(round(
+           ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+           * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * p.dl / s.avgdl))
+           * 1000000) AS BIGINT)) AS BIGINT) AS score_micro
+  FROM postings p
+  JOIN dfreq d USING (term)
+  JOIN qterms q USING (term)
+  CROSS JOIN stats s
+  GROUP BY q.qid, p.doc_id),
+bm_ranked AS (
+  SELECT qid, doc_id, score_micro,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY score_micro DESC, doc_id ASC) AS rank
+  FROM bm_scored)
+"""
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical (BM25) top-k retrieval — the keyword half of production
+    RAG. Postings are pruned to query terms BEFORE the tf shuffle; stats
+    and df are broadcast; scores are exact integer micro-points
+    (operators/text_search.py)."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.text_search import (  # noqa: PLC0415
+        bm25_scores,
+        top_k_ranks,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = bm25_scores(docs, _bm25_qterms_df(spark))
+    return (
+        top_k_ranks(scored, BM25_K)
+        .select("qid", "doc_id", "score_micro", "rank")
+        .orderBy("qid", "rank")
+    )
+
+
+SQL_BM25_TOPK = f"""
+WITH {_sql_bm25_ctes()}
+SELECT qid, doc_id, score_micro, rank
+FROM bm_ranked WHERE rank <= {BM25_K}
+ORDER BY qid, rank
+"""
+
+
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword ranks ∪ cosine vector ranks fused
+    with Reciprocal Rank Fusion (integer micro-points — exact). Query i
+    pairs keyword query BM25_QUERIES[i] with query vector embedding[i]
+    over the shared id space (doc_id ≡ vec_id in the testdata)."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.text_search import (  # noqa: PLC0415
+        bm25_scores,
+        rrf_fuse,
+        top_k_ranks,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    bm = top_k_ranks(bm25_scores(docs, _bm25_qterms_df(spark)), HYBRID_K)
+
+    qv = emb.filter(F.col("vec_id") < len(BM25_QUERIES)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    sims = emb.crossJoin(F.broadcast(qv)).select(
+        "qid",
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine_similarity_col("embedding", "qvec"), 6).alias("sim"),
+    )
+    wv = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("doc_id"))
+    vec = (
+        sims.withColumn("rank", F.row_number().over(wv))
+        .filter(F.col("rank") <= HYBRID_K)
+    )
+    return (
+        rrf_fuse(bm, vec, k=HYBRID_K)
+        .select("qid", "doc_id", "rrf_micro", "n_lists", "fused_rank")
+        .orderBy("qid", "fused_rank")
+    )
+
+
+SQL_HYBRID_RRF = f"""
+WITH {_sql_bm25_ctes()},
+qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings
+       WHERE vec_id < {len(BM25_QUERIES)}),
+corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+vsims AS (SELECT q.qid, c.vec_id AS doc_id,
+                 round(list_dot_product(q.v, c.v) /
+                       (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS sim
+          FROM qv q CROSS JOIN corpus c),
+vec_ranked AS (SELECT qid, doc_id,
+                      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, doc_id ASC) AS rank
+               FROM vsims),
+lists AS (
+  SELECT qid, doc_id, rank FROM bm_ranked WHERE rank <= {HYBRID_K}
+  UNION ALL
+  SELECT qid, doc_id, rank FROM vec_ranked WHERE rank <= {HYBRID_K}),
+fused AS (
+  SELECT qid, doc_id,
+         CAST(sum(CAST(round(1000000.0 / (60 + rank)) AS BIGINT)) AS BIGINT) AS rrf_micro,
+         count(*) AS n_lists
+  FROM lists GROUP BY qid, doc_id),
+fr AS (SELECT qid, doc_id, rrf_micro, n_lists,
+              row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, doc_id ASC) AS fused_rank
+       FROM fused)
+SELECT qid, doc_id, rrf_micro, n_lists, fused_rank
+FROM fr WHERE fused_rank <= {HYBRID_K}
+ORDER BY qid, fused_rank
+"""
+
+
+def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic clustering + balanced sampling (SemDeDup-style curation):
+    nearest-centroid assignment against broadcast seed centroids
+    (combinable min-struct argmax — one shuffle row per embedding), then a
+    deterministic md5-ranked per-cluster sample
+    (operators/clustering.py)."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.clustering import (  # noqa: PLC0415
+        assign_nearest_centroid,
+        cluster_balanced_sample,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < CLUSTER_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    assigned = assign_nearest_centroid(emb.filter(F.col("vec_id") >= CLUSTER_K), seeds)
+    return (
+        cluster_balanced_sample(assigned, CLUSTER_SAMPLE_M)
+        .select("cluster_id", "vec_id", "sim")
+        .orderBy("cluster_id", "vec_id")
+    )
+
+
+SQL_CLUSTER_SAMPLE = f"""
+WITH seeds AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+               WHERE vec_id < {CLUSTER_K}),
+corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id >= {CLUSTER_K}),
+pairs AS (SELECT c.vec_id, s.cid,
+                 round(list_dot_product(c.v, s.cv) /
+                       (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s.cv, s.cv))), 6) AS sim
+          FROM corpus c CROSS JOIN seeds s),
+best AS (SELECT vec_id, cid AS cluster_id, sim,
+                row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+         FROM pairs),
+assigned AS (SELECT vec_id, cluster_id, sim FROM best WHERE rn = 1),
+ranked AS (SELECT cluster_id, vec_id, sim,
+                  row_number() OVER (PARTITION BY cluster_id
+                                     ORDER BY {md5_bigint_sql("CAST(vec_id AS VARCHAR)", "csample")}, vec_id) AS srn
+           FROM assigned)
+SELECT cluster_id, vec_id, sim FROM ranked WHERE srn <= {CLUSTER_SAMPLE_M}
+ORDER BY cluster_id, vec_id
+"""
+
+
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-pack filtering with per-document audit trail:
+    (passes, reasons) from pure integer/ratio signals — a single
+    WholeStageCodegen map over the scan
+    (functions/text_analysis.py::gopher_filter_cols)."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import (  # noqa: PLC0415
+        gopher_filter_cols,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    passes, reasons = gopher_filter_cols("text")
+    return docs.select(
+        "doc_id",
+        token_count_col("text").alias("n_tokens"),
+        passes.alias("passes"),
+        reasons.alias("reasons"),
+    )
+
+
+_GOPHER_FLAGS_SQL = """list_filter([
+  CASE WHEN n_tokens < 5 THEN 'too_few_tokens' END,
+  CASE WHEN n_tokens > 5000 THEN 'too_many_tokens' END,
+  CASE WHEN mean_wl < 2 OR mean_wl > 12 THEN 'bad_mean_word_len' END,
+  CASE WHEN CAST(n_symbol AS DOUBLE) / greatest(n_chars, 1) > 0.25 THEN 'symbol_heavy' END,
+  CASE WHEN CAST(n_digit AS DOUBLE) / greatest(n_chars, 1) > 0.30 THEN 'digit_heavy' END
+], x -> x IS NOT NULL)"""
+
+SQL_QUALITY_FILTER = f"""
+WITH sig AS (
+  SELECT doc_id,
+         CAST(len({_TOKS.format(col="text")}) AS INT) AS n_tokens,
+         len(text) AS n_chars,
+         len(text) - len(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_symbol,
+         len(text) - len(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+         CAST(len(text) AS DOUBLE) /
+           greatest(CAST(len({_TOKS.format(col="text")}) AS INT), 1) AS mean_wl
+  FROM documents)
+SELECT doc_id, n_tokens,
+       len({_GOPHER_FLAGS_SQL}) = 0 AS passes,
+       coalesce(array_to_string({_GOPHER_FLAGS_SQL}, ','), '') AS reasons
+FROM sig
+"""
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: cap each source at ceil(2·sqrt(n))
+    rows chosen by salted-md5 rank (operators/sampling.py::mixture_sample
+    — sqrt-temperature flattening of dominant domains, retry-stable)."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.sampling import (  # noqa: PLC0415
+        mixture_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return mixture_sample(docs, "doc_id", "source", scale=2.0).select(
+        "source", "doc_id"
+    ).orderBy("source", "doc_id")
+
+
+SQL_MIXTURE_SAMPLE = f"""
+WITH counts AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+quota AS (SELECT source, CAST(ceil(2.0 * sqrt(n)) AS BIGINT) AS q FROM counts),
+ranked AS (SELECT source, doc_id,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY {md5_bigint_sql("CAST(doc_id AS VARCHAR)", "mix")}, doc_id) AS rn
+           FROM documents)
+SELECT r.source, r.doc_id
+FROM ranked r JOIN quota USING (source)
+WHERE r.rn <= quota.q
+ORDER BY r.source, r.doc_id
+"""
+
+
+def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-function battery per user stream: running sum, lag/lead
+    (previous/next amount), ntile quartiles, cume_dist — ONE partitioned
+    window pass, integer-cents values (exact running sums, no float-sum
+    drift). Strict superset of the running-sum-only entry it subsumes."""
+    _prep(spark)
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value_cents",
+        F.sum("value_cents").over(w).alias("run_sum_cents"),
+        F.lag("value_cents").over(w).alias("prev_cents"),
+        F.lead("value_cents").over(w).alias("next_cents"),
+        F.row_number().over(w).alias("rn"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+SQL_WINDOW_ANALYTICS = """
+SELECT event_id, user_id,
+       CAST(round(value * 100) AS BIGINT) AS value_cents,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS run_sum_cents,
+       lag(CAST(round(value * 100) AS BIGINT)) OVER w AS prev_cents,
+       lead(CAST(round(value * 100) AS BIGINT)) OVER w AS next_cents,
+       CAST(row_number() OVER w AS INT) AS rn,
+       CAST(ntile(4) OVER w AS INT) AS quartile,
+       round(cume_dist() OVER w, 6) AS cume
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (nation, order-year) revenue cube: subtotal + grand-total
+    rows in ONE pass (partial-aggregated, no self-union) — the OLAP
+    reporting shape. NULL group slots are coalesced to 'ALL' so every row
+    is hash-assertable."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    joined = (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("n_name"),
+            F.year("o_orderdate").cast("string").alias("o_year"),
+            cents.alias("cents"),
+        )
+    )
+    return (
+        joined.rollup("n_name", "o_year")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("revenue_cents"))
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("o_year", F.lit("ALL")).alias("o_year"),
+            "n_orders",
+            "revenue_cents",
+        )
+        .orderBy("nation", "o_year")
+    )
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT coalesce(n_name, 'ALL') AS nation,
+       coalesce(CAST(year(o_orderdate) AS VARCHAR), 'ALL') AS o_year,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY ROLLUP (n_name, year(o_orderdate))
+ORDER BY nation, o_year
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    # ---- driver-verified window (entries 1-50) ----
     "filter_route": QuerySpec(q_filter_route, SQL_FILTER_ROUTE),
     "keyword_trigger": QuerySpec(q_keyword_trigger, SQL_KEYWORD_TRIGGER),
     "case_dispatch": QuerySpec(q_case_dispatch, SQL_CASE_DISPATCH),
@@ -2205,8 +2578,6 @@ QUERIES: dict[str, QuerySpec] = {
     "explode_chunks": QuerySpec(q_explode_chunks, SQL_EXPLODE_CHUNKS),
     "topn_per_user": QuerySpec(q_topn_per_user, SQL_TOPN_PER_USER),
     "recent_history": QuerySpec(q_recent_history, SQL_RECENT_HISTORY),
-    "order_limit": QuerySpec(q_order_limit, SQL_ORDER_LIMIT),
-    "window_running_sum": QuerySpec(q_window_running_sum, SQL_WINDOW_RUNNING_SUM),
     "tumbling_window": QuerySpec(q_tumbling_window, SQL_TUMBLING_WINDOW),
     "session_window": QuerySpec(q_session_window, SQL_SESSION_WINDOW),
     "concat_prompt": QuerySpec(q_concat_prompt, SQL_CONCAT_PROMPT),
@@ -2215,49 +2586,55 @@ QUERIES: dict[str, QuerySpec] = {
     "path_extract": QuerySpec(q_path_extract, SQL_PATH_EXTRACT),
     "tpch_q1": QuerySpec(q_tpch_q1, SQL_TPCH_Q1),
     "join_revenue_by_nation": QuerySpec(q_join_revenue_by_nation, SQL_JOIN_REVENUE_BY_NATION),
-    "anti_join": QuerySpec(q_anti_join, SQL_ANTI_JOIN),
+    "rollup_revenue": QuerySpec(q_rollup_revenue, SQL_ROLLUP_REVENUE),
+    "window_analytics": QuerySpec(q_window_analytics, SQL_WINDOW_ANALYTICS),
     "set_ops": QuerySpec(q_set_ops, SQL_SET_OPS),
+    "asof_join": QuerySpec(q_asof_join, SQL_ASOF_JOIN),
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_keep_best": QuerySpec(q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "lsh_pairs": QuerySpec(q_lsh_pairs, _sql_lsh_pairs()),
     "simhash_pairs": QuerySpec(q_simhash_pairs, _sql_simhash_pairs()),
     "ngram_jaccard": QuerySpec(q_ngram_jaccard, _sql_ngram_jaccard()),
-    "embedding_cosine_pairs": QuerySpec(q_embedding_cosine_pairs, SQL_EMBEDDING_COSINE_PAIRS),
     "embedding_lsh_pairs": QuerySpec(q_embedding_lsh_pairs, _sql_embedding_lsh_pairs()),
+    "neardup_dedup": QuerySpec(q_neardup_dedup, _sql_neardup_dedup()),
+    "line_dedup": QuerySpec(q_line_dedup, SQL_LINE_DEDUP),
+    "decontaminate": QuerySpec(q_decontaminate, SQL_DECONTAMINATE),
     "ann_topk": QuerySpec(q_ann_topk, SQL_ANN_TOPK),
     "ann_ivf_topk": QuerySpec(q_ann_ivf_topk, SQL_ANN_TOPK),  # exact at nprobe=nlist
-    "asof_join": QuerySpec(q_asof_join, SQL_ASOF_JOIN),
+    "bm25_topk": QuerySpec(q_bm25_topk, SQL_BM25_TOPK),
+    "hybrid_rrf": QuerySpec(q_hybrid_rrf, SQL_HYBRID_RRF),
+    "cluster_sample": QuerySpec(q_cluster_sample, SQL_CLUSTER_SAMPLE),
     "lang_id": QuerySpec(q_lang_id, _sql_lang_id()),
-    "token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS),
-    "quality_score": QuerySpec(q_quality_score, _sql_quality_score()),
+    "quality_filter": QuerySpec(q_quality_filter, SQL_QUALITY_FILTER),
+    "repetition_scores": QuerySpec(q_repetition_scores, SQL_REPETITION_SCORES),
     "fingerprint": QuerySpec(q_fingerprint, SQL_FINGERPRINT),
     "multimodal_features": QuerySpec(q_multimodal_features, _sql_multimodal_features()),
     "rag_pipeline_verified": QuerySpec(q_rag_pipeline_verified, _sql_rag_pipeline_verified()),
     "rag_pipeline_bulk": QuerySpec(q_rag_pipeline_bulk, _sql_rag_pipeline_bulk()),
     "chunk_embed_ingest": QuerySpec(q_chunk_embed_ingest, _sql_chunk_embed_ingest()),
-    "salted_join": QuerySpec(q_salted_join, SQL_SALTED_JOIN),
-    "vocab_size": QuerySpec(q_vocab_size, SQL_VOCAB_SIZE),
     "top_terms": QuerySpec(q_top_terms, SQL_TOP_TERMS),
     "length_percentiles": QuerySpec(q_length_percentiles, SQL_LENGTH_PERCENTILES),
-    "dedup_keep_best": QuerySpec(q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
-    "neardup_dedup": QuerySpec(q_neardup_dedup, _sql_neardup_dedup()),
-    "deterministic_split": QuerySpec(q_deterministic_split, _sql_deterministic_split()),
-    "stratified_sample": QuerySpec(q_stratified_sample, _sql_stratified_sample()),
+    "mixture_sample": QuerySpec(q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "curation_pipeline": QuerySpec(q_curation_pipeline, _sql_curation_pipeline()),
     "pii_redact": QuerySpec(q_pii_redact, _sql_pii_redact()),
     "pack_sequences": QuerySpec(q_pack_sequences, _sql_pack_sequences()),
     "ddl_ctas_topn": QuerySpec(q_ddl_ctas_topn, SQL_DDL_CTAS_TOPN),
     "ddl_struct_array": QuerySpec(q_ddl_struct_array, SQL_DDL_STRUCT_ARRAY),
-    # --- outside the driver's 50-entry window (see comment above the dict)
+    # ---- outside the driver's 50-entry window (see comment above) ----
     "rag_retrieval": QuerySpec(q_rag_retrieval, _sql_rag_retrieval()),
     "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META),
     "minhash_signatures": QuerySpec(q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "simhash": QuerySpec(q_simhash, _sql_simhash()),
     "rag_pipeline": QuerySpec(q_rag_pipeline, None),
     "ddl_reference_pipeline": QuerySpec(q_ddl_reference_pipeline, None),
-    # r5 additions: repetition quality signals, corpus line dedup, and
-    # benchmark decontamination — out-of-window by position, verified by
-    # the pytest out-of-window gate like the rest of the tail
-    "repetition_scores": QuerySpec(q_repetition_scores, SQL_REPETITION_SCORES),
-    "line_dedup": QuerySpec(q_line_dedup, SQL_LINE_DEDUP),
-    "decontaminate": QuerySpec(q_decontaminate, SQL_DECONTAMINATE),
+    "order_limit": QuerySpec(q_order_limit, SQL_ORDER_LIMIT),
+    "window_running_sum": QuerySpec(q_window_running_sum, SQL_WINDOW_RUNNING_SUM),
+    "anti_join": QuerySpec(q_anti_join, SQL_ANTI_JOIN),
+    "embedding_cosine_pairs": QuerySpec(q_embedding_cosine_pairs, SQL_EMBEDDING_COSINE_PAIRS),
+    "salted_join": QuerySpec(q_salted_join, SQL_SALTED_JOIN),
+    "vocab_size": QuerySpec(q_vocab_size, SQL_VOCAB_SIZE),
+    "deterministic_split": QuerySpec(q_deterministic_split, _sql_deterministic_split()),
+    "stratified_sample": QuerySpec(q_stratified_sample, _sql_stratified_sample()),
+    "quality_score": QuerySpec(q_quality_score, _sql_quality_score()),
+    "token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS),
 }

@@ -1,0 +1,187 @@
+"""BM25 / RRF / clustering / mixture / rule-pack operator tests (round-5
+beyond-reference additions). Pin behavior against small hand-checkable
+corpora and a pure-Python BM25 reference; assert the scale-relevant plan
+shapes (broadcasts, pruned postings)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from flink_sql_ai_meetingcoach_azure_spark.operators.clustering import (
+    assign_nearest_centroid,
+    cluster_balanced_sample,
+)
+from flink_sql_ai_meetingcoach_azure_spark.operators.sampling import mixture_sample
+from flink_sql_ai_meetingcoach_azure_spark.operators.text_search import (
+    bm25_scores,
+    rrf_fuse,
+    top_k_ranks,
+)
+
+
+def _py_bm25(docs: dict[int, str], queries: dict[int, str], k1=1.2, b=0.75):
+    """Pure-Python reference BM25 (micro-points), mirroring the operator
+    spec: whitespace-lowercase tokens, per-term micro rounding, exact
+    integer sum."""
+    toks = {d: [t for t in text.lower().split() if t] for d, text in docs.items()}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    out = {}
+    for qid, qtext in queries.items():
+        for d, tlist in toks.items():
+            dl = len(tlist)
+            score = 0
+            matched = False
+            for term in dict.fromkeys(qtext.split()):
+                tf = tlist.count(term)
+                if tf == 0:
+                    continue
+                matched = True
+                df = sum(1 for v in toks.values() if term in v)
+                idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+                w = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+                score += int(round(w * 1_000_000))
+            if matched:
+                out[(qid, d)] = score
+    return out
+
+
+def test_bm25_matches_python_reference(spark):
+    docs = {
+        0: "the cat sat on the mat",
+        1: "the dog chased the cat",
+        2: "dogs and cats living together",
+        3: "a completely unrelated document about spark",
+        4: "cat cat cat repetition boosts term frequency",
+    }
+    queries = {0: "cat", 1: "dog spark", 2: "the cat sat"}
+    ddf = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, qt in queries.items() for t in qt.split()],
+        "qid bigint, term string",
+    )
+    got = {
+        (r["qid"], r["doc_id"]): r["score_micro"]
+        for r in bm25_scores(ddf, qdf).collect()
+    }
+    assert got == _py_bm25(docs, queries)
+
+
+def test_bm25_tf_saturation_and_idf_ordering(spark):
+    """More repeats score higher but sub-linearly (k1 saturation); a rarer
+    term outscores a common one at equal tf."""
+    docs = [
+        (0, "x a b c"),
+        (1, "x x a b"),
+        (2, "x x x a"),
+        (3, "y a b c"),
+        (4, "a b c d"),
+        (5, "a b c d"),
+    ]
+    ddf = spark.createDataFrame(docs, ["doc_id", "text"])
+    qdf = spark.createDataFrame([(0, "x"), (1, "y")], "qid bigint, term string")
+    s = {
+        (r["qid"], r["doc_id"]): r["score_micro"]
+        for r in bm25_scores(ddf, qdf).collect()
+    }
+    assert s[(0, 0)] < s[(0, 1)] < s[(0, 2)]  # tf monotone
+    gain1 = s[(0, 1)] - s[(0, 0)]
+    gain2 = s[(0, 2)] - s[(0, 1)]
+    assert gain2 < gain1  # saturating
+    assert s[(1, 3)] > s[(0, 0)]  # df(y)=1 < df(x)=3 -> higher idf
+
+
+def test_bm25_postings_pruned_and_broadcast(spark):
+    """Scale shape: the df/qterms/stats joins are broadcasts, and the
+    explode output is filtered to query terms before the tf aggregation."""
+    docs = spark.createDataFrame([(i, f"term{i % 7} filler") for i in range(50)],
+                                 ["doc_id", "text"])
+    qdf = spark.createDataFrame([(0, "term1")], "qid bigint, term string")
+    plan = bm25_scores(docs, qdf)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 3
+
+
+def test_rrf_fusion_exact_and_rank_order(spark):
+    a = spark.createDataFrame([(0, 10, 1), (0, 11, 2)], ["qid", "doc_id", "rank"])
+    b = spark.createDataFrame([(0, 11, 1), (0, 12, 2)], ["qid", "doc_id", "rank"])
+    out = {r["doc_id"]: (r["rrf_micro"], r["fused_rank"], r["n_lists"])
+           for r in rrf_fuse(a, b, k=3).collect()}
+    m = lambda r: int(round(1_000_000.0 / (60 + r)))  # noqa: E731
+    assert out[11] == (m(2) + m(1), 1, 2)  # on both lists -> wins
+    assert out[10] == (m(1), 2, 1)
+    assert out[12] == (m(2), 3, 1)
+
+
+def test_top_k_ranks_tiebreak_by_id(spark):
+    scored = spark.createDataFrame(
+        [(0, 5, 100), (0, 3, 100), (0, 9, 50)], ["qid", "doc_id", "score_micro"]
+    )
+    ranks = {r["doc_id"]: r["rank"] for r in top_k_ranks(scored, 3).collect()}
+    assert ranks == {3: 1, 5: 2, 9: 3}
+
+
+def test_nearest_centroid_assignment_and_tiebreak(spark):
+    emb = spark.createDataFrame(
+        [(10, [1.0, 0.0]), (11, [0.0, 1.0]), (12, [1.0, 1.0])],
+        ["vec_id", "embedding"],
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], ["centroid_id", "centroid"]
+    )
+    got = {r["vec_id"]: (r["cluster_id"], r["sim"])
+           for r in assign_nearest_centroid(emb, cents).collect()}
+    assert got[10] == (0, 1.0)
+    assert got[11] == (1, 1.0)
+    # equidistant -> lowest centroid id wins
+    assert got[12][0] == 0 and abs(got[12][1] - round(1 / math.sqrt(2), 6)) < 1e-9
+
+
+def test_cluster_balanced_sample_quota_and_determinism(spark):
+    rows = [(i, i % 3, 0.5) for i in range(60)]
+    assigned = spark.createDataFrame(rows, ["vec_id", "cluster_id", "sim"])
+    out1 = cluster_balanced_sample(assigned, 5).collect()
+    out2 = cluster_balanced_sample(assigned.repartition(7), 5).collect()
+    per = {}
+    for r in out1:
+        per.setdefault(r["cluster_id"], set()).add(r["vec_id"])
+    assert all(len(v) == 5 for v in per.values()) and len(per) == 3
+    assert {tuple(r) for r in out1} == {tuple(r) for r in out2}  # retry-stable
+
+
+def test_mixture_sample_quota_per_domain(spark):
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(4)]
+    df = spark.createDataFrame(rows, ["doc_id", "source"])
+    out = mixture_sample(df, "doc_id", "source", scale=2.0).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r["source"], []).append(r["doc_id"])
+    assert len(by["big"]) == 20  # ceil(2*sqrt(100))
+    assert sorted(by["small"]) == [1000, 1001, 1002, 1003]  # quota >= n keeps all
+    # determinism under repartitioning
+    out2 = mixture_sample(df.repartition(5), "doc_id", "source", scale=2.0).collect()
+    assert {tuple(r) for r in out} == {tuple(r) for r in out2}
+
+
+def test_gopher_filter_reasons(spark):
+    from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import (
+        gopher_filter_cols,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "a good plain document with several normal words here"),
+            (1, "one two"),  # too few tokens
+            (2, "!!! ??? ### $$$ %%%"),  # symbol heavy (and short)
+            (3, "12345 67890 11111 22222 33333 44444"),  # digit heavy
+        ],
+        ["doc_id", "text"],
+    )
+    passes, reasons = gopher_filter_cols("text")
+    got = {r["doc_id"]: (r["p"], r["r"]) for r in
+           df.select("doc_id", passes.alias("p"), reasons.alias("r")).collect()}
+    assert got[0] == (True, "")
+    assert got[1] == (False, "too_few_tokens")
+    assert "symbol_heavy" in got[2][1] and not got[2][0]
+    assert "digit_heavy" in got[3][1] and not got[3][0]
