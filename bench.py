@@ -40,8 +40,10 @@ BENCH_QUERIES = [
     # relational core
     "tpch_q1",
     "join_revenue_by_nation",
+    "rollup_revenue",
     "topn_per_user",
     "window_running_sum",
+    "window_analytics",
     "tumbling_window",
     "session_window",
     "explode_chunks",
@@ -56,11 +58,13 @@ BENCH_QUERIES = [
     "fingerprint",
     "line_dedup",
     "decontaminate",
-    # similarity search
+    # similarity search + lexical/hybrid retrieval
     "ann_topk",
     "ann_ivf_topk",
     "embedding_cosine_pairs",
     "embedding_lsh_pairs",
+    "bm25_topk",
+    "hybrid_rrf",
     # joins beyond the reference
     "asof_join",
     # text analysis
@@ -70,8 +74,12 @@ BENCH_QUERIES = [
     "top_terms",
     "length_percentiles",
     "repetition_scores",
-    # curation: dedup + stratified downsample + split composed
+    # curation: dedup + stratified downsample + split composed, rule-pack
+    # filtering, semantic cluster sampling, domain mixture rebalancing
     "curation_pipeline",
+    "quality_filter",
+    "cluster_sample",
+    "mixture_sample",
     # PII scrub + sequence packing (beyond-reference curation ops)
     "pii_redact",
     "pack_sequences",

@@ -83,10 +83,14 @@ def bm25_scores(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
 
-    df_t = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # document frequency as a count over the term partition: one extra
+    # exchange of the (already tiny) postings table, instead of a second
+    # full scan+explode pass to aggregate df separately (a separate
+    # agg+join re-ran the whole postings subtree — no ReusedExchange)
+    w_term = Window.partitionBy("term")
 
     scored = (
-        postings.join(F.broadcast(df_t), "term")
+        postings.withColumn("df", F.count(F.lit(1)).over(w_term))
         .join(F.broadcast(qterms), "term")
         .crossJoin(F.broadcast(stats))
         .withColumn(
