@@ -69,3 +69,42 @@ def test_relational_queries_stay_jvm_side(spark):
 def test_filter_route_pushdown(spark):
     plan = _plan(spark, "filter_route")
     assert "PushedFilters: [IsNotNull(event_type), EqualTo(event_type,purchase)]" in plan
+
+
+def test_bm25_stays_broadcast_and_pruned(spark):
+    """The corpus side must never SortMergeJoin: query terms, df and stats
+    all broadcast; postings pruned to query terms before the tf agg."""
+    plan = _plan(spark, "bm25_topk")
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # uniq_terms/qterms prune joins
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats cross join
+
+
+def test_hybrid_rrf_bounded_fusion(spark):
+    plan = _plan(spark, "hybrid_rrf")
+    assert "SortMergeJoin" not in plan
+    assert "Union" in plan  # bounded top-k lists unioned, never joined
+
+
+def test_quality_filter_is_map_only(spark):
+    """The rule pack is pure column expressions — zero exchanges, nothing
+    but scan + project (higher-order array lambdas keep the final Project
+    out of WholeStageCodegen, but it is still a narrow map)."""
+    plan = _plan(spark, "quality_filter")
+    assert "Exchange" not in plan
+    assert "Join" not in plan and "Sort" not in plan
+
+
+def test_cluster_assignment_broadcasts_centroids(spark):
+    plan = _plan(spark, "cluster_sample")
+    assert "BroadcastNestedLoopJoin" in plan  # centroids broadcast
+    assert "SortMergeJoin" not in plan
+
+
+def test_rollup_single_pass(spark):
+    """ROLLUP = one Expand + one agg exchange, dims broadcast — not a
+    union of per-level aggregations."""
+    plan = _plan(spark, "rollup_revenue")
+    assert "Expand" in plan
+    assert "Union" not in plan
+    assert "BroadcastHashJoin" in plan
