@@ -505,3 +505,52 @@ def test_reset_stream_state_refuses_non_checkpoint(tmp_path):
     with pytest.raises(ValueError):
         reset_stream_state(str(d))
     assert (d / "important.txt").exists()
+
+
+def test_curation_operators_run_on_streams(spark, tmp_path):
+    """The curation column layer (quality rule pack, PII redaction,
+    language ID) is pure map expressions, so the SAME code curates a
+    stream: documents arriving on a file stream come out filtered,
+    scrubbed and tagged — the streaming ingest shape of a training-data
+    pipeline."""
+    import json as _json
+
+    from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import (
+        gopher_filter_cols,
+        lang_id_col,
+        redact_pii_col,
+    )
+
+    src = str(tmp_path / "docsrc")
+    os.makedirs(src)
+    rows = [
+        {"doc_id": 0, "text": "the good and long enough document with a mail to bob@example.com inside"},
+        {"doc_id": 1, "text": "x y"},  # too_few_tokens -> dropped
+        {"doc_id": 2, "text": "der und die das ist ein wort mehr text hier bitte"},
+    ]
+    with open(f"{src}/part0.json", "w") as f:
+        for r in rows:
+            f.write(_json.dumps(r) + "\n")
+
+    schema = "doc_id BIGINT, text STRING"
+    stream = spark.readStream.schema(schema).json(src)
+    passes, reasons = gopher_filter_cols("text")
+    curated = (
+        stream.withColumn("passes", passes)
+        .withColumn("reasons", reasons)
+        .filter(F.col("passes"))
+        .withColumn("clean_text", redact_pii_col("text"))
+        .withColumn("lang", lang_id_col("clean_text"))
+    )
+    q = (
+        curated.writeStream.format("memory")
+        .queryName("curated_stream")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {r["doc_id"]: r for r in spark.table("curated_stream").collect()}
+    assert set(out) == {0, 2}  # doc 1 fails the rule pack
+    assert "[EMAIL]" in out[0]["clean_text"]
+    assert out[0]["lang"] == "en" and out[2]["lang"] == "de"

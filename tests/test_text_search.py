@@ -185,3 +185,43 @@ def test_gopher_filter_reasons(spark):
     assert got[1] == (False, "too_few_tokens")
     assert "symbol_heavy" in got[2][1] and not got[2][0]
     assert "digit_heavy" in got[3][1] and not got[3][0]
+
+
+def test_bm25_matches_python_reference_on_random_corpus(spark):
+    """Seeded random corpus from a small vocabulary (forces shared terms,
+    repeated terms, empty-ish docs) vs the pure-Python reference."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(15)]
+    docs = {
+        d: " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30)))
+        for d in range(60)
+    }
+    queries = {qid: " ".join(rng.sample(vocab, rng.randint(1, 3))) for qid in range(6)}
+    ddf = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    qdf = spark.createDataFrame(
+        [(qid, t) for qid, qt in queries.items() for t in qt.split()],
+        "qid bigint, term string",
+    )
+    got = {
+        (r["qid"], r["doc_id"]): r["score_micro"]
+        for r in bm25_scores(ddf, qdf).collect()
+    }
+    assert got == _py_bm25(docs, queries)
+
+
+def test_bm25_deterministic_under_repartitioning(spark):
+    """Integer micro-point scores are partition-count-invariant — the
+    reason floats were banned from the cross-row sums."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta w{i % 5} gamma") for i in range(40)], ["doc_id", "text"]
+    )
+    qdf = spark.createDataFrame(
+        [(0, "alpha"), (0, "w1"), (1, "gamma")], "qid bigint, term string"
+    )
+    r1 = {(r["qid"], r["doc_id"]): r["score_micro"]
+          for r in bm25_scores(docs, qdf).collect()}
+    r2 = {(r["qid"], r["doc_id"]): r["score_micro"]
+          for r in bm25_scores(docs.repartition(13), qdf).collect()}
+    assert r1 == r2
