@@ -2316,16 +2316,19 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.filter(F.col("vec_id") < len(BM25_QUERIES)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    sims = emb.crossJoin(F.broadcast(qv)).select(
-        "qid",
-        F.col("vec_id").alias("doc_id"),
-        F.round(cosine_similarity_col("embedding", "qvec"), 6).alias("sim"),
-    )
-    wv = Window.partitionBy("qid").orderBy(F.desc("sim"), F.asc("doc_id"))
-    vec = (
-        sims.withColumn("rank", F.row_number().over(wv))
-        .filter(F.col("rank") <= HYBRID_K)
-    )
+    # reuse the audited flat-search operator (norms computed once per side,
+    # broadcast-ceiling guard + IVF auto-route included) for the vector half
+    vec = vector_search_topk_flat(
+        qv,
+        emb.select("vec_id", "embedding"),
+        k=HYBRID_K,
+        query_col="qvec",
+        index_col="embedding",
+        payload_cols=["vec_id"],
+        sim_col="sim",
+        rank_col="rank",
+        round_sim=6,
+    ).select("qid", F.col("vec_id").alias("doc_id"), "rank")
     return (
         rrf_fuse(bm, vec, k=HYBRID_K)
         .select("qid", "doc_id", "rrf_micro", "n_lists", "fused_rank")

@@ -225,3 +225,16 @@ def test_bm25_deterministic_under_repartitioning(spark):
     r2 = {(r["qid"], r["doc_id"]): r["score_micro"]
           for r in bm25_scores(docs.repartition(13), qdf).collect()}
     assert r1 == r2
+
+
+def test_bm25_unmatched_and_empty_inputs(spark):
+    """Terms absent from the corpus yield no rows (not nulls/crashes);
+    an empty corpus yields an empty result."""
+    docs = spark.createDataFrame([(0, "alpha beta"), (1, "beta gamma")],
+                                 ["doc_id", "text"])
+    qdf = spark.createDataFrame([(0, "nosuchterm")], "qid bigint, term string")
+    assert bm25_scores(docs, qdf).count() == 0
+
+    empty = spark.createDataFrame([], "doc_id bigint, text string")
+    qdf2 = spark.createDataFrame([(0, "alpha")], "qid bigint, term string")
+    assert bm25_scores(empty, qdf2).count() == 0
