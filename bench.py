@@ -195,8 +195,12 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)
 
+    mins: dict[str, float] = {}
+
     def median(name: str, n: int = N_RUNS) -> float:
-        return sorted(run_once(name) for _ in range(n))[n // 2]
+        runs = sorted(run_once(name) for _ in range(n))
+        mins[name] = runs[0]
+        return runs[n // 2]
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
@@ -206,6 +210,7 @@ def main() -> None:
             _IVF_CACHE.clear()
             timings[name] = run_once(name)  # cold: index build + probe
             timings["ann_ivf_probe"] = median(name)  # steady state: probe only
+            mins["ann_ivf_probe"] = mins.pop(name)
         else:
             timings[name] = median(name)
 
@@ -221,6 +226,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # best-of-runs per query: under a sustained host-steal
+                # episode (BASELINE.md environment note) the median itself
+                # is contaminated; min exposes how fast the same plan ran
+                # in the quietest window of THIS artifact
+                "queries_min": mins,
                 "streaming": streaming,
                 "sf": sf,
             }
