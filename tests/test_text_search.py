@@ -238,3 +238,27 @@ def test_bm25_unmatched_and_empty_inputs(spark):
     empty = spark.createDataFrame([], "doc_id bigint, text string")
     qdf2 = spark.createDataFrame([(0, "alpha")], "qid bigint, term string")
     assert bm25_scores(empty, qdf2).count() == 0
+
+
+def test_trained_centroids_feed_cluster_sampling(spark, sf_dir):
+    """The IVF build's Lloyd k-means centroids slot directly into the
+    clustering operators: train on the corpus, assign every embedding,
+    draw the balanced sample — the SemDeDup curation loop end-to-end with
+    TRAINED (not seeded) centroids."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (
+        build_ivf_index,
+    )
+
+    _, centroids = build_ivf_index(emb, nlist=4, seed=1)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        ["centroid_id", "centroid"],
+    )
+    assigned = assign_nearest_centroid(emb, cents)
+    assert assigned.count() == emb.count()  # total assignment
+    sample = cluster_balanced_sample(assigned, 5)
+    sizes = {r["cluster_id"]: r["n"] for r in
+             sample.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n <= 5 for n in sizes.values())
+    assert len(sizes) >= 2  # trained centroids split the corpus
