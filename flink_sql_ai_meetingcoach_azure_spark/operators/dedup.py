@@ -496,6 +496,7 @@ def dedup_lines(
     text_col: str = "text",
     min_docs: int = 2,
     out_col: str = "clean_text",
+    preserve_cols: bool = False,
 ) -> DataFrame:
     """Corpus-level exact line deduplication — the RefinedWeb/CCNet-style
     boilerplate pass: a line whose exact content appears in >= ``min_docs``
@@ -504,6 +505,9 @@ def dedup_lines(
 
     Returns one row per input document: (id_col, out_col) with surviving
     lines rejoined in original order ('' when every line was boilerplate).
+    With ``preserve_cols=True`` every other input column rides along
+    (metadata like source/lang survive the pass — one extra broadcast-able
+    join keyed by id, nothing corpus-shaped).
 
     Scale shape: posexplode (no shuffle) → per-line distinct-doc count (one
     partial-aggregated shuffle keyed by line) → left_anti join back on line
@@ -531,8 +535,12 @@ def dedup_lines(
         ).alias(out_col)
     )
     # a doc whose every line was removed must still appear, as ''
-    return df.select(id_col).join(rebuilt, on=id_col, how="left").select(
-        id_col, F.coalesce(F.col(out_col), F.lit("")).alias(out_col)
+    base = df if preserve_cols else df.select(id_col)
+    passthrough = [c for c in base.columns if c not in (id_col, text_col)]
+    return base.join(rebuilt, on=id_col, how="left").select(
+        id_col,
+        *passthrough,
+        F.coalesce(F.col(out_col), F.lit("")).alias(out_col),
     )
 
 

@@ -695,3 +695,16 @@ def test_dedup_lines_matches_python_reference_on_random_corpus(spark):
     got = {r["doc_id"]: r["clean_text"]
            for r in dedup_lines(df, min_docs=min_docs).collect()}
     assert got == expected
+
+
+def test_dedup_lines_preserve_cols(spark):
+    """preserve_cols=True carries metadata through the boilerplate pass."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import dedup_lines
+
+    df = spark.createDataFrame(
+        [(0, "dup\nkeep0", "web"), (1, "dup\nkeep1", "books")],
+        ["doc_id", "text", "source"],
+    )
+    out = {r["doc_id"]: (r["source"], r["clean_text"])
+           for r in dedup_lines(df, min_docs=2, preserve_cols=True).collect()}
+    assert out == {0: ("web", "keep0"), 1: ("books", "keep1")}
