@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     "top_terms",
     "length_percentiles",
     "repetition_scores",
+    "lm_score",
+    # transitive near-dup clustering (iterative CC — job-count-bound cost)
+    "dup_clusters",
     # curation: dedup + stratified downsample + split composed, rule-pack
     # filtering, semantic cluster sampling, domain mixture rebalancing
     "curation_pipeline",

@@ -234,3 +234,63 @@ def gopher_filter_cols(text: Column | str) -> tuple[Column, Column]:
     )
     tripped = F.filter(flags, lambda x: x.isNotNull())
     return F.size(tripped) == 0, F.concat_ws(",", tripped)
+
+
+def unigram_lm_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality signal: score every document by
+    its mean token log-probability under an add-one-smoothed UNIGRAM model
+    trained on the corpus itself (Wenzek et al. 2020 score docs with a
+    pretrained LM; the corpus-trained unigram variant is the dependency-free
+    form — unusually-worded / OCR-garbage docs score low, common prose high).
+
+    Returns ``(id_col, n_tokens, sum_logp_micro, avg_logp)`` where
+    ``sum_logp_micro`` is the BIGINT sum of per-token log-probs in
+    micro-nats. Determinism across engines/partitionings: ``ln`` is
+    evaluated once per DISTINCT term, rounded to integer micro-nats THERE,
+    and only integers are summed per document — float summation order never
+    enters. ``avg_logp`` is one final division + 6-dp round.
+
+    Scale shape: term counts are one map-side-combinable groupBy; the two
+    corpus scalars (total tokens, vocab size) come from a 1-row aggregate
+    cross-joined back (broadcast, no driver collect); scoring joins token
+    instances to term scores keyed by term (linear in corpus tokens) and
+    sums per doc. No n², no driver state, no Python.
+    """
+    base = df.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
+    tok = base.select(id_col, F.explode("__toks").alias("__term"))
+    cnt = tok.groupBy("__term").agg(F.count("*").alias("__c"))
+    tot = cnt.agg(
+        F.sum("__c").alias("__n"), F.count("*").alias("__v")
+    )  # 1 row — crossJoin below broadcasts it
+    lp = cnt.crossJoin(tot).select(
+        "__term",
+        F.round(
+            F.log((F.col("__c") + F.lit(1)).cast("double") / (F.col("__n") + F.col("__v")).cast("double"))
+            * F.lit(1000000)
+        )
+        .cast("bigint")
+        .alias("__mn"),
+    )
+    per_doc = (
+        tok.join(lp, "__term")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_tokens"), F.sum("__mn").alias("sum_logp_micro"))
+    )
+    return (
+        base.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("int").alias("n_tokens"),
+            F.coalesce("sum_logp_micro", F.lit(0)).cast("bigint").alias("sum_logp_micro"),
+            F.when(F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                F.round(F.col("sum_logp_micro") / F.col("n_tokens") / F.lit(1000000.0), 6)
+            )
+            .alias("avg_logp"),
+        )
+    )

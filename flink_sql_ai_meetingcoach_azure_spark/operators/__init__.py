@@ -43,3 +43,8 @@ from flink_sql_ai_meetingcoach_azure_spark.operators.packing import (  # noqa: F
     pack_contiguous,
     write_training_shards,
 )
+from flink_sql_ai_meetingcoach_azure_spark.operators.components import (  # noqa: F401
+    connected_components,
+    dedup_by_components,
+    duplicate_clusters,
+)

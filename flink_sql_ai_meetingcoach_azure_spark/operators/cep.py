@@ -1,0 +1,97 @@
+"""Event-sequence (CEP-lite) pattern matching over keyed event streams.
+
+Flink SQL's headline CEP surface is ``MATCH_RECOGNIZE``; the reference
+pipeline itself never uses it, but sequence/funnel analysis is the standard
+event-analytics companion to its windowed aggregations, so this operator
+provides the deterministic core: anchored greedy first-match of an ordered
+event-type pattern per key, with an optional end-to-end time bound
+(``A then B then C within N seconds``).
+
+Semantics (documented, deterministic):
+
+- Only events whose type appears in the pattern participate (the ``isin``
+  filter pushes into the scan).
+- Events are processed in ``(ts, id)`` order per key; the match anchors at
+  the FIRST stage-1 event and each later stage advances at the first
+  following event of the next stage's type (greedy = chained minima).
+- ``within_seconds`` bounds ``end - start`` of the COMPLETED match; partial
+  progress is reported via ``stages_hit`` either way.
+
+Scale shape: one ``groupBy(key)`` shuffle carrying only pattern-type events
+(filtered at the scan); the per-key step-through is a single codegen'd
+``aggregate`` lambda over the sorted event array — no Python, no window
+exchange, no self-joins (a k-stage funnel as chained joins would be k
+shuffles). Per-key state is the pattern-type event list; for keys with
+unbounded event counts pre-thin with a time predicate the same way the
+reference bounds its topics by retention.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def match_funnel(
+    df: DataFrame,
+    pattern: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str | None = None,
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Per-key anchored greedy funnel match of ``pattern``.
+
+    Returns one row per key that has at least one pattern-type event:
+    ``(user_col, stages_hit, matched, start_ts, end_ts)`` where
+    ``stages_hit`` counts greedy progress through the pattern,
+    ``start_ts`` is the anchor (first stage-1 event, null when
+    ``stages_hit`` = 0), ``end_ts`` the completing event's time (null
+    unless the full pattern matched), and ``matched`` additionally applies
+    the ``within_seconds`` bound.
+    """
+    if not pattern:
+        raise ValueError("pattern must name at least one event type")
+    pat = F.array(*[F.lit(p) for p in pattern])
+    evs = df.filter(F.col(type_col).isin(list(pattern)))
+    order_fields = [F.col(ts_col).alias("ts")]
+    if id_col is not None:
+        order_fields.append(F.col(id_col).alias("eid"))
+    order_fields.append(F.col(type_col).alias("tp"))
+    per_user = evs.groupBy(user_col).agg(
+        F.sort_array(F.collect_list(F.struct(*order_fields))).alias("__evs")
+    )
+
+    init = F.struct(
+        F.lit(0).alias("stage"),
+        F.lit(None).cast("timestamp").alias("t0"),
+        F.lit(None).cast("timestamp").alias("tlast"),
+    )
+
+    def step(s: Column, e: Column) -> Column:
+        advance = F.struct(
+            (s["stage"] + 1).alias("stage"),
+            F.coalesce(s["t0"], e["ts"]).alias("t0"),
+            e["ts"].alias("tlast"),
+        )
+        # F.get is 0-indexed and yields NULL (→ condition false) once the
+        # pattern is exhausted — element_at would raise under ANSI mode
+        return F.when(e["tp"] == F.get(pat, s["stage"]), advance).otherwise(s)
+
+    state = F.aggregate("__evs", init, step)
+    full = state["stage"] == len(pattern)
+    matched = full
+    if within_seconds is not None:
+        matched = full & (
+            F.unix_micros(state["tlast"]) - F.unix_micros(state["t0"])
+            <= int(within_seconds) * 1_000_000
+        )
+    return per_user.select(
+        user_col,
+        state["stage"].cast("int").alias("stages_hit"),
+        matched.alias("matched"),
+        state["t0"].alias("start_ts"),
+        F.when(full, state["tlast"]).alias("end_ts"),
+    )

@@ -1,0 +1,147 @@
+"""Connected components over near-duplicate pair sets.
+
+A near-dup pair list (from :func:`~.dedup.lsh_candidate_pairs`,
+:func:`~.dedup.embedding_lsh_pairs`, :func:`~.dedup.simhash_pairs`, …) is an
+edge list of an undirected graph; TRANSITIVE duplicate clusters are its
+connected components. :func:`~.dedup.neardup_survivors` is the documented
+greedy single-pass alternative (drops every ``id_b``); this module is the
+principled one: along a chain a~b~c it keeps exactly ONE representative per
+cluster instead of dropping both b and c.
+
+Algorithm: alternating large-star / small-star contraction
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14) —
+the canonical shuffle-based CC algorithm. Each round is two groupBy-min
+passes over the edge list; the edge set converges to a star forest (every
+node points at its component's minimum id) in O(log² n) rounds, independent
+of component diameter — a plain min-label propagation needs O(diameter)
+rounds and dies on chain-shaped clusters, exactly the shape transitive
+near-dup chains take. Every round ends in ``localCheckpoint`` to cut the
+iterative lineage (on a cluster, set a checkpoint dir and swap for
+``checkpoint``; the call is the documented seam).
+
+Determinism: representative = component minimum id; no randomness, no
+order dependence — identical output under any partitioning or retry.
+
+Reference parity note: the reference app dedups by exact md5 content hash
+only (app/utils/kafka_utils.py:209-217); transitive near-dup clustering is
+part of this repo's beyond-reference training-data curation layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _canonical_edges(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """(u, v) with u < v, distinct, self-loops dropped."""
+    a, b = F.col(id_a), F.col(id_b)
+    return (
+        pairs.select(F.least(a, b).alias("u"), F.greatest(a, b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Components of the undirected graph given by ``pairs``.
+
+    Returns one row per node that appears in ``pairs``:
+    ``(node, component)`` where ``component`` is the minimum node id of the
+    node's component (so ``node == component`` marks the representative).
+    Nodes with no edges don't appear — callers join back to the corpus.
+
+    Each large-star/small-star round is two shuffles keyed by node id
+    (map-side-combinable ``min`` aggregations + one self-join per pass);
+    the edge list only ever shrinks toward the star forest, never grows
+    past its input size, so per-round cost is bounded by the initial pair
+    count. Convergence is detected by an edge-set change count hitting 0.
+    """
+    edges = _canonical_edges(pairs, id_a, id_b).localCheckpoint()
+
+    for _ in range(max_iter):
+        # -- large-star: group the symmetrized edges by node; every
+        # strictly-larger neighbor re-attaches to min(neighborhood ∪ self).
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # -- small-star: group by the LARGER endpoint; it and all its
+        # smaller neighbors re-attach to the minimum of the group.
+        bigend = large.select(F.col("v").alias("c"), F.col("u").alias("n"))
+        sm = bigend.groupBy("c").agg(F.min("n").alias("m"))
+        joined = bigend.join(sm, "c")
+        small = (
+            joined.select(F.col("n").alias("x"), F.col("m"))
+            .union(joined.select(F.col("c").alias("x"), F.col("m")).distinct())
+            .filter(F.col("x") != F.col("m"))
+            .select(F.col("m").alias("u"), F.col("x").alias("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (
+            small.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(small).limit(1).count()
+        )
+        edges = small
+        if changed == 0:
+            break
+
+    # star forest: every edge is (root, member). Emit members + roots.
+    return (
+        edges.select(F.col("v").alias("node"), F.col("u").alias("component"))
+        .union(
+            edges.select(F.col("u").alias("node"), F.col("u").alias("component"))
+        )
+        .distinct()
+    )
+
+
+def duplicate_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Every row of ``df`` labeled with its duplicate-cluster id.
+
+    ``cluster`` = min id of the row's transitive near-dup component
+    (the row's own id when it duplicates nothing); ``cluster_size`` counts
+    the cluster's members inside ``df``. One CC pass + one left join +
+    one partial-aggregated count.
+    """
+    comp = connected_components(pairs, id_a, id_b).withColumnRenamed("node", id_col)
+    labeled = df.join(comp, id_col, "left").withColumn(
+        "cluster", F.coalesce(F.col("component"), F.col(id_col))
+    ).drop("component")
+    sizes = labeled.groupBy("cluster").agg(F.count("*").alias("cluster_size"))
+    return labeled.join(sizes, "cluster")
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep exactly one representative (the minimum id) per transitive
+    near-dup cluster — the principled alternative to the greedy
+    :func:`~.dedup.neardup_survivors`: a~b~c keeps a (and only a) whether
+    or not a and c collided directly."""
+    comp = connected_components(pairs, id_a, id_b).withColumnRenamed("node", id_col)
+    return (
+        df.join(comp, id_col, "left")
+        .filter(F.col("component").isNull() | (F.col("component") == F.col(id_col)))
+        .drop("component")
+    )

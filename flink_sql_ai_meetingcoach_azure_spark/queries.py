@@ -1134,6 +1134,87 @@ FROM s LEFT JOIN pd ON s.doc_id = pd.doc_id
 """
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality signal: mean token log-prob under an add-one
+    unigram model trained on the corpus itself. ln once per DISTINCT term,
+    integer micro-nats summed per doc — partition-order-proof."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import (  # noqa: PLC0415
+        unigram_lm_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_lm_scores(docs, "doc_id", "text").orderBy("doc_id")
+
+
+SQL_LM_SCORE = f"""
+WITH d AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM documents),
+tok AS (SELECT doc_id, unnest(tk) AS term FROM d),
+cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM cnt),
+lp AS (SELECT term,
+              CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)) * 1000000)
+                   AS BIGINT) AS mn
+       FROM cnt CROSS JOIN tot),
+per_doc AS (SELECT t.doc_id, count(*) AS nt, sum(mn) AS s
+            FROM tok t JOIN lp USING (term) GROUP BY t.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(p.nt, 0) AS INT) AS n_tokens,
+       CAST(coalesce(p.s, 0) AS BIGINT) AS sum_logp_micro,
+       CASE WHEN coalesce(p.nt, 0) = 0 THEN 0.0
+            ELSE round(CAST(p.s AS BIGINT) / p.nt / 1000000.0, 6) END AS avg_logp
+FROM d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVE near-dup clusters: LSH candidate pairs → alternating
+    large-star/small-star connected components (O(log² n) shuffle rounds,
+    diameter-independent) → every vector labeled with its cluster
+    (= component min id) and cluster size. The principled grouping the
+    greedy single-pass `neardup_dedup` trades away."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.components import (  # noqa: PLC0415
+        duplicate_clusters,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: PLC0415
+        embedding_lsh_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < COS_PAIR_MAX_ID)
+    pairs = embedding_lsh_pairs(
+        emb, "vec_id", "embedding", dim=EMB_DIM, threshold=0.2,
+        n_planes=RP_PLANES, n_tables=RP_TABLES, round_to=6,
+    )
+    return (
+        duplicate_clusters(emb.select("vec_id"), pairs, "vec_id")
+        .select("vec_id", "cluster", "cluster_size")
+        .orderBy("vec_id")
+    )
+
+
+def _sql_dup_clusters() -> str:
+    lsh = _sql_embedding_lsh_pairs()
+    return f"""
+WITH RECURSIVE pairs AS ({lsh}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (SELECT u, v FROM edges
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+base AS (SELECT vec_id FROM embeddings WHERE vec_id < {COS_PAIR_MAX_ID}),
+lab AS (SELECT b.vec_id, coalesce(c.component, b.vec_id) AS cluster
+        FROM base b LEFT JOIN comp c ON c.node = b.vec_id),
+sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+       FROM lab GROUP BY cluster)
+SELECT l.vec_id, l.cluster, s.cluster_size
+FROM lab l JOIN sz s USING (cluster)
+ORDER BY l.vec_id
+"""
+
+
 PII_MAX_ID = 500
 PACK_BUDGET = 2048
 
@@ -2640,4 +2721,6 @@ QUERIES: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(q_stratified_sample, _sql_stratified_sample()),
     "quality_score": QuerySpec(q_quality_score, _sql_quality_score()),
     "token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS),
+    "lm_score": QuerySpec(q_lm_score, SQL_LM_SCORE),
+    "dup_clusters": QuerySpec(q_dup_clusters, _sql_dup_clusters()),
 }

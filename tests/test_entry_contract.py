@@ -47,6 +47,8 @@ def test_entry_contract_shape():
         "stratified_sample",
         "quality_score",
         "token_stats",
+        "lm_score",
+        "dup_clusters",
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

@@ -141,3 +141,40 @@ def test_repetition_scores_crafted(spark):
     assert out[2]["top_bigram_frac"] == 0.25  # 4 bigrams, all unique
     assert out[3]["n_tokens"] == 1 and out[3]["top_bigram_frac"] == 0.0
     assert out[4]["n_tokens"] == 0 and out[4]["dup_word_frac"] == 0.0
+
+
+def test_unigram_lm_scores_vs_python_reference(spark):
+    """Corpus-trained add-one unigram LM scores match an independent pure-
+    Python computation exactly (integer micro-nats summed per doc)."""
+    import math
+
+    from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import (
+        unigram_lm_scores,
+    )
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat"),
+        (3, "zy unseen words zx qq"),
+        (4, ""),  # zero tokens
+        (5, "the the the the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r.doc_id: r for r in unigram_lm_scores(df, "doc_id", "text").collect()}
+
+    toks = {i: [t for t in s.lower().split() if t] for i, s in rows}
+    cnt: dict = {}
+    for ts in toks.values():
+        for t in ts:
+            cnt[t] = cnt.get(t, 0) + 1
+    n, v = sum(cnt.values()), len(cnt)
+    mn = {t: round(math.log((c + 1) / (n + v)) * 1_000_000) for t, c in cnt.items()}
+    for i, ts in toks.items():
+        r = got[i]
+        assert r.n_tokens == len(ts)
+        assert r.sum_logp_micro == sum(mn[t] for t in ts)
+        want_avg = 0.0 if not ts else round(r.sum_logp_micro / len(ts) / 1e6, 6)
+        assert r.avg_logp == want_avg
+    # common prose (doc 5, all 'the') scores strictly higher than the
+    # rare-token doc 3 — the CCNet-style signal the operator exists for
+    assert got[5].avg_logp > got[3].avg_logp

@@ -708,3 +708,74 @@ def test_dedup_lines_preserve_cols(spark):
     out = {r["doc_id"]: (r["source"], r["clean_text"])
            for r in dedup_lines(df, min_docs=2, preserve_cols=True).collect()}
     assert out == {0: ("web", "keep0"), 1: ("books", "keep1")}
+
+
+# ---------------------------------------------------------------------------
+# connected components (operators/components.py)
+
+
+def _uf_components(pairs):
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comps: dict = {}
+    for x in parent:
+        comps.setdefault(find(x), []).append(x)
+    return {x: min(members) for members in comps.values() for x in members}
+
+
+def test_connected_components_matches_union_find(spark):
+    """Chain, ring, star and a seeded random graph all reduce to exactly
+    the union-find components with min-id representatives — the chain case
+    is the diameter-killer plain label propagation would need O(n) rounds
+    for; large-star/small-star converges in O(log² n)."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.components import (
+        connected_components,
+    )
+    import random
+
+    rng = random.Random(11)
+    cases = [
+        [(i, i + 1) for i in range(40)],                       # one long chain
+        [(0, 1), (1, 2), (2, 0), (9, 8), (7, 9), (20, 21)],    # ring + star
+        [(rng.randrange(120), rng.randrange(120)) for _ in range(90)],
+    ]
+    for pairs in cases:
+        pairs = [(a, b) for a, b in pairs if a != b]
+        df = spark.createDataFrame(pairs, "id_a: long, id_b: long")
+        got = {r.node: r.component for r in connected_components(df).collect()}
+        assert got == _uf_components(pairs)
+
+
+def test_dedup_by_components_vs_greedy_survivors(spark):
+    """On the transitive chain a~b~c (a and c never directly paired) the
+    greedy pass drops b AND c; the components pass keeps exactly one row
+    per cluster plus all unpaired rows."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.components import (
+        dedup_by_components,
+        duplicate_clusters,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import neardup_survivors
+
+    df = spark.createDataFrame([(i,) for i in range(6)], "id: long")
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (3, 4)], "id_a: long, id_b: long")
+
+    greedy = {r.id for r in neardup_survivors(df, pairs, "id").collect()}
+    principled = {r.id for r in dedup_by_components(df, pairs, "id").collect()}
+    assert greedy == {0, 3, 5}
+    assert principled == {0, 3, 5}  # same here — but on the labeled view:
+
+    lab = duplicate_clusters(df, pairs, "id").orderBy("id").collect()
+    assert [(r.id, r.cluster, r.cluster_size) for r in lab] == [
+        (0, 0, 3), (1, 0, 3), (2, 0, 3), (3, 3, 2), (4, 3, 2), (5, 5, 1),
+    ]
