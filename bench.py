@@ -67,6 +67,8 @@ BENCH_QUERIES = [
     "hybrid_rrf",
     # joins beyond the reference
     "asof_join",
+    # event-sequence (CEP-lite) funnel
+    "funnel_match",
     # text analysis
     "lang_id",
     "quality_score",

@@ -48,3 +48,4 @@ from flink_sql_ai_meetingcoach_azure_spark.operators.components import (  # noqa
     dedup_by_components,
     duplicate_clusters,
 )
+from flink_sql_ai_meetingcoach_azure_spark.operators.cep import match_funnel  # noqa: F401

@@ -1215,6 +1215,57 @@ ORDER BY l.vec_id
 """
 
 
+FUNNEL_PATTERN = ("view", "click", "purchase")
+FUNNEL_WITHIN_S = 7 * 24 * 3600
+
+
+def q_funnel_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP-lite event-sequence analytics (MATCH_RECOGNIZE's deterministic
+    core): anchored greedy view→click→purchase funnel per user, 7-day
+    completion bound. One pattern-type-filtered shuffle + a codegen'd
+    per-user step-through — no k-way self-joins."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.cep import match_funnel  # noqa: PLC0415
+
+    ev = _events(spark, sf_dir)
+    out = match_funnel(
+        ev, FUNNEL_PATTERN, "user_id", "ts", "event_type",
+        id_col="event_id", within_seconds=FUNNEL_WITHIN_S,
+    )
+    return out.select(
+        "user_id",
+        "stages_hit",
+        "matched",
+        F.unix_micros("start_ts").alias("start_us"),
+        F.unix_micros("end_ts").alias("end_us"),
+    ).orderBy("user_id")
+
+
+SQL_FUNNEL_MATCH = f"""
+WITH e AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+u AS (SELECT DISTINCT user_id FROM e),
+t1 AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM e JOIN t1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN t2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id)
+SELECT u.user_id,
+       CAST(CASE WHEN t3.t3 IS NOT NULL THEN 3
+                 WHEN t2.t2 IS NOT NULL THEN 2
+                 WHEN t1.t1 IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS stages_hit,
+       CASE WHEN t3.t3 IS NULL THEN FALSE
+            ELSE epoch_us(t3.t3) - epoch_us(t1.t1) <= {FUNNEL_WITHIN_S}::BIGINT * 1000000
+       END AS matched,
+       epoch_us(t1.t1) AS start_us,
+       epoch_us(t3.t3) AS end_us
+FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+       LEFT JOIN t3 USING (user_id)
+ORDER BY u.user_id
+"""
+
+
 PII_MAX_ID = 500
 PACK_BUDGET = 2048
 
@@ -2723,4 +2774,5 @@ QUERIES: dict[str, QuerySpec] = {
     "token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS),
     "lm_score": QuerySpec(q_lm_score, SQL_LM_SCORE),
     "dup_clusters": QuerySpec(q_dup_clusters, _sql_dup_clusters()),
+    "funnel_match": QuerySpec(q_funnel_match, SQL_FUNNEL_MATCH),
 }

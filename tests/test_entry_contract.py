@@ -49,6 +49,7 @@ def test_entry_contract_shape():
         "token_stats",
         "lm_score",
         "dup_clusters",
+        "funnel_match",
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

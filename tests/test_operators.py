@@ -779,3 +779,44 @@ def test_dedup_by_components_vs_greedy_survivors(spark):
     assert [(r.id, r.cluster, r.cluster_size) for r in lab] == [
         (0, 0, 3), (1, 0, 3), (2, 0, 3), (3, 3, 2), (4, 3, 2), (5, 5, 1),
     ]
+
+
+def test_match_funnel_crafted_semantics(spark):
+    """Anchored greedy funnel: decoy orderings, partial progress, and the
+    within bound all behave as documented."""
+    from datetime import datetime
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.cep import match_funnel
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        # u1: clean A B C within bound
+        (1, t(0), "A", 1), (1, t(1), "B", 2), (1, t(2), "C", 3),
+        # u2: B before the anchor is ignored; then A B but no C -> 2 stages
+        (2, t(0), "B", 4), (2, t(1), "A", 5), (2, t(2), "B", 6),
+        # u3: full match but C lands past the 10-minute bound -> not matched
+        (3, t(0), "A", 7), (3, t(1), "B", 8), (3, t(30), "C", 9),
+        # u4: C first and alone -> 0 stages, no anchor
+        (4, t(5), "C", 10),
+        # u5: second A must NOT re-anchor; C counts from the FIRST A
+        (5, t(0), "A", 11), (5, t(8), "A", 12), (5, t(9), "B", 13), (5, t(10), "C", 14),
+    ]
+    df = spark.createDataFrame(rows, "user_id: long, ts: timestamp, event_type: string, event_id: long")
+    got = {
+        r.user_id: r
+        for r in match_funnel(
+            df, ("A", "B", "C"), "user_id", "ts", "event_type",
+            id_col="event_id", within_seconds=600,
+        ).collect()
+    }
+    assert (got[1].stages_hit, got[1].matched) == (3, True)
+    assert got[1].start_ts == t(0) and got[1].end_ts == t(2)
+    assert (got[2].stages_hit, got[2].matched) == (2, False)
+    assert got[2].end_ts is None
+    assert (got[3].stages_hit, got[3].matched) == (3, False)  # bound exceeded
+    assert (got[4].stages_hit, got[4].matched) == (0, False)
+    assert got[4].start_ts is None
+    assert (got[5].stages_hit, got[5].matched) == (3, True)
+    assert got[5].start_ts == t(0) and got[5].end_ts == t(10)
