@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     # similarity search + lexical/hybrid retrieval
     "ann_topk",
     "ann_ivf_topk",
+    "ann_quantized",
     "embedding_cosine_pairs",
     "embedding_lsh_pairs",
     "bm25_topk",

@@ -49,3 +49,8 @@ from flink_sql_ai_meetingcoach_azure_spark.operators.components import (  # noqa
     duplicate_clusters,
 )
 from flink_sql_ai_meetingcoach_azure_spark.operators.cep import match_funnel  # noqa: F401
+from flink_sql_ai_meetingcoach_azure_spark.operators.quantize import (  # noqa: F401
+    dequantize_col,
+    quantize_embeddings,
+    vector_search_topk_quantized,
+)

@@ -1215,6 +1215,54 @@ ORDER BY l.vec_id
 """
 
 
+def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k against an int8-QUANTIZED broadcast index (4× smaller
+    broadcast → the ceiling moves 4× before IVF must take over). Queries
+    stay full-precision; reconstruction q·s is exact float64 on both
+    engines, so the oracle reproduces the quantized ranking bit-for-bit."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.quantize import (  # noqa: PLC0415
+        vector_search_topk_quantized,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    hits = vector_search_topk_quantized(
+        queries,
+        emb.select("vec_id", "embedding"),
+        k=ANN_K,
+        query_col="embedding",
+        index_col="embedding",
+        payload_cols=["vec_id"],
+        round_sim=6,
+    )
+    return hits.select(
+        "qid", F.col("vec_id").alias("neighbor_id"), "similarity", "search_rank"
+    ).orderBy("qid", "search_rank")
+
+
+SQL_ANN_QUANTIZED = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS s FROM e),
+dq AS (SELECT vec_id, CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+                           ELSE list_transform(v, x -> round(x / s) * s) END AS dv
+       FROM sc),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {ANN_NQ}),
+sims AS (SELECT qid, d.vec_id AS neighbor_id,
+                round(list_dot_product(qv, dv) /
+                      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(dv, dv))), 6)
+                AS similarity
+         FROM q CROSS JOIN dq d),
+rk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY similarity DESC, neighbor_id) AS r
+       FROM sims)
+SELECT qid, neighbor_id, similarity, CAST(r AS INT) AS search_rank
+FROM rk WHERE r <= {ANN_K}
+ORDER BY qid, search_rank
+"""
+
+
 FUNNEL_PATTERN = ("view", "click", "purchase")
 FUNNEL_WITHIN_S = 7 * 24 * 3600
 
@@ -2775,4 +2823,5 @@ QUERIES: dict[str, QuerySpec] = {
     "lm_score": QuerySpec(q_lm_score, SQL_LM_SCORE),
     "dup_clusters": QuerySpec(q_dup_clusters, _sql_dup_clusters()),
     "funnel_match": QuerySpec(q_funnel_match, SQL_FUNNEL_MATCH),
+    "ann_quantized": QuerySpec(q_ann_quantized, SQL_ANN_QUANTIZED),
 }

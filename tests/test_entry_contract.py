@@ -50,6 +50,7 @@ def test_entry_contract_shape():
         "lm_score",
         "dup_clusters",
         "funnel_match",
+        "ann_quantized",
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

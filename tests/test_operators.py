@@ -820,3 +820,60 @@ def test_match_funnel_crafted_semantics(spark):
     assert got[4].start_ts is None
     assert (got[5].stages_hit, got[5].matched) == (3, True)
     assert got[5].start_ts == t(0) and got[5].end_ts == t(10)
+
+
+def test_quantized_search_matches_catalyst_dequant_path(spark, sf_dir):
+    """The int8 numpy GEMM path returns exactly the rows the pure-Catalyst
+    composition (quantize → dequantize → flat broadcast search) returns —
+    two independent implementations of the same quantized ranking."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.quantize import (
+        dequantize_col,
+        quantize_embeddings,
+        vector_search_topk_quantized,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    idx = emb.select("vec_id", "embedding")
+
+    fast = vector_search_topk_quantized(
+        queries, idx, k=3, payload_cols=["vec_id"], round_sim=6
+    ).select("qid", "vec_id", "similarity", "search_rank")
+
+    deq = quantize_embeddings(idx, "embedding", "__q", "__s").select(
+        "vec_id", dequantize_col("__q", "__s").alias("embedding")
+    )
+    slow = vector_search_topk_flat(
+        queries, deq, k=3, payload_cols=["vec_id"], round_sim=6
+    ).select("qid", "vec_id", "similarity", "search_rank")
+
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+
+
+def test_quantize_embeddings_reconstruction_bound(spark):
+    """Per-component reconstruction error is bounded by s/2 and zero
+    vectors quantize to zero codes with s=0."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.quantize import (
+        quantize_embeddings,
+    )
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.126]),
+        (2, [0.0, 0.0, 0.0, 0.0]),
+        (3, [100.0, -0.001, 3.3, 7.7]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<float>")
+    out = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    for vid, vec in rows:
+        r = out[vid]
+        maxabs = max(abs(x) for x in vec)
+        if maxabs == 0:
+            assert r.q_scale == 0 and all(c == 0 for c in r.q_vec)
+            continue
+        s = maxabs / 127.0
+        assert abs(r.q_scale - s) < 1e-12
+        assert all(-127 <= c <= 127 for c in r.q_vec)
+        for x, c in zip(vec, r.q_vec):
+            assert abs(c * s - x) <= s / 2 + 1e-9
