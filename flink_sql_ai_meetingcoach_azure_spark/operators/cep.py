@@ -95,3 +95,78 @@ def match_funnel(
         state["t0"].alias("start_ts"),
         F.when(full, state["tlast"]).alias("end_ts"),
     )
+
+
+def match_funnel_stream(
+    stream: DataFrame,
+    pattern: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str | None = None,
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Streaming :func:`match_funnel`: the same anchored greedy semantics
+    maintained per key across micro-batches in ``applyInPandasWithState``
+    GroupState — CEP the way Flink's MATCH_RECOGNIZE actually runs,
+    continuously. State is three scalars per key (stage, anchor µs, last
+    µs) — bounded, checkpointed, restored on restart. Emits one snapshot
+    row per key per micro-batch that touched it (update semantics); because
+    greedy progress is prefix-stable, feeding N batches ends in exactly the
+    state the batch operator computes over their union (asserted in
+    tests/test_streaming.py)."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    if not pattern:
+        raise ValueError("pattern must name at least one event type")
+    pat = list(pattern)
+    evs = stream.filter(F.col(type_col).isin(pat))
+    sort_cols = [ts_col] + ([id_col] if id_col is not None else [])
+    key_type = stream.schema[user_col].dataType.simpleString()
+
+    def fn(key, pdfs, state):
+        (user,) = key
+        stage, t0us, tlus = state.get if state.exists else (0, None, None)
+        whole = pd.concat(list(pdfs), ignore_index=True)
+        if len(whole):
+            # Arrow chunk order is not event order — sort the whole group
+            whole = whole.sort_values(sort_cols, kind="mergesort")
+        for _, row in whole.iterrows():
+            if stage < len(pat) and row[type_col] == pat[stage]:
+                ts_us = int(pd.Timestamp(row[ts_col]).value // 1000)
+                if stage == 0:
+                    t0us = ts_us
+                tlus = ts_us
+                stage += 1
+        state.update((stage, t0us, tlus))
+        full = stage == len(pat)
+        matched = bool(
+            full
+            and (
+                within_seconds is None
+                or (tlus - t0us) <= int(within_seconds) * 1_000_000
+            )
+        )
+        yield pd.DataFrame(
+            [
+                {
+                    user_col: user,
+                    "stages_hit": stage,
+                    "matched": matched,
+                    "start_ts": pd.Timestamp(t0us, unit="us") if stage >= 1 else pd.NaT,
+                    "end_ts": pd.Timestamp(tlus, unit="us") if full else pd.NaT,
+                }
+            ]
+        )
+
+    return evs.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            f"{user_col} {key_type}, stages_hit int, matched boolean, "
+            "start_ts timestamp, end_ts timestamp"
+        ),
+        stateStructType="stage int, t0_us long, tl_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -554,3 +554,74 @@ def test_curation_operators_run_on_streams(spark, tmp_path):
     assert set(out) == {0, 2}  # doc 1 fails the rule pack
     assert "[EMAIL]" in out[0]["clean_text"]
     assert out[0]["lang"] == "en" and out[2]["lang"] == "de"
+
+
+def test_match_funnel_stream_state_across_batches(spark, tmp_path):
+    """Streaming CEP funnel: GroupState carries greedy progress across
+    micro-batches and the final snapshot equals the batch operator run on
+    the union of all batches."""
+    import json
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.cep import (
+        match_funnel,
+        match_funnel_stream,
+    )
+
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+    b1 = [
+        {"user_id": 1, "ts": "2026-01-01T10:00:00", "event_type": "view", "event_id": 1},
+        {"user_id": 1, "ts": "2026-01-01T10:01:00", "event_type": "click", "event_id": 2},
+        {"user_id": 2, "ts": "2026-01-01T10:00:30", "event_type": "view", "event_id": 3},
+    ]
+    b2 = [
+        {"user_id": 1, "ts": "2026-01-01T10:05:00", "event_type": "purchase", "event_id": 4},
+        {"user_id": 2, "ts": "2026-01-01T10:06:00", "event_type": "error", "event_id": 5},
+        {"user_id": 2, "ts": "2026-01-01T10:07:00", "event_type": "click", "event_id": 6},
+    ]
+    (src / "b0.json").write_text("\n".join(json.dumps(r) for r in b1))
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    out = match_funnel_stream(
+        stream, ("view", "click", "purchase"),
+        id_col="event_id", within_seconds=3600,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_snap")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_funnel"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mid = {r.user_id: r for r in spark.sql(
+            "SELECT * FROM funnel_snap").collect()}
+        assert mid[1].stages_hit == 2 and not mid[1].matched
+        assert mid[2].stages_hit == 1
+        (src / "b1.json").write_text("\n".join(json.dumps(r) for r in b2))
+        q.processAllAvailable()
+        rows = spark.sql("SELECT * FROM funnel_snap").collect()
+    finally:
+        q.stop()
+    # final snapshot per user = the row with max stages_hit (monotone)
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.stages_hit > final[r.user_id].stages_hit:
+            final[r.user_id] = r
+    batch_df = spark.createDataFrame(
+        [(r["user_id"],
+          __import__("datetime").datetime.fromisoformat(r["ts"]),
+          r["event_type"], r["event_id"]) for r in b1 + b2],
+        schema,
+    )
+    want = {r.user_id: r for r in match_funnel(
+        batch_df, ("view", "click", "purchase"),
+        id_col="event_id", within_seconds=3600,
+    ).collect()}
+    for uid, w in want.items():
+        g = final[uid]
+        assert (g.stages_hit, g.matched, g.start_ts, g.end_ts) == (
+            w.stages_hit, w.matched, w.start_ts, w.end_ts
+        ), uid
