@@ -108,3 +108,29 @@ def test_rollup_single_pass(spark):
     assert "Expand" in plan
     assert "Union" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_lm_score_broadcasts_corpus_scalars(spark):
+    """The 1-row (total tokens, vocab) aggregate joins back via broadcast —
+    never a shuffle keyed on a constant."""
+    plan = _plan(spark, "lm_score")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_funnel_match_no_window_and_pushed_pattern_filter(spark):
+    """The funnel is one grouped aggregate + a codegen'd step-through: no
+    window node, no self-joins, and the pattern-type filter reaches the
+    parquet scan."""
+    plan = _plan(spark, "funnel_match")
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "In(event_type" in plan  # isin pushed into PushedFilters
+
+
+def test_ann_quantized_stays_narrow(spark):
+    """Quantized search is a broadcast-variable mapInPandas: the query
+    stream never shuffles for the search itself."""
+    plan = _plan(spark, "ann_quantized")
+    assert "MapInPandas" in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
