@@ -12,9 +12,9 @@ def test_entry_contract_shape():
 
     qs = e.queries()
     oracles = e.oracle_sql()
-    assert len(qs) >= 66
+    assert len(qs) >= 70
     assert set(oracles) <= set(qs)  # every oracle belongs to a query
-    assert len(oracles) >= 64
+    assert len(oracles) >= 68
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(v, str) and v.strip() for v in oracles.values())
     # the rows-only entries are a deliberate, named set — additions to it
