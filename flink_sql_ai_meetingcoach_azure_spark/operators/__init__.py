@@ -54,3 +54,8 @@ from flink_sql_ai_meetingcoach_azure_spark.operators.quantize import (  # noqa: 
     quantize_embeddings,
     vector_search_topk_quantized,
 )
+from flink_sql_ai_meetingcoach_azure_spark.operators.bpe import (  # noqa: F401
+    apply_bpe,
+    learn_bpe_merges,
+    word_frequencies,
+)

@@ -1263,6 +1263,23 @@ ORDER BY qid, search_rank
 """
 
 
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary training (Sennrich et al. 2016): ONE
+    corpus pass to the word-frequency table, then merge rounds over
+    distinct words only. Rows-only driver check — the merge sequence is
+    iterative argmax, not SQL-expressible; the exact-equality gate vs an
+    independent dict-based Python trainer lives in test_operators.py."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.bpe import learn_bpe_merges  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, "text", n_merges=8)
+    return spark.createDataFrame(
+        [(i, l, r, l + r) for i, (l, r) in enumerate(merges)],
+        "rank: int, left: string, right: string, merged: string",
+    )
+
+
 FUNNEL_PATTERN = ("view", "click", "purchase")
 FUNNEL_WITHIN_S = 7 * 24 * 3600
 
@@ -2824,4 +2841,5 @@ QUERIES: dict[str, QuerySpec] = {
     "dup_clusters": QuerySpec(q_dup_clusters, _sql_dup_clusters()),
     "funnel_match": QuerySpec(q_funnel_match, SQL_FUNNEL_MATCH),
     "ann_quantized": QuerySpec(q_ann_quantized, SQL_ANN_QUANTIZED),
+    "bpe_merges": QuerySpec(q_bpe_merges, None),
 }

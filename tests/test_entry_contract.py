@@ -23,6 +23,7 @@ def test_entry_contract_shape():
     assert rows_only == {
         "rag_pipeline",
         "ddl_reference_pipeline",
+        "bpe_merges",  # iterative argmax — pinned vs a Python trainer in pytest
     }, rows_only
     # the driver checks the FIRST 50 entries; the tail is the deliberate
     # out-of-window set (rows-only chains and oracle-backed entries each
@@ -51,6 +52,7 @@ def test_entry_contract_shape():
         "dup_clusters",
         "funnel_match",
         "ann_quantized",
+        "bpe_merges",
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

@@ -877,3 +877,84 @@ def test_quantize_embeddings_reconstruction_bound(spark):
         assert all(-127 <= c <= 127 for c in r.q_vec)
         for x, c in zip(vec, r.q_vec):
             assert abs(c * s - x) <= s / 2 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# BPE vocabulary training (operators/bpe.py)
+
+
+def _py_bpe_train(word_freqs, n_merges, min_count=2):
+    """Independent dict-based reference trainer (Sennrich et al. 2016)."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[syms[i], syms[i + 1]] = pairs.get((syms[i], syms[i + 1]), 0) + f
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        if pairs[best] < min_count:
+            break
+        merges.append(best)
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_learn_bpe_merges_matches_python_reference(spark):
+    from flink_sql_ai_meetingcoach_azure_spark.operators.bpe import learn_bpe_merges
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "wider wider new new",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string")
+    wf = {}
+    for t in texts:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    want = _py_bpe_train(wf, n_merges=12)
+    got = learn_bpe_merges(df, "text", n_merges=12)
+    assert got == want
+    assert len(got) >= 5  # the corpus supports several merges
+
+
+def test_apply_bpe_roundtrip_and_merge_usage(spark):
+    from flink_sql_ai_meetingcoach_azure_spark.operators.bpe import (
+        apply_bpe,
+        learn_bpe_merges,
+    )
+
+    texts = ["low low lower lowest", "newest newer new", "low newest"]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string")
+    merges = learn_bpe_merges(df, "text", n_merges=10)
+    out = {r.doc_id: r for r in apply_bpe(df, merges, "text").collect()}
+    for i, t in enumerate(texts):
+        toks = t.lower().split()
+        subs = list(out[i].bpe_tokens)
+        # subword concatenation reconstructs the words in order
+        joined, k = [], 0
+        for w in toks:
+            acc = ""
+            while len(acc) < len(w):
+                acc += subs[k]
+                k += 1
+            joined.append(acc)
+        assert joined == toks and k == len(subs)
+    # training actually compressed: repeated words become single symbols
+    low_doc = out[0].bpe_tokens
+    assert "low" in low_doc  # 'low' merged into one symbol
