@@ -47,6 +47,7 @@ from flink_sql_ai_meetingcoach_azure_spark.operators.components import (  # noqa
     connected_components,
     dedup_by_components,
     duplicate_clusters,
+    leakage_safe_split,
 )
 from flink_sql_ai_meetingcoach_azure_spark.operators.cep import match_funnel  # noqa: F401
 from flink_sql_ai_meetingcoach_azure_spark.operators.quantize import (  # noqa: F401

@@ -145,3 +145,28 @@ def dedup_by_components(
         .filter(F.col("component").isNull() | (F.col("component") == F.col(id_col)))
         .drop("component")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+    split_col: str = "split",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Train/val/test split keyed on the near-dup CLUSTER, not the row:
+    every transitive near-duplicate of a row lands in the SAME split, so a
+    paraphrase of a training example can never leak into eval — the
+    contamination mode a per-row hash split cannot prevent. Composition of
+    :func:`duplicate_clusters` and the hash-bucket
+    :func:`~.sampling.deterministic_split` (retry-stable, rand()-free),
+    keyed on the cluster id."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.sampling import (  # noqa: PLC0415
+        deterministic_split,
+    )
+
+    labeled = duplicate_clusters(df, pairs, id_col, id_a, id_b)
+    return deterministic_split(labeled, "cluster", weights, salt, split_col)

@@ -68,9 +68,9 @@ def neardup_survivors(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame
     row that near-duplicates ANY smaller id — one distinct + one anti-join,
     no iteration. Deterministic and single-pass; along transitive chains
     a~b~c it removes both b and c (greedy union-find clustering would keep
-    c when a≁c) — the standard large-scale tradeoff, documented rather than
-    hidden behind an iterative connected-components pass Spark can't do
-    without multiple jobs."""
+    c when a≁c) — the documented single-pass tradeoff. When exact
+    transitive clusters are worth the iterative jobs, use
+    :func:`~.components.dedup_by_components` (large-star/small-star CC)."""
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(losers, id_col, "left_anti")
 

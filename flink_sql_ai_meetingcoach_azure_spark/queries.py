@@ -1263,6 +1263,58 @@ ORDER BY qid, search_rank
 """
 
 
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split: the hash-bucket split keys on the
+    TRANSITIVE near-dup cluster, so a paraphrase of a training row can
+    never land in eval — per-row splits cannot prevent that contamination
+    mode."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.components import (  # noqa: PLC0415
+        leakage_safe_split,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: PLC0415
+        embedding_lsh_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < COS_PAIR_MAX_ID)
+    pairs = embedding_lsh_pairs(
+        emb, "vec_id", "embedding", dim=EMB_DIM, threshold=0.2,
+        n_planes=RP_PLANES, n_tables=RP_TABLES, round_to=6,
+    )
+    return (
+        leakage_safe_split(emb.select("vec_id"), pairs, "vec_id")
+        .select("vec_id", "cluster", "split")
+        .orderBy("vec_id")
+    )
+
+
+def _sql_leakage_split() -> str:
+    from flink_sql_ai_meetingcoach_azure_spark.operators.sampling import (  # noqa: PLC0415
+        hash_bucket_sql,
+    )
+
+    lsh = _sql_embedding_lsh_pairs()
+    b = hash_bucket_sql("cluster", "split")
+    return f"""
+WITH RECURSIVE pairs AS ({lsh}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (SELECT u, v FROM edges
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+base AS (SELECT vec_id FROM embeddings WHERE vec_id < {COS_PAIR_MAX_ID}),
+lab AS (SELECT b.vec_id, coalesce(c.component, b.vec_id) AS cluster
+        FROM base b LEFT JOIN comp c ON c.node = b.vec_id)
+SELECT vec_id, cluster,
+       CASE WHEN {b} < 8000 THEN 'train'
+            WHEN {b} < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM lab
+ORDER BY vec_id
+"""
+
+
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE vocabulary training (Sennrich et al. 2016): ONE
     corpus pass to the word-frequency table, then merge rounds over
@@ -2842,4 +2894,5 @@ QUERIES: dict[str, QuerySpec] = {
     "funnel_match": QuerySpec(q_funnel_match, SQL_FUNNEL_MATCH),
     "ann_quantized": QuerySpec(q_ann_quantized, SQL_ANN_QUANTIZED),
     "bpe_merges": QuerySpec(q_bpe_merges, None),
+    "leakage_split": QuerySpec(q_leakage_split, _sql_leakage_split()),
 }

@@ -53,6 +53,7 @@ def test_entry_contract_shape():
         "funnel_match",
         "ann_quantized",
         "bpe_merges",
+        "leakage_split",
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

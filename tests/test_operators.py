@@ -958,3 +958,26 @@ def test_apply_bpe_roundtrip_and_merge_usage(spark):
     # training actually compressed: repeated words become single symbols
     low_doc = out[0].bpe_tokens
     assert "low" in low_doc  # 'low' merged into one symbol
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every member of a transitive near-dup cluster gets the SAME split
+    label — the property a per-row split violates."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.components import (
+        leakage_safe_split,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(40)], "id: long")
+    # chains of 4: {0..3}, {10..13}, {20..23}
+    pairs = spark.createDataFrame(
+        [(b, b + i) for b in (0, 10, 20) for i in (1, 2, 3)],
+        "id_a: long, id_b: long",
+    )
+    rows = leakage_safe_split(df, pairs, "id").collect()
+    by_cluster: dict = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, set()).add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+    for b in (0, 10, 20):
+        assert {r.cluster for r in rows if b <= r.id <= b + 3} == {b}
+    assert len({r.split for r in rows}) > 1  # singles spread across splits
