@@ -59,9 +59,24 @@ def connected_components(
     (map-side-combinable ``min`` aggregations + one self-join per pass);
     the edge list only ever shrinks toward the star forest, never grows
     past its input size, so per-round cost is bounded by the initial pair
-    count. Convergence is detected by an edge-set change count hitting 0.
+    count. Convergence is probed per round by a cheap order-invariant
+    checksum aggregate and confirmed exactly (two-sided ``exceptAll``)
+    only when the checksum first reports a stable edge set.
     """
+    def _stats(e: DataFrame) -> tuple[int, int]:
+        # unordered-set checksum of a distinct edge set: one map-side-
+        # combinable aggregate over the cached (localCheckpointed) blocks —
+        # replaces two exceptAll shuffle jobs per round as the convergence
+        # probe.  xxhash64 over both endpoints; bit_xor is order-invariant
+        # and cannot overflow under ANSI mode (a sum of hashes can).
+        r = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).first()
+        return (r["n"], r["h"])
+
     edges = _canonical_edges(pairs, id_a, id_b).localCheckpoint()
+    prev_stats = _stats(edges)
 
     for _ in range(max_iter):
         # -- large-star: group the symmetrized edges by node; every
@@ -88,13 +103,21 @@ def connected_components(
             .distinct()
             .localCheckpoint()
         )
-        changed = (
-            small.exceptAll(edges).limit(1).count()
-            + edges.exceptAll(small).limit(1).count()
-        )
+        # cheap convergence probe: count + order-invariant checksum (one
+        # aggregate job).  Only when the checksum claims stability do we pay
+        # the exact two-sided exceptAll confirmation — so a 64-bit collision
+        # can cost one extra verification job but never a wrong early stop.
+        cur_stats = _stats(small)
+        if cur_stats == prev_stats:
+            changed = (
+                small.exceptAll(edges).limit(1).count()
+                + edges.exceptAll(small).limit(1).count()
+            )
+            if changed == 0:
+                edges = small
+                break
+        prev_stats = cur_stats
         edges = small
-        if changed == 0:
-            break
 
     # star forest: every edge is (root, member). Emit members + roots.
     return (
