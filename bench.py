@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     "neardup_dedup",
     "fingerprint",
     "line_dedup",
+    "dup_spans",
+    "span_pairs",
     "decontaminate",
     # similarity search + lexical/hybrid retrieval
     "ann_topk",

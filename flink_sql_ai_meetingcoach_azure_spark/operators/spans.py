@@ -1,0 +1,193 @@
+"""Span-level (exact-substring) deduplication across a corpus.
+
+Document- and line-level dedup (``dedup.py``, ``line_dedup``) miss the
+third duplication mode training corpora exhibit: long VERBATIM substrings
+repeated across otherwise-distinct documents (boilerplate paragraphs,
+licenses, quoted passages).  The reference treatment is suffix-array exact
+substring dedup (Lee et al., "Deduplicating Training Data Makes Language
+Models Better", ACL 2022); a suffix array is inherently a single-machine
+structure, so the distributed re-expression here is the standard
+fixed-width rolling-window form of the same idea:
+
+  every ``window``-token span of every document is hashed; a span whose
+  hash occurs in two or more DISTINCT documents is a duplicated span; a
+  document's duplication profile is the fraction of its spans that are
+  duplicated.  Any repeated substring of length >= window tokens is
+  guaranteed to produce matching windows (it contains at least one full
+  window), so recall on >=window-token verbatim repeats is exact — the
+  difference vs a suffix array is only that sub-window repeats go
+  undetected and boundaries are quantized to tokens.
+
+Scale shape: tokenize + windowed hashing is a map-only pass inside the
+scan's codegen (one md5 per token position); the only corpus-wide
+exchange is the groupBy on span hash, whose input is ~n_tokens rows and
+whose aggregates are all map-side combinable.  Cross-doc detection uses
+``min(doc) != max(doc)`` instead of ``countDistinct`` — exact for the
+"more than one distinct doc" predicate at combiner cost.  Nothing here is
+quadratic: pairs are produced by a bucketed self-join per span hash with
+the same hot-bucket document-frequency cap as
+:func:`~.dedup.ngram_jaccard_pairs`.
+
+Reference parity note: the reference app dedups whole messages by md5
+content hash only (app/utils/kafka_utils.py:209-217); span-level dedup is
+part of this repo's beyond-reference training-data curation layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import tokens_col
+
+#: spans shared by more documents than this are capped out of the pair
+#: join (a boilerplate span in m docs would emit m² pairs); stats still
+#: count them — the cap bounds the JOIN, not the detection.
+DEFAULT_MAX_DOC_FREQ = 1000
+
+
+def span_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """(id, pos, span_hash) for every ``window``-token span of every doc.
+
+    One row per token position (minus window-1 per doc); the hash is md5
+    of the space-joined token window, computed inside codegen.  Documents
+    shorter than ``window`` tokens emit nothing (no span of the target
+    length exists — padding would fabricate matches between short docs).
+    """
+    w = int(window)
+    toks = df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("t"))
+    spans = toks.select(
+        "id",
+        F.expr(
+            f"CASE WHEN size(t) >= {w} THEN "
+            f"transform(sequence(0, size(t) - {w}), "
+            f"i -> md5(array_join(slice(t, i + 1, {w}), ' '))) "
+            "ELSE array() END"
+        ).alias("hs"),
+    )
+    return spans.select("id", F.posexplode("hs").alias("pos", "span_hash"))
+
+
+def duplicated_span_hashes(postings: DataFrame) -> DataFrame:
+    """Span hashes occurring in >= 2 DISTINCT documents:
+    (span_hash, n_occurrences, n_docs_lower_bound is implied by min!=max).
+
+    ``min(id) != max(id)`` decides cross-doc duplication exactly with
+    combinable aggregates — no countDistinct shuffle."""
+    return (
+        postings.groupBy("span_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("id").alias("__mn"),
+            F.max("id").alias("__mx"),
+        )
+        .filter(F.col("__mn") != F.col("__mx"))
+        .drop("__mn", "__mx")
+    )
+
+
+def dup_span_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """Per-document span-duplication profile:
+    (id_col, n_spans, n_dup_spans, dup_ratio_micro).
+
+    ``n_dup_spans`` counts the document's span POSITIONS whose hash is
+    shared with at least one other document; ``dup_ratio_micro`` is the
+    integer-micro ratio (exact under any partitioning — the float division
+    happens once per row, after the integer counts are final).  Documents
+    with no spans (shorter than ``window`` tokens) report 0/0/0.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    # ONE corpus pass: pre-aggregate positions per (span_hash, doc) — the
+    # combinable groupBy collapses the token-count-sized posting list to
+    # distinct (hash, doc) rows — then decide cross-doc duplication with
+    # min/max window functions over the hash partition (no self-join, no
+    # second scan of the corpus).
+    postings = span_postings(df, id_col, text_col, window)
+    by_hash_doc = postings.groupBy("span_hash", "id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("span_hash")
+    flagged = by_hash_doc.withColumn(
+        "is_dup", F.min("id").over(w) != F.max("id").over(w)
+    )
+    per_doc = flagged.groupBy("id").agg(
+        F.sum("c").alias("n_spans"),
+        F.sum(F.when(F.col("is_dup"), F.col("c")).otherwise(F.lit(0))).alias(
+            "n_dup_spans"
+        ),
+    )
+    out = (
+        df.select(F.col(id_col).alias("id"))
+        .join(per_doc, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.when(
+                F.coalesce(F.col("n_spans"), F.lit(0)) > 0,
+                # integer floor-division: exact and engine-portable where a
+                # double divide could round differently at scale boundaries
+                F.expr("div(coalesce(n_dup_spans, 0) * 1000000, n_spans)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("dup_ratio_micro"),
+        )
+    )
+    return out
+
+
+def span_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+    max_doc_freq: int = DEFAULT_MAX_DOC_FREQ,
+) -> DataFrame:
+    """Distinct document pairs (id_a < id_b) sharing at least one
+    ``window``-token verbatim span, with the number of distinct shared
+    span hashes: (id_a, id_b, n_shared_spans).
+
+    The self-join is keyed by span hash, so cost is sum over hashes of
+    (docs-per-hash choose 2), never corpus²; ``max_doc_freq`` caps a
+    boilerplate span's contribution before the join (same guard as
+    :func:`~.dedup.ngram_jaccard_pairs`).  Feed the result to
+    :func:`~.components.connected_components` for transitive clusters.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    by_doc = (
+        span_postings(df, id_col, text_col, window)
+        .select("id", "span_hash")
+        .distinct()
+    )
+    if max_doc_freq is not None:
+        # document frequency as a count over the hash partition (one
+        # window on the already-hash-clustered distinct output) instead of
+        # an agg + join — keeps ONE corpus pass and leaves the two sides
+        # of the pair self-join as identical subtrees for exchange reuse
+        by_doc = (
+            by_doc.withColumn(
+                "__df", F.count(F.lit(1)).over(Window.partitionBy("span_hash"))
+            )
+            .filter(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
+    a = by_doc.select(F.col("span_hash"), F.col("id").alias("id_a"))
+    b = by_doc.select(F.col("span_hash"), F.col("id").alias("id_b"))
+    return (
+        a.join(b, "span_hash")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_spans"))
+    )

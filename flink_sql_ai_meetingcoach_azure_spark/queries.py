@@ -809,6 +809,90 @@ FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
 """
 
 
+#: span-dedup window width (tokens): any >=8-token verbatim repeat across
+#: documents is guaranteed to produce at least one matching window
+SPAN_W = 8
+
+# DuckDB rendering of the windowed span-hash list (mirrors
+# operators/spans.py::span_postings: md5 of the space-joined token window)
+_SQL_SPAN_HS = (
+    "CASE WHEN len(tk) >= {w} THEN "
+    "list_transform(range(0, len(tk) - {w} + 1), "
+    "i -> md5(array_to_string(list_slice(tk, i + 1, i + {w}), ' '))) "
+    "ELSE [] END"
+)
+
+
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level (exact-substring) duplication profile per document:
+    the distributed fixed-window form of suffix-array substring dedup
+    (Lee et al. 2022) — every 8-token window hashed, windows shared by
+    >=2 distinct docs counted per document."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.spans import (  # noqa: PLC0415
+        dup_span_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        dup_span_stats(docs, "doc_id", "text", window=SPAN_W)
+        .orderBy("doc_id")
+    )
+
+
+SQL_DUP_SPANS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM documents),
+spans AS (SELECT doc_id, unnest({_SQL_SPAN_HS.format(w=SPAN_W)}) AS h FROM toks),
+g AS (SELECT h, min(doc_id) AS mn, max(doc_id) AS mx FROM spans GROUP BY h),
+dup AS (SELECT h FROM g WHERE mn <> mx),
+per_doc AS (SELECT doc_id, count(*) AS n FROM spans GROUP BY doc_id),
+per_dup AS (SELECT s.doc_id, count(*) AS nd FROM spans s
+            WHERE s.h IN (SELECT h FROM dup) GROUP BY s.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(p.n, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(pd.nd, 0) AS BIGINT) AS n_dup_spans,
+       CAST(CASE WHEN coalesce(p.n, 0) > 0
+                 THEN (coalesce(pd.nd, 0) * 1000000) // p.n
+                 ELSE 0 END AS BIGINT) AS dup_ratio_micro
+FROM documents d
+LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+LEFT JOIN per_dup pd ON d.doc_id = pd.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing at least one 8-token verbatim span — the
+    bucketed self-join (per-hash cost, never corpus²) that feeds
+    transitive clustering; hot boilerplate spans capped by doc-frequency
+    before the join."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.spans import (  # noqa: PLC0415
+        span_dup_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        span_dup_pairs(docs, "doc_id", "text", window=SPAN_W, max_doc_freq=NGRAM_MAX_DF)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _sql_span_pairs() -> str:
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM documents),
+spans0 AS (SELECT doc_id, unnest({_SQL_SPAN_HS.format(w=SPAN_W)}) AS h FROM toks),
+spans AS (SELECT DISTINCT doc_id, h FROM spans0),
+ok AS (SELECT h FROM spans GROUP BY h HAVING count(*) <= {NGRAM_MAX_DF}),
+f AS (SELECT doc_id, h FROM spans WHERE h IN (SELECT h FROM ok))
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared_spans
+FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+ORDER BY id_a, id_b
+"""
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard pairs over a bounded id range (the LSH-verify
     stage in a full near-dup pipeline)."""
@@ -2832,8 +2916,6 @@ QUERIES: dict[str, QuerySpec] = {
     "recent_history": QuerySpec(q_recent_history, SQL_RECENT_HISTORY),
     "tumbling_window": QuerySpec(q_tumbling_window, SQL_TUMBLING_WINDOW),
     "session_window": QuerySpec(q_session_window, SQL_SESSION_WINDOW),
-    "concat_prompt": QuerySpec(q_concat_prompt, SQL_CONCAT_PROMPT),
-    "array_ops": QuerySpec(q_array_ops, SQL_ARRAY_OPS),
     "json_cleanup_extract": QuerySpec(q_json_cleanup_extract, SQL_JSON_CLEANUP_EXTRACT),
     "path_extract": QuerySpec(q_path_extract, SQL_PATH_EXTRACT),
     "tpch_q1": QuerySpec(q_tpch_q1, SQL_TPCH_Q1),
@@ -2850,6 +2932,8 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_lsh_pairs": QuerySpec(q_embedding_lsh_pairs, _sql_embedding_lsh_pairs()),
     "neardup_dedup": QuerySpec(q_neardup_dedup, _sql_neardup_dedup()),
     "line_dedup": QuerySpec(q_line_dedup, SQL_LINE_DEDUP),
+    "dup_spans": QuerySpec(q_dup_spans, SQL_DUP_SPANS),
+    "span_pairs": QuerySpec(q_span_pairs, _sql_span_pairs()),
     "decontaminate": QuerySpec(q_decontaminate, SQL_DECONTAMINATE),
     "ann_topk": QuerySpec(q_ann_topk, SQL_ANN_TOPK),
     "ann_ivf_topk": QuerySpec(q_ann_ivf_topk, SQL_ANN_TOPK),  # exact at nprobe=nlist
@@ -2873,6 +2957,10 @@ QUERIES: dict[str, QuerySpec] = {
     "ddl_ctas_topn": QuerySpec(q_ddl_ctas_topn, SQL_DDL_CTAS_TOPN),
     "ddl_struct_array": QuerySpec(q_ddl_struct_array, SQL_DDL_STRUCT_ARRAY),
     # ---- outside the driver's 50-entry window (see comment above) ----
+    # concat_prompt: F1 byte-exact inside in-window rag_pipeline_verified
+    "concat_prompt": QuerySpec(q_concat_prompt, SQL_CONCAT_PROMPT),
+    # array_ops: F2/F3/F5 exercised by in-window ddl_struct_array + ann_topk
+    "array_ops": QuerySpec(q_array_ops, SQL_ARRAY_OPS),
     "rag_retrieval": QuerySpec(q_rag_retrieval, _sql_rag_retrieval()),
     "multimodal_meta": QuerySpec(q_multimodal_meta, SQL_MULTIMODAL_META),
     "minhash_signatures": QuerySpec(q_minhash_signatures, SQL_MINHASH_SIGNATURES),

@@ -32,6 +32,8 @@ def test_entry_contract_shape():
     # operators in-window and moved 10 multi-round-green subsumed entries
     # out.
     assert list(qs)[50:] == [
+        "concat_prompt",  # F1 byte-exact inside in-window rag_pipeline_verified
+        "array_ops",  # F2/F3/F5 exercised by in-window ddl_struct_array + ann_topk
         "rag_retrieval",
         "multimodal_meta",
         "minhash_signatures",

@@ -1,0 +1,86 @@
+"""Span-level (exact-substring) dedup: constructed-corpus semantics."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from flink_sql_ai_meetingcoach_azure_spark.operators.spans import (
+    dup_span_stats,
+    span_dup_pairs,
+    span_postings,
+)
+
+SHARED = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        # docs 1 and 2 share an 8-token verbatim passage mid-document
+        (1, f"one unique prefix {SHARED} and a unique tail here"),
+        (2, f"totally different opening {SHARED} closing words differ too"),
+        # doc 3: no overlap with anyone
+        (3, "the quick brown fox jumps over the lazy dog again and again"),
+        # doc 4: shorter than the window — must emit no spans at all
+        (4, "too short for any span"),
+        # doc 5: repeats doc 3's full text verbatim (every span shared)
+        (5, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_postings_count_and_short_doc(corpus):
+    posts = span_postings(corpus, "doc_id", "text", window=8)
+    per_doc = {
+        r["id"]: r["n"]
+        for r in posts.groupBy("id").agg(F.count("*").alias("n")).collect()
+    }
+    # n_tokens - window + 1 spans per doc; doc 4 (5 tokens) emits none
+    assert per_doc[1] == 16 - 8 + 1  # doc 1 has 16 tokens
+    assert per_doc[3] == 12 - 8 + 1  # doc 3 has 12 tokens
+    assert 4 not in per_doc
+
+
+def test_stats_flag_shared_passage(corpus):
+    stats = {
+        r["doc_id"]: r.asDict()
+        for r in dup_span_stats(corpus, "doc_id", "text", window=8).collect()
+    }
+    # the shared 8-token passage is exactly ONE window of each carrier doc
+    assert stats[1]["n_dup_spans"] == 1
+    assert stats[2]["n_dup_spans"] == 1
+    # verbatim-duplicate docs 3 and 5: every span duplicated, ratio = 1.0
+    assert stats[3]["n_dup_spans"] == stats[3]["n_spans"] == 5
+    assert stats[3]["dup_ratio_micro"] == 1_000_000
+    assert stats[5]["dup_ratio_micro"] == 1_000_000
+    # the short doc reports a 0/0/0 profile, not an absent row
+    assert stats[4] == {
+        "doc_id": 4,
+        "n_spans": 0,
+        "n_dup_spans": 0,
+        "dup_ratio_micro": 0,
+    }
+
+
+def test_pairs_and_doc_freq_cap(corpus):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared_spans"]
+        for r in span_dup_pairs(corpus, "doc_id", "text", window=8).collect()
+    }
+    assert pairs == {(1, 2): 1, (3, 5): 5}
+    # a cap below the duplicate pair's doc frequency removes those spans
+    # from the JOIN (stats still count them — the cap bounds pair blowup)
+    capped = span_dup_pairs(corpus, "doc_id", "text", window=8, max_doc_freq=1)
+    assert capped.count() == 0
+
+
+def test_sub_window_repeat_not_flagged(spark):
+    # a 7-token shared substring has no full 8-token window: by design the
+    # fixed-window form cannot see sub-window repeats (suffix-array tradeoff)
+    seven = "a b c d e f g"
+    df = spark.createDataFrame(
+        [(1, f"x1 y1 z1 {seven} p1 q1"), (2, f"x2 y2 z2 {seven} p2 q2")],
+        ["doc_id", "text"],
+    )
+    assert span_dup_pairs(df, "doc_id", "text", window=8).count() == 0
+    stats = dup_span_stats(df, "doc_id", "text", window=8)
+    assert stats.agg(F.sum("n_dup_spans")).first()[0] == 0
