@@ -44,6 +44,8 @@ BENCH_QUERIES = [
     "topn_per_user",
     "window_running_sum",
     "window_analytics",
+    "range_rolling",
+    "above_user_avg",
     "tumbling_window",
     "session_window",
     "explode_chunks",

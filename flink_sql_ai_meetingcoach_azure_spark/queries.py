@@ -2819,6 +2819,83 @@ ORDER BY r.source, r.doc_id
 """
 
 
+def q_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-user trailing-1-hour event count and
+    value sum AT EVERY EVENT — a RANGE frame over event time (peers share
+    a frame), not a ROWS frame. One partitioned window keyed by user;
+    integer-cents sums and µs range bounds, so frames and sums are exact
+    on any engine/partitioning."""
+    _prep(spark)
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    # trailing hour INCLUSIVE of both boundaries, in exact µs
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        "value_cents",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum("value_cents").over(w).alias("sum_1h_cents"),
+    )
+
+
+SQL_RANGE_ROLLING = """
+SELECT event_id, user_id,
+       epoch_us(ts::TIMESTAMP) AS ts_us,
+       CAST(round(value * 100) AS BIGINT) AS value_cents,
+       CAST(count(*) OVER w AS BIGINT) AS n_1h,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS sum_1h_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts::TIMESTAMP
+             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_above_user_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery, decorrelated: events whose value
+    exceeds THEIR OWN user's average. Spark side is the decorrelated
+    plan a cluster wants (one combinable per-user aggregate broadcast
+    back); the oracle states the correlated form. The predicate is
+    evaluated in exact integer arithmetic (value·n > sum ⇔ value > avg)
+    so float-division drift can never flip a boundary row."""
+    _prep(spark)
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sum("value_cents").alias("__sum"), F.count(F.lit(1)).alias("__n")
+    )
+    return (
+        ev.join(per_user, "user_id")
+        .filter(F.col("value_cents") * F.col("__n") > F.col("__sum"))
+        .select("event_id", "user_id", "value_cents")
+        .orderBy("event_id")
+    )
+
+
+SQL_ABOVE_USER_AVG = """
+WITH ev AS (SELECT event_id, user_id,
+                   CAST(round(value * 100) AS BIGINT) AS value_cents
+            FROM events)
+SELECT event_id, user_id, value_cents
+FROM ev e
+WHERE value_cents * (SELECT count(*) FROM ev i WHERE i.user_id = e.user_id)
+      > (SELECT sum(value_cents) FROM ev i WHERE i.user_id = e.user_id)
+ORDER BY event_id
+"""
+
+
 def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic-function battery per user stream: running sum, lag/lead
     (previous/next amount), ntile quartiles, cume_dist — ONE partitioned
@@ -2983,4 +3060,6 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_quantized": QuerySpec(q_ann_quantized, SQL_ANN_QUANTIZED),
     "bpe_merges": QuerySpec(q_bpe_merges, None),
     "leakage_split": QuerySpec(q_leakage_split, _sql_leakage_split()),
+    "range_rolling": QuerySpec(q_range_rolling, SQL_RANGE_ROLLING),
+    "above_user_avg": QuerySpec(q_above_user_avg, SQL_ABOVE_USER_AVG),
 }

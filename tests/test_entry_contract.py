@@ -56,6 +56,8 @@ def test_entry_contract_shape():
         "ann_quantized",
         "bpe_merges",
         "leakage_split",
+        "range_rolling",  # RANGE time-frame window (tail: pytest gate)
+        "above_user_avg",  # correlated-subquery decorrelation (tail: pytest gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
