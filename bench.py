@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "ann_topk",
     "ann_ivf_topk",
     "ann_quantized",
+    "ann_pq",
     "embedding_cosine_pairs",
     "embedding_lsh_pairs",
     "bm25_topk",

@@ -134,3 +134,215 @@ def vector_search_topk_quantized(
             yield pd.DataFrame(out_rows)
 
     return query_df.mapInPandas(_search, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou, Douze, Schmid — "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011).  Splits the d-dim space into m
+# subspaces and stores ONE BYTE per subspace: at d=64/m=8 the broadcast
+# index shrinks 32× vs float32 (8 code bytes vs 256), which is the real
+# 100-TB broadcast-ceiling mover — int8 scalar quantization only buys 4×.
+# Scoring is ADC (asymmetric distance computation): the query stays
+# full-precision; per query one (m × ksub) lookup table of subspace dot
+# products is built and each index row's score is m table gathers — no
+# per-row float GEMM over d dims at all.
+# ---------------------------------------------------------------------------
+
+#: distances are rounded to 9 dp before the encode argmin on BOTH engines
+#: (here and in the DuckDB oracle) so a last-ulp summation-order difference
+#: can never flip a centroid assignment between engines
+PQ_D2_ROUND = 9
+
+
+def _pq_split(codebooks) -> np.ndarray:
+    cb = np.asarray(codebooks, dtype=np.float64)
+    if cb.ndim != 3:
+        raise ValueError("codebooks must be (m, ksub, dsub)")
+    return cb
+
+
+def pq_codebooks_from_rows(
+    index_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+) -> np.ndarray:
+    """Deterministic DATA-DEFINED codebooks: subspace slices of the ``ksub``
+    lowest-``id_col`` vectors.  No training randomness, no iteration — a
+    pure function of the table, so an external SQL engine can reproduce
+    the codebook, the assignment, and therefore the entire PQ ranking.
+    Use for verification paths; use :func:`train_pq_codebooks` (k-means)
+    for recall-quality codebooks in production."""
+    rows = (
+        index_df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(ksub)
+        .collect()
+    )
+    x = np.asarray([r[1] for r in rows], dtype=np.float64)  # (ksub, d)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    # (m, ksub, dsub): codebook j = the j-th dsub-slice of each row
+    return np.stack([x[:, j * dsub : (j + 1) * dsub] for j in range(m)])
+
+
+def train_pq_codebooks(
+    index_df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+    n_iter: int = 10,
+) -> np.ndarray:
+    """Per-subspace Lloyd's k-means on a deterministic uniform sample
+    (same sampling discipline as :func:`~.vector_search.build_ivf_index`:
+    sample, never ``limit()`` — file order collapses centroids on
+    clustered data).  Returns (m, ksub, dsub) float64 codebooks."""
+    target = max(ksub * 200, 2000)
+    n_total = index_df.count()
+    if n_total > target:
+        fraction = min(1.0, (target * 1.2) / n_total)
+        sample = index_df.select(vec_col).sample(False, fraction, seed=seed).collect()
+    else:
+        sample = index_df.select(vec_col).collect()
+    x = np.asarray([r[0] for r in sample], dtype=np.float64)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for j in range(m):
+        xs = x[:, j * dsub : (j + 1) * dsub]
+        k_eff = min(ksub, len(xs))
+        cent = xs[rng.choice(len(xs), size=k_eff, replace=False)].copy()
+        for _ in range(n_iter):
+            d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k_eff):
+                pts = xs[assign == c]
+                if len(pts):
+                    cent[c] = pts.mean(axis=0)
+        books.append(cent)
+    return np.stack(books)
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Append ``code_col ARRAY<TINYINT>``: per subspace, the index of the
+    nearest codebook centroid (squared-L2, 9-dp-rounded, lowest index on
+    ties).  Arrow-batched pandas UDF — encoding is a map-only distributed
+    pass; nothing is collected."""
+    cb = _pq_split(codebooks)
+    m, ksub, dsub = cb.shape
+    spark = df.sparkSession
+    bc = spark.sparkContext.broadcast(cb)
+
+    @F.pandas_udf("array<tinyint>")
+    def _enc(s: pd.Series) -> pd.Series:
+        cb_l = bc.value
+        x = np.asarray(list(s), dtype=np.float64)  # (n, d)
+        n = x.shape[0]
+        codes = np.empty((n, m), dtype=np.int8)
+        for j in range(m):
+            xs = x[:, j * dsub : (j + 1) * dsub]
+            d2 = ((xs[:, None, :] - cb_l[j][None, :, :]) ** 2).sum(axis=2)
+            codes[:, j] = np.round(d2, PQ_D2_ROUND).argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(code_col, _enc(F.col(vec_col)))
+
+
+def vector_search_topk_pq(
+    query_df: DataFrame,
+    index_df: DataFrame,
+    codebooks,
+    k: int = 3,
+    query_col: str = "embedding",
+    index_col: str = "embedding",
+    payload_cols: list[str] | None = None,
+    sim_col: str = "similarity",
+    rank_col: str = "search_rank",
+    round_sim: int = 6,
+    max_index_rows: int | None = None,
+) -> DataFrame:
+    """Top-k cosine search against a PQ-ENCODED broadcast index via ADC.
+
+    The driver collects (payload, m int8 codes) — 32× smaller than the
+    float32 index at d=64/m=8, so the default row ceiling stretches by
+    the same factor (``max_index_rows`` defaults to 16× the float
+    ceiling).  Per Arrow batch each query builds an (m × ksub) dot-product
+    LUT against the codebooks; an index row's score is m gathers + the
+    PRECOMPUTED reconstruction norm — no O(d) work per (query, row).
+    Similarity is cosine(query, reconstruction) — dot and norm are both
+    per-subspace LUT sums — rounded to ``round_sim`` dp with the flat
+    path's (similarity desc, first payload asc) tie-break, so an engine
+    that materializes the reconstruction reproduces the ranking exactly.
+    """
+    import pyspark.sql.types as T  # noqa: PLC0415
+
+    cb = _pq_split(codebooks)
+    m, ksub, dsub = cb.shape
+    if max_index_rows is None:
+        max_index_rows = MAX_BROADCAST_INDEX_ROWS * 16
+    payload_cols = payload_cols or [c for c in index_df.columns if c != index_col]
+    spark = query_df.sparkSession
+
+    enc = pq_encode(index_df, cb, index_col, "__pq")
+    idx_rows = _collect_index_rows(
+        enc.select(*payload_cols, "__pq"), [*payload_cols, "__pq"], max_index_rows
+    )
+    codes = np.asarray([r["__pq"] for r in idx_rows], dtype=np.int64)  # (n, m)
+    payloads = [{c: r[c] for c in payload_cols} for r in idx_rows]
+    bc = spark.sparkContext.broadcast((codes, payloads, cb))
+
+    out_schema = T.StructType(
+        list(query_df.schema.fields)
+        + [index_df.schema[c] for c in payload_cols]
+        + [
+            T.StructField(sim_col, T.DoubleType()),
+            T.StructField(rank_col, T.IntegerType()),
+        ]
+    )
+    first_payload = payload_cols[0]
+    j_idx = np.arange(m)
+
+    def _search(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codes_l, payloads_l, cb_l = bc.value
+        # reconstruction norms: per-subspace ||centroid||² LUT summed via
+        # the SAME gathers as scoring — query-independent, built once
+        n2_lut = (cb_l**2).sum(axis=2)  # (m, ksub)
+        rec_norm = np.sqrt(n2_lut[j_idx, codes_l[:, j_idx]].sum(axis=1))
+        rec_norm[rec_norm == 0] = 1.0
+        pay_keys = np.asarray([p[first_payload] for p in payloads_l])
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qm = np.asarray(list(pdf[query_col]), dtype=np.float64)
+            qn = np.linalg.norm(qm, axis=1)
+            qn[qn == 0] = 1.0
+            qm = qm / qn[:, None]
+            out_rows = []
+            for row_i in range(qm.shape[0]):
+                q = qm[row_i]
+                # (m, ksub) dot LUT, then one gather per subspace
+                lut = np.einsum("mkd,md->mk", cb_l, q.reshape(m, dsub))
+                dots = lut[j_idx, codes_l[:, j_idx]].sum(axis=1)
+                sims = np.round(dots / rec_norm, round_sim)
+                kk = min(k, sims.shape[0])
+                order = np.lexsort((pay_keys, -sims))[:kk]
+                base = pdf.iloc[row_i].to_dict()
+                for rk, j in enumerate(order, start=1):
+                    out_rows.append(
+                        {**base, **payloads_l[j], sim_col: sims[j], rank_col: rk}
+                    )
+            yield pd.DataFrame(out_rows)
+
+    return query_df.mapInPandas(_search, schema=out_schema)

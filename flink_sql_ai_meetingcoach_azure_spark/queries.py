@@ -1347,6 +1347,82 @@ ORDER BY qid, search_rank
 """
 
 
+#: product quantization: 8 subspaces × 16 centroids over the 64-dim space
+PQ_M = 8
+PQ_KSUB = 16
+
+
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k against a PRODUCT-QUANTIZED broadcast index (8 code bytes
+    per 64-dim vector — 32× smaller than float32; the true broadcast-
+    ceiling mover) scored via ADC lookup tables. This entry uses the
+    deterministic data-defined codebook (subspace slices of the 16
+    lowest-id vectors) so the oracle reproduces codebook, assignment and
+    ranking exactly; k-means codebooks are the recall-quality path and
+    are pinned by recall tests in pytest."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.quantize import (  # noqa: PLC0415
+        pq_codebooks_from_rows,
+        vector_search_topk_pq,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebooks_from_rows(emb, "vec_id", "embedding", m=PQ_M, ksub=PQ_KSUB)
+    queries = emb.filter(F.col("vec_id") < ANN_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    return (
+        vector_search_topk_pq(
+            queries,
+            emb.select("vec_id", "embedding"),
+            cb,
+            k=ANN_K,
+            query_col="embedding",
+            index_col="embedding",
+            payload_cols=["vec_id"],
+            round_sim=6,
+        )
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            "similarity",
+            "search_rank",
+        )
+        .orderBy("qid", "search_rank")
+    )
+
+
+_PQ_DSUB = EMB_DIM // PQ_M
+SQL_ANN_PQ = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {PQ_KSUB}),
+dists AS (SELECT x.vec_id, j.j, c.cid,
+                 round(list_sum(list_transform(range(1, {_PQ_DSUB + 1}), t ->
+                   (x.v[j.j * {_PQ_DSUB} + t] - c.cv[j.j * {_PQ_DSUB} + t])
+                   * (x.v[j.j * {_PQ_DSUB} + t] - c.cv[j.j * {_PQ_DSUB} + t]))), 9) AS d2
+          FROM e x, range(0, {PQ_M}) j(j), cb c),
+best AS (SELECT vec_id, j, cid,
+                row_number() OVER (PARTITION BY vec_id, j ORDER BY d2, cid) AS rn
+         FROM dists),
+recon AS (SELECT b.vec_id,
+                 flatten(list(list_slice(c.cv, b.j * {_PQ_DSUB} + 1,
+                                         b.j * {_PQ_DSUB} + {_PQ_DSUB}) ORDER BY b.j)) AS rv
+          FROM best b JOIN cb c ON b.cid = c.cid
+          WHERE b.rn = 1 GROUP BY b.vec_id),
+q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < {ANN_NQ}),
+sims AS (SELECT qid, r.vec_id AS neighbor_id,
+                round(list_dot_product(qv, rv) /
+                      (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(rv, rv))), 6)
+                AS similarity
+         FROM q CROSS JOIN recon r),
+rk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY similarity DESC, neighbor_id) AS r
+       FROM sims)
+SELECT qid, neighbor_id, similarity, CAST(r AS INT) AS search_rank
+FROM rk WHERE r <= {ANN_K}
+ORDER BY qid, search_rank
+"""
+
+
 def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-safe train/val/test split: the hash-bucket split keys on the
     TRANSITIVE near-dup cluster, so a paraphrase of a training row can
@@ -3062,4 +3138,5 @@ QUERIES: dict[str, QuerySpec] = {
     "leakage_split": QuerySpec(q_leakage_split, _sql_leakage_split()),
     "range_rolling": QuerySpec(q_range_rolling, SQL_RANGE_ROLLING),
     "above_user_avg": QuerySpec(q_above_user_avg, SQL_ABOVE_USER_AVG),
+    "ann_pq": QuerySpec(q_ann_pq, SQL_ANN_PQ),
 }
