@@ -67,6 +67,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "ann_quantized",
     "ann_pq",
+    "ann_ivfpq",  # cold build lands in run 1; the median is steady-state probes
     "embedding_cosine_pairs",
     "embedding_lsh_pairs",
     "bm25_topk",

@@ -346,3 +346,185 @@ def vector_search_topk_pq(
             yield pd.DataFrame(out_rows)
 
     return query_df.mapInPandas(_search, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: PQ codes stored INSIDE the partition-pruned IVF parquet layout —
+# the canonical composition (FAISS's IndexIVFPQ) and the terminal rung of
+# this module's scale ladder: probes prune partitions at the parquet scan
+# (reads scale with nprobe/nlist), and each surviving row costs m LUT
+# gathers instead of a d-dim dot.  The index is never broadcast and never
+# collected: queries are the broadcast side, the index streams through
+# mapInPandas with per-partition top-k, and only ~(partitions × k × nq)
+# candidate rows reach the final exact top-k window.
+# ---------------------------------------------------------------------------
+
+
+def build_ivfpq_index(
+    index_df: DataFrame,
+    index_col: str = "embedding",
+    nlist: int = 8,
+    codebooks=None,
+    m: int = 8,
+    ksub: int = 16,
+    seed: int = 42,
+):
+    """(index_df + centroid_id + pq_code, centroids, codebooks).
+
+    Coarse quantizer = the IVF k-means of
+    :func:`~.vector_search.build_ivf_index`; fine quantizer = PQ codes
+    from ``codebooks`` (trained via :func:`train_pq_codebooks` when not
+    given).  Both assignments are distributed map passes."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # noqa: PLC0415
+        build_ivf_index,
+    )
+
+    if codebooks is None:
+        codebooks = train_pq_codebooks(
+            index_df.select(index_col), index_col, m=m, ksub=ksub, seed=seed
+        )
+    cb = _pq_split(codebooks)
+    ivf, centroids = build_ivf_index(index_df, index_col, nlist=nlist, seed=seed)
+    enc = pq_encode(ivf, cb, index_col, "pq_code").drop(index_col)
+    return enc, centroids, cb
+
+
+def write_ivfpq_index(enc_df: DataFrame, centroids, codebooks, path: str) -> None:
+    """Persist partitioned by centroid_id + `_centroids.json` sidecar
+    (via :func:`~.vector_search.write_ivf_index`) + a `_pq_codebooks.json`
+    sidecar through the same Hadoop FileSystem API (portable to hdfs/s3a/
+    abfs)."""
+    import json  # noqa: PLC0415
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # noqa: PLC0415
+        write_ivf_index,
+    )
+
+    write_ivf_index(enc_df, centroids, path)
+    spark = enc_df.sparkSession
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(
+        f"{path.rstrip('/')}/_pq_codebooks.json"
+    )
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(jpath, True)
+    out.write(bytearray(json.dumps(np.asarray(codebooks).tolist()).encode("utf-8")))
+    out.close()
+
+
+def read_pq_codebooks(spark, path: str) -> np.ndarray:
+    import json  # noqa: PLC0415
+
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(f"{path.rstrip('/')}/_pq_codebooks.json")
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(jpath)
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+    return np.asarray(json.loads(text), dtype=np.float64)
+
+
+def vector_search_ivfpq_parquet(
+    query_df: DataFrame,
+    path: str,
+    k: int = 3,
+    nprobe: int = 4,
+    query_col: str = "embedding",
+    query_id_col: str = "qid",
+    code_col: str = "pq_code",
+    payload_cols: list[str] | None = None,
+    sim_col: str = "similarity",
+    rank_col: str = "search_rank",
+    round_sim: int = 6,
+) -> DataFrame:
+    """IVF-PQ probe: partition-pruned scan + streamed ADC + exact top-k.
+
+    Queries (the SMALL side) are collected and broadcast; the pruned index
+    scan streams through ``mapInPandas`` where each Arrow batch scores all
+    queries via LUT gathers and emits only its per-batch top-k per query;
+    a final window over ~(batches × k × nq) candidate rows takes the exact
+    global top-k — per-batch top-k by the same (sim desc, payload asc)
+    order is a lossless reduction of the global ranking.  At
+    ``nprobe == nlist`` results are EXACT PQ (identical to
+    :func:`vector_search_topk_pq`); smaller nprobe trades recall for
+    reading ~nprobe/nlist of the index."""
+    import pyspark.sql.types as T  # noqa: PLC0415
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # noqa: PLC0415
+        _probe_udf,
+        ivf_pruned_scan,
+        read_ivf_centroids,
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    spark = query_df.sparkSession
+    centroids = read_ivf_centroids(spark, path)
+    cb = read_pq_codebooks(spark, path)
+    m, ksub, dsub = cb.shape
+
+    q_rows = query_df.select(query_id_col, query_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(q_mat, axis=1)
+    qn[qn == 0] = 1.0
+    q_mat = q_mat / qn[:, None]
+    # per-query (m × ksub) dot LUTs, built ONCE driver-side and broadcast
+    # with the queries: nq × m × ksub doubles — tiny next to the index
+    luts = np.einsum("mkd,qmd->qmk", cb, q_mat.reshape(len(q_ids), m, dsub))
+    n2_lut = (cb**2).sum(axis=2)  # (m, ksub)
+    bc = spark.sparkContext.broadcast((q_ids, luts, n2_lut))
+
+    probes = _probe_udf(centroids, nprobe, spark)
+    cells = [
+        r[0]
+        for r in query_df.select(F.explode(probes(F.col(query_col))).alias("c"))
+        .distinct()
+        .collect()
+    ]
+    scan = ivf_pruned_scan(spark, path, cells)
+    payload_cols = payload_cols or [
+        c for c in scan.columns if c not in (code_col, "centroid_id")
+    ]
+    first_payload = payload_cols[0]
+    qid_field = query_df.schema[query_id_col]
+    cand_schema = T.StructType(
+        [T.StructField(query_id_col, qid_field.dataType)]
+        + [scan.schema[c] for c in payload_cols]
+        + [T.StructField(sim_col, T.DoubleType())]
+    )
+    j_idx = np.arange(m)
+
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        q_ids_l, luts_l, n2_l = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            codes = np.asarray(list(pdf[code_col]), dtype=np.int64)  # (b, m)
+            gather = codes[:, j_idx]
+            rec_norm = np.sqrt(n2_l[j_idx, gather].sum(axis=1))
+            rec_norm[rec_norm == 0] = 1.0
+            pay_keys = pdf[first_payload].to_numpy()
+            out = []
+            for qi, qid in enumerate(q_ids_l):
+                dots = luts_l[qi][j_idx, gather].sum(axis=1)
+                sims = np.round(dots / rec_norm, round_sim)
+                kk = min(k, sims.shape[0])
+                order = np.lexsort((pay_keys, -sims))[:kk]
+                for j in order:
+                    row = {query_id_col: qid, sim_col: sims[j]}
+                    for c in payload_cols:
+                        row[c] = pdf.iloc[j][c]
+                    out.append(row)
+            yield pd.DataFrame(out, columns=[f.name for f in cand_schema.fields])
+
+    cands = scan.mapInPandas(_score, schema=cand_schema)
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc(sim_col), F.asc(first_payload)
+    )
+    topk = cands.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+    # reattach the full query rows (queries with zero candidates drop out,
+    # matching the flat PQ operator's inner semantics)
+    return query_df.join(topk, query_id_col, "inner")

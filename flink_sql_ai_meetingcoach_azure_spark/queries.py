@@ -1351,6 +1351,73 @@ ORDER BY qid, search_rank
 PQ_M = 8
 PQ_KSUB = 16
 
+_IVFPQ_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _ivfpq_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """Build-once-per-(session, sf_dir) IVF-PQ index on disk — same cache
+    discipline as :func:`_ivf_index_path`. Uses the deterministic
+    data-defined codebook so the index (and therefore every probe) is
+    oracle-reproducible."""
+    import hashlib  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.quantize import (  # noqa: PLC0415
+        build_ivfpq_index,
+        pq_codebooks_from_rows,
+        write_ivfpq_index,
+    )
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir)
+    path = _IVFPQ_CACHE.get(key)
+    if path is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        cb = pq_codebooks_from_rows(emb, "vec_id", "embedding", m=PQ_M, ksub=PQ_KSUB)
+        enc, centroids, cb = build_ivfpq_index(
+            emb.select("vec_id", "embedding"), "embedding", nlist=8, codebooks=cb
+        )
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = f"{tempfile.gettempdir()}/ivfpq_idx_{app}_{tag}/index"
+        write_ivfpq_index(enc, centroids, cb, path)
+        _IVFPQ_CACHE[key] = path
+    return path
+
+
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — PQ codes inside the partition-pruned IVF parquet layout
+    (the FAISS IndexIVFPQ composition, the terminal rung of the scale
+    ladder): probes prune partitions at the scan AND each surviving row
+    costs m LUT gathers instead of a 64-dim dot; the index is never
+    broadcast or collected. Run at nprobe == nlist, results are EXACT PQ
+    and share ann_pq's oracle."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.quantize import (  # noqa: PLC0415
+        vector_search_ivfpq_parquet,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    return (
+        vector_search_ivfpq_parquet(
+            queries,
+            _ivfpq_index_path(spark, sf_dir),
+            k=ANN_K,
+            nprobe=8,
+            payload_cols=["vec_id"],
+            round_sim=6,
+        )
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            "similarity",
+            "search_rank",
+        )
+        .orderBy("qid", "search_rank")
+    )
+
 
 def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k against a PRODUCT-QUANTIZED broadcast index (8 code bytes
@@ -3139,4 +3206,5 @@ QUERIES: dict[str, QuerySpec] = {
     "range_rolling": QuerySpec(q_range_rolling, SQL_RANGE_ROLLING),
     "above_user_avg": QuerySpec(q_above_user_avg, SQL_ABOVE_USER_AVG),
     "ann_pq": QuerySpec(q_ann_pq, SQL_ANN_PQ),
+    "ann_ivfpq": QuerySpec(q_ann_ivfpq, SQL_ANN_PQ),  # exact at nprobe=nlist
 }

@@ -59,6 +59,7 @@ def test_entry_contract_shape():
         "range_rolling",  # RANGE time-frame window (tail: pytest gate)
         "above_user_avg",  # correlated-subquery decorrelation (tail: pytest gate)
         "ann_pq",  # product-quantized ADC search (tail: pytest gate)
+        "ann_ivfpq",  # PQ codes in the partition-pruned IVF layout (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

@@ -111,3 +111,53 @@ def test_determinism_across_runs(emb):
     c1 = pq_encode(emb, cb1, "embedding").select("pq_code").collect()
     c2 = pq_encode(emb, cb1, "embedding").select("pq_code").collect()
     assert [list(r[0]) for r in c1] == [list(r[0]) for r in c2]
+
+
+def test_ivfpq_exact_at_full_probe_and_pruned_scan(spark, emb, tmp_path):
+    """IVF-PQ at nprobe == nlist must reproduce flat PQ exactly, and the
+    probe's index scan must PRUNE partitions, not filter rows."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.quantize import (
+        build_ivfpq_index,
+        vector_search_ivfpq_parquet,
+        write_ivfpq_index,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (
+        ivf_pruned_scan,
+    )
+
+    cb = pq_codebooks_from_rows(emb, "vec_id", "embedding", m=8, ksub=16)
+    enc, centroids, cb = build_ivfpq_index(
+        emb.select("vec_id", "embedding"), "embedding", nlist=4, codebooks=cb
+    )
+    path = str(tmp_path / "ivfpq")
+    write_ivfpq_index(enc, centroids, cb, path)
+
+    queries = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    ivfpq = {
+        (r["qid"], r["search_rank"]): (r["vec_id"], r["similarity"])
+        for r in vector_search_ivfpq_parquet(
+            queries, path, k=3, nprobe=4, payload_cols=["vec_id"]
+        ).collect()
+    }
+    flat = {
+        (r["qid"], r["search_rank"]): (r["vec_id"], r["similarity"])
+        for r in vector_search_topk_pq(
+            queries, emb.select("vec_id", "embedding"), cb, k=3,
+            payload_cols=["vec_id"],
+        ).collect()
+    }
+    assert ivfpq == flat and len(ivfpq) == 8 * 3
+
+    plan = ivf_pruned_scan(spark, path, [0, 2])._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    assert "centroid_id" in plan.split("PartitionFilters", 1)[1][:200]
+
+    # nprobe < nlist reads fewer cells and stays a subset of valid ids
+    some = vector_search_ivfpq_parquet(
+        queries, path, k=3, nprobe=1, payload_cols=["vec_id"]
+    )
+    assert 0 < some.count() <= 8 * 3
