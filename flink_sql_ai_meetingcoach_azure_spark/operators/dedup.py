@@ -137,6 +137,28 @@ def minhash_signatures(
     return sh.groupBy(id_col).agg(*aggs)
 
 
+def lsh_band_keys(
+    signatures: DataFrame,
+    id_col: str,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH band keys per document: (id_col, band, bh) — ``bh`` is the
+    band's signature slice rendered as a join key. One narrow explode
+    (n_bands rows per doc); the (band, bh) key is the uniform shuffle key
+    every LSH consumer joins or groups on."""
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"h{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bh"))
+        )
+    return signatures.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str,
@@ -154,16 +176,7 @@ def lsh_candidate_pairs(
     long-lived session doesn't accumulate leaked cache entries, and the
     caller's DataFrame storage level is never mutated."""
     signatures = signatures.localCheckpoint(eager=False)
-    n_bands = num_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"h{b * band_size + j}") for j in range(band_size)]
-        bands.append(
-            F.struct(F.lit(b).alias("band"), F.concat_ws("_", *[c.cast("string") for c in cols]).alias("bh"))
-        )
-    exploded = signatures.select(
-        F.col(id_col), F.explode(F.array(*bands)).alias("bb")
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    exploded = lsh_band_keys(signatures, id_col, num_hashes, band_size)
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (

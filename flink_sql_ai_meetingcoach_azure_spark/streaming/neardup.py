@@ -1,0 +1,133 @@
+"""Streaming near-duplicate dedup: MinHash-LSH across micro-batches.
+
+``dedup_stream`` (``pipeline.py``) removes EXACT repeats by content hash;
+this sink removes NEAR-duplicates continuously: a document arriving in any
+micro-batch is dropped when it shares an LSH band bucket with ANY
+earlier-id document seen so far (the same greedy drop-every-``id_b``
+semantics as the batch :func:`~..operators.dedup.neardup_survivors` over
+the union of all batches — asserted in tests).
+
+Scale shape (this is a ``foreachBatch`` sink, not driver state):
+- Per-bucket state is ONE row ``(band, bh, min_id)`` — the minimum doc id
+  ever seen in the bucket.  A new doc is a duplicate iff some bucket it
+  lands in has ``min_id`` smaller than its own id; that single comparison
+  is exactly the all-pairs greedy rule, because pairing with ANY smaller
+  id drops a doc, and the smallest witness is always the bucket minimum.
+- The state store is an append-only parquet directory read back with a
+  ``groupBy(band, bh).min(min_id)`` merge — an LSM shape: appends are
+  cheap and idempotent (re-appending a replayed batch cannot change a
+  min), and ``compact()`` rewrites the log into one row per bucket when
+  the tail grows.  On a cluster the same sink runs against any Hadoop
+  filesystem path.
+- Everything per batch is distributed: signature computation (one
+  combinable groupBy), the state join keyed by the uniform (band, bh)
+  key, and the anti-join that emits survivors.  The driver moves no rows.
+
+Reference parity note: the reference dedups exact md5 content hashes in a
+consumer loop (app/utils/kafka_utils.py:209-217); continuous NEAR-dup
+dedup is part of this repo's beyond-reference curation layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (
+    lsh_band_keys,
+    minhash_signatures,
+)
+
+
+class StreamingNearDupDedup:
+    """``foreachBatch`` sink maintaining a cross-batch near-dup filter.
+
+    Admitted (non-duplicate) rows are appended to ``output_path`` with a
+    ``batch_id`` column; band-bucket minima accumulate under
+    ``state_path``.  Ids must be monotone with arrival order for the
+    union-equivalence property to hold exactly (the property tests feed
+    event-time-ordered ids, the realistic ingest shape).
+    """
+
+    def __init__(
+        self,
+        state_path: str,
+        output_path: str,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        num_hashes: int = 8,
+        band_size: int = 2,
+        shingle_n: int = 3,
+    ) -> None:
+        self.state_path = state_path
+        self.output_path = output_path
+        self.id_col = id_col
+        self.text_col = text_col
+        self.num_hashes = num_hashes
+        self.band_size = band_size
+        self.shingle_n = shingle_n
+
+    # -- state ------------------------------------------------------------
+    def _read_state(self, spark) -> DataFrame | None:
+        try:
+            log = spark.read.parquet(self.state_path)
+        except Exception:  # noqa: BLE001 — first batch: no state yet
+            return None
+        return log.groupBy("band", "bh").agg(F.min("min_id").alias("min_id"))
+
+    def compact(self, spark) -> None:
+        """Rewrite the append log into one row per bucket (run offline or
+        every N batches; reads stay correct without it — merge-on-read)."""
+        merged = self._read_state(spark)
+        if merged is None:
+            return
+        merged.write.mode("overwrite").parquet(self.state_path + "_compacted")
+        spark.read.parquet(self.state_path + "_compacted").write.mode(
+            "overwrite"
+        ).parquet(self.state_path)
+
+    # -- per micro-batch ---------------------------------------------------
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        idc = self.id_col
+        if batch_df.isEmpty():
+            return
+        sigs = minhash_signatures(
+            batch_df, idc, self.text_col, self.num_hashes, self.shingle_n
+        )
+        keys = lsh_band_keys(sigs, idc, self.num_hashes, self.band_size)
+        # one small materialization: keys feed the dup decision AND the
+        # state append; recomputing means re-running the signature subtree
+        keys = keys.localCheckpoint()
+
+        batch_min = keys.groupBy("band", "bh").agg(F.min(idc).alias("__bmin"))
+        state = self._read_state(spark)
+        if state is not None:
+            merged_min = (
+                batch_min.join(state, ["band", "bh"], "left")
+                .select(
+                    "band",
+                    "bh",
+                    F.least(
+                        F.col("__bmin"), F.coalesce("min_id", F.col("__bmin"))
+                    ).alias("__mmin"),
+                )
+            )
+        else:
+            merged_min = batch_min.select(
+                "band", "bh", F.col("__bmin").alias("__mmin")
+            )
+        dups = (
+            keys.join(merged_min, ["band", "bh"])
+            .filter(F.col("__mmin") < F.col(idc))
+            .select(idc)
+            .distinct()
+        )
+        admitted = batch_df.join(dups, idc, "left_anti")
+        admitted.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
+            "append"
+        ).parquet(self.output_path)
+        # append this batch's bucket minima (idempotent under replay: a
+        # re-append can only repeat, never raise, a bucket minimum)
+        batch_min.select(
+            "band", "bh", F.col("__bmin").alias("min_id")
+        ).write.mode("append").parquet(self.state_path)

@@ -625,3 +625,116 @@ def test_match_funnel_stream_state_across_batches(spark, tmp_path):
         assert (g.stages_hit, g.matched, g.start_ts, g.end_ts) == (
             w.stages_hit, w.matched, w.start_ts, w.end_ts
         ), uid
+
+
+# ---- streaming near-dup dedup (MinHash-LSH across micro-batches) ----
+
+DOC_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.LongType()), T.StructField("text", T.StringType())]
+)
+
+_BASE = (
+    "the committee approved the quarterly budget after a long discussion "
+    "of infrastructure spending priorities and staffing allocations"
+)
+_DOCS = [
+    (1, _BASE),
+    (2, _BASE.replace("long", "heated")),  # near-dup of 1
+    (3, "completely different content about gardening tips for arid climates and soil"),
+    (4, _BASE.replace("quarterly", "annual")),  # near-dup of 1/2
+    (5, "a fifth document on maritime navigation techniques in coastal waters today"),
+]
+
+
+def _write_docs(path, rows, n=0):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, f"docs_{n}.json"), "w") as f:
+        for i, t in rows:
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+
+
+def test_streaming_neardup_equals_batch_union(spark, tmp_path):
+    """Feeding N micro-batches through StreamingNearDupDedup admits
+    exactly the docs batch neardup_survivors keeps over the UNION."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        neardup_survivors,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.neardup import (
+        StreamingNearDupDedup,
+    )
+
+    src = str(tmp_path / "docs")
+    sink = StreamingNearDupDedup(
+        str(tmp_path / "nd_state"), str(tmp_path / "nd_out")
+    )
+    _write_docs(src, _DOCS[:3], 0)
+    stream = spark.readStream.schema(DOC_SCHEMA).json(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_docs(src, _DOCS[3:], 1)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    admitted = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "nd_out")).collect()
+    )
+
+    union = spark.createDataFrame(_DOCS, ["doc_id", "text"])
+    pairs = lsh_candidate_pairs(
+        minhash_signatures(union, "doc_id", "text", 8, 3), "doc_id", 8, 2
+    )
+    expected = sorted(
+        r["doc_id"] for r in neardup_survivors(union, pairs, "doc_id").collect()
+    )
+    assert admitted == expected
+    # sanity on the scenario itself: at least one near-dup was dropped
+    assert set(admitted) < {1, 2, 3, 4, 5}
+
+
+def test_streaming_neardup_state_replay_and_compaction(spark, tmp_path):
+    """Replaying a batch is a state no-op (append-only log merges by min),
+    and compaction preserves every dup decision."""
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.neardup import (
+        StreamingNearDupDedup,
+    )
+
+    sink = StreamingNearDupDedup(
+        str(tmp_path / "st"), str(tmp_path / "out"), num_hashes=8, band_size=2
+    )
+    b1 = spark.createDataFrame(_DOCS[:3], ["doc_id", "text"])
+    b2 = spark.createDataFrame(_DOCS[3:], ["doc_id", "text"])
+    sink(b1, 0)
+    merged_before = {
+        (r["band"], r["bh"]): r["min_id"]
+        for r in sink._read_state(spark).collect()
+    }
+    sink(b1, 0)  # replay
+    merged_after = {
+        (r["band"], r["bh"]): r["min_id"]
+        for r in sink._read_state(spark).collect()
+    }
+    assert merged_before == merged_after
+
+    sink.compact(spark)
+    merged_compacted = {
+        (r["band"], r["bh"]): r["min_id"]
+        for r in sink._read_state(spark).collect()
+    }
+    assert merged_compacted == merged_before
+    # after compaction the log holds exactly one row per bucket
+    assert spark.read.parquet(str(tmp_path / "st")).count() == len(merged_before)
+
+    sink(b2, 1)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    # batch 2's near-dup of doc 1/2 (doc 4) must be dropped by STATE alone
+    b2_admitted = {r["doc_id"] for r in out.filter("batch_id = 1").collect()}
+    assert b2_admitted == {5}
