@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "quality_filter",
     "cluster_sample",
     "mixture_sample",
+    "tiered_sample",
     # PII scrub + sequence packing (beyond-reference curation ops)
     "pii_redact",
     "pack_sequences",

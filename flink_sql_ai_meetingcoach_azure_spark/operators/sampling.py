@@ -145,3 +145,59 @@ def mixture_sample(
         .filter(F.col("_rn") <= F.col("_quota"))
         .drop("_rn", "_quota")
     )
+
+
+def score_tiered_sample(
+    df: DataFrame,
+    key_col: str,
+    score_col: str,
+    rates: tuple[float, ...] = (1.0, 0.5, 0.1),
+    salt: str = "tier",
+    tier_col: str = "tier",
+) -> DataFrame:
+    """CCNet-style tiered resampling: rank rows into ``len(rates)`` equal
+    CDF tiers of an INTEGER score (tier 0 = best) and admit each tier at
+    its rate by deterministic hash bucket — the head/middle/tail
+    perplexity resampling of CCNet (Wenzek et al. 2020) without a single
+    random draw.
+
+    Tier assignment is per DISTINCT SCORE VALUE (a score group never
+    straddles tiers): group g with inclusive cumulative count ``cum`` in
+    best-first order lands in the first tier i with
+    ``k·cum <= (i+1)·total`` — pure integer arithmetic, so two engines
+    cannot disagree on a boundary. The only window runs over the
+    AGGREGATED SCORE DOMAIN (≤ |distinct scores| rows, constant partition
+    key — bounded by construction, not a corpus-sized single-partition
+    sort); the corpus itself is touched by one combinable groupBy, one
+    broadcast-sized join back, and a codegen filter.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    k = len(rates)
+    per_score = df.groupBy(score_col).agg(F.count(F.lit(1)).alias("__c"))
+    w_cum = Window.partitionBy(F.lit(0)).orderBy(F.desc(score_col))
+    w_all = Window.partitionBy(F.lit(0))
+    cum = F.sum("__c").over(w_cum)
+    total = F.sum("__c").over(w_all)
+    tier_expr = None
+    for i in range(k - 1):
+        cond = F.lit(k) * cum <= F.lit(i + 1) * total
+        tier_expr = (
+            F.when(cond, i) if tier_expr is None else tier_expr.when(cond, i)
+        )
+    tier_expr = (
+        F.lit(k - 1) if tier_expr is None else tier_expr.otherwise(k - 1)
+    )
+    tiers = per_score.select(
+        score_col, tier_expr.cast("int").alias(tier_col)
+    )
+    labeled = df.join(F.broadcast(tiers), score_col)
+    thresh = None
+    for i, r in enumerate(rates):
+        edge = F.lit(int(round(r * N_BUCKETS)))
+        thresh = (
+            F.when(F.col(tier_col) == i, edge)
+            if thresh is None
+            else thresh.when(F.col(tier_col) == i, edge)
+        )
+    return labeled.filter(hash_bucket_col(key_col, salt) < thresh)

@@ -1252,6 +1252,75 @@ ORDER BY doc_id
 """
 
 
+def q_tiered_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail resampling: rank docs into thirds by their
+    unigram-LM quality score (integer micro-nats per token — truncated
+    division, so both engines compute the identical integer) and admit
+    head at 100%, middle at 50%, tail at 10% by deterministic hash
+    bucket. Composition: lm_score → CDF tiers over the score DOMAIN →
+    codegen admit filter; no random draw anywhere."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import (  # noqa: PLC0415
+        unigram_lm_scores,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.sampling import (  # noqa: PLC0415
+        score_tiered_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = (
+        unigram_lm_scores(docs, "doc_id", "text")
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            F.expr("div(sum_logp_micro, n_tokens)").alias("lm_micro"),
+        )
+    )
+    return (
+        score_tiered_sample(
+            scored, "doc_id", "lm_micro", rates=(1.0, 0.5, 0.1), salt="tiersample"
+        )
+        .select("doc_id", "lm_micro", "tier")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_tiered_sample() -> str:
+    from flink_sql_ai_meetingcoach_azure_spark.operators.sampling import (  # noqa: PLC0415
+        hash_bucket_sql,
+    )
+
+    b = hash_bucket_sql("doc_id", "tiersample")
+    return f"""
+WITH d AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM documents),
+tok AS (SELECT doc_id, unnest(tk) AS term FROM d),
+cnt AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+tot AS (SELECT sum(c) AS n, count(*) AS v FROM cnt),
+lp AS (SELECT term,
+              CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)) * 1000000)
+                   AS BIGINT) AS mn
+       FROM cnt CROSS JOIN tot),
+per_doc AS (SELECT t.doc_id, count(*) AS nt, sum(mn) AS s
+            FROM tok t JOIN lp USING (term) GROUP BY t.doc_id),
+score AS (SELECT doc_id,
+                 CAST(trunc(CAST(s AS DOUBLE) / nt) AS BIGINT) AS lm_micro
+          FROM per_doc WHERE nt > 0),
+per_sc AS (SELECT lm_micro, count(*) AS c FROM score GROUP BY lm_micro),
+tot2 AS (SELECT sum(c) AS n FROM per_sc),
+cum AS (SELECT lm_micro, sum(c) OVER (ORDER BY lm_micro DESC) AS cm, n
+        FROM per_sc CROSS JOIN tot2),
+tiers AS (SELECT lm_micro,
+                 CASE WHEN 3 * cm <= n THEN 0
+                      WHEN 3 * cm <= 2 * n THEN 1
+                      ELSE 2 END AS tier
+          FROM cum)
+SELECT s.doc_id, s.lm_micro, CAST(t.tier AS INT) AS tier
+FROM score s JOIN tiers t USING (lm_micro)
+WHERE {b} < CASE t.tier WHEN 0 THEN 10000 WHEN 1 THEN 5000 ELSE 1000 END
+ORDER BY s.doc_id
+"""
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRANSITIVE near-dup clusters: LSH candidate pairs → alternating
     large-star/small-star connected components (O(log² n) shuffle rounds,
@@ -3207,4 +3276,5 @@ QUERIES: dict[str, QuerySpec] = {
     "above_user_avg": QuerySpec(q_above_user_avg, SQL_ABOVE_USER_AVG),
     "ann_pq": QuerySpec(q_ann_pq, SQL_ANN_PQ),
     "ann_ivfpq": QuerySpec(q_ann_ivfpq, SQL_ANN_PQ),  # exact at nprobe=nlist
+    "tiered_sample": QuerySpec(q_tiered_sample, _sql_tiered_sample()),
 }

@@ -84,3 +84,46 @@ def test_sub_window_repeat_not_flagged(spark):
     assert span_dup_pairs(df, "doc_id", "text", window=8).count() == 0
     stats = dup_span_stats(df, "doc_id", "text", window=8)
     assert stats.agg(F.sum("n_dup_spans")).first()[0] == 0
+
+
+# ---- score-tiered (CCNet-style) resampling ----
+
+
+def test_score_tiered_sample_tiers_and_rates(spark):
+    from flink_sql_ai_meetingcoach_azure_spark.operators.sampling import (
+        N_BUCKETS,
+        hash_bucket_col,
+        score_tiered_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, (i - 1) // 30 * 10 + i % 7) for i in range(1, 91)], ["id", "sc"]
+    )
+    out = score_tiered_sample(df, "id", "sc", rates=(1.0, 1.0, 1.0)).collect()
+    # with all-1.0 rates nothing is dropped and tiers are a partition
+    assert len(out) == 90
+    tiers = {r["id"]: r["tier"] for r in out}
+    by_tier = {t: [i for i, tt in tiers.items() if tt == t] for t in (0, 1, 2)}
+    # tier sizes are CDF thirds up to score-group granularity
+    assert sum(len(v) for v in by_tier.values()) == 90
+    assert all(len(v) > 0 for v in by_tier.values())
+    # better scores never land in a worse tier
+    scores = {r["id"]: r["sc"] for r in df.collect()}
+    for t_good, t_bad in ((0, 1), (1, 2)):
+        assert min(scores[i] for i in by_tier[t_good]) >= max(
+            scores[i] for i in by_tier[t_bad]
+        )
+
+    # with a 0-rate tail, every admitted row is from tiers 0/1, and the
+    # admitted set is exactly the hash-bucket rule (deterministic)
+    out2 = score_tiered_sample(df, "id", "sc", rates=(1.0, 0.5, 0.0)).collect()
+    assert all(r["tier"] in (0, 1) for r in out2)
+    expected_t1 = {
+        r["id"]
+        for r in df.withColumn("b", hash_bucket_col("id", "tier")).collect()
+        if tiers[r["id"]] == 1 and r["b"] < int(0.5 * N_BUCKETS)
+    }
+    assert {r["id"] for r in out2 if r["tier"] == 1} == expected_t1
+    # replay-determinism
+    out3 = score_tiered_sample(df, "id", "sc", rates=(1.0, 0.5, 0.0)).collect()
+    assert sorted(r["id"] for r in out3) == sorted(r["id"] for r in out2)
