@@ -813,14 +813,32 @@ FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
 #: documents is guaranteed to produce at least one matching window
 SPAN_W = 8
 
-# DuckDB rendering of the windowed span-hash list (mirrors
-# operators/spans.py::span_postings: md5 of the space-joined token window)
-_SQL_SPAN_HS = (
-    "CASE WHEN len(tk) >= {w} THEN "
-    "list_transform(range(0, len(tk) - {w} + 1), "
-    "i -> md5(array_to_string(list_slice(tk, i + 1, i + {w}), ' '))) "
-    "ELSE [] END"
-)
+def _sql_span_postings_ctes(w: int) -> str:
+    """DuckDB CTEs producing ``spans(doc_id, pos, h)`` — mirrors
+    operators/spans.py::span_postings exactly: per-token 32-bit md5, then
+    two Horner polynomial channels over lead() windows, concatenated."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.spans import (  # noqa: PLC0415
+        SPAN_HASH_B,
+        SPAN_HASH_P,
+    )
+
+    chan_exprs = []
+    for b, p in zip(SPAN_HASH_B, SPAN_HASH_P):
+        acc = "h0"
+        for j in range(1, w):
+            acc = f"(({acc}) * {b} + lead(h0, {j}) OVER win) % {p}"
+        chan_exprs.append(acc)
+    return f"""
+toks0 AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM documents),
+tokr AS (SELECT doc_id, t.j - 1 AS pos,
+                ('0x' || substr(md5(tk[t.j]), 1, 8))::BIGINT AS h0
+         FROM toks0, unnest(range(1, len(tk) + 1)) AS t(j)),
+spans0 AS (SELECT doc_id, pos,
+                  {chan_exprs[0]} AS c1, {chan_exprs[1]} AS c2
+           FROM tokr
+           WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+spans AS (SELECT doc_id, pos, CAST(c1 AS VARCHAR) || '_' || CAST(c2 AS VARCHAR) AS h
+          FROM spans0 WHERE c1 IS NOT NULL)"""
 
 
 def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -840,9 +858,9 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DUP_SPANS = f"""
-WITH toks AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM documents),
-spans AS (SELECT doc_id, unnest({_SQL_SPAN_HS.format(w=SPAN_W)}) AS h FROM toks),
+def _sql_dup_spans() -> str:
+    return f"""
+WITH {_sql_span_postings_ctes(SPAN_W)},
 g AS (SELECT h, min(doc_id) AS mn, max(doc_id) AS mx FROM spans GROUP BY h),
 dup AS (SELECT h FROM g WHERE mn <> mx),
 per_doc AS (SELECT doc_id, count(*) AS n FROM spans GROUP BY doc_id),
@@ -880,11 +898,10 @@ def q_span_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sql_span_pairs() -> str:
     return f"""
-WITH toks AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM documents),
-spans0 AS (SELECT doc_id, unnest({_SQL_SPAN_HS.format(w=SPAN_W)}) AS h FROM toks),
-spans AS (SELECT DISTINCT doc_id, h FROM spans0),
-ok AS (SELECT h FROM spans GROUP BY h HAVING count(*) <= {NGRAM_MAX_DF}),
-f AS (SELECT doc_id, h FROM spans WHERE h IN (SELECT h FROM ok))
+WITH {_sql_span_postings_ctes(SPAN_W)},
+sd AS (SELECT DISTINCT doc_id, h FROM spans),
+ok AS (SELECT h FROM sd GROUP BY h HAVING count(*) <= {NGRAM_MAX_DF}),
+f AS (SELECT doc_id, h FROM sd WHERE h IN (SELECT h FROM ok))
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(count(*) AS BIGINT) AS n_shared_spans
 FROM f a JOIN f b ON a.h = b.h AND a.doc_id < b.doc_id
@@ -3221,7 +3238,7 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_lsh_pairs": QuerySpec(q_embedding_lsh_pairs, _sql_embedding_lsh_pairs()),
     "neardup_dedup": QuerySpec(q_neardup_dedup, _sql_neardup_dedup()),
     "line_dedup": QuerySpec(q_line_dedup, SQL_LINE_DEDUP),
-    "dup_spans": QuerySpec(q_dup_spans, SQL_DUP_SPANS),
+    "dup_spans": QuerySpec(q_dup_spans, _sql_dup_spans()),
     "span_pairs": QuerySpec(q_span_pairs, _sql_span_pairs()),
     "decontaminate": QuerySpec(q_decontaminate, SQL_DECONTAMINATE),
     "ann_topk": QuerySpec(q_ann_topk, SQL_ANN_TOPK),

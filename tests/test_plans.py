@@ -134,3 +134,34 @@ def test_ann_quantized_stays_narrow(spark):
     plan = _plan(spark, "ann_quantized")
     assert "MapInPandas" in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_dup_spans_single_corpus_pass(spark):
+    """Span-dedup stats: ONE Generate (the windowed-hash explode), no
+    self-join for the dup flag (window over the hash partition), and the
+    only joins are the per-doc reattachment."""
+    plan = _plan(spark, "dup_spans")
+    # the corpus postings subtree is evaluated once, not per consumer
+    assert sum(1 for l in plan.splitlines() if l.strip().startswith("(") and "Generate" in l) <= 2
+    assert "SortMergeJoin" not in plan
+    assert "Window" in plan  # min!=max over the span-hash partition
+
+
+def test_tiered_sample_no_corpus_window(spark):
+    """The CDF window must run over the aggregated score DOMAIN: the
+    window's child contains an aggregate, and the corpus join back is
+    broadcast."""
+    plan = _plan(spark, "tiered_sample")
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan  # domain-sized tier map joined back
+    # no row_number/ntile over the raw corpus: the only windowed relation
+    # is post-aggregate (HashAggregate appears below the Window node chain)
+    assert "HashAggregate" in plan
+
+
+def test_ann_pq_stays_narrow(spark):
+    """Flat PQ search: encode + ADC are map-side; no shuffle beyond the
+    final orderBy of the display query; no SortMergeJoin anywhere."""
+    plan = _plan(spark, "ann_pq")
+    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" in plan

@@ -738,3 +738,56 @@ def test_streaming_neardup_state_replay_and_compaction(spark, tmp_path):
     # batch 2's near-dup of doc 1/2 (doc 4) must be dropped by STATE alone
     b2_admitted = {r["doc_id"] for r in out.filter("batch_id = 1").collect()}
     assert b2_admitted == {5}
+
+
+# ---- continuous vector-store sink: streaming ingest into the IVF index ----
+
+
+def test_streaming_ivf_ingest_probe_sees_new_vectors(spark, tmp_path):
+    """Stream half the corpus into a pre-built IVF index; a full probe
+    (nprobe == nlist → exact) must then equal flat search over ALL
+    vectors, and a replayed batch must not duplicate index rows."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (
+        build_ivf_index,
+        vector_search_ivf_parquet,
+        vector_search_topk_flat,
+        write_ivf_index,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.vector_sink import (
+        StreamingIvfIngest,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") % 2 == 0)
+    incoming = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf_live")
+    ivf, centroids = build_ivf_index(
+        base.select("vec_id", "embedding"), nlist=4
+    )
+    write_ivf_index(ivf, centroids, path)
+
+    sink = StreamingIvfIngest(path)
+    half = incoming.select("vec_id", "embedding")
+    n_total = emb.count()
+    sink(half.filter(F.col("vec_id") % 4 == 1), 0)
+    sink(half.filter(F.col("vec_id") % 4 == 3), 1)
+    assert spark.read.parquet(path).count() == n_total
+    # replay batch 1: marker short-circuits, no duplicate rows
+    sink(half.filter(F.col("vec_id") % 4 == 3), 1)
+    assert spark.read.parquet(path).count() == n_total
+
+    queries = emb.filter(F.col("vec_id") < 6).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    probed = {
+        r["qid"]: [s["vec_id"] for s in r["search_results"]]
+        for r in vector_search_ivf_parquet(
+            queries, path, k=3, nprobe=4, payload_cols=["vec_id"]
+        ).collect()
+    }
+    flat = {}
+    for r in vector_search_topk_flat(
+        queries, emb.select("vec_id", "embedding"), k=3, payload_cols=["vec_id"]
+    ).collect():
+        flat.setdefault(r["qid"], []).append(r["vec_id"])
+    assert probed == flat
