@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "embedding_lsh_pairs",
     "bm25_topk",
     "hybrid_rrf",
+    "rerank_topk",
     # joins beyond the reference
     "asof_join",
     # event-sequence (CEP-lite) funnel

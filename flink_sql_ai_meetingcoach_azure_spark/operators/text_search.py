@@ -152,3 +152,50 @@ def rrf_fuse(*rank_lists: DataFrame, k: int, rrf_k: int = RRF_K) -> DataFrame:
         fused.withColumn("fused_rank", F.row_number().over(w))
         .filter(F.col("fused_rank") <= k)
     )
+
+
+def rerank_by_term_overlap(
+    candidates: DataFrame,
+    docs: DataFrame,
+    qterms: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prior_col: str = "fused_rank",
+    rank_col: str = "rerank",
+) -> DataFrame:
+    """Second-stage reranking of a BOUNDED candidate list — the standard
+    retrieve→rerank pipeline tail, where the expensive per-(query, doc)
+    scorer touches only the O(queries·k) candidates a first stage
+    produced, never the corpus.
+
+    The relevance signal here is exact distinct query-term overlap
+    (deterministic and SQL-reproducible — a cross-encoder drops into the
+    same seam); ties fall back to the first-stage rank, so reranking can
+    only reorder, never destabilize. The corpus is touched by ONE
+    semi-join against the broadcast candidate-id set before tokenizing —
+    only candidate documents are ever tokenized."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: PLC0415
+        tokens_col,
+    )
+
+    cand_ids = candidates.select(id_col).distinct()
+    texts = docs.join(F.broadcast(cand_ids), id_col).select(
+        id_col, tokens_col(text_col).alias("__toks")
+    )
+    terms = texts.select(
+        id_col, F.explode(F.array_distinct("__toks")).alias("term")
+    )
+    hits = (
+        candidates.select("qid", id_col, prior_col)
+        .join(terms, id_col)
+        .join(qterms.select("qid", "term").distinct(), ["qid", "term"])
+        .groupBy("qid", id_col)
+        .agg(F.count(F.lit(1)).alias("overlap"))
+    )
+    scored = candidates.join(hits, ["qid", id_col], "left").withColumn(
+        "overlap", F.coalesce("overlap", F.lit(0))
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("overlap"), F.asc(prior_col)
+    )
+    return scored.withColumn(rank_col, F.row_number().over(w))

@@ -2859,6 +2859,52 @@ ORDER BY qid, rank
 """
 
 
+def q_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieve→rerank: hybrid RRF produces a bounded candidate list, a
+    second stage re-scores ONLY those O(queries·k) candidates by exact
+    distinct query-term overlap (first-stage rank as tie-break) — the
+    production pipeline tail where a cross-encoder would sit; the corpus
+    is never touched by the reranker (candidate docs semi-joined before
+    tokenization)."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.text_search import (  # noqa: PLC0415
+        rerank_by_term_overlap,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    cands = q_hybrid_rrf(spark, sf_dir)
+    return (
+        rerank_by_term_overlap(
+            cands, docs, _bm25_qterms_df(spark), prior_col="fused_rank"
+        )
+        .select("qid", "doc_id", "overlap", "fused_rank", "rerank")
+        .orderBy("qid", "rerank")
+    )
+
+
+def _sql_rerank_topk() -> str:
+    return f"""
+WITH {_sql_hybrid_ctes()},
+cand AS (SELECT qid, doc_id, fused_rank FROM fr WHERE fused_rank <= {HYBRID_K}),
+dterm0 AS (SELECT doc_id, unnest(toks) AS term FROM dt),
+dterm AS (SELECT DISTINCT doc_id, term FROM dterm0),
+qd AS (SELECT DISTINCT qid, term FROM qterms),
+ov AS (SELECT c.qid, c.doc_id, count(*) AS overlap
+       FROM cand c
+       JOIN dterm d ON d.doc_id = c.doc_id
+       JOIN qd q ON q.qid = c.qid AND q.term = d.term
+       GROUP BY c.qid, c.doc_id),
+rr AS (SELECT c.qid, c.doc_id,
+              CAST(coalesce(o.overlap, 0) AS BIGINT) AS overlap, c.fused_rank,
+              row_number() OVER (PARTITION BY c.qid
+                                 ORDER BY coalesce(o.overlap, 0) DESC,
+                                          c.fused_rank ASC) AS rerank
+       FROM cand c LEFT JOIN ov o ON o.qid = c.qid AND o.doc_id = c.doc_id)
+SELECT qid, doc_id, overlap, fused_rank, CAST(rerank AS INT) AS rerank
+FROM rr ORDER BY qid, rerank
+"""
+
+
 def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid retrieval: BM25 keyword ranks ∪ cosine vector ranks fused
     with Reciprocal Rank Fusion (integer micro-points — exact). Query i
@@ -2898,8 +2944,10 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_HYBRID_RRF = f"""
-WITH {_sql_bm25_ctes()},
+def _sql_hybrid_ctes() -> str:
+    """BM25 CTEs + the vector half + RRF fusion, ending at ``fr`` —
+    shared by the hybrid entry and the rerank stage built on it."""
+    return f"""{_sql_bm25_ctes()},
 qv AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v FROM embeddings
        WHERE vec_id < {len(BM25_QUERIES)}),
 corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
@@ -2921,7 +2969,11 @@ fused AS (
   FROM lists GROUP BY qid, doc_id),
 fr AS (SELECT qid, doc_id, rrf_micro, n_lists,
               row_number() OVER (PARTITION BY qid ORDER BY rrf_micro DESC, doc_id ASC) AS fused_rank
-       FROM fused)
+       FROM fused)"""
+
+
+SQL_HYBRID_RRF = f"""
+WITH {_sql_hybrid_ctes()}
 SELECT qid, doc_id, rrf_micro, n_lists, fused_rank
 FROM fr WHERE fused_rank <= {HYBRID_K}
 ORDER BY qid, fused_rank
@@ -3294,4 +3346,5 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_pq": QuerySpec(q_ann_pq, SQL_ANN_PQ),
     "ann_ivfpq": QuerySpec(q_ann_ivfpq, SQL_ANN_PQ),  # exact at nprobe=nlist
     "tiered_sample": QuerySpec(q_tiered_sample, _sql_tiered_sample()),
+    "rerank_topk": QuerySpec(q_rerank_topk, _sql_rerank_topk()),
 }

@@ -61,6 +61,7 @@ def test_entry_contract_shape():
         "ann_pq",  # product-quantized ADC search (tail: pytest gate)
         "ann_ivfpq",  # PQ codes in the partition-pruned IVF layout (tail gate)
         "tiered_sample",  # CCNet head/middle/tail LM resampling (tail gate)
+        "rerank_topk",  # retrieve->rerank pipeline tail (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
