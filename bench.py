@@ -195,6 +195,56 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def bench_streaming_neardup(spark, sf_dir: str) -> dict:
+    """Throughput of the continuous MinHash-LSH near-dup dedup sink on a
+    bounded document stream (fixed 2000 docs for cross-sf comparability):
+    rows/s through signature computation + state join + survivor append,
+    with the parquet band-key state store accumulating across batches."""
+    import shutil  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from flink_sql_ai_meetingcoach_azure_spark.queries import _prep, _t  # noqa: PLC0415
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.neardup import (  # noqa: PLC0415
+        StreamingNearDupDedup,
+    )
+
+    _prep(spark)
+    root = tempfile.mkdtemp(prefix="bench_neardup_")
+    try:
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text").limit(2000)
+        src = f"{root}/src"
+        docs.write.parquet(src)
+        n_rows = spark.read.parquet(src).count()
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", STREAM_FILES_PER_TRIGGER)
+            .parquet(src)
+        )
+        sink = StreamingNearDupDedup(f"{root}/state", f"{root}/out")
+        t0 = time.time()
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", f"{root}/ckpt")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        elapsed = time.time() - t0
+        admitted = spark.read.parquet(f"{root}/out").count()
+        return {
+            "input_rows": n_rows,
+            "admitted_rows": admitted,
+            "elapsed_sec": round(elapsed, 3),
+            "rows_per_sec": round(n_rows / elapsed, 1),
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -229,6 +279,7 @@ def main() -> None:
             timings[name] = median(name)
 
     streaming = bench_streaming(spark, sf_dir)
+    streaming_neardup = bench_streaming_neardup(spark, sf_dir)
 
     total = round(
         sum(v for k, v in timings.items() if k not in EXCLUDE_FROM_TOTAL), 3
@@ -246,6 +297,7 @@ def main() -> None:
                 # in the quietest window of THIS artifact
                 "queries_min": mins,
                 "streaming": streaming,
+                "streaming_neardup": streaming_neardup,
                 "sf": sf,
             }
         )
