@@ -115,3 +115,66 @@ def test_closed_form_chunker_matches_chunk_text(text):
         else:
             closed.append(text[s : s + size])
     assert closed == chunk_text(text, size, ov, "###", False, False, True, "START")
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from("abcdefgh XY.,!"), min_size=0, max_size=120
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=5),
+)
+def test_span_hash_duckdb_matches_python(texts, window):
+    """Cross-engine contract of the span-dedup Horner hashing: the DuckDB
+    CTE rendering produces exactly the (doc_id, pos, h) postings a plain
+    Python reference computes — per-token 32-bit md5, two polynomial
+    channels, trailing windows dropped, short docs empty.  (The Spark side
+    is pinned by the hash-green dup_spans/span_pairs oracle entries built
+    on the same CTEs.)"""
+    import hashlib
+    import re as _re
+
+    import duckdb
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.spans import (
+        SPAN_HASH_B,
+        SPAN_HASH_P,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.queries import (
+        _sql_span_postings_ctes,
+    )
+
+    def py_spans(doc_id, text):
+        toks = [t for t in _re.split(r"\s+", text.lower()) if t]
+        hs = [int(hashlib.md5(t.encode()).hexdigest()[:8], 16) for t in toks]
+        out = []
+        for i in range(len(toks) - window + 1):
+            chans = []
+            for b, p in zip(SPAN_HASH_B, SPAN_HASH_P):
+                acc = hs[i]
+                for j in range(1, window):
+                    acc = (acc * b + hs[i + j]) % p
+                chans.append(acc)
+            out.append((doc_id, i, f"{chans[0]}_{chans[1]}"))
+        return out
+
+    expected = sorted(
+        row for d, t in enumerate(texts) for row in py_spans(d, t)
+    )
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(texts))
+    )
+    got = sorted(
+        tuple(r)
+        for r in con.execute(
+            f"WITH {_sql_span_postings_ctes(window)} "
+            "SELECT doc_id, pos, h FROM spans"
+        ).fetchall()
+    )
+    assert got == expected
