@@ -18,7 +18,8 @@ Scale shape (this is a ``foreachBatch`` sink, not driver state):
   cheap and idempotent (re-appending a replayed batch cannot change a
   min), and ``compact()`` rewrites the log into one row per bucket when
   the tail grows.  On a cluster the same sink runs against any Hadoop
-  filesystem path.
+  filesystem path.  A per-batch marker short-circuits replays entirely,
+  because the SURVIVOR append (unlike the state log) is not idempotent.
 - Everything per batch is distributed: signature computation (one
   combinable groupBy), the state join keyed by the uniform (band, bh)
   key, and the anti-join that emits survivors.  The driver moves no rows.
@@ -85,11 +86,26 @@ class StreamingNearDupDedup:
             "overwrite"
         ).parquet(self.state_path)
 
+    def _marker(self, spark, batch_id: int):
+        jvm = spark._jvm
+        return jvm.org.apache.hadoop.fs.Path(
+            f"{self.state_path.rstrip('/')}_batches/{int(batch_id)}"
+        )
+
     # -- per micro-batch ---------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         idc = self.id_col
+        # batch marker (same discipline as StreamingIvfIngest): the state
+        # log is replay-idempotent by construction (min-merge), but the
+        # SURVIVOR append is not — a replayed batch would duplicate output
+        # rows without this
+        marker = self._marker(spark, batch_id)
+        fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(marker):
+            return
         if batch_df.isEmpty():
+            fs.create(marker, True).close()
             return
         sigs = minhash_signatures(
             batch_df, idc, self.text_col, self.num_hashes, self.shingle_n
@@ -131,3 +147,4 @@ class StreamingNearDupDedup:
         batch_min.select(
             "band", "bh", F.col("__bmin").alias("min_id")
         ).write.mode("append").parquet(self.state_path)
+        fs.create(marker, True).close()

@@ -44,6 +44,7 @@ class StreamingIvfIngest:
         self.index_path = index_path
         self.index_col = index_col
         self._centroids = None
+        self._bc = None  # broadcast once, reused by every micro-batch
 
     def _marker(self, spark, batch_id: int):
         jvm = spark._jvm
@@ -77,9 +78,11 @@ class StreamingIvfIngest:
 
     def _assign(self, batch_df: DataFrame) -> DataFrame:
         spark = batch_df.sparkSession
-        bc = spark.sparkContext.broadcast(
-            np.asarray(self._centroids, dtype="float32")
-        )
+        if self._bc is None:
+            self._bc = spark.sparkContext.broadcast(
+                np.asarray(self._centroids, dtype="float32")
+            )
+        bc = self._bc
 
         @F.pandas_udf("int")
         def _a(s: pd.Series) -> pd.Series:

@@ -717,12 +717,14 @@ def test_streaming_neardup_state_replay_and_compaction(spark, tmp_path):
         (r["band"], r["bh"]): r["min_id"]
         for r in sink._read_state(spark).collect()
     }
-    sink(b1, 0)  # replay
+    out_before = spark.read.parquet(str(tmp_path / "out")).count()
+    sink(b1, 0)  # replay: marker short-circuits — no state or output change
     merged_after = {
         (r["band"], r["bh"]): r["min_id"]
         for r in sink._read_state(spark).collect()
     }
     assert merged_before == merged_after
+    assert spark.read.parquet(str(tmp_path / "out")).count() == out_before
 
     sink.compact(spark)
     merged_compacted = {
