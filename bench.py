@@ -90,6 +90,7 @@ BENCH_QUERIES = [
     # curation: dedup + stratified downsample + split composed, rule-pack
     # filtering, semantic cluster sampling, domain mixture rebalancing
     "curation_pipeline",
+    "curation_v2",
     "quality_filter",
     "cluster_sample",
     "mixture_sample",

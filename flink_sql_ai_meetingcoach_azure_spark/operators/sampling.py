@@ -170,6 +170,11 @@ def score_tiered_sample(
     key — bounded by construction, not a corpus-sized single-partition
     sort); the corpus itself is touched by one combinable groupBy, one
     broadcast-sized join back, and a codegen filter.
+
+    The score DOMAIN bounds the window and the broadcast: for a score
+    with corpus-sized cardinality, quantize first (e.g.
+    ``div(score, 1000)``) so the domain stays broadcastable — tier
+    boundaries move by at most one quantization step.
     """
     from pyspark.sql import Window  # noqa: PLC0415
 

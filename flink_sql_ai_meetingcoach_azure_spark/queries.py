@@ -1338,6 +1338,105 @@ ORDER BY s.doc_id
 """
 
 
+def q_curation_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-generation curation chain composing the round-5.2 operators:
+    (1) span-dedup GATE — drop docs whose 8-token spans are >=50%
+    cross-doc duplicated (boilerplate carriers); (2) CCNet tiering by
+    unigram-LM score over the SURVIVING corpus (the LM itself retrains on
+    the gated corpus — order matters and the oracle reproduces it);
+    (3) deterministic hash train/val/test split. Every stage rand()-free
+    and integer-exact, the whole chain one SQL oracle."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import (  # noqa: PLC0415
+        unigram_lm_scores,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.sampling import (  # noqa: PLC0415
+        deterministic_split,
+        score_tiered_sample,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.spans import (  # noqa: PLC0415
+        dup_span_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    gate = dup_span_stats(docs, "doc_id", "text", window=SPAN_W).filter(
+        F.col("dup_ratio_micro") < 500_000
+    )
+    kept = docs.join(gate.select("doc_id"), "doc_id", "left_semi")
+    scored = (
+        unigram_lm_scores(kept, "doc_id", "text")
+        .filter(F.col("n_tokens") > 0)
+        .select(
+            "doc_id", F.expr("div(sum_logp_micro, n_tokens)").alias("lm_micro")
+        )
+    )
+    tiered = score_tiered_sample(
+        scored, "doc_id", "lm_micro", rates=(1.0, 0.5, 0.1), salt="cur2"
+    )
+    return (
+        deterministic_split(tiered, "doc_id", salt="cur2split")
+        .select("doc_id", "lm_micro", "tier", "split")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_curation_v2() -> str:
+    from flink_sql_ai_meetingcoach_azure_spark.operators.sampling import (  # noqa: PLC0415
+        hash_bucket_sql,
+    )
+
+    adm = hash_bucket_sql("doc_id", "cur2")
+    spl = hash_bucket_sql("doc_id", "cur2split")
+    return f"""
+WITH {_sql_span_postings_ctes(SPAN_W)},
+g AS (SELECT h, min(doc_id) AS mn, max(doc_id) AS mx FROM spans GROUP BY h),
+dup AS (SELECT h FROM g WHERE mn <> mx),
+per_doc AS (SELECT doc_id, count(*) AS n FROM spans GROUP BY doc_id),
+per_dup AS (SELECT s.doc_id, count(*) AS nd FROM spans s
+            WHERE s.h IN (SELECT h FROM dup) GROUP BY s.doc_id),
+ratios AS (SELECT d.doc_id,
+                  CASE WHEN coalesce(p.n, 0) > 0
+                       THEN (coalesce(pd.nd, 0) * 1000000) // p.n
+                       ELSE 0 END AS r
+           FROM documents d
+           LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+           LEFT JOIN per_dup pd ON d.doc_id = pd.doc_id),
+kept AS (SELECT doc_id, text FROM documents
+         WHERE doc_id IN (SELECT doc_id FROM ratios WHERE r < 500000)),
+kd AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM kept),
+ktok AS (SELECT doc_id, unnest(tk) AS term FROM kd),
+kcnt AS (SELECT term, count(*) AS c FROM ktok GROUP BY term),
+ktot AS (SELECT sum(c) AS n, count(*) AS v FROM kcnt),
+klp AS (SELECT term,
+               CAST(round(ln(CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE)) * 1000000)
+                    AS BIGINT) AS mn
+        FROM kcnt CROSS JOIN ktot),
+kpd AS (SELECT t.doc_id, count(*) AS nt, sum(mn) AS s
+        FROM ktok t JOIN klp USING (term) GROUP BY t.doc_id),
+score AS (SELECT doc_id,
+                 CAST(trunc(CAST(s AS DOUBLE) / nt) AS BIGINT) AS lm_micro
+          FROM kpd WHERE nt > 0),
+per_sc AS (SELECT lm_micro, count(*) AS c FROM score GROUP BY lm_micro),
+tot2 AS (SELECT sum(c) AS n FROM per_sc),
+cum AS (SELECT lm_micro, sum(c) OVER (ORDER BY lm_micro DESC) AS cm, n
+        FROM per_sc CROSS JOIN tot2),
+tiers AS (SELECT lm_micro,
+                 CASE WHEN 3 * cm <= n THEN 0
+                      WHEN 3 * cm <= 2 * n THEN 1
+                      ELSE 2 END AS tier
+          FROM cum),
+admitted AS (SELECT s.doc_id, s.lm_micro, CAST(t.tier AS INT) AS tier
+             FROM score s JOIN tiers t USING (lm_micro)
+             WHERE {adm} < CASE t.tier WHEN 0 THEN 10000 WHEN 1 THEN 5000 ELSE 1000 END)
+SELECT doc_id, lm_micro, tier,
+       CASE WHEN {spl} < 8000 THEN 'train'
+            WHEN {spl} < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM admitted
+ORDER BY doc_id
+"""
+
+
 def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRANSITIVE near-dup clusters: LSH candidate pairs → alternating
     large-star/small-star connected components (O(log² n) shuffle rounds,
@@ -3347,4 +3446,5 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_ivfpq": QuerySpec(q_ann_ivfpq, SQL_ANN_PQ),  # exact at nprobe=nlist
     "tiered_sample": QuerySpec(q_tiered_sample, _sql_tiered_sample()),
     "rerank_topk": QuerySpec(q_rerank_topk, _sql_rerank_topk()),
+    "curation_v2": QuerySpec(q_curation_v2, _sql_curation_v2()),
 }

@@ -62,6 +62,7 @@ def test_entry_contract_shape():
         "ann_ivfpq",  # PQ codes in the partition-pruned IVF layout (tail gate)
         "tiered_sample",  # CCNet head/middle/tail LM resampling (tail gate)
         "rerank_topk",  # retrieve->rerank pipeline tail (tail gate)
+        "curation_v2",  # span-gate -> LM tiering -> split composition (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
