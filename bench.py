@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "window_analytics",
     "range_rolling",
     "above_user_avg",
+    "gap_fill",
     "tumbling_window",
     "session_window",
     "explode_chunks",

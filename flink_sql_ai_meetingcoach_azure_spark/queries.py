@@ -3276,6 +3276,69 @@ ORDER BY event_id
 """
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification + forward fill: every user's hourly
+    bucket grid from their first to last event (generated, not observed),
+    missing hours filled with n=0 and the LAST OBSERVED hourly sum
+    carried forward via last_value(... IGNORE NULLS) — the
+    nulls-respecting window semantics ROWS frames alone don't give you.
+    The per-user grid is generated with sequence+explode (bounded by the
+    user's own time span) and joined back on (user, hour)."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents).alias("sum_cents"))
+    spans = ev.groupBy("user_id").agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = (
+        grid.join(hourly, ["user_id", "h"], "left")
+        .select(
+            "user_id",
+            F.unix_micros("h").alias("hour_us"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last("sum_cents", ignorenulls=True).over(w).alias("ff_sum_cents"),
+        )
+    )
+    return filled.orderBy("user_id", "hour_us")
+
+
+SQL_GAP_FILL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts::TIMESTAMP) AS h,
+         count(*) AS n, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sc
+  FROM events GROUP BY 1, 2),
+spans AS (SELECT user_id,
+                 date_trunc('hour', min(ts::TIMESTAMP)) AS h0,
+                 date_trunc('hour', max(ts::TIMESTAMP)) AS h1
+          FROM events GROUP BY user_id),
+grid AS (SELECT s.user_id, g.h
+         FROM spans s, unnest(generate_series(s.h0, s.h1, INTERVAL 1 HOUR)) AS g(h))
+SELECT g.user_id,
+       epoch_us(g.h) AS hour_us,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
+       CAST(last_value(h.sc IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.h
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ff_sum_cents
+FROM grid g LEFT JOIN hourly h ON h.user_id = g.user_id AND h.h = g.h
+ORDER BY g.user_id, hour_us
+"""
+
+
 def q_window_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic-function battery per user stream: running sum, lag/lead
     (previous/next amount), ntile quartiles, cume_dist — ONE partitioned
@@ -3447,4 +3510,5 @@ QUERIES: dict[str, QuerySpec] = {
     "tiered_sample": QuerySpec(q_tiered_sample, _sql_tiered_sample()),
     "rerank_topk": QuerySpec(q_rerank_topk, _sql_rerank_topk()),
     "curation_v2": QuerySpec(q_curation_v2, _sql_curation_v2()),
+    "gap_fill": QuerySpec(q_gap_fill, SQL_GAP_FILL),
 }

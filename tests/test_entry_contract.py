@@ -63,6 +63,7 @@ def test_entry_contract_shape():
         "tiered_sample",  # CCNet head/middle/tail LM resampling (tail gate)
         "rerank_topk",  # retrieve->rerank pipeline tail (tail gate)
         "curation_v2",  # span-gate -> LM tiering -> split composition (tail gate)
+        "gap_fill",  # time densification + IGNORE NULLS forward fill (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
