@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "range_rolling",
     "above_user_avg",
     "gap_fill",
+    "pivot_by_type",
     "tumbling_window",
     "session_window",
     "explode_chunks",

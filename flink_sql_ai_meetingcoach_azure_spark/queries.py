@@ -3276,6 +3276,48 @@ ORDER BY event_id
 """
 
 
+#: fixed pivot column set — a production pivot always enumerates its
+#: columns (an inferred set makes the output schema data-dependent)
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event-type breakdown as columns — Spark's native
+    `groupBy().pivot(col, values)` with the value list FIXED so the
+    output schema is static (and the plan is one partial-aggregated pass,
+    not one pass per column). Integer-cents sums; absent combinations
+    yield 0, not null, so downstream arithmetic is total."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    pivoted = (
+        ev.withColumn("__c", cents)
+        .groupBy("user_id")
+        .pivot("event_type", PIVOT_TYPES)
+        .agg(F.sum("__c"))
+    )
+    return pivoted.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).alias(f"{t}_cents")
+            for t in PIVOT_TYPES
+        ],
+    ).orderBy("user_id")
+
+
+def _sql_pivot_by_type() -> str:
+    cols = ",\n       ".join(
+        f"CAST(coalesce(sum(CAST(round(value * 100) AS BIGINT)) "
+        f"FILTER (event_type = '{t}'), 0) AS BIGINT) AS {t}_cents"
+        for t in PIVOT_TYPES
+    )
+    return f"""
+SELECT user_id,
+       {cols}
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series densification + forward fill: every user's hourly
     bucket grid from their first to last event (generated, not observed),
@@ -3511,4 +3553,5 @@ QUERIES: dict[str, QuerySpec] = {
     "rerank_topk": QuerySpec(q_rerank_topk, _sql_rerank_topk()),
     "curation_v2": QuerySpec(q_curation_v2, _sql_curation_v2()),
     "gap_fill": QuerySpec(q_gap_fill, SQL_GAP_FILL),
+    "pivot_by_type": QuerySpec(q_pivot_by_type, _sql_pivot_by_type()),
 }

@@ -64,6 +64,7 @@ def test_entry_contract_shape():
         "rerank_topk",  # retrieve->rerank pipeline tail (tail gate)
         "curation_v2",  # span-gate -> LM tiering -> split composition (tail gate)
         "gap_fill",  # time densification + IGNORE NULLS forward fill (tail gate)
+        "pivot_by_type",  # PIVOT with fixed column set (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
