@@ -2843,7 +2843,7 @@ def q_ddl_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Entry order is the driver's check order and the driver verifies the FIRST
-# 50 entries; with 68 entries, 18 sit outside the window. Window policy
+# 50 entries; everything past 50 sits outside the window. Window policy
 # (round 5): NEW operators go in-window — external verification is the
 # strongest check an entry can get — and the slots are freed by moving out
 # entries that are (a) multi-round driver-green already and (b) strictly
@@ -2863,7 +2863,11 @@ def q_ddl_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     tests/test_skew.py); vocab_size ⊂ top_terms (same explode→count
 #     family); deterministic_split + stratified_sample ⊂ curation_pipeline
 #     (composes both); quality_score + token_stats ⊂ quality_filter (same
-#     signal set, rule-pack verdict).
+#     signal set, rule-pack verdict);
+#   - moved out in r5.2 (freeing slots for dup_spans + span_pairs):
+#     concat_prompt ⊂ rag_pipeline_verified (byte-exact prompt assembly);
+#     array_ops ⊂ ddl_struct_array + ann_topk (element_at/struct/array
+#     constructor forms).
 # Every SURVEY §2 operator keeps an in-window oracle-checked entry; the
 # out-of-window oracle-backed entries stay covered by
 # tools/check_correctness.py (full run, no window) AND by the per-pytest

@@ -30,7 +30,8 @@ def test_entry_contract_shape():
     # subsumed by an in-window hash-checked superset — see the window
     # policy comment above queries.QUERIES). Round 5 put all 10 NEW
     # operators in-window and moved 10 multi-round-green subsumed entries
-    # out.
+    # out; r5.2 swapped dup_spans + span_pairs in for concat_prompt +
+    # array_ops and gates all further additions here.
     assert list(qs)[50:] == [
         "concat_prompt",  # F1 byte-exact inside in-window rag_pipeline_verified
         "array_ops",  # F2/F3/F5 exercised by in-window ddl_struct_array + ann_topk
