@@ -49,6 +49,7 @@ BENCH_QUERIES = [
     "gap_fill",
     "pivot_by_type",
     "tumbling_window",
+    "hopping_window",
     "session_window",
     "explode_chunks",
     # dedup / fingerprint family

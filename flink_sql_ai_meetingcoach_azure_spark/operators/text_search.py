@@ -178,6 +178,11 @@ def rerank_by_term_overlap(
         tokens_col,
     )
 
+    # the candidate list is tiny (O(queries·k)) but its LINEAGE is the
+    # whole first-stage retrieval plan, and it feeds two consumers (the
+    # overlap join and the final rescore) — materialize once, same
+    # discipline as lsh_candidate_pairs
+    candidates = candidates.localCheckpoint(eager=False)
     cand_ids = candidates.select(id_col).distinct()
     texts = docs.join(F.broadcast(cand_ids), id_col).select(
         id_col, tokens_col(text_col).alias("__toks")

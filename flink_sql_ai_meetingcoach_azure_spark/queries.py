@@ -3280,6 +3280,44 @@ ORDER BY event_id
 """
 
 
+def q_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOP (sliding) event-time windows: 1-hour windows advancing every
+    15 minutes — each event lands in 4 overlapping windows. Spark's
+    native `window(ts, '1 hour', '15 minutes')` plans ONE Expand node
+    (4 rows per event map-side) + one partial-aggregated groupBy — no
+    self-join against a window table."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents).alias("sum_cents"))
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "sum_cents",
+        )
+        .orderBy("window_start_us")
+    )
+
+
+SQL_HOPPING_WINDOW = """
+WITH e AS (SELECT ts::TIMESTAMP AS ts,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+hop AS (SELECT date_trunc('hour', ts)
+               - to_minutes(45)
+               + to_minutes(15 * (CAST(floor(epoch(ts - date_trunc('hour', ts)) / 900) AS BIGINT)))
+               + to_minutes(15 * o.i) AS ws,
+               cents
+        FROM e, unnest(range(0, 4)) AS o(i))
+SELECT epoch_us(ws) AS window_start_us,
+       count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM hop GROUP BY ws ORDER BY window_start_us
+"""
+
+
 #: fixed pivot column set — a production pivot always enumerates its
 #: columns (an inferred set makes the output schema data-dependent)
 PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -3558,4 +3596,5 @@ QUERIES: dict[str, QuerySpec] = {
     "curation_v2": QuerySpec(q_curation_v2, _sql_curation_v2()),
     "gap_fill": QuerySpec(q_gap_fill, SQL_GAP_FILL),
     "pivot_by_type": QuerySpec(q_pivot_by_type, _sql_pivot_by_type()),
+    "hopping_window": QuerySpec(q_hopping_window, SQL_HOPPING_WINDOW),
 }

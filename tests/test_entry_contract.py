@@ -66,6 +66,7 @@ def test_entry_contract_shape():
         "curation_v2",  # span-gate -> LM tiering -> split composition (tail gate)
         "gap_fill",  # time densification + IGNORE NULLS forward fill (tail gate)
         "pivot_by_type",  # PIVOT with fixed column set (tail gate)
+        "hopping_window",  # HOP/sliding event-time windows (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
