@@ -793,3 +793,45 @@ def test_streaming_ivf_ingest_probe_sees_new_vectors(spark, tmp_path):
     ).collect():
         flat.setdefault(r["qid"], []).append(r["vec_id"])
     assert probed == flat
+
+
+def test_streaming_neardup_survives_restart(spark, tmp_path):
+    """Kill the query between batches; a NEW query over the same
+    checkpoint + state resumes: batch-2 near-dups of batch-1 docs are
+    still dropped (the band-key state lives on disk, not in the query),
+    and already-committed batches are not re-emitted."""
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.neardup import (
+        StreamingNearDupDedup,
+    )
+
+    src = str(tmp_path / "docs")
+    sink = StreamingNearDupDedup(
+        str(tmp_path / "nd_state"), str(tmp_path / "nd_out")
+    )
+
+    def _run():
+        stream = spark.readStream.schema(DOC_SCHEMA).json(src)
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", str(tmp_path / "nd_ckpt"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    _write_docs(src, _DOCS[:3], 0)
+    _run()
+    first = sorted(
+        r["doc_id"] for r in spark.read.parquet(str(tmp_path / "nd_out")).collect()
+    )
+    _write_docs(src, _DOCS[3:], 1)
+    _run()  # fresh query object, same checkpoint + on-disk state
+    out = spark.read.parquet(str(tmp_path / "nd_out"))
+    admitted = sorted(r["doc_id"] for r in out.collect())
+    # batch 1's survivors appear exactly once; doc 4 (near-dup of 1/2 from
+    # the PREVIOUS incarnation's batches) is dropped purely by disk state
+    assert admitted.count(first[0]) == 1
+    assert 4 not in admitted
+    assert 5 in admitted
