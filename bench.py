@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "above_user_avg",
     "gap_fill",
     "pivot_by_type",
+    "unpivot_types",
+    "label_centroids",
     "tumbling_window",
     "hopping_window",
     "session_window",

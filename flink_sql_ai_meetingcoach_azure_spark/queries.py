@@ -3318,6 +3318,48 @@ FROM hop GROUP BY ws ORDER BY window_start_us
 """
 
 
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class mean embedding (class centroids — clustering seeds /
+    nearest-class-mean classification): element-wise mean across ROWS of
+    an array column, in EXACT integer micros — posexplode to (label, pos)
+    → combinable BIGINT sum + count → truncated integer division. Float
+    summation order never enters, so any partitioning/engine agrees."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    rows = emb.select(
+        "label", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        "label",
+        "pos",
+        F.round(F.col("x").cast("double") * 1_000_000).cast("bigint").alias("xm"),
+    )
+    return (
+        rows.groupBy("label", "pos")
+        .agg(F.sum("xm").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "pos",
+            F.expr("div(s, n)").alias("mean_micro"),
+            F.col("n").alias("n_vecs"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+SQL_LABEL_CENTROIDS = f"""
+WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+rows0 AS (SELECT label, t.j - 1 AS pos,
+                 CAST(round(v[t.j] * 1000000) AS BIGINT) AS xm
+          FROM e, range(1, {EMB_DIM + 1}) t(j)),
+agg AS (SELECT label, pos, sum(xm) AS s, count(*) AS n
+        FROM rows0 GROUP BY label, pos)
+SELECT label, CAST(pos AS INT) AS pos,
+       CAST(trunc(CAST(s AS DOUBLE) / n) AS BIGINT) AS mean_micro,
+       CAST(n AS BIGINT) AS n_vecs
+FROM agg ORDER BY label, pos
+"""
+
+
 #: fixed pivot column set — a production pivot always enumerates its
 #: columns (an inferred set makes the output schema data-dependent)
 PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -3357,6 +3399,37 @@ def _sql_pivot_by_type() -> str:
 SELECT user_id,
        {cols}
 FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_unpivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): the per-user event-type matrix back to long form —
+    Spark's native `unpivot` produces one Expand pass (no per-column
+    union); zero rows kept so pivot→unpivot is lossless and the pair is
+    mutually inverse over the same fixed column set."""
+    _prep(spark)
+    wide = q_pivot_by_type(spark, sf_dir)
+    return (
+        wide.unpivot(
+            ["user_id"],
+            [f"{t}_cents" for t in PIVOT_TYPES],
+            "event_type",
+            "cents",
+        )
+        .withColumn("event_type", F.regexp_replace("event_type", "_cents$", ""))
+        .orderBy("user_id", "event_type")
+    )
+
+
+def _sql_unpivot_types() -> str:
+    arms = "\nUNION ALL\n".join(
+        f"SELECT user_id, '{t}' AS event_type, {t}_cents AS cents FROM wide"
+        for t in PIVOT_TYPES
+    )
+    return f"""
+WITH wide AS ({_sql_pivot_by_type()})
+{arms}
+ORDER BY user_id, event_type
 """
 
 
@@ -3597,4 +3670,6 @@ QUERIES: dict[str, QuerySpec] = {
     "gap_fill": QuerySpec(q_gap_fill, SQL_GAP_FILL),
     "pivot_by_type": QuerySpec(q_pivot_by_type, _sql_pivot_by_type()),
     "hopping_window": QuerySpec(q_hopping_window, SQL_HOPPING_WINDOW),
+    "unpivot_types": QuerySpec(q_unpivot_types, _sql_unpivot_types()),
+    "label_centroids": QuerySpec(q_label_centroids, SQL_LABEL_CENTROIDS),
 }

@@ -67,6 +67,8 @@ def test_entry_contract_shape():
         "gap_fill",  # time densification + IGNORE NULLS forward fill (tail gate)
         "pivot_by_type",  # PIVOT with fixed column set (tail gate)
         "hopping_window",  # HOP/sliding event-time windows (tail gate)
+        "unpivot_types",  # UNPIVOT/melt, inverse of the pivot entry (tail gate)
+        "label_centroids",  # per-class mean embedding, exact micros (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
