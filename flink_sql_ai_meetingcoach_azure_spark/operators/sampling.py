@@ -165,36 +165,43 @@ def score_tiered_sample(
     straddles tiers): group g with inclusive cumulative count ``cum`` in
     best-first order lands in the first tier i with
     ``k·cum <= (i+1)·total`` — pure integer arithmetic, so two engines
-    cannot disagree on a boundary. The only window runs over the
-    AGGREGATED SCORE DOMAIN (≤ |distinct scores| rows, constant partition
-    key — bounded by construction, not a corpus-sized single-partition
-    sort); the corpus itself is touched by one combinable groupBy, one
+    cannot disagree on a boundary. The cumulative pass runs DRIVER-side
+    over the collected score HISTOGRAM (domain-sized metadata, same
+    discipline as IVF centroid collection — guarded by ``max_domain``,
+    and explicitly NOT a single-partition window over corpus rows); the
+    corpus itself is touched by one combinable groupBy, one
     broadcast-sized join back, and a codegen filter.
 
-    The score DOMAIN bounds the window and the broadcast: for a score
-    with corpus-sized cardinality, quantize first (e.g.
-    ``div(score, 1000)``) so the domain stays broadcastable — tier
+    For a score with corpus-sized cardinality, quantize first (e.g.
+    ``div(score, 1000)``) so the domain stays collectable — tier
     boundaries move by at most one quantization step.
     """
-    from pyspark.sql import Window  # noqa: PLC0415
-
     k = len(rates)
-    per_score = df.groupBy(score_col).agg(F.count(F.lit(1)).alias("__c"))
-    w_cum = Window.partitionBy(F.lit(0)).orderBy(F.desc(score_col))
-    w_all = Window.partitionBy(F.lit(0))
-    cum = F.sum("__c").over(w_cum)
-    total = F.sum("__c").over(w_all)
-    tier_expr = None
-    for i in range(k - 1):
-        cond = F.lit(k) * cum <= F.lit(i + 1) * total
-        tier_expr = (
-            F.when(cond, i) if tier_expr is None else tier_expr.when(cond, i)
-        )
-    tier_expr = (
-        F.lit(k - 1) if tier_expr is None else tier_expr.otherwise(k - 1)
+    max_domain = 1_000_000
+    hist = (
+        df.groupBy(score_col)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .limit(max_domain + 1)
+        .collect()
     )
-    tiers = per_score.select(
-        score_col, tier_expr.cast("int").alias(tier_col)
+    if len(hist) > max_domain:
+        raise ValueError(
+            f"score domain exceeds {max_domain} distinct values — quantize "
+            f"the score first (e.g. div({score_col}, 1000)) so the tier "
+            "histogram stays driver-collectable"
+        )
+    hist.sort(key=lambda r: r[0], reverse=True)  # best-first
+    total = sum(r["__c"] for r in hist)
+    rows, cum = [], 0
+    for r in hist:
+        cum += r["__c"]
+        tier = next(
+            (i for i in range(k - 1) if k * cum <= (i + 1) * total), k - 1
+        )
+        rows.append((r[0], tier))
+    spark = df.sparkSession
+    tiers = spark.createDataFrame(rows, [score_col, tier_col]).select(
+        score_col, F.col(tier_col).cast("int").alias(tier_col)
     )
     labeled = df.join(F.broadcast(tiers), score_col)
     thresh = None
