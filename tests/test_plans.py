@@ -148,14 +148,13 @@ def test_dup_spans_single_corpus_pass(spark):
 
 
 def test_tiered_sample_no_corpus_window(spark):
-    """The CDF window must run over the aggregated score DOMAIN: the
-    window's child contains an aggregate, and the corpus join back is
-    broadcast."""
+    """The CDF pass folds DRIVER-side over the collected score histogram
+    (r5.2: a constant-key window was constant-folded to an unpartitioned
+    WindowExec and warned) — the plan must contain NO window node at all;
+    the tier map comes back as a broadcast join."""
     plan = _plan(spark, "tiered_sample")
-    assert "Window" in plan
+    assert "Window" not in plan
     assert "BroadcastHashJoin" in plan  # domain-sized tier map joined back
-    # no row_number/ntile over the raw corpus: the only windowed relation
-    # is post-aggregate (HashAggregate appears below the Window node chain)
     assert "HashAggregate" in plan
 
 
