@@ -5,6 +5,7 @@ import pytest
 
 from flink_sql_ai_meetingcoach_azure_spark.operators.spans import (
     dup_span_stats,
+    duplicated_span_hashes,
     span_dup_pairs,
     span_postings,
 )
@@ -59,6 +60,15 @@ def test_stats_flag_shared_passage(corpus):
         "n_dup_spans": 0,
         "dup_ratio_micro": 0,
     }
+
+
+def test_duplicated_span_hashes(corpus):
+    posts = span_postings(corpus, "doc_id", "text", window=8)
+    dup = duplicated_span_hashes(posts).collect()
+    # the shared passage (1 window in each of docs 1/2) + doc 3≡5's five
+    # windows = 6 distinct cross-doc hashes, each occurring exactly twice
+    assert len(dup) == 6
+    assert all(r["n_occurrences"] == 2 for r in dup)
 
 
 def test_pairs_and_doc_freq_cap(corpus):
