@@ -178,6 +178,11 @@ def score_tiered_sample(
     """
     k = len(rates)
     max_domain = 1_000_000
+    # the input feeds TWO consumers (the histogram collect and the final
+    # tier join) and its lineage may be an expensive upstream chain —
+    # materialize once (lsh_candidate_pairs discipline; blocks released
+    # by the ContextCleaner with the plan)
+    df = df.localCheckpoint(eager=False)
     hist = (
         df.groupBy(score_col)
         .agg(F.count(F.lit(1)).alias("__c"))
