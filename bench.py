@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "pivot_by_type",
     "unpivot_types",
     "label_centroids",
+    "winsorize",
     "tumbling_window",
     "hopping_window",
     "session_window",

@@ -3402,6 +3402,54 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier clipping (winsorization) at the exact p01/p99 of the value
+    distribution: thresholds computed ONCE as integer cents (one 1-row
+    sort-based aggregate, broadcast back via crossJoin) then applied as a
+    pure codegen clip — the standard robust-statistics pre-pass before
+    training on heavy-tailed measurements. Thresholds rounded to integer
+    cents so the clip comparison can never straddle an engine's last
+    float ulp."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    vals = ev.select("event_id", cents.alias("c"))
+    bounds = vals.agg(
+        F.expr("CAST(round(percentile(c, 0.01)) AS BIGINT)").alias("lo"),
+        F.expr("CAST(round(percentile(c, 0.99)) AS BIGINT)").alias("hi"),
+    )
+    return (
+        vals.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_id",
+            F.col("c").alias("value_cents"),
+            F.least(F.greatest(F.col("c"), F.col("lo")), F.col("hi")).alias(
+                "clipped_cents"
+            ),
+            (F.col("c") < F.col("lo")).alias("clipped_low"),
+            (F.col("c") > F.col("hi")).alias("clipped_high"),
+        )
+        .orderBy("event_id")
+    )
+
+
+SQL_WINSORIZE = """
+WITH vals AS (SELECT event_id,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events),
+b AS (SELECT CAST(round(quantile_cont(c, 0.01)) AS BIGINT) AS lo,
+             CAST(round(quantile_cont(c, 0.99)) AS BIGINT) AS hi
+      FROM vals)
+SELECT event_id,
+       c AS value_cents,
+       least(greatest(c, lo), hi) AS clipped_cents,
+       c < lo AS clipped_low,
+       c > hi AS clipped_high
+FROM vals CROSS JOIN b
+ORDER BY event_id
+"""
+
+
 def q_unpivot_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """UNPIVOT (melt): the per-user event-type matrix back to long form —
     Spark's native `unpivot` produces one Expand pass (no per-column
@@ -3672,4 +3720,5 @@ QUERIES: dict[str, QuerySpec] = {
     "hopping_window": QuerySpec(q_hopping_window, SQL_HOPPING_WINDOW),
     "unpivot_types": QuerySpec(q_unpivot_types, _sql_unpivot_types()),
     "label_centroids": QuerySpec(q_label_centroids, SQL_LABEL_CENTROIDS),
+    "winsorize": QuerySpec(q_winsorize, SQL_WINSORIZE),
 }

@@ -69,6 +69,7 @@ def test_entry_contract_shape():
         "hopping_window",  # HOP/sliding event-time windows (tail gate)
         "unpivot_types",  # UNPIVOT/melt, inverse of the pivot entry (tail gate)
         "label_centroids",  # per-class mean embedding, exact micros (tail gate)
+        "winsorize",  # p01/p99 outlier clipping, integer-cent thresholds (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
