@@ -465,7 +465,11 @@ def vector_search_ivfpq_parquet(
 
     q_rows = query_df.select(query_id_col, query_col).collect()
     q_ids = [r[0] for r in q_rows]
-    q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64)
+    # explicit 2-D shape: zero queries must flow through (an empty
+    # asarray is 1-D and axis=1 norms would raise)
+    q_mat = np.asarray([r[1] for r in q_rows], dtype=np.float64).reshape(
+        len(q_ids), m * dsub
+    )
     qn = np.linalg.norm(q_mat, axis=1)
     qn[qn == 0] = 1.0
     q_mat = q_mat / qn[:, None]

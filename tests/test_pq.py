@@ -161,3 +161,23 @@ def test_ivfpq_exact_at_full_probe_and_pruned_scan(spark, emb, tmp_path):
         queries, path, k=3, nprobe=1, payload_cols=["vec_id"]
     )
     assert 0 < some.count() <= 8 * 3
+
+
+def test_ivfpq_zero_queries(spark, emb, tmp_path):
+    from flink_sql_ai_meetingcoach_azure_spark.operators.quantize import (
+        build_ivfpq_index,
+        vector_search_ivfpq_parquet,
+        write_ivfpq_index,
+    )
+
+    cb = pq_codebooks_from_rows(emb, "vec_id", "embedding", m=8, ksub=16)
+    enc, centroids, cb = build_ivfpq_index(
+        emb.select("vec_id", "embedding"), "embedding", nlist=2, codebooks=cb
+    )
+    path = str(tmp_path / "ivfpq0")
+    write_ivfpq_index(enc, centroids, cb, path)
+    none = emb.filter(F.col("vec_id") < 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    out = vector_search_ivfpq_parquet(none, path, k=3, payload_cols=["vec_id"])
+    assert out.count() == 0
