@@ -205,9 +205,13 @@ def score_tiered_sample(
         )
         rows.append((r[0], tier))
     spark = df.sparkSession
-    tiers = spark.createDataFrame(rows, [score_col, tier_col]).select(
-        score_col, F.col(tier_col).cast("int").alias(tier_col)
+    # explicit schema: an EMPTY histogram (empty input) cannot infer one
+    import pyspark.sql.types as T  # noqa: PLC0415
+
+    tier_schema = T.StructType(
+        [df.schema[score_col], T.StructField(tier_col, T.IntegerType())]
     )
+    tiers = spark.createDataFrame(rows, tier_schema)
     labeled = df.join(F.broadcast(tiers), score_col)
     thresh = None
     for i, r in enumerate(rates):

@@ -137,3 +137,14 @@ def test_score_tiered_sample_tiers_and_rates(spark):
     # replay-determinism
     out3 = score_tiered_sample(df, "id", "sc", rates=(1.0, 0.5, 0.0)).collect()
     assert sorted(r["id"] for r in out3) == sorted(r["id"] for r in out2)
+
+
+def test_score_tiered_sample_empty_input(spark):
+    from flink_sql_ai_meetingcoach_azure_spark.operators.sampling import (
+        score_tiered_sample,
+    )
+
+    df = spark.createDataFrame([(1, 5)], ["id", "sc"]).filter("id < 0")
+    out = score_tiered_sample(df, "id", "sc")
+    assert out.count() == 0
+    assert out.columns == ["sc", "id", "tier"]
