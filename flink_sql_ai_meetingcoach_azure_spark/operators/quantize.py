@@ -104,6 +104,9 @@ def vector_search_topk_quantized(
             T.StructField(rank_col, T.IntegerType()),
         ]
     )
+    if not idx_rows:
+        # empty index: the result is empty with the full output schema
+        return spark.createDataFrame([], out_schema)
     first_payload = payload_cols[0]
 
     def _search(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -311,6 +314,9 @@ def vector_search_topk_pq(
             T.StructField(rank_col, T.IntegerType()),
         ]
     )
+    if not idx_rows:
+        # empty index: the result is empty with the full output schema
+        return spark.createDataFrame([], out_schema)
     first_payload = payload_cols[0]
     j_idx = np.arange(m)
 

@@ -181,3 +181,22 @@ def test_ivfpq_zero_queries(spark, emb, tmp_path):
     )
     out = vector_search_ivfpq_parquet(none, path, k=3, payload_cols=["vec_id"])
     assert out.count() == 0
+
+
+def test_pq_and_quantized_empty_index(spark, emb):
+    from flink_sql_ai_meetingcoach_azure_spark.operators.quantize import (
+        vector_search_topk_quantized,
+    )
+
+    cb = pq_codebooks_from_rows(emb, "vec_id", "embedding", m=8, ksub=16)
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    none = emb.filter(F.col("vec_id") < 0).select("vec_id", "embedding")
+    for fn in (
+        lambda: vector_search_topk_pq(queries, none, cb, k=3, payload_cols=["vec_id"]),
+        lambda: vector_search_topk_quantized(queries, none, k=3, payload_cols=["vec_id"]),
+    ):
+        out = fn()
+        assert out.count() == 0
+        assert "similarity" in out.columns and "search_rank" in out.columns
