@@ -835,3 +835,40 @@ def test_streaming_neardup_survives_restart(spark, tmp_path):
     assert admitted.count(first[0]) == 1
     assert 4 not in admitted
     assert 5 in admitted
+
+
+def test_streaming_hopping_window_overlap(spark, tmp_path):
+    """Sliding (HOP) windows in streaming: a watermarked 10s/5s-slide
+    windowed agg counts each event in BOTH overlapping windows, emitted
+    append-mode once the watermark passes each window."""
+    src = str(tmp_path / "hop_src")
+    _write_batch(src, [("a", "prospect", "2026-01-01T10:00:07")], n=0)
+    stream = (
+        spark.readStream.schema(MSG_SCHEMA).json(src)
+        .withColumn("ts", F.to_timestamp("rowtime"))
+    )
+    agg = (
+        stream.withWatermark("ts", "2 seconds")
+        .groupBy(F.window("ts", "10 seconds", "5 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("w_start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hop_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hop"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(src, [("flush", "prospect", "2026-01-01T10:05:00")], n=1)
+        q.processAllAvailable()
+        _write_batch(src, [("flush2", "prospect", "2026-01-01T10:10:00")], n=2)
+        q.processAllAvailable()
+        rows = {r["w_start"]: r["n"] for r in spark.sql("SELECT * FROM hop_counts").collect()}
+    finally:
+        q.stop()
+    # the 10:00:07 event belongs to the [10:00:00) and [10:00:05) windows
+    assert rows.get("2026-01-01 10:00:00") == 1
+    assert rows.get("2026-01-01 10:00:05") == 1
