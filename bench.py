@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "unpivot_types",
     "label_centroids",
     "winsorize",
+    "cdc_apply",
     "tumbling_window",
     "hopping_window",
     "session_window",

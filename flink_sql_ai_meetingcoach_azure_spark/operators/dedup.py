@@ -62,6 +62,35 @@ def dedup_keep_best(
     )
 
 
+def apply_changes(
+    df: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str,
+    delete_op: str = "D",
+) -> DataFrame:
+    """CDC APPLY CHANGES: collapse a change log to its final state —
+    keep each key's LATEST row by ``seq_cols`` (ties broken by the full
+    seq tuple, so callers append a unique id for total order), and drop
+    the key entirely when that latest operation is a delete.  The
+    Delta-Live-Tables / Debezium-consumer upsert semantic as one
+    partitioned window over the log (uniform keys, map-side combinable
+    nothing — row_number needs the per-key sort, which is the operator's
+    inherent cost on any engine).
+
+    Out-of-order capture is handled by the seq ordering, not arrival
+    order: a stale update that arrives after the delete still loses.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(*key_cols).orderBy(*[F.desc(c) for c in seq_cols])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("__rn")
+    )
+
+
 def neardup_survivors(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """Apply a near-dup pair set (``id_a < id_b``, e.g. from
     :func:`embedding_lsh_pairs` / :func:`lsh_candidate_pairs`): drop every

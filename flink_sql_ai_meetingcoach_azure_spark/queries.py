@@ -3402,6 +3402,49 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC APPLY CHANGES: the event stream read as a change log per user
+    (errors are deletes, everything else upserts the value) collapsed to
+    its final state — each key's latest row by (ts, event_id), the key
+    dropped when that latest operation is a delete. One partitioned
+    window over the log; out-of-order capture is resolved by the sequence
+    columns, not arrival order."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: PLC0415
+        apply_changes,
+    )
+
+    ev = _events(spark, sf_dir)
+    log = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("seq_us"),
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    return (
+        apply_changes(log, ["user_id"], ["seq_us", "event_id"], "op")
+        .select("user_id", "seq_us", "value_cents")
+        .orderBy("user_id")
+    )
+
+
+SQL_CDC_APPLY = """
+WITH log AS (SELECT user_id,
+                    epoch_us(ts::TIMESTAMP) AS seq_us,
+                    event_id,
+                    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                    CAST(round(value * 100) AS BIGINT) AS value_cents
+             FROM events),
+rk AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                    ORDER BY seq_us DESC, event_id DESC) AS rn
+       FROM log)
+SELECT user_id, seq_us, value_cents
+FROM rk WHERE rn = 1 AND op <> 'D'
+ORDER BY user_id
+"""
+
+
 def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Outlier clipping (winsorization) at the exact p01/p99 of the value
     distribution: thresholds computed ONCE as integer cents (one 1-row
@@ -3721,4 +3764,5 @@ QUERIES: dict[str, QuerySpec] = {
     "unpivot_types": QuerySpec(q_unpivot_types, _sql_unpivot_types()),
     "label_centroids": QuerySpec(q_label_centroids, SQL_LABEL_CENTROIDS),
     "winsorize": QuerySpec(q_winsorize, SQL_WINSORIZE),
+    "cdc_apply": QuerySpec(q_cdc_apply, SQL_CDC_APPLY),
 }

@@ -981,3 +981,30 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     for b in (0, 10, 20):
         assert {r.cluster for r in rows if b <= r.id <= b + 3} == {b}
     assert len({r.split for r in rows}) > 1  # singles spread across splits
+
+
+def test_apply_changes_cdc_semantics(spark):
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import apply_changes
+
+    log = spark.createDataFrame(
+        [
+            # key 1: insert, update — final state v=20
+            (1, 10, 100, "U", 10),
+            (1, 20, 101, "U", 20),
+            # key 2: insert then delete — key disappears
+            (2, 10, 102, "U", 5),
+            (2, 30, 103, "D", None),
+            # key 3: delete then STALE update with older seq — still gone
+            (3, 50, 104, "D", None),
+            (3, 40, 105, "U", 7),
+            # key 4: same seq, higher id wins (total order via id)
+            (4, 60, 106, "U", 1),
+            (4, 60, 107, "U", 2),
+        ],
+        ["k", "seq", "id", "op", "v"],
+    )
+    out = {
+        r["k"]: r["v"]
+        for r in apply_changes(log, ["k"], ["seq", "id"], "op").collect()
+    }
+    assert out == {1: 20, 4: 2}
