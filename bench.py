@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "label_centroids",
     "winsorize",
     "cdc_apply",
+    "cohort_retention",
     "tumbling_window",
     "hopping_window",
     "session_window",

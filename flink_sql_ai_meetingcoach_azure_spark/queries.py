@@ -3402,6 +3402,43 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity day
+    (the cohort), counted distinct per subsequent activity day — the
+    classic product-analytics triangle, self-join-free: one combinable
+    min-per-user pass broadcast back, then one distinct-count aggregate
+    keyed by (cohort, day)."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    )
+    cohort = days.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    return (
+        days.join(cohort, "user_id")
+        .groupBy("cohort_day", "d")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            F.unix_micros("cohort_day").alias("cohort_day_us"),
+            F.unix_micros("d").alias("activity_day_us"),
+            "n_users",
+        )
+        .orderBy("cohort_day_us", "activity_day_us")
+    )
+
+
+SQL_COHORT_RETENTION = """
+WITH days AS (SELECT user_id, date_trunc('day', ts::TIMESTAMP) AS d FROM events),
+cohort AS (SELECT user_id, min(d) AS cd FROM days GROUP BY user_id)
+SELECT epoch_us(c.cd) AS cohort_day_us,
+       epoch_us(y.d) AS activity_day_us,
+       CAST(count(DISTINCT y.user_id) AS BIGINT) AS n_users
+FROM days y JOIN cohort c ON y.user_id = c.user_id
+GROUP BY 1, 2
+ORDER BY cohort_day_us, activity_day_us
+"""
+
+
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC APPLY CHANGES: the event stream read as a change log per user
     (errors are deletes, everything else upserts the value) collapsed to
@@ -3765,4 +3802,5 @@ QUERIES: dict[str, QuerySpec] = {
     "label_centroids": QuerySpec(q_label_centroids, SQL_LABEL_CENTROIDS),
     "winsorize": QuerySpec(q_winsorize, SQL_WINSORIZE),
     "cdc_apply": QuerySpec(q_cdc_apply, SQL_CDC_APPLY),
+    "cohort_retention": QuerySpec(q_cohort_retention, SQL_COHORT_RETENTION),
 }
