@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "winsorize",
     "cdc_apply",
     "cohort_retention",
+    "value_histogram",
     "tumbling_window",
     "hopping_window",
     "session_window",

@@ -3402,6 +3402,37 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of the value distribution (100-cent buckets):
+    floor-division bucketing is a pure codegen expression, counts are one
+    combinable groupBy — the profiling companion to the quantile entry.
+    Integer bucket ids floor toward -inf on BOTH engines so negative
+    values cannot straddle a bucket boundary."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    bucket = F.floor(cents / F.lit(100)).cast("bigint")
+    return (
+        ev.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bucket",
+            (F.col("bucket") * 100).alias("lo_cents"),
+            "n",
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_VALUE_HISTOGRAM = """
+WITH b AS (SELECT CAST(floor(CAST(round(value * 100) AS BIGINT) / 100.0) AS BIGINT) AS bucket
+           FROM events)
+SELECT bucket, bucket * 100 AS lo_cents, count(*) AS n
+FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by their FIRST-activity day
     (the cohort), counted distinct per subsequent activity day — the
@@ -3803,4 +3834,5 @@ QUERIES: dict[str, QuerySpec] = {
     "winsorize": QuerySpec(q_winsorize, SQL_WINSORIZE),
     "cdc_apply": QuerySpec(q_cdc_apply, SQL_CDC_APPLY),
     "cohort_retention": QuerySpec(q_cohort_retention, SQL_COHORT_RETENTION),
+    "value_histogram": QuerySpec(q_value_histogram, SQL_VALUE_HISTOGRAM),
 }

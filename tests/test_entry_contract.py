@@ -72,6 +72,7 @@ def test_entry_contract_shape():
         "winsorize",  # p01/p99 outlier clipping, integer-cent thresholds (tail gate)
         "cdc_apply",  # CDC APPLY CHANGES latest-by-key upsert w/ deletes (tail gate)
         "cohort_retention",  # first-activity cohort x activity-day matrix (tail gate)
+        "value_histogram",  # equi-width profiling histogram (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
