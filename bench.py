@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "cdc_apply",
     "cohort_retention",
     "value_histogram",
+    "argmax_per_user",
     "tumbling_window",
     "hopping_window",
     "session_window",

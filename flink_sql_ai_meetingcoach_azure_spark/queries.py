@@ -3402,6 +3402,43 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_argmax_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1 per group WITHOUT a window: `max(struct(value, id))` is a
+    map-side-combinable aggregate — each partition reduces to one row per
+    key before the exchange, where the window form must shuffle and sort
+    EVERY row. The right physical strategy whenever k=1; the struct's
+    (value desc implied by max, id as tie-break) ordering makes the
+    winner deterministic where `max_by` would not be."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    return (
+        ev.select("user_id", cents.alias("c"), "event_id")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("c", "event_id")).alias("m"))
+        .select(
+            "user_id",
+            F.col("m.c").alias("max_cents"),
+            F.col("m.event_id").alias("argmax_event_id"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_ARGMAX_PER_USER = """
+WITH e AS (SELECT user_id,
+                  CAST(round(value * 100) AS BIGINT) AS c,
+                  event_id
+           FROM events),
+rk AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                                    ORDER BY c DESC, event_id DESC) AS rn
+       FROM e)
+SELECT user_id, c AS max_cents, event_id AS argmax_event_id
+FROM rk WHERE rn = 1
+ORDER BY user_id
+"""
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of the value distribution (100-cent buckets):
     floor-division bucketing is a pure codegen expression, counts are one
@@ -3835,4 +3872,5 @@ QUERIES: dict[str, QuerySpec] = {
     "cdc_apply": QuerySpec(q_cdc_apply, SQL_CDC_APPLY),
     "cohort_retention": QuerySpec(q_cohort_retention, SQL_COHORT_RETENTION),
     "value_histogram": QuerySpec(q_value_histogram, SQL_VALUE_HISTOGRAM),
+    "argmax_per_user": QuerySpec(q_argmax_per_user, SQL_ARGMAX_PER_USER),
 }

@@ -73,6 +73,7 @@ def test_entry_contract_shape():
         "cdc_apply",  # CDC APPLY CHANGES latest-by-key upsert w/ deletes (tail gate)
         "cohort_retention",  # first-activity cohort x activity-day matrix (tail gate)
         "value_histogram",  # equi-width profiling histogram (tail gate)
+        "argmax_per_user",  # windowless top-1-per-group via max(struct) (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
