@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "dup_spans",
     "span_pairs",
     "decontaminate",
+    "edit_distance_pairs",
     # similarity search + lexical/hybrid retrieval
     "ann_topk",
     "ann_ivf_topk",

@@ -60,3 +60,6 @@ from flink_sql_ai_meetingcoach_azure_spark.operators.bpe import (  # noqa: F401
     learn_bpe_merges,
     word_frequencies,
 )
+from flink_sql_ai_meetingcoach_azure_spark.operators.editdist import (  # noqa: F401
+    edit_distance_pairs,
+)

@@ -3777,6 +3777,43 @@ ORDER BY nation, o_year
 """
 
 
+EDIT_DIST_MAX = 2
+EDIT_PREFIX = 24  # document "title" proxy: lowered first 24 chars
+
+
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level fuzzy near-dup: all document-title pairs within
+    edit distance 2, via the PassJoin partition scheme
+    (operators/editdist.py — segments equi-joined on (target_len,
+    segment_idx, segment_text), candidates verified with a
+    threshold-bounded levenshtein). Exact recall by pigeonhole, so the
+    oracle is the brute-force levenshtein join — at scale the candidate
+    join touches O(corpus) keys, never the n² pair space the oracle
+    scans."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.editdist import (  # noqa: PLC0415
+        edit_distance_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    titles = docs.select(
+        "doc_id", F.lower(F.substring("text", 1, EDIT_PREFIX)).alias("title")
+    )
+    return edit_distance_pairs(
+        titles, "title", "doc_id", max_dist=EDIT_DIST_MAX
+    ).orderBy("id_a", "id_b")
+
+
+SQL_EDIT_DISTANCE_PAIRS = f"""
+WITH t AS (SELECT doc_id, lower(substr(text, 1, {EDIT_PREFIX})) AS s FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, levenshtein(a.s, b.s) AS dist
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+WHERE abs(length(a.s) - length(b.s)) <= {EDIT_DIST_MAX}
+  AND levenshtein(a.s, b.s) <= {EDIT_DIST_MAX}
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     "filter_route": QuerySpec(q_filter_route, SQL_FILTER_ROUTE),
@@ -3873,4 +3910,5 @@ QUERIES: dict[str, QuerySpec] = {
     "cohort_retention": QuerySpec(q_cohort_retention, SQL_COHORT_RETENTION),
     "value_histogram": QuerySpec(q_value_histogram, SQL_VALUE_HISTOGRAM),
     "argmax_per_user": QuerySpec(q_argmax_per_user, SQL_ARGMAX_PER_USER),
+    "edit_distance_pairs": QuerySpec(q_edit_distance_pairs, SQL_EDIT_DISTANCE_PAIRS),
 }

@@ -1008,3 +1008,64 @@ def test_apply_changes_cdc_semantics(spark):
         for r in apply_changes(log, ["k"], ["seq", "id"], "op").collect()
     }
     assert out == {1: 20, 4: 2}
+
+
+def _py_levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_pairs_matches_brute_force(spark):
+    """PassJoin candidate generation must have EXACT recall: result set
+    equals the brute-force levenshtein join on a randomized mutated
+    corpus, including short strings routed through the distinct-value
+    leg and empty strings."""
+    import itertools
+    import random
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.editdist import (
+        edit_distance_pairs,
+    )
+
+    rng = random.Random(11)
+    alpha = "abcd"
+    rows = []
+    n = 0
+    for length in [0, 1, 2, 3, 4, 5, 6, 7, 8, 12, 20, 28]:
+        for _ in range(4):
+            base = "".join(rng.choice(alpha) for _ in range(length))
+            rows.append((f"id{n:03d}", base))
+            n += 1
+            mutated = list(base)
+            for _ in range(rng.randint(0, 3)):
+                op = rng.choice("ids")
+                p = rng.randint(0, max(len(mutated) - 1, 0))
+                if op == "i":
+                    mutated.insert(p, rng.choice(alpha))
+                elif op == "d" and mutated:
+                    mutated.pop(p)
+                elif mutated:
+                    mutated[p] = rng.choice(alpha)
+            rows.append((f"id{n:03d}", "".join(mutated)))
+            n += 1
+
+    df = spark.createDataFrame(rows, ["doc_id", "title"])
+    for d in (1, 2):
+        got = {
+            (r.id_a, r.id_b, r.dist)
+            for r in edit_distance_pairs(df, "title", "doc_id", max_dist=d).collect()
+        }
+        want = set()
+        for (ia, ta), (ib, tb) in itertools.combinations(rows, 2):
+            dist = _py_levenshtein(ta, tb)
+            if dist <= d:
+                lo, hi = sorted([ia, ib])
+                want.add((lo, hi, dist))
+        assert got == want, (d, sorted(want - got)[:5], sorted(got - want)[:5])
