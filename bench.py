@@ -55,6 +55,7 @@ BENCH_QUERIES = [
     "cohort_retention",
     "value_histogram",
     "argmax_per_user",
+    "zorder_key",
     "tumbling_window",
     "hopping_window",
     "session_window",

@@ -63,3 +63,8 @@ from flink_sql_ai_meetingcoach_azure_spark.operators.bpe import (  # noqa: F401
 from flink_sql_ai_meetingcoach_azure_spark.operators.editdist import (  # noqa: F401
     edit_distance_pairs,
 )
+from flink_sql_ai_meetingcoach_azure_spark.operators.layout import (  # noqa: F401
+    normalize_to_bits,
+    write_zordered,
+    zorder_key,
+)

@@ -3814,6 +3814,66 @@ ORDER BY id_a, id_b
 """
 
 
+ZORDER_BITS = 8
+
+
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (value_cents, event_time):
+    the multi-dimensional data-layout primitive behind OPTIMIZE ZORDER —
+    rows written range-partitioned+sorted by this key give every parquet
+    row group a tight min-max BOX in both dimensions, so conjunctive
+    range filters prune in all of them (file-footer pruning asserted in
+    test_layout.py). Key computation is map-only exact-integer
+    bit-interleaving (operators/layout.py); normalization bounds come
+    from one 1-row aggregate."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.layout import (  # noqa: PLC0415
+        normalize_to_bits,
+        zorder_key,
+    )
+
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("vc"),
+        F.unix_micros("ts").alias("tus"),
+    )
+    lo_v, hi_v, lo_t, hi_t = base.agg(
+        F.min("vc"), F.max("vc"), F.min("tus"), F.max("tus")
+    ).first()
+    cells = [
+        normalize_to_bits(F.col("vc"), lo_v, hi_v, ZORDER_BITS),
+        normalize_to_bits(F.col("tus"), lo_t, hi_t, ZORDER_BITS),
+    ]
+    return base.select(
+        "event_id", "vc", "tus", zorder_key(cells, ZORDER_BITS).alias("zkey")
+    ).orderBy("event_id")
+
+
+def _sql_zorder_key() -> str:
+    from flink_sql_ai_meetingcoach_azure_spark.operators.layout import (  # noqa: PLC0415
+        zorder_key_sql,
+    )
+
+    top = (1 << ZORDER_BITS) - 1
+    interleave = zorder_key_sql(["cx", "cy"], ZORDER_BITS)
+    return f"""
+WITH e AS (SELECT event_id,
+                  CAST(round(value * 100) AS BIGINT) AS vc,
+                  epoch_us(ts::TIMESTAMP) AS tus
+           FROM events),
+b AS (SELECT min(vc) AS lov, max(vc) AS hiv,
+             min(tus) AS lot, max(tus) AS hit FROM e),
+c AS (SELECT event_id, vc, tus,
+             ((vc - lov) * {top}) // (hiv - lov) AS cx,
+             ((tus - lot) * {top}) // (hit - lot) AS cy
+      FROM e, b)
+SELECT event_id, vc, tus, {interleave} AS zkey
+FROM c
+ORDER BY event_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     "filter_route": QuerySpec(q_filter_route, SQL_FILTER_ROUTE),
@@ -3911,4 +3971,5 @@ QUERIES: dict[str, QuerySpec] = {
     "value_histogram": QuerySpec(q_value_histogram, SQL_VALUE_HISTOGRAM),
     "argmax_per_user": QuerySpec(q_argmax_per_user, SQL_ARGMAX_PER_USER),
     "edit_distance_pairs": QuerySpec(q_edit_distance_pairs, SQL_EDIT_DISTANCE_PAIRS),
+    "zorder_key": QuerySpec(q_zorder_key, _sql_zorder_key()),
 }
