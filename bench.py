@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "ann_ivfpq",  # cold build lands in run 1; the median is steady-state probes
     "embedding_cosine_pairs",
     "embedding_lsh_pairs",
+    "random_projection",
     "bm25_topk",
     "hybrid_rrf",
     "rerank_topk",

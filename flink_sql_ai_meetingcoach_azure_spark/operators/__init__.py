@@ -68,3 +68,7 @@ from flink_sql_ai_meetingcoach_azure_spark.operators.layout import (  # noqa: F4
     write_zordered,
     zorder_key,
 )
+from flink_sql_ai_meetingcoach_azure_spark.operators.projection import (  # noqa: F401
+    projection_matrix,
+    random_projection,
+)

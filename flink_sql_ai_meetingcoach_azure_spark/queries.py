@@ -3874,6 +3874,51 @@ ORDER BY event_id
 """
 
 
+JL_OUT_DIM = 16
+
+
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson–Lindenstrauss reduction of the 64-dim embedding table to
+    16 dims: one map-only Arrow GEMM against the md5-deterministic
+    broadcast matrix (operators/projection.py) — the front half of the
+    ANN ladder (everything downstream costs out/in of the original).
+    Components are 6-dp-rounded float64, so the oracle recomputes them
+    exactly; output exploded to (vec_id, j, yj) scalars for the driver's
+    value hash."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.projection import (  # noqa: PLC0415
+        random_projection,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    proj = random_projection(emb, "vec_id", "embedding", JL_OUT_DIM)
+    return (
+        proj.select("vec_id", F.posexplode("projected").alias("j", "yj"))
+        .orderBy("vec_id", "j")
+    )
+
+
+def _sql_random_projection() -> str:
+    from flink_sql_ai_meetingcoach_azure_spark.operators.projection import (  # noqa: PLC0415
+        jl_scale,
+        projection_matrix,
+    )
+
+    mat = projection_matrix(EMB_DIM, JL_OUT_DIM)
+    scale = jl_scale(JL_OUT_DIM)
+    arms = " UNION ALL ".join(
+        f"SELECT vec_id, {j} AS j, "
+        f"round(list_dot_product(v, [{', '.join(repr(c) for c in mat[j])}]::DOUBLE[]) "
+        f"* {scale!r}, 6) AS yj FROM e"
+        for j in range(JL_OUT_DIM)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id, j, yj FROM ({arms})
+ORDER BY vec_id, j
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     "filter_route": QuerySpec(q_filter_route, SQL_FILTER_ROUTE),
@@ -3972,4 +4017,5 @@ QUERIES: dict[str, QuerySpec] = {
     "argmax_per_user": QuerySpec(q_argmax_per_user, SQL_ARGMAX_PER_USER),
     "edit_distance_pairs": QuerySpec(q_edit_distance_pairs, SQL_EDIT_DISTANCE_PAIRS),
     "zorder_key": QuerySpec(q_zorder_key, _sql_zorder_key()),
+    "random_projection": QuerySpec(q_random_projection, _sql_random_projection()),
 }

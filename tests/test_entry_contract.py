@@ -76,6 +76,7 @@ def test_entry_contract_shape():
         "argmax_per_user",  # windowless top-1-per-group via max(struct) (tail gate)
         "edit_distance_pairs",  # PassJoin fuzzy title join, exact recall (tail gate)
         "zorder_key",  # Morton data-layout key, exact bit interleave (tail gate)
+        "random_projection",  # JL reduction, 6-dp GEMM vs oracle dots (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

@@ -1069,3 +1069,47 @@ def test_edit_distance_pairs_matches_brute_force(spark):
                 lo, hi = sorted([ia, ib])
                 want.add((lo, hi, dist))
         assert got == want, (d, sorted(want - got)[:5], sorted(got - want)[:5])
+
+
+def test_random_projection_matches_python_and_preserves_distance(spark):
+    """JL projection: component parity vs plain Python dot loops on any
+    partitioning, and the distance-preservation property that justifies
+    it (mean relative error of pairwise squared distances bounded)."""
+    import itertools
+    import random
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.projection import (
+        jl_scale,
+        projection_matrix,
+        random_projection,
+    )
+
+    rng = random.Random(5)
+    dim, out_dim, n = 24, 12, 60
+    vecs = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n)]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    ).repartition(7)
+
+    got = {
+        r.vec_id: list(r.projected)
+        for r in random_projection(df, "vec_id", "embedding", out_dim).collect()
+    }
+    mat, scale = projection_matrix(dim, out_dim), jl_scale(out_dim)
+    want = {
+        i: [round(sum(x * m for x, m in zip(v, row)) * scale, 6) for row in mat]
+        for i, v in enumerate(vecs)
+    }
+    for i in range(n):
+        assert got[i] == pytest.approx(want[i], abs=1e-9), i
+
+    # distance preservation (sanity, not a tight JL bound at this k)
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    errs = []
+    for i, j in itertools.islice(itertools.combinations(range(n), 2), 300):
+        orig = d2(vecs[i], vecs[j])
+        proj = d2(want[i], want[j])
+        errs.append(abs(proj - orig) / orig)
+    assert sum(errs) / len(errs) < 0.5
