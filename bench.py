@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "label_centroids",
     "winsorize",
     "cdc_apply",
+    "scd2_history",
     "cohort_retention",
     "value_histogram",
     "argmax_per_user",

@@ -91,6 +91,35 @@ def apply_changes(
     )
 
 
+def scd2_history(
+    df: DataFrame,
+    key_cols: list[str],
+    seq_cols: list[str],
+    op_col: str,
+    delete_op: str = "D",
+) -> DataFrame:
+    """SCD Type-2 dimension build: turn the same change log
+    ``apply_changes`` collapses into the FULL validity history — one row
+    per upsert carrying ``valid_from`` (its own first seq column),
+    ``valid_to`` (the NEXT change's, open intervals null) and
+    ``is_current``. Delete operations close the preceding interval and
+    emit no row of their own. ONE partitioned window (lead over the seq
+    order) — the per-key sort is the operator's inherent cost; keys are
+    hash-uniform so the exchange is skew-free at any scale, and
+    out-of-order capture is resolved by seq order, not arrival order.
+    """
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(*key_cols).orderBy(*seq_cols)
+    nxt = F.lead(F.col(seq_cols[0])).over(w)
+    return (
+        df.withColumn("valid_to", nxt)
+        .filter(F.col(op_col) != delete_op)
+        .withColumn("valid_from", F.col(seq_cols[0]))
+        .withColumn("is_current", F.col("valid_to").isNull())
+    )
+
+
 def neardup_survivors(df: DataFrame, pairs: DataFrame, id_col: str) -> DataFrame:
     """Apply a near-dup pair set (``id_a < id_b``, e.g. from
     :func:`embedding_lsh_pairs` / :func:`lsh_candidate_pairs`): drop every

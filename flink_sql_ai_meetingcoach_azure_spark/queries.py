@@ -3919,6 +3919,54 @@ ORDER BY vec_id, j
 """
 
 
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension from the same change log as `cdc_apply`:
+    every upsert becomes a validity interval [valid_from, valid_to)
+    closed by the NEXT change (deletes close but emit nothing),
+    `is_current` marks open intervals. One partitioned lead() window —
+    the warehouse-history complement of the final-state CDC collapse."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: PLC0415
+        scd2_history,
+    )
+
+    ev = _events(spark, sf_dir)
+    log = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("seq_us"),
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    hist = scd2_history(log, ["user_id"], ["seq_us", "event_id"], "op")
+    return hist.select(
+        "user_id",
+        "event_id",
+        "valid_from",
+        "valid_to",
+        F.col("is_current").cast("int").alias("is_current"),
+        "value_cents",
+    ).orderBy("user_id", "valid_from", "event_id")
+
+
+SQL_SCD2_HISTORY = """
+WITH log AS (SELECT user_id,
+                    epoch_us(ts::TIMESTAMP) AS seq_us,
+                    event_id,
+                    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                    CAST(round(value * 100) AS BIGINT) AS value_cents
+             FROM events),
+iv AS (SELECT *, lead(seq_us) OVER (PARTITION BY user_id
+                                    ORDER BY seq_us, event_id) AS valid_to
+       FROM log)
+SELECT user_id, event_id, seq_us AS valid_from, valid_to,
+       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INT) AS is_current,
+       value_cents
+FROM iv WHERE op <> 'D'
+ORDER BY user_id, valid_from, event_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     "filter_route": QuerySpec(q_filter_route, SQL_FILTER_ROUTE),
@@ -4018,4 +4066,5 @@ QUERIES: dict[str, QuerySpec] = {
     "edit_distance_pairs": QuerySpec(q_edit_distance_pairs, SQL_EDIT_DISTANCE_PAIRS),
     "zorder_key": QuerySpec(q_zorder_key, _sql_zorder_key()),
     "random_projection": QuerySpec(q_random_projection, _sql_random_projection()),
+    "scd2_history": QuerySpec(q_scd2_history, SQL_SCD2_HISTORY),
 }

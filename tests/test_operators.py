@@ -1113,3 +1113,36 @@ def test_random_projection_matches_python_and_preserves_distance(spark):
         proj = d2(want[i], want[j])
         errs.append(abs(proj - orig) / orig)
     assert sum(errs) / len(errs) < 0.5
+
+
+def test_scd2_history_semantics(spark):
+    """Crafted log: updates open intervals closed by the NEXT change
+    (including deletes), deletes emit no row, the last live row per key
+    is current, out-of-order capture resolved by seq order."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import scd2_history
+
+    log = spark.createDataFrame(
+        [
+            # k1: u(10) -> u(20) -> D(30): two closed intervals, none current
+            ("k1", 10, "e1", "U", 100),
+            ("k1", 20, "e2", "U", 200),
+            ("k1", 30, "e3", "D", 0),
+            # k2: u(5) only: one open current interval
+            ("k2", 5, "e4", "U", 500),
+            # k3: out-of-order arrival — e6(seq 40) listed before e5(seq 35)
+            ("k3", 40, "e6", "U", 640),
+            ("k3", 35, "e5", "U", 635),
+        ],
+        ["k", "seq", "id", "op", "v"],
+    )
+    rows = {
+        r.id: (r.valid_from, r.valid_to, r.is_current, r.v)
+        for r in scd2_history(log, ["k"], ["seq", "id"], "op").collect()
+    }
+    assert rows == {
+        "e1": (10, 20, False, 100),
+        "e2": (20, 30, False, 200),  # closed BY the delete
+        "e4": (5, None, True, 500),
+        "e5": (35, 40, False, 635),  # seq order, not arrival order
+        "e6": (40, None, True, 640),
+    }
