@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "embedding_cosine_pairs",
     "embedding_lsh_pairs",
     "random_projection",
+    "ann_projected",
     "bm25_topk",
     "hybrid_rrf",
     "rerank_topk",

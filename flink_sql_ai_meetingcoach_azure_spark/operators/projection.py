@@ -81,3 +81,85 @@ def random_projection(
     return df.select(id_col, vec_col).mapInPandas(
         gen, schema=f"{id_col} {id_type}, {out_col} array<double>"
     )
+
+
+def vector_search_topk_projected(
+    query_df: DataFrame,
+    index_df: DataFrame,
+    k: int = 3,
+    shortlist: int = 10,
+    out_dim: int = 16,
+    seed: str = "jl",
+    query_id_col: str = "qid",
+    index_id_col: str = "vec_id",
+    query_col: str = "embedding",
+    index_col: str = "embedding",
+    round_sim: int = 6,
+) -> DataFrame:
+    """Two-stage ANN: cosine SHORTLIST in the JL-projected space (cheap —
+    ``out_dim/in_dim`` of the flat cost, and the broadcast index shrinks
+    by the same factor), then EXACT full-space cosine re-rank of the
+    ``shortlist`` candidates per query. The standard retrieve→re-rank
+    composition for dense search; recall is governed by
+    ``shortlist``/``out_dim`` and both stages are 6-dp-rounded with id
+    tie-breaks, so the result is deterministic and oracle-replayable.
+
+    Returns (query_id, index_id, sim_exact, rank<=k)."""
+    from pyspark.sql import Window  # noqa: PLC0415
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from flink_sql_ai_meetingcoach_azure_spark.functions.vectors import (  # noqa: PLC0415
+        cosine_similarity_col,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # noqa: PLC0415
+        vector_search_topk_flat,
+    )
+
+    qp = random_projection(
+        query_df.select(query_id_col, query_col),
+        query_id_col,
+        query_col,
+        out_dim,
+        seed,
+        out_col="pv",
+    )
+    ip = random_projection(
+        index_df.select(index_id_col, index_col),
+        index_id_col,
+        index_col,
+        out_dim,
+        seed,
+        out_col="pv",
+    )
+    cands = vector_search_topk_flat(
+        qp,
+        ip,
+        k=shortlist,
+        query_col="pv",
+        index_col="pv",
+        payload_cols=[index_id_col],
+        sim_col="proj_sim",
+        rank_col="proj_rank",
+        round_sim=round_sim,
+    ).select(query_id_col, index_id_col)
+    full = (
+        cands.join(
+            index_df.select(index_id_col, F.col(index_col).alias("__iv")),
+            on=index_id_col,
+        )
+        .join(
+            query_df.select(query_id_col, F.col(query_col).alias("__qv")),
+            on=query_id_col,
+        )
+        .withColumn(
+            "sim_exact", F.round(cosine_similarity_col("__qv", "__iv"), round_sim)
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("sim_exact"), F.asc(index_id_col)
+    )
+    return (
+        full.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, index_id_col, "sim_exact", "rank")
+    )

@@ -3967,6 +3967,80 @@ ORDER BY user_id, valid_from, event_id
 """
 
 
+ANN_PROJ_SHORTLIST = 10
+
+
+def q_ann_projected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN via the JL rung of the ladder: shortlist-10 by
+    cosine in the 16-dim projected space (4× cheaper GEMM, 4× smaller
+    broadcast), exact 64-dim cosine re-rank to top-3. Both stages
+    6-dp-rounded with id tie-breaks, so the full composition — projection
+    literals, shortlist boundary, re-rank — is hash-replayed by the
+    oracle."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.projection import (  # noqa: PLC0415
+        vector_search_topk_projected,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < ANN_NQ).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    hits = vector_search_topk_projected(
+        queries,
+        emb.select("vec_id", "embedding"),
+        k=ANN_K,
+        shortlist=ANN_PROJ_SHORTLIST,
+        out_dim=JL_OUT_DIM,
+    )
+    return hits.select(
+        "qid", F.col("vec_id").alias("neighbor_id"), "sim_exact", "rank"
+    ).orderBy("qid", "rank")
+
+
+def _sql_ann_projected() -> str:
+    from flink_sql_ai_meetingcoach_azure_spark.operators.projection import (  # noqa: PLC0415
+        jl_scale,
+        projection_matrix,
+    )
+
+    mat = projection_matrix(EMB_DIM, JL_OUT_DIM)
+    scale = jl_scale(JL_OUT_DIM)
+    comps = ", ".join(
+        f"round(list_dot_product(v, [{', '.join(repr(c) for c in mat[j])}]::DOUBLE[]) "
+        f"* {scale!r}, 6)"
+        for j in range(JL_OUT_DIM)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+p AS (SELECT vec_id, [{comps}] AS pv FROM e),
+q AS (SELECT vec_id AS qid, pv FROM p WHERE vec_id < {ANN_NQ}),
+ps AS (SELECT qid, i.vec_id AS neighbor_id,
+              round(list_dot_product(q.pv, i.pv) /
+                    (sqrt(list_dot_product(q.pv, q.pv)) *
+                     sqrt(list_dot_product(i.pv, i.pv))), 6) AS proj_sim
+       FROM q CROSS JOIN p i),
+sl AS (SELECT qid, neighbor_id,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY proj_sim DESC, neighbor_id) AS prn
+       FROM ps),
+cand AS (SELECT qid, neighbor_id FROM sl WHERE prn <= {ANN_PROJ_SHORTLIST}),
+ex AS (SELECT c.qid, c.neighbor_id,
+              round(list_dot_product(eq.v, ei.v) /
+                    (sqrt(list_dot_product(eq.v, eq.v)) *
+                     sqrt(list_dot_product(ei.v, ei.v))), 6) AS sim_exact
+       FROM cand c
+       JOIN e eq ON eq.vec_id = c.qid
+       JOIN e ei ON ei.vec_id = c.neighbor_id),
+rk AS (SELECT *, row_number() OVER (PARTITION BY qid
+                                    ORDER BY sim_exact DESC, neighbor_id) AS rank
+       FROM ex)
+SELECT qid, neighbor_id, sim_exact, CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= {ANN_K}
+ORDER BY qid, rank
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     "filter_route": QuerySpec(q_filter_route, SQL_FILTER_ROUTE),
@@ -4067,4 +4141,5 @@ QUERIES: dict[str, QuerySpec] = {
     "zorder_key": QuerySpec(q_zorder_key, _sql_zorder_key()),
     "random_projection": QuerySpec(q_random_projection, _sql_random_projection()),
     "scd2_history": QuerySpec(q_scd2_history, SQL_SCD2_HISTORY),
+    "ann_projected": QuerySpec(q_ann_projected, _sql_ann_projected()),
 }

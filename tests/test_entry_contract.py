@@ -78,6 +78,7 @@ def test_entry_contract_shape():
         "zorder_key",  # Morton data-layout key, exact bit interleave (tail gate)
         "random_projection",  # JL reduction, 6-dp GEMM vs oracle dots (tail gate)
         "scd2_history",  # SCD2 validity intervals from the CDC log (tail gate)
+        "ann_projected",  # JL shortlist + exact re-rank composition (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

@@ -1146,3 +1146,52 @@ def test_scd2_history_semantics(spark):
         "e5": (35, 40, False, 635),  # seq order, not arrival order
         "e6": (40, None, True, 640),
     }
+
+
+def test_projected_search_recall_on_clustered_data(spark):
+    """Two-stage JL search (shortlist in projected space, exact re-rank)
+    must recover nearly all of the exact flat top-k when the data has
+    structure (clustered points) — the regime reductions exist for."""
+    import random
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.projection import (
+        vector_search_topk_projected,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (
+        vector_search_topk_flat,
+    )
+
+    rng = random.Random(13)
+    # many small clusters: the top-k live in the query's cluster and the
+    # projection must separate CLUSTERS (the wide-gap structure JL
+    # preserves) — not micro-rank near-identical vectors, which no
+    # dimensionality reduction can and two-stage search re-ranks exactly
+    # anyway
+    dim, n_clusters, per = 32, 40, 5
+    centers = [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_clusters)]
+    index_rows = []
+    for ci, c in enumerate(centers):
+        for j in range(per):
+            index_rows.append(
+                (ci * per + j, [x + rng.gauss(0, 0.05) for x in c])
+            )
+    query_rows = [
+        (qi, [x + rng.gauss(0, 0.05) for x in centers[qi % n_clusters]])
+        for qi in range(10)
+    ]
+    idx = spark.createDataFrame(index_rows, ["vec_id", "embedding"])
+    qs = spark.createDataFrame(query_rows, ["qid", "embedding"])
+
+    exact = vector_search_topk_flat(
+        qs, idx, k=3, payload_cols=["vec_id"], round_sim=6
+    )
+    truth = {(r.qid, r.vec_id) for r in exact.collect()}
+    got = {
+        (r.qid, r.vec_id)
+        for r in vector_search_topk_projected(
+            qs, idx, k=3, shortlist=10, out_dim=12
+        ).collect()
+    }
+    assert len(got) == len(truth) == 30
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, recall
