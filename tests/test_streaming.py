@@ -872,3 +872,54 @@ def test_streaming_hopping_window_overlap(spark, tmp_path):
     # the 10:00:07 event belongs to the [10:00:00) and [10:00:05) windows
     assert rows.get("2026-01-01 10:00:00") == 1
     assert rows.get("2026-01-01 10:00:05") == 1
+
+
+def test_streaming_session_window_merges_and_closes(spark, tmp_path):
+    """T2 streaming form of the SESSION window: events within the gap
+    extend one session, a quiet period splits sessions, and append mode
+    emits a session only after the watermark passes its close — late
+    rows inside a closed session are dropped, not re-emitted."""
+    src = str(tmp_path / "sess_src")
+    # session A: two events 5 s apart (gap 10 s -> ONE session 00:05-00:20)
+    _write_batch(src, [("a1", "prospect", "2026-01-01T10:00:05"),
+                       ("a2", "prospect", "2026-01-01T10:00:10")], n=0)
+    stream = (
+        spark.readStream.schema(MSG_SCHEMA).json(src)
+        .withColumn("ts", F.to_timestamp("rowtime"))
+    )
+    agg = (
+        stream.withWatermark("ts", "5 seconds")
+        .groupBy(F.session_window("ts", "10 seconds").alias("w"), F.col("speaker"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("w.start").cast("string").alias("s_start"),
+            F.col("w.end").cast("string").alias("s_end"),
+            "n",
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("sess_counts")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # far-future row closes session A; late row into A must be dropped
+        _write_batch(src, [("b1", "prospect", "2026-01-01T10:05:00")], n=1)
+        q.processAllAvailable()
+        _write_batch(src, [("late", "prospect", "2026-01-01T10:00:12"),
+                           ("c1", "prospect", "2026-01-01T10:10:00")], n=2)
+        q.processAllAvailable()
+        rows = {
+            r["s_start"]: (r["s_end"], r["n"])
+            for r in spark.sql("SELECT * FROM sess_counts").collect()
+        }
+    finally:
+        q.stop()
+    # one MERGED session (both a-events), closed at last_event + gap,
+    # count unchanged by the late row
+    assert rows.get("2026-01-01 10:00:05") == ("2026-01-01 10:00:20", 2)
+    # session B emitted once C advanced the watermark past its close
+    assert rows.get("2026-01-01 10:05:00") == ("2026-01-01 10:05:10", 1)
