@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "span_pairs",
     "decontaminate",
     "edit_distance_pairs",
+    "fuzzy_dedup",
     # similarity search + lexical/hybrid retrieval
     "ann_topk",
     "ann_ivf_topk",

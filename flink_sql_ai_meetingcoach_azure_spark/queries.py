@@ -4041,6 +4041,51 @@ ORDER BY qid, rank
 """
 
 
+def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level entity resolution end-to-end: PassJoin
+    edit-distance pairs (≤2 edits on the title proxy) → transitive
+    connected components → keep the min-id representative per cluster.
+    The fuzzy counterpart of `neardup_dedup`: a~b~c collapses to ONE
+    row even when a and c differ by 4 edits. Every stage is the audited
+    linear-shuffle shape (segment equi-join, log²-round CC, one
+    left-join filter)."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.components import (  # noqa: PLC0415
+        dedup_by_components,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.editdist import (  # noqa: PLC0415
+        edit_distance_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    titles = docs.select(
+        "doc_id", F.lower(F.substring("text", 1, EDIT_PREFIX)).alias("title")
+    )
+    pairs = edit_distance_pairs(titles, "title", "doc_id", max_dist=EDIT_DIST_MAX)
+    return dedup_by_components(titles, pairs, "doc_id").orderBy("doc_id")
+
+
+def _sql_fuzzy_dedup() -> str:
+    return f"""
+WITH RECURSIVE t AS (SELECT doc_id, lower(substr(text, 1, {EDIT_PREFIX})) AS title
+                     FROM documents),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM t a JOIN t b ON a.doc_id < b.doc_id
+          WHERE abs(length(a.title) - length(b.title)) <= {EDIT_DIST_MAX}
+            AND levenshtein(a.title, b.title) <= {EDIT_DIST_MAX}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (SELECT u, v FROM edges
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a)
+SELECT t.doc_id, t.title
+FROM t LEFT JOIN comp c ON c.node = t.doc_id
+WHERE c.component IS NULL OR c.component = t.doc_id
+ORDER BY t.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     "filter_route": QuerySpec(q_filter_route, SQL_FILTER_ROUTE),
@@ -4142,4 +4187,5 @@ QUERIES: dict[str, QuerySpec] = {
     "random_projection": QuerySpec(q_random_projection, _sql_random_projection()),
     "scd2_history": QuerySpec(q_scd2_history, SQL_SCD2_HISTORY),
     "ann_projected": QuerySpec(q_ann_projected, _sql_ann_projected()),
+    "fuzzy_dedup": QuerySpec(q_fuzzy_dedup, _sql_fuzzy_dedup()),
 }
