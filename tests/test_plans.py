@@ -166,3 +166,37 @@ def test_ann_pq_stays_narrow(spark):
     plan = _plan(spark, "ann_pq")
     assert "SortMergeJoin" not in plan
     assert "MapInPandas" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """The 100-TB shape for fact⋈(selectively filtered dim) when the dim
+    is too big to broadcast: Spark's runtime bloom-filter injection
+    builds a filter from the dim side and applies it AT THE FACT SCAN,
+    cutting shuffle input to ~the matching keys. Pin that the knobs this
+    repo documents actually inject the filter on our TPC-H tables."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the SMJ regime
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        # test tables are tiny; drop the size gates so the rule fires the
+        # same way it would on a TB-scale fact table
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
