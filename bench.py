@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "winsorize",
     "cdc_apply",
     "scd2_history",
+    "linear_trend",
     "cohort_retention",
     "value_histogram",
     "argmax_per_user",

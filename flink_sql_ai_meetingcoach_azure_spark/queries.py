@@ -4086,6 +4086,76 @@ ORDER BY t.doc_id
 """
 
 
+def q_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user OLS trend (slope + intercept of value over time) as an
+    ML-feature extraction pass: x recentred to seconds since the user's
+    first event (keeps every moment BIGINT-exact — Σxy, Σx² bounded by
+    span·cents·n ≪ 2^63), all five moments from ONE combinable
+    aggregate, closed-form slope/intercept from exact integers so both
+    engines divide the same numbers. The decorrelated two-pass shape
+    (min-per-key joined back) a cluster wants instead of a correlated
+    subquery."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        "user_id",
+        (F.unix_micros("ts") / F.lit(1_000_000)).cast("bigint").alias("tsec"),
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    t0 = base.groupBy("user_id").agg(F.min("tsec").alias("t0"))
+    xy = base.join(t0, "user_id").select(
+        "user_id", (F.col("tsec") - F.col("t0")).alias("x"), F.col("c").alias("y")
+    )
+    m = xy.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = F.round(num / den, 9)
+    intercept = F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 4)
+    return (
+        m.filter(den > 0)
+        .select(
+            "user_id",
+            F.col("n").cast("bigint").alias("n"),
+            slope.alias("slope_cents_per_sec"),
+            intercept.alias("intercept_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_LINEAR_TREND = """
+WITH base AS (SELECT user_id,
+                     epoch_us(ts::TIMESTAMP) // 1000000 AS tsec,
+                     CAST(round(value * 100) AS BIGINT) AS c
+              FROM events),
+t0 AS (SELECT user_id, min(tsec) AS t0 FROM base GROUP BY user_id),
+xy AS (SELECT b.user_id, b.tsec - t.t0 AS x, b.c AS y
+       FROM base b JOIN t0 t ON b.user_id = t.user_id),
+m AS (SELECT user_id,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx
+      FROM xy GROUP BY user_id),
+s AS (SELECT user_id, n, sx, sy,
+             round(CAST(n * sxy - sx * sy AS DOUBLE) /
+                   CAST(n * sxx - sx * sx AS DOUBLE), 9) AS slope
+      FROM m WHERE n * sxx - sx * sx > 0)
+SELECT user_id, n,
+       slope AS slope_cents_per_sec,
+       round((sy - slope * sx) / n, 4) AS intercept_cents
+FROM s
+ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     "filter_route": QuerySpec(q_filter_route, SQL_FILTER_ROUTE),
@@ -4188,4 +4258,5 @@ QUERIES: dict[str, QuerySpec] = {
     "scd2_history": QuerySpec(q_scd2_history, SQL_SCD2_HISTORY),
     "ann_projected": QuerySpec(q_ann_projected, _sql_ann_projected()),
     "fuzzy_dedup": QuerySpec(q_fuzzy_dedup, _sql_fuzzy_dedup()),
+    "linear_trend": QuerySpec(q_linear_trend, SQL_LINEAR_TREND),
 }

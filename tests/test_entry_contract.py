@@ -80,6 +80,7 @@ def test_entry_contract_shape():
         "scd2_history",  # SCD2 validity intervals from the CDC log (tail gate)
         "ann_projected",  # JL shortlist + exact re-rank composition (tail gate)
         "fuzzy_dedup",  # edit-distance pairs -> CC -> survivors (tail gate)
+        "linear_trend",  # per-group OLS from exact integer moments (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
