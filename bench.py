@@ -92,6 +92,8 @@ BENCH_QUERIES = [
     "rerank_topk",
     # joins beyond the reference
     "asof_join",
+    "interval_join",
+    "profile_columns",
     # event-sequence (CEP-lite) funnel
     "funnel_match",
     # text analysis

@@ -72,3 +72,6 @@ from flink_sql_ai_meetingcoach_azure_spark.operators.projection import (  # noqa
     projection_matrix,
     random_projection,
 )
+from flink_sql_ai_meetingcoach_azure_spark.operators.interval_join import (  # noqa: F401
+    interval_overlap_join,
+)

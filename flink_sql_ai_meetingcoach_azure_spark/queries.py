@@ -4156,6 +4156,162 @@ ORDER BY user_id
 """
 
 
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE-style column profile of the orders table in ONE pass:
+    rows / nulls / distinct / min / max / sum per column, emitted long
+    (column, metric, value_str) so heterogeneous stats hash uniformly.
+    All aggregates combinable (exact COUNT DISTINCT expands to the
+    two-phase plan; the documented 100-TB swap is approx_count_distinct)
+    — the data-quality gate every ingest pipeline fronts with."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    prof = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("o_custkey").isNull().cast("bigint")).alias("custkey_nulls"),
+        F.countDistinct("o_custkey").alias("custkey_distinct"),
+        F.min("o_custkey").alias("custkey_min"),
+        F.max("o_custkey").alias("custkey_max"),
+        F.countDistinct("o_orderstatus").alias("status_distinct"),
+        F.min("o_orderstatus").alias("status_min"),
+        F.max("o_orderstatus").alias("status_max"),
+        F.min(cents).alias("price_min_cents"),
+        F.max(cents).alias("price_max_cents"),
+        F.sum(cents).alias("price_sum_cents"),
+        F.min(F.col("o_orderdate").cast("string")).alias("orderdate_min"),
+        F.max(F.col("o_orderdate").cast("string")).alias("orderdate_max"),
+    )
+    metrics = [
+        "n_rows", "custkey_nulls", "custkey_distinct", "custkey_min",
+        "custkey_max", "status_distinct", "status_min", "status_max",
+        "price_min_cents", "price_max_cents", "price_sum_cents",
+        "orderdate_min", "orderdate_max",
+    ]
+    stacked = prof.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("metric"),
+                        F.col(m).cast("string").alias("value_str"),
+                    )
+                    for m in metrics
+                ]
+            )
+        ).alias("kv")
+    )
+    return stacked.select("kv.metric", "kv.value_str").orderBy("metric")
+
+
+SQL_PROFILE_COLUMNS = """
+WITH p AS (SELECT
+    CAST(count(*) AS BIGINT) AS n_rows,
+    CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS custkey_nulls,
+    CAST(count(DISTINCT o_custkey) AS BIGINT) AS custkey_distinct,
+    CAST(min(o_custkey) AS BIGINT) AS custkey_min,
+    CAST(max(o_custkey) AS BIGINT) AS custkey_max,
+    CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS status_distinct,
+    min(o_orderstatus) AS status_min,
+    max(o_orderstatus) AS status_max,
+    CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_min_cents,
+    CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_max_cents,
+    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_sum_cents,
+    CAST(min(o_orderdate) AS VARCHAR) AS orderdate_min,
+    CAST(max(o_orderdate) AS VARCHAR) AS orderdate_max
+  FROM orders)
+SELECT metric, value_str FROM (
+  SELECT 'n_rows' AS metric, CAST(n_rows AS VARCHAR) AS value_str FROM p
+  UNION ALL SELECT 'custkey_nulls', CAST(custkey_nulls AS VARCHAR) FROM p
+  UNION ALL SELECT 'custkey_distinct', CAST(custkey_distinct AS VARCHAR) FROM p
+  UNION ALL SELECT 'custkey_min', CAST(custkey_min AS VARCHAR) FROM p
+  UNION ALL SELECT 'custkey_max', CAST(custkey_max AS VARCHAR) FROM p
+  UNION ALL SELECT 'status_distinct', CAST(status_distinct AS VARCHAR) FROM p
+  UNION ALL SELECT 'status_min', status_min FROM p
+  UNION ALL SELECT 'status_max', status_max FROM p
+  UNION ALL SELECT 'price_min_cents', CAST(price_min_cents AS VARCHAR) FROM p
+  UNION ALL SELECT 'price_max_cents', CAST(price_max_cents AS VARCHAR) FROM p
+  UNION ALL SELECT 'price_sum_cents', CAST(price_sum_cents AS VARCHAR) FROM p
+  UNION ALL SELECT 'orderdate_min', orderdate_min FROM p
+  UNION ALL SELECT 'orderdate_max', orderdate_max FROM p
+)
+ORDER BY metric
+"""
+
+
+HOUR_US = 3_600_000_000
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic interval-OVERLAP join at scale: incident windows (hours
+    containing an error, [hour, hour+1h)) × the SCD2 closed validity
+    intervals — which value versions were live during any part of each
+    incident. The non-equi predicate is blocked into an EQUI-join on
+    coarse time cells (operators/interval_join.py) and verified, instead
+    of the cartesian comparison Spark would otherwise plan."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: PLC0415
+        scd2_history,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.interval_join import (  # noqa: PLC0415
+        interval_overlap_join,
+    )
+
+    ev = _events(spark, sf_dir)
+    log = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("seq_us"),
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+    )
+    vers = (
+        scd2_history(log, ["user_id"], ["seq_us", "event_id"], "op")
+        .filter(F.col("valid_to").isNotNull())
+        .select("event_id", "valid_from", "valid_to")
+    )
+    inc = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.unix_micros(F.date_trunc("hour", "ts")).alias("inc_id"))
+        .distinct()
+        .select(
+            "inc_id",
+            F.col("inc_id").alias("w_start"),
+            (F.col("inc_id") + F.lit(HOUR_US)).alias("w_end"),
+        )
+    )
+    pairs = interval_overlap_join(
+        inc, vers, "inc_id", "w_start", "w_end",
+        "event_id", "valid_from", "valid_to", bucket_width=HOUR_US,
+    )
+    return pairs.select(
+        "inc_id",
+        "event_id",
+        F.col("overlap_start").alias("overlap_start_us"),
+        F.col("overlap_end").alias("overlap_end_us"),
+    ).orderBy("inc_id", "event_id")
+
+
+SQL_INTERVAL_JOIN = f"""
+WITH log AS (SELECT user_id,
+                    epoch_us(ts::TIMESTAMP) AS seq_us,
+                    event_id,
+                    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+             FROM events),
+iv AS (SELECT *, lead(seq_us) OVER (PARTITION BY user_id
+                                    ORDER BY seq_us, event_id) AS valid_to
+       FROM log),
+vers AS (SELECT event_id, seq_us AS valid_from, valid_to
+         FROM iv WHERE op <> 'D' AND valid_to IS NOT NULL),
+inc AS (SELECT DISTINCT epoch_us(date_trunc('hour', ts::TIMESTAMP)) AS inc_id
+        FROM events WHERE event_type = 'error')
+SELECT i.inc_id, v.event_id,
+       greatest(i.inc_id, v.valid_from) AS overlap_start_us,
+       least(i.inc_id + {HOUR_US}, v.valid_to) AS overlap_end_us
+FROM inc i JOIN vers v
+  ON i.inc_id < v.valid_to AND v.valid_from < i.inc_id + {HOUR_US}
+ORDER BY inc_id, event_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     "filter_route": QuerySpec(q_filter_route, SQL_FILTER_ROUTE),
@@ -4259,4 +4415,6 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_projected": QuerySpec(q_ann_projected, _sql_ann_projected()),
     "fuzzy_dedup": QuerySpec(q_fuzzy_dedup, _sql_fuzzy_dedup()),
     "linear_trend": QuerySpec(q_linear_trend, SQL_LINEAR_TREND),
+    "profile_columns": QuerySpec(q_profile_columns, SQL_PROFILE_COLUMNS),
+    "interval_join": QuerySpec(q_interval_join, SQL_INTERVAL_JOIN),
 }

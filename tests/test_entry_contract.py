@@ -81,6 +81,8 @@ def test_entry_contract_shape():
         "ann_projected",  # JL shortlist + exact re-rank composition (tail gate)
         "fuzzy_dedup",  # edit-distance pairs -> CC -> survivors (tail gate)
         "linear_trend",  # per-group OLS from exact integer moments (tail gate)
+        "profile_columns",  # one-pass ANALYZE-style table profile (tail gate)
+        "interval_join",  # bucket-blocked interval overlap join (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

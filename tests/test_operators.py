@@ -1195,3 +1195,42 @@ def test_projected_search_recall_on_clustered_data(spark):
     assert len(got) == len(truth) == 30
     recall = len(got & truth) / len(truth)
     assert recall >= 0.9, recall
+
+
+def test_interval_overlap_join_matches_brute_force_and_plans_equi(spark):
+    """Bucket blocking must lose no overlapping pair (boundary-touching,
+    contained, spanning-many-cells) and must plan an EQUI join, not the
+    cartesian comparison the raw predicate would."""
+    import random
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.interval_join import (
+        interval_overlap_join,
+    )
+
+    rng = random.Random(17)
+    W = 100
+    lrows = []
+    for i in range(120):
+        s = rng.randrange(0, 3000)
+        lrows.append((f"L{i:03d}", s, s + rng.choice([1, 5, W, W + 1, 350])))
+    rrows = []
+    for i in range(150):
+        s = rng.randrange(0, 3000)
+        rrows.append((f"R{i:03d}", s, s + rng.choice([1, 20, W, 2 * W, 500])))
+    left = spark.createDataFrame(lrows, ["lid", "ls", "le"])
+    right = spark.createDataFrame(rrows, ["rid", "rs", "re"])
+
+    out = interval_overlap_join(
+        left, right, "lid", "ls", "le", "rid", "rs", "re", bucket_width=W
+    )
+    got = {(r.lid, r.rid, r.overlap_start, r.overlap_end) for r in out.collect()}
+    want = {
+        (lid, rid, max(ls, rs), min(le, re))
+        for (lid, ls, le) in lrows
+        for (rid, rs, re) in rrows
+        if ls < re and rs < le
+    }
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
