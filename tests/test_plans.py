@@ -200,3 +200,47 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The runtime half of the skew story (salted_join is the static
+    half): AQE must detect a hot join key's oversized shuffle partition
+    and split it across tasks — `SortMergeJoin(skew=true)` over an
+    `AQEShuffleRead skewed`. Thresholds are scaled to the crafted data;
+    at production scale the defaults play the same role."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # one key holds ~95% of the rows; payload kept live through the
+        # aggregate so pruning can't shrink the hot partition under the
+        # detection threshold
+        big = spark.range(210_000).selectExpr(
+            "CASE WHEN id < 200000 THEN 0 ELSE id % 1000 + 1 END AS k",
+            "repeat('x', 64) AS payload",
+        )
+        small = spark.range(1001).selectExpr("id AS k", "id * 2 AS v")
+        j = big.join(small, "k").select(
+            F.sum(F.length("payload") + F.col("v")).alias("s")
+        )
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:1500]
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
