@@ -39,6 +39,8 @@ from flink_sql_ai_meetingcoach_azure_spark.queries import QUERIES  # noqa: E402
 BENCH_QUERIES = [
     # relational core
     "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
     "join_revenue_by_nation",
     "rollup_revenue",
     "topn_per_user",

@@ -4312,6 +4312,94 @@ ORDER BY inc_id, event_id
 """
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure scan-filter-agg
+    shape — every predicate pushes to the parquet scan, revenue in exact
+    cent·basis-point BIGINT products (price cents × discount bp), one
+    map-side-combined 1-row aggregate. The query whose cost at 100 TB is
+    just I/O after pushdown."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_bp = F.round(F.col("l_discount") * 100).cast("bigint")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (disc_bp >= 5)
+            & (disc_bp <= 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(cents * disc_bp).alias("revenue_cent_bp"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+               CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_cent_bp,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): selective dim filter → broadcast
+    join into the fact chain → grouped revenue → top-10. Revenue in
+    exact cent·bp integers; ORDER BY revenue DESC with orderkey
+    tie-break plans TakeOrderedAndProject — never a global sort."""
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_bp = F.round(F.col("l_discount") * 100).cast("bigint")
+    # broadcast only the SELECTIVE dim (customer segment); the li⋈orders
+    # side stays a key-shuffle join — broadcasting half of orders would
+    # not survive scale-up, and AQE may still pick broadcast when the
+    # filtered side turns out small at runtime
+    return (
+        li.join(
+            orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"]),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy(
+            "l_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+        )
+        .agg(F.sum(cents * (F.lit(10_000) - disc_bp)).alias("revenue_cent_bp"))
+        .orderBy(F.desc("revenue_cent_bp"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey,
+       CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                (10000 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_cent_bp
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < '1998-01-01'
+  AND l_shipdate > '1998-01-01'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue_cent_bp DESC, l_orderkey
+LIMIT 10
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     "filter_route": QuerySpec(q_filter_route, SQL_FILTER_ROUTE),
@@ -4417,4 +4505,6 @@ QUERIES: dict[str, QuerySpec] = {
     "linear_trend": QuerySpec(q_linear_trend, SQL_LINEAR_TREND),
     "profile_columns": QuerySpec(q_profile_columns, SQL_PROFILE_COLUMNS),
     "interval_join": QuerySpec(q_interval_join, SQL_INTERVAL_JOIN),
+    "tpch_q6": QuerySpec(q_tpch_q6, SQL_TPCH_Q6),
+    "tpch_q3": QuerySpec(q_tpch_q3, SQL_TPCH_Q3),
 }

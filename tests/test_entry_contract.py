@@ -83,6 +83,8 @@ def test_entry_contract_shape():
         "linear_trend",  # per-group OLS from exact integer moments (tail gate)
         "profile_columns",  # one-pass ANALYZE-style table profile (tail gate)
         "interval_join",  # bucket-blocked interval overlap join (tail gate)
+        "tpch_q6",  # scan-filter-agg, full pushdown (tail gate)
+        "tpch_q3",  # shipping priority: selective-dim join + top-10 (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
