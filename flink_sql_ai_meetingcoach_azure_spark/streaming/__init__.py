@@ -3,3 +3,6 @@ from flink_sql_ai_meetingcoach_azure_spark.streaming.pipeline import (  # noqa: 
     streaming_coaching_pipeline,
     RecentHistorySink,
 )
+from flink_sql_ai_meetingcoach_azure_spark.streaming.aggregate_sink import (  # noqa: F401
+    StreamingAggregateSink,
+)

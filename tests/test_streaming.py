@@ -923,3 +923,66 @@ def test_streaming_session_window_merges_and_closes(spark, tmp_path):
     assert rows.get("2026-01-01 10:00:05") == ("2026-01-01 10:00:20", 2)
     # session B emitted once C advanced the watermark past its close
     assert rows.get("2026-01-01 10:05:00") == ("2026-01-01 10:05:10", 1)
+
+
+def _write_value_batch(path, rows, n=0):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, f"vals_{n}.json"), "w") as f:
+        for k, v in rows:
+            f.write(json.dumps({"k": k, "v": v}) + "\n")
+
+
+def test_streaming_aggregate_sink_maintains_rollup(spark, tmp_path):
+    """The durable materialized rollup: N micro-batches of per-key values
+    maintained as merge-on-read partials must equal the batch groupBy
+    over the union; a REPLAYED batch is a state no-op; compaction folds
+    the log to one row per key without changing the view."""
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.aggregate_sink import (
+        StreamingAggregateSink,
+    )
+
+    src = str(tmp_path / "agg_src")
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    batches = [
+        [("a", 10), ("b", 1), ("a", 5)],
+        [("b", 2), ("c", 100)],
+        [("a", 1), ("c", 1), ("c", 2)],
+    ]
+    _write_value_batch(src, batches[0], n=0)
+    sink = StreamingAggregateSink(
+        str(tmp_path / "agg_state"), ["k"], ["v"], spark
+    )
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "agg_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, rows in enumerate(batches[1:], start=1):
+            _write_value_batch(src, rows, n=i)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def view():
+        return {
+            r.k: (r.n_rows, r.sum_v) for r in sink.current().collect()
+        }
+
+    want = {"a": (3, 16), "b": (2, 3), "c": (3, 103)}
+    assert view() == want
+
+    # replay batch 0 manually — the marker must make it a no-op
+    replay = spark.createDataFrame(batches[0], schema)
+    sink(replay, 0)
+    assert view() == want
+
+    # compaction: one partial row per key, identical view
+    sink.compact()
+    log = spark.read.parquet(str(tmp_path / "agg_state" / "log"))
+    assert log.count() == 3
+    assert view() == want
