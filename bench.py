@@ -56,6 +56,9 @@ BENCH_QUERIES = [
     "cdc_apply",
     "scd2_history",
     "linear_trend",
+    "asof_snapshot",
+    "transition_matrix",
+    "weighted_sample",
     "cohort_retention",
     "value_histogram",
     "argmax_per_user",

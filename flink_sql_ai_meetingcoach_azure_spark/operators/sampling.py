@@ -222,3 +222,42 @@ def score_tiered_sample(
             else thresh.when(F.col(tier_col) == i, edge)
         )
     return labeled.filter(hash_bucket_col(key_col, salt) < thresh)
+
+
+WSAMPLE_SPACE = 1 << 30  # 30-bit uniform: keeps every product below 2^63
+
+
+def weighted_sample(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    max_weight: int,
+    rate_at_max: float = 1.0,
+    salt: str = "wsample",
+) -> Column | DataFrame:
+    """Weight-proportional Bernoulli sampling with ZERO floats and zero
+    rand(): each row is admitted iff ``u * max_weight < w * thr`` where
+    ``u`` is a 30-bit md5 uniform of the key and ``thr =
+    round(rate_at_max * 2^30)`` — P(admit) = rate_at_max · w/max_weight,
+    exact integer comparison on both engines, stable under any
+    partitioning/retry (`rand()` sampling is not, under task retries).
+    Continuous-weight companion to the tiered/mixture samplers; a pure
+    codegen filter, no shuffle, no count job."""
+    u = md5_bigint_col(F.col(key_col).cast("string"), salt) % F.lit(WSAMPLE_SPACE)
+    thr = int(round(rate_at_max * WSAMPLE_SPACE))
+    w = F.least(F.col(weight_col).cast("long"), F.lit(max_weight))
+    return df.filter(u * F.lit(max_weight) < w * F.lit(thr))
+
+
+def weighted_sample_sql(
+    key_expr: str,
+    weight_expr: str,
+    max_weight: int,
+    rate_at_max: float = 1.0,
+    salt: str = "wsample",
+) -> str:
+    """DuckDB predicate identical to :func:`weighted_sample`."""
+    thr = int(round(rate_at_max * WSAMPLE_SPACE))
+    u = f"({md5_bigint_sql(f'CAST({key_expr} AS VARCHAR)', salt)} % {WSAMPLE_SPACE})"
+    w = f"least(CAST({weight_expr} AS BIGINT), {max_weight})"
+    return f"{u} * {max_weight} < {w} * {thr}"

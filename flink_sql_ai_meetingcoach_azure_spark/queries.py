@@ -4400,6 +4400,146 @@ LIMIT 10
 """
 
 
+WSAMPLE_MAX_W = 4000
+WSAMPLE_RATE = 0.9
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional Bernoulli sampling with zero floats and zero
+    rand(): documents admitted with probability ∝ min(length, 4000) —
+    the continuous-weight curation knob (quality-weighted corpus
+    thinning) as a pure codegen integer filter, retry/partitioning
+    stable by construction."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.sampling import (  # noqa: PLC0415
+        weighted_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("w")
+    )
+    return weighted_sample(
+        docs, "doc_id", "w", WSAMPLE_MAX_W, rate_at_max=WSAMPLE_RATE
+    ).orderBy("doc_id")
+
+
+def _sql_weighted_sample() -> str:
+    from flink_sql_ai_meetingcoach_azure_spark.operators.sampling import (  # noqa: PLC0415
+        weighted_sample_sql,
+    )
+
+    pred = weighted_sample_sql("doc_id", "w", WSAMPLE_MAX_W, WSAMPLE_RATE)
+    return f"""
+WITH d AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS w FROM documents)
+SELECT doc_id, w FROM d WHERE {pred}
+ORDER BY doc_id
+"""
+
+
+def q_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel over the SCD2 history: reconstruct every key's state
+    AS OF the stream's midpoint instant — the version whose
+    [valid_from, valid_to) contains T. One codegen filter over the
+    history (which itself is one window); T = (min+max)/2 in exact µs
+    integers on both engines."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: PLC0415
+        scd2_history,
+    )
+
+    ev = _events(spark, sf_dir)
+    log = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("seq_us"),
+        "event_id",
+        F.when(F.col("event_type") == "error", "D").otherwise("U").alias("op"),
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    lo, hi = log.agg(F.min("seq_us"), F.max("seq_us")).first()
+    t_mid = (lo + hi) // 2
+    hist = scd2_history(log, ["user_id"], ["seq_us", "event_id"], "op")
+    return (
+        hist.filter(
+            (F.col("valid_from") <= F.lit(t_mid))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(t_mid)))
+        )
+        .select("user_id", "event_id", "valid_from", "value_cents")
+        .orderBy("user_id")
+    )
+
+
+SQL_ASOF_SNAPSHOT = """
+WITH log AS (SELECT user_id,
+                    epoch_us(ts::TIMESTAMP) AS seq_us,
+                    event_id,
+                    CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+                    CAST(round(value * 100) AS BIGINT) AS value_cents
+             FROM events),
+t AS (SELECT (min(seq_us) + max(seq_us)) // 2 AS t_mid FROM log),
+iv AS (SELECT *, lead(seq_us) OVER (PARTITION BY user_id
+                                    ORDER BY seq_us, event_id) AS valid_to
+       FROM log)
+SELECT user_id, event_id, seq_us AS valid_from, value_cents
+FROM iv, t
+WHERE op <> 'D' AND seq_us <= t_mid
+  AND (valid_to IS NULL OR valid_to > t_mid)
+ORDER BY user_id
+"""
+
+
+def q_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition estimates over the event stream:
+    per-user next-event bigrams (one lead() window) rolled into a
+    (from, to) count matrix with integer parts-per-million transition
+    probabilities — exact integer division, so engines can't disagree
+    on a probability digit. The sequence-mining companion to the funnel
+    operator."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bi = (
+        ev.select(
+            "user_id", "ts", "event_id", F.col("event_type").alias("from_type")
+        )
+        .withColumn("to_type", F.lead("from_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+    )
+    counts = bi.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = counts.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    ppm_num = F.col("n") * F.lit(1_000_000)
+    # exact integer floor division (a double `/` can land one ulp under
+    # an exact quotient and truncate to ppm-1)
+    ppm = ((ppm_num - F.pmod(ppm_num, F.col("row_total"))) / F.col("row_total"))
+    return (
+        counts.join(tot, "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            ppm.cast("bigint").alias("prob_ppm"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+SQL_TRANSITION_MATRIX = """
+WITH bi AS (SELECT event_type AS from_type,
+                   lead(event_type) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS to_type
+            FROM events),
+c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      FROM bi WHERE to_type IS NOT NULL GROUP BY from_type, to_type),
+t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total
+      FROM c GROUP BY from_type)
+SELECT c.from_type, c.to_type, c.n,
+       (c.n * 1000000) // t.row_total AS prob_ppm
+FROM c JOIN t ON c.from_type = t.from_type
+ORDER BY c.from_type, c.to_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     "filter_route": QuerySpec(q_filter_route, SQL_FILTER_ROUTE),
@@ -4507,4 +4647,7 @@ QUERIES: dict[str, QuerySpec] = {
     "interval_join": QuerySpec(q_interval_join, SQL_INTERVAL_JOIN),
     "tpch_q6": QuerySpec(q_tpch_q6, SQL_TPCH_Q6),
     "tpch_q3": QuerySpec(q_tpch_q3, SQL_TPCH_Q3),
+    "weighted_sample": QuerySpec(q_weighted_sample, _sql_weighted_sample()),
+    "asof_snapshot": QuerySpec(q_asof_snapshot, SQL_ASOF_SNAPSHOT),
+    "transition_matrix": QuerySpec(q_transition_matrix, SQL_TRANSITION_MATRIX),
 }

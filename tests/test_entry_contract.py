@@ -85,6 +85,9 @@ def test_entry_contract_shape():
         "interval_join",  # bucket-blocked interval overlap join (tail gate)
         "tpch_q6",  # scan-filter-agg, full pushdown (tail gate)
         "tpch_q3",  # shipping priority: selective-dim join + top-10 (tail gate)
+        "weighted_sample",  # integer weight-proportional Bernoulli (tail gate)
+        "asof_snapshot",  # SCD2 time travel at the midpoint instant (tail gate)
+        "transition_matrix",  # Markov next-event matrix, ppm-exact (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

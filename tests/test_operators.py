@@ -1234,3 +1234,28 @@ def test_interval_overlap_join_matches_brute_force_and_plans_equi(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_weighted_sample_rate_proportional_to_weight(spark):
+    """Integer Bernoulli weighting: admit rate tracks w/max_weight, and
+    the selected SET is identical under any partitioning (no rand())."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    rows = [(f"k{i:05d}", 1000 if i % 2 == 0 else 250) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["k", "w"])
+    kept = weighted_sample(df, "k", "w", max_weight=1000, rate_at_max=0.8)
+    got = {r.k for r in kept.collect()}
+    heavy = sum(1 for k in got if int(k[1:]) % 2 == 0) / 2000
+    light = sum(1 for k in got if int(k[1:]) % 2 == 1) / 2000
+    assert abs(heavy - 0.8) < 0.05, heavy
+    assert abs(light - 0.2) < 0.05, light
+    # partitioning invariance
+    got2 = {
+        r.k
+        for r in weighted_sample(
+            df.repartition(13), "k", "w", max_weight=1000, rate_at_max=0.8
+        ).collect()
+    }
+    assert got2 == got
