@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "line_dedup",
     "dup_spans",
     "span_pairs",
+    "mask_spans",
     "decontaminate",
     "edit_distance_pairs",
     "fuzzy_dedup",

@@ -216,3 +216,66 @@ def span_dup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_spans"))
     )
+
+
+def mask_dup_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    window: int = 8,
+) -> DataFrame:
+    """REMOVE cross-document duplicated spans from every document — the
+    rewrite step of Lee et al.'s substring dedup (detection alone only
+    profiles; curation pipelines drop the duplicated bytes). A token
+    position is removed iff it is covered by any ``window``-token span
+    whose hash occurs in >= 2 distinct documents; the survivors are
+    reassembled in order.
+
+    Output: (id_col, n_tokens, n_removed, clean_text) — ``clean_text``
+    is token-normalized (the same whitespace-split, lowercased stream
+    the span hashes are computed over; original spacing is not
+    preserved, matching the operator's curation use).
+
+    Scale shape: duplicated hashes come from the SAME combinable
+    groupBy as the stats pass; coverage expansion is one bounded explode
+    (``window`` rows per duplicated span START, not per token); removal
+    is a left-anti join keyed by (doc, pos); reassembly is one
+    per-doc aggregate of the surviving tokens. No self-joins, nothing
+    quadratic."""
+    w = int(window)
+    postings = span_postings(df, id_col, text_col, w)
+    dup = duplicated_span_hashes(postings).select("span_hash")
+    starts = postings.join(dup, "span_hash").select("id", "pos")
+    cov = starts.select(
+        "id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(w - 1))).alias(
+            "pos"
+        ),
+    ).distinct()
+    toks = df.select(F.col(id_col).alias("id"), tokens_col(text_col).alias("t"))
+    tok_rows = toks.select("id", F.posexplode("t").alias("pos", "tok"))
+    kept = tok_rows.join(cov, ["id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = tok_rows.groupBy("id").agg(F.count(F.lit(1)).alias("n_tokens"))
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(totals, "id", "left")
+        .join(rebuilt, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            (
+                F.coalesce("n_tokens", F.lit(0)) - F.coalesce("n_kept", F.lit(0))
+            ).cast("bigint").alias("n_removed"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -4540,6 +4540,55 @@ ORDER BY c.from_type, c.to_type
 """
 
 
+def q_mask_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup REWRITE: tokens covered by any cross-document
+    duplicated 8-token span are removed and the survivors reassembled
+    (Lee et al. ACL'22's curation step; `dup_spans` is the detection
+    half). Output keeps the cleaned text as an md5 so the driver hashes
+    scalars; counts pin the removal arithmetic."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.spans import (  # noqa: PLC0415
+        mask_dup_spans,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    out = mask_dup_spans(docs, "doc_id", "text", window=SPAN_W)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
+def _sql_mask_spans() -> str:
+    return f"""
+WITH {_sql_span_postings_ctes(SPAN_W)},
+g AS (SELECT h, min(doc_id) AS mn, max(doc_id) AS mx FROM spans GROUP BY h),
+dup AS (SELECT h FROM g WHERE mn <> mx),
+starts AS (SELECT s.doc_id, s.pos FROM spans s WHERE s.h IN (SELECT h FROM dup)),
+cov AS (SELECT DISTINCT doc_id, pos + d.j AS pos
+        FROM starts CROSS JOIN unnest(range(0, {SPAN_W})) AS d(j)),
+tok2 AS (SELECT doc_id, t.j - 1 AS pos, tk[t.j] AS tok
+         FROM toks0, unnest(range(1, len(tk) + 1)) AS t(j)),
+kept AS (SELECT t.doc_id, t.pos, t.tok
+         FROM tok2 t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.pos = t.pos
+         WHERE c.pos IS NULL),
+reb AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n_tokens FROM tok2 GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(t.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(t.n_tokens, 0) - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed,
+       md5(coalesce(r.clean_text, '')) AS clean_md5
+FROM documents d
+LEFT JOIN tot t ON t.doc_id = d.doc_id
+LEFT JOIN reb r ON r.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     "filter_route": QuerySpec(q_filter_route, SQL_FILTER_ROUTE),
@@ -4650,4 +4699,5 @@ QUERIES: dict[str, QuerySpec] = {
     "weighted_sample": QuerySpec(q_weighted_sample, _sql_weighted_sample()),
     "asof_snapshot": QuerySpec(q_asof_snapshot, SQL_ASOF_SNAPSHOT),
     "transition_matrix": QuerySpec(q_transition_matrix, SQL_TRANSITION_MATRIX),
+    "mask_spans": QuerySpec(q_mask_spans, _sql_mask_spans()),
 }

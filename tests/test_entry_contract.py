@@ -88,6 +88,7 @@ def test_entry_contract_shape():
         "weighted_sample",  # integer weight-proportional Bernoulli (tail gate)
         "asof_snapshot",  # SCD2 time travel at the midpoint instant (tail gate)
         "transition_matrix",  # Markov next-event matrix, ppm-exact (tail gate)
+        "mask_spans",  # substring-dedup rewrite: remove covered tokens (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

@@ -148,3 +148,37 @@ def test_score_tiered_sample_empty_input(spark):
     out = score_tiered_sample(df, "id", "sc")
     assert out.count() == 0
     assert out.columns == ["sc", "id", "tier"]
+
+
+def test_mask_dup_spans_removes_shared_passage_only(spark):
+    """The rewrite half: a verbatim 10-token passage shared by two docs
+    is removed from BOTH; unique text survives in order; a doc with no
+    cross-doc span is untouched (modulo token normalization); short
+    docs pass through whole."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.spans import mask_dup_spans
+
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one two three {passage} outro four five six"),
+            (2, f"{passage} completely different tail content here"),
+            (3, "no shared content in this document at all whatsoever"),
+            (4, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+        for r in mask_dup_spans(docs, "doc_id", "text", window=8).collect()
+    }
+    # doc 1: the 10 passage tokens removed, frame kept in order
+    assert out[1][2] == "intro one two three outro four five six"
+    assert out[1][1] == 10
+    # doc 2: passage gone, tail kept
+    assert out[2][2] == "completely different tail content here"
+    assert out[2][1] == 10
+    # doc 3: untouched (token-normalized join)
+    assert out[3][1] == 0
+    assert out[3][2] == "no shared content in this document at all whatsoever"
+    # doc 4: shorter than the window — no spans, nothing removed
+    assert out[4] == (2, 0, "tiny doc")
