@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "lm_score",
     # transitive near-dup clustering (iterative CC — job-count-bound cost)
     "dup_clusters",
+    "triangle_count",
     # curation: dedup + stratified downsample + split composed, rule-pack
     # filtering, semantic cluster sampling, domain mixture rebalancing
     "curation_pipeline",

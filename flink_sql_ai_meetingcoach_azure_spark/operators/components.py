@@ -193,3 +193,56 @@ def leakage_safe_split(
 
     labeled = duplicate_clusters(df, pairs, id_col, id_a, id_b)
     return deterministic_split(labeled, "cluster", weights, salt, split_col)
+
+
+def triangle_count(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Global triangle count of the undirected graph in ``pairs`` —
+    degree-ordered wedge join (Suri & Vassilvitskii, WWW'11 — public):
+    orient every edge from the (degree, id)-smaller endpoint to the
+    larger, join oriented edges on their SOURCE to enumerate wedges,
+    and close each wedge against the oriented edge set. Orientation
+    bounds every node's out-degree by O(sqrt(m)), so the wedge join is
+    O(m^1.5) TOTAL and hot hubs cannot square: a star's center gets
+    rank-high and receives edges instead of fanning out wedges.
+
+    Returns one row: (n_nodes, n_edges, n_wedges, n_triangles).
+    """
+    e = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("u"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    ranked = (
+        sym.join(deg.withColumnRenamed("u", "__n").withColumnRenamed("d", "du"),
+                 F.col("u") == F.col("__n")).drop("__n")
+        .join(deg.withColumnRenamed("u", "__n").withColumnRenamed("d", "dv"),
+              F.col("v") == F.col("__n")).drop("__n")
+    )
+    # orient: keep only edges where (du, u) < (dv, v)
+    oriented = ranked.filter(
+        (F.col("du") < F.col("dv"))
+        | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    ).select("u", "v").localCheckpoint()
+    # wedges: two oriented edges out of the same source
+    w1 = oriented.select(F.col("u").alias("s"), F.col("v").alias("a"))
+    w2 = oriented.select(F.col("u").alias("s"), F.col("v").alias("b"))
+    wedges = w1.join(w2, "s").filter(F.col("a") < F.col("b"))
+    # close the wedge: (a, b) must be an oriented edge in EITHER direction
+    closing = oriented.select(
+        F.col("u").alias("a"), F.col("v").alias("b")
+    ).union(oriented.select(F.col("v").alias("a"), F.col("u").alias("b")))
+    tri = wedges.join(closing.distinct(), ["a", "b"])
+    return (
+        e.agg(F.count(F.lit(1)).alias("n_edges"))
+        .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
+        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+        .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
+    )

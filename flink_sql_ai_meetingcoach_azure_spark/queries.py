@@ -4589,6 +4589,62 @@ ORDER BY d.doc_id
 """
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics over the near-dup graph: triangle census of the
+    SimHash pair graph via the degree-ordered wedge join (out-degree
+    bounded O(√m) by orientation, so the wedge join is O(m^1.5) total
+    and hub nodes can't square). Triangle density distinguishes
+    boilerplate families (cliques) from chance collisions (isolated
+    edges) — the structural signal behind cluster-then-dedup."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.components import (  # noqa: PLC0415
+        triangle_count,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: PLC0415
+        simhash_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < SIMHASH_PAIR_MAX_ID
+    )
+    pairs = simhash_pairs(
+        docs, "doc_id", "text", bits=SIMHASH_BITS, bands=4, max_hamming=3
+    )
+    return triangle_count(pairs)
+
+
+def _sql_triangle_count() -> str:
+    pairs = _sql_simhash_pairs()
+    return f"""
+WITH p AS ({pairs}),
+e AS (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+      FROM p WHERE id_a <> id_b),
+n AS (SELECT count(DISTINCT x) AS n_nodes FROM
+        (SELECT u AS x FROM e UNION SELECT v FROM e)),
+deg AS (SELECT x, count(*) AS d FROM
+          (SELECT u AS x FROM e UNION ALL SELECT v FROM e) GROUP BY x),
+o AS (SELECT e.u, e.v FROM e
+      JOIN deg da ON da.x = e.u JOIN deg db ON db.x = e.v
+      WHERE (da.d < db.d) OR (da.d = db.d AND e.u < e.v)
+      UNION ALL
+      SELECT e.v, e.u FROM e
+      JOIN deg da ON da.x = e.u JOIN deg db ON db.x = e.v
+      WHERE (db.d < da.d) OR (da.d = db.d AND e.v < e.u)),
+w AS (SELECT o1.v AS a, o2.v AS b FROM o o1 JOIN o o2 ON o1.u = o2.u
+      WHERE o1.v < o2.v),
+wn AS (SELECT count(*) AS n_wedges FROM w),
+closing AS (SELECT u AS a, v AS b FROM o UNION SELECT v, u FROM o),
+t AS (SELECT count(*) AS n_triangles FROM w JOIN closing c
+      ON c.a = w.a AND c.b = w.b),
+en AS (SELECT count(*) AS n_edges FROM e)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_edges AS BIGINT) AS n_edges,
+       CAST(n_wedges AS BIGINT) AS n_wedges,
+       CAST(n_triangles AS BIGINT) AS n_triangles
+FROM n, en, wn, t
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     "filter_route": QuerySpec(q_filter_route, SQL_FILTER_ROUTE),
@@ -4700,4 +4756,5 @@ QUERIES: dict[str, QuerySpec] = {
     "asof_snapshot": QuerySpec(q_asof_snapshot, SQL_ASOF_SNAPSHOT),
     "transition_matrix": QuerySpec(q_transition_matrix, SQL_TRANSITION_MATRIX),
     "mask_spans": QuerySpec(q_mask_spans, _sql_mask_spans()),
+    "triangle_count": QuerySpec(q_triangle_count, _sql_triangle_count()),
 }

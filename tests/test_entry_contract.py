@@ -89,6 +89,7 @@ def test_entry_contract_shape():
         "asof_snapshot",  # SCD2 time travel at the midpoint instant (tail gate)
         "transition_matrix",  # Markov next-event matrix, ppm-exact (tail gate)
         "mask_spans",  # substring-dedup rewrite: remove covered tokens (tail gate)
+        "triangle_count",  # degree-ordered wedge join, O(m^1.5) (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

@@ -1259,3 +1259,32 @@ def test_weighted_sample_rate_proportional_to_weight(spark):
         ).collect()
     }
     assert got2 == got
+
+
+def test_triangle_count_matches_brute_force(spark):
+    """Degree-ordered wedge counting vs brute-force triangle enumeration
+    on random graphs including a hub (the case orientation exists for)."""
+    import itertools
+    import random
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.components import (
+        triangle_count,
+    )
+
+    rng = random.Random(23)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    edges = {tuple(sorted(p)) for p in itertools.combinations(nodes, 2) if rng.random() < 0.15}
+    # hub: n00 connected to everyone
+    edges |= {tuple(sorted(("n00", x))) for x in nodes[1:]}
+    df = spark.createDataFrame(sorted(edges), ["id_a", "id_b"])
+
+    eset = set(edges)
+    brute = sum(
+        1
+        for a, b, c in itertools.combinations(sorted(nodes), 3)
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset
+    )
+    row = triangle_count(df).collect()[0]
+    assert row.n_triangles == brute
+    assert row.n_edges == len(edges)
+    assert row.n_nodes == len({x for e in edges for x in e})
