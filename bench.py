@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "weighted_sample",
     "cohort_retention",
     "value_histogram",
+    "equidepth_histogram",
     "argmax_per_user",
     "zorder_key",
     "tumbling_window",

@@ -294,3 +294,52 @@ def unigram_lm_scores(
             .alias("avg_logp"),
         )
     )
+
+
+def compression_scores(
+    df: "DataFrame",  # noqa: F821
+    id_col: str,
+    text_col: str,
+    level: int = 6,
+) -> "DataFrame":  # noqa: F821
+    """Compressibility quality signal (the zlib-ratio heuristic used by
+    large-corpus curation pipelines: machine-generated/templated text
+    compresses far better than natural prose, near-random noise barely
+    compresses at all). Per doc: raw UTF-8 length, deflate(level) length
+    and ``ratio_micro = comp_len·10⁶ // raw_len`` — integer output, no
+    float drift.
+
+    The codec is CPU-bound Python, so this is an Arrow-batched
+    ``mapInPandas`` (map-only, linear, zero shuffles — the same seam
+    discipline as the model/codec/decode operators; zlib output length
+    is deterministic for a fixed level + library build, pinned against
+    direct zlib in pytest rather than the SQL oracle DuckDB can't
+    express)."""
+    import pandas as pd  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    id_type = dict(df.dtypes)[id_col]
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            raw = [t.encode("utf-8") if t is not None else b"" for t in pdf[text_col]]
+            raw_len = [len(b) for b in raw]
+            comp_len = [len(zlib.compress(b, level)) for b in raw]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "raw_len": raw_len,
+                    "comp_len": comp_len,
+                    "ratio_micro": [
+                        (c * 1_000_000) // r if r else 0
+                        for c, r in zip(comp_len, raw_len)
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        gen,
+        schema=f"{id_col} {id_type}, raw_len long, comp_len long, ratio_micro long",
+    )

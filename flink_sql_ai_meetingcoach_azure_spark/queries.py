@@ -4645,6 +4645,63 @@ FROM n, en, wn, t
 """
 
 
+EQUIDEPTH_K = 8
+
+
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (the profiling complement of the equi-width
+    entry): bucket boundaries at value-distribution quantiles so buckets
+    hold ≈1/k of the rows — the shape optimizers and skew diagnostics
+    want. NO global window (the unpartitioned-row_number formulation is
+    the classic scale-killer): one combinable per-value count, the CDF
+    folded DRIVER-side over the collected value histogram (domain-sized
+    metadata — the tiered_sample/IVF-centroid discipline), bucket map
+    broadcast back. Each DISTINCT value lands wholly in the bucket of
+    its first rank (exact integer arithmetic — engines can't disagree),
+    so bucket populations wobble only where one value straddles a
+    boundary."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    vals = ev.select(cents.alias("c"))
+    hist = vals.groupBy("c").count().orderBy("c").collect()
+    n_total = sum(r["count"] for r in hist)
+    rows, cum = [], 0
+    for r in hist:
+        rows.append((r["c"], EQUIDEPTH_K * cum // n_total))
+        cum += r["count"]
+    bmap = spark.createDataFrame(rows, ["c", "bucket"])
+    return (
+        vals.join(F.broadcast(bmap), "c")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("c").alias("lo_cents"),
+            F.max("c").alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+SQL_EQUIDEPTH_HISTOGRAM = f"""
+WITH v AS (SELECT CAST(round(value * 100) AS BIGINT) AS c FROM events),
+t AS (SELECT count(*) AS n_total FROM v),
+h AS (SELECT c, count(*) AS cnt FROM v GROUP BY c),
+cdf AS (SELECT c, coalesce(sum(cnt) OVER (ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        FROM h),
+bm AS (SELECT c, CAST(({EQUIDEPTH_K} * cum) // n_total AS BIGINT) AS bucket
+       FROM cdf, t)
+SELECT bm.bucket,
+       count(*) AS n,
+       min(v.c) AS lo_cents,
+       max(v.c) AS hi_cents
+FROM v JOIN bm ON v.c = bm.c
+GROUP BY bm.bucket
+ORDER BY bucket
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     "filter_route": QuerySpec(q_filter_route, SQL_FILTER_ROUTE),
@@ -4757,4 +4814,5 @@ QUERIES: dict[str, QuerySpec] = {
     "transition_matrix": QuerySpec(q_transition_matrix, SQL_TRANSITION_MATRIX),
     "mask_spans": QuerySpec(q_mask_spans, _sql_mask_spans()),
     "triangle_count": QuerySpec(q_triangle_count, _sql_triangle_count()),
+    "equidepth_histogram": QuerySpec(q_equidepth_histogram, SQL_EQUIDEPTH_HISTOGRAM),
 }

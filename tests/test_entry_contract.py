@@ -90,6 +90,7 @@ def test_entry_contract_shape():
         "transition_matrix",  # Markov next-event matrix, ppm-exact (tail gate)
         "mask_spans",  # substring-dedup rewrite: remove covered tokens (tail gate)
         "triangle_count",  # degree-ordered wedge join, O(m^1.5) (tail gate)
+        "equidepth_histogram",  # quantile buckets, driver-side CDF (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

@@ -178,3 +178,32 @@ def test_unigram_lm_scores_vs_python_reference(spark):
     # common prose (doc 5, all 'the') scores strictly higher than the
     # rare-token doc 3 — the CCNet-style signal the operator exists for
     assert got[5].avg_logp > got[3].avg_logp
+
+
+def test_compression_scores_signal_and_parity(spark):
+    """zlib-ratio quality signal: parity with direct zlib per row, and
+    the signal property — templated/repetitive text compresses far
+    better (lower ratio) than high-entropy text."""
+    import random
+    import zlib
+
+    from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import (
+        compression_scores,
+    )
+
+    rng = random.Random(31)
+    rows = [
+        ("rep", "buy now! " * 200),
+        ("nat", " ".join("the quick brown fox jumps over the lazy dog".split()[i % 9] for i in range(400))),
+        ("rand", "".join(rng.choice("abcdefghijklmnopqrstuvwxyz0123456789") for _ in range(1500))),
+        ("empty", ""),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"]).repartition(3)
+    got = {r.id: (r.raw_len, r.comp_len, r.ratio_micro) for r in
+           compression_scores(df, "id", "text").collect()}
+    for rid, text in rows:
+        raw = text.encode("utf-8")
+        comp = len(zlib.compress(raw, 6))
+        want = (len(raw), comp, (comp * 1_000_000) // len(raw) if raw else 0)
+        assert got[rid] == want, rid
+    assert got["rep"][2] < got["nat"][2] < got["rand"][2]
