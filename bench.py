@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "length_percentiles",
     "repetition_scores",
     "lm_score",
+    "lm_bigram_score",
     # transitive near-dup clustering (iterative CC — job-count-bound cost)
     "dup_clusters",
     "triangle_count",

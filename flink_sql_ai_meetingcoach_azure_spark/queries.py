@@ -4702,6 +4702,53 @@ ORDER BY bucket
 """
 
 
+def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM quality scores — the word-ORDER-sensitive
+    upgrade of `lm_score` (garbled word order scores low even when the
+    unigram distribution is unremarkable). The interpolated probability
+    is an exact rational, so ln runs once per DISTINCT bigram on the
+    same integers on both engines (micro-nat rounding there; only
+    BIGINTs sum per doc)."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import (  # noqa: PLC0415
+        bigram_lm_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs, "doc_id", "text").orderBy("doc_id")
+
+
+SQL_LM_BIGRAM_SCORE = f"""
+WITH d AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM documents),
+tok AS (SELECT doc_id, t.j - 1 AS pos, tk[t.j] AS w
+        FROM d, unnest(range(1, len(tk) + 1)) AS t(j)),
+bi AS (SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev, w
+       FROM tok),
+bir AS (SELECT doc_id, prev, w FROM bi WHERE prev IS NOT NULL),
+uni AS (SELECT w, count(*) AS cw FROM tok GROUP BY w),
+bic AS (SELECT prev, w, count(*) AS cb FROM bir GROUP BY prev, w),
+tot AS (SELECT sum(cw) AS n, count(*) AS v FROM uni),
+sc AS (SELECT bic.prev, bic.w,
+              CAST(round(ln(
+                CAST((cb + 1) * (n + v) + (cw + 1) * (cp + v) AS DOUBLE) /
+                CAST(2 * (cp + v) * (n + v) AS DOUBLE)) * 1000000) AS BIGINT) AS mn
+       FROM bic
+       JOIN uni ON uni.w = bic.w
+       JOIN (SELECT w AS prev, cw AS cp FROM uni) pu ON pu.prev = bic.prev
+       CROSS JOIN tot),
+per_doc AS (SELECT b.doc_id, count(*) AS nb, sum(mn) AS s
+            FROM bir b JOIN sc ON sc.prev = b.prev AND sc.w = b.w
+            GROUP BY b.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(p.nb, 0) AS INT) AS n_bigrams,
+       CAST(coalesce(p.s, 0) AS BIGINT) AS sum_logp_micro,
+       CASE WHEN coalesce(p.nb, 0) = 0 THEN 0.0
+            ELSE round(CAST(p.s AS BIGINT) / p.nb / 1000000.0, 6) END AS avg_logp
+FROM d LEFT JOIN per_doc p USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     "filter_route": QuerySpec(q_filter_route, SQL_FILTER_ROUTE),
@@ -4815,4 +4862,5 @@ QUERIES: dict[str, QuerySpec] = {
     "mask_spans": QuerySpec(q_mask_spans, _sql_mask_spans()),
     "triangle_count": QuerySpec(q_triangle_count, _sql_triangle_count()),
     "equidepth_histogram": QuerySpec(q_equidepth_histogram, SQL_EQUIDEPTH_HISTOGRAM),
+    "lm_bigram_score": QuerySpec(q_lm_bigram_score, SQL_LM_BIGRAM_SCORE),
 }

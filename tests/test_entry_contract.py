@@ -91,6 +91,7 @@ def test_entry_contract_shape():
         "mask_spans",  # substring-dedup rewrite: remove covered tokens (tail gate)
         "triangle_count",  # degree-ordered wedge join, O(m^1.5) (tail gate)
         "equidepth_histogram",  # quantile buckets, driver-side CDF (tail gate)
+        "lm_bigram_score",  # interpolated bigram LM, rational-exact ln (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

@@ -207,3 +207,48 @@ def test_compression_scores_signal_and_parity(spark):
         want = (len(raw), comp, (comp * 1_000_000) // len(raw) if raw else 0)
         assert got[rid] == want, rid
     assert got["rep"][2] < got["nat"][2] < got["rand"][2]
+
+
+def test_bigram_lm_scores_python_parity_and_order_signal(spark):
+    """Exact parity vs a pure-Python reference on a small corpus, and
+    the signal bigrams exist for: a word-order-garbled copy of a
+    repetitive doc scores LOWER than the original even though their
+    unigram distributions are identical."""
+    import math
+    from collections import Counter
+
+    from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import (
+        bigram_lm_scores,
+    )
+
+    # natural prose DOMINATES the corpus (the LM is corpus-trained, so a
+    # lone garbled doc can't teach the model its own bigrams)
+    sent = "the cat sat on the mat and the dog ran in the park "
+    docs = [(i, (sent * 3).strip()) for i in range(1, 9)]
+    garbled = " ".join(reversed((sent * 3).split()))
+    docs += [(9, garbled), (10, "one two"), (11, "solo")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    toks = {i: t.lower().split() for i, t in docs}
+    uni = Counter(w for t in toks.values() for w in t)
+    bic = Counter(
+        (t[j - 1], t[j]) for t in toks.values() for j in range(1, len(t))
+    )
+    n, v = sum(uni.values()), len(uni)
+
+    def mn(prev, w):
+        num = (bic[(prev, w)] + 1) * (n + v) + (uni[w] + 1) * (uni[prev] + v)
+        den = 2 * (uni[prev] + v) * (n + v)
+        return round(math.log(num / den) * 1_000_000)
+
+    got = {
+        r.doc_id: (r.n_bigrams, r.sum_logp_micro, r.avg_logp)
+        for r in bigram_lm_scores(df, "doc_id", "text").collect()
+    }
+    for i, t in toks.items():
+        nb = max(len(t) - 1, 0)
+        s = sum(mn(t[j - 1], t[j]) for j in range(1, len(t)))
+        assert got[i][0] == nb, i
+        assert got[i][1] == s, i
+    assert got[11] == (0, 0, 0.0)
+    assert got[9][2] < got[1][2]  # broken order scores lower
