@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     # relational core
     "tpch_q1",
     "tpch_q3",
+    "tpch_q5",
     "tpch_q6",
     "join_revenue_by_nation",
     "rollup_revenue",
@@ -115,6 +116,7 @@ BENCH_QUERIES = [
     # transitive near-dup clustering (iterative CC — job-count-bound cost)
     "dup_clusters",
     "triangle_count",
+    "pagerank",
     # curation: dedup + stratified downsample + split composed, rule-pack
     # filtering, semantic cluster sampling, domain mixture rebalancing
     "curation_pipeline",

@@ -246,3 +246,68 @@ def triangle_count(
         .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
         .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
     )
+
+
+def pagerank(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    iters: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000,
+) -> DataFrame:
+    """PageRank over the undirected graph in ``pairs`` (each edge walks
+    both ways), in EXACT integer parts-per-billion — the centrality
+    signal that ranks a near-dup cluster's canonical document (or a
+    citation/link corpus's authoritative pages) for keep-best curation.
+
+    Every quantity is a BIGINT: initial rank ``scale // n``, per-edge
+    contribution ``rank div out_degree``, update
+    ``(100-damping_pct)*scale // (100*n) + damping_pct*sum(contrib) div
+    100``. Integer floor division at every step means float summation
+    order NEVER enters — identical output under any partitioning,
+    retry, or engine, so the whole iteration is hash-verifiable against
+    an unrolled SQL oracle.
+
+    Scale shape: the edge-with-degree relation is built once and
+    ``localCheckpoint``-ed; each iteration is ONE hash join (ranks onto
+    edges by source — shuffle carries one scalar per node) plus ONE
+    map-side-combinable sum keyed by destination, with a
+    ``localCheckpoint`` truncating the iterative lineage (swap for
+    ``checkpoint`` with a checkpoint dir on a cluster — same seam as
+    :func:`connected_components`). ``iters`` is fixed, so job count is
+    bounded; n (node count) is the only driver scalar.
+    """
+    e = _canonical_edges(pairs, id_a, id_b)
+    sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    edges = sym.join(deg, "src").localCheckpoint()
+    n = deg.count()
+    if n == 0:
+        return deg.select(
+            F.col("src").alias("node"), F.lit(0).cast("long").alias("rank_ppb")
+        )
+    base = ((100 - damping_pct) * scale) // (100 * n)
+    nodes = deg.select(F.col("src").alias("node")).localCheckpoint()
+    ranks = nodes.select("node", F.lit(scale // n).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = edges.join(
+            ranks, edges["src"] == ranks["node"]
+        ).select(F.col("dst"), F.expr("r div d").alias("c"))
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (
+            nodes.join(sums, nodes["node"] == sums["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        "node", F.col("r").alias("rank_ppb")
+    ).orderBy(F.desc("rank_ppb"), F.asc("node"))

@@ -4400,6 +4400,65 @@ LIMIT 10
 """
 
 
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): the 6-table join ladder in one
+    query — region→nation are tiny broadcast dims, supplier broadcasts
+    AFTER the region prune (SF·10k rows × selectivity 1/5), while the
+    two fact legs (orders⋈customer on custkey, then lineitem on
+    orderkey) stay key-shuffle joins that AQE may upgrade at runtime.
+    The c_nationkey = s_nationkey local-supplier predicate rides the
+    supplier broadcast as a second equi-key, never a separate join.
+    Revenue in exact cent·bp BIGINT."""
+    _prep(spark)
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    supplier = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_bp = F.round(F.col("l_discount") * 100).cast("bigint")
+    return (
+        li.join(
+            orders.join(cust, orders["o_custkey"] == cust["c_custkey"]),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(F.sum(cents * (F.lit(10_000) - disc_bp)).alias("revenue_cent_bp"))
+        .orderBy(F.desc("revenue_cent_bp"))
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                (10000 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_cent_bp
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue_cent_bp DESC
+"""
+
+
 WSAMPLE_MAX_W = 4000
 WSAMPLE_RATE = 0.9
 
@@ -4645,6 +4704,62 @@ FROM n, en, wn, t
 """
 
 
+PAGERANK_ITERS = 3
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the SimHash near-dup graph in EXACT
+    integer parts-per-billion (operators/components.py::pagerank) —
+    the keep-best signal that picks a dup cluster's most-connected
+    canonical document. Iterative distributed algorithm, 3 fixed
+    rounds, one hash join + one combinable sum per round; every step
+    is BIGINT floor division so the whole iteration hash-matches an
+    unrolled SQL oracle (float summation order never enters)."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.components import (  # noqa: PLC0415
+        pagerank,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: PLC0415
+        simhash_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < SIMHASH_PAIR_MAX_ID
+    )
+    pairs = simhash_pairs(
+        docs, "doc_id", "text", bits=SIMHASH_BITS, bands=4, max_hamming=3
+    )
+    return pagerank(pairs, iters=PAGERANK_ITERS)
+
+
+def _sql_pagerank() -> str:
+    pairs = _sql_simhash_pairs()
+    scale, damp = 1_000_000_000, 85
+    prev, iter_ctes = "r0", []
+    for i in range(1, PAGERANK_ITERS + 1):
+        iter_ctes.append(f"""
+s{i} AS (SELECT dst, sum(r // d) AS s
+         FROM sym JOIN deg USING (src) JOIN {prev} ON {prev}.node = sym.src
+         GROUP BY dst),
+r{i} AS (SELECT deg.src AS node,
+                CAST((CAST({(100 - damp) * scale} AS BIGINT) // (100 * n))
+                     + ({damp} * COALESCE(s, 0)) // 100 AS BIGINT) AS r
+         FROM deg CROSS JOIN nn LEFT JOIN s{i} ON s{i}.dst = deg.src)""")
+        prev = f"r{i}"
+    return f"""
+WITH p AS ({pairs}),
+e AS (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+      FROM p WHERE id_a <> id_b),
+sym AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT src AS node, CAST({scale} // n AS BIGINT) AS r
+       FROM deg CROSS JOIN nn),{",".join(iter_ctes)}
+SELECT node, r AS rank_ppb FROM {prev}
+ORDER BY rank_ppb DESC, node
+"""
+
+
 EQUIDEPTH_K = 8
 
 
@@ -4863,4 +4978,6 @@ QUERIES: dict[str, QuerySpec] = {
     "triangle_count": QuerySpec(q_triangle_count, _sql_triangle_count()),
     "equidepth_histogram": QuerySpec(q_equidepth_histogram, SQL_EQUIDEPTH_HISTOGRAM),
     "lm_bigram_score": QuerySpec(q_lm_bigram_score, SQL_LM_BIGRAM_SCORE),
+    "tpch_q5": QuerySpec(q_tpch_q5, SQL_TPCH_Q5),
+    "pagerank": QuerySpec(q_pagerank, _sql_pagerank()),
 }

@@ -92,6 +92,8 @@ def test_entry_contract_shape():
         "triangle_count",  # degree-ordered wedge join, O(m^1.5) (tail gate)
         "equidepth_histogram",  # quantile buckets, driver-side CDF (tail gate)
         "lm_bigram_score",  # interpolated bigram LM, rational-exact ln (tail gate)
+        "tpch_q5",  # 6-table join ladder, region-pruned broadcasts (tail gate)
+        "pagerank",  # exact-integer iterative centrality, unrolled oracle (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

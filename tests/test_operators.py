@@ -1304,3 +1304,38 @@ def test_approx_count_distinct_close_to_exact(spark, sf_dir):
     ).collect()[0]
     assert row.exact > 0
     assert abs(row.approx - row.exact) / row.exact < 0.05, row
+
+
+def test_pagerank_star_graph_semantics(spark):
+    """On a star graph the center must out-rank every leaf, leaves tie
+    exactly (integer arithmetic — not approximately), and total rank
+    mass stays within floor-truncation slack of the scale."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.components import pagerank
+
+    edges = [(0, i) for i in range(1, 9)]  # star: center 0, 8 leaves
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    rows = pagerank(df, iters=3).collect()
+    ranks = {r.node: r.rank_ppb for r in rows}
+    assert len(ranks) == 9
+    center, leaves = ranks[0], [ranks[i] for i in range(1, 9)]
+    assert all(center > v for v in leaves)
+    assert len(set(leaves)) == 1  # exact tie, bit-for-bit
+    total = sum(ranks.values())
+    # each floor division can only LOSE mass; 3 iterations over 9 nodes
+    assert 0 < total <= 1_000_000_000
+    assert total > 900_000_000
+
+
+def test_pagerank_partitioning_invariant(spark):
+    """Identical ranks under a different input partitioning — the
+    integer-arithmetic determinism claim, tested directly."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.components import pagerank
+
+    edges = [(i, (i * 7 + 3) % 40) for i in range(120)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    a = sorted((r.node, r.rank_ppb) for r in pagerank(df, iters=3).collect())
+    b = sorted(
+        (r.node, r.rank_ppb)
+        for r in pagerank(df.repartition(17), iters=3).collect()
+    )
+    assert a == b
