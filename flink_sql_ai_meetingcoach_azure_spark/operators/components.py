@@ -279,9 +279,13 @@ def pagerank(
     bounded; n (node count) is the only driver scalar.
     """
     e = _canonical_edges(pairs, id_a, id_b)
+    # checkpoint the symmetric edge list FIRST: everything below (degrees,
+    # node set, n, and the per-iteration join relation) derives from it, so
+    # the upstream pair computation (often an LSH/SimHash join — the
+    # expensive part) runs exactly once
     sym = e.select(F.col("u").alias("src"), F.col("v").alias("dst")).union(
         e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-    )
+    ).localCheckpoint()
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     edges = sym.join(deg, "src").localCheckpoint()
     n = deg.count()
