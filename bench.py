@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "tpch_q6",
     "join_revenue_by_nation",
     "rollup_revenue",
+    "cube_revenue",
     "topn_per_user",
     "window_running_sum",
     "window_analytics",

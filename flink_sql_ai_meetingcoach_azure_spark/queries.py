@@ -3777,6 +3777,44 @@ ORDER BY nation, o_year
 """
 
 
+def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (mktsegment, order-priority) revenue: all four grouping-set
+    combinations — detail, both single-dim subtotals, grand total — in
+    ONE partial-aggregated pass (where ROLLUP emits only the prefix
+    hierarchy). Completes the grouping-set family next to the rollup
+    entry; NULL slots coalesced to 'ALL' so every row hash-asserts."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    joined = orders.join(
+        F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"]
+    ).select("c_mktsegment", "o_orderpriority", cents.alias("cents"))
+    return (
+        joined.cube("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("revenue_cents"))
+        .select(
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "revenue_cents",
+        )
+        .orderBy("segment", "priority")
+    )
+
+
+SQL_CUBE_REVENUE = """
+SELECT coalesce(c_mktsegment, 'ALL') AS segment,
+       coalesce(o_orderpriority, 'ALL') AS priority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY CUBE (c_mktsegment, o_orderpriority)
+ORDER BY segment, priority
+"""
+
+
 EDIT_DIST_MAX = 2
 EDIT_PREFIX = 24  # document "title" proxy: lowered first 24 chars
 
@@ -4980,4 +5018,5 @@ QUERIES: dict[str, QuerySpec] = {
     "lm_bigram_score": QuerySpec(q_lm_bigram_score, SQL_LM_BIGRAM_SCORE),
     "tpch_q5": QuerySpec(q_tpch_q5, SQL_TPCH_Q5),
     "pagerank": QuerySpec(q_pagerank, _sql_pagerank()),
+    "cube_revenue": QuerySpec(q_cube_revenue, SQL_CUBE_REVENUE),
 }

@@ -94,6 +94,7 @@ def test_entry_contract_shape():
         "lm_bigram_score",  # interpolated bigram LM, rational-exact ln (tail gate)
         "tpch_q5",  # 6-table join ladder, region-pruned broadcasts (tail gate)
         "pagerank",  # exact-integer iterative centrality, unrolled oracle (tail gate)
+        "cube_revenue",  # CUBE grouping sets, one Expand pass (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
