@@ -244,3 +244,22 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tpch_q5_no_cartesian_and_date_pushdown(spark):
+    """The 6-table ladder joins purely on equi-keys (the local-supplier
+    predicate rides the supplier join, never a post-filter cartesian)
+    and the order-date range reaches the orders scan."""
+    plan = _plan(spark, "tpch_q5")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # pushed to the scan
+    assert "BroadcastHashJoin" in plan  # the dim chain builds broadcast sides
+
+
+def test_cube_single_pass(spark):
+    """CUBE plans one Expand + partial-aggregated pass — no self-union of
+    four grouped subqueries."""
+    plan = _plan(spark, "cube_revenue")
+    assert "Expand" in plan
+    assert plan.count("Union") == 0
