@@ -110,6 +110,7 @@ BENCH_QUERIES = [
     "quality_score",
     "token_stats",
     "top_terms",
+    "countmin_sketch",
     "length_percentiles",
     "repetition_scores",
     "lm_score",

@@ -2304,6 +2304,84 @@ ORDER BY lang, rank
 """
 
 
+CM_D, CM_W, CM_TOPK = 4, 512, 20
+
+
+def q_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch over corpus terms — the mergeable
+    counter sketch behind bounded-memory heavy-hitter tracking: d=4
+    fixed md5 hash rows × w=512 buckets, so the whole sketch is 2 048
+    BIGINT counters regardless of vocabulary size (merge = elementwise
+    sum; shard sketches and add them at 100 TB). Built from the
+    COMBINABLE term-count relation (one explode of d (row,bucket)
+    structs per DISTINCT term — never d passes over the raw token
+    stream); point estimate = min over rows of the hit counter,
+    guaranteed ≥ the exact count. Fixed md5 buckets mean both the
+    sketch and the estimates are deterministic and hash-verifiable —
+    output compares the exact top-20 terms with their sketch estimates
+    (overestimate visible, never under)."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.functions.hashing import (  # noqa: PLC0415
+        md5_bigint_col,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import tokens_col  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_col("text")).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+    rb = counts.select(
+        "term",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (md5_bigint_col("term", salt=f"cm{r}") % CM_W).alias("bucket"),
+                    )
+                    for r in range(CM_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("term", "n", "rb.r", "rb.bucket")
+    counters = rb.groupBy("r", "bucket").agg(F.sum("n").alias("cnt"))
+    topk = counts.orderBy(F.desc("n"), F.asc("term")).limit(CM_TOPK)
+    est = (
+        rb.join(F.broadcast(topk.select("term")), "term")
+        .join(counters, ["r", "bucket"])
+        .groupBy("term")
+        .agg(F.min("cnt").alias("cm_est"))
+    )
+    return (
+        topk.join(est, "term")
+        .select("term", F.col("n").alias("exact_n"), "cm_est")
+        .orderBy(F.desc("exact_n"), F.asc("term"))
+    )
+
+
+def _sql_countmin_sketch() -> str:
+    rows = ", ".join(f"({r})" for r in range(CM_D))
+    bucket = (
+        "('0x' || substr(md5(term || ':cm' || CAST(r AS VARCHAR)), 1, 15))::bigint"
+        f" % {CM_W}"
+    )
+    return f"""
+WITH toks AS (SELECT unnest({_TOKS.format(col='text')}) AS term FROM documents),
+counts AS (SELECT term, count(*) AS n FROM toks GROUP BY term),
+rb AS (SELECT term, n, r, {bucket} AS bucket
+       FROM counts CROSS JOIN (VALUES {rows}) AS hashes(r)),
+counters AS (SELECT r, bucket, sum(n) AS cnt FROM rb GROUP BY r, bucket),
+topk AS (SELECT term, n FROM counts ORDER BY n DESC, term LIMIT {CM_TOPK}),
+est AS (SELECT rb.term, min(cnt) AS cm_est
+        FROM rb JOIN topk ON topk.term = rb.term
+        JOIN counters ON counters.r = rb.r AND counters.bucket = rb.bucket
+        GROUP BY rb.term)
+SELECT topk.term, CAST(topk.n AS BIGINT) AS exact_n, CAST(cm_est AS BIGINT) AS cm_est
+FROM topk JOIN est ON est.term = topk.term
+ORDER BY exact_n DESC, topk.term ASC
+"""
+
+
 def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-set aggregates for corpus profiling: exact interpolated
     median/p90 of document length per language (the pre-curation
@@ -5019,4 +5097,5 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q5": QuerySpec(q_tpch_q5, SQL_TPCH_Q5),
     "pagerank": QuerySpec(q_pagerank, _sql_pagerank()),
     "cube_revenue": QuerySpec(q_cube_revenue, SQL_CUBE_REVENUE),
+    "countmin_sketch": QuerySpec(q_countmin_sketch, _sql_countmin_sketch()),
 }

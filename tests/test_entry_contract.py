@@ -95,6 +95,7 @@ def test_entry_contract_shape():
         "tpch_q5",  # 6-table join ladder, region-pruned broadcasts (tail gate)
         "pagerank",  # exact-integer iterative centrality, unrolled oracle (tail gate)
         "cube_revenue",  # CUBE grouping sets, one Expand pass (tail gate)
+        "countmin_sketch",  # mergeable frequency sketch, md5-fixed rows (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

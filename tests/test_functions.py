@@ -252,3 +252,16 @@ def test_bigram_lm_scores_python_parity_and_order_signal(spark):
         assert got[i][1] == s, i
     assert got[11] == (0, 0, 0.0)
     assert got[9][2] < got[1][2]  # broken order scores lower
+
+
+def test_countmin_never_underestimates(spark):
+    """The defining Count-Min guarantee: every sketch estimate is >= the
+    exact count (min over rows of summed counters can only add collision
+    mass, never lose any)."""
+    from flink_sql_ai_meetingcoach_azure_spark.queries import q_countmin_sketch
+
+    rows = q_countmin_sketch(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert all(r.cm_est >= r.exact_n for r in rows), [
+        (r.term, r.exact_n, r.cm_est) for r in rows if r.cm_est < r.exact_n
+    ]
