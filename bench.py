@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "token_stats",
     "top_terms",
     "countmin_sketch",
+    "hll_vocab",
     "length_percentiles",
     "repetition_scores",
     "lm_score",

@@ -2382,6 +2382,111 @@ ORDER BY exact_n DESC, topk.term ASC
 """
 
 
+HLL_M = 1024  # 2^10 buckets
+HLL_R = 51  # 60-bit hash // 1024 leaves a 50-bit field; rho in [1, 51]
+HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)  # 0.7205407583220416
+
+
+def q_hll_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog per-language vocabulary cardinality with EXACTLY
+    verifiable state — the mergeable cardinality sketch (merge = max of
+    registers; 1 024 small ints per shard at ANY vocabulary size).
+    Registers are pure integers from a fixed md5 hash (bucket = h mod
+    1024, rho = leading zeros of the remaining 50-bit field + 1), and
+    the harmonic-sum denominator is kept as the EXACT BIGINT
+    ``s_scaled = sum(2^(51-rho))`` (max 2^61 — no float summation
+    anywhere), so sketch state hash-matches the oracle bit-for-bit; the
+    float estimate is one division from exact integers + the standard
+    small-range ln correction, 6-dp rounded. Output compares the exact
+    COUNT(DISTINCT) with the estimate per language — the sketch IS the
+    documented 100 TB swap for the exact expand."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.functions.hashing import (  # noqa: PLC0415
+        md5_bigint_col,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import tokens_col  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    dt = docs.select("lang", F.explode(tokens_col("text")).alias("term")).distinct()
+    b = dt.select(
+        "lang",
+        (md5_bigint_col("term") % HLL_M).alias("bucket"),
+        F.expr(f"{_md5_bigint_spark('term')} div {HLL_M}").alias("w"),
+    )
+    regs = (
+        b.withColumn(
+            "rho",
+            F.when(F.col("w") == 0, F.lit(HLL_R)).otherwise(
+                F.lit(HLL_R) - F.length(F.expr("bin(w)"))
+            ),
+        )
+        .groupBy("lang", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    per = regs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("nonzero_buckets"),
+        F.sum(F.expr(f"shiftleft(1L, {HLL_R} - rho)")).alias("s_nonzero"),
+    )
+    exact = dt.groupBy("lang").agg(F.count(F.lit(1)).alias("exact_distinct"))
+    j = exact.join(per, "lang")
+    s_scaled = (
+        F.col("s_nonzero")
+        + (F.lit(HLL_M) - F.col("nonzero_buckets")) * F.lit(1 << HLL_R)
+    ).cast("long")
+    v = F.lit(HLL_M) - F.col("nonzero_buckets")
+    est_raw = (
+        F.lit(HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_R)) / s_scaled.cast("double")
+    )
+    est = F.when(
+        (est_raw <= F.lit(2.5 * HLL_M)) & (v > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double")),
+    ).otherwise(est_raw)
+    return j.select(
+        "lang",
+        "exact_distinct",
+        "nonzero_buckets",
+        s_scaled.alias("s_scaled"),
+        F.round(est, 6).alias("hll_est"),
+    ).orderBy("lang")
+
+
+def _md5_bigint_spark(col: str) -> str:
+    """Spark-SQL rendering of hashing.md5_bigint_col for expr() contexts."""
+    return f"cast(conv(substring(md5({col}), 1, 15), 16, 10) as bigint)"
+
+
+def _sql_hll_vocab() -> str:
+    h = f"('0x' || substr(md5(term), 1, 15))::bigint"
+    return f"""
+WITH dt AS (SELECT DISTINCT lang, unnest({_TOKS.format(col='text')}) AS term
+            FROM documents),
+b AS (SELECT lang, {h} % {HLL_M} AS bucket, {h} // {HLL_M} AS w FROM dt),
+r AS (SELECT lang, bucket,
+             max(CASE WHEN w = 0 THEN {HLL_R}
+                      ELSE {HLL_R} - length(to_base(w, 2)) END) AS rho
+      FROM b GROUP BY lang, bucket),
+per AS (SELECT lang, count(*) AS nonzero_buckets,
+               CAST(sum(1::BIGINT << CAST({HLL_R} - rho AS INT)) AS BIGINT)
+                 AS s_nonzero
+        FROM r GROUP BY lang),
+ex AS (SELECT lang, count(*) AS exact_distinct FROM dt GROUP BY lang),
+j AS (SELECT ex.lang, exact_distinct, nonzero_buckets,
+             CAST(s_nonzero + ({HLL_M} - nonzero_buckets) * {1 << HLL_R}::BIGINT
+                  AS BIGINT) AS s_scaled,
+             {HLL_M} - nonzero_buckets AS v
+      FROM ex JOIN per ON per.lang = ex.lang)
+SELECT lang, exact_distinct, nonzero_buckets, s_scaled,
+       round(CASE WHEN ({HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_R)!r}
+                        / CAST(s_scaled AS DOUBLE)) <= {2.5 * HLL_M}
+                       AND v > 0
+                  THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST(v AS DOUBLE))
+                  ELSE {HLL_ALPHA * HLL_M * HLL_M * float(1 << HLL_R)!r}
+                       / CAST(s_scaled AS DOUBLE) END, 6) AS hll_est
+FROM j
+ORDER BY lang
+"""
+
+
 def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-set aggregates for corpus profiling: exact interpolated
     median/p90 of document length per language (the pre-curation
@@ -5098,4 +5203,5 @@ QUERIES: dict[str, QuerySpec] = {
     "pagerank": QuerySpec(q_pagerank, _sql_pagerank()),
     "cube_revenue": QuerySpec(q_cube_revenue, SQL_CUBE_REVENUE),
     "countmin_sketch": QuerySpec(q_countmin_sketch, _sql_countmin_sketch()),
+    "hll_vocab": QuerySpec(q_hll_vocab, _sql_hll_vocab()),
 }

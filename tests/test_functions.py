@@ -265,3 +265,16 @@ def test_countmin_never_underestimates(spark):
     assert all(r.cm_est >= r.exact_n for r in rows), [
         (r.term, r.exact_n, r.cm_est) for r in rows if r.cm_est < r.exact_n
     ]
+
+
+def test_hll_estimate_within_error_bound(spark):
+    """HLL with m=1024 has standard error 1.04/sqrt(1024) ~= 3.3%; assert
+    every per-language estimate lands within a generous 4-sigma band of
+    the exact distinct count (deterministic — fixed md5 hashes)."""
+    from flink_sql_ai_meetingcoach_azure_spark.queries import q_hll_vocab
+
+    rows = q_hll_vocab(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        rel = abs(r.hll_est - r.exact_distinct) / r.exact_distinct
+        assert rel < 0.13, (r.lang, r.exact_distinct, r.hll_est, rel)
