@@ -19,16 +19,26 @@ LSM state shape as the near-dup dedup and IVF-ingest sinks:
   crash window every non-transactional object-store sink has.
 
 Only COMBINABLE aggregates (count, sum — and anything derivable from
-them: mean, integer-cents totals) belong here; a non-combinable metric
-(exact distinct, median) needs its own state shape. At 100 TB the log
-grows by ~|active keys per batch| rows per trigger, independent of
-input row count — the partial-agg is what makes a hot topic sustainable.
+them: mean, integer-cents totals) belong here natively; DISTINCT counts
+become combinable through the HyperLogLog register trick (``distinct_col``):
+each partial row carries a sparse map of per-bucket max-rho registers
+(<= 1024 small ints per key) and register merge is ``max`` — lossless
+under any batch split, replay, or compaction, so the maintained
+estimate is identical to a single-pass sketch over the union. A truly
+non-combinable metric (exact distinct, median) still needs its own
+state shape. At 100 TB the log grows by ~|active keys per batch| rows
+per trigger, independent of input row count — the partial-agg is what
+makes a hot topic sustainable.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_HLL_M = 1024  # 2^10 buckets; registers are a sparse map per key
+_HLL_R = 51  # 60-bit md5 // 1024 leaves a 50-bit field; rho in [1, 51]
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
 
 
 class StreamingAggregateSink:
@@ -41,11 +51,13 @@ class StreamingAggregateSink:
         key_cols: list[str],
         sum_cols: list[str],
         spark: SparkSession,
+        distinct_col: str | None = None,
     ) -> None:
         self.state_dir = state_dir.rstrip("/")
         self.key_cols = list(key_cols)
         self.sum_cols = list(sum_cols)
         self.spark = spark
+        self.distinct_col = distinct_col
 
     # -- replay markers (same contract as StreamingIvfIngest) ----------
     def _marker(self, batch_id: int):
@@ -58,7 +70,43 @@ class StreamingAggregateSink:
         aggs = [F.count(F.lit(1)).alias("__n")] + [
             F.sum(c).cast("long").alias(f"__sum_{c}") for c in self.sum_cols
         ]
-        return df.groupBy(*self.key_cols).agg(*aggs)
+        base = df.groupBy(*self.key_cols).agg(*aggs)
+        if self.distinct_col is None:
+            return base
+        # per-key sparse HLL registers: bucket = md5 % m, rho = leading
+        # zeros of the remaining 50-bit field + 1 (same fixed-hash layout
+        # as queries.q_hll_vocab, so estimates match a one-shot sketch)
+        h = F.conv(
+            F.substring(F.md5(F.col(self.distinct_col).cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        regs = (
+            df.filter(F.col(self.distinct_col).isNotNull())
+            .select(
+                *self.key_cols,
+                (h % _HLL_M).alias("__bucket"),
+                F.expr(
+                    f"cast(conv(substring(md5(cast({self.distinct_col} as string)"
+                    f"), 1, 15), 16, 10) as bigint) div {_HLL_M}"
+                ).alias("__w"),
+            )
+            .withColumn(
+                "__rho",
+                F.when(F.col("__w") == 0, F.lit(_HLL_R)).otherwise(
+                    F.lit(_HLL_R) - F.length(F.expr("bin(__w)"))
+                ),
+            )
+            .groupBy(*self.key_cols, "__bucket")
+            .agg(F.max("__rho").alias("__rho"))
+            .groupBy(*self.key_cols)
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("__bucket", "__rho"))
+                ).alias("__hll")
+            )
+        )
+        return base.join(regs, self.key_cols, "left")
 
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         marker = self._marker(batch_id)
@@ -78,7 +126,34 @@ class StreamingAggregateSink:
             F.sum(f"__sum_{c}").cast("long").alias(f"sum_{c}")
             for c in self.sum_cols
         ]
-        return log.groupBy(*self.key_cols).agg(*aggs)
+        merged = log.groupBy(*self.key_cols).agg(*aggs)
+        if self.distinct_col is None:
+            return merged
+        return merged.join(self._merged_registers(log), self.key_cols, "left")
+
+    def _merged_registers(self, log: DataFrame) -> DataFrame:
+        """Register merge (max per bucket — lossless) + the same
+        exact-BIGINT harmonic-denominator estimate as q_hll_vocab."""
+        regs = (
+            log.select(*self.key_cols, F.explode("__hll").alias("__bucket", "__rho"))
+            .groupBy(*self.key_cols, "__bucket")
+            .agg(F.max("__rho").alias("__rho"))
+        )
+        per = regs.groupBy(*self.key_cols).agg(
+            F.count(F.lit(1)).alias("__nonzero"),
+            F.sum(F.expr(f"shiftleft(1L, {_HLL_R} - __rho)")).alias("__s_nz"),
+        )
+        s_scaled = (
+            F.col("__s_nz")
+            + (F.lit(_HLL_M) - F.col("__nonzero")) * F.lit(1 << _HLL_R)
+        ).cast("double")
+        v = F.lit(_HLL_M) - F.col("__nonzero")
+        est_raw = F.lit(_HLL_ALPHA * _HLL_M * _HLL_M * float(1 << _HLL_R)) / s_scaled
+        est = F.when(
+            (est_raw <= F.lit(2.5 * _HLL_M)) & (v > 0),
+            F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / v.cast("double")),
+        ).otherwise(est_raw)
+        return per.select(*self.key_cols, F.round(est, 6).alias("distinct_est"))
 
     def current(self) -> DataFrame:
         """The maintained rollup: one row per key, exact counts/sums."""
@@ -86,11 +161,28 @@ class StreamingAggregateSink:
 
     def compact(self) -> None:
         """Fold the log to one partial row per key (same read results,
-        O(keys) storage). Offline maintenance, not on the hot path."""
-        merged = self._merged().select(
-            *self.key_cols,
-            F.col("n_rows").alias("__n"),
-            *[F.col(f"sum_{c}").alias(f"__sum_{c}") for c in self.sum_cols],
-        )
+        O(keys) storage; merged HLL registers fold losslessly). Offline
+        maintenance, not on the hot path."""
+        log = self.spark.read.parquet(f"{self.state_dir}/log")
+        aggs = [F.sum("__n").cast("long").alias("__n")] + [
+            F.sum(f"__sum_{c}").cast("long").alias(f"__sum_{c}")
+            for c in self.sum_cols
+        ]
+        merged = log.groupBy(*self.key_cols).agg(*aggs)
+        if self.distinct_col is not None:
+            folded = (
+                log.select(
+                    *self.key_cols, F.explode("__hll").alias("__bucket", "__rho")
+                )
+                .groupBy(*self.key_cols, "__bucket")
+                .agg(F.max("__rho").alias("__rho"))
+                .groupBy(*self.key_cols)
+                .agg(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("__bucket", "__rho"))
+                    ).alias("__hll")
+                )
+            )
+            merged = merged.join(folded, self.key_cols, "left")
         compacted = merged.localCheckpoint()  # materialize before overwrite
         compacted.write.mode("overwrite").parquet(f"{self.state_dir}/log")

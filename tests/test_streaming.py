@@ -986,3 +986,61 @@ def test_streaming_aggregate_sink_maintains_rollup(spark, tmp_path):
     log = spark.read.parquet(str(tmp_path / "agg_state" / "log"))
     assert log.count() == 3
     assert view() == want
+
+
+def test_streaming_aggregate_sink_distinct_sketch(spark, tmp_path):
+    """Continuously-maintained approximate COUNT(DISTINCT) per key: HLL
+    registers carried as sparse per-key maps in the partial log. The
+    merged estimate must (a) land within the m=1024 error band of the
+    exact distinct over the union, (b) be unchanged by a replayed batch,
+    and (c) be EXACTLY unchanged by compaction (register max-merge is
+    lossless)."""
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.aggregate_sink import (
+        StreamingAggregateSink,
+    )
+
+    src = str(tmp_path / "d_src")
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    # overlapping user-ids across batches: exact distinct is NOT the sum
+    batches = [
+        [("a", i) for i in range(200)] + [("b", i) for i in range(50)],
+        [("a", i) for i in range(100, 300)] + [("b", i) for i in range(25, 60)],
+        [("a", i) for i in range(250, 400)] + [("c", 1), ("c", 2), ("c", 1)],
+    ]
+    _write_value_batch(src, batches[0], n=0)
+    sink = StreamingAggregateSink(
+        str(tmp_path / "d_state"), ["k"], ["v"], spark, distinct_col="v"
+    )
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "d_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, rows in enumerate(batches[1:], start=1):
+            _write_value_batch(src, rows, n=i)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def estimates():
+        return {r.k: r.distinct_est for r in sink.current().collect()}
+
+    exact = {"a": 400, "b": 60, "c": 2}
+    est = estimates()
+    for k, n in exact.items():
+        assert abs(est[k] - n) / n < 0.15, (k, n, est[k])
+
+    # replayed batch: marker no-op, estimates identical
+    sink(spark.createDataFrame(batches[0], schema), 0)
+    assert estimates() == est
+
+    # compaction folds registers losslessly: estimates EXACTLY identical
+    sink.compact()
+    log = spark.read.parquet(str(tmp_path / "d_state" / "log"))
+    assert log.count() == 3  # one partial row per key
+    assert estimates() == est
