@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "transition_matrix",
     "weighted_sample",
     "cohort_retention",
+    "decayed_score",
     "value_histogram",
     "equidepth_histogram",
     "argmax_per_user",

@@ -2382,6 +2382,56 @@ ORDER BY exact_n DESC, topk.term ASC
 """
 
 
+DECAY_ANCHOR = "2024-02-01 00:00:00"  # just past the events table's max ts
+DECAY_BASE = 0.9  # per-day retention
+
+
+def q_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement per user — the standard
+    recency-weighted feature (score = Σ value·0.9^age_days against a
+    FIXED anchor instant, so results are reproducible, not
+    wall-clock-dependent). age_days is exact integer µs arithmetic;
+    each contribution is rounded to BIGINT micro-cents BEFORE the sum,
+    so the aggregate is an exact integer total — float summation order
+    never enters (the same discipline as every money aggregate here).
+    One combinable groupBy, pure codegen — map-side partials absorb the
+    event flood at any scale."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    age_days = F.expr(
+        f"(unix_micros(timestamp'{DECAY_ANCHOR}') - unix_micros(ts))"
+        " div 86400000000"
+    )
+    contrib = F.round(
+        cents.cast("double")
+        * F.pow(F.lit(DECAY_BASE), age_days.cast("double"))
+        * 10_000
+    ).cast("bigint")
+    return (
+        ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(contrib).alias("decayed_microcents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_DECAYED_SCORE = f"""
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(round(
+           CAST(round(value * 100) AS BIGINT)
+           * pow({DECAY_BASE}, CAST((epoch_us(TIMESTAMP '{DECAY_ANCHOR}')
+                                     - epoch_us(ts::TIMESTAMP)) // 86400000000
+                               AS DOUBLE))
+           * 10000) AS BIGINT)) AS BIGINT) AS decayed_microcents
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 HLL_M = 1024  # 2^10 buckets
 HLL_R = 51  # 60-bit hash // 1024 leaves a 50-bit field; rho in [1, 51]
 HLL_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)  # 0.7205407583220416
@@ -5204,4 +5254,5 @@ QUERIES: dict[str, QuerySpec] = {
     "cube_revenue": QuerySpec(q_cube_revenue, SQL_CUBE_REVENUE),
     "countmin_sketch": QuerySpec(q_countmin_sketch, _sql_countmin_sketch()),
     "hll_vocab": QuerySpec(q_hll_vocab, _sql_hll_vocab()),
+    "decayed_score": QuerySpec(q_decayed_score, SQL_DECAYED_SCORE),
 }
