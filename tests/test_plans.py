@@ -263,3 +263,12 @@ def test_cube_single_pass(spark):
     plan = _plan(spark, "cube_revenue")
     assert "Expand" in plan
     assert plan.count("Union") == 0
+
+
+def test_decayed_score_single_combinable_pass(spark):
+    """Time-decay scoring must stay one codegen scan + partial-aggregated
+    groupBy — no window, no Python, no second exchange beyond the agg."""
+    plan = _plan(spark, "decayed_score")
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
