@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "top_terms",
     "countmin_sketch",
     "hll_vocab",
+    "kmv_overlap",
     "length_percentiles",
     "repetition_scores",
     "lm_score",

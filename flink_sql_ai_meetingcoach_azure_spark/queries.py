@@ -2382,6 +2382,109 @@ ORDER BY exact_n DESC, topk.term ASC
 """
 
 
+KMV_K = 256
+
+
+def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) set-intersection sketch — estimates the
+    3-gram-shingle Jaccard between two corpus halves from two
+    k=256-value sketches, the cheap pre-pass that sizes a
+    contamination/overlap problem BEFORE paying for the full
+    decontaminate join. Each side's sketch = the k smallest md5 values
+    of its DISTINCT shingles (a combinable per-partition heap →
+    TakeOrdered; sketch size k at ANY corpus size, merge = k-min of the
+    union); estimate = |A-sketch ∩ B-sketch ∩ U| · 10^6 div |U| where U
+    = k-min of the sketch union (|U| < k exactly when the universe is
+    smaller than k, making the estimate exact there) — pure BIGINTs.
+    Fixed hashes make sketch AND estimate deterministic — output
+    compares against the exact Jaccard (both in integer ppm)."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.functions.hashing import (  # noqa: PLC0415
+        md5_bigint_col,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import shingles  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def side(parity: int) -> DataFrame:
+        return (
+            shingles(
+                docs.filter(F.col("doc_id") % 2 == parity),
+                "doc_id",
+                "text",
+                n=SHINGLE_N,
+                distinct=False,
+            )
+            .select("shingle")
+            .distinct()
+            .select(md5_bigint_col("shingle").alias("h"))
+        )
+    a, b = side(0), side(1)
+    sk_a = a.orderBy("h").limit(KMV_K).localCheckpoint()
+    sk_b = b.orderBy("h").limit(KMV_K).localCheckpoint()
+    u = sk_a.union(sk_b).distinct().orderBy("h").limit(KMV_K).localCheckpoint()
+    kmv = (
+        u.join(sk_a, "h")
+        .join(sk_b, "h")
+        .agg(F.count(F.lit(1)).alias("kmv_inter"))
+        .crossJoin(u.agg(F.count(F.lit(1)).alias("u_n")))
+    )
+    n_a = a.agg(F.count(F.lit(1)).alias("n_a"))
+    n_b = b.agg(F.count(F.lit(1)).alias("n_b"))
+    n_i = a.join(b, "h").agg(F.count(F.lit(1)).alias("n_inter"))
+    return (
+        n_a.crossJoin(n_b)
+        .crossJoin(n_i)
+        .crossJoin(kmv)
+        .select(
+            "n_a",
+            "n_b",
+            F.expr("n_inter * 1000000L div (n_a + n_b - n_inter)").alias(
+                "exact_jaccard_ppm"
+            ),
+            "kmv_inter",
+            "u_n",
+            F.expr("kmv_inter * 1000000L div u_n").alias("kmv_est_ppm"),
+        )
+    )
+
+
+def _sql_kmv_overlap() -> str:
+    h = "('0x' || substr(md5(shingle), 1, 15))::bigint"
+    sh = (
+        f"SELECT DISTINCT array_to_string(list_slice(tk, s, s + {SHINGLE_N - 1}),"
+        f" ' ') AS shingle FROM {{side}},"
+        f" unnest(generate_series(1, greatest(len(tk) - {SHINGLE_N - 1}, 1)))"
+        " AS t(s)"
+    )
+    return f"""
+WITH ta AS (SELECT {_TOKS.format(col='text')} AS tk FROM documents
+            WHERE doc_id % 2 = 0),
+tb AS (SELECT {_TOKS.format(col='text')} AS tk FROM documents
+       WHERE doc_id % 2 = 1),
+sa AS ({sh.format(side='ta')}),
+sb AS ({sh.format(side='tb')}),
+a AS (SELECT DISTINCT {h} AS h FROM sa),
+b AS (SELECT DISTINCT {h} AS h FROM sb),
+ska AS (SELECT h FROM a ORDER BY h LIMIT {KMV_K}),
+skb AS (SELECT h FROM b ORDER BY h LIMIT {KMV_K}),
+u AS (SELECT DISTINCT h FROM (SELECT h FROM ska UNION ALL SELECT h FROM skb)
+      ORDER BY h LIMIT {KMV_K}),
+ki AS (SELECT count(*) AS kmv_inter
+       FROM u JOIN ska ON ska.h = u.h JOIN skb ON skb.h = u.h),
+un AS (SELECT count(*) AS u_n FROM u),
+na AS (SELECT count(*) AS n_a FROM a),
+nb AS (SELECT count(*) AS n_b FROM b),
+ni AS (SELECT count(*) AS n_inter FROM a JOIN b ON b.h = a.h)
+SELECT n_a, n_b,
+       CAST(n_inter * 1000000 // (n_a + n_b - n_inter) AS BIGINT)
+         AS exact_jaccard_ppm,
+       kmv_inter, u_n,
+       CAST(kmv_inter * 1000000 // u_n AS BIGINT) AS kmv_est_ppm
+FROM na, nb, ni, ki, un
+"""
+
+
 DECAY_ANCHOR = "2024-02-01 00:00:00"  # just past the events table's max ts
 DECAY_BASE = 0.9  # per-day retention
 
@@ -5255,4 +5358,5 @@ QUERIES: dict[str, QuerySpec] = {
     "countmin_sketch": QuerySpec(q_countmin_sketch, _sql_countmin_sketch()),
     "hll_vocab": QuerySpec(q_hll_vocab, _sql_hll_vocab()),
     "decayed_score": QuerySpec(q_decayed_score, SQL_DECAYED_SCORE),
+    "kmv_overlap": QuerySpec(q_kmv_overlap, _sql_kmv_overlap()),
 }

@@ -98,6 +98,7 @@ def test_entry_contract_shape():
         "countmin_sketch",  # mergeable frequency sketch, md5-fixed rows (tail gate)
         "hll_vocab",  # HyperLogLog cardinality, exact-BIGINT register state (tail gate)
         "decayed_score",  # recency-weighted engagement, integer-exact sum (tail gate)
+        "kmv_overlap",  # KMV set-intersection sketch vs exact Jaccard (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

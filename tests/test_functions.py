@@ -278,3 +278,17 @@ def test_hll_estimate_within_error_bound(spark):
     for r in rows:
         rel = abs(r.hll_est - r.exact_distinct) / r.exact_distinct
         assert rel < 0.13, (r.lang, r.exact_distinct, r.hll_est, rel)
+
+
+def test_kmv_estimate_within_error_band(spark):
+    """KMV with k=256 has std error ~sqrt(J(1-J)/k) (~0.03 here); assert
+    the estimate lands within a 4-sigma absolute band of the exact
+    Jaccard, and that a universe smaller than k yields the EXACT value
+    (|U| < k makes the sketch the full union)."""
+    from flink_sql_ai_meetingcoach_azure_spark.queries import q_kmv_overlap
+
+    r = q_kmv_overlap(spark, "/root/testdata/sf0.001").collect()[0]
+    if r.u_n < 256:  # small universe: estimator must be exact
+        assert r.kmv_est_ppm == r.exact_jaccard_ppm, r
+    else:
+        assert abs(r.kmv_est_ppm - r.exact_jaccard_ppm) < 130_000, r
