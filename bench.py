@@ -1,6 +1,13 @@
 """Benchmark harness: runs the headline query suite at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric", "value", "unit", "queries", "sf"}.
+compact JSON line: {"metric", "value", "unit", "queries", "sf", ...}.
+
+The printed line carries the suite total plus a FIXED, small headline
+subset of per-query timings — it must stay under the driver's 2,000-char
+stdout tail capture regardless of how many queries the suite grows to
+(round 5's full per-query map outgrew the capture and the round's number
+was lost; VERDICT r5 #1). The complete per-query median/min maps and the
+streaming sections are written to BENCH_DETAIL.json next to this file.
 
 Each query is forced to full materialization with a noop-format write (no
 driver collect bottleneck — measures the distributed plan, not result
@@ -155,12 +162,55 @@ EXCLUDE_FROM_TOTAL = {"ann_ivf_probe"}
 STREAM_MESSAGES = 2_000  # fixed size: comparable across scale factors
 STREAM_FILES_PER_TRIGGER = 8
 
+# Per-query entries always present in the printed summary line.  Small and
+# FIXED so the line length is bounded by construction — everything else
+# lives in BENCH_DETAIL.json.
+HEADLINE_QUERIES = [
+    "tpch_q1",
+    "rag_pipeline_verified",
+    "ann_topk",
+    "ann_ivf_probe",
+    "bm25_topk",
+    "hybrid_rrf",
+    "neardup_dedup",
+    "mask_spans",
+    "fuzzy_dedup",
+    "curation_v2",
+]
 
-def bench_streaming(spark, sf_dir: str) -> dict:
+
+def summary_line(
+    total: float, sf: float, timings: dict, streaming: dict, neardup: dict
+) -> str:
+    """The single machine-readable stdout line. Bounded: only the fixed
+    HEADLINE_QUERIES subset of `timings` is inlined (len-tested in
+    tests/test_bench_contract.py to stay < 1500 chars no matter how large
+    the suite grows)."""
+    return json.dumps(
+        {
+            "metric": "headline_suite_seconds",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: timings[k] for k in HEADLINE_QUERIES if k in timings},
+            "n_queries": len(timings),
+            "stream_rows_per_sec": streaming.get("rows_per_sec"),
+            "neardup_rows_per_sec": neardup.get("rows_per_sec"),
+            "detail": "BENCH_DETAIL.json",
+            "sf": sf,
+        }
+    )
+
+
+def bench_streaming(spark, sf_dir: str, n_messages: int = STREAM_MESSAGES) -> dict:
     """Throughput/latency of the continuous 4-stage DDL chain on a bounded
     file stream (one stage topic per statement, mock model provider).  One
     run — micro-batch latency is dominated by fixed trigger overhead, so
-    medianing would triple the cost for little signal."""
+    medianing would triple the cost for little signal.
+
+    The default fixed n_messages=2000 keeps the latency-shape number
+    comparable across scale factors; main() additionally runs an sf-scaled
+    variant (20k rows at sf0.1) so per-row throughput regressions are
+    visible once the fixed trigger overhead is amortized (VERDICT r5 #7)."""
     import shutil  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
 
@@ -186,7 +236,7 @@ def bench_streaming(spark, sf_dir: str) -> dict:
             F.col("source").alias("document_category"),
             F.col("text").alias("document_text"),
         )
-        ev = _events(spark, sf_dir).limit(STREAM_MESSAGES)
+        ev = _events(spark, sf_dir).limit(n_messages)
         messages = ev.select(
             F.concat_ws(" ", F.lit("msg"), F.col("event_id").cast("string"), "props")
             .alias("message"),
@@ -315,29 +365,43 @@ def main() -> None:
             timings[name] = median(name)
 
     streaming = bench_streaming(spark, sf_dir)
+    # sf-scaled variant: enough rows that per-row cost dominates trigger
+    # overhead (20k at sf0.1); skipped below sf0.01 where it would equal
+    # the fixed-size run
+    scaled_rows = int(200_000 * sf)
+    streaming_scaled = (
+        bench_streaming(spark, sf_dir, n_messages=scaled_rows)
+        if scaled_rows > STREAM_MESSAGES
+        else None
+    )
     streaming_neardup = bench_streaming_neardup(spark, sf_dir)
 
     total = round(
         sum(v for k, v in timings.items() if k not in EXCLUDE_FROM_TOTAL), 3
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                # best-of-runs per query: under a sustained host-steal
-                # episode (BASELINE.md environment note) the median itself
-                # is contaminated; min exposes how fast the same plan ran
-                # in the quietest window of THIS artifact
-                "queries_min": mins,
-                "streaming": streaming,
-                "streaming_neardup": streaming_neardup,
-                "sf": sf,
-            }
-        )
+    detail = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        # best-of-runs per query: under a sustained host-steal episode
+        # (BASELINE.md environment note) the median itself is
+        # contaminated; min exposes how fast the same plan ran in the
+        # quietest window of THIS artifact
+        "queries_min": mins,
+        "streaming": streaming,
+        "streaming_scaled": streaming_scaled,
+        "streaming_neardup": streaming_neardup,
+        "sf": sf,
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
+    with open(detail_path, "w") as f:
+        json.dump(detail, f, indent=1)
+    # the compact line is printed LAST so it always lands inside the
+    # driver's stdout tail capture
+    print(summary_line(total, sf, timings, streaming, streaming_neardup))
     spark.stop()
 
 
