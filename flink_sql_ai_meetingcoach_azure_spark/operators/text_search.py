@@ -36,6 +36,11 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 RRF_K = 60  # Cormack et al.'s constant
 
+# Query-term sets up to this size are collected to the driver and inlined
+# as an InSet token filter, enabling the one-pass corpus plan below; larger
+# sets fall back to the two-pass broadcast-join plan.
+MAX_LITERAL_TERMS = 4096
+
 
 def _doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return docs.select(
@@ -59,29 +64,54 @@ def bm25_scores(
     score_micro BIGINT) — BM25 in integer micro-points (see module
     docstring); only documents matching ≥1 query term appear.
 
-    Plan shape: the corpus side is exploded then **immediately filtered to
-    query terms** (broadcast semi join) so the tf shuffle is proportional
-    to query-term matches, not corpus tokens. df/N/avgdl are tiny
-    aggregates joined by broadcast. At 100 TB the only corpus-wide pass is
-    the scan+explode+filter, which stays in WholeStageCodegen.
+    Plan shape: ONE corpus pass. When the query-term set is small (the
+    normal case — it is O(queries·terms), kilobytes), it is collected and
+    inlined as an InSet filter over the token array, so a single
+    scan+tokenize projection yields both the per-doc length (for avgdl)
+    and the matched tokens; that narrow (doc_id, dl, matched) relation is
+    lazily localCheckpoint'd and BOTH the stats aggregate and the postings
+    explode read from it — the corpus is tokenized once, not once per
+    consumer (two full passes cost ~2× at every scale). The checkpoint
+    stores O(corpus rows) but only ~16 bytes + matched hits per row. For
+    query-term sets past MAX_LITERAL_TERMS the plan falls back to
+    exploding the corpus and pruning via broadcast semi join before the tf
+    shuffle (two passes, no driver collect). df/N/avgdl are tiny
+    aggregates joined by broadcast either way.
     """
-    toks = _doc_tokens(docs, id_col, text_col)
-
-    # corpus stats: one tiny aggregate row, broadcast-crossed onto postings
-    stats = toks.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
-    )
-
     qterms = queries.select("qid", "term").distinct()
-    uniq_terms = qterms.select("term").distinct()
-
-    postings = (
-        toks.select("doc_id", "dl", F.explode("toks").alias("term"))
-        .join(F.broadcast(uniq_terms), "term")  # prune before the tf shuffle
-        .groupBy("doc_id", "dl", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
+    term_rows = (
+        qterms.select("term").distinct().limit(MAX_LITERAL_TERMS + 1).collect()
     )
+    terms = [r.term for r in term_rows]
+
+    toks = _doc_tokens(docs, id_col, text_col)
+    if len(terms) <= MAX_LITERAL_TERMS:
+        per_doc = toks.select(
+            "doc_id",
+            "dl",
+            F.filter("toks", lambda t: t.isin(*terms)).alias("matched"),
+        ).localCheckpoint(eager=False)
+        stats = per_doc.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        )
+        postings = (
+            per_doc.select("doc_id", "dl", F.explode("matched").alias("term"))
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
+    else:
+        stats = toks.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+        )
+        uniq_terms = qterms.select("term").distinct()
+        postings = (
+            toks.select("doc_id", "dl", F.explode("toks").alias("term"))
+            .join(F.broadcast(uniq_terms), "term")  # prune before the tf shuffle
+            .groupBy("doc_id", "dl", "term")
+            .agg(F.count(F.lit(1)).alias("tf"))
+        )
 
     # document frequency as a count over the term partition: one extra
     # exchange of the (already tiny) postings table, instead of a second

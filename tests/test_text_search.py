@@ -94,13 +94,39 @@ def test_bm25_tf_saturation_and_idf_ordering(spark):
 
 
 def test_bm25_postings_pruned_and_broadcast(spark):
-    """Scale shape: the df/qterms/stats joins are broadcasts, and the
-    explode output is filtered to query terms before the tf aggregation."""
+    """Scale shape (one-pass literal-terms path): the qterms/stats joins
+    are broadcasts, and the corpus subtree is the checkpointed narrow
+    (doc_id, dl, matched) relation — tokens filtered to query terms
+    BEFORE any explode/shuffle, corpus tokenized exactly once."""
     docs = spark.createDataFrame([(i, f"term{i % 7} filler") for i in range(50)],
                                  ["doc_id", "text"])
     qdf = spark.createDataFrame([(0, "term1")], "qid bigint, term string")
     plan = bm25_scores(docs, qdf)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 2
+    # both consumers read the checkpointed RDD, not a re-tokenized scan
+    assert plan.count("Scan ExistingRDD [doc_id") + plan.count(
+        "Scan ExistingRDD[doc_id"
+    ) >= 2
+
+
+def test_bm25_fallback_path_prunes_via_broadcast(spark, monkeypatch):
+    """Past MAX_LITERAL_TERMS the plan must fall back to the two-pass
+    shape: explode, then broadcast semi join on query terms before the tf
+    aggregation (never a shuffle of the corpus vocabulary)."""
+    import flink_sql_ai_meetingcoach_azure_spark.operators.text_search as ts
+
+    monkeypatch.setattr(ts, "MAX_LITERAL_TERMS", 0)
+    docs = spark.createDataFrame([(i, f"term{i % 7} filler") for i in range(50)],
+                                 ["doc_id", "text"])
+    qdf = spark.createDataFrame([(0, "term1")], "qid bigint, term string")
+    scored = ts.bm25_scores(docs, qdf)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") + plan.count("BroadcastNestedLoopJoin") >= 3
+    # same answer on both paths
+    assert {(r.qid, r.doc_id, r.score_micro) for r in scored.collect()} == {
+        (r.qid, r.doc_id, r.score_micro)
+        for r in bm25_scores(docs, qdf).collect()
+    }
 
 
 def test_rrf_fusion_exact_and_rank_order(spark):
