@@ -5240,35 +5240,41 @@ ORDER BY doc_id
 
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
-    "filter_route": QuerySpec(q_filter_route, SQL_FILTER_ROUTE),
+    # Round-6 rotation (VERDICT r5 #3): 15 entries that were green in every
+    # driver window since r1-r2 (filter_route, case_dispatch, null_guard,
+    # path_extract, set_ops, json_cleanup_extract, top_terms,
+    # length_percentiles, line_dedup, fingerprint, dedup_keep_best,
+    # asof_join, rollup_revenue, ngram_jaccard, tumbling_window) moved to
+    # the pytest-gated tail; 15 entries that had never been externally
+    # oracle-checked (tpch_q3/q5/q6, cube_revenue, pagerank,
+    # triangle_count, countmin_sketch, hll_vocab, kmv_overlap, mask_spans,
+    # interval_join, scd2_history, edit_distance_pairs, zorder_key,
+    # lm_bigram_score) moved in.
     "keyword_trigger": QuerySpec(q_keyword_trigger, SQL_KEYWORD_TRIGGER),
-    "case_dispatch": QuerySpec(q_case_dispatch, SQL_CASE_DISPATCH),
-    "null_guard": QuerySpec(q_null_guard, SQL_NULL_GUARD),
     "cache_hit_join": QuerySpec(q_cache_hit_join, SQL_CACHE_HIT_JOIN),
     "explode_chunks": QuerySpec(q_explode_chunks, SQL_EXPLODE_CHUNKS),
     "topn_per_user": QuerySpec(q_topn_per_user, SQL_TOPN_PER_USER),
     "recent_history": QuerySpec(q_recent_history, SQL_RECENT_HISTORY),
-    "tumbling_window": QuerySpec(q_tumbling_window, SQL_TUMBLING_WINDOW),
     "session_window": QuerySpec(q_session_window, SQL_SESSION_WINDOW),
-    "json_cleanup_extract": QuerySpec(q_json_cleanup_extract, SQL_JSON_CLEANUP_EXTRACT),
-    "path_extract": QuerySpec(q_path_extract, SQL_PATH_EXTRACT),
     "tpch_q1": QuerySpec(q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q3": QuerySpec(q_tpch_q3, SQL_TPCH_Q3),
+    "tpch_q5": QuerySpec(q_tpch_q5, SQL_TPCH_Q5),
+    "tpch_q6": QuerySpec(q_tpch_q6, SQL_TPCH_Q6),
     "join_revenue_by_nation": QuerySpec(q_join_revenue_by_nation, SQL_JOIN_REVENUE_BY_NATION),
-    "rollup_revenue": QuerySpec(q_rollup_revenue, SQL_ROLLUP_REVENUE),
+    "cube_revenue": QuerySpec(q_cube_revenue, SQL_CUBE_REVENUE),
     "window_analytics": QuerySpec(q_window_analytics, SQL_WINDOW_ANALYTICS),
-    "set_ops": QuerySpec(q_set_ops, SQL_SET_OPS),
-    "asof_join": QuerySpec(q_asof_join, SQL_ASOF_JOIN),
+    "interval_join": QuerySpec(q_interval_join, SQL_INTERVAL_JOIN),
+    "scd2_history": QuerySpec(q_scd2_history, SQL_SCD2_HISTORY),
     "dedup_exact": QuerySpec(q_dedup_exact, SQL_DEDUP_EXACT),
-    "dedup_keep_best": QuerySpec(q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "lsh_pairs": QuerySpec(q_lsh_pairs, _sql_lsh_pairs()),
     "simhash_pairs": QuerySpec(q_simhash_pairs, _sql_simhash_pairs()),
-    "ngram_jaccard": QuerySpec(q_ngram_jaccard, _sql_ngram_jaccard()),
     "embedding_lsh_pairs": QuerySpec(q_embedding_lsh_pairs, _sql_embedding_lsh_pairs()),
     "neardup_dedup": QuerySpec(q_neardup_dedup, _sql_neardup_dedup()),
-    "line_dedup": QuerySpec(q_line_dedup, SQL_LINE_DEDUP),
     "dup_spans": QuerySpec(q_dup_spans, _sql_dup_spans()),
     "span_pairs": QuerySpec(q_span_pairs, _sql_span_pairs()),
+    "mask_spans": QuerySpec(q_mask_spans, _sql_mask_spans()),
     "decontaminate": QuerySpec(q_decontaminate, SQL_DECONTAMINATE),
+    "edit_distance_pairs": QuerySpec(q_edit_distance_pairs, SQL_EDIT_DISTANCE_PAIRS),
     "ann_topk": QuerySpec(q_ann_topk, SQL_ANN_TOPK),
     "ann_ivf_topk": QuerySpec(q_ann_ivf_topk, SQL_ANN_TOPK),  # exact at nprobe=nlist
     "bm25_topk": QuerySpec(q_bm25_topk, SQL_BM25_TOPK),
@@ -5277,13 +5283,17 @@ QUERIES: dict[str, QuerySpec] = {
     "lang_id": QuerySpec(q_lang_id, _sql_lang_id()),
     "quality_filter": QuerySpec(q_quality_filter, SQL_QUALITY_FILTER),
     "repetition_scores": QuerySpec(q_repetition_scores, SQL_REPETITION_SCORES),
-    "fingerprint": QuerySpec(q_fingerprint, SQL_FINGERPRINT),
+    "lm_bigram_score": QuerySpec(q_lm_bigram_score, SQL_LM_BIGRAM_SCORE),
+    "countmin_sketch": QuerySpec(q_countmin_sketch, _sql_countmin_sketch()),
+    "hll_vocab": QuerySpec(q_hll_vocab, _sql_hll_vocab()),
+    "kmv_overlap": QuerySpec(q_kmv_overlap, _sql_kmv_overlap()),
+    "zorder_key": QuerySpec(q_zorder_key, _sql_zorder_key()),
+    "triangle_count": QuerySpec(q_triangle_count, _sql_triangle_count()),
+    "pagerank": QuerySpec(q_pagerank, _sql_pagerank()),
     "multimodal_features": QuerySpec(q_multimodal_features, _sql_multimodal_features()),
     "rag_pipeline_verified": QuerySpec(q_rag_pipeline_verified, _sql_rag_pipeline_verified()),
     "rag_pipeline_bulk": QuerySpec(q_rag_pipeline_bulk, _sql_rag_pipeline_bulk()),
     "chunk_embed_ingest": QuerySpec(q_chunk_embed_ingest, _sql_chunk_embed_ingest()),
-    "top_terms": QuerySpec(q_top_terms, SQL_TOP_TERMS),
-    "length_percentiles": QuerySpec(q_length_percentiles, SQL_LENGTH_PERCENTILES),
     "mixture_sample": QuerySpec(q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "curation_pipeline": QuerySpec(q_curation_pipeline, _sql_curation_pipeline()),
     "pii_redact": QuerySpec(q_pii_redact, _sql_pii_redact()),
@@ -5291,6 +5301,22 @@ QUERIES: dict[str, QuerySpec] = {
     "ddl_ctas_topn": QuerySpec(q_ddl_ctas_topn, SQL_DDL_CTAS_TOPN),
     "ddl_struct_array": QuerySpec(q_ddl_struct_array, SQL_DDL_STRUCT_ARRAY),
     # ---- outside the driver's 50-entry window (see comment above) ----
+    # r6 rotation: multi-round-green since r1-r2, subsumed or trivial
+    "filter_route": QuerySpec(q_filter_route, SQL_FILTER_ROUTE),
+    "case_dispatch": QuerySpec(q_case_dispatch, SQL_CASE_DISPATCH),
+    "null_guard": QuerySpec(q_null_guard, SQL_NULL_GUARD),
+    "path_extract": QuerySpec(q_path_extract, SQL_PATH_EXTRACT),
+    "set_ops": QuerySpec(q_set_ops, SQL_SET_OPS),
+    "json_cleanup_extract": QuerySpec(q_json_cleanup_extract, SQL_JSON_CLEANUP_EXTRACT),
+    "top_terms": QuerySpec(q_top_terms, SQL_TOP_TERMS),
+    "length_percentiles": QuerySpec(q_length_percentiles, SQL_LENGTH_PERCENTILES),
+    "line_dedup": QuerySpec(q_line_dedup, SQL_LINE_DEDUP),
+    "fingerprint": QuerySpec(q_fingerprint, SQL_FINGERPRINT),
+    "dedup_keep_best": QuerySpec(q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
+    "asof_join": QuerySpec(q_asof_join, SQL_ASOF_JOIN),
+    "rollup_revenue": QuerySpec(q_rollup_revenue, SQL_ROLLUP_REVENUE),
+    "ngram_jaccard": QuerySpec(q_ngram_jaccard, _sql_ngram_jaccard()),
+    "tumbling_window": QuerySpec(q_tumbling_window, SQL_TUMBLING_WINDOW),
     # concat_prompt: F1 byte-exact inside in-window rag_pipeline_verified
     "concat_prompt": QuerySpec(q_concat_prompt, SQL_CONCAT_PROMPT),
     # array_ops: F2/F3/F5 exercised by in-window ddl_struct_array + ann_topk
@@ -5334,29 +5360,14 @@ QUERIES: dict[str, QuerySpec] = {
     "cohort_retention": QuerySpec(q_cohort_retention, SQL_COHORT_RETENTION),
     "value_histogram": QuerySpec(q_value_histogram, SQL_VALUE_HISTOGRAM),
     "argmax_per_user": QuerySpec(q_argmax_per_user, SQL_ARGMAX_PER_USER),
-    "edit_distance_pairs": QuerySpec(q_edit_distance_pairs, SQL_EDIT_DISTANCE_PAIRS),
-    "zorder_key": QuerySpec(q_zorder_key, _sql_zorder_key()),
     "random_projection": QuerySpec(q_random_projection, _sql_random_projection()),
-    "scd2_history": QuerySpec(q_scd2_history, SQL_SCD2_HISTORY),
     "ann_projected": QuerySpec(q_ann_projected, _sql_ann_projected()),
     "fuzzy_dedup": QuerySpec(q_fuzzy_dedup, _sql_fuzzy_dedup()),
     "linear_trend": QuerySpec(q_linear_trend, SQL_LINEAR_TREND),
     "profile_columns": QuerySpec(q_profile_columns, SQL_PROFILE_COLUMNS),
-    "interval_join": QuerySpec(q_interval_join, SQL_INTERVAL_JOIN),
-    "tpch_q6": QuerySpec(q_tpch_q6, SQL_TPCH_Q6),
-    "tpch_q3": QuerySpec(q_tpch_q3, SQL_TPCH_Q3),
     "weighted_sample": QuerySpec(q_weighted_sample, _sql_weighted_sample()),
     "asof_snapshot": QuerySpec(q_asof_snapshot, SQL_ASOF_SNAPSHOT),
     "transition_matrix": QuerySpec(q_transition_matrix, SQL_TRANSITION_MATRIX),
-    "mask_spans": QuerySpec(q_mask_spans, _sql_mask_spans()),
-    "triangle_count": QuerySpec(q_triangle_count, _sql_triangle_count()),
     "equidepth_histogram": QuerySpec(q_equidepth_histogram, SQL_EQUIDEPTH_HISTOGRAM),
-    "lm_bigram_score": QuerySpec(q_lm_bigram_score, SQL_LM_BIGRAM_SCORE),
-    "tpch_q5": QuerySpec(q_tpch_q5, SQL_TPCH_Q5),
-    "pagerank": QuerySpec(q_pagerank, _sql_pagerank()),
-    "cube_revenue": QuerySpec(q_cube_revenue, SQL_CUBE_REVENUE),
-    "countmin_sketch": QuerySpec(q_countmin_sketch, _sql_countmin_sketch()),
-    "hll_vocab": QuerySpec(q_hll_vocab, _sql_hll_vocab()),
     "decayed_score": QuerySpec(q_decayed_score, SQL_DECAYED_SCORE),
-    "kmv_overlap": QuerySpec(q_kmv_overlap, _sql_kmv_overlap()),
 }
