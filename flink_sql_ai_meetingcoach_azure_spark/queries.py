@@ -5148,12 +5148,23 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast back. Each DISTINCT value lands wholly in the bucket of
     its first rank (exact integer arithmetic — engines can't disagree),
     so bucket populations wobble only where one value straddles a
-    boundary."""
+    boundary. The collect is ``max_domain``-guarded exactly like
+    score_tiered_sample (operators/sampling.py) — a continuous column at
+    100x cardinality must be quantized first (or use approx_percentile
+    boundaries), never collected unbounded."""
     _prep(spark)
+    max_domain = 1_000_000
     ev = _events(spark, sf_dir)
     cents = F.round(F.col("value") * 100).cast("bigint")
     vals = ev.select(cents.alias("c"))
-    hist = vals.groupBy("c").count().orderBy("c").collect()
+    hist = vals.groupBy("c").count().limit(max_domain + 1).collect()
+    if len(hist) > max_domain:
+        raise ValueError(
+            f"value domain exceeds {max_domain} distinct values — quantize "
+            "first (e.g. div(c, 1000)) so the histogram stays "
+            "driver-collectable, or use approx_percentile boundaries"
+        )
+    hist.sort(key=lambda r: r["c"])
     n_total = sum(r["count"] for r in hist)
     rows, cum = [], 0
     for r in hist:
