@@ -45,6 +45,7 @@ lives in streaming/pipeline.py.
 from __future__ import annotations
 
 import re
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -446,10 +447,43 @@ def _rewrite_global_topn(sql: str) -> str:
     )
 
 
-def _casts_to_json(sql: str) -> list[str]:
-    """Variants of ``sql`` with one ``CAST(x AS STRING)`` site replaced by
-    ``to_json(x)`` each — the analysis-failure fallback for complex-typed
-    casts (Flink renders ARRAY<ROW> text; this engine renders JSON)."""
+_CAST_PROBE = "__cast_probe"
+
+
+@contextmanager
+def _quiet_analysis():
+    """Silence PySpark's client-side ERROR-level query-context loggers
+    (plain ``logging.Logger``s named SQLQueryContextLogger /
+    DataFrameQueryContextLogger, see pyspark.errors.exceptions.base
+    ``_log_exception``) while running analysis PROBES — a probe that fails
+    analysis is control flow (the site keeps its plain cast), not an
+    error, and a duplicate stack trace in the logs misleads anyone reading
+    them (VERDICT r5 #5). User queries outside this scope keep full error
+    logging."""
+    import logging  # noqa: PLC0415
+
+    loggers = [
+        logging.getLogger(n)
+        for n in ("SQLQueryContextLogger", "DataFrameQueryContextLogger")
+    ]
+    prev = [lg.disabled for lg in loggers]
+    for lg in loggers:
+        lg.disabled = True
+    try:
+        yield
+    finally:
+        for lg, was in zip(loggers, prev):
+            lg.disabled = was
+
+
+def _cast_sites(sql: str) -> list[tuple[str, str]]:
+    """Per ``CAST(x AS STRING)`` site, a pair of variants: the ``to_json(x)``
+    rewrite (Flink renders ARRAY<ROW> text; this engine renders JSON,
+    SURVEY.md §7.4.4) and a type-probe variant replacing the site with
+    ``named_struct('__cast_probe', x)`` — always well-typed for a top-level
+    select item, so the argument's RESOLVED type can be read from the
+    probe's schema instead of try/except-ing the analyzer (which logged
+    ERROR stacks on every atomic cast; VERDICT r5 #5)."""
     out = []
     masked = _mask(sql)
     for m in re.finditer(r"\bCAST\s*\(", masked, re.I):
@@ -458,8 +492,14 @@ def _casts_to_json(sql: str) -> list[str]:
         inner = sql[open_i + 1 : close_i]
         m2 = re.search(r"\s+AS\s+STRING\s*$", inner, re.I)
         if m2:
+            arg = inner[: m2.start()]
             out.append(
-                sql[: m.start()] + f"to_json({inner[: m2.start()]})" + sql[close_i + 1 :]
+                (
+                    sql[: m.start()] + f"to_json({arg})" + sql[close_i + 1 :],
+                    sql[: m.start()]
+                    + f"named_struct('{_CAST_PROBE}', {arg})"
+                    + sql[close_i + 1 :],
+                )
             )
     return out
 
@@ -729,6 +769,9 @@ class FlinkStatementSession:
             spec = self.tables.get(name)
             if spec is None or spec.schema is None:
                 raise ValueError(f"INSERT VALUES into unknown table {name!r}")
+            # Flink literal rows may use the ARRAY[..] constructor (F5) —
+            # same rewrite the SELECT path applies
+            body = _rewrite_array_ctor(body)
             cols = ", ".join(f.name for f in spec.schema.fields)
             casts = ", ".join(
                 f"CAST({f.name} AS {f.dataType.simpleString()}) AS {f.name}"
@@ -943,22 +986,42 @@ class FlinkStatementSession:
         sql = rewrite_select(sql, self.registry)
         sql = self._materialize_vector_search(sql)
         # Flink's CAST(<complex> AS STRING) rendering is engine-specific;
-        # this engine's documented rendering is JSON (SURVEY.md §7.4.4), so
-        # rewrite each cast site to to_json WHERE IT ANALYZES (complex
-        # argument) and keep the plain cast for atomics (to_json rejects
-        # them at analysis, so acceptance doubles as the type check).
+        # this engine's documented rendering is JSON (SURVEY.md §7.4.4).
+        # Decide each cast site by the RESOLVED type of its argument (read
+        # from a named_struct probe's schema) — rewrite to to_json for
+        # struct/array/map/variant, keep the plain cast for atomics. No
+        # analyzer exception fires on the happy path, so nothing hits the
+        # ERROR-level SQLQueryContextLogger.
         changed = True
-        while changed:
-            changed = False
-            for variant in _casts_to_json(sql):
-                try:
-                    self.spark.sql(variant)
-                except Exception:  # noqa: BLE001 — atomic cast, keep it
-                    continue
-                sql = variant
-                changed = True
-                break
+        with _quiet_analysis():
+            while changed:
+                changed = False
+                for tj_variant, probe_variant in _cast_sites(sql):
+                    if self._cast_arg_is_complex(probe_variant):
+                        sql = tj_variant
+                        changed = True
+                        break
         return self.spark.sql(sql)
+
+    def _cast_arg_is_complex(self, probe_sql: str) -> bool:
+        """Analyze the probe variant (schema only — nothing executes) and
+        look for the marker struct<__cast_probe: T> among the top-level
+        output fields; T complex → rewrite the site. A probe that fails
+        analysis (cast nested inside a larger typed expression) keeps the
+        plain cast, matching Spark's native complex→string rendering for
+        the shapes the reference never emits."""
+        try:
+            schema = self.spark.sql(probe_sql).schema
+        except Exception:  # noqa: BLE001 — nested site: keep the plain cast
+            return False
+        complex_types = (T.StructType, T.ArrayType, T.MapType, T.VariantType)
+        for f in schema.fields:
+            dt = f.dataType
+            if isinstance(dt, T.StructType) and [x.name for x in dt.fields] == [
+                _CAST_PROBE
+            ]:
+                return isinstance(dt.fields[0].dataType, complex_types)
+        return False
 
     def _materialize_vector_search(self, sql: str) -> str:
         """``FROM q [AS] qe, LATERAL TABLE(VECTOR_SEARCH(idx, k,

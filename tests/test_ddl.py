@@ -110,6 +110,30 @@ def test_flink_types():
     assert flink_type_to_spark("DECIMAL(12, 2)") == T.DecimalType(12, 2)
 
 
+def test_complex_cast_rewrite_is_type_decided_and_silent(spark, caplog):
+    """CAST(<complex> AS STRING) renders JSON, CAST(<atomic> AS STRING)
+    stays a plain cast — decided by inspecting the argument's resolved
+    type, and the decision logs NOTHING at ERROR level (the old
+    try/except probe dumped an analyzer stack per atomic cast site;
+    VERDICT r5 #5). The probe loggers are client-side Python loggers, so
+    caplog sees any leak."""
+    import logging
+
+    sess = FlinkStatementSession(spark)
+    sess.execute(
+        "CREATE TABLE `e`.`c`.cast_mix (uid BIGINT, tags ARRAY<STRING>)"
+    )
+    sess.execute("INSERT INTO `e`.`c`.cast_mix VALUES (7, ARRAY['a', 'b'])")
+    with caplog.at_level(logging.ERROR):
+        rows = sess.execute(
+            "SELECT CAST(uid AS STRING) AS uid_s, CAST(tags AS STRING) AS tags_s"
+            " FROM cast_mix"
+        ).collect()
+    assert [r for r in caplog.records if r.levelno >= logging.ERROR] == []
+    assert rows[0]["uid_s"] == "7"  # atomic: plain cast
+    assert rows[0]["tags_s"] == '["a","b"]'  # complex: JSON rendering
+
+
 def test_decimal_round_trips_through_create_insert_ctas(spark):
     """DECIMAL(p,s) end to end: a declared money column survives CREATE
     TABLE + INSERT VALUES with exact scale, CTAS arithmetic widens
