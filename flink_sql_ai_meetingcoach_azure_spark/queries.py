@@ -2419,7 +2419,12 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct()
             .select(md5_bigint_col("shingle").alias("h"))
         )
-    a, b = side(0), side(1)
+    # each side feeds THREE downstream actions (its sketch, its distinct
+    # count, and the exact intersection) — materialize the expensive
+    # shingle pass once instead of re-running it per subtree (ADVICE r5);
+    # the stored relation is one BIGINT per distinct shingle
+    a = side(0).localCheckpoint(eager=False)
+    b = side(1).localCheckpoint(eager=False)
     sk_a = a.orderBy("h").limit(KMV_K).localCheckpoint()
     sk_b = b.orderBy("h").limit(KMV_K).localCheckpoint()
     u = sk_a.union(sk_b).distinct().orderBy("h").limit(KMV_K).localCheckpoint()
@@ -2439,12 +2444,16 @@ def q_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_a",
             "n_b",
-            F.expr("n_inter * 1000000L div (n_a + n_b - n_inter)").alias(
-                "exact_jaccard_ppm"
-            ),
+            # greatest(..., 1) guards the empty-corpus / zero-universe
+            # degenerate cases (0 ppm, not NULL) — ADVICE r5
+            F.expr(
+                "n_inter * 1000000L div greatest(n_a + n_b - n_inter, 1L)"
+            ).alias("exact_jaccard_ppm"),
             "kmv_inter",
             "u_n",
-            F.expr("kmv_inter * 1000000L div u_n").alias("kmv_est_ppm"),
+            F.expr("kmv_inter * 1000000L div greatest(u_n, 1L)").alias(
+                "kmv_est_ppm"
+            ),
         )
     )
 
@@ -2477,10 +2486,10 @@ na AS (SELECT count(*) AS n_a FROM a),
 nb AS (SELECT count(*) AS n_b FROM b),
 ni AS (SELECT count(*) AS n_inter FROM a JOIN b ON b.h = a.h)
 SELECT n_a, n_b,
-       CAST(n_inter * 1000000 // (n_a + n_b - n_inter) AS BIGINT)
+       CAST(n_inter * 1000000 // greatest(n_a + n_b - n_inter, 1) AS BIGINT)
          AS exact_jaccard_ppm,
        kmv_inter, u_n,
-       CAST(kmv_inter * 1000000 // u_n AS BIGINT) AS kmv_est_ppm
+       CAST(kmv_inter * 1000000 // greatest(u_n, 1) AS BIGINT) AS kmv_est_ppm
 FROM na, nb, ni, ki, un
 """
 
@@ -2493,12 +2502,14 @@ def q_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exponentially time-decayed engagement per user — the standard
     recency-weighted feature (score = Σ value·0.9^age_days against a
     FIXED anchor instant, so results are reproducible, not
-    wall-clock-dependent). age_days is exact integer µs arithmetic;
-    each contribution is rounded to BIGINT micro-cents BEFORE the sum,
-    so the aggregate is an exact integer total — float summation order
-    never enters (the same discipline as every money aggregate here).
-    One combinable groupBy, pure codegen — map-side partials absorb the
-    event flood at any scale."""
+    wall-clock-dependent). age_days is exact integer µs arithmetic.
+    The decay factor is computed ONCE per DISTINCT age_day and rounded
+    to BIGINT micro-units there (the lm_score ln discipline, ADVICE r5)
+    — per-event work is then pure integer multiply + sum, so neither
+    float summation order nor a per-row libm pow at a rounding knife
+    edge can diverge across engines/partitionings. The day domain is a
+    tiny broadcast (≤ retention window in days); the corpus pass stays
+    one codegen scan + partial-aggregated groupBy."""
     _prep(spark)
     ev = _events(spark, sf_dir)
     cents = F.round(F.col("value") * 100).cast("bigint")
@@ -2506,30 +2517,43 @@ def q_decayed_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(unix_micros(timestamp'{DECAY_ANCHOR}') - unix_micros(ts))"
         " div 86400000000"
     )
-    contrib = F.round(
-        cents.cast("double")
-        * F.pow(F.lit(DECAY_BASE), age_days.cast("double"))
-        * 10_000
-    ).cast("bigint")
+    e = ev.select("user_id", cents.alias("cents"), age_days.alias("age_day"))
+    decay = e.select("age_day").distinct().withColumn(
+        "decay_micro",
+        F.round(
+            F.pow(F.lit(DECAY_BASE), F.col("age_day").cast("double")) * 1_000_000
+        ).cast("bigint"),
+    )
     return (
-        ev.groupBy("user_id")
+        e.join(F.broadcast(decay), "age_day")
+        .groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(contrib).alias("decayed_microcents"),
+            F.sum(F.col("cents") * F.col("decay_micro")).alias("__s"),
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.expr("__s div 100").alias("decayed_microcents"),
         )
         .orderBy("user_id")
     )
 
 
 SQL_DECAYED_SCORE = f"""
+WITH e AS (SELECT user_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents,
+                  CAST((epoch_us(TIMESTAMP '{DECAY_ANCHOR}')
+                        - epoch_us(ts::TIMESTAMP)) // 86400000000
+                       AS BIGINT) AS age_day
+           FROM events),
+dm AS (SELECT age_day,
+              CAST(round(pow({DECAY_BASE}, CAST(age_day AS DOUBLE)) * 1000000)
+                   AS BIGINT) AS decay_micro
+       FROM (SELECT DISTINCT age_day FROM e))
 SELECT user_id, count(*) AS n_events,
-       CAST(sum(CAST(round(
-           CAST(round(value * 100) AS BIGINT)
-           * pow({DECAY_BASE}, CAST((epoch_us(TIMESTAMP '{DECAY_ANCHOR}')
-                                     - epoch_us(ts::TIMESTAMP)) // 86400000000
-                               AS DOUBLE))
-           * 10000) AS BIGINT)) AS BIGINT) AS decayed_microcents
-FROM events
+       CAST(sum(cents * decay_micro) // 100 AS BIGINT) AS decayed_microcents
+FROM e JOIN dm USING (age_day)
 GROUP BY user_id
 ORDER BY user_id
 """
@@ -4118,7 +4142,10 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     combinations — detail, both single-dim subtotals, grand total — in
     ONE partial-aggregated pass (where ROLLUP emits only the prefix
     hierarchy). Completes the grouping-set family next to the rollup
-    entry; NULL slots coalesced to 'ALL' so every row hash-asserts."""
+    entry. Subtotal rows are labeled 'ALL' via GROUPING() markers — NOT
+    by coalescing the grouped column, which would conflate a genuine
+    NULL detail group with the subtotal on nullable dimensions (ADVICE
+    r5; safe-but-fragile on TPC-H's NOT NULL columns)."""
     _prep(spark)
     orders = _t(spark, sf_dir, "orders")
     customer = _t(spark, sf_dir, "customer")
@@ -4128,20 +4155,27 @@ def q_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("c_mktsegment", "o_orderpriority", cents.alias("cents"))
     return (
         joined.cube("c_mktsegment", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("revenue_cents"))
-        .select(
-            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
-            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
-            "n_orders",
-            "revenue_cents",
+        .agg(
+            # grouping() is only resolvable inside the aggregate context
+            F.when(F.grouping("c_mktsegment") == 1, F.lit("ALL"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("segment"),
+            F.when(F.grouping("o_orderpriority") == 1, F.lit("ALL"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("priority"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("revenue_cents"),
         )
+        .select("segment", "priority", "n_orders", "revenue_cents")
         .orderBy("segment", "priority")
     )
 
 
 SQL_CUBE_REVENUE = """
-SELECT coalesce(c_mktsegment, 'ALL') AS segment,
-       coalesce(o_orderpriority, 'ALL') AS priority,
+SELECT CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL'
+            ELSE c_mktsegment END AS segment,
+       CASE WHEN GROUPING(o_orderpriority) = 1 THEN 'ALL'
+            ELSE o_orderpriority END AS priority,
        count(*) AS n_orders,
        CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM orders

@@ -58,6 +58,31 @@ class StreamingAggregateSink:
         self.sum_cols = list(sum_cols)
         self.spark = spark
         self.distinct_col = distinct_col
+        self._schema_checked = False
+
+    def _check_log_schema(self) -> None:
+        """distinct_col must match the state dir's existing log schema: a
+        sink toggled against state written with the other setting either
+        fails at analysis (exploding a missing __hll) or silently drops
+        the sketch for old rows (ADVICE r5) — fail fast with the reason
+        instead. One parquet-footer read, cached per sink instance."""
+        if self._schema_checked:
+            return
+        try:
+            cols = self.spark.read.parquet(f"{self.state_dir}/log").columns
+        except Exception:  # noqa: BLE001 — no log yet: nothing to match
+            self._schema_checked = True
+            return
+        has, want = "__hll" in cols, self.distinct_col is not None
+        if has != want:
+            raise ValueError(
+                f"state dir {self.state_dir!r} was written with "
+                f"distinct_col {'set' if has else 'unset'} but this sink "
+                f"has it {'set' if want else 'unset'} — distinct_col must "
+                "match the existing log schema (start a new state dir to "
+                "change it)"
+            )
+        self._schema_checked = True
 
     # -- replay markers (same contract as StreamingIvfIngest) ----------
     def _marker(self, batch_id: int):
@@ -76,6 +101,10 @@ class StreamingAggregateSink:
         # per-key sparse HLL registers: bucket = md5 % m, rho = leading
         # zeros of the remaining 50-bit field + 1 (same fixed-hash layout
         # as queries.q_hll_vocab, so estimates match a one-shot sketch)
+        # bucket and field derive from the SAME F.col-based hash column —
+        # no second hand-written SQL string that could drift or break on
+        # names needing backticks (ADVICE r5); h is a non-negative 60-bit
+        # value, so div 2^10 == unsigned shift right by 10
         h = F.conv(
             F.substring(F.md5(F.col(self.distinct_col).cast("string")), 1, 15),
             16,
@@ -86,10 +115,7 @@ class StreamingAggregateSink:
             .select(
                 *self.key_cols,
                 (h % _HLL_M).alias("__bucket"),
-                F.expr(
-                    f"cast(conv(substring(md5(cast({self.distinct_col} as string)"
-                    f"), 1, 15), 16, 10) as bigint) div {_HLL_M}"
-                ).alias("__w"),
+                F.shiftrightunsigned(h, _HLL_M.bit_length() - 1).alias("__w"),
             )
             .withColumn(
                 "__rho",
@@ -113,6 +139,7 @@ class StreamingAggregateSink:
         fs = marker.getFileSystem(self.spark._jsc.hadoopConfiguration())
         if fs.exists(marker):
             return  # replayed batch: already committed
+        self._check_log_schema()
         if not batch_df.isEmpty():
             self._partial(batch_df).write.mode("append").parquet(
                 f"{self.state_dir}/log"
@@ -121,6 +148,7 @@ class StreamingAggregateSink:
 
     # -- merge-on-read views -------------------------------------------
     def _merged(self) -> DataFrame:
+        self._check_log_schema()
         log = self.spark.read.parquet(f"{self.state_dir}/log")
         aggs = [F.sum("__n").cast("long").alias("n_rows")] + [
             F.sum(f"__sum_{c}").cast("long").alias(f"sum_{c}")
@@ -129,7 +157,11 @@ class StreamingAggregateSink:
         merged = log.groupBy(*self.key_cols).agg(*aggs)
         if self.distinct_col is None:
             return merged
-        return merged.join(self._merged_registers(log), self.key_cols, "left")
+        # a key whose batches carried only NULL distinct values has no
+        # register rows — its true distinct count is 0, not NULL (ADVICE r5)
+        return merged.join(
+            self._merged_registers(log), self.key_cols, "left"
+        ).withColumn("distinct_est", F.coalesce("distinct_est", F.lit(0.0)))
 
     def _merged_registers(self, log: DataFrame) -> DataFrame:
         """Register merge (max per bucket — lossless) + the same

@@ -267,7 +267,9 @@ def test_cube_single_pass(spark):
 
 def test_decayed_score_single_combinable_pass(spark):
     """Time-decay scoring must stay one codegen scan + partial-aggregated
-    groupBy — no window, no Python, no second exchange beyond the agg."""
+    groupBy — no window, no Python; the only addition is the tiny
+    broadcast of per-distinct-day decay factors (exact-integer decay,
+    ADVICE r5), never a second shuffle of the events."""
     plan = _plan(spark, "decayed_score")
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

@@ -1044,3 +1044,43 @@ def test_streaming_aggregate_sink_distinct_sketch(spark, tmp_path):
     log = spark.read.parquet(str(tmp_path / "d_state" / "log"))
     assert log.count() == 3  # one partial row per key
     assert estimates() == est
+
+
+def test_streaming_aggregate_sink_null_distinct_and_schema_mismatch(spark, tmp_path):
+    """(a) A key whose rows carry only NULL distinct values reads
+    distinct_est = 0.0, not NULL (its register map never exists); (b) a
+    sink constructed with distinct_col toggled against state written
+    with the other setting fails fast with an actionable error instead
+    of a confusing analysis failure or silently sketch-less old rows
+    (ADVICE r5)."""
+    import pytest as _pytest
+
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.aggregate_sink import (
+        StreamingAggregateSink,
+    )
+
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    state = str(tmp_path / "n_state")
+    sink = StreamingAggregateSink(state, ["k"], ["v"], spark, distinct_col="v")
+    batch = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", None), ("b", None)], schema
+    )
+    sink(batch, 0)
+    rows = {r.k: (r.n_rows, r.distinct_est) for r in sink.current().collect()}
+    assert rows["b"] == (2, 0.0)  # all-NULL key: 0.0, never NULL
+    assert rows["a"][0] == 2 and rows["a"][1] > 0
+
+    # toggled OFF against distinct state: fail fast
+    off = StreamingAggregateSink(state, ["k"], ["v"], spark)
+    with _pytest.raises(ValueError, match="distinct_col"):
+        off(batch, 1)
+
+    # toggled ON against plain state: fail fast too
+    plain_state = str(tmp_path / "p_state")
+    plain = StreamingAggregateSink(plain_state, ["k"], ["v"], spark)
+    plain(batch, 0)
+    on = StreamingAggregateSink(plain_state, ["k"], ["v"], spark, distinct_col="v")
+    with _pytest.raises(ValueError, match="distinct_col"):
+        on.current().collect()
