@@ -81,6 +81,54 @@ def register_engine_sql(spark: SparkSession, registry: ModelRegistry) -> None:
         return out
 
     spark.udf.register("ml_generate", ml_generate.asNondeterministic())
+    register_sketch_sql(spark)
+
+
+def register_sketch_sql(spark: SparkSession) -> None:
+    """SQL surface for the sketch family (VERDICT r5 #8): the Count-Min /
+    HyperLogLog / KMV building blocks as Spark SQL *scalar functions*
+    (``CREATE FUNCTION ... RETURN <expr>`` — pure Catalyst expressions,
+    codegen'd and constant-foldable, never a Python UDF). Constants and
+    hash layout mirror queries.q_countmin_sketch / q_hll_vocab /
+    q_kmv_overlap exactly, so a SQL user composes the same sketches the
+    DataFrame entries build:
+
+    - ``sketch_hash60(s)`` — the fixed 60-bit md5 BIGINT hash every
+      sketch derives from (functions/hashing.md5_bigint_col);
+    - ``cm_bucket(s, r)`` — Count-Min bucket for hash row r (w=512);
+    - ``hll_bucket(s)`` / ``hll_rho(s)`` — HLL register coordinates
+      (m=1024, rho in [1, 51]);
+    - ``hll_estimate(nonzero, s_nonzero)`` — the estimate from the two
+      exact-BIGINT register aggregates (with the small-range correction);
+    - ``kmv_est_ppm(kmv_inter, u_n)`` — KMV Jaccard ppm, zero-guarded.
+    """
+    m, r_max = 1024, 51  # queries.HLL_M / HLL_R
+    alpha = 0.7213 / (1 + 1.079 / m)
+    h = "CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+    fns = [
+        f"sketch_hash60(s STRING) RETURNS BIGINT RETURN {h.format(s='s')}",
+        # Count-Min row-r bucket: salted hash % width (queries.CM_W = 512)
+        "cm_bucket(s STRING, r INT) RETURNS BIGINT RETURN "
+        + h.format(s="concat(s, ':cm', CAST(r AS STRING))")
+        + " % 512",
+        f"hll_bucket(s STRING) RETURNS BIGINT RETURN {h.format(s='s')} % {m}",
+        "hll_rho(s STRING) RETURNS BIGINT RETURN "
+        f"CASE WHEN {h.format(s='s')} div {m} = 0 THEN {r_max} "
+        f"ELSE {r_max} - length(bin({h.format(s='s')} div {m})) END",
+        "hll_estimate(nonzero BIGINT, s_nonzero BIGINT) RETURNS DOUBLE RETURN "
+        f"CASE WHEN {alpha!r} * {m} * {m} * CAST(shiftleft(1L, {r_max}) AS DOUBLE)"
+        f" / CAST(s_nonzero + ({m} - nonzero) * shiftleft(1L, {r_max}) AS DOUBLE)"
+        f" <= 2.5 * {m} AND nonzero < {m} "
+        f"THEN round(CAST({m} AS DOUBLE)"
+        f" * ln(CAST({m} AS DOUBLE) / CAST({m} - nonzero AS DOUBLE)), 6) "
+        f"ELSE round({alpha!r} * {m} * {m} * CAST(shiftleft(1L, {r_max}) AS DOUBLE)"
+        f" / CAST(s_nonzero + ({m} - nonzero) * shiftleft(1L, {r_max}) AS DOUBLE),"
+        " 6) END",
+        "kmv_est_ppm(kmv_inter BIGINT, u_n BIGINT) RETURNS BIGINT RETURN "
+        "kmv_inter * 1000000L div greatest(u_n, 1L)",
+    ]
+    for f in fns:
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {f}")
 
 
 def register_vector_search_view(

@@ -94,3 +94,72 @@ def test_model_dispatch_two_models_one_column(spark):
     ).createOrReplaceTempView("mix")
     out = spark.sql("SELECT ml_embed(m, t) AS e FROM mix").collect()
     assert all(len(r["e"]) == 8 for r in out)
+
+
+def test_sketch_functions_through_sql(spark):
+    """The sketch family through pure SQL (VERDICT r5 #8): compose an HLL
+    vocabulary estimate per language with the registered scalar functions
+    and match q_hll_vocab's register state AND estimate exactly; spot-check
+    cm_bucket against the Count-Min entry's hashing and kmv_est_ppm's
+    zero guard."""
+    from flink_sql_ai_meetingcoach_azure_spark.models import default_registry
+    from flink_sql_ai_meetingcoach_azure_spark.queries import QUERIES, _prep
+
+    register_engine_sql(spark, default_registry(dim=16))
+    _prep(spark)
+    sf = "/root/testdata/sf0.001"
+    spark.read.parquet(f"{sf}/documents.parquet").createOrReplaceTempView("docs_sql")
+
+    got = {
+        r.lang: (r.nonzero_buckets, r.s_nonzero, r.hll_est)
+        for r in spark.sql("""
+            WITH terms AS (
+              SELECT DISTINCT lang, term
+              FROM docs_sql
+              LATERAL VIEW explode(filter(split(lower(text), '\\\\s+'),
+                                          t -> length(t) > 0)) AS term
+            ),
+            regs AS (
+              SELECT lang, hll_bucket(term) AS bucket, max(hll_rho(term)) AS rho
+              FROM terms GROUP BY lang, hll_bucket(term)
+            ),
+            per AS (
+              SELECT lang, count(*) AS nonzero_buckets,
+                     sum(shiftleft(1L, 51 - rho)) AS s_nonzero
+              FROM regs GROUP BY lang
+            )
+            SELECT lang, nonzero_buckets, s_nonzero,
+                   hll_estimate(nonzero_buckets, s_nonzero) AS hll_est
+            FROM per
+        """).collect()
+    }
+    want = {
+        r.lang: (r.nonzero_buckets, r.s_scaled, r.hll_est)
+        for r in QUERIES["hll_vocab"].fn(spark, sf).collect()
+    }
+    assert set(got) == set(want)
+    for lang, (nz, s_nz, est) in got.items():
+        w_nz, w_s_scaled, w_est = want[lang]
+        assert nz == w_nz
+        # s_scaled = s_nonzero + (m - nonzero) * 2^51 (the zero-bucket fill)
+        assert s_nz + (1024 - nz) * (1 << 51) == w_s_scaled
+        assert est == w_est, (lang, est, w_est)
+
+    # cm_bucket mirrors md5_bigint_col(term, salt='cm{r}') % 512
+    row = spark.sql(
+        "SELECT cm_bucket('pricing', 2) AS b, sketch_hash60('pricing') AS h"
+    ).collect()[0]
+    from flink_sql_ai_meetingcoach_azure_spark.functions.hashing import md5_bigint_col
+    from pyspark.sql import functions as F
+
+    exp = spark.range(1).select(
+        (md5_bigint_col(F.lit("pricing"), salt="cm2") % 512).alias("b"),
+        md5_bigint_col(F.lit("pricing")).alias("h"),
+    ).collect()[0]
+    assert (row.b, row.h) == (exp.b, exp.h)
+
+    # kmv: ppm estimate + zero guard
+    kmv = spark.sql(
+        "SELECT kmv_est_ppm(32L, 256L) AS a, kmv_est_ppm(0L, 0L) AS z"
+    ).collect()[0]
+    assert kmv.a == 125000 and kmv.z == 0
