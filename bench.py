@@ -49,6 +49,9 @@ BENCH_QUERIES = [
     "tpch_q3",
     "tpch_q5",
     "tpch_q6",
+    "tpch_q4",
+    "tpch_q10",
+    "tpch_q12",
     "join_revenue_by_nation",
     "rollup_revenue",
     "cube_revenue",
@@ -77,6 +80,7 @@ BENCH_QUERIES = [
     "tumbling_window",
     "hopping_window",
     "session_window",
+    "sessionize",
     "explode_chunks",
     # dedup / fingerprint family
     "dedup_exact",
@@ -118,6 +122,7 @@ BENCH_QUERIES = [
     "quality_score",
     "token_stats",
     "top_terms",
+    "tfidf_vectors",
     "countmin_sketch",
     "hll_vocab",
     "kmv_overlap",

