@@ -1084,3 +1084,85 @@ def test_streaming_aggregate_sink_null_distinct_and_schema_mismatch(spark, tmp_p
     on = StreamingAggregateSink(plain_state, ["k"], ["v"], spark, distinct_col="v")
     with _pytest.raises(ValueError, match="distinct_col"):
         on.current().collect()
+
+
+def test_streaming_upsert_sink_matches_batch_apply_changes(spark, tmp_path):
+    """The continuously-maintained CDC upsert view must equal batch
+    apply_changes over the union of all ingested batches — out-of-order
+    capture and deletes included; a replayed batch is a no-op; compaction
+    keeps tombstones so a stale post-compaction update cannot resurrect a
+    deleted key."""
+    import json as _json
+    import os as _os
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import apply_changes
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.cdc_sink import (
+        StreamingUpsertSink,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("val", T.LongType()),
+        ]
+    )
+    # out-of-order seqs across batches; 'b' deleted at seq 40 then a STALE
+    # update (seq 35) arrives in a later batch and must stay dead
+    batches = [
+        [("a", 10, "U", 1), ("b", 10, "U", 2), ("c", 10, "U", 3)],
+        [("a", 30, "U", 11), ("b", 40, "D", 0), ("c", 20, "U", 33)],
+        [("b", 35, "U", 99), ("a", 20, "U", 5), ("d", 5, "U", 7)],
+    ]
+    src = str(tmp_path / "cdc_src")
+    _os.makedirs(src)
+
+    def write_batch(rows, n):
+        with open(_os.path.join(src, f"b{n}.json"), "w") as f:
+            for k, seq, op, val in rows:
+                f.write(_json.dumps({"k": k, "seq": seq, "op": op, "val": val}) + "\n")
+
+    write_batch(batches[0], 0)
+    sink = StreamingUpsertSink(
+        str(tmp_path / "cdc_state"), ["k"], ["seq"], "op", spark
+    )
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "cdc_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, rows in enumerate(batches[1:], start=1):
+            write_batch(rows, i)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def view():
+        return {r.k: (r.seq, r.val) for r in sink.current().collect()}
+
+    union = spark.createDataFrame([r for b in batches for r in b], schema)
+    want = {
+        r.k: (r.seq, r.val)
+        for r in apply_changes(union, ["k"], ["seq"], "op").collect()
+    }
+    assert want == {"a": (30, 11), "c": (20, 33), "d": (5, 7)}  # b stays dead
+    assert view() == want
+
+    # replayed batch: marker no-op
+    sink(spark.createDataFrame(batches[1], schema), 1)
+    assert view() == want
+
+    # compaction: one row per key INCLUDING the b-tombstone; view unchanged
+    sink.compact()
+    log = spark.read.parquet(str(tmp_path / "cdc_state" / "log"))
+    assert log.count() == 4  # a, c, d + b's tombstone
+    assert log.filter("k = 'b' AND op = 'D'").count() == 1
+    assert view() == want
+
+    # stale post-compaction update for the deleted key: still dead
+    sink(spark.createDataFrame([("b", 37, "U", 123)], schema), 99)
+    assert view() == want
