@@ -170,3 +170,67 @@ def match_funnel_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    gap_seconds: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming gap sessionization: the continuous form of the batch
+    ``sessionize`` entry (queries.py) — every event is assigned its
+    per-user session index as it arrives, maintained across micro-batches
+    in ``applyInPandasWithState`` GroupState of TWO scalars per key
+    (last event µs, current session seq). Emits one row per event
+    (append semantics), so downstream feature joins consume assignments
+    continuously instead of re-running the batch window.
+
+    Contract: per-key event-time-ordered arrival across batches (the
+    realistic ingest shape; the same monotone contract as the streaming
+    near-dup sink) — within a batch any order is fine (sorted here).
+    Under that contract N batches end in exactly the assignment the
+    batch one-window formulation computes over their union (asserted in
+    tests/test_streaming.py). For out-of-order cross-batch events use
+    Spark's native watermarked ``session_window`` aggregate instead —
+    that gives buffering but only aggregate outputs, not per-event ids.
+
+    At scale: state is 16 bytes per ACTIVE user, the shuffle is one
+    exchange keyed by user, and each batch's work is linear in its rows.
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    gap_us = int(gap_seconds) * 1_000_000
+    key_type = stream.schema[user_col].dataType.simpleString()
+    id_type = stream.schema[id_col].dataType.simpleString()
+
+    def fn(key, pdfs, state):
+        (user,) = key
+        last_us, seq = state.get if state.exists else (None, 0)
+        whole = pd.concat(list(pdfs), ignore_index=True)
+        if len(whole):
+            whole = whole.sort_values([ts_col, id_col], kind="mergesort")
+        out_ids, out_seqs = [], []
+        for _, row in whole.iterrows():
+            ts_us = int(pd.Timestamp(row[ts_col]).value // 1000)
+            if last_us is not None and ts_us - last_us > gap_us:
+                seq += 1
+            last_us = ts_us
+            out_ids.append(row[id_col])
+            out_seqs.append(seq)
+        state.update((last_us, seq))
+        yield pd.DataFrame(
+            {id_col: out_ids, user_col: user, "session_seq": out_seqs}
+        )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        fn,
+        outputStructType=(
+            f"{id_col} {id_type}, {user_col} {key_type}, session_seq long"
+        ),
+        stateStructType="last_us long, seq long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

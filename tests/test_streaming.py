@@ -1166,3 +1166,109 @@ def test_streaming_upsert_sink_matches_batch_apply_changes(spark, tmp_path):
     # stale post-compaction update for the deleted key: still dead
     sink(spark.createDataFrame([("b", 37, "U", 123)], schema), 99)
     assert view() == want
+
+
+def test_sessionize_stream_matches_batch_assignment(spark, tmp_path):
+    """Continuous gap sessionization must end in exactly the per-event
+    session assignment the batch one-window formulation computes over the
+    union, when events arrive per-key event-time-ordered across batches
+    (the operator's stated contract)."""
+    import json as _json
+    import os as _os
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.cep import sessionize_stream
+
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+        ]
+    )
+    base = 1_700_000_000  # seconds
+    gap = 60  # 1-minute session gap
+
+    def ev(eid, uid, sec):
+        return (eid, uid, sec)
+
+    # user 1: three sessions (gaps at 200s and 500s); user 2: one session
+    # spanning a batch boundary; user 3: appears only in batch 3
+    batches = [
+        [ev(1, 1, 0), ev(2, 1, 30), ev(10, 2, 10)],
+        [ev(3, 1, 290), ev(11, 2, 50), ev(4, 1, 300)],
+        [ev(5, 1, 900), ev(12, 2, 80), ev(20, 3, 500)],
+    ]
+    src = str(tmp_path / "sess_src")
+    _os.makedirs(src)
+
+    def write_batch(rows, n):
+        with open(_os.path.join(src, f"b{n}.json"), "w") as f:
+            for eid, uid, sec in rows:
+                f.write(
+                    _json.dumps(
+                        {
+                            "event_id": eid,
+                            "user_id": uid,
+                            "ts": (base + sec) * 1000,  # ms epoch for JSON ts
+                        }
+                    )
+                    + "\n"
+                )
+
+    from pyspark.sql import functions as F
+
+    raw_schema = "event_id long, user_id long, ts long"
+    write_batch(batches[0], 0)
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .json(src)
+        .withColumn("ts", F.timestamp_millis(F.col("ts")))
+    )
+    out_dir, ckpt = str(tmp_path / "sess_out"), str(tmp_path / "sess_ckpt")
+    q = (
+        sessionize_stream(stream, gap_seconds=gap)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, rows in enumerate(batches[1:], start=1):
+            write_batch(rows, i)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r.event_id: (r.user_id, r.session_seq)
+        for r in spark.read.parquet(out_dir).collect()
+    }
+
+    # batch formulation over the union (same shape as queries.q_sessionize)
+    from pyspark.sql.window import Window
+
+    union = spark.createDataFrame(
+        [(e, u, s) for b in batches for (e, u, s) in b],
+        "event_id long, user_id long, sec long",
+    ).withColumn("ts", F.timestamp_seconds(F.col("sec") + base))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    new_sess = (
+        F.when(
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            > gap * 1_000_000,
+            1,
+        )
+        .otherwise(0)
+    )
+    want = {
+        r.event_id: (r.user_id, r.session_seq)
+        for r in union.withColumn(
+            "session_seq", F.sum(new_sess).over(w).cast("long")
+        ).collect()
+    }
+    assert got == want
+    assert want[1] == (1, 0) and want[3] == (1, 1) and want[5] == (1, 2)
+    assert want[10] == (2, 0) and want[12] == (2, 0)  # one session across batches
+    assert want[20] == (3, 0)
