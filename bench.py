@@ -52,6 +52,9 @@ BENCH_QUERIES = [
     "tpch_q4",
     "tpch_q10",
     "tpch_q12",
+    "tpch_q7",
+    "tpch_q14",
+    "tpch_q18",
     "join_revenue_by_nation",
     "rollup_revenue",
     "cube_revenue",

@@ -5412,6 +5412,179 @@ ORDER BY l_returnflag
 """
 
 
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bilateral trade revenue between one
+    nation PAIR by ship year. The two tiny nation relations broadcast
+    onto supplier and customer respectively; the pair predicate is a
+    residual OR over the two directions evaluated AFTER both broadcasts
+    (never a join explosion — each side is already nation-pruned);
+    facts join on their keys once each. Revenue exact cent·bp."""
+    _prep(spark)
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_name").isin(n1, n2))
+    supp = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_bp = F.round(F.col("l_discount") * 100).cast("bigint")
+    pair = (
+        (F.col("supp_nation") == n1) & (F.col("cust_nation") == n2)
+    ) | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+    return (
+        li.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.sum(cents * (F.lit(10_000) - disc_bp)).alias("revenue_cent_bp"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_TPCH_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(rev) AS BIGINT) AS revenue_cent_bp
+FROM (SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS l_year,
+             CAST(round(l_extendedprice * 100) AS BIGINT) *
+               (10000 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+         OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')) t
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): the share of one month's revenue
+    from PROMO parts — fact⋈part equi-join (part is the broadcast side
+    at every TPC-H scale growth rate that matters; at true 100 TB part
+    outgrows broadcast and AQE falls back to the key-shuffle join since
+    there is no hint pinning it — part is NOT F.broadcast-hinted here,
+    deliberately), conditional aggregation, and the share as exact
+    integer ppm (promo·1e6 div total) — no float division."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01"))
+        & (F.col("l_shipdate") < F.lit("1996-06-01"))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_bp = F.round(F.col("l_discount") * 100).cast("bigint")
+    rev = cents * (F.lit(10_000) - disc_bp)
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0)))
+            .alias("promo_rev_cent_bp"),
+            F.sum(rev).alias("total_rev_cent_bp"),
+        )
+        .select(
+            "promo_rev_cent_bp",
+            "total_rev_cent_bp",
+            # ppm ratio computed on the div-10000 (cents) scale so the
+            # 1e6 multiply cannot overflow int64 at any realistic SF;
+            # identical truncation points on both engines
+            F.expr(
+                "(promo_rev_cent_bp div 10000L) * 1000000L"
+                " div greatest(total_rev_cent_bp div 10000L, 1L)"
+            ).alias("promo_share_ppm"),
+        )
+    )
+
+
+SQL_TPCH_Q14 = """
+WITH t AS (SELECT p_type,
+                  CAST(round(l_extendedprice * 100) AS BIGINT) *
+                    (10000 - CAST(round(l_discount * 100) AS BIGINT)) AS rev
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-06-01'),
+s AS (SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT)
+               AS promo_rev_cent_bp,
+             CAST(sum(rev) AS BIGINT) AS total_rev_cent_bp
+      FROM t)
+SELECT promo_rev_cent_bp, total_rev_cent_bp,
+       CAST((promo_rev_cent_bp // 10000) * 1000000
+            // greatest(total_rev_cent_bp // 10000, 1) AS BIGINT)
+         AS promo_share_ppm
+FROM s
+"""
+
+
+Q18_QTY_CENTI = 25_000  # sum(l_quantity) > 250, in exact centi-units
+
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): orders whose total quantity
+    exceeds the threshold, with their customer — the groupBy-HAVING →
+    semi-join-back pattern. The order-quantity rollup is ONE combinable
+    groupBy over lineitem (exact centi-unit BIGINTs); the surviving
+    ~1% of orderkeys broadcast back onto orders/customer; top-100 plans
+    TakeOrderedAndProject."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    qty_centi = F.round(F.col("l_quantity") * 100).cast("bigint")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(qty_centi).alias("qty_centi"))
+        .filter(F.col("qty_centi") > Q18_QTY_CENTI)
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    price_cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("o_orderdate"),
+            price_cents.alias("totalprice_cents"),
+            "qty_centi",
+        )
+        .orderBy(F.desc("totalprice_cents"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q18 = f"""
+WITH big AS (SELECT l_orderkey,
+                    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                      AS qty_centi
+             FROM lineitem GROUP BY l_orderkey
+             HAVING qty_centi > {Q18_QTY_CENTI})
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(o_orderdate AS VARCHAR) AS o_orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       qty_centi
+FROM orders
+JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice_cents DESC, o_orderkey
+LIMIT 100
+"""
+
+
 SESSION_GAP_MIN = 30
 
 
@@ -5680,4 +5853,7 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q12": QuerySpec(q_tpch_q12, SQL_TPCH_Q12),
     "sessionize": QuerySpec(q_sessionize, SQL_SESSIONIZE),
     "tfidf_vectors": QuerySpec(q_tfidf_vectors, _sql_tfidf_vectors()),
+    "tpch_q7": QuerySpec(q_tpch_q7, SQL_TPCH_Q7),
+    "tpch_q14": QuerySpec(q_tpch_q14, SQL_TPCH_Q14),
+    "tpch_q18": QuerySpec(q_tpch_q18, SQL_TPCH_Q18),
 }

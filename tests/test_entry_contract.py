@@ -110,6 +110,9 @@ def test_entry_contract_shape():
         "tpch_q12",  # conditional-aggregation priority split (tail gate)
         "sessionize",  # gap-session assignment, one partitioned window (tail gate)
         "tfidf_vectors",  # sparse TF-IDF top-5/doc, exact integer ranking (tail gate)
+        "tpch_q7",  # bilateral nation-pair trade by ship year (tail gate)
+        "tpch_q14",  # promo revenue share, exact integer ppm (tail gate)
+        "tpch_q18",  # HAVING rollup -> broadcast-back, top-100 (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
