@@ -107,3 +107,33 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int,
+    sort_col: str | None = None,
+) -> None:
+    """Persist ``df`` hash-BUCKETED on ``bucket_col`` (optionally
+    sort-within-bucket) as a managed parquet table — the pre-shuffled
+    storage layout for repeated co-located joins/aggregations.
+
+    Two tables bucketed on their join key with the SAME bucket count
+    join with ZERO Exchange on either side (asserted against the
+    physical plan in test_layout.py): the shuffle every fresh join of
+    raw files must pay happens ONCE at write time and is amortized over
+    every subsequent join, aggregation, or window keyed on the bucket
+    column. At 100 TB this is the difference between re-shuffling the
+    fact table per query and reading it join-ready; the same layout
+    serves groupBy/window on the key (no exchange) and survives
+    executors joining/leaving because bucket->file mapping is static.
+
+    Spark requires ``saveAsTable`` for bucketing metadata (the bucket
+    spec lives in the catalog, not the parquet footers).
+    """
+    w = df.write.format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.mode("overwrite").saveAsTable(table)

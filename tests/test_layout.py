@@ -141,3 +141,50 @@ def test_write_zordered_prunes_boxes_single_sort_does_not(spark, tmp_path):
     assert z_surv <= z_total // 8, (z_surv, z_total)
     # and the z-ordered write kept every row
     assert spark.read.parquet(zpath).count() == len(rows)
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    """Two tables bucketed on the join key with equal bucket counts must
+    SortMergeJoin with ZERO Exchange (the write-time shuffle is amortized
+    over every later join); the same join over raw parquet pays two. Also
+    the bucketed groupBy on the key plans no exchange."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.layout import write_bucketed
+
+    orders = spark.range(0, 1000).select(
+        F.col("id").alias("o_key"), (F.col("id") % 7).alias("o_val")
+    )
+    lines = spark.range(0, 4000).select(
+        (F.col("id") % 1000).alias("l_key"), (F.col("id") % 13).alias("l_val")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(orders, "t_orders_b", "o_key", 8)
+        write_bucketed(lines, "t_lines_b", "l_key", 8, sort_col="l_key")
+        ob, lb = spark.table("t_orders_b"), spark.table("t_lines_b")
+        joined = ob.join(lb, ob["o_key"] == lb["l_key"])
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # both sides read pre-bucketed
+        assert joined.count() == 4000
+
+        agg_plan = (
+            lb.groupBy("l_key").count()._jdf.queryExecution()
+            .executedPlan().toString()
+        )
+        assert "Exchange" not in agg_plan  # bucketing serves the agg too
+
+        # control: the identical join over raw (unbucketed) parquet shuffles
+        orders.write.mode("overwrite").parquet(str(tmp_path / "o_raw"))
+        lines.write.mode("overwrite").parquet(str(tmp_path / "l_raw"))
+        o_raw = spark.read.parquet(str(tmp_path / "o_raw"))
+        l_raw = spark.read.parquet(str(tmp_path / "l_raw"))
+        raw_plan = (
+            o_raw.join(l_raw, o_raw["o_key"] == l_raw["l_key"])
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert raw_plan.count("Exchange") >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_lines_b")
