@@ -111,6 +111,7 @@ BENCH_QUERIES = [
     "embedding_lsh_pairs",
     "random_projection",
     "ann_projected",
+    "ann_recall_eval",
     "bm25_topk",
     "hybrid_rrf",
     "rerank_topk",

@@ -4449,6 +4449,53 @@ ORDER BY qid, rank
 """
 
 
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k evaluation of the JL-projected ANN rung against the exact
+    flat ground truth — the quality metric any approximate index must
+    ship with (an ANN rung without a measured recall is a guess). Both
+    rankings are the already-hash-verified deterministic entries
+    (`ann_topk`, `ann_projected`), so the metric itself is exact integer
+    ppm and cross-engine reproducible: hits = |exact∩projected| per
+    query via one bounded (queries·k) join — the ground-truth side is
+    the only corpus-sized work, and at 100 TB you compute it once on a
+    sampled query set, which is exactly what this entry models."""
+    exact = q_ann_topk(spark, sf_dir).select("qid", "neighbor_id")
+    proj = q_ann_projected(spark, sf_dir).select("qid", "neighbor_id")
+    hits = (
+        exact.join(proj, ["qid", "neighbor_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("hits_at_k"))
+    )
+    return (
+        exact.select("qid")
+        .distinct()
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("hits_at_k", F.lit(0)).alias("hits_at_k"),
+            F.expr(
+                f"coalesce(hits_at_k, 0L) * 1000000L div {ANN_K}"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("qid")
+    )
+
+
+def _sql_ann_recall_eval() -> str:
+    return f"""
+WITH ex AS (SELECT qid, neighbor_id FROM ({SQL_ANN_TOPK}) t),
+pr AS (SELECT qid, neighbor_id FROM ({_sql_ann_projected()}) t),
+j AS (SELECT ex.qid, count(*) AS hits
+      FROM ex JOIN pr ON pr.qid = ex.qid AND pr.neighbor_id = ex.neighbor_id
+      GROUP BY ex.qid)
+SELECT q.qid,
+       CAST(coalesce(j.hits, 0) AS BIGINT) AS hits_at_k,
+       CAST(coalesce(j.hits, 0) * 1000000 // {ANN_K} AS BIGINT) AS recall_ppm
+FROM (SELECT DISTINCT qid FROM ex) q LEFT JOIN j USING (qid)
+ORDER BY qid
+"""
+
+
 def q_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-level entity resolution end-to-end: PassJoin
     edit-distance pairs (≤2 edits on the title proxy) → transitive
@@ -5856,4 +5903,5 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q7": QuerySpec(q_tpch_q7, SQL_TPCH_Q7),
     "tpch_q14": QuerySpec(q_tpch_q14, SQL_TPCH_Q14),
     "tpch_q18": QuerySpec(q_tpch_q18, SQL_TPCH_Q18),
+    "ann_recall_eval": QuerySpec(q_ann_recall_eval, _sql_ann_recall_eval()),
 }

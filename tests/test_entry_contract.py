@@ -113,6 +113,7 @@ def test_entry_contract_shape():
         "tpch_q7",  # bilateral nation-pair trade by ship year (tail gate)
         "tpch_q14",  # promo revenue share, exact integer ppm (tail gate)
         "tpch_q18",  # HAVING rollup -> broadcast-back, top-100 (tail gate)
+        "ann_recall_eval",  # recall@k of the JL rung vs exact, integer ppm (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
