@@ -137,3 +137,31 @@ def write_bucketed(
     if sort_col is not None:
         w = w.sortBy(sort_col)
     w.mode("overwrite").saveAsTable(table)
+
+
+def write_date_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str,
+    granularity: str = "day",
+    files_per_partition: int = 1,
+) -> None:
+    """Persist ``df`` hive-partitioned by a derived date column — the
+    third canonical layout next to :func:`write_bucketed` (join keys)
+    and :func:`write_zordered` (multi-dim range scans): time-range
+    queries prune whole DIRECTORIES before any file I/O (PartitionFilters
+    in the scan, asserted in test_layout.py).
+
+    The derived ``__date`` partition column keeps the original timestamp
+    intact in the data files. One repartition by the partition key bounds
+    the writer to ~files_per_partition files per date (without it every
+    task writes a sliver into every date dir — the classic small-files
+    failure at scale)."""
+    gran = {"day": "yyyy-MM-dd", "month": "yyyy-MM"}[granularity]
+    keyed = df.withColumn("__date", F.date_format(F.col(ts_col), gran))
+    (
+        keyed.repartition(files_per_partition, "__date")
+        .write.mode("overwrite")
+        .partitionBy("__date")
+        .parquet(path)
+    )

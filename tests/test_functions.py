@@ -292,3 +292,79 @@ def test_kmv_estimate_within_error_band(spark):
         assert r.kmv_est_ppm == r.exact_jaccard_ppm, r
     else:
         assert abs(r.kmv_est_ppm - r.exact_jaccard_ppm) < 130_000, r
+
+
+def test_sketch_shard_merge_equals_global(spark):
+    """The 100-TB mergeability claim, asserted EXACTLY: building a sketch
+    per shard and merging (Count-Min: elementwise counter sum; HLL: per-
+    bucket register max) yields bit-identical state to one sketch over
+    the whole corpus — shard-and-add is lossless, not approximately so."""
+    from pyspark.sql import functions as F
+
+    from flink_sql_ai_meetingcoach_azure_spark.functions.hashing import (
+        md5_bigint_col,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import tokens_col
+    from flink_sql_ai_meetingcoach_azure_spark.queries import (
+        CM_D,
+        CM_W,
+        HLL_M,
+        HLL_R,
+        _prep,
+        _t,
+    )
+
+    _prep(spark)
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    halves = [docs.filter(F.col("doc_id") % 2 == p) for p in (0, 1)]
+
+    def cm_counters(d):
+        toks = d.select(F.explode(tokens_col("text")).alias("term"))
+        counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("n"))
+        rb = counts.select(
+            "n",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (md5_bigint_col("term", salt=f"cm{r}") % CM_W).alias("b"),
+                    )
+                    for r in range(CM_D)
+                ])
+            ).alias("rb"),
+        ).select("n", "rb.r", "rb.b")
+        return {
+            (row.r, row.b): row.cnt
+            for row in rb.groupBy("r", "b").agg(F.sum("n").alias("cnt")).collect()
+        }
+
+    shard_cms = [cm_counters(h) for h in halves]
+    merged_cm = {}
+    for s in shard_cms:
+        for k, v in s.items():
+            merged_cm[k] = merged_cm.get(k, 0) + v
+    assert merged_cm == cm_counters(docs)
+
+    def hll_registers(d):
+        dt = d.select(F.explode(tokens_col("text")).alias("term")).distinct()
+        h = md5_bigint_col("term")
+        b = dt.select(
+            (h % HLL_M).alias("b"),
+            F.shiftrightunsigned(h, HLL_M.bit_length() - 1).alias("w"),
+        ).withColumn(
+            "rho",
+            F.when(F.col("w") == 0, F.lit(HLL_R)).otherwise(
+                F.lit(HLL_R) - F.length(F.expr("bin(w)"))
+            ),
+        )
+        return {
+            row.b: row.rho
+            for row in b.groupBy("b").agg(F.max("rho").alias("rho")).collect()
+        }
+
+    shard_hlls = [hll_registers(h) for h in halves]
+    merged_hll = {}
+    for s in shard_hlls:
+        for k, v in s.items():
+            merged_hll[k] = max(merged_hll.get(k, 0), v)
+    assert merged_hll == hll_registers(docs)

@@ -188,3 +188,35 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lines_b")
+
+
+def test_date_partitioned_scan_prunes_directories(spark, tmp_path):
+    """A time-range filter over the date-partitioned layout must become a
+    PartitionFilter (directory pruning before I/O), and the number of
+    files actually read must shrink to the matching dates."""
+    import os
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.layout import (
+        write_date_partitioned,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.queries import _events, _prep
+
+    _prep(spark)
+    ev = _events(spark, "/root/testdata/sf0.001")
+    path = str(tmp_path / "ev_by_day")
+    write_date_partitioned(ev, path, "ts", granularity="day")
+    dirs = [d for d in os.listdir(path) if d.startswith("__date=")]
+    assert len(dirs) >= 5  # events span ~a month of days
+
+    scan = spark.read.parquet(path).filter(
+        (F.col("__date") >= "2024-01-10") & (F.col("__date") < "2024-01-12")
+    )
+    plan = scan._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "2024-01-10" in plan  # the bound reached the partition filter
+    # correctness: pruned read equals the unpartitioned filter
+    want = ev.filter(
+        (F.date_format("ts", "yyyy-MM-dd") >= "2024-01-10")
+        & (F.date_format("ts", "yyyy-MM-dd") < "2024-01-12")
+    ).count()
+    assert scan.count() == want and want > 0
