@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "tpch_q7",
     "tpch_q14",
     "tpch_q18",
+    "tpch_q15",
+    "tpch_q19",
     "join_revenue_by_nation",
     "rollup_revenue",
     "cube_revenue",

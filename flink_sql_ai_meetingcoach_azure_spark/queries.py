@@ -5632,6 +5632,100 @@ LIMIT 100
 """
 
 
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the revenue-view + scalar-max pattern.
+    The per-supplier revenue rollup is ONE combinable groupBy over the
+    windowed lineitem; the scalar `max(total_rev)` is a 1-row aggregate
+    broadcast-crossed back (never a self-join of the view or a global
+    window), and the equality filter keeps every tied winner. The rollup
+    relation is computed once — localCheckpoint, since it feeds both the
+    max and the final join."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_bp = F.round(F.col("l_discount") * 100).cast("bigint")
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.sum(cents * (F.lit(10_000) - disc_bp)).alias("total_rev_cent_bp"))
+        .localCheckpoint(eager=False)
+    )
+    mx = rev.agg(F.max("total_rev_cent_bp").alias("__mx"))
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_rev_cent_bp") == F.col("__mx"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_rev_cent_bp")
+        .orderBy("s_suppkey")
+    )
+
+
+SQL_TPCH_Q15 = """
+WITH rev AS (SELECT l_suppkey,
+                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                             (10000 - CAST(round(l_discount * 100) AS BIGINT)))
+                         AS BIGINT) AS total_rev_cent_bp
+             FROM lineitem
+             WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+             GROUP BY l_suppkey)
+SELECT s_suppkey, s_name, total_rev_cent_bp
+FROM supplier JOIN rev ON l_suppkey = s_suppkey
+WHERE total_rev_cent_bp = (SELECT max(total_rev_cent_bp) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, disjunctive predicates): three
+    (brand, size-range, quantity-range) OR-blocks over lineitem⋈part —
+    the CNF-conversion stress test. The shared `p_partkey` equi-key
+    keeps the join hashed; Catalyst extracts the common conjuncts
+    (size/quantity lower bounds) into scan-level pushdown while the
+    per-block residue evaluates post-join in codegen. One row out,
+    exact cent·bp."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    qty = F.col("l_quantity")
+    block = lambda brand, smax, qlo, qhi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size").between(1, smax))
+        & qty.between(qlo, qhi)
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_bp = F.round(F.col("l_discount") * 100).cast("bigint")
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(
+            block("Brand#1", 5, 1, 11)
+            | block("Brand#2", 10, 10, 20)
+            | block("Brand#3", 15, 20, 30)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(cents * (F.lit(10_000) - disc_bp)).alias("revenue_cent_bp"),
+        )
+    )
+
+
+SQL_TPCH_Q19 = """
+SELECT CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                (10000 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS revenue_cent_bp
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 SESSION_GAP_MIN = 30
 
 
@@ -5904,4 +5998,6 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q14": QuerySpec(q_tpch_q14, SQL_TPCH_Q14),
     "tpch_q18": QuerySpec(q_tpch_q18, SQL_TPCH_Q18),
     "ann_recall_eval": QuerySpec(q_ann_recall_eval, _sql_ann_recall_eval()),
+    "tpch_q15": QuerySpec(q_tpch_q15, SQL_TPCH_Q15),
+    "tpch_q19": QuerySpec(q_tpch_q19, SQL_TPCH_Q19),
 }
