@@ -56,3 +56,59 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def cluster_scale_conf(
+    target_tb: float = 100.0,
+    executors: int = 1000,
+    executor_cores: int = 4,
+    executor_mem_gb: int = 16,
+) -> dict[str, str]:
+    """The documented knob set for running this engine's plans against a
+    real cluster at ``target_tb`` — the sizing rationale the local
+    configuration in :func:`get_spark` is a miniature of. Returns a conf
+    dict to pass as ``extra_conf`` (or feed to spark-submit).
+
+    Sizing rules (each keyed to a failure mode at scale):
+
+    - ``shuffle.partitions``: target ~128-200 MB of shuffle input per
+      task AFTER column pruning (~1/4 of scan bytes): too few -> spill
+      and stragglers; too many -> scheduler overhead and tiny files.
+      AQE coalescing trims the excess at runtime, so err high.
+    - ``files.maxPartitionBytes`` 256m: scan tasks sized so a pruned
+      read still amortizes task launch, without single-task skew.
+    - ``advisoryPartitionSizeInBytes`` 128m / skew thresholds: AQE's
+      split targets — a skewed LSH bucket or hot join key splits into
+      ~128 MB chunks instead of one 30-minute task.
+    - ``autoBroadcastJoinThreshold`` 64m: dims (nation/region/supplier,
+      query-term sets, centroid tables, tier maps) broadcast; anything
+      larger flows to the shuffle joins these plans already declare.
+    - shuffle compression + zstd: shuffle bytes dominate cost at this
+      scale; zstd trades ~5% CPU for ~30% fewer bytes over lz4.
+    """
+    shuffle_bytes = target_tb * (1024**4) / 4  # post-pruning estimate
+    n_shuffle = max(2 * executors * executor_cores,
+                    int(shuffle_bytes / (160 * 1024**2)))
+    return {
+        "spark.sql.shuffle.partitions": str(n_shuffle),
+        "spark.sql.files.maxPartitionBytes": str(256 * 1024**2),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": str(128 * 1024**2),
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "3",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": str(
+            256 * 1024**2
+        ),
+        "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024**2),
+        "spark.io.compression.codec": "zstd",
+        "spark.shuffle.compress": "true",
+        "spark.executor.instances": str(executors),
+        "spark.executor.cores": str(executor_cores),
+        "spark.executor.memory": f"{executor_mem_gb}g",
+        # streaming state + checkpoints must survive executor loss
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider"
+        ),
+    }
