@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "decontaminate",
     "edit_distance_pairs",
     "fuzzy_dedup",
+    "semantic_dedup",
     # similarity search + lexical/hybrid retrieval
     "ann_topk",
     "ann_ivf_topk",
@@ -186,6 +187,7 @@ HEADLINE_QUERIES = [
     "neardup_dedup",
     "mask_spans",
     "fuzzy_dedup",
+    "semantic_dedup",
     "curation_v2",
 ]
 

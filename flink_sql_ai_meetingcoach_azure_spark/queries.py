@@ -3489,6 +3489,88 @@ ORDER BY cluster_id, vec_id
 """
 
 
+SEMDEDUP_TAU = 0.3  # within-cluster cosine duplicate threshold
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate removal with the pair space BOUNDED BY CLUSTERS —
+    assign every embedding to its nearest seed centroid (broadcast
+    argmax, one shuffle row per embedding), compare pairs only WITHIN a
+    cluster, and greedily drop every vector that has a smaller-id
+    neighbor above the cosine threshold. At 100 TB the cluster count k
+    is the knob: pair work is Σ n_c² instead of n² — raise k until the
+    largest cell fits; the all-pairs step never sees the corpus. Output
+    is the surviving (cluster_id, vec_id, sim-to-centroid) rows; 6-dp
+    rounding + id tie-breaks make the drop set engine-reproducible."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.clustering import (  # noqa: PLC0415
+        assign_nearest_centroid,
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < CLUSTER_K).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    corpus = emb.filter(F.col("vec_id") >= CLUSTER_K)
+    assigned = assign_nearest_centroid(corpus, seeds)
+    av = assigned.join(corpus.select("vec_id", "embedding"), "vec_id")
+    left = av.select(
+        F.col("cluster_id").alias("l_cid"),
+        F.col("vec_id").alias("l_id"),
+        F.col("embedding").alias("l_v"),
+    )
+    right = av.select(
+        F.col("cluster_id").alias("r_cid"),
+        F.col("vec_id").alias("r_id"),
+        F.col("embedding").alias("r_v"),
+    )
+    dropped = (
+        left.join(
+            right,
+            (F.col("l_cid") == F.col("r_cid")) & (F.col("l_id") < F.col("r_id")),
+        )
+        .withColumn("cs", F.round(cosine_similarity_col("l_v", "r_v"), 6))
+        .filter(F.col("cs") >= SEMDEDUP_TAU)
+        .select(F.col("r_id").alias("vec_id"))
+        .distinct()
+    )
+    return (
+        assigned.join(dropped, "vec_id", "left_anti")
+        .select("cluster_id", "vec_id", "sim")
+        .orderBy("cluster_id", "vec_id")
+    )
+
+
+def _sql_semantic_dedup() -> str:
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    return f"""
+WITH seeds AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
+               WHERE vec_id < {CLUSTER_K}),
+corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+           WHERE vec_id >= {CLUSTER_K}),
+pairs AS (SELECT c.vec_id, s.cid,
+                 {cos.format(a='c.v', b='s.cv')} AS sim
+          FROM corpus c CROSS JOIN seeds s),
+best AS (SELECT vec_id, cid AS cluster_id, sim,
+                row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, cid ASC) AS rn
+         FROM pairs),
+assigned AS (SELECT vec_id, cluster_id, sim FROM best WHERE rn = 1),
+av AS (SELECT a.vec_id, a.cluster_id, a.sim, c.v
+       FROM assigned a JOIN corpus c USING (vec_id)),
+dropped AS (SELECT DISTINCT y.vec_id
+            FROM av x JOIN av y
+              ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+            WHERE {cos.format(a='x.v', b='y.v')} >= {SEMDEDUP_TAU})
+SELECT cluster_id, vec_id, sim
+FROM assigned WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+ORDER BY cluster_id, vec_id
+"""
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule-pack filtering with per-document audit trail:
     (passes, reasons) from pure integer/ratio signals — a single
@@ -6000,4 +6082,5 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_recall_eval": QuerySpec(q_ann_recall_eval, _sql_ann_recall_eval()),
     "tpch_q15": QuerySpec(q_tpch_q15, SQL_TPCH_Q15),
     "tpch_q19": QuerySpec(q_tpch_q19, SQL_TPCH_Q19),
+    "semantic_dedup": QuerySpec(q_semantic_dedup, _sql_semantic_dedup()),
 }

@@ -116,6 +116,7 @@ def test_entry_contract_shape():
         "ann_recall_eval",  # recall@k of the JL rung vs exact, integer ppm (tail gate)
         "tpch_q15",  # revenue view + scalar-max broadcast-back, ties kept (tail gate)
         "tpch_q19",  # disjunctive OR-blocks, CNF extraction (tail gate)
+        "semantic_dedup",  # SemDeDup cluster-bounded cosine dedup (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
