@@ -104,6 +104,7 @@ BENCH_QUERIES = [
     "edit_distance_pairs",
     "fuzzy_dedup",
     "semantic_dedup",
+    "contrastive_pairs",
     # similarity search + lexical/hybrid retrieval
     "ann_topk",
     "ann_ivf_topk",
@@ -188,6 +189,7 @@ HEADLINE_QUERIES = [
     "mask_spans",
     "fuzzy_dedup",
     "semantic_dedup",
+    "contrastive_pairs",
     "curation_v2",
 ]
 

@@ -671,6 +671,88 @@ FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.do
     )
 
 
+CP_TAU_POS = 0.5  # candidate pairs at/above: positives
+CP_TAU_NEG = 0.2  # candidates below: hard negatives (collided yet dissimilar)
+CP_MAX_DF = 50
+
+
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining from the near-dup machinery: LSH
+    band collisions propose candidates, exact shingle Jaccard (computed
+    ONLY on df-capped shingle-join pairs — never n²) labels them —
+    ≥ tau_pos becomes the anchor's POSITIVE, < tau_neg its HARD NEGATIVE
+    (a pair the cheap hash thought similar but is not — exactly the
+    near-miss a contrastive objective needs). One deterministic pick per
+    anchor (min id, struct-argmin — no window), negatives left-joined so
+    anchors without a hard negative still emit. The whole miner is a
+    composition of the two audited near-dup operators."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: PLC0415
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=MINHASH_N, shingle_n=SHINGLE_N
+    )
+    cand = lsh_candidate_pairs(sigs, "doc_id", num_hashes=MINHASH_N, band_size=BAND_SIZE)
+    scored = cand.join(
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=SHINGLE_N, threshold=0.0, max_doc_freq=CP_MAX_DF
+        ),
+        ["id_a", "id_b"],
+    )
+
+    def best(df: DataFrame, out_id: str, out_j: str) -> DataFrame:
+        return (
+            df.groupBy("id_a")
+            .agg(F.min(F.struct(F.col("id_b"), F.col("jaccard"))).alias("m"))
+            .select(
+                F.col("id_a").alias("anchor_id"),
+                F.col("m.id_b").alias(out_id),
+                F.col("m.jaccard").alias(out_j),
+            )
+        )
+
+    pos = best(scored.filter(F.col("jaccard") >= CP_TAU_POS), "pos_id", "j_pos")
+    neg = best(scored.filter(F.col("jaccard") < CP_TAU_NEG), "neg_id", "j_neg")
+    return pos.join(neg, "anchor_id", "left").orderBy("anchor_id")
+
+
+def _sql_contrastive_pairs() -> str:
+    return f"""
+WITH cand AS (SELECT * FROM ({_sql_lsh_pairs()}) t),
+dtoks AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM documents),
+sh0 AS (SELECT DISTINCT doc_id,
+              array_to_string(list_slice(tk, s, s + {SHINGLE_N - 1}), ' ') AS shingle
+        FROM dtoks,
+             unnest(generate_series(1, greatest(len(tk) - {SHINGLE_N - 1}, 1))) AS t(s)),
+shj AS (SELECT doc_id, shingle FROM sh0
+        WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY shingle
+                          HAVING count(*) <= {CP_MAX_DF})),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shj GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+jac AS (SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                   JOIN sizes sb ON sb.doc_id = id_b),
+scored AS (SELECT c.id_a, c.id_b, j.jaccard
+           FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b),
+pos AS (SELECT id_a AS anchor_id, min(id_b) AS pos_id FROM scored
+        WHERE jaccard >= {CP_TAU_POS} GROUP BY id_a),
+posj AS (SELECT p.anchor_id, p.pos_id, s.jaccard AS j_pos
+         FROM pos p JOIN scored s ON s.id_a = p.anchor_id AND s.id_b = p.pos_id),
+neg AS (SELECT id_a AS anchor_id, min(id_b) AS neg_id FROM scored
+        WHERE jaccard < {CP_TAU_NEG} GROUP BY id_a),
+negj AS (SELECT n.anchor_id, n.neg_id, s.jaccard AS j_neg
+         FROM neg n JOIN scored s ON s.id_a = n.anchor_id AND s.id_b = n.neg_id)
+SELECT p.anchor_id, p.pos_id, p.j_pos, n.neg_id, n.j_neg
+FROM posj p LEFT JOIN negj n USING (anchor_id)
+ORDER BY anchor_id
+"""
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (16-bit, token md5 hashes)."""
     _prep(spark)
@@ -6083,4 +6165,5 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q15": QuerySpec(q_tpch_q15, SQL_TPCH_Q15),
     "tpch_q19": QuerySpec(q_tpch_q19, SQL_TPCH_Q19),
     "semantic_dedup": QuerySpec(q_semantic_dedup, _sql_semantic_dedup()),
+    "contrastive_pairs": QuerySpec(q_contrastive_pairs, _sql_contrastive_pairs()),
 }

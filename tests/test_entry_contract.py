@@ -117,6 +117,7 @@ def test_entry_contract_shape():
         "tpch_q15",  # revenue view + scalar-max broadcast-back, ties kept (tail gate)
         "tpch_q19",  # disjunctive OR-blocks, CNF extraction (tail gate)
         "semantic_dedup",  # SemDeDup cluster-bounded cosine dedup (tail gate)
+        "contrastive_pairs",  # LSH-mined positives + hard negatives (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
