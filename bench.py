@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "value_histogram",
     "equidepth_histogram",
     "argmax_per_user",
+    "global_row_number",
     "zorder_key",
     "tumbling_window",
     "hopping_window",

@@ -3571,6 +3571,39 @@ ORDER BY cluster_id, vec_id
 """
 
 
+def q_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global contiguous example ids WITHOUT a global window — the
+    scale-safe numbering every sharded training set needs: range
+    repartition by the total order (one exchange), per-partition local
+    rank, per-partition counts prefix-summed driver-side (bounded by
+    partition count), id = offset + local rank
+    (operators/indexing.py). Ids equal the global ORDER BY rank exactly,
+    independent of partition boundaries; oracle = DuckDB row_number over
+    the same total order."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.indexing import (  # noqa: PLC0415
+        contiguous_row_ids,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        "event_id", F.round(F.col("value") * 100).cast("bigint").alias("cents")
+    )
+    # total order: value desc, event_id as the unique tie-break
+    out = contiguous_row_ids(ev, [F.desc("cents"), F.asc("event_id")])
+    return out.select("event_id", "cents", "row_id").orderBy("event_id")
+
+
+SQL_GLOBAL_ROW_NUMBER = """
+WITH e AS (SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events)
+SELECT event_id, cents,
+       CAST(row_number() OVER (ORDER BY cents DESC, event_id) AS BIGINT)
+         AS row_id
+FROM e
+ORDER BY event_id
+"""
+
+
 SEMDEDUP_TAU = 0.3  # within-cluster cosine duplicate threshold
 
 
@@ -6166,4 +6199,5 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q19": QuerySpec(q_tpch_q19, SQL_TPCH_Q19),
     "semantic_dedup": QuerySpec(q_semantic_dedup, _sql_semantic_dedup()),
     "contrastive_pairs": QuerySpec(q_contrastive_pairs, _sql_contrastive_pairs()),
+    "global_row_number": QuerySpec(q_global_row_number, SQL_GLOBAL_ROW_NUMBER),
 }

@@ -1339,3 +1339,32 @@ def test_pagerank_partitioning_invariant(spark):
         for r in pagerank(df.repartition(17), iters=3).collect()
     )
     assert a == b
+
+
+def test_contiguous_row_ids_partition_invariant(spark):
+    """Ids must equal the global ORDER BY rank exactly, for ANY partition
+    count, and the plan must contain no unpartitioned window."""
+    import random
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.indexing import (
+        contiguous_row_ids,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, rng.randrange(0, 50)) for i in range(5000)]
+    df = spark.createDataFrame(rows, ["k", "v"])
+    want = {
+        k: rank + 1
+        for rank, (k, _) in enumerate(
+            sorted(rows, key=lambda r: (-r[1], r[0]))
+        )
+    }
+    for n in (1, 3, 16):
+        out = contiguous_row_ids(df, [F.desc("v"), F.asc("k")], num_partitions=n)
+        got = {r.k: r.row_id for r in out.collect()}
+        assert got == want, n
+    plan = (
+        contiguous_row_ids(df, [F.desc("v"), F.asc("k")], num_partitions=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "No Partition Defined" not in plan
