@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "tpch_q18",
     "tpch_q15",
     "tpch_q19",
+    "tpch_q22",
     "join_revenue_by_nation",
     "rollup_revenue",
     "cube_revenue",

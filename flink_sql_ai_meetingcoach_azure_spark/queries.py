@@ -3571,6 +3571,58 @@ ORDER BY cluster_id, vec_id
 """
 
 
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted to the reduced
+    schema (nation key stands in for the phone country code): customers
+    with above-average positive balance and NO RECENT orders — the scalar-
+    subquery (1-row broadcast cross, exact integer cents) + LEFT ANTI
+    join pattern, rolled up per nation. The anti probe shuffles each
+    side once on custkey; the average never plans a window."""
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100).cast("bigint")
+    c = cust.select("c_custkey", "c_nationkey", cents.alias("bal_cents"))
+    pos = c.filter(F.col("bal_cents") > 0)
+    # exact integer average threshold: floor(sum/count) — same on both engines
+    avg1 = pos.agg(
+        F.expr("sum(bal_cents) div count(*)").alias("__avg_cents")
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01"))
+        .select("o_custkey")
+    )
+    return (
+        pos.crossJoin(F.broadcast(avg1))
+        .filter(F.col("bal_cents") > F.col("__avg_cents"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_cents").alias("totacctbal_cents"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+SQL_TPCH_Q22 = """
+WITH c AS (SELECT c_custkey, c_nationkey,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+           FROM customer),
+pos AS (SELECT * FROM c WHERE bal_cents > 0),
+a AS (SELECT CAST(sum(bal_cents) // count(*) AS BIGINT) AS avg_cents FROM pos)
+SELECT c_nationkey,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+FROM pos, a
+WHERE bal_cents > avg_cents
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= '1999-01-01')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
 def q_global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global contiguous example ids WITHOUT a global window — the
     scale-safe numbering every sharded training set needs: range
@@ -6200,4 +6252,5 @@ QUERIES: dict[str, QuerySpec] = {
     "semantic_dedup": QuerySpec(q_semantic_dedup, _sql_semantic_dedup()),
     "contrastive_pairs": QuerySpec(q_contrastive_pairs, _sql_contrastive_pairs()),
     "global_row_number": QuerySpec(q_global_row_number, SQL_GLOBAL_ROW_NUMBER),
+    "tpch_q22": QuerySpec(q_tpch_q22, SQL_TPCH_Q22),
 }

@@ -119,6 +119,7 @@ def test_entry_contract_shape():
         "semantic_dedup",  # SemDeDup cluster-bounded cosine dedup (tail gate)
         "contrastive_pairs",  # LSH-mined positives + hard negatives (tail gate)
         "global_row_number",  # windowless global rank via range offsets (tail gate)
+        "tpch_q22",  # scalar-avg broadcast + anti join per nation (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
