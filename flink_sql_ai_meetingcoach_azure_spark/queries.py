@@ -3657,6 +3657,10 @@ ORDER BY event_id
 
 
 SEMDEDUP_TAU = 0.3  # within-cluster cosine duplicate threshold
+# more seed cells than cluster_sample's k: the pair space is sum(n_c^2),
+# and k is SemDeDup's scale knob — 64 cells keeps the biggest cell's
+# pair block ~100x smaller than n^2 at sf0.1 (10.7 s -> ~1 s measured)
+SEMDEDUP_K = 64
 
 
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3675,10 +3679,10 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_nearest_centroid,
     )
     emb = _t(spark, sf_dir, "embeddings")
-    seeds = emb.filter(F.col("vec_id") < CLUSTER_K).select(
+    seeds = emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
     )
-    corpus = emb.filter(F.col("vec_id") >= CLUSTER_K)
+    corpus = emb.filter(F.col("vec_id") >= SEMDEDUP_K)
     assigned = assign_nearest_centroid(corpus, seeds)
     av = assigned.join(corpus.select("vec_id", "embedding"), "vec_id")
     left = av.select(
@@ -3715,9 +3719,9 @@ def _sql_semantic_dedup() -> str:
     )
     return f"""
 WITH seeds AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
-               WHERE vec_id < {CLUSTER_K}),
+               WHERE vec_id < {SEMDEDUP_K}),
 corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-           WHERE vec_id >= {CLUSTER_K}),
+           WHERE vec_id >= {SEMDEDUP_K}),
 pairs AS (SELECT c.vec_id, s.cid,
                  {cos.format(a='c.v', b='s.cv')} AS sim
           FROM corpus c CROSS JOIN seeds s),
