@@ -337,6 +337,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.0,
     max_doc_freq: int | None = 1000,
+    restrict_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all candidate pairs that share at
     least one shingle (id_a < id_b, jaccard >= threshold).
@@ -368,6 +369,16 @@ def ngram_jaccard_pairs(
     # plan re-scans and re-explodes the corpus per consumer (audited: 8
     # parquet scans for this one operator). Same localCheckpoint rationale
     # as lsh_candidate_pairs (ContextCleaner-released, caller unaffected).
+    if restrict_ids is not None:
+        # verify-stage restriction (e.g. docs appearing in LSH candidate
+        # pairs): shrink the self-join sides AFTER the frequency cap so
+        # shingle df — and therefore every retained shingle set and
+        # jaccard value — is computed over the FULL corpus, identically
+        # to the unrestricted call; only pairs outside the restriction
+        # disappear. At scale this makes the verify cost proportional to
+        # the candidates, not the corpus.
+        keep = restrict_ids.select(F.col(restrict_ids.columns[0]).alias(id_col))
+        sh = sh.join(F.broadcast(keep.distinct()), on=id_col, how="left_semi")
     sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
     a = sh.alias("a")

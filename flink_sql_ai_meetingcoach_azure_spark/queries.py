@@ -695,10 +695,25 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(
         docs, "doc_id", "text", num_hashes=MINHASH_N, shingle_n=SHINGLE_N
     )
-    cand = lsh_candidate_pairs(sigs, "doc_id", num_hashes=MINHASH_N, band_size=BAND_SIZE)
+    cand = lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=MINHASH_N, band_size=BAND_SIZE
+    ).localCheckpoint(eager=False)  # feeds the restriction AND the score join
+    cand_docs = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).distinct()
+    # exact scoring runs ONLY over candidate docs (restrict_ids) — the
+    # shingle self-join cost is proportional to candidates, not corpus;
+    # shingle df (and so every jaccard value) still comes from the full
+    # corpus, identical to the oracle's all-pairs formulation
     scored = cand.join(
         ngram_jaccard_pairs(
-            docs, "doc_id", "text", n=SHINGLE_N, threshold=0.0, max_doc_freq=CP_MAX_DF
+            docs,
+            "doc_id",
+            "text",
+            n=SHINGLE_N,
+            threshold=0.0,
+            max_doc_freq=CP_MAX_DF,
+            restrict_ids=cand_docs,
         ),
         ["id_a", "id_b"],
     )
