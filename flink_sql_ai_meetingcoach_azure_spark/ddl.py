@@ -997,23 +997,31 @@ class FlinkStatementSession:
             while changed:
                 changed = False
                 for tj_variant, probe_variant in _cast_sites(sql):
-                    if self._cast_arg_is_complex(probe_variant):
+                    if self._cast_arg_is_complex(probe_variant, tj_variant):
                         sql = tj_variant
                         changed = True
                         break
         return self.spark.sql(sql)
 
-    def _cast_arg_is_complex(self, probe_sql: str) -> bool:
+    def _cast_arg_is_complex(self, probe_sql: str, tj_sql: str) -> bool:
         """Analyze the probe variant (schema only — nothing executes) and
         look for the marker struct<__cast_probe: T> among the top-level
-        output fields; T complex → rewrite the site. A probe that fails
-        analysis (cast nested inside a larger typed expression) keeps the
-        plain cast, matching Spark's native complex→string rendering for
-        the shapes the reference never emits."""
+        output fields; T complex → rewrite the site. When the probe itself
+        fails analysis — a cast NESTED inside a larger typed expression,
+        e.g. concat(CAST(arr AS STRING), '!'), where the struct wrapper
+        breaks the enclosing expression's typing — fall back to the
+        acceptance check: analyze the to_json variant, which resolves iff
+        the argument is struct/array/map/variant (to_json rejects atomics),
+        so nested complex casts keep the documented JSON rendering instead
+        of silently reverting to Spark's native one (ADVICE r6)."""
         try:
             schema = self.spark.sql(probe_sql).schema
-        except Exception:  # noqa: BLE001 — nested site: keep the plain cast
-            return False
+        except Exception:  # noqa: BLE001 — nested site: acceptance-check to_json
+            try:
+                self.spark.sql(tj_sql).schema  # noqa: B018 — analysis only
+            except Exception:  # noqa: BLE001 — atomic arg: keep the plain cast
+                return False
+            return True
         complex_types = (T.StructType, T.ArrayType, T.MapType, T.VariantType)
         for f in schema.fields:
             dt = f.dataType

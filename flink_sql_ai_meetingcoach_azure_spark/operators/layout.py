@@ -153,15 +153,24 @@ def write_date_partitioned(
     in the scan, asserted in test_layout.py).
 
     The derived ``__date`` partition column keeps the original timestamp
-    intact in the data files. One repartition by the partition key bounds
+    intact in the data files. One hash repartition on (date, salt) bounds
     the writer to ~files_per_partition files per date (without it every
     task writes a sliver into every date dir — the classic small-files
-    failure at scale)."""
+    failure at scale) while write PARALLELISM scales with the number of
+    dates × files_per_partition: each (date, salt) pair lands in its own
+    hash partition (bounded above by spark.sql.shuffle.partitions), never
+    the single global partition a count-only ``repartition(n, key)`` with
+    small n would force. The salt is a deterministic hash of the
+    timestamp, not rand(), so re-runs produce identical file contents."""
     gran = {"day": "yyyy-MM-dd", "month": "yyyy-MM"}[granularity]
     keyed = df.withColumn("__date", F.date_format(F.col(ts_col), gran))
+    if files_per_partition <= 1:
+        parted = keyed.repartition("__date")
+    else:
+        salt = F.pmod(F.xxhash64(F.col(ts_col)), F.lit(files_per_partition))
+        parted = keyed.repartition(F.col("__date"), salt)
     (
-        keyed.repartition(files_per_partition, "__date")
-        .write.mode("overwrite")
+        parted.write.mode("overwrite")
         .partitionBy("__date")
         .parquet(path)
     )

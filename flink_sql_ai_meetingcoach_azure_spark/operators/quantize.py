@@ -443,6 +443,7 @@ def vector_search_ivfpq_parquet(
     sim_col: str = "similarity",
     rank_col: str = "search_rank",
     round_sim: int = 6,
+    max_query_rows: int | None = 100_000,
 ) -> DataFrame:
     """IVF-PQ probe: partition-pruned scan + streamed ADC + exact top-k.
 
@@ -469,7 +470,33 @@ def vector_search_ivfpq_parquet(
     cb = read_pq_codebooks(spark, path)
     m, ksub, dsub = cb.shape
 
-    q_rows = query_df.select(query_id_col, query_col).collect()
+    # the query table is driver-collected and broadcast with its per-query
+    # LUTs — guard it with the same limit-rides-the-job discipline as
+    # _collect_index_rows (vector_search.py) so a caller pointing a large
+    # relation at the query side gets an actionable error, not a driver OOM
+    if max_query_rows is None:
+        q_rows = query_df.select(query_id_col, query_col).collect()
+    else:
+        q_rows = (
+            query_df.select(query_id_col, query_col)
+            .limit(max_query_rows + 1)
+            .collect()
+        )
+        if len(q_rows) > max_query_rows:
+            from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # noqa: PLC0415
+                IndexTooLargeError,
+            )
+
+            raise IndexTooLargeError(
+                f"IVF-PQ query side exceeds max_query_rows={max_query_rows}: "
+                "each query is collected to the driver and broadcast with an "
+                "m×ksub LUT. Split the query table into bounded batches (loop "
+                "over deterministic_split buckets), or for index-sized query "
+                "relations run the symmetric join-based search "
+                "(vector_search_ivf_parquet scores query×cell pairs "
+                "distributed-side), or pass a larger max_query_rows explicitly "
+                "if the driver can hold it."
+            )
     q_ids = [r[0] for r in q_rows]
     # explicit 2-D shape: zero queries must flow through (an empty
     # asarray is 1-D and axis=1 norms would raise)

@@ -78,14 +78,24 @@ def bm25_scores(
     shuffle (two passes, no driver collect). df/N/avgdl are tiny
     aggregates joined by broadcast either way.
     """
-    qterms = queries.select("qid", "term").distinct()
+    # NULL terms can never match a token: drop them up front so the inline
+    # InSet never sees None and both plans agree (the join path dropped
+    # them implicitly via equi-join null semantics)
+    qterms = (
+        queries.select("qid", "term")
+        .where(F.col("term").isNotNull())
+        .distinct()
+    )
     term_rows = (
         qterms.select("term").distinct().limit(MAX_LITERAL_TERMS + 1).collect()
     )
     terms = [r.term for r in term_rows]
 
     toks = _doc_tokens(docs, id_col, text_col)
-    if len(terms) <= MAX_LITERAL_TERMS:
+    # zero-term queries short-circuit through the join path (an InSet with
+    # no arguments is a degenerate Column.isin() call); the empty broadcast
+    # semi-join yields the correct empty result with the right schema
+    if 0 < len(terms) <= MAX_LITERAL_TERMS:
         per_doc = toks.select(
             "doc_id",
             "dl",

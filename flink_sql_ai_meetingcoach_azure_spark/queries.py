@@ -6124,6 +6124,215 @@ ORDER BY doc_id, rank
 """
 
 
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), adapted to the reduced
+    schema (no p_container — the brand filter alone selects the part
+    group). The CORRELATED SCALAR subquery — ``l_quantity < 0.2 *
+    avg(l_quantity)`` per partkey — decorrelates to one combinable
+    per-partkey aggregate joined back on partkey: never a per-row
+    subquery, and because the threshold compares one row against its
+    group's mean, the fraction is cleared exactly in BIGINTs
+    (``5·qty·n < sum`` ⟺ ``qty < sum/(5n)``) so both engines make
+    identical keep/drop decisions with zero float drift. Revenue /7 is
+    exact integer division. Plan: brand filter pushed to the part scan,
+    part broadcasts into the fact probe, the aggregate side shuffles the
+    fact ONCE on partkey."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("bigint")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    agg = (
+        li.groupBy("l_partkey")
+        .agg(
+            F.sum(qty_c).alias("__sum_q"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+        .withColumnRenamed("l_partkey", "__agg_partkey")
+    )
+    return (
+        li.select("l_partkey", qty_c.alias("__qty_c"), price_c.alias("__price_c"))
+        .join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(agg, F.col("l_partkey") == F.col("__agg_partkey"))
+        .filter(F.lit(5) * F.col("__qty_c") * F.col("__n") < F.col("__sum_q"))
+        .agg(
+            F.expr("sum(__price_c) div 7").cast("bigint").alias("avg_yearly_cents")
+        )
+    )
+
+
+SQL_TPCH_Q17 = """
+WITH agg AS (SELECT l_partkey,
+                    sum(CAST(round(l_quantity*100) AS BIGINT)) AS sum_q,
+                    count(*) AS n
+             FROM lineitem GROUP BY l_partkey)
+SELECT CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)) // 7 AS BIGINT)
+       AS avg_yearly_cents
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN agg ON agg.l_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#23'
+  AND 5 * CAST(round(l.l_quantity*100) AS BIGINT) * agg.n < agg.sum_q
+"""
+
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), adapted to the reduced
+    schema (no partsupp/availqty): suppliers in one region who DOMINATED
+    the 1996 shipments of a name-filtered part — shipped more than half
+    that part's total 1996 volume. Preserves Q20's full nested shape:
+    an inner IN over a filtered part list (semi join), a correlated
+    per-(supplier, part) aggregate compared against a correlated
+    per-part SCALAR aggregate (decorrelated to two combinable aggregates
+    over the SAME pre-filtered relation joined on partkey — the filtered
+    fact slice is computed once and localCheckpoint'd, not re-scanned),
+    and an outer IN feeding the supplier⋈nation probe (semi join,
+    nation broadcast). The 50 %% threshold compares integer quantity
+    sums (``2·supp_q > tot_q``) — exact on both engines."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    red_parts = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    qty_c = F.round(F.col("l_quantity") * 100).cast("bigint")
+    sliced = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+        )
+        .join(F.broadcast(red_parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select("l_suppkey", "l_partkey", qty_c.alias("__qty_c"))
+        .localCheckpoint(eager=False)  # both aggregates read this slice
+    )
+    supp_part = sliced.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("__qty_c").alias("__supp_q")
+    )
+    per_part = (
+        sliced.groupBy("l_partkey")
+        .agg(F.sum("__qty_c").alias("__tot_q"))
+        .withColumnRenamed("l_partkey", "__tot_partkey")
+    )
+    dominant = (
+        supp_part.join(per_part, F.col("l_partkey") == F.col("__tot_partkey"))
+        .filter(F.lit(2) * F.col("__supp_q") > F.col("__tot_q"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    return (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(dominant, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+SQL_TPCH_Q20 = """
+WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+sliced AS (SELECT l_suppkey, l_partkey,
+                  CAST(round(l_quantity*100) AS BIGINT) AS qty_c
+           FROM lineitem
+           WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+             AND l_partkey IN (SELECT p_partkey FROM red)),
+sq AS (SELECT l_suppkey, l_partkey, sum(qty_c) AS supp_q
+       FROM sliced GROUP BY l_suppkey, l_partkey),
+tot AS (SELECT l_partkey, sum(qty_c) AS tot_q FROM sliced GROUP BY l_partkey)
+SELECT s.s_name, n.n_name
+FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_regionkey = 2
+  AND s.s_suppkey IN (SELECT sq.l_suppkey FROM sq
+                      JOIN tot ON sq.l_partkey = tot.l_partkey
+                      WHERE 2 * sq.supp_q > tot.tot_q)
+ORDER BY s.s_name
+"""
+
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted to the
+    reduced schema (lateness = shipped >90 days after the order date, no
+    commit/receipt dates; nation filter widened to a region — 100
+    suppliers at this scale). The canonical multi-EXISTS shape: for each
+    LATE lineitem of a finalized order, EXISTS another supplier's line
+    in the same order (LEFT SEMI) and NOT EXISTS another supplier's LATE
+    line (LEFT ANTI). Both subqueries decorrelate to EQUI-KEYED joins on
+    orderkey — the supplier inequality and the lateness bound (which
+    correlates on o_orderdate from the OUTER block) ride along as
+    residual conditions; never a per-row subquery, never a cartesian.
+    Supplier+nation broadcast into the fact probe; the two fact⋈fact
+    probes shuffle lineitem on orderkey — the same key, so AQE reuses
+    the exchange."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3)
+    base = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 90 DAY"))
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("__l2_ok"), F.col("l_suppkey").alias("__l2_sk")
+    )
+    l3 = li.select(
+        F.col("l_orderkey").alias("__l3_ok"),
+        F.col("l_suppkey").alias("__l3_sk"),
+        F.col("l_shipdate").alias("__l3_ship"),
+    )
+    waiting = base.join(
+        l2,
+        (F.col("__l2_ok") == F.col("l_orderkey")) & (F.col("__l2_sk") != F.col("l_suppkey")),
+        "left_semi",
+    ).join(
+        l3,
+        (F.col("__l3_ok") == F.col("l_orderkey"))
+        & (F.col("__l3_sk") != F.col("l_suppkey"))
+        & (F.col("__l3_ship") > F.expr("o_orderdate + INTERVAL 90 DAY")),
+        "left_anti",
+    )
+    return (
+        waiting.join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+                ).select("s_suppkey", "s_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q21 = """
+SELECT s.s_name, count(*) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND n.n_regionkey = 3
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 100
+"""
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-6 rotation (VERDICT r5 #3): 15 entries that were green in every
@@ -6272,4 +6481,8 @@ QUERIES: dict[str, QuerySpec] = {
     "contrastive_pairs": QuerySpec(q_contrastive_pairs, _sql_contrastive_pairs()),
     "global_row_number": QuerySpec(q_global_row_number, SQL_GLOBAL_ROW_NUMBER),
     "tpch_q22": QuerySpec(q_tpch_q22, SQL_TPCH_Q22),
+    # -- r7 additions: the TPC-H decorrelation tail (VERDICT r6 #2) --
+    "tpch_q17": QuerySpec(q_tpch_q17, SQL_TPCH_Q17),
+    "tpch_q20": QuerySpec(q_tpch_q20, SQL_TPCH_Q20),
+    "tpch_q21": QuerySpec(q_tpch_q21, SQL_TPCH_Q21),
 }

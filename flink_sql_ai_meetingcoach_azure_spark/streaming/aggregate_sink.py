@@ -148,6 +148,11 @@ class StreamingAggregateSink:
 
     # -- merge-on-read views -------------------------------------------
     def _merged(self) -> DataFrame:
+        from flink_sql_ai_meetingcoach_azure_spark.streaming.maintenance import (  # noqa: PLC0415
+            recover_log,
+        )
+
+        recover_log(self.spark, f"{self.state_dir}/log")  # self-heal a crashed compact
         self._check_log_schema()
         log = self.spark.read.parquet(f"{self.state_dir}/log")
         aggs = [F.sum("__n").cast("long").alias("n_rows")] + [
@@ -216,5 +221,10 @@ class StreamingAggregateSink:
                 )
             )
             merged = merged.join(folded, self.key_cols, "left")
-        compacted = merged.localCheckpoint()  # materialize before overwrite
-        compacted.write.mode("overwrite").parquet(f"{self.state_dir}/log")
+        # crash-safe write-then-swap (streaming.maintenance): never hold
+        # the only copy of the state in memory while truncating the dir
+        from flink_sql_ai_meetingcoach_azure_spark.streaming.maintenance import (  # noqa: PLC0415
+            replace_log_atomically,
+        )
+
+        replace_log_atomically(self.spark, f"{self.state_dir}/log", merged)

@@ -93,6 +93,11 @@ class StreamingUpsertSink:
         """The maintained upsert view: latest non-deleted row per key —
         equal to batch apply_changes over the union of all ingested
         batches."""
+        from flink_sql_ai_meetingcoach_azure_spark.streaming.maintenance import (  # noqa: PLC0415
+            recover_log,
+        )
+
+        recover_log(self.spark, f"{self.state_dir}/log")  # self-heal a crashed compact
         log = self.spark.read.parquet(f"{self.state_dir}/log")
         return apply_changes(
             log, self.key_cols, self.seq_cols, self.op_col, self.delete_op
@@ -101,7 +106,16 @@ class StreamingUpsertSink:
     def compact(self) -> None:
         """Fold the log to one row per key, tombstones included (dropping
         them would let a stale out-of-order update resurrect a deleted
-        key). Offline maintenance; reads are unchanged."""
+        key). Offline maintenance; reads are unchanged. Crash-safe: the
+        folded log is fully written to a sibling temp dir before the live
+        dir is swapped out (see streaming.maintenance) — an in-place
+        overwrite backed only by a localCheckpoint loses the state if the
+        driver dies mid-write."""
+        from flink_sql_ai_meetingcoach_azure_spark.streaming.maintenance import (  # noqa: PLC0415
+            replace_log_atomically,
+        )
+
         log = self.spark.read.parquet(f"{self.state_dir}/log")
-        folded = self._latest_per_key(log).localCheckpoint()
-        folded.write.mode("overwrite").parquet(f"{self.state_dir}/log")
+        replace_log_atomically(
+            self.spark, f"{self.state_dir}/log", self._latest_per_key(log)
+        )

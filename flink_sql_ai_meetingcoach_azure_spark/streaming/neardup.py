@@ -69,6 +69,11 @@ class StreamingNearDupDedup:
 
     # -- state ------------------------------------------------------------
     def _read_state(self, spark) -> DataFrame | None:
+        from flink_sql_ai_meetingcoach_azure_spark.streaming.maintenance import (  # noqa: PLC0415
+            recover_log,
+        )
+
+        recover_log(spark, self.state_path)  # self-heal a crashed compact
         try:
             log = spark.read.parquet(self.state_path)
         except Exception:  # noqa: BLE001 — first batch: no state yet
@@ -81,10 +86,13 @@ class StreamingNearDupDedup:
         merged = self._read_state(spark)
         if merged is None:
             return
-        merged.write.mode("overwrite").parquet(self.state_path + "_compacted")
-        spark.read.parquet(self.state_path + "_compacted").write.mode(
-            "overwrite"
-        ).parquet(self.state_path)
+        from flink_sql_ai_meetingcoach_azure_spark.streaming.maintenance import (  # noqa: PLC0415
+            replace_log_atomically,
+        )
+
+        # crash-safe write-then-swap: a failure mid-compaction leaves the
+        # full pre-compaction log recoverable (streaming.maintenance)
+        replace_log_atomically(spark, self.state_path, merged)
 
     def _marker(self, spark, batch_id: int):
         jvm = spark._jvm

@@ -134,6 +134,32 @@ def test_complex_cast_rewrite_is_type_decided_and_silent(spark, caplog):
     assert rows[0]["tags_s"] == '["a","b"]'  # complex: JSON rendering
 
 
+def test_nested_complex_cast_falls_back_to_json_rendering(spark, caplog):
+    """A complex CAST(x AS STRING) NESTED inside a larger expression (e.g.
+    concat(CAST(arr AS STRING), '!')) breaks the named_struct type probe —
+    the wrapper struct fails the enclosing expression's typing — so the
+    site must fall back to the to_json acceptance check and KEEP the
+    documented JSON rendering (ADVICE r6: the probe-only path silently
+    reverted nested shapes to Spark's native rendering). Nested atomic
+    casts stay plain, and the decision still logs nothing at ERROR."""
+    import logging
+
+    sess = FlinkStatementSession(spark)
+    sess.execute(
+        "CREATE TABLE `e`.`c`.cast_nested (uid BIGINT, tags ARRAY<STRING>)"
+    )
+    sess.execute("INSERT INTO `e`.`c`.cast_nested VALUES (7, ARRAY['a', 'b'])")
+    with caplog.at_level(logging.ERROR):
+        rows = sess.execute(
+            "SELECT concat(CAST(tags AS STRING), '!') AS nested_c,"
+            " concat(CAST(uid AS STRING), '!') AS nested_a"
+            " FROM cast_nested"
+        ).collect()
+    assert [r for r in caplog.records if r.levelno >= logging.ERROR] == []
+    assert rows[0]["nested_c"] == '["a","b"]!'  # complex: JSON even nested
+    assert rows[0]["nested_a"] == "7!"  # atomic: plain cast
+
+
 def test_decimal_round_trips_through_create_insert_ctas(spark):
     """DECIMAL(p,s) end to end: a declared money column survives CREATE
     TABLE + INSERT VALUES with exact scale, CTAS arithmetic widens

@@ -220,3 +220,61 @@ def test_date_partitioned_scan_prunes_directories(spark, tmp_path):
         & (F.date_format("ts", "yyyy-MM-dd") < "2024-01-12")
     ).count()
     assert scan.count() == want and want > 0
+
+
+def test_date_partitioned_write_parallelism_scales_with_dates(spark, tmp_path):
+    """The small-files bound must not collapse write parallelism: with
+    files_per_partition=1 every date hashes to its OWN shuffle partition
+    (one file per date, parallelism = number of dates — NOT one global
+    partition, the ADVICE r6 regression where repartition(1, key) hashed
+    the whole dataset into a single writer task), and files_per_partition=2
+    salts each date across ~2 writer tasks."""
+    import os
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.layout import (
+        write_date_partitioned,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.queries import _events, _prep
+
+    def files_per_date(path):
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("__date="):
+                out[d] = len(
+                    [f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")]
+                )
+        return out
+
+    _prep(spark)
+    ev = _events(spark, "/root/testdata/sf0.001")
+
+    # pin AQE partition coalescing off for the file-count assertions: on
+    # this kilobyte test input AQE folds the whole shuffle into one
+    # partition (correctly — the salted layout only matters when partitions
+    # carry real volume), which would mask the per-date fan-out under test
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        p1 = str(tmp_path / "fpp1")
+        write_date_partitioned(ev, p1, "ts", granularity="day")
+        fpd = files_per_date(p1)
+        assert len(fpd) >= 5
+        # one file per date: each date owns one hash partition (collisions
+        # of two dates onto one shuffle partition still write one file per
+        # date — partitionBy splits by date within the task)
+        assert all(n == 1 for n in fpd.values()), fpd
+
+        p2 = str(tmp_path / "fpp2")
+        write_date_partitioned(
+            ev, p2, "ts", granularity="day", files_per_partition=2
+        )
+        fpd2 = files_per_date(p2)
+        # salted: dates fan out to up to 2 files, at least one actually
+        # does, and none exceeds the bound
+        assert all(1 <= n <= 2 for n in fpd2.values()), fpd2
+        assert any(n == 2 for n in fpd2.values()), fpd2
+        # same rows either way
+        assert spark.read.parquet(p2).count() == ev.count()
+    finally:
+        spark.conf.set(coalesce_key, prev)

@@ -324,3 +324,39 @@ def test_tfidf_idf_join_not_broadcast(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     # the single-row corpus count stays a nested-loop broadcast even here
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tpch_q17_correlated_scalar_decorrelates_to_agg_join(spark):
+    """The per-partkey 0.2·avg threshold must plan as ONE combinable
+    aggregate joined back on partkey (with the integer threshold as a
+    residual join condition) — never a per-row subquery or nested loop;
+    the brand filter must reach the part scan."""
+    plan = _plan(spark, "tpch_q17")
+    assert "EqualTo(p_brand,Brand#23)" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial+final per-partkey agg
+    # the keep/drop threshold rides the partkey equi-join as a residual
+    assert "__sum_q" in plan and "__n" in plan
+
+
+def test_tpch_q20_nested_semis_stay_equi_keyed(spark):
+    """Both IN-subquery levels must plan as LEFT SEMI equi-joins (part
+    list into the fact slice; dominant-supplier set into supplier), the
+    per-part scalar aggregate as a join on partkey with the 2·supp>tot
+    residual, and nation must broadcast."""
+    plan = _plan(spark, "tpch_q20")
+    assert plan.count("LeftSemi") >= 2
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "EqualTo(n_regionkey,2)" in plan
+
+
+def test_tpch_q21_exists_and_not_exists_decorrelate(spark):
+    """The EXISTS must plan as an equi-keyed LEFT SEMI and the NOT EXISTS
+    as an equi-keyed LEFT ANTI on orderkey — the supplier inequality and
+    the o_orderdate-correlated lateness bound riding as residual
+    conditions — never a nested loop; the status filter must reach the
+    orders scan."""
+    plan = _plan(spark, "tpch_q21")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "EqualTo(o_orderstatus,F)" in plan

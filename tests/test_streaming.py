@@ -1272,3 +1272,52 @@ def test_sessionize_stream_matches_batch_assignment(spark, tmp_path):
     assert want[1] == (1, 0) and want[3] == (1, 1) and want[5] == (1, 2)
     assert want[10] == (2, 0) and want[12] == (2, 0)  # one session across batches
     assert want[20] == (3, 0)
+
+
+def test_compaction_crash_recovery_write_then_swap(spark, tmp_path):
+    """Compaction must never hold the only copy of sink state in memory or
+    a half-truncated directory (ADVICE r6): the folded log is written to a
+    sibling temp dir first, then swapped in by rename. A crash BETWEEN the
+    rename-out and rename-in (simulated here by performing just the first
+    rename) leaves the full pre-compaction log recoverable — recover_log /
+    any read self-heals it; a crash that leaves stale temp output is
+    cleaned up."""
+    import os as _os
+    import shutil as _shutil
+
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.maintenance import (
+        recover_log,
+        replace_log_atomically,
+    )
+
+    log = str(tmp_path / "state" / "log")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "v"])
+    df.write.parquet(log)
+
+    # normal path: swap replaces contents, no residue dirs
+    replace_log_atomically(spark, log, spark.read.parquet(log).filter("k = 1"))
+    assert [r.k for r in spark.read.parquet(log).collect()] == [1]
+    assert not _os.path.exists(log + "__pre_compact")
+    assert not _os.path.exists(log + "__compact_tmp")
+
+    # simulate a crash mid-swap: log renamed out, replacement never landed
+    _shutil.move(log, log + "__pre_compact")
+    _os.makedirs(log + "__compact_tmp")  # stale partial temp output too
+    assert not _os.path.exists(log)
+    recover_log(spark, log)
+    assert [r.k for r in spark.read.parquet(log).collect()] == [1]
+    assert not _os.path.exists(log + "__compact_tmp")
+
+    # the sinks' read paths self-heal the same crash shape end-to-end
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.cdc_sink import (
+        StreamingUpsertSink,
+    )
+
+    state = str(tmp_path / "cdc_state")
+    sink = StreamingUpsertSink(state, ["k"], ["seq"], "op", spark)
+    spark.createDataFrame(
+        [("a", 1, "U", 10)], "k string, seq long, op string, val long"
+    ).write.parquet(f"{state}/log")
+    _shutil.move(f"{state}/log", f"{state}/log__pre_compact")
+    got = sink.current().collect()
+    assert [(r.k, r.val) for r in got] == [("a", 10)]

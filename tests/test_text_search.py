@@ -288,3 +288,25 @@ def test_trained_centroids_feed_cluster_sampling(spark, sf_dir):
              sample.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert all(n <= 5 for n in sizes.values())
     assert len(sizes) >= 2  # trained centroids split the corpus
+
+
+def test_bm25_zero_and_null_terms_guarded(spark):
+    """A query table with zero non-null terms (or only NULL terms) must
+    short-circuit to an empty result through the join path — the inline
+    InSet plan would otherwise build a degenerate no-argument isin()
+    (ADVICE r6) — and NULL terms mixed with real ones must not match
+    anything."""
+    docs = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "beta gamma")], ["doc_id", "text"]
+    )
+    empty_q = spark.createDataFrame([], "qid bigint, term string")
+    assert bm25_scores(docs, empty_q).count() == 0
+
+    null_q = spark.createDataFrame([(0, None)], "qid bigint, term string")
+    assert bm25_scores(docs, null_q).count() == 0
+
+    mixed = spark.createDataFrame(
+        [(0, None), (0, "alpha")], "qid bigint, term string"
+    )
+    got = bm25_scores(docs, mixed).collect()
+    assert [(r.qid, r.doc_id) for r in got] == [(0, 0)]
