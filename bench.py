@@ -61,6 +61,12 @@ BENCH_QUERIES = [
     "tpch_q17",
     "tpch_q20",
     "tpch_q21",
+    "tpch_q2",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q11",
+    "tpch_q13",
+    "tpch_q16",
     "join_revenue_by_nation",
     "rollup_revenue",
     "cube_revenue",

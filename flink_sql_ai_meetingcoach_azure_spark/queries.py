@@ -6333,6 +6333,357 @@ ORDER BY numwait DESC, s.s_name
 LIMIT 100
 """
 
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), adapted to the reduced schema
+    (no partsupp — a supplier's offer price for a part is the minimum
+    unit price across its lineitems of that part, exact integer
+    microcents via BIGINT div). The correlated scalar MIN — "the lowest
+    cost any region supplier offers for this part" — decorrelates to a
+    per-partkey aggregate joined back ON EQUALITY with the per-supplier
+    cost, so ties are kept exactly as the correlated form would.
+    Region suppliers prune the fact slice via one broadcast semi join
+    before the (supplier, part) aggregate; top-100 plans
+    TakeOrderedAndProject."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 3)
+    rs = supplier.join(
+        F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    qty_c = F.round(F.col("l_quantity") * 100).cast("bigint")
+    cost = (
+        li.select("l_partkey", "l_suppkey", price_c.alias("__p_c"), qty_c.alias("__q_c"))
+        .join(F.broadcast(rs.select("s_suppkey")), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi")
+        .withColumn("__unit_micro", F.expr("__p_c * 10000 div __q_c"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("__unit_micro").alias("unit_micro"))
+    )
+    best = (
+        cost.groupBy("l_partkey")
+        .agg(F.min("unit_micro").alias("best_micro"))
+        .withColumnRenamed("l_partkey", "__best_partkey")
+    )
+    part = _t(spark, sf_dir, "part").filter(F.col("p_size") == 15)
+    return (
+        part.select("p_partkey", "p_name")
+        .join(cost, F.col("p_partkey") == F.col("l_partkey"))
+        .join(
+            best,
+            (F.col("__best_partkey") == F.col("p_partkey"))
+            & (F.col("unit_micro") == F.col("best_micro")),
+        )
+        .join(F.broadcast(rs), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.round(F.col("s_acctbal") * 100).cast("bigint").alias("acctbal_cents"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+        )
+        .orderBy(F.desc("acctbal_cents"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q2 = """
+WITH rs AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+            FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_regionkey = 3),
+cost AS (SELECT l_partkey, l_suppkey,
+                min(CAST(round(l_extendedprice*100) AS BIGINT) * 10000
+                    // CAST(round(l_quantity*100) AS BIGINT)) AS unit_micro
+         FROM lineitem
+         WHERE l_suppkey IN (SELECT s_suppkey FROM rs)
+         GROUP BY l_partkey, l_suppkey),
+best AS (SELECT l_partkey, min(unit_micro) AS best_micro
+         FROM cost GROUP BY l_partkey)
+SELECT CAST(round(rs.s_acctbal*100) AS BIGINT) AS acctbal_cents,
+       rs.s_name, rs.n_name, p.p_partkey, p.p_name
+FROM part p
+JOIN cost c ON c.l_partkey = p.p_partkey
+JOIN best b ON b.l_partkey = p.p_partkey AND c.unit_micro = b.best_micro
+JOIN rs ON rs.s_suppkey = c.l_suppkey
+WHERE p.p_size = 15
+ORDER BY acctbal_cents DESC, rs.n_name, rs.s_name, p.p_partkey
+LIMIT 100
+"""
+
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): one nation's share of the
+    region's ECONOMY-part import volume per year. The 6-table ladder
+    keeps every join equi-keyed; part's type filter and the order-date
+    window land on their scans, part/supplier/nation dims broadcast,
+    and the share is a single conditional aggregation — numerator and
+    denominator in the same cent·bp BIGINTs, published as exact integer
+    ppm (sum·1e6 div sum), so both engines emit identical integers."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = _t(spark, sf_dir, "customer")
+    cn = _t(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    supplier = _t(spark, sf_dir, "supplier")
+    vol_cbp = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(10000) - F.round(F.col("l_discount") * 10000).cast("bigint")
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(cn.select("n_nationkey")), F.col("c_nationkey") == F.col("n_nationkey"), "left_semi")
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_nationkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            vol_cbp.alias("__vol_cbp"),
+            F.col("s_nationkey").alias("__supp_nation"),
+        )
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("__supp_nation") == 6, F.col("__vol_cbp")).otherwise(F.lit(0))
+            ).alias("__num"),
+            F.sum("__vol_cbp").alias("__den"),
+        )
+        .select(
+            "o_year",
+            F.expr("__num * 1000000 div __den").cast("bigint").alias("mkt_share_ppm"),
+        )
+        .orderBy("o_year")
+    )
+
+
+SQL_TPCH_Q8 = """
+WITH vol AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+         CAST(round(l_extendedprice*100) AS BIGINT)
+           * (10000 - CAST(round(l_discount*10000) AS BIGINT)) AS vol_cbp,
+         s.s_nationkey AS supp_nation
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  WHERE cn.n_regionkey = 1
+    AND p.p_type = 'ECONOMY'
+    AND o.o_orderdate >= '1995-01-01' AND o.o_orderdate < '1997-01-01')
+SELECT CAST(o_year AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN supp_nation = 6 THEN vol_cbp ELSE 0 END) * 1000000
+            // sum(vol_cbp) AS BIGINT) AS mkt_share_ppm
+FROM vol GROUP BY o_year ORDER BY o_year
+"""
+
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product type profit), adapted to the reduced schema (no
+    ps_supplycost — the cost proxy is p_retailprice per unit, exact in
+    the same cent·bp scale: retail_c·qty_c·100 ≡ retail·qty·1e6, matching
+    price·(1-disc)·1e6). Profit per (supplier nation, order year) over
+    name-matched parts: the part filter is pushed, part/supplier/nation
+    broadcast, lineitem⋈orders shuffles once on orderkey, and the rollup
+    is a single combinable BIGINT aggregate."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    amount = F.round(F.col("l_extendedprice") * 100).cast("bigint") * (
+        F.lit(10000) - F.round(F.col("l_discount") * 10000).cast("bigint")
+    ) - (
+        F.round(F.col("p_retailprice") * 100).cast("bigint")
+        * F.round(F.col("l_quantity") * 100).cast("bigint")
+        * F.lit(100)
+    )
+    return (
+        li.join(F.broadcast(part.select("p_partkey", "p_retailprice")), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(
+                supplier.join(
+                    F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+                ).select("s_suppkey", "n_name")
+            ),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            amount.alias("__amount_cbp"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.sum("__amount_cbp").cast("bigint").alias("profit_cbp"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+SQL_TPCH_Q9 = """
+WITH profit AS (
+  SELECT n.n_name AS nation, EXTRACT(year FROM o.o_orderdate) AS o_year,
+         CAST(round(l_extendedprice*100) AS BIGINT)
+           * (10000 - CAST(round(l_discount*10000) AS BIGINT))
+           - CAST(round(p_retailprice*100) AS BIGINT)
+             * CAST(round(l_quantity*100) AS BIGINT) * 100 AS amount_cbp
+  FROM lineitem l
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  WHERE p.p_name LIKE '%gear%')
+SELECT nation, CAST(o_year AS BIGINT) AS o_year,
+       CAST(sum(amount_cbp) AS BIGINT) AS profit_cbp
+FROM profit GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock identification), adapted to the
+    reduced schema (no partsupp — a part's "stock value" for a nation is
+    the summed extended price of that nation's suppliers' lineitems).
+    The HAVING-against-a-global-scalar shape: per-part aggregate, the
+    corpus total as a 1-row broadcast cross, and the 0.2 %% significance
+    threshold cleared exactly in BIGINTs (value·1000 > total·2). The
+    nation's supplier list broadcasts into a semi join BEFORE the
+    per-part shuffle."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier").filter(F.col("s_nationkey") == 7)
+    nat_val = (
+        li.join(
+            F.broadcast(supplier.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "value_cents"
+            )
+        )
+    )
+    total = nat_val.agg(F.sum("value_cents").alias("__total_cents"))
+    return (
+        nat_val.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("__total_cents") * 2)
+        .select(F.col("l_partkey").alias("partkey"), "value_cents")
+        .orderBy(F.desc("value_cents"), "partkey")
+    )
+
+
+SQL_TPCH_Q11 = """
+WITH nat_val AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  WHERE s_nationkey = 7
+  GROUP BY l_partkey),
+tot AS (SELECT sum(value_cents) AS total_cents FROM nat_val)
+SELECT l_partkey AS partkey, value_cents
+FROM nat_val, tot
+WHERE value_cents * 1000 > total_cents * 2
+ORDER BY value_cents DESC, partkey
+"""
+
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution), adapted to the reduced schema
+    (the comment NOT LIKE filter becomes an order-priority exclusion —
+    same shape: the predicate lives in the OUTER join's ON clause, so
+    excluded orders count as zero, not as dropped customers). Double
+    aggregation: orders per customer (left outer join preserving
+    order-less customers), then customers per order count. Both
+    aggregates are combinable; the join shuffles each side once on
+    custkey."""
+    _prep(spark)
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    c_orders = (
+        cust.join(
+            orders,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        c_orders.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .select(F.col("c_count").cast("bigint").alias("c_count"), "custdist")
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_TPCH_Q13 = """
+WITH c_orders AS (
+  SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+  FROM customer c LEFT JOIN orders o
+    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+  GROUP BY c.c_custkey)
+SELECT CAST(c_count AS BIGINT) AS c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM c_orders GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), adapted to the reduced
+    schema (supplier relationships come from lineitem; the
+    complaint-comment exclusion becomes a negative-balance exclusion).
+    The NOT IN decorrelates to a LEFT ANTI join (exact here: suppkey is
+    never NULL), the brand/type/size filters and IN-list land on the
+    part scan, part broadcasts, and COUNT(DISTINCT supplier) plans as
+    Spark's two-phase distinct aggregate — partial per partition, never
+    a driver-side distinct."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    )
+    bad_supp = _t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0)
+    return (
+        li.select("l_partkey", "l_suppkey")
+        .join(
+            F.broadcast(bad_supp.select("s_suppkey")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(
+            F.broadcast(part.select("p_partkey", "p_brand", "p_type", "p_size")),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+SQL_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45' AND p_type <> 'PROMO'
+  AND p_size IN (1,4,9,14,19,23,36,45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-6 rotation (VERDICT r5 #3): 15 entries that were green in every
@@ -6485,4 +6836,10 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q17": QuerySpec(q_tpch_q17, SQL_TPCH_Q17),
     "tpch_q20": QuerySpec(q_tpch_q20, SQL_TPCH_Q20),
     "tpch_q21": QuerySpec(q_tpch_q21, SQL_TPCH_Q21),
+    "tpch_q2": QuerySpec(q_tpch_q2, SQL_TPCH_Q2),
+    "tpch_q8": QuerySpec(q_tpch_q8, SQL_TPCH_Q8),
+    "tpch_q9": QuerySpec(q_tpch_q9, SQL_TPCH_Q9),
+    "tpch_q11": QuerySpec(q_tpch_q11, SQL_TPCH_Q11),
+    "tpch_q13": QuerySpec(q_tpch_q13, SQL_TPCH_Q13),
+    "tpch_q16": QuerySpec(q_tpch_q16, SQL_TPCH_Q16),
 }

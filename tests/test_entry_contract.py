@@ -120,6 +120,17 @@ def test_entry_contract_shape():
         "contrastive_pairs",  # LSH-mined positives + hard negatives (tail gate)
         "global_row_number",  # windowless global rank via range offsets (tail gate)
         "tpch_q22",  # scalar-avg broadcast + anti join per nation (tail gate)
+        # -- r7 additions (pre-rotation positions; the r7 window rotation
+        # moves the never-checked entries into the first 50) --
+        "tpch_q17",  # correlated 0.2*avg scalar -> agg join-back (tail gate)
+        "tpch_q20",  # nested semi + per-part scalar dominance (tail gate)
+        "tpch_q21",  # EXISTS + NOT EXISTS -> semi + anti on orderkey (tail gate)
+        "tpch_q2",  # correlated min-cost join-back, ties kept (tail gate)
+        "tpch_q8",  # national market share, integer-ppm ratio (tail gate)
+        "tpch_q9",  # product-type profit rollup (tail gate)
+        "tpch_q11",  # per-part value vs global scalar threshold (tail gate)
+        "tpch_q13",  # outer-join double aggregation (tail gate)
+        "tpch_q16",  # NOT IN -> anti join + two-phase count-distinct (tail gate)
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

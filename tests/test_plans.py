@@ -360,3 +360,34 @@ def test_tpch_q21_exists_and_not_exists_decorrelate(spark):
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_tpch_q2_correlated_min_joins_back_on_equality(spark):
+    """The lowest-regional-cost scalar decorrelates to a per-part MIN
+    joined back on (partkey, cost equality) — ties preserved, never a
+    nested loop; the size filter reaches the part scan and the top-100
+    plans TakeOrderedAndProject."""
+    plan = _plan(spark, "tpch_q2")
+    assert "EqualTo(p_size,15)" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftSemi" in plan  # region suppliers prune the fact slice
+
+
+def test_tpch_q13_outer_join_keeps_orderless_customers(spark):
+    """The priority exclusion must live in the OUTER join (LeftOuter in
+    the plan) so excluded orders count as zero rather than dropping
+    customers, and both aggregations must be hash aggregates."""
+    plan = _plan(spark, "tpch_q13")
+    assert "LeftOuter" in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final x two levels
+
+
+def test_tpch_q16_not_in_plans_as_anti_join_with_distinct(spark):
+    """The NOT IN supplier exclusion must plan as an equi-keyed LEFT ANTI
+    join and the distinct-supplier count as a two-phase aggregate — no
+    nested loop, part filters pushed to the scan."""
+    plan = _plan(spark, "tpch_q16")
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "Not(EqualTo(p_brand,Brand#45))" in plan
