@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     # joins beyond the reference
     "asof_join",
     "interval_join",
+    "bucketed_join",  # shuffle-free co-bucketed join (write cost included)
     "profile_columns",
     # event-sequence (CEP-lite) funnel
     "funnel_match",

@@ -131,8 +131,20 @@ def write_bucketed(
     executors joining/leaving because bucket->file mapping is static.
 
     Spark requires ``saveAsTable`` for bucketing metadata (the bucket
-    spec lives in the catalog, not the parquet footers).
+    spec lives in the catalog, not the parquet footers). Re-writes are
+    robust to STALE warehouse leftovers from another session: a managed
+    table's location surviving a process exit (the in-memory catalog
+    forgets the table but not the directory) would fail the overwrite
+    with LOCATION_ALREADY_EXISTS, so both the catalog entry and any
+    orphaned location are cleared first.
     """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir")
+    loc = spark._jvm.org.apache.hadoop.fs.Path(f"{warehouse.rstrip('/')}/{table}")
+    fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(loc):
+        fs.delete(loc, True)
     w = df.write.format("parquet").bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         w = w.sortBy(sort_col)

@@ -23,114 +23,109 @@ def test_entry_contract_shape():
     assert rows_only == {
         "rag_pipeline",
         "ddl_reference_pipeline",
-        "bpe_merges",  # iterative argmax — pinned vs a Python trainer in pytest
+        # bpe_merges moved to oracle-backed in r7 (unrolled CTE chain)
     }, rows_only
     # the driver checks the FIRST 50 entries; the tail is the deliberate
-    # out-of-window set (rows-only chains and oracle-backed entries each
-    # subsumed by an in-window hash-checked superset — see the window
-    # policy comment above queries.QUERIES). Round 6 ROTATED the window
-    # (VERDICT r5 #3): 15 entries green in every driver window since r1-r2
-    # moved to this tail, and the 15 highest-value never-externally-checked
-    # entries (tpch_q3/q5/q6, cube_revenue, interval_join, scd2_history,
-    # mask_spans, edit_distance_pairs, lm_bigram_score, countmin_sketch,
-    # hll_vocab, kmv_overlap, zorder_key, triangle_count, pagerank) moved
-    # in. All further changes are gated here.
+    # out-of-window set. Round 7 rotated the ENTIRE window (VERDICT r6 #1):
+    # the 50 in-window entries are now exclusively never-before-checked
+    # (new r7 entries + the r6 additions + the long pytest-gate tail); the
+    # r6 window — all 50 hash-green in CORRECTNESS_r06 — moved here. The
+    # tail entries below were each externally hash-checked in at least one
+    # r1-r6 driver window, EXCEPT the 8 annotated deliberate drops (simple
+    # single-table shapes whose plan families are represented in-window)
+    # and the 2 rows-only chains. All further changes are gated here.
     assert list(qs)[50:] == [
-        # -- r6 rotation: proven in driver windows r1-r5, trivial/subsumed --
-        "filter_route",  # P1-P3 projection+filter; green r1-r5
-        "case_dispatch",  # P6 CASE; green r1-r5
-        "null_guard",  # P8 null guards; green r1-r5
-        "path_extract",  # F15 regexp path parse; green r1-r5
-        "set_ops",  # UNION/INTERSECT/EXCEPT; green r2-r5
-        "json_cleanup_extract",  # F14; green r1-r5
-        "top_terms",  # token groupBy-count; green r3-r5
-        "length_percentiles",  # percentile_approx profile; green r3-r5
-        "line_dedup",  # subsumed by dedup_exact + span family; green r3-r5
-        "fingerprint",  # rolling-hash fingerprint; green r2-r5
-        "dedup_keep_best",  # argmax dedup, shares q_dedup core; green r2-r5
-        "asof_join",  # as-of backward join; green r2-r5 (interval_join now in-window)
-        "rollup_revenue",  # ROLLUP subsumed by in-window cube_revenue
-        "ngram_jaccard",  # exact-verifier pair scorer; green r2-r5
-        "tumbling_window",  # window() agg subsumed by in-window session_window
-        # -- pre-r6 tail --
-        "concat_prompt",  # F1 byte-exact inside in-window rag_pipeline_verified
-        "array_ops",  # F2/F3/F5 exercised by in-window ddl_struct_array + ann_topk
-        "rag_retrieval",
-        "multimodal_meta",
-        "minhash_signatures",
-        "simhash",
-        "rag_pipeline",
-        "ddl_reference_pipeline",
-        "order_limit",
-        "window_running_sum",
-        "anti_join",
-        "embedding_cosine_pairs",
-        "salted_join",
-        "vocab_size",
-        "deterministic_split",
-        "stratified_sample",
-        "quality_score",
-        "token_stats",
-        "lm_score",
-        "dup_clusters",
-        "funnel_match",
-        "ann_quantized",
-        "bpe_merges",
-        "leakage_split",
-        "range_rolling",  # RANGE time-frame window (tail: pytest gate)
-        "above_user_avg",  # correlated-subquery decorrelation (tail: pytest gate)
-        "ann_pq",  # product-quantized ADC search (tail: pytest gate)
-        "ann_ivfpq",  # PQ codes in the partition-pruned IVF layout (tail gate)
-        "tiered_sample",  # CCNet head/middle/tail LM resampling (tail gate)
-        "rerank_topk",  # retrieve->rerank pipeline tail (tail gate)
-        "curation_v2",  # span-gate -> LM tiering -> split composition (tail gate)
-        "gap_fill",  # time densification + IGNORE NULLS forward fill (tail gate)
-        "pivot_by_type",  # PIVOT with fixed column set (tail gate)
-        "hopping_window",  # HOP/sliding event-time windows (tail gate)
-        "unpivot_types",  # UNPIVOT/melt, inverse of the pivot entry (tail gate)
-        "label_centroids",  # per-class mean embedding, exact micros (tail gate)
-        "winsorize",  # p01/p99 outlier clipping, integer-cent thresholds (tail gate)
-        "cdc_apply",  # CDC APPLY CHANGES latest-by-key upsert w/ deletes (tail gate)
-        "cohort_retention",  # first-activity cohort x activity-day matrix (tail gate)
-        "value_histogram",  # equi-width profiling histogram (tail gate)
-        "argmax_per_user",  # windowless top-1-per-group via max(struct) (tail gate)
-        "random_projection",  # JL reduction, 6-dp GEMM vs oracle dots (tail gate)
-        "ann_projected",  # JL shortlist + exact re-rank composition (tail gate)
-        "fuzzy_dedup",  # edit-distance pairs -> CC -> survivors (tail gate)
-        "linear_trend",  # per-group OLS from exact integer moments (tail gate)
-        "profile_columns",  # one-pass ANALYZE-style table profile (tail gate)
-        "weighted_sample",  # integer weight-proportional Bernoulli (tail gate)
-        "asof_snapshot",  # SCD2 time travel at the midpoint instant (tail gate)
-        "transition_matrix",  # Markov next-event matrix, ppm-exact (tail gate)
-        "equidepth_histogram",  # quantile buckets, driver-side CDF (tail gate)
-        "decayed_score",  # recency-weighted engagement, integer-exact sum (tail gate)
-        # -- r6 additions --
-        "tpch_q4",  # EXISTS -> one equi-keyed left-semi join (tail gate)
-        "tpch_q10",  # returned-item top-20, pushed returnflag filter (tail gate)
-        "tpch_q12",  # conditional-aggregation priority split (tail gate)
-        "sessionize",  # gap-session assignment, one partitioned window (tail gate)
-        "tfidf_vectors",  # sparse TF-IDF top-5/doc, exact integer ranking (tail gate)
-        "tpch_q7",  # bilateral nation-pair trade by ship year (tail gate)
-        "tpch_q14",  # promo revenue share, exact integer ppm (tail gate)
-        "tpch_q18",  # HAVING rollup -> broadcast-back, top-100 (tail gate)
-        "ann_recall_eval",  # recall@k of the JL rung vs exact, integer ppm (tail gate)
-        "tpch_q15",  # revenue view + scalar-max broadcast-back, ties kept (tail gate)
-        "tpch_q19",  # disjunctive OR-blocks, CNF extraction (tail gate)
-        "semantic_dedup",  # SemDeDup cluster-bounded cosine dedup (tail gate)
-        "contrastive_pairs",  # LSH-mined positives + hard negatives (tail gate)
-        "global_row_number",  # windowless global rank via range offsets (tail gate)
-        "tpch_q22",  # scalar-avg broadcast + anti join per nation (tail gate)
-        # -- r7 additions (pre-rotation positions; the r7 window rotation
-        # moves the never-checked entries into the first 50) --
-        "tpch_q17",  # correlated 0.2*avg scalar -> agg join-back (tail gate)
-        "tpch_q20",  # nested semi + per-part scalar dominance (tail gate)
-        "tpch_q21",  # EXISTS + NOT EXISTS -> semi + anti on orderkey (tail gate)
-        "tpch_q2",  # correlated min-cost join-back, ties kept (tail gate)
-        "tpch_q8",  # national market share, integer-ppm ratio (tail gate)
-        "tpch_q9",  # product-type profit rollup (tail gate)
-        "tpch_q11",  # per-part value vs global scalar threshold (tail gate)
-        "tpch_q13",  # outer-join double aggregation (tail gate)
-        "tpch_q16",  # NOT IN -> anti join + two-phase count-distinct (tail gate)
+        "keyword_trigger",  # externally checked r1-r6
+        "cache_hit_join",  # externally checked r1-r6
+        "explode_chunks",  # externally checked r1-r6
+        "topn_per_user",  # externally checked r1-r6
+        "recent_history",  # externally checked r1-r6
+        "session_window",  # externally checked r1-r6
+        "tpch_q1",  # externally checked r1-r6
+        "tpch_q3",  # externally checked r1-r6
+        "tpch_q5",  # externally checked r1-r6
+        "tpch_q6",  # externally checked r1-r6
+        "join_revenue_by_nation",  # externally checked r1-r6
+        "cube_revenue",  # externally checked r1-r6
+        "window_analytics",  # externally checked r1-r6
+        "interval_join",  # externally checked r1-r6
+        "scd2_history",  # externally checked r1-r6
+        "dedup_exact",  # externally checked r1-r6
+        "lsh_pairs",  # externally checked r1-r6
+        "simhash_pairs",  # externally checked r1-r6
+        "embedding_lsh_pairs",  # externally checked r1-r6
+        "neardup_dedup",  # externally checked r1-r6
+        "dup_spans",  # externally checked r1-r6
+        "span_pairs",  # externally checked r1-r6
+        "mask_spans",  # externally checked r1-r6
+        "decontaminate",  # externally checked r1-r6
+        "edit_distance_pairs",  # externally checked r1-r6
+        "ann_topk",  # externally checked r1-r6
+        "ann_ivf_topk",  # externally checked r1-r6
+        "bm25_topk",  # externally checked r1-r6
+        "hybrid_rrf",  # externally checked r1-r6
+        "cluster_sample",  # externally checked r1-r6
+        "lang_id",  # externally checked r1-r6
+        "quality_filter",  # externally checked r1-r6
+        "repetition_scores",  # externally checked r1-r6
+        "lm_bigram_score",  # externally checked r1-r6
+        "countmin_sketch",  # externally checked r1-r6
+        "hll_vocab",  # externally checked r1-r6
+        "kmv_overlap",  # externally checked r1-r6
+        "zorder_key",  # externally checked r1-r6
+        "triangle_count",  # externally checked r1-r6
+        "pagerank",  # externally checked r1-r6
+        "multimodal_features",  # externally checked r1-r6
+        "rag_pipeline_verified",  # externally checked r1-r6
+        "rag_pipeline_bulk",  # externally checked r1-r6
+        "chunk_embed_ingest",  # externally checked r1-r6
+        "mixture_sample",  # externally checked r1-r6
+        "curation_pipeline",  # externally checked r1-r6
+        "pii_redact",  # externally checked r1-r6
+        "pack_sequences",  # externally checked r1-r6
+        "ddl_ctas_topn",  # externally checked r1-r6
+        "ddl_struct_array",  # externally checked r1-r6
+        "filter_route",  # externally checked r1-r6
+        "case_dispatch",  # externally checked r1-r6
+        "null_guard",  # externally checked r1-r6
+        "path_extract",  # externally checked r1-r6
+        "set_ops",  # externally checked r1-r6
+        "json_cleanup_extract",  # externally checked r1-r6
+        "top_terms",  # externally checked r1-r6
+        "length_percentiles",  # externally checked r1-r6
+        "line_dedup",  # externally checked r1-r6
+        "fingerprint",  # externally checked r1-r6
+        "dedup_keep_best",  # externally checked r1-r6
+        "asof_join",  # externally checked r1-r6
+        "rollup_revenue",  # externally checked r1-r6
+        "ngram_jaccard",  # externally checked r1-r6
+        "tumbling_window",  # externally checked r1-r6
+        "concat_prompt",  # externally checked r1-r6
+        "array_ops",  # externally checked r1-r6
+        "rag_retrieval",  # externally checked r1-r6
+        "multimodal_meta",  # externally checked r1-r6
+        "minhash_signatures",  # externally checked r1-r6
+        "simhash",  # externally checked r1-r6
+        "rag_pipeline",  # rows-only by nature (mock-LLM chain)
+        "ddl_reference_pipeline",  # rows-only by nature (DDL chain)
+        "order_limit",  # externally checked r1-r6
+        "window_running_sum",  # externally checked r1-r6
+        "anti_join",  # externally checked r1-r6
+        "embedding_cosine_pairs",  # externally checked r1-r6
+        "salted_join",  # externally checked r1-r6
+        "vocab_size",  # externally checked r1-r6
+        "deterministic_split",  # externally checked r1-r6
+        "stratified_sample",  # externally checked r1-r6
+        "quality_score",  # externally checked r1-r6
+        "token_stats",  # externally checked r1-r6
+        "gap_fill",  # deliberate drop: densify+ffill, shapes covered by range_rolling/session entries
+        "unpivot_types",  # deliberate drop: melt, inverse of the checked pivot_by_type
+        "winsorize",  # deliberate drop: percentile clip, covered by length_percentiles/equidepth
+        "cohort_retention",  # deliberate drop: cohort matrix, covered by transition_matrix shapes
+        "value_histogram",  # deliberate drop: equi-width histogram; equidepth_histogram is in-window
+        "linear_trend",  # deliberate drop: OLS from integer moments, simple combinable agg
+        "profile_columns",  # deliberate drop: one-pass profile, simple combinable aggs
+        "decayed_score",  # deliberate drop: recency-weighted agg, simple combinable agg
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

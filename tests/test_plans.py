@@ -391,3 +391,22 @@ def test_tpch_q16_not_in_plans_as_anti_join_with_distinct(spark):
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert "Not(EqualTo(p_brand,Brand#45))" in plan
+
+
+def test_bucketed_join_entry_zero_exchange(spark):
+    """The bucketed_join entry's join AND same-key aggregation must plan
+    with ZERO Exchange — the bucketed layout supplies the partitioning
+    on both sides (broadcast disabled to pin the sort-merge path the
+    hint requests)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "bucketed_join")
+        # the only allowed exchange is the final presentation ORDER BY
+        body = plan.split("Sort", 1)[0]
+        assert "Exchange" not in body, plan
+        assert "SortMergeJoin" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_customer")

@@ -1321,3 +1321,77 @@ def test_compaction_crash_recovery_write_then_swap(spark, tmp_path):
     _shutil.move(f"{state}/log", f"{state}/log__pre_compact")
     got = sink.current().collect()
     assert [(r.k, r.val) for r in got] == [("a", 10)]
+
+
+def test_streaming_watermark_admits_before_and_drops_after_boundary(spark, tmp_path):
+    """SURVEY T1's lateness corner, pinned on BOTH sides of the boundary
+    (VERDICT r6 #7): an out-of-order row that is late relative to arrival
+    order but still within the watermark delay is ADMITTED into its
+    still-open window; the same-shaped row arriving after the watermark
+    passed its window is DROPPED, and the closed window is never
+    re-emitted. Batch equivalence: the final append-mode output equals the
+    batch windowed aggregate over exactly the admitted rows (the batch
+    engine has no lateness concept — dropped rows are the one documented
+    stream/batch divergence, which is why the assertion enumerates them)."""
+    src = str(tmp_path / "wm_src")
+    # window [10:00:00, 10:00:10); watermark delay 10s
+    _write_batch(src, [("a", "prospect", "2026-01-01T10:00:05"),
+                       ("head", "prospect", "2026-01-01T10:00:12")], n=0)
+    stream = (
+        spark.readStream.schema(MSG_SCHEMA).json(src)
+        .withColumn("ts", F.to_timestamp("rowtime"))
+    )
+    agg = (
+        stream.withWatermark("ts", "10 seconds")
+        .groupBy(F.window("ts", "10 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("w_start"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_boundary")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark now 10:00:02 — a 10:00:03 row is OUT OF ORDER but
+        # inside the delay: must be admitted into the open window
+        _write_batch(src, [("admit", "prospect", "2026-01-01T10:00:03")], n=1)
+        q.processAllAvailable()
+        # advance the watermark far past the window, closing+emitting it
+        _write_batch(src, [("adv", "prospect", "2026-01-01T10:01:00")], n=2)
+        q.processAllAvailable()
+        # watermark now 10:00:50 — a second 10:00:04 row is PAST the
+        # boundary: dropped, and the closed window must not re-emit
+        _write_batch(src, [("drop", "prospect", "2026-01-01T10:00:04"),
+                           ("adv2", "prospect", "2026-01-01T10:02:00")], n=3)
+        q.processAllAvailable()
+        out = spark.sql("SELECT * FROM wm_boundary").collect()
+    finally:
+        q.stop()
+    counts = {}
+    for r in out:
+        counts[r["w_start"]] = counts.get(r["w_start"], 0) + 1
+        assert counts[r["w_start"]] == 1, "closed window re-emitted"
+    by_win = {r["w_start"]: r["n"] for r in out}
+    assert by_win["2026-01-01 10:00:00"] == 2  # 'a' + admitted 'admit', NOT 'drop'
+    # batch equivalence over the admitted rows (all ingested minus 'drop')
+    admitted = spark.createDataFrame(
+        [("a", "2026-01-01T10:00:05"), ("head", "2026-01-01T10:00:12"),
+         ("admit", "2026-01-01T10:00:03"), ("adv", "2026-01-01T10:01:00"),
+         ("adv2", "2026-01-01T10:02:00")],
+        "message string, rowtime string",
+    ).withColumn("ts", F.to_timestamp("rowtime"))
+    batch = {
+        r["w_start"]: r["n"]
+        for r in admitted.groupBy(F.window("ts", "10 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("w_start"), "n")
+        .collect()
+    }
+    # streaming emitted every CLOSED window; open ones (past the last
+    # watermark) are still pending — compare on the emitted set
+    for w_start, n in by_win.items():
+        assert batch[w_start] == n
