@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "countmin_sketch",
     "hll_vocab",
     "kmv_overlap",
+    "hdr_quantiles",
     "length_percentiles",
     "repetition_scores",
     "lm_score",

@@ -4119,6 +4119,104 @@ ORDER BY user_id
 """
 
 
+HDR_SUB = 32  # sub-buckets per octave: relative error <= 1/32 (~3.1 %)
+HDR_QUANTILES = [(500000, "p50"), (900000, "p90"), (990000, "p99"), (999000, "p999")]
+
+
+def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HDR-histogram quantile sketch over order revenue — the MERGEABLE
+    quantile sketch completing the sketch family (Count-Min counts, HLL
+    cardinality, KMV similarity, HDR quantiles; cf. HdrHistogram, Gil
+    Tene, public): each positive BIGINT value lands in a log-scale
+    bucket (octave e = floor(log2 v) via the exact ``length(bin(v))-1``
+    — never a float log the engines could round differently — times
+    HDR_SUB linear sub-buckets), so the WHOLE sketch is <= 64*HDR_SUB
+    bounded counters with <= 1/HDR_SUB relative value error, and merge
+    is elementwise SUM — shard it and add it at 100 TB, the same
+    contract as the other three sketches (shard-merge exactness asserted
+    in test_functions). Quantile read-out: the bucket table is BOUNDED
+    BY CONSTRUCTION (<= 64*HDR_SUB rows at any corpus size), so the CDF
+    folds DRIVER-side over the collected counters (the equidepth /
+    IVF-centroid bounded-metadata discipline — no window at all, not
+    even a domain-sized one); first bucket with cum*1e6 >= ppm*n, the
+    estimate its exact-integer lower bound ((SUB+sub)*2^e div SUB).
+    Everything BIGINT ⇒ hash-identical across engines/partitionings."""
+    _prep(spark)
+    li = _t(spark, sf_dir, "lineitem")
+    hist = (
+        li.select(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v")
+        )
+        .filter(F.col("v") >= 1)
+        .selectExpr("v", "length(bin(v)) - 1 AS e")
+        .selectExpr(
+            "e",
+            f"v * {HDR_SUB} div shiftleft(1L, e) - {HDR_SUB} AS sub",
+        )
+        .selectExpr(f"e * {HDR_SUB} + sub AS bucket_id", "e", "sub")
+        .groupBy("bucket_id", "e", "sub")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # bounded-by-construction collect: the sketch IS <= 64*HDR_SUB counters
+    buckets = sorted(
+        (r.bucket_id, r.e, r.sub, r.cnt) for r in hist.collect()
+    )
+    n_rows = sum(b[3] for b in buckets)
+    out, cum, bi = [], 0, 0
+    for q_ppm, q_label in sorted(HDR_QUANTILES):
+        while bi < len(buckets) and cum * 1_000_000 < q_ppm * n_rows:
+            cum += buckets[bi][3]
+            bi += 1
+        # cum already covers this quantile's rank (quantiles ascend)
+        bucket_id, e, sub, _ = buckets[bi - 1]
+        out.append(
+            (
+                q_label,
+                q_ppm,
+                bucket_id,
+                ((HDR_SUB + sub) << e) // HDR_SUB,
+                cum,
+                n_rows,
+            )
+        )
+    return spark.createDataFrame(
+        out,
+        "q_label string, q_ppm bigint, bucket_id bigint, est_cents bigint,"
+        " cum_count bigint, n_rows bigint",
+    ).orderBy("q_ppm")
+
+
+def _sql_hdr_quantiles() -> str:
+    qvals = ", ".join(f"({p}, '{l}')" for p, l in HDR_QUANTILES)
+    return f"""
+WITH vals AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS v
+              FROM lineitem
+              WHERE CAST(round(l_extendedprice*100) AS BIGINT) >= 1),
+eb AS (SELECT v, length(bin(v)) - 1 AS e FROM vals),
+sb AS (SELECT e, v * {HDR_SUB} // (CAST(1 AS BIGINT) << e) - {HDR_SUB} AS sub
+       FROM eb),
+hist AS (SELECT e * {HDR_SUB} + sub AS bucket_id, e, sub, count(*) AS cnt
+         FROM sb GROUP BY 1, 2, 3),
+n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows FROM hist),
+cum AS (SELECT bucket_id, e, sub, cnt,
+               CAST(sum(cnt) OVER (ORDER BY bucket_id) AS BIGINT) AS cum
+        FROM hist),
+qs AS (SELECT * FROM (VALUES {qvals}) AS q(q_ppm, q_label)),
+hits AS (SELECT q_label, CAST(q_ppm AS BIGINT) AS q_ppm, bucket_id, e, sub, cum,
+                n.n_rows,
+                row_number() OVER (PARTITION BY q_label ORDER BY bucket_id)
+                  AS rn
+         FROM cum CROSS JOIN n JOIN qs
+           ON cum * 1000000 >= q_ppm * n.n_rows)
+SELECT q_label, q_ppm, CAST(bucket_id AS BIGINT) AS bucket_id,
+       CAST(({HDR_SUB} + sub) * (CAST(1 AS BIGINT) << e) // {HDR_SUB} AS BIGINT)
+         AS est_cents,
+       CAST(cum AS BIGINT) AS cum_count, n_rows
+FROM hits WHERE rn = 1
+ORDER BY q_ppm
+"""
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of the value distribution (100-cent buckets):
     floor-division bucketing is a pure codegen expression, counts are one
@@ -6939,4 +7037,6 @@ QUERIES: dict[str, QuerySpec] = {
     "linear_trend": QuerySpec(q_linear_trend, SQL_LINEAR_TREND),
     "profile_columns": QuerySpec(q_profile_columns, SQL_PROFILE_COLUMNS),
     "decayed_score": QuerySpec(q_decayed_score, SQL_DECAYED_SCORE),
+    # -- r7 late additions (after the rotation; window candidates for r8) --
+    "hdr_quantiles": QuerySpec(q_hdr_quantiles, _sql_hdr_quantiles()),
 }

@@ -126,6 +126,12 @@ def register_sketch_sql(spark: SparkSession) -> None:
         " 6) END",
         "kmv_est_ppm(kmv_inter BIGINT, u_n BIGINT) RETURNS BIGINT RETURN "
         "kmv_inter * 1000000L div greatest(u_n, 1L)",
+        # HDR log-scale quantile sketch (queries.HDR_SUB = 32): bucket id
+        # and exact-integer bucket lower bound for a positive BIGINT value
+        "hdr_bucket(v BIGINT) RETURNS BIGINT RETURN "
+        "(length(bin(v)) - 1) * 32 + v * 32 div shiftleft(1L, length(bin(v)) - 1) - 32",
+        "hdr_lo(bucket BIGINT) RETURNS BIGINT RETURN "
+        "(32 + bucket % 32) * shiftleft(1L, bucket div 32) div 32",
     ]
     for f in fns:
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {f}")

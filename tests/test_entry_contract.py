@@ -126,6 +126,7 @@ def test_entry_contract_shape():
         "linear_trend",  # deliberate drop: OLS from integer moments, simple combinable agg
         "profile_columns",  # deliberate drop: one-pass profile, simple combinable aggs
         "decayed_score",  # deliberate drop: recency-weighted agg, simple combinable agg
+        "hdr_quantiles",  # r7 late addition (post-rotation); window candidate r8
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

@@ -368,3 +368,71 @@ def test_sketch_shard_merge_equals_global(spark):
         for k, v in s.items():
             merged_hll[k] = max(merged_hll.get(k, 0), v)
     assert merged_hll == hll_registers(docs)
+
+
+def test_hdr_sketch_shard_merge_and_error_bound(spark):
+    """The HDR quantile sketch's two contracts, asserted exactly: (1)
+    shard-and-add mergeability — per-shard bucket counters summed equal
+    the single-pass global histogram bit-for-bit (the same lossless
+    merge as Count-Min); (2) the value-error bound — every quantile
+    estimate (bucket lower bound) is <= the exact percentile value and
+    within a 1/HDR_SUB relative band of it."""
+    from pyspark.sql import functions as F
+
+    from flink_sql_ai_meetingcoach_azure_spark.queries import (
+        HDR_QUANTILES,
+        HDR_SUB,
+        QUERIES,
+        _prep,
+        _t,
+    )
+
+    _prep(spark)
+    sf = "/root/testdata/sf0.001"
+    li = _t(spark, sf, "lineitem")
+
+    def hist(d):
+        return {
+            row.bucket_id: row.cnt
+            for row in d.select(
+                F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v")
+            )
+            .filter(F.col("v") >= 1)
+            .selectExpr("v", "length(bin(v)) - 1 AS e")
+            .selectExpr("e", f"v * {HDR_SUB} div shiftleft(1L, e) - {HDR_SUB} AS sub")
+            .selectExpr(f"e * {HDR_SUB} + sub AS bucket_id")
+            .groupBy("bucket_id")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+
+    halves = [li.filter(F.col("l_orderkey") % 2 == p) for p in (0, 1)]
+    merged = {}
+    for h in (hist(halves[0]), hist(halves[1])):
+        for b, c in h.items():
+            merged[b] = merged.get(b, 0) + c
+    assert merged == hist(li)  # lossless shard merge
+    assert len(merged) <= 64 * HDR_SUB  # bounded state
+
+    # error bound vs the exact percentiles
+    vals = sorted(
+        r.v
+        for r in li.select(
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v")
+        )
+        .filter(F.col("v") >= 1)
+        .collect()
+    )
+    est = {
+        r.q_ppm: r.est_cents
+        for r in QUERIES["hdr_quantiles"].fn(spark, sf).collect()
+    }
+    assert len(est) == len(HDR_QUANTILES)
+    for ppm, _label in HDR_QUANTILES:
+        # exact value at the same ceil-rank the sketch targets
+        import math
+
+        rank = max(1, math.ceil(ppm * len(vals) / 1_000_000))
+        exact = vals[rank - 1]
+        assert est[ppm] <= exact
+        assert exact - est[ppm] <= exact // HDR_SUB + 1

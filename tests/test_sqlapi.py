@@ -163,3 +163,60 @@ def test_sketch_functions_through_sql(spark):
         "SELECT kmv_est_ppm(32L, 256L) AS a, kmv_est_ppm(0L, 0L) AS z"
     ).collect()[0]
     assert kmv.a == 125000 and kmv.z == 0
+
+
+def test_hdr_sketch_functions_through_sql(spark):
+    """hdr_bucket / hdr_lo (the SQL surface of the HDR quantile sketch)
+    must agree with the DataFrame entry's bucket assignment and bucket
+    lower bounds — a SQL user composing the sketch by hand gets the same
+    integers."""
+    from flink_sql_ai_meetingcoach_azure_spark.queries import (
+        HDR_SUB,
+        _prep,
+        _t,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.sqlapi import register_sketch_sql
+
+    _prep(spark)
+    register_sketch_sql(spark)
+    sf = "/root/testdata/sf0.001"
+    _t(spark, sf, "lineitem").createOrReplaceTempView("li_hdr")
+    got = spark.sql(
+        """
+        WITH vals AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS v
+                      FROM li_hdr
+                      WHERE CAST(round(l_extendedprice*100) AS BIGINT) >= 1),
+        b AS (SELECT hdr_bucket(v) AS bucket_id FROM vals)
+        SELECT bucket_id, count(*) AS cnt, min(hdr_lo(bucket_id)) AS lo
+        FROM b GROUP BY bucket_id
+        """
+    ).collect()
+    # mirror with the entry's inline arithmetic
+    want = {
+        (r.bucket_id): (r.cnt, r.lo)
+        for r in spark.sql(
+            f"""
+            WITH vals AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS v
+                          FROM li_hdr
+                          WHERE CAST(round(l_extendedprice*100) AS BIGINT) >= 1),
+            eb AS (SELECT v, length(bin(v)) - 1 AS e FROM vals),
+            sb AS (SELECT e, v * {HDR_SUB} div shiftleft(1L, e) - {HDR_SUB} AS sub
+                   FROM eb)
+            SELECT e * {HDR_SUB} + sub AS bucket_id, count(*) AS cnt,
+                   min(({HDR_SUB} + sub) * shiftleft(1L, e) div {HDR_SUB}) AS lo
+            FROM sb GROUP BY e * {HDR_SUB} + sub
+            """
+        ).collect()
+    }
+    assert len(got) > 0
+    for r in got:
+        assert want[r.bucket_id] == (r.cnt, r.lo)
+    # every value's bucket lower bound is <= the value (sanity of hdr_lo)
+    bad = spark.sql(
+        """
+        SELECT count(*) AS n FROM (
+          SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS v FROM li_hdr
+        ) WHERE v >= 1 AND hdr_lo(hdr_bucket(v)) > v
+        """
+    ).collect()[0].n
+    assert bad == 0
