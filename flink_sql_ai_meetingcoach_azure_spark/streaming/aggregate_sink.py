@@ -24,11 +24,17 @@ become combinable through the HyperLogLog register trick (``distinct_col``):
 each partial row carries a sparse map of per-bucket max-rho registers
 (<= 1024 small ints per key) and register merge is ``max`` — lossless
 under any batch split, replay, or compaction, so the maintained
-estimate is identical to a single-pass sketch over the union. A truly
-non-combinable metric (exact distinct, median) still needs its own
-state shape. At 100 TB the log grows by ~|active keys per batch| rows
-per trigger, independent of input row count — the partial-agg is what
-makes a hot topic sustainable.
+estimate is identical to a single-pass sketch over the union. QUANTILES
+become combinable the same way through the HDR log-bucket sketch
+(``quantile_col``): each partial row carries a sparse map of
+bucket→count (<= 64·32 BIGINTs per key, <= 1/32 relative value error —
+queries.q_hdr_quantiles' layout exactly) and merge is per-bucket SUM,
+so the continuously-maintained p50/p90/p99 read-out
+(:meth:`current_quantiles`) is bit-identical to a one-shot sketch over
+the union. A truly non-combinable metric (exact distinct, exact median)
+still needs its own state shape. At 100 TB the log grows by ~|active
+keys per batch| rows per trigger, independent of input row count — the
+partial-agg is what makes a hot topic sustainable.
 """
 
 from __future__ import annotations
@@ -39,6 +45,8 @@ from pyspark.sql import functions as F
 _HLL_M = 1024  # 2^10 buckets; registers are a sparse map per key
 _HLL_R = 51  # 60-bit md5 // 1024 leaves a 50-bit field; rho in [1, 51]
 _HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_HDR_SUB = 32  # sub-buckets per octave (queries.HDR_SUB) — <= 1/32 rel. error
+_HDR_QS = [(500000, "p50"), (900000, "p90"), (990000, "p99")]
 
 
 class StreamingAggregateSink:
@@ -52,12 +60,14 @@ class StreamingAggregateSink:
         sum_cols: list[str],
         spark: SparkSession,
         distinct_col: str | None = None,
+        quantile_col: str | None = None,
     ) -> None:
         self.state_dir = state_dir.rstrip("/")
         self.key_cols = list(key_cols)
         self.sum_cols = list(sum_cols)
         self.spark = spark
         self.distinct_col = distinct_col
+        self.quantile_col = quantile_col
         self._schema_checked = False
 
     def _check_log_schema(self) -> None:
@@ -73,15 +83,19 @@ class StreamingAggregateSink:
         except Exception:  # noqa: BLE001 — no log yet: nothing to match
             self._schema_checked = True
             return
-        has, want = "__hll" in cols, self.distinct_col is not None
-        if has != want:
-            raise ValueError(
-                f"state dir {self.state_dir!r} was written with "
-                f"distinct_col {'set' if has else 'unset'} but this sink "
-                f"has it {'set' if want else 'unset'} — distinct_col must "
-                "match the existing log schema (start a new state dir to "
-                "change it)"
-            )
+        for col, name, want in (
+            ("__hll", "distinct_col", self.distinct_col is not None),
+            ("__hdr", "quantile_col", self.quantile_col is not None),
+        ):
+            has = col in cols
+            if has != want:
+                raise ValueError(
+                    f"state dir {self.state_dir!r} was written with "
+                    f"{name} {'set' if has else 'unset'} but this sink "
+                    f"has it {'set' if want else 'unset'} — {name} must "
+                    "match the existing log schema (start a new state dir "
+                    "to change it)"
+                )
         self._schema_checked = True
 
     # -- replay markers (same contract as StreamingIvfIngest) ----------
@@ -91,11 +105,37 @@ class StreamingAggregateSink:
             f"{self.state_dir}/_batches/{int(batch_id)}"
         )
 
+    def _hdr_partial(self, df: DataFrame) -> DataFrame:
+        """Per-key sparse HDR bucket counts (bucket = octave·SUB + linear
+        sub-bucket, exponent from the exact length(bin(v))-1 — the
+        queries.q_hdr_quantiles layout) for positive values; merge is
+        per-bucket SUM, lossless under any batch split."""
+        return (
+            df.select(*self.key_cols, F.col(self.quantile_col).cast("long").alias("__v"))
+            .filter(F.col("__v") >= 1)
+            .selectExpr(*self.key_cols, "__v", "length(bin(__v)) - 1 AS __e")
+            .selectExpr(
+                *self.key_cols,
+                f"__e * {_HDR_SUB} + __v * {_HDR_SUB} div shiftleft(1L, __e)"
+                f" - {_HDR_SUB} AS __bucket",
+            )
+            .groupBy(*self.key_cols, "__bucket")
+            .agg(F.count(F.lit(1)).alias("__cnt"))
+            .groupBy(*self.key_cols)
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("__bucket", "__cnt"))
+                ).alias("__hdr")
+            )
+        )
+
     def _partial(self, df: DataFrame) -> DataFrame:
         aggs = [F.count(F.lit(1)).alias("__n")] + [
             F.sum(c).cast("long").alias(f"__sum_{c}") for c in self.sum_cols
         ]
         base = df.groupBy(*self.key_cols).agg(*aggs)
+        if self.quantile_col is not None:
+            base = base.join(self._hdr_partial(df), self.key_cols, "left")
         if self.distinct_col is None:
             return base
         # per-key sparse HLL registers: bucket = md5 % m, rho = leading
@@ -196,6 +236,52 @@ class StreamingAggregateSink:
         """The maintained rollup: one row per key, exact counts/sums."""
         return self._merged()
 
+    def current_quantiles(self) -> DataFrame:
+        """The continuously-maintained per-key quantile read-out
+        (requires ``quantile_col``): merge the sparse HDR maps (per-
+        bucket SUM — lossless), then per key one PARTITIONED cumulative
+        window over its <= 64·SUB bucket rows picks the first bucket
+        with cum·1e6 >= ppm·n; the estimate is the bucket's exact-integer
+        lower bound. Returns (keys…, q_ppm, q_label, est, cum_count,
+        n_vals) — bit-identical to queries.q_hdr_quantiles over the
+        union of everything ingested."""
+        from pyspark.sql.window import Window  # noqa: PLC0415
+
+        if self.quantile_col is None:
+            raise ValueError("current_quantiles() requires quantile_col")
+        from flink_sql_ai_meetingcoach_azure_spark.streaming.maintenance import (  # noqa: PLC0415
+            recover_log,
+        )
+
+        recover_log(self.spark, f"{self.state_dir}/log")
+        log = self.spark.read.parquet(f"{self.state_dir}/log")
+        hist = (
+            log.select(*self.key_cols, F.explode("__hdr").alias("__bucket", "__cnt"))
+            .groupBy(*self.key_cols, "__bucket")
+            .agg(F.sum("__cnt").alias("__cnt"))
+        )
+        w = Window.partitionBy(*self.key_cols).orderBy("__bucket")
+        n = hist.groupBy(*self.key_cols).agg(F.sum("__cnt").alias("__n_vals"))
+        cum = hist.withColumn("__cum", F.sum("__cnt").over(w)).join(n, self.key_cols)
+        qs = self.spark.createDataFrame(_HDR_QS, "q_ppm bigint, q_label string")
+        hit = (
+            cum.crossJoin(F.broadcast(qs))
+            .filter(F.col("__cum") * 1_000_000 >= F.col("q_ppm") * F.col("__n_vals"))
+            .groupBy(*self.key_cols, "q_ppm", "q_label", "__n_vals")
+            .agg(F.min(F.struct("__bucket", "__cum")).alias("__b"))
+        )
+        return hit.select(
+            *self.key_cols,
+            "q_ppm",
+            "q_label",
+            F.expr(
+                f"({_HDR_SUB} + __b.__bucket % {_HDR_SUB})"
+                f" * shiftleft(1L, __b.__bucket div {_HDR_SUB}) div {_HDR_SUB}"
+            ).alias("est"),
+            F.col("__b.__cum").alias("cum_count"),
+            F.col("__n_vals").alias("n_vals"),
+        )
+
     def compact(self) -> None:
         """Fold the log to one partial row per key (same read results,
         O(keys) storage; merged HLL registers fold losslessly). Offline
@@ -206,6 +292,21 @@ class StreamingAggregateSink:
             for c in self.sum_cols
         ]
         merged = log.groupBy(*self.key_cols).agg(*aggs)
+        if self.quantile_col is not None:
+            hdr_folded = (
+                log.select(
+                    *self.key_cols, F.explode("__hdr").alias("__bucket", "__cnt")
+                )
+                .groupBy(*self.key_cols, "__bucket")
+                .agg(F.sum("__cnt").alias("__cnt"))
+                .groupBy(*self.key_cols)
+                .agg(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("__bucket", "__cnt"))
+                    ).alias("__hdr")
+                )
+            )
+            merged = merged.join(hdr_folded, self.key_cols, "left")
         if self.distinct_col is not None:
             folded = (
                 log.select(

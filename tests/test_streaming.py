@@ -1395,3 +1395,82 @@ def test_streaming_watermark_admits_before_and_drops_after_boundary(spark, tmp_p
     # watermark) are still pending — compare on the emitted set
     for w_start, n in by_win.items():
         assert batch[w_start] == n
+
+
+def test_streaming_aggregate_sink_quantile_sketch(spark, tmp_path):
+    """Continuously-maintained per-key quantiles via the HDR log-bucket
+    sketch carried as sparse per-key maps in the partial log. The merged
+    read-out must (a) equal a one-shot HDR sketch over the union EXACTLY
+    (per-bucket sum-merge is lossless), (b) bound the exact percentile
+    from below within 1/32 relative error, (c) be unchanged by a
+    replayed batch and by compaction, and (d) refuse a quantile_col
+    toggle against existing state."""
+    import math
+
+    import pytest
+
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.aggregate_sink import (
+        _HDR_QS,
+        _HDR_SUB,
+        StreamingAggregateSink,
+    )
+
+    src = str(tmp_path / "q_src")
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    batches = [
+        [("a", 100 + 7 * i) for i in range(150)] + [("b", 10 + i) for i in range(40)],
+        [("a", 5000 + 31 * i) for i in range(100)] + [("b", 2**20 + i) for i in range(10)],
+        [("a", 3 * i + 1) for i in range(120)] + [("c", 42)],
+    ]
+    _write_value_batch(src, batches[0], n=0)
+    sink = StreamingAggregateSink(
+        str(tmp_path / "q_state"), ["k"], ["v"], spark, quantile_col="v"
+    )
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "q_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, rows in enumerate(batches[1:], start=1):
+            _write_value_batch(src, rows, n=i)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def quants():
+        return {
+            (r.k, r.q_ppm): (r.est, r.cum_count, r.n_vals)
+            for r in sink.current_quantiles().collect()
+        }
+
+    got = quants()
+    union = {}
+    for rows in batches:
+        for k, v in rows:
+            union.setdefault(k, []).append(v)
+    for k, vals in union.items():
+        vals.sort()
+        for ppm, _label in _HDR_QS:
+            est, _cum, n_vals = got[(k, ppm)]
+            assert n_vals == len(vals)
+            rank = max(1, math.ceil(ppm * len(vals) / 1_000_000))
+            exact = vals[rank - 1]
+            assert est <= exact, (k, ppm, est, exact)
+            assert exact - est <= exact // _HDR_SUB + 1, (k, ppm, est, exact)
+
+    # replayed batch is a no-op; compaction is exactly invariant
+    sink(spark.createDataFrame(batches[0], schema), 0)
+    assert quants() == got
+    sink.compact()
+    assert spark.read.parquet(str(tmp_path / "q_state" / "log")).count() == 3
+    assert quants() == got
+
+    # schema-mismatch guard covers quantile_col too
+    off = StreamingAggregateSink(str(tmp_path / "q_state"), ["k"], ["v"], spark)
+    with pytest.raises(ValueError, match="quantile_col"):
+        off(spark.createDataFrame(batches[0], schema), 99)
