@@ -410,3 +410,23 @@ def test_bucketed_join_entry_zero_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_customer")
+
+
+def test_tpch_q8_q9_q11_dims_broadcast_and_filters_pushed(spark):
+    """The three remaining round-7 TPC-H shapes: Q8's type filter and date
+    window reach their scans with dims broadcast and no nested loop
+    beyond the 1-row scalar pattern; Q9's name filter is pushed; Q11's
+    global threshold is the 1-row broadcast-scalar cross (the only
+    nested-loop join in its plan)."""
+    p8 = _plan(spark, "tpch_q8")
+    assert "EqualTo(p_type,ECONOMY)" in p8
+    assert "GreaterThanOrEqual(o_orderdate" in p8
+    assert "CartesianProduct" not in p8
+    p9 = _plan(spark, "tpch_q9")
+    assert "StringContains(p_name,gear)" in p9 or "p_name" in p9.split("PushedFilters", 1)[1][:400]
+    assert "BroadcastHashJoin" in p9 and "CartesianProduct" not in p9
+    p11 = _plan(spark, "tpch_q11")
+    assert "LeftSemi" in p11  # nation suppliers prune before the shuffle
+    # the only nested-loop is the 1-row scalar total broadcast (formatted
+    # explain prints each node twice: once in the tree, once in details)
+    assert p11.count("BroadcastNestedLoopJoin") <= 2
