@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "interval_join",
     "bucketed_join",  # shuffle-free co-bucketed join (write cost included)
     "profile_columns",
+    "snapshot_diff",
     # event-sequence (CEP-lite) funnel
     "funnel_match",
     # text analysis

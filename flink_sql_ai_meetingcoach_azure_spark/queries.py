@@ -4222,6 +4222,65 @@ ORDER BY q_ppm
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus snapshot diff — the dataset-versioning primitive every
+    managed training corpus needs: given two versions of the documents
+    table (simulated deterministically here: v1 drops doc_id%7==0, v2
+    drops doc_id%5==0 and appends an edit marker to doc_id%3==0),
+    classify every doc as added / removed / changed / unchanged. Scale
+    shape: each side is projected to (id, md5(content)) BEFORE the
+    join, so the one hash-shuffled FULL OUTER join carries 32-byte
+    digests, never document bodies — at 100 TB the diff costs two
+    content-hash scans plus a key-shuffle of id+hash rows. Status
+    logic is pure codegen CASE on null-ness + hash equality."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 7 != 0).select(
+        F.col("doc_id").alias("id1"), F.md5("text").alias("h1")
+    )
+    v2 = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(" [v2]"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .select(F.col("doc_id").alias("id2"), F.md5("text").alias("h2"))
+    )
+    return (
+        v1.join(v2, F.col("id1") == F.col("id2"), "full_outer")
+        .select(
+            F.coalesce("id1", "id2").alias("doc_id"),
+            F.when(F.col("id1").isNull(), "added")
+            .when(F.col("id2").isNull(), "removed")
+            .when(F.col("h1") != F.col("h2"), "changed")
+            .otherwise("unchanged")
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_SNAPSHOT_DIFF = """
+WITH v1 AS (SELECT doc_id AS id1, md5(text) AS h1 FROM documents
+            WHERE doc_id % 7 <> 0),
+v2 AS (SELECT doc_id AS id2,
+              md5(CASE WHEN doc_id % 3 = 0 THEN text || ' [v2]'
+                       ELSE text END) AS h2
+       FROM documents WHERE doc_id % 5 <> 0)
+SELECT coalesce(id1, id2) AS doc_id,
+       CASE WHEN id1 IS NULL THEN 'added'
+            WHEN id2 IS NULL THEN 'removed'
+            WHEN h1 <> h2 THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM v1 FULL OUTER JOIN v2 ON id1 = id2
+ORDER BY doc_id
+"""
+
+
 def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equi-width histogram of the value distribution (100-cent buckets):
     floor-division bucketing is a pure codegen expression, counts are one
@@ -7049,4 +7108,5 @@ QUERIES: dict[str, QuerySpec] = {
     "decayed_score": QuerySpec(q_decayed_score, SQL_DECAYED_SCORE),
     # -- r7 late additions (after the rotation; window candidates for r8) --
     "hdr_quantiles": QuerySpec(q_hdr_quantiles, _sql_hdr_quantiles()),
+    "snapshot_diff": QuerySpec(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
 }

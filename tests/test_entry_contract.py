@@ -127,6 +127,7 @@ def test_entry_contract_shape():
         "profile_columns",  # deliberate drop: one-pass profile, simple combinable aggs
         "decayed_score",  # deliberate drop: recency-weighted agg, simple combinable agg
         "hdr_quantiles",  # r7 late addition (post-rotation); window candidate r8
+        "snapshot_diff",  # r7 late addition (post-rotation); window candidate r8
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
