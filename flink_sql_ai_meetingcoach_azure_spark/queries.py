@@ -716,7 +716,7 @@ def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             restrict_ids=cand_docs,
         ),
         ["id_a", "id_b"],
-    )
+    ).localCheckpoint(eager=False)  # pos AND neg branches read the scored pairs
 
     def best(df: DataFrame, out_id: str, out_j: str) -> DataFrame:
         return (
