@@ -1474,3 +1474,93 @@ def test_streaming_aggregate_sink_quantile_sketch(spark, tmp_path):
     off = StreamingAggregateSink(str(tmp_path / "q_state"), ["k"], ["v"], spark)
     with pytest.raises(ValueError, match="quantile_col"):
         off(spark.createDataFrame(batches[0], schema), 99)
+
+
+def test_streaming_countmin_composes_from_aggregate_sink(spark, tmp_path):
+    """The sketch primitives COMPOSE: a continuously-maintained Count-Min
+    sketch needs no dedicated sink — key the rollup sink by the sketch
+    coordinates (hash row, bucket) and the per-key counts ARE the
+    counters (merge = sum, exactly the CM merge law). The maintained
+    counter table after N batches must equal the one-shot batch sketch
+    over the union bit-for-bit, and point estimates stay upper bounds."""
+    from flink_sql_ai_meetingcoach_azure_spark.functions.hashing import (
+        md5_bigint_col,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.queries import CM_D, CM_W
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.aggregate_sink import (
+        StreamingAggregateSink,
+    )
+
+    def cm_coords(df):
+        return df.select(
+            "term",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (md5_bigint_col("term", salt=f"cm{r}") % CM_W).alias("bucket"),
+                    )
+                    for r in range(CM_D)
+                ])
+            ).alias("rb"),
+        ).select("term", "rb.r", "rb.bucket")
+
+    src = str(tmp_path / "cm_src")
+    batches = [
+        [("alpha",)] * 30 + [("beta",)] * 10,
+        [("alpha",)] * 20 + [("gamma",)] * 5,
+        [("beta",)] * 15 + [("delta",)] * 1,
+    ]
+    schema = T.StructType([T.StructField("term", T.StringType())])
+
+    import json as _json
+    import os as _os
+
+    _os.makedirs(src)
+
+    def write_batch(rows, n):
+        with open(_os.path.join(src, f"b{n}.json"), "w") as f:
+            for (term,) in rows:
+                f.write(_json.dumps({"term": term}) + "\n")
+
+    write_batch(batches[0], 0)
+    sink = StreamingAggregateSink(
+        str(tmp_path / "cm_state"), ["r", "bucket"], [], spark
+    )
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        stream.writeStream.foreachBatch(lambda df, bid: sink(cm_coords(df), bid))
+        .option("checkpointLocation", str(tmp_path / "cm_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, rows in enumerate(batches[1:], start=1):
+            write_batch(rows, i)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    maintained = {
+        (r.r, r.bucket): r.n_rows for r in sink.current().collect()
+    }
+    union = spark.createDataFrame([t for b in batches for t in b], schema)
+    batch_counters = {
+        (r.r, r.bucket): r.cnt
+        for r in cm_coords(union).groupBy("r", "bucket").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ).collect()
+    }
+    assert maintained == batch_counters  # bit-identical to one-shot sketch
+
+    # point estimates from the maintained counters are upper bounds
+    exact = {"alpha": 50, "beta": 25, "gamma": 5, "delta": 1}
+    coords = {
+        (r.term, r.r): r.bucket
+        for r in cm_coords(
+            spark.createDataFrame([(t,) for t in exact], schema)
+        ).collect()
+    }
+    for term, n in exact.items():
+        est = min(maintained[(r, coords[(term, r)])] for r in range(CM_D))
+        assert est >= n
