@@ -230,6 +230,24 @@ def summary_line(
     )
 
 
+def _quiet_filesink_probe_logs(spark) -> None:
+    """Silence the WARN-level `FileStreamSink: Assume no metadata
+    directory` stack traces (a benign first-poll probe: a downstream
+    chain stage resolves its upstream path before the upstream stream's
+    first commit creates it — Spark retries and proceeds). Three of
+    these ~20-line FileNotFoundException stacks land in stderr per
+    streaming bench and can crowd the driver's tail capture; the logger
+    is scoped to exactly that class, everything else keeps WARN."""
+    try:
+        jvm = spark.sparkContext._jvm
+        level = jvm.org.apache.logging.log4j.Level.ERROR
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink", level
+        )
+    except Exception:  # noqa: BLE001 — log4j internals moved: keep the noise
+        pass
+
+
 def _stop_streams_quietly(spark, handles) -> None:
     """Teardown-safe stream stop (VERDICT r6 #4): drain every handle with a
     final processAllAvailable sweep so no trigger is in flight, silence the
@@ -286,6 +304,7 @@ def bench_streaming(spark, sf_dir: str, n_messages: int = STREAM_MESSAGES) -> di
     )
 
     _prep(spark)
+    _quiet_filesink_probe_logs(spark)
     root = tempfile.mkdtemp(prefix="bench_stream_")
     try:
         docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
@@ -355,6 +374,7 @@ def bench_streaming_neardup(spark, sf_dir: str) -> dict:
     )
 
     _prep(spark)
+    _quiet_filesink_probe_logs(spark)
     root = tempfile.mkdtemp(prefix="bench_neardup_")
     try:
         docs = _t(spark, sf_dir, "documents").select("doc_id", "text").limit(2000)
