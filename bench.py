@@ -134,6 +134,9 @@ BENCH_QUERIES = [
     "asof_join",
     "interval_join",
     "bucketed_join",  # shuffle-free co-bucketed join (write cost included)
+    "bloom_join",  # bloom runtime pre-filter (bitmap build cost included)
+    "salted_join",
+    "skew_profile",
     "profile_columns",
     "snapshot_diff",
     # event-sequence (CEP-lite) funnel
@@ -143,6 +146,7 @@ BENCH_QUERIES = [
     "quality_score",
     "token_stats",
     "top_terms",
+    "heavy_hitters",
     "tfidf_vectors",
     "countmin_sketch",
     "hll_vocab",

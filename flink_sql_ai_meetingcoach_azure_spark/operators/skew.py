@@ -69,3 +69,46 @@ def salted_count_by_key(
     )
     partial = salted.groupBy(*ks, _SALT).agg(F.count("*").alias("__partial"))
     return partial.groupBy(*ks).agg(F.sum("__partial").alias("n"))
+
+
+def skew_profile(
+    df: DataFrame,
+    key: str,
+    top_n: int = 20,
+    partitions: int = 32,
+) -> DataFrame:
+    """Key-distribution diagnostic: the pre-pass before choosing a join
+    strategy for a 100 TB shuffle.
+
+    For the ``top_n`` heaviest keys (count desc, key asc — deterministic)
+    emits exact integer diagnostics:
+
+    - ``cnt`` — exact key frequency (map-side-combinable count; the
+      vocabulary shuffle carries one row per distinct key, the profile's
+      only full exchange);
+    - ``share_ppm`` — cnt·10^6 div n, the key's share of all rows;
+    - ``skew_x`` — cnt·n_keys div n: how many times the mean key weight
+      this key carries (1 = uniform);
+    - ``salt_n`` — ceil(cnt·partitions / n) in integer arithmetic: the
+      salt fan-out at which this key's heaviest (key, salt) bucket drops
+      to ~one partition's fair share — feed it to :func:`salted_join`.
+
+    All arithmetic is integer (div / manual ceil), so the DuckDB oracle
+    reproduces it bit-for-bit.
+    """
+    counts = df.groupBy(F.col(key).alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    totals = counts.agg(
+        F.sum("cnt").alias("n"), F.count(F.lit(1)).alias("n_keys")
+    )
+    ranked = (
+        counts.crossJoin(F.broadcast(totals))
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(top_n)
+    )
+    return ranked.select(
+        "key",
+        "cnt",
+        F.expr("CAST(cnt * 1000000 AS BIGINT) div n").alias("share_ppm"),
+        F.expr("CAST(cnt * n_keys AS BIGINT) div n").alias("skew_x"),
+        F.expr(f"CAST((cnt * {partitions} + n - 1) div n AS INT)").alias("salt_n"),
+    )

@@ -6948,6 +6948,119 @@ GROUP BY c.c_custkey, c.c_name, c.c_nationkey
 ORDER BY c.c_custkey
 """
 
+def q_bloom_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime pre-filter join (operators/bloom.py): the
+    urgent-orders bloom bitmap (one bounded bit_or aggregate, ~16 KB)
+    rides onto the lineitem scan as a broadcast scalar and drops ~4/5 of
+    the fact rows INSIDE whole-stage codegen before the join exchange —
+    the explicit form of Spark's runtime bloom filter, exact because the
+    trailing real join removes bloom false positives (no false
+    negatives by construction). At 100 TB this is the difference between
+    shuffling the whole fact table and shuffling the matching slice.
+    Oracle: the plain layout-free join."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.bloom import bloom_join  # noqa: PLC0415
+
+    line = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.round(F.col("l_quantity") * 100).cast("bigint").alias("__qty_c"),
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000)
+        .cast("bigint")
+        .alias("__rev_e4"),
+    )
+    urgent = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    return (
+        bloom_join(line, urgent, "l_orderkey")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("__qty_c").alias("sum_qty_cents"),
+            F.sum("__rev_e4").alias("revenue_e4"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+SQL_BLOOM_JOIN = """
+SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_e4
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# The synthetic corpus' vocabulary is ~31 near-uniform terms; k=30 puts
+# the n/k threshold inside the count distribution (14-16 of 31 terms pass
+# at every sf — a real split, not all-or-nothing) AND keeps the counter
+# budget below the distinct-term count so MG evictions actually happen.
+HH_K = 30
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (count·k > n) via distributed Misra-Gries
+    (operators/heavy_hitters.py): each partition emits ≤ k candidate
+    terms from a k-counter summary (superset guarantee — total
+    decrement per partition ≤ n_p/(k+1)), then ONLY candidates are
+    exactly recounted through a broadcast semi join. The full-vocabulary
+    shuffle the naive groupBy pays never happens; output is exact, so
+    the oracle computes it with the full group-by it replaces."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import tokens_col  # noqa: PLC0415
+    from flink_sql_ai_meetingcoach_azure_spark.operators.heavy_hitters import (  # noqa: PLC0415
+        heavy_hitters_exact,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens_col("text")).alias("term"))
+    return heavy_hitters_exact(toks, "term", HH_K)
+
+
+SQL_HEAVY_HITTERS = f"""
+WITH toks AS (SELECT unnest({_TOKS.format(col="text")}) AS term FROM documents),
+tot AS (SELECT count(*) AS n FROM toks),
+counts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term)
+SELECT term, cnt, n FROM counts, tot
+WHERE cnt * {HH_K} > n
+ORDER BY cnt DESC, term ASC
+"""
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-skew diagnostic pre-pass (operators/skew.skew_profile): exact
+    per-key counts (one map-side-combinable exchange over distinct
+    keys), total/key-count scalars as a broadcast, TakeOrderedAndProject
+    top-20, and integer-exact share/skew/salt-fan-out columns — the
+    numbers an engineer reads before picking broadcast vs salting
+    (salt_n is the fan-out to hand operators/skew.salted_join). All
+    arithmetic is integer div/ceil, bit-reproducible in the oracle."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.skew import skew_profile  # noqa: PLC0415
+
+    ev = _events(spark, sf_dir)
+    return skew_profile(ev.select("user_id"), "user_id", top_n=20, partitions=32)
+
+
+SQL_SKEW_PROFILE = """
+WITH counts AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY user_id),
+tot AS (SELECT sum(cnt) AS n, count(*) AS n_keys FROM counts),
+ranked AS (SELECT key, cnt, n, n_keys FROM counts, tot
+           ORDER BY cnt DESC, key ASC LIMIT 20)
+SELECT key, cnt,
+       CAST(cnt * 1000000 // n AS BIGINT) AS share_ppm,
+       CAST(cnt * n_keys // n AS BIGINT) AS skew_x,
+       CAST((cnt * 32 + n - 1) // n AS INTEGER) AS salt_n
+FROM ranked
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-7 rotation (VERDICT r6 #1): EVERY entry below was never
@@ -7109,4 +7222,7 @@ QUERIES: dict[str, QuerySpec] = {
     # -- r7 late additions (after the rotation; window candidates for r8) --
     "hdr_quantiles": QuerySpec(q_hdr_quantiles, _sql_hdr_quantiles()),
     "snapshot_diff": QuerySpec(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "bloom_join": QuerySpec(q_bloom_join, SQL_BLOOM_JOIN),
+    "heavy_hitters": QuerySpec(q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "skew_profile": QuerySpec(q_skew_profile, SQL_SKEW_PROFILE),
 }

@@ -128,6 +128,9 @@ def test_entry_contract_shape():
         "decayed_score",  # deliberate drop: recency-weighted agg, simple combinable agg
         "hdr_quantiles",  # r7 late addition (post-rotation); window candidate r8
         "snapshot_diff",  # r7 late addition (post-rotation); window candidate r8
+        "bloom_join",  # r7 late addition (post-rotation); window candidate r8
+        "heavy_hitters",  # r7 late addition (post-rotation); window candidate r8
+        "skew_profile",  # r7 late addition (post-rotation); window candidate r8
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

@@ -1,0 +1,99 @@
+"""Bloom pre-filter join, Misra-Gries heavy hitters, and the key-skew
+profiler — the r7 scale-technique operators (bloom/heavy_hitters/skew)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from flink_sql_ai_meetingcoach_azure_spark.operators.bloom import (
+    bloom_filter_probe,
+    bloom_join,
+    bloom_words,
+)
+from flink_sql_ai_meetingcoach_azure_spark.operators.heavy_hitters import (
+    heavy_hitters_exact,
+    misra_gries_candidates,
+)
+from flink_sql_ai_meetingcoach_azure_spark.operators.skew import skew_profile
+
+
+def _keys_df(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "k bigint")
+
+
+def test_bloom_no_false_negatives(spark):
+    """Every build-side key must pass the probe filter."""
+    build = _keys_df(spark, range(0, 5000, 7))
+    words = bloom_words(build, "k")
+    survivors = bloom_filter_probe(build, "k", words)
+    assert survivors.count() == build.count()
+
+
+def test_bloom_prefilter_drops_nonmembers(spark):
+    """A disjoint probe set should be mostly eliminated BEFORE the join
+    (the operator's entire point); FP rate at this fill is ~<1%."""
+    build = _keys_df(spark, range(0, 2000))
+    probe = _keys_df(spark, range(100_000, 110_000))
+    words = bloom_words(build, "k")
+    surviving = bloom_filter_probe(probe, "k", words).count()
+    assert surviving < 1000  # 10000 non-members, ~1% FP budget
+
+    # and a codegen'd plan: the membership test is Catalyst expressions,
+    # not a Python UDF
+    plan = bloom_filter_probe(probe, "k", words)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_join_equals_plain_join(spark):
+    build = _keys_df(spark, list(range(0, 300, 3)))
+    probe = spark.createDataFrame(
+        [(i % 500, i) for i in range(2000)], "k bigint, payload bigint"
+    )
+    got = bloom_join(probe, build, "k").orderBy("k", "payload").collect()
+    want = probe.join(build, "k").orderBy("k", "payload").collect()
+    assert got == want
+
+
+def test_misra_gries_superset_under_eviction(spark):
+    """With far more distinct terms than counters, every true >n/k term
+    must still be a candidate (the MG soundness bound)."""
+    # 1 partition so the per-partition bound is the global bound;
+    # 3 hot terms (1200 each) + 4000 singleton terms; n = 7600
+    rows = [(f"hot{i % 3}",) for i in range(3600)] + [
+        (f"rare{i}",) for i in range(4000)
+    ]
+    toks = spark.createDataFrame(rows, "term string").repartition(1)
+    k = 10  # n/k = 760 < 1200; 10 counters << 4003 distinct -> evictions
+    cands = {r.term for r in misra_gries_candidates(toks, "term", k).collect()}
+    assert {"hot0", "hot1", "hot2"} <= cands
+    assert len(cands) <= k  # one partition emits at most k candidates
+
+
+def test_heavy_hitters_exact_matches_groupby(spark):
+    rows = [(f"hot{i % 2}",) for i in range(1000)] + [
+        (f"mid{i % 37}",) for i in range(500)
+    ]
+    toks = spark.createDataFrame(rows, "term string").repartition(8)
+    k = 5
+    got = heavy_hitters_exact(toks, "term", k).collect()
+    n = len(rows)
+    counts = toks.groupBy("term").count().collect()
+    want = sorted(
+        [(r["term"], r["count"]) for r in counts if r["count"] * k > n],
+        key=lambda t: (-t[1], t[0]),
+    )
+    assert [(r.term, r.cnt) for r in got] == want
+    assert all(r.n == n for r in got)
+
+
+def test_skew_profile_integer_diagnostics(spark):
+    # key 'a' holds 60 of 100 rows across 3 keys
+    rows = [("a",)] * 60 + [("b",)] * 30 + [("c",)] * 10
+    df = spark.createDataFrame(rows, "user string")
+    prof = {r.key: r for r in skew_profile(df, "user", top_n=2, partitions=10).collect()}
+    assert set(prof) == {"a", "b"}  # top-2 only
+    a = prof["a"]
+    assert (a.cnt, a.share_ppm, a.skew_x) == (60, 600000, 1)
+    # ceil(60*10/100) = 6 salts to flatten the hot key
+    assert a.salt_n == 6
+    assert prof["b"].salt_n == 3
