@@ -147,6 +147,7 @@ BENCH_QUERIES = [
     "token_stats",
     "top_terms",
     "heavy_hitters",
+    "pmi_collocations",
     "tfidf_vectors",
     "countmin_sketch",
     "hll_vocab",

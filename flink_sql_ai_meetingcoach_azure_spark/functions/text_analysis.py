@@ -433,3 +433,82 @@ def bigram_lm_scores(
             .alias("avg_logp"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_n: int = 50,
+) -> DataFrame:
+    """Corpus collocations ranked by pointwise mutual information —
+    the standard "which word pairs travel together" statistic behind
+    phrase mining and tokenizer-merge candidates (cf. the BPE trainer's
+    pair counts, operators/bpe.py, which greedily merges the most
+    FREQUENT pair; PMI instead normalizes by unigram frequency, so
+    boilerplate pairs of common words rank below genuinely associated
+    ones).
+
+    ``PMI(x,y) = ln( p(xy) / (p(x)·p(y)) )`` with ``p(xy) = c_xy/N_bi``
+    over adjacent-bigram occurrences and ``p(x) = c_x/N_uni`` over
+    tokens. Evaluated as
+    ``ln( (c_xy·N_uni / N_bi) · (N_uni / (c_x·c_y)) )`` — both inner
+    products are exact BIGINTs (safe to ~10^8-token corpora, the
+    module's usual bound), the two divisions and the multiply are
+    IEEE-exact doubles on identical operands in every engine, and the
+    single ``ln`` is rounded to micro-nats (the `bigram_lm_scores`
+    discipline), so the DuckDB oracle reproduces it bit-for-bit.
+
+    Scale shape: bigrams come from a NARROW array transform
+    (slice + element_at inside one generator — no per-doc lag window,
+    unlike the LM scorer which needs positions); unigram and bigram
+    counts are map-side-combinable groupBys; the distinct-bigram table
+    is localCheckpoint'd once and feeds the total and the scoring join;
+    unigram counts join by term (vocabulary-sized shuffle, never
+    hint-broadcast — the TF-IDF discipline); totals ride as 1-row
+    broadcast scalars; the final top-k is TakeOrderedAndProject.
+
+    Returns ``(w1, w2, c_xy, pmi_micro)`` — the ``top_n`` pairs with
+    ``c_xy >= min_count`` by PMI desc (ties broken by words asc).
+    """
+    toks = df.select(tokens_col(text_col).alias("__tk"))
+    bi = toks.select(
+        F.explode(
+            F.expr(
+                "transform(slice(__tk, 1, size(__tk) - 1), "
+                "(x, i) -> struct(x AS w1, element_at(__tk, i + 2) AS w2))"
+            )
+        ).alias("__b")
+    ).select("__b.w1", "__b.w2")
+    counts = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .localCheckpoint(eager=False)  # feeds N_bi AND the scoring join
+    )
+    n_bi = counts.agg(F.sum("c_xy").alias("__n_bi"))
+    uni = (
+        toks.select(F.explode("__tk").alias("__w"))
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__cw"))
+    )
+    tot = uni.agg(F.sum("__cw").alias("__n_uni"))
+    return (
+        counts.filter(F.col("c_xy") >= min_count)
+        .join(uni.select(F.col("__w").alias("w1"), F.col("__cw").alias("__cx")), "w1")
+        .join(uni.select(F.col("__w").alias("w2"), F.col("__cw").alias("__cy")), "w2")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(n_bi))
+        .select(
+            "w1",
+            "w2",
+            "c_xy",
+            F.expr(
+                "CAST(round(ln("
+                "(CAST(c_xy * __n_uni AS DOUBLE) / CAST(__n_bi AS DOUBLE)) * "
+                "(CAST(__n_uni AS DOUBLE) / CAST(__cx * __cy AS DOUBLE))"
+                ") * 1000000) AS BIGINT)"
+            ).alias("pmi_micro"),
+        )
+        .orderBy(F.desc("pmi_micro"), "w1", "w2")
+        .limit(top_n)
+    )

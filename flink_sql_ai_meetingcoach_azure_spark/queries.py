@@ -7061,6 +7061,54 @@ FROM ranked
 """
 
 
+# min_count=3 (not the 5 default): the synthetic vocabulary is ~31 terms,
+# so distinct bigrams are ~1k and well-counted even at sf0.001 — the
+# lower floor keeps the candidate set >> top_n at every test sf.
+PMI_MIN_COUNT = 3
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 corpus collocations by pointwise mutual information
+    (functions/text_analysis.pmi_collocations): phrase-mining's core
+    statistic — which adjacent word pairs co-occur far above what their
+    individual frequencies predict. Bigrams come from a narrow array
+    transform (no per-doc window), counts are combinable groupBys, the
+    unigram join is a vocabulary-keyed shuffle (never hint-broadcast),
+    and the single ln runs per DISTINCT surviving bigram on exact
+    integer ratios, micro-nat rounded — bit-reproducible in DuckDB."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import (  # noqa: PLC0415
+        pmi_collocations,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return pmi_collocations(docs, "text", min_count=PMI_MIN_COUNT, top_n=50)
+
+
+SQL_PMI_COLLOCATIONS = f"""
+WITH d AS (SELECT {_TOKS.format(col="text")} AS tk FROM documents),
+bi AS (SELECT tk[t.j] AS w1, tk[t.j + 1] AS w2
+       FROM d, unnest(range(1, len(tk))) AS t(j)),
+counts AS (SELECT w1, w2, count(*) AS c_xy FROM bi GROUP BY w1, w2),
+nb AS (SELECT sum(c_xy) AS n_bi FROM counts),
+uni AS (SELECT w, count(*) AS cw
+        FROM (SELECT unnest(tk) AS w FROM d) GROUP BY w),
+tot AS (SELECT sum(cw) AS n_uni FROM uni)
+SELECT w1, w2, c_xy,
+       CAST(round(ln(
+         (CAST(c_xy * n_uni AS DOUBLE) / CAST(n_bi AS DOUBLE)) *
+         (CAST(n_uni AS DOUBLE) / CAST(u1.cw * u2.cw AS DOUBLE))
+       ) * 1000000) AS BIGINT) AS pmi_micro
+FROM counts
+JOIN uni u1 ON u1.w = counts.w1
+JOIN uni u2 ON u2.w = counts.w2
+CROSS JOIN tot CROSS JOIN nb
+WHERE c_xy >= {PMI_MIN_COUNT}
+ORDER BY pmi_micro DESC, w1, w2
+LIMIT 50
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-7 rotation (VERDICT r6 #1): EVERY entry below was never
@@ -7225,4 +7273,5 @@ QUERIES: dict[str, QuerySpec] = {
     "bloom_join": QuerySpec(q_bloom_join, SQL_BLOOM_JOIN),
     "heavy_hitters": QuerySpec(q_heavy_hitters, SQL_HEAVY_HITTERS),
     "skew_profile": QuerySpec(q_skew_profile, SQL_SKEW_PROFILE),
+    "pmi_collocations": QuerySpec(q_pmi_collocations, SQL_PMI_COLLOCATIONS),
 }

@@ -436,3 +436,53 @@ def test_hdr_sketch_shard_merge_and_error_bound(spark):
         exact = vals[rank - 1]
         assert est[ppm] <= exact
         assert exact - est[ppm] <= exact // HDR_SUB + 1
+
+
+def test_pmi_collocations_hand_computed(spark):
+    """PMI on a corpus small enough to verify by hand: counts, the
+    staged-double evaluation order, micro-nat rounding, and the
+    (pmi desc, words asc) ordering."""
+    import math
+
+    from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import (
+        pmi_collocations,
+    )
+
+    docs = spark.createDataFrame([("a b a b",), ("a b c",)], "text string")
+    got = pmi_collocations(docs, "text", min_count=1, top_n=10).collect()
+
+    # tokens: a,b,a,b,a,b,c -> n_uni=7; c_a=3 c_b=3 c_c=1
+    # bigrams: (a,b)x3, (b,a)x1, (b,c)x1 -> n_bi=5
+    def pmi(c_xy, cx, cy, n_uni=7, n_bi=5):
+        # same staged doubles as the operator: two divs then a multiply
+        return int(round(math.log((c_xy * n_uni / n_bi) * (n_uni / (cx * cy))) * 1e6))
+
+    want = sorted(
+        [
+            ("a", "b", 3, pmi(3, 3, 3)),
+            ("b", "a", 1, pmi(1, 3, 3)),
+            ("b", "c", 1, pmi(1, 3, 1)),
+        ],
+        key=lambda r: (-r[3], r[0], r[1]),
+    )
+    assert [(r.w1, r.w2, r.c_xy, r.pmi_micro) for r in got] == want
+    # a tie lives in this corpus — PMI(a,b) = PMI(b,c) = ln(49/15) —
+    # so the words-asc tiebreak is exercised, and rare (b,c) matches
+    # 3x-more-frequent (a,b): unigram normalization at work
+    assert got[0].pmi_micro == got[1].pmi_micro
+    assert got[0][:2] == ("a", "b") and got[1][:2] == ("b", "c")
+
+
+def test_pmi_collocations_min_count_and_plan(spark):
+    from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import (
+        pmi_collocations,
+    )
+
+    docs = spark.createDataFrame([("a b a b",), ("a b c",)], "text string")
+    q = pmi_collocations(docs, "text", min_count=2, top_n=10)
+    assert [(r.w1, r.w2) for r in q.collect()] == [("a", "b")]
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    # narrow bigram construction: no per-doc window anywhere in the plan
+    assert "Window" not in plan
+    # final top-k never globally sorts
+    assert "TakeOrderedAndProject" in plan
