@@ -1564,3 +1564,96 @@ def test_streaming_countmin_composes_from_aggregate_sink(spark, tmp_path):
     for term, n in exact.items():
         est = min(maintained[(r, coords[(term, r)])] for r in range(CM_D))
         assert est >= n
+
+
+def test_streaming_heavy_hitters_composes_from_aggregate_sink(spark, tmp_path):
+    """Continuous frequent-term tracking needs no dedicated sink: each
+    micro-batch's Misra-Gries candidates (operators/heavy_hitters) gate
+    which rows enter the rollup sink, so the maintained per-term counts
+    are (a) bounded — ≤ k new terms per batch partition ever enter the
+    log — and (b) sound: a batch can hide at most n_b/(k+1) occurrences
+    of any term, so maintained ≥ true − n/(k+1) and every true >n/k
+    hitter stays a candidate. The exact-verify step then recovers the
+    batch operator's output bit-for-bit from the maintained candidate
+    set — the same approximate-propose → exact-verify architecture as
+    the batch operator itself."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.heavy_hitters import (
+        heavy_hitters_exact,
+        misra_gries_candidates,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.aggregate_sink import (
+        StreamingAggregateSink,
+    )
+
+    k = 5
+    batches = [
+        [("hot0",)] * 60 + [("hot1",)] * 40 + [(f"r{i}",) for i in range(50)],
+        [("hot1",)] * 70 + [("hot0",)] * 30 + [(f"s{i}",) for i in range(50)],
+        [("hot2",)] * 80 + [(f"t{i}",) for i in range(50)],
+    ]
+    schema = T.StructType([T.StructField("term", T.StringType())])
+
+    import json as _json
+    import os as _os
+
+    src = str(tmp_path / "hh_src")
+    _os.makedirs(src)
+
+    def write_batch(rows, n):
+        with open(_os.path.join(src, f"b{n}.json"), "w") as f:
+            for (term,) in rows:
+                f.write(_json.dumps({"term": term}) + "\n")
+
+    sink = StreamingAggregateSink(str(tmp_path / "hh_state"), ["term"], [], spark)
+
+    def admit_candidates(df, bid):
+        cands = misra_gries_candidates(df, "term", k).distinct()
+        sink(df.join(F.broadcast(cands), "term", "left_semi"), bid)
+
+    write_batch(batches[0], 0)
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        stream.writeStream.foreachBatch(admit_candidates)
+        .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, rows in enumerate(batches[1:], start=1):
+            write_batch(rows, i)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    maintained = {r.term: r.n_rows for r in sink.current().collect()}
+    flat = [t for b in batches for t in b]
+    n = len(flat)
+    exact = {}
+    for (term,) in flat:
+        exact[term] = exact.get(term, 0) + 1
+    true_hitters = {t for t, c in exact.items() if c * k > n}
+
+    # soundness: every true >n/k hitter is a maintained candidate, and
+    # its maintained count is a lower bound within the n/(k+1) MG law
+    assert true_hitters <= set(maintained)
+    for t, m in maintained.items():
+        assert m <= exact[t]
+        assert exact[t] - m <= n // (k + 1)
+
+    # exact verify from the maintained candidates reproduces the batch
+    # operator bit-for-bit (candidates are a superset, the recount and
+    # threshold kill the rest)
+    union = spark.createDataFrame(flat, schema)
+    cands_df = spark.createDataFrame([(t,) for t in maintained], schema)
+    verified = (
+        union.join(F.broadcast(cands_df), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(union.agg(F.count(F.lit(1)).alias("n"))))
+        .filter(F.col("cnt") * k > F.col("n"))
+        .select("term", "cnt", "n")
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .collect()
+    )
+    want = heavy_hitters_exact(union.repartition(8), "term", k).collect()
+    assert [tuple(r) for r in verified] == [tuple(r) for r in want]
