@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "top_terms",
     "heavy_hitters",
     "pmi_collocations",
+    "frequent_pairs",
     "tfidf_vectors",
     "countmin_sketch",
     "hll_vocab",

@@ -7109,6 +7109,42 @@ LIMIT 50
 """
 
 
+def q_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apriori-pruned market-basket pair mining (operators/itemsets):
+    which token pairs co-occur in >= 50 of the corpus' documents
+    (basket = per-doc DISTINCT token set). One item-frequency pass
+    prunes the pair space BEFORE any pair is generated (support is
+    anti-monotone — a pair can't beat min_support if either item does),
+    so the doc-keyed self-join squares only over per-doc FREQUENT items
+    (the PCY bound), never full doc vocabularies. Exact integer output;
+    the oracle computes the unpruned full group-by — pruning is
+    result-invariant by the Apriori property."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.itemsets import (  # noqa: PLC0415
+        frequent_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return frequent_pairs(docs, "doc_id", "text", min_support=50, top_n=50)
+
+
+SQL_FREQUENT_PAIRS = f"""
+WITH d AS (SELECT doc_id, list_distinct({_TOKS.format(col="text")}) AS items
+           FROM documents),
+ex AS (SELECT doc_id, unnest(items) AS item FROM d),
+pairs AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_docs
+          FROM ex a JOIN ex b ON a.doc_id = b.doc_id AND a.item < b.item
+          GROUP BY a.item, b.item),
+tot AS (SELECT count(*) AS n_docs FROM d)
+SELECT item_a, item_b, pair_docs,
+       CAST(pair_docs * 1000000 // n_docs AS BIGINT) AS support_ppm
+FROM pairs, tot
+WHERE pair_docs >= 50
+ORDER BY pair_docs DESC, item_a, item_b
+LIMIT 50
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-7 rotation (VERDICT r6 #1): EVERY entry below was never
@@ -7274,4 +7310,5 @@ QUERIES: dict[str, QuerySpec] = {
     "heavy_hitters": QuerySpec(q_heavy_hitters, SQL_HEAVY_HITTERS),
     "skew_profile": QuerySpec(q_skew_profile, SQL_SKEW_PROFILE),
     "pmi_collocations": QuerySpec(q_pmi_collocations, SQL_PMI_COLLOCATIONS),
+    "frequent_pairs": QuerySpec(q_frequent_pairs, SQL_FREQUENT_PAIRS),
 }

@@ -97,3 +97,50 @@ def test_skew_profile_integer_diagnostics(spark):
     # ceil(60*10/100) = 6 salts to flatten the hot key
     assert a.salt_n == 6
     assert prof["b"].salt_n == 3
+
+
+def test_frequent_pairs_apriori_prune_is_result_invariant(spark):
+    """Pruning infrequent items before the pair join must not change the
+    output (the Apriori property), on a corpus where the prune genuinely
+    removes items."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.itemsets import (
+        doc_items,
+        frequent_pairs,
+    )
+    from pyspark.sql import functions as F
+
+    # 20 docs all containing {x, y}; each doc adds unique rare items
+    docs = spark.createDataFrame(
+        [(i, f"x y r{i}a r{i}b") for i in range(20)], "doc_id int, text string"
+    )
+    got = frequent_pairs(docs, "doc_id", "text", min_support=10, top_n=10).collect()
+    # unpruned reference: full pair space, same filter
+    items = doc_items(docs, "doc_id", "text")
+    b = items.select("__doc", F.col("item").alias("item_b"))
+    want = (
+        items.select("__doc", F.col("item").alias("item_a"))
+        .join(b, "__doc")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("pair_docs"))
+        .filter(F.col("pair_docs") >= 10)
+        .collect()
+    )
+    assert [(r.item_a, r.item_b, r.pair_docs) for r in got] == [
+        ("x", "y", 20)
+    ]
+    assert sorted((r.item_a, r.item_b, r.pair_docs) for r in want) == [("x", "y", 20)]
+    assert got[0].support_ppm == 1_000_000  # 20/20 docs
+
+
+def test_frequent_pairs_presence_not_count(spark):
+    """Basket semantics: a token repeated inside one doc counts once."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.itemsets import (
+        frequent_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a b b")], "doc_id int, text string"
+    )
+    got = frequent_pairs(docs, "doc_id", "text", min_support=2, top_n=5).collect()
+    assert [(r.item_a, r.item_b, r.pair_docs) for r in got] == [("a", "b", 2)]
