@@ -137,6 +137,7 @@ BENCH_QUERIES = [
     "bloom_join",  # bloom runtime pre-filter (bitmap build cost included)
     "salted_join",
     "skew_profile",
+    "join_blowup",
     "profile_columns",
     "snapshot_diff",
     # event-sequence (CEP-lite) funnel

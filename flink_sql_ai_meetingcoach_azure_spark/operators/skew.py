@@ -112,3 +112,59 @@ def skew_profile(
         F.expr("CAST(cnt * n_keys AS BIGINT) div n").alias("skew_x"),
         F.expr(f"CAST((cnt * {partitions} + n - 1) div n AS INT)").alias("salt_n"),
     )
+
+
+def join_blowup_profile(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    top_n: int = 20,
+) -> DataFrame:
+    """Exact join-output cardinality forecast: what an equi-join on
+    ``key`` WILL produce, computed without producing it — the other
+    pre-pass (next to :func:`skew_profile`) a 100 TB join plan starts
+    with, since ``|A ⋈ B| = Σ_k cA(k)·cB(k)`` needs only the per-key
+    count vectors, never the joined rows.
+
+    For the ``top_n`` heaviest keys (out_rows desc, key asc) emits
+    ``n_left``/``n_right`` (the per-side match counts), ``out_rows``
+    (their product — this key's contribution to the join output),
+    ``share_ppm`` (out_rows·10^6 div total, integer-exact), and
+    ``total_out`` (the full join's output cardinality, rides every row
+    for one-pass readability). A handful of keys owning most of
+    ``total_out`` is the blowup signature: salt those keys
+    (:func:`salted_join`) or rethink the join before paying its shuffle.
+
+    Scale shape: two map-side-combinable per-key counts, one
+    vocabulary-sized equi-join of the count relations (distinct keys,
+    never the fact rows), a 1-row broadcast total, and a
+    TakeOrderedAndProject top-k. Cost is two count-shuffles regardless
+    of join output size — the entire point."""
+    lc = left.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_left")
+    )
+    rc = right.groupBy(F.col(key).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_right")
+    )
+    per = lc.join(rc, "key").select(
+        "key",
+        "n_left",
+        "n_right",
+        (F.col("n_left") * F.col("n_right")).alias("out_rows"),
+    )
+    tot = per.agg(F.sum("out_rows").alias("total_out"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "key",
+            "n_left",
+            "n_right",
+            "out_rows",
+            F.expr("CAST(out_rows * 1000000 AS BIGINT) div total_out").alias(
+                "share_ppm"
+            ),
+            "total_out",
+        )
+        .orderBy(F.desc("out_rows"), F.asc("key"))
+        .limit(top_n)
+    )

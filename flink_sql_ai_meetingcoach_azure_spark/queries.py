@@ -7145,6 +7145,37 @@ LIMIT 50
 """
 
 
+def q_join_blowup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-output cardinality forecast (operators/skew.
+    join_blowup_profile) for the canonical blowup shape — the events
+    self-join on user_id ("pair every action of a user with every
+    other"): |A ⋈ B| = Σ_k cA(k)·cB(k) from the per-key count vectors
+    alone, never the joined rows. Two combinable count passes + one
+    distinct-key join + a broadcast total; cost is independent of the
+    (possibly enormous) forecast output — the number that tells an
+    engineer to salt or rethink BEFORE paying the shuffle."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.skew import (  # noqa: PLC0415
+        join_blowup_profile,
+    )
+
+    ev = _events(spark, sf_dir).select("user_id")
+    return join_blowup_profile(ev, ev, "user_id", top_n=20)
+
+
+SQL_JOIN_BLOWUP = """
+WITH counts AS (SELECT user_id AS key, count(*) AS cnt FROM events GROUP BY user_id),
+per AS (SELECT key, cnt AS n_left, cnt AS n_right, cnt * cnt AS out_rows FROM counts),
+tot AS (SELECT sum(out_rows) AS total_out FROM per)
+SELECT key, n_left, n_right, out_rows,
+       CAST(out_rows * 1000000 // total_out AS BIGINT) AS share_ppm,
+       CAST(total_out AS BIGINT) AS total_out
+FROM per, tot
+ORDER BY out_rows DESC, key ASC
+LIMIT 20
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-7 rotation (VERDICT r6 #1): EVERY entry below was never
@@ -7311,4 +7342,5 @@ QUERIES: dict[str, QuerySpec] = {
     "skew_profile": QuerySpec(q_skew_profile, SQL_SKEW_PROFILE),
     "pmi_collocations": QuerySpec(q_pmi_collocations, SQL_PMI_COLLOCATIONS),
     "frequent_pairs": QuerySpec(q_frequent_pairs, SQL_FREQUENT_PAIRS),
+    "join_blowup": QuerySpec(q_join_blowup, SQL_JOIN_BLOWUP),
 }

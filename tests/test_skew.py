@@ -54,3 +54,26 @@ def test_salt_spreads_hot_key(spark):
         .count()
     )
     assert n > 1
+
+
+def test_join_blowup_profile_forecasts_exact_join_size(spark):
+    """The forecast must equal the materialized join's actual row count,
+    computed without materializing it — on an asymmetric pair with a
+    clear blowup key."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.skew import (
+        join_blowup_profile,
+    )
+
+    left = spark.createDataFrame(
+        [("hot",)] * 100 + [("a",)] * 5 + [("b",)] * 2, "k string"
+    )
+    right = spark.createDataFrame(
+        [("hot",)] * 50 + [("a",)] * 4 + [("c",)] * 9, "k string"
+    )
+    prof = join_blowup_profile(left, right, "k", top_n=10).collect()
+    actual = left.join(right, "k").count()
+    assert prof[0].total_out == actual == 100 * 50 + 5 * 4
+    assert (prof[0].key, prof[0].out_rows) == ("hot", 5000)
+    assert prof[0].share_ppm == 5000 * 1_000_000 // 5020
+    # 'b' and 'c' never match: absent from the profile entirely
+    assert {r.key for r in prof} == {"hot", "a"}
