@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "join_blowup",
     "profile_columns",
     "snapshot_diff",
+    "term_drift",
     # event-sequence (CEP-lite) funnel
     "funnel_match",
     # text analysis

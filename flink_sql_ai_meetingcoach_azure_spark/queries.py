@@ -7211,6 +7211,85 @@ ORDER BY id_a, id_b
 """
 
 
+def q_term_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Term-level distribution drift between two corpus snapshots — the
+    TERM companion to doc-level `snapshot_diff`, and the canonical
+    "did my training mix shift" monitor: per term, the add-one-smoothed
+    log-probability ratio ln(P_v2(t)/P_v1(t)) in micro-nats. Snapshots
+    are the same deterministic v1/v2 splits snapshot_diff uses. The
+    ratio is ONE ln over an exact integer rational —
+    (c2+1)·(n1+V) / ((c1+1)·(n2+V)) with V the union vocabulary — the
+    module-wide discipline that keeps DuckDB bit-identical. Top-20
+    movers each way (|drift| desc), full-outer term join so terms
+    appearing/vanishing entirely are scored, not dropped. Scale shape:
+    two combinable term counts, one vocabulary-sized full-outer join,
+    broadcast totals, TakeOrderedAndProject."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import tokens_col  # noqa: PLC0415
+
+    v1 = docs.filter(F.col("doc_id") % 7 != 0)
+    v2 = docs.filter(F.col("doc_id") % 5 != 0)
+
+    def counts(d, cn):
+        return (
+            d.select(F.explode(tokens_col("text")).alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias(cn))
+        )
+
+    c1, c2 = counts(v1, "c1"), counts(v2, "c2")
+    joined = c1.join(c2, "term", "full_outer").select(
+        "term",
+        F.coalesce("c1", F.lit(0)).alias("c1"),
+        F.coalesce("c2", F.lit(0)).alias("c2"),
+    )
+    tot = joined.agg(
+        F.sum("c1").alias("n1"),
+        F.sum("c2").alias("n2"),
+        F.count(F.lit(1)).alias("v"),
+    )
+    scored = joined.crossJoin(F.broadcast(tot)).select(
+        "term",
+        "c1",
+        "c2",
+        F.expr(
+            "CAST(round(ln("
+            "CAST((c2 + 1) * (n1 + v) AS DOUBLE) / "
+            "CAST((c1 + 1) * (n2 + v) AS DOUBLE)"
+            ") * 1000000) AS BIGINT)"
+        ).alias("drift_micro"),
+    )
+    return (
+        scored.orderBy(F.desc(F.abs(F.col("drift_micro"))), "term")
+        .limit(20)
+        .orderBy(F.desc("drift_micro"), "term")
+    )
+
+
+SQL_TERM_DRIFT = f"""
+WITH v1 AS (SELECT text FROM documents WHERE doc_id % 7 <> 0),
+v2 AS (SELECT text FROM documents WHERE doc_id % 5 <> 0),
+c1 AS (SELECT t AS term, count(*) AS c1
+       FROM (SELECT unnest({_TOKS.format(col="text")}) AS t FROM v1) GROUP BY t),
+c2 AS (SELECT t AS term, count(*) AS c2
+       FROM (SELECT unnest({_TOKS.format(col="text")}) AS t FROM v2) GROUP BY t),
+j AS (SELECT coalesce(c1.term, c2.term) AS term,
+             coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+      FROM c1 FULL OUTER JOIN c2 ON c1.term = c2.term),
+tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2, count(*) AS v FROM j),
+sc AS (SELECT term, c1, c2,
+              CAST(round(ln(
+                CAST((c2 + 1) * (n1 + v) AS DOUBLE) /
+                CAST((c1 + 1) * (n2 + v) AS DOUBLE)
+              ) * 1000000) AS BIGINT) AS drift_micro
+       FROM j, tot),
+top AS (SELECT * FROM sc ORDER BY abs(drift_micro) DESC, term LIMIT 20)
+SELECT term, CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2, drift_micro
+FROM top ORDER BY drift_micro DESC, term
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-7 rotation (VERDICT r6 #1): EVERY entry below was never
@@ -7379,4 +7458,5 @@ QUERIES: dict[str, QuerySpec] = {
     "frequent_pairs": QuerySpec(q_frequent_pairs, SQL_FREQUENT_PAIRS),
     "join_blowup": QuerySpec(q_join_blowup, SQL_JOIN_BLOWUP),
     "setsim_join": QuerySpec(q_setsim_join, SQL_SETSIM_JOIN),
+    "term_drift": QuerySpec(q_term_drift, SQL_TERM_DRIFT),
 }
