@@ -142,6 +142,7 @@ BENCH_QUERIES = [
     "profile_columns",
     "snapshot_diff",
     "term_drift",
+    "incremental_neardup",
     # event-sequence (CEP-lite) funnel
     "funnel_match",
     # text analysis

@@ -247,6 +247,50 @@ def lsh_candidate_pairs(
     )
 
 
+def delta_lsh_pairs(
+    signatures: DataFrame,
+    id_col: str,
+    is_new: Column,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Incremental-ingest LSH: candidate pairs where AT LEAST ONE side is a
+    NEW document (``is_new`` — a predicate over the signature frame's
+    columns, e.g. a delivery-batch flag). Returns (id_a < id_b) distinct.
+
+    The full-corpus rebanding self-join re-pays the entire corpus on every
+    delivery; the delta shape joins only the NEW docs' band keys against the
+    corpus band index, so the candidate space is proportional to the batch's
+    collisions, never corpus². Output is exactly the subset of
+    :func:`lsh_candidate_pairs` touching a new doc (new-new pairs included
+    once — the least/greatest canonicalization dedups the double match).
+
+    At 100 TB the ``bands`` side is the PERSISTED band-key index (written at
+    prior ingests, bucketed by (band, bh)); recomputing it here from the full
+    corpus stands in for that read and keeps the function self-contained —
+    the join shape, which is what scales, is identical either way.
+    """
+    signatures = signatures.localCheckpoint(eager=False)
+    bands = lsh_band_keys(signatures, id_col, num_hashes, band_size).localCheckpoint(
+        eager=False
+    )
+    # id-keyed semi join, deliberately NOT hint-broadcast: a delivery batch
+    # can be arbitrarily large, and AQE picks broadcast on its own when the
+    # batch is small. (With a persisted band index the delta's band keys
+    # arrive as their own table and this join disappears entirely.)
+    new_ids = signatures.filter(is_new).select(id_col)
+    new_bands = bands.join(new_ids, on=id_col, how="left_semi")
+    a = new_bands.alias("a")
+    b = bands.alias("b")
+    ia, ib = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+    return (
+        a.join(b, on=["band", "bh"], how="inner")
+        .filter(ia != ib)
+        .select(F.least(ia, ib).alias("id_a"), F.greatest(ia, ib).alias("id_b"))
+        .distinct()
+    )
+
+
 def simhash(
     df: DataFrame, id_col: str, text_col: str, bits: int = 16
 ) -> DataFrame:

@@ -7290,6 +7290,83 @@ FROM top ORDER BY drift_micro DESC, term
 """
 
 
+INC_NEW_MOD = 10  # doc_id % 10 == 0 plays the incoming delivery batch
+INC_TAU = 0.25
+
+
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (delta-only) near-dup detection: verified Jaccard pairs
+    touching the INCOMING batch (doc_id % 10 == 0 stands in for a delivery
+    flag) against the full corpus — the production ingest shape where a new
+    delivery is deduped against 100 TB already on disk WITHOUT re-paying the
+    corpus self-join. LSH banding proposes via operators/dedup.py::
+    delta_lsh_pairs (new band keys ⋈ corpus band index — candidate space
+    ∝ batch collisions, never corpus²), exact shingle Jaccard verifies ONLY
+    candidate docs (the contrastive-miner restriction), threshold filters.
+    Output is provably the new-side subset of the full-corpus near-dup
+    pairs — the oracle computes it the expensive way and must agree."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: PLC0415
+        delta_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=MINHASH_N, shingle_n=SHINGLE_N
+    )
+    cand = delta_lsh_pairs(
+        sigs,
+        "doc_id",
+        is_new=F.col("doc_id") % INC_NEW_MOD == 0,
+        num_hashes=MINHASH_N,
+        band_size=BAND_SIZE,
+    ).localCheckpoint(eager=False)  # feeds the restriction AND the score join
+    cand_docs = cand.select(
+        F.explode(F.array("id_a", "id_b")).alias("doc_id")
+    ).distinct()
+    scored = cand.join(
+        ngram_jaccard_pairs(
+            docs,
+            "doc_id",
+            "text",
+            n=SHINGLE_N,
+            threshold=0.0,
+            max_doc_freq=CP_MAX_DF,
+            restrict_ids=cand_docs,
+        ),
+        ["id_a", "id_b"],
+    )
+    return scored.filter(F.col("jaccard") >= INC_TAU).orderBy("id_a", "id_b")
+
+
+def _sql_incremental_neardup() -> str:
+    return f"""
+WITH cand0 AS (SELECT * FROM ({_sql_lsh_pairs()}) t),
+cand AS (SELECT * FROM cand0
+         WHERE id_a % {INC_NEW_MOD} = 0 OR id_b % {INC_NEW_MOD} = 0),
+dtoks AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM documents),
+sh0 AS (SELECT DISTINCT doc_id,
+              array_to_string(list_slice(tk, s, s + {SHINGLE_N - 1}), ' ') AS shingle
+        FROM dtoks,
+             unnest(generate_series(1, greatest(len(tk) - {SHINGLE_N - 1}, 1))) AS t(s)),
+shj AS (SELECT doc_id, shingle FROM sh0
+        WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY shingle
+                          HAVING count(*) <= {CP_MAX_DF})),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shj GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+jac AS (SELECT id_a, id_b, round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+        FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                   JOIN sizes sb ON sb.doc_id = id_b)
+SELECT c.id_a, c.id_b, j.jaccard
+FROM cand c JOIN jac j ON j.id_a = c.id_a AND j.id_b = c.id_b
+WHERE j.jaccard >= {INC_TAU}
+ORDER BY c.id_a, c.id_b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-7 rotation (VERDICT r6 #1): EVERY entry below was never
@@ -7459,4 +7536,7 @@ QUERIES: dict[str, QuerySpec] = {
     "join_blowup": QuerySpec(q_join_blowup, SQL_JOIN_BLOWUP),
     "setsim_join": QuerySpec(q_setsim_join, SQL_SETSIM_JOIN),
     "term_drift": QuerySpec(q_term_drift, SQL_TERM_DRIFT),
+    "incremental_neardup": QuerySpec(
+        q_incremental_neardup, _sql_incremental_neardup()
+    ),
 }

@@ -136,6 +136,7 @@ def test_entry_contract_shape():
         "join_blowup",  # r7 late addition (post-rotation); window candidate r8
         "setsim_join",  # r7 late addition (post-rotation); window candidate r8
         "term_drift",  # r7 late addition (post-rotation); window candidate r8
+        "incremental_neardup",  # r7 late addition (post-rotation); window candidate r8
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

@@ -207,3 +207,31 @@ def test_prefix_filter_prunes_candidates(spark):
         ).count()
     )
     assert n_pairs <= full * (full - 1) // 2  # sanity: bounded by all pairs
+
+
+def test_delta_lsh_pairs_equals_full_pairs_new_subset(spark):
+    """delta_lsh_pairs must return EXACTLY the subset of the full-corpus
+    LSH candidate pairs that touch a 'new' doc — new-new pairs once,
+    old-old pairs never — across random corpora."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (
+        delta_lsh_pairs,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    for seed in (5, 17):
+        rows = _random_corpus(seed, n_docs=80)
+        docs = spark.createDataFrame(rows, "doc_id int, text string")
+        sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+        full = {
+            (r.id_a, r.id_b)
+            for r in lsh_candidate_pairs(sigs, "doc_id", 8, 2).collect()
+        }
+        want = {(a, b) for a, b in full if a % 4 == 0 or b % 4 == 0}
+        got = {
+            (r.id_a, r.id_b)
+            for r in delta_lsh_pairs(
+                sigs, "doc_id", F.col("doc_id") % 4 == 0, 8, 2
+            ).collect()
+        }
+        assert got == want, f"seed={seed}"
