@@ -143,6 +143,9 @@ BENCH_QUERIES = [
     "snapshot_diff",
     "term_drift",
     "incremental_neardup",
+    "budget_select",
+    "bfs_hops",
+    "kcore",
     # event-sequence (CEP-lite) funnel
     "funnel_match",
     # text analysis

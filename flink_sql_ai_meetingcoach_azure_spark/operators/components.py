@@ -315,3 +315,89 @@ def pagerank(
     return ranks.select(
         "node", F.col("r").alias("rank_ppb")
     ).orderBy(F.desc("rank_ppb"), F.asc("node"))
+
+
+def bfs_hops(
+    pairs: DataFrame,
+    sources: DataFrame,
+    iters: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Multi-source BFS over the undirected graph in ``pairs``: for every
+    node reachable from any source within ``iters`` hops, the EXACT
+    minimum hop count. ``sources`` is a 1-column DataFrame of node ids.
+
+    Frontier-only expansion: each round joins ONLY the nodes first reached
+    last round against the adjacency list (never the whole visited set),
+    anti-joins the visited set to keep true first-touches, and appends.
+    Per-round cost is frontier-edges, total cost is O(edges within the
+    radius) — the textbook distributed BFS; rounds are the radius bound,
+    a deliberate knob (hop-bounded neighborhoods are the product shape:
+    'everything within k links of a flagged doc'). Deterministic: BFS
+    levels are partition- and retry-invariant. Every round ends in
+    ``localCheckpoint`` to cut the iterative lineage (the CC seam)."""
+    edges = _canonical_edges(pairs, id_a, id_b)
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    src = sources.select(F.col(sources.columns[0]).alias("node")).distinct()
+    dist = src.withColumn("hops", F.lit(0).cast("bigint")).localCheckpoint()
+    frontier = dist
+    for i in range(1, iters + 1):
+        reached = (
+            frontier.join(sym, frontier["node"] == sym["u"])
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        frontier = (
+            reached.join(dist, "node", "left_anti")
+            .withColumn("hops", F.lit(i).cast("bigint"))
+            .localCheckpoint()
+        )
+        if frontier.limit(1).count() == 0:
+            break
+        dist = dist.union(frontier).localCheckpoint()
+    return dist
+
+
+def kcore(
+    pairs: DataFrame,
+    k: int,
+    iters: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """k-core peeling over the undirected graph in ``pairs``: repeatedly
+    drop nodes with degree < k (and their edges), ``iters`` rounds.
+    Returns (node, degree) of the surviving subgraph — at fixpoint this
+    is the k-core, the standard dense-subgraph primitive (boilerplate/spam
+    farms in a near-dup graph are high-core; chance collisions peel away).
+
+    Each round is one combinable degree count + two node-keyed semi joins
+    — cost bounded by the CURRENT edge set, which only shrinks. Fixed
+    rounds keep the operator oracle-unrollable; callers wanting the exact
+    fixpoint loop until the edge count stabilizes (tests assert the demo
+    graph converges within the default rounds)."""
+    edges = _canonical_edges(pairs, id_a, id_b).localCheckpoint(eager=False)
+    for _ in range(iters):
+        sym = edges.union(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        keep = (
+            sym.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= k)
+            .select(F.col("u").alias("node"))
+        )
+        edges = (
+            edges.join(keep, edges["u"] == keep["node"], "left_semi")
+            .join(keep, F.col("v") == keep["node"], "left_semi")
+            .localCheckpoint(eager=False)
+        )
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    return (
+        sym.groupBy("u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+        .select(F.col("u").alias("node"), "degree")
+    )

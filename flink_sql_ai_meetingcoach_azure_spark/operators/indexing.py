@@ -67,3 +67,52 @@ def contiguous_row_ids(
         pid.withColumn(id_col, (off + F.row_number().over(w)).cast("bigint"))
         .drop("__pid")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[Column | str],
+    value_col: str,
+    out_col: str = "run_sum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add ``out_col``: the INCLUSIVE global running sum of ``value_col``
+    under the total order ``order_cols`` — the same range-exchange +
+    per-partition-window + driver-prefix-sum shape as
+    :func:`contiguous_row_ids` (a global ``sum() OVER (ORDER BY ...)``
+    window is a single-partition scale-killer; this is its distributed
+    form). The per-partition OFFSETS collect is bounded by the partition
+    count, never by rows. ``order_cols`` must be a total order (append a
+    unique key); the explicit ROWS frame makes the window exact even if a
+    caller violates that, and determinism then still holds because RANGE
+    vs ROWS only differ under ties."""
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .localCheckpoint(eager=False)
+    )
+    pid = ranged.withColumn("__pid", F.spark_partition_id())
+    sums = {
+        r["__pid"]: r["s"]
+        for r in pid.groupBy("__pid")
+        .agg(F.sum(F.col(value_col).cast("bigint")).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(sums):
+        offsets[p] = acc
+        acc += sums[p]
+    off = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]),
+        F.col("__pid"),
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return pid.withColumn(
+        out_col,
+        (off + F.sum(F.col(value_col).cast("bigint")).over(w)).cast("bigint"),
+    ).drop("__pid")

@@ -7290,6 +7290,170 @@ FROM top ORDER BY drift_micro DESC, term
 """
 
 
+BFS_SRC_MOD = 151  # doc_id % 151 == 0 plays the flagged seed set
+BFS_ITERS = 4
+
+
+def q_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the SimHash near-dup graph: exact minimum hop
+    count from a flagged seed set, radius-bounded at 4 — 'everything
+    within k links of a known-bad document', the contamination-blast-
+    radius query. operators/components.py::bfs_hops expands ONLY the
+    frontier each round (reached ∖ visited via anti-join), so total cost
+    is the edges inside the radius; the unrolled SQL oracle computes the
+    same thing as 4 rounds of min-union Bellman-Ford — the two
+    formulations provably agree, which is the check."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.components import (  # noqa: PLC0415
+        bfs_hops,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: PLC0415
+        simhash_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < SIMHASH_PAIR_MAX_ID
+    )
+    pairs = simhash_pairs(
+        docs, "doc_id", "text", bits=SIMHASH_BITS, bands=4, max_hamming=3
+    )
+    src = docs.filter(F.col("doc_id") % BFS_SRC_MOD == 0).select("doc_id")
+    return bfs_hops(pairs, src, iters=BFS_ITERS).orderBy("hops", "node")
+
+
+def _sql_bfs_hops() -> str:
+    prev, ctes = "d0", []
+    for i in range(1, BFS_ITERS + 1):
+        # MATERIALIZED: each round references the previous one twice; left
+        # to inlining, the oracle's simhash subtree would copy 2^iters times
+        ctes.append(f"""
+d{i} AS MATERIALIZED (SELECT node, min(h) AS h FROM (
+           SELECT node, h FROM {prev}
+           UNION ALL
+           SELECT sym.v AS node, d.h + 1 AS h
+           FROM {prev} d JOIN sym ON sym.u = d.node) GROUP BY node)""")
+        prev = f"d{i}"
+    return f"""
+WITH p AS MATERIALIZED ({_sql_simhash_pairs()}),
+e AS (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+      FROM p WHERE id_a <> id_b),
+sym AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+d0 AS (SELECT doc_id AS node, CAST(0 AS BIGINT) AS h FROM documents
+       WHERE doc_id < {SIMHASH_PAIR_MAX_ID} AND doc_id % {BFS_SRC_MOD} = 0),{",".join(ctes)}
+SELECT node, CAST(h AS BIGINT) AS hops FROM {prev}
+ORDER BY hops, node
+"""
+
+
+KCORE_K = 25
+KCORE_ITERS = 8
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=25, 8 fixed rounds) of the SimHash near-dup
+    graph: iteratively drop nodes with degree < k — the surviving dense
+    core is the boilerplate/template-farm signature (chance band
+    collisions peel away; mass-produced families survive). Each round is
+    one combinable degree count + two node-keyed semi joins over an
+    edge set that only shrinks; fixed rounds keep the operator
+    oracle-unrollable (components.py::kcore)."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.components import (  # noqa: PLC0415
+        kcore,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: PLC0415
+        simhash_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < SIMHASH_PAIR_MAX_ID
+    )
+    pairs = simhash_pairs(
+        docs, "doc_id", "text", bits=SIMHASH_BITS, bands=4, max_hamming=3
+    )
+    return kcore(pairs, k=KCORE_K, iters=KCORE_ITERS).orderBy("node")
+
+
+def _sql_kcore() -> str:
+    prev, ctes = "e0", []
+    for i in range(1, KCORE_ITERS + 1):
+        # MATERIALIZED: each round reads the previous edge set three times;
+        # inlined, the simhash subtree would copy 3^iters times (observed as
+        # a fd-exhausting parquet re-scan storm before materialization)
+        ctes.append(f"""
+keep{i} AS MATERIALIZED (SELECT x FROM (
+              SELECT u AS x FROM {prev} UNION ALL SELECT v FROM {prev})
+            GROUP BY x HAVING count(*) >= {KCORE_K}),
+e{i} AS MATERIALIZED (SELECT u, v FROM {prev}
+         WHERE u IN (SELECT x FROM keep{i}) AND v IN (SELECT x FROM keep{i}))""")
+        prev = f"e{i}"
+    return f"""
+WITH p AS MATERIALIZED ({_sql_simhash_pairs()}),
+e0 AS MATERIALIZED (SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+       FROM p WHERE id_a <> id_b),{",".join(ctes)}
+SELECT x AS node, CAST(count(*) AS BIGINT) AS degree FROM (
+  SELECT u AS x FROM {prev} UNION ALL SELECT v FROM {prev})
+GROUP BY x ORDER BY node
+"""
+
+
+BUDGET_PCT = 40  # token budget as a percent of the corpus total
+
+
+def q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus subsetting: admit documents in priority order
+    (longest n_chars first, doc_id tiebreak — stand-in for any quality
+    score) until the cumulative token count reaches 40% of the corpus
+    total — the 'best N tokens for the training budget' selection every
+    data-curation run ends with. The global running sum comes from
+    operators/indexing.py::global_running_sum (range exchange +
+    per-partition window + driver prefix-sum over PARTITION-COUNT rows),
+    never a single-partition ORDER BY window; the budget itself is a
+    broadcast 1-row scalar, and the admit test is exact integer
+    cross-multiplication (cum·100 ≤ total·pct)."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import tokens_col  # noqa: PLC0415
+    from flink_sql_ai_meetingcoach_azure_spark.operators.indexing import (  # noqa: PLC0415
+        global_running_sum,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.size(tokens_col("text")).cast("bigint").alias("toks"),
+        )
+        .localCheckpoint(eager=False)  # feeds the running sum AND the total
+    )
+    rs = global_running_sum(
+        d, [F.col("n_chars").desc(), F.col("doc_id")], "toks", "cum_toks"
+    )
+    tot = d.agg(F.sum("toks").alias("t"))
+    return (
+        rs.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_toks") * 100 <= F.col("t") * BUDGET_PCT)
+        .select("doc_id", "toks", "cum_toks")
+        .orderBy("doc_id")
+    )
+
+
+SQL_BUDGET_SELECT = f"""
+WITH d AS (SELECT doc_id, n_chars,
+                  CAST(len({_TOKS.format(col='text')}) AS BIGINT) AS toks
+           FROM documents),
+tot AS (SELECT sum(toks) AS t FROM d),
+r AS (SELECT doc_id, toks,
+             CAST(sum(toks) OVER (ORDER BY n_chars DESC, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_toks
+      FROM d)
+SELECT doc_id, toks, cum_toks
+FROM r, tot WHERE cum_toks * 100 <= t * {BUDGET_PCT}
+ORDER BY doc_id
+"""
+
+
 INC_NEW_MOD = 10  # doc_id % 10 == 0 plays the incoming delivery batch
 INC_TAU = 0.25
 
@@ -7539,4 +7703,7 @@ QUERIES: dict[str, QuerySpec] = {
     "incremental_neardup": QuerySpec(
         q_incremental_neardup, _sql_incremental_neardup()
     ),
+    "budget_select": QuerySpec(q_budget_select, SQL_BUDGET_SELECT),
+    "bfs_hops": QuerySpec(q_bfs_hops, _sql_bfs_hops()),
+    "kcore": QuerySpec(q_kcore, _sql_kcore()),
 }

@@ -137,6 +137,9 @@ def test_entry_contract_shape():
         "setsim_join",  # r7 late addition (post-rotation); window candidate r8
         "term_drift",  # r7 late addition (post-rotation); window candidate r8
         "incremental_neardup",  # r7 late addition (post-rotation); window candidate r8
+        "budget_select",  # r7 late addition (post-rotation); window candidate r8
+        "bfs_hops",  # r7 late addition (post-rotation); window candidate r8
+        "kcore",  # r7 late addition (post-rotation); window candidate r8
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

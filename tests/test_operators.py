@@ -1368,3 +1368,71 @@ def test_contiguous_row_ids_partition_invariant(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "No Partition Defined" not in plan
+
+
+def test_global_running_sum_partition_invariant(spark):
+    """The distributed running sum must equal the single-partition
+    ORDER BY window exactly for ANY partition count, with no
+    unpartitioned window in the plan."""
+    import itertools
+    import random
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.indexing import (
+        global_running_sum,
+    )
+
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(0, 40), rng.randrange(1, 500)) for i in range(4000)]
+    df = spark.createDataFrame(rows, ["k", "v", "w"])
+    ordered = sorted(rows, key=lambda r: (-r[1], r[0]))
+    want = dict(
+        zip(
+            [r[0] for r in ordered],
+            itertools.accumulate(r[2] for r in ordered),
+        )
+    )
+    for n in (1, 5, 32):
+        out = global_running_sum(
+            df, [F.desc("v"), F.asc("k")], "w", "cum", num_partitions=n
+        )
+        got = {r.k: r.cum for r in out.collect()}
+        assert got == want, n
+    plan = (
+        global_running_sum(df, [F.desc("v"), F.asc("k")], "w", num_partitions=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "No Partition Defined" not in plan
+
+
+def test_bfs_hops_hand_graph(spark):
+    """Path 1-2-3-4-5 plus isolated 9; sources {1, 9}: exact BFS levels,
+    radius-bounded, frontier version == textbook answer."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.components import bfs_hops
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (7, 8)], ["id_a", "id_b"]
+    )
+    src = spark.createDataFrame([(1,), (9,)], ["node"])
+    got = {r.node: r.hops for r in bfs_hops(pairs, src, iters=2).collect()}
+    assert got == {1: 0, 9: 0, 2: 1, 3: 2}
+    got4 = {r.node: r.hops for r in bfs_hops(pairs, src, iters=4).collect()}
+    assert got4 == {1: 0, 9: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_kcore_hand_graph_and_fixpoint(spark):
+    """K4 clique + a pendant chain: 2-core = the clique (chain peels over
+    TWO rounds — one round is not enough, which is what the iteration
+    tests); extra rounds are a no-op once converged."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.components import kcore
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    pairs = spark.createDataFrame(
+        k4 + [(3, 10), (10, 11)], ["id_a", "id_b"]
+    )
+    one = {(r.node, r.degree) for r in kcore(pairs, k=2, iters=1).collect()}
+    # round 1 peels only 11; 10 still saw degree 2 at entry
+    assert (10, 1) in one
+    want = {(0, 3), (1, 3), (2, 3), (3, 3)}
+    for iters in (2, 3, 6):
+        got = {(r.node, r.degree) for r in kcore(pairs, k=2, iters=iters).collect()}
+        assert got == want, iters
