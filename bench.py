@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "budget_select",
     "bfs_hops",
     "kcore",
+    "cooc_window",
+    "ohlc_bars",
     # event-sequence (CEP-lite) funnel
     "funnel_match",
     # text analysis

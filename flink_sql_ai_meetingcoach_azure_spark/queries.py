@@ -7290,6 +7290,102 @@ FROM top ORDER BY drift_micro DESC, term
 """
 
 
+COOC_W = 3  # forward context window (skip-gram distance)
+
+
+def q_cooc_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts (forward window ±0/+3): for every
+    token, how often each other token appears within the next 3 positions
+    — the count matrix under word2vec/GloVe-style embedding training and
+    the windowed generalization of the adjacent-only PMI entry. JOIN-FREE
+    and WINDOW-FREE: posexplode the token array, then explode each
+    position's slice(toks, pos+2, W) — two narrow generators, pair-stream
+    size n·W, one combinable groupBy, TakeOrderedAndProject top-100.
+    The naive formulation (positions self-join on doc_id with |i−j| ≤ W)
+    shuffles the corpus twice and hits doc-length skew; the slice form
+    never leaves the row."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import tokens_col  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(tokens_col("text").alias("tk"))
+    pos = toks.select(F.posexplode("tk").alias("pos", "w1"), F.col("tk"))
+    pairs = pos.select(
+        "w1", F.explode(F.expr(f"slice(tk, pos + 2, {COOC_W})")).alias("w2")
+    )
+    return (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "w1", "w2")
+        .limit(100)
+    )
+
+
+SQL_COOC_WINDOW = f"""
+WITH t AS (SELECT {_TOKS.format(col='text')} AS tk FROM documents),
+pos AS (SELECT tk, s FROM t, unnest(generate_series(1, len(tk))) AS x(s)),
+pr AS (SELECT tk[s] AS w1,
+              unnest(list_slice(tk, s + 1, least(s + {COOC_W}, len(tk)))) AS w2
+       FROM pos)
+SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt
+FROM pr GROUP BY w1, w2
+ORDER BY cnt DESC, w1, w2 LIMIT 100
+"""
+
+
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series downsampling to OHLC bars: per (event_type, hour) the
+    opening/highest/lowest/closing value — the canonical resample that
+    turns a raw 100-TB tick stream into bounded bar tables. ONE combinable
+    aggregate pass: open/close via min_by/max_by keyed on the
+    (ts, event_id) total order (no per-group window, no sort), values in
+    exact integer micro-units so engines can't disagree on a float sum."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    vm = F.round(F.col("value") * 1_000_000).cast("bigint")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.select(
+            "event_type",
+            F.unix_micros(F.date_trunc("hour", F.col("ts"))).alias("hour_us"),
+            vm.alias("vm"),
+            key.alias("k"),
+        )
+        .groupBy("event_type", "hour_us")
+        .agg(
+            F.min_by("vm", "k").alias("open_micro"),
+            F.max("vm").alias("high_micro"),
+            F.min("vm").alias("low_micro"),
+            F.max_by("vm", "k").alias("close_micro"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type", "hour_us")
+    )
+
+
+SQL_OHLC_BARS = """
+WITH v AS (SELECT event_type,
+                  epoch_us(date_trunc('hour', ts::TIMESTAMP)) AS hour_us,
+                  ts, event_id,
+                  CAST(round(value * 1000000) AS BIGINT) AS vm
+           FROM events),
+o AS (SELECT *,
+             row_number() OVER (PARTITION BY event_type, hour_us
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY event_type, hour_us
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM v)
+SELECT event_type, hour_us,
+       max(CASE WHEN rn_a = 1 THEN vm END) AS open_micro,
+       max(vm) AS high_micro,
+       min(vm) AS low_micro,
+       max(CASE WHEN rn_d = 1 THEN vm END) AS close_micro,
+       CAST(count(*) AS BIGINT) AS n
+FROM o GROUP BY event_type, hour_us
+ORDER BY event_type, hour_us
+"""
+
+
 BFS_SRC_MOD = 151  # doc_id % 151 == 0 plays the flagged seed set
 BFS_ITERS = 4
 
@@ -7706,4 +7802,6 @@ QUERIES: dict[str, QuerySpec] = {
     "budget_select": QuerySpec(q_budget_select, SQL_BUDGET_SELECT),
     "bfs_hops": QuerySpec(q_bfs_hops, _sql_bfs_hops()),
     "kcore": QuerySpec(q_kcore, _sql_kcore()),
+    "cooc_window": QuerySpec(q_cooc_window, SQL_COOC_WINDOW),
+    "ohlc_bars": QuerySpec(q_ohlc_bars, SQL_OHLC_BARS),
 }

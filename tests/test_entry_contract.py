@@ -140,6 +140,8 @@ def test_entry_contract_shape():
         "budget_select",  # r7 late addition (post-rotation); window candidate r8
         "bfs_hops",  # r7 late addition (post-rotation); window candidate r8
         "kcore",  # r7 late addition (post-rotation); window candidate r8
+        "cooc_window",  # r7 late addition (post-rotation); window candidate r8
+        "ohlc_bars",  # r7 late addition (post-rotation); window candidate r8
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

@@ -486,3 +486,20 @@ def test_pmi_collocations_min_count_and_plan(spark):
     assert "Window" not in plan
     # final top-k never globally sorts
     assert "TakeOrderedAndProject" in plan
+
+
+def test_cooc_window_semantics(spark):
+    """Forward-window pairs: 'a b c d' with W=3 → a sees b,c,d; b sees
+    c,d; c sees d. Duplicate tokens count per occurrence."""
+    from flink_sql_ai_meetingcoach_azure_spark.queries import q_cooc_window  # noqa: F401
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import tokens_col
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("a b c d",), ("x x",)], ["text"])
+    toks = df.select(tokens_col("text").alias("tk"))
+    pos = toks.select(F.posexplode("tk").alias("pos", "w1"), F.col("tk"))
+    pairs = pos.select("w1", F.explode(F.expr("slice(tk, pos + 2, 3)")).alias("w2"))
+    got = {(r.w1, r.w2): r.cnt for r in
+           pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert got == {("a","b"):1, ("a","c"):1, ("a","d"):1, ("b","c"):1,
+                   ("b","d"):1, ("c","d"):1, ("x","x"):1}
