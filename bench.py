@@ -148,6 +148,8 @@ BENCH_QUERIES = [
     "kcore",
     "cooc_window",
     "ohlc_bars",
+    "band_join",
+    "normalized_dedup",
     # event-sequence (CEP-lite) funnel
     "funnel_match",
     # text analysis

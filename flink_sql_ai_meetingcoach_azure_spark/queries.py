@@ -7290,6 +7290,104 @@ FROM top ORDER BY drift_micro DESC, term
 """
 
 
+VALUE_BANDS = [(0, 10), (10, 25), (25, 50), (50, 100), (100, 250), (250, 1000)]
+
+
+def q_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-predicate (band) join: classify every event into a value band
+    from a small tier table via lo <= value < hi — pricing tiers, SLA
+    buckets, score bands. The band table is tiny and BROADCAST, so the
+    non-equi predicate evaluates map-side as a BroadcastNestedLoopJoin
+    over a 6-row side — one pass over the fact stream, no shuffle for the
+    join itself; the aggregate is one combinable groupBy over n_bands
+    groups. (When both sides are large, the interval_join entry's
+    cell-blocking is the equi-join rewrite; the broadcast NLJ is the right
+    plan exactly while one side stays small.)"""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    bands = spark.createDataFrame(VALUE_BANDS, "lo int, hi int")
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev["value"] >= bands["lo"]) & (ev["value"] < bands["hi"]),
+        )
+        .groupBy("lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("bigint")).alias(
+                "sum_micro"
+            ),
+        )
+        .orderBy("lo")
+    )
+
+
+def _sql_band_join() -> str:
+    rows = ", ".join(f"({lo}, {hi})" for lo, hi in VALUE_BANDS)
+    return f"""
+WITH bands(lo, hi) AS (VALUES {rows})
+SELECT lo, hi, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro
+FROM events JOIN bands ON value >= lo AND value < hi
+GROUP BY lo, hi ORDER BY lo
+"""
+
+
+NORM_DUP_MAX_ID = 500
+NORM_NOISE_MOD = 3
+
+
+def q_normalized_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization-then-dedup: exact dedup misses near-identical docs
+    that differ only in case/punctuation/whitespace — the most common web
+    duplication mode. Testdata docs are punctuation-clean and exact-unique,
+    so the entry BUILDS the noisy corpus (every 3rd doc gets an uppercased,
+    re-punctuated variant — same construction discipline as line_dedup):
+    the normalizer (lower → non-alnum runs to one space → trim) must
+    collapse exactly the constructed variant groups while raw md5 sees
+    distinct texts. One codegen map pass + one combinable groupBy —
+    normalization dedup at 100 TB costs the same as exact dedup."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < NORM_DUP_MAX_ID)
+    base = docs.select(
+        (F.col("doc_id") * 2).alias("vid"), F.col("text")
+    )
+    noisy = docs.filter(F.col("doc_id") % NORM_NOISE_MOD == 0).select(
+        (F.col("doc_id") * 2 + 1).alias("vid"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit(" ?!? ")).alias("text"),
+    )
+    corpus = base.unionByName(noisy)
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " ")
+    )
+    return (
+        corpus.select("vid", norm.alias("norm"))
+        .groupBy(F.md5("norm").alias("group_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("vid").alias("min_vid"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("min_vid")
+    )
+
+
+SQL_NORMALIZED_DEDUP = f"""
+WITH corpus AS (
+  SELECT doc_id * 2 AS vid, text FROM documents WHERE doc_id < {NORM_DUP_MAX_ID}
+  UNION ALL
+  SELECT doc_id * 2 + 1 AS vid, '  ' || upper(text) || ' ?!? ' AS text
+  FROM documents WHERE doc_id < {NORM_DUP_MAX_ID} AND doc_id % {NORM_NOISE_MOD} = 0),
+n AS (SELECT vid,
+             trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS norm
+      FROM corpus)
+SELECT md5(norm) AS group_hash, CAST(count(*) AS BIGINT) AS n_docs,
+       min(vid) AS min_vid
+FROM n GROUP BY norm HAVING count(*) > 1
+ORDER BY min_vid
+"""
+
+
 COOC_W = 3  # forward context window (skip-gram distance)
 
 
@@ -7804,4 +7902,6 @@ QUERIES: dict[str, QuerySpec] = {
     "kcore": QuerySpec(q_kcore, _sql_kcore()),
     "cooc_window": QuerySpec(q_cooc_window, SQL_COOC_WINDOW),
     "ohlc_bars": QuerySpec(q_ohlc_bars, SQL_OHLC_BARS),
+    "band_join": QuerySpec(q_band_join, _sql_band_join()),
+    "normalized_dedup": QuerySpec(q_normalized_dedup, SQL_NORMALIZED_DEDUP),
 }
