@@ -380,7 +380,10 @@ def kcore(
     fixpoint loop until the edge count stabilizes (tests assert the demo
     graph converges within the default rounds)."""
     edges = _canonical_edges(pairs, id_a, id_b).localCheckpoint(eager=False)
+    prev_cnt = edges.count()
     for _ in range(iters):
+        if prev_cnt == 0:
+            break
         sym = edges.union(
             edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
@@ -395,6 +398,14 @@ def kcore(
             .join(keep, F.col("v") == keep["node"], "left_semi")
             .localCheckpoint(eager=False)
         )
+        # peeling only ever REMOVES edges, so an unchanged count IS an
+        # unchanged edge set: further rounds are no-ops and early exit
+        # returns exactly the fixed-round (and fixpoint) answer — the
+        # count is one cheap action over the already-checkpointed blocks
+        cnt = edges.count()
+        if cnt == prev_cnt:
+            break
+        prev_cnt = cnt
     sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
     return (
         sym.groupBy("u")
