@@ -150,6 +150,8 @@ BENCH_QUERIES = [
     "ohlc_bars",
     "band_join",
     "normalized_dedup",
+    "bitmap_distinct",
+    "grouping_sets_revenue",
     # event-sequence (CEP-lite) funnel
     "funnel_match",
     # text analysis

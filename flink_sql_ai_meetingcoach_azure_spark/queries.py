@@ -7290,6 +7290,79 @@ FROM top ORDER BY drift_micro DESC, term
 """
 
 
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT COUNT(DISTINCT) as mergeable bitmap state (the Druid/
+    ClickHouse bitmap-index trick, and the exact sibling of the HLL
+    entry): pack user ids into 64-bit words — word user_id/64, bit
+    user_id%64 — bit_or per (group, word), then sum(bit_count). Both
+    levels are map-side-combinable hash aggregates; merging shards is
+    bit_or, so the state composes exactly like the repo's sketches but
+    with ZERO error. Shuffle carries one row per (group, occupied word)
+    — for dense id spaces that's 64x fewer rows than distinct — and no
+    expand/distinct pass over raw events ever happens. The oracle is
+    plain COUNT(DISTINCT): the bitmap plan must reproduce it exactly."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    word = (F.col("user_id") / F.lit(64)).cast("bigint")
+    bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 64 AS INT))")
+    return (
+        ev.groupBy("event_type", word.alias("w"))
+        .agg(F.bit_or(bit).alias("word"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bit_count("word")).cast("bigint").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
+SQL_BITMAP_DISTINCT = """
+SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with an arbitrary (non-rollup, non-cube) set list:
+    revenue by (priority), by (status), and by (priority, status) — but
+    NOT the grand total, which neither ROLLUP nor CUBE can express
+    without also emitting unwanted slots. One Expand + one partial-
+    aggregated shuffle, same as cube_revenue; 'ALL' coalescing keeps the
+    output engine-portable (no grouping_id bit-encoding dependence);
+    integer cents."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+SELECT CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
+            ELSE o_orderpriority END AS priority,
+       CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL'
+            ELSE o_orderstatus END AS status,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM __gs_orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                        (o_orderpriority, o_orderstatus))
+ORDER BY priority, status
+"""
+    )
+
+
+SQL_GROUPING_SETS_REVENUE = """
+SELECT CASE WHEN grouping(o_orderpriority) = 1 THEN 'ALL'
+            ELSE o_orderpriority END AS priority,
+       CASE WHEN grouping(o_orderstatus) = 1 THEN 'ALL'
+            ELSE o_orderstatus END AS status,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+         AS revenue_cents,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus),
+                        (o_orderpriority, o_orderstatus))
+ORDER BY priority, status
+"""
+
+
 VALUE_BANDS = [(0, 10), (10, 25), (25, 50), (50, 100), (100, 250), (250, 1000)]
 
 
@@ -7904,4 +7977,8 @@ QUERIES: dict[str, QuerySpec] = {
     "ohlc_bars": QuerySpec(q_ohlc_bars, SQL_OHLC_BARS),
     "band_join": QuerySpec(q_band_join, _sql_band_join()),
     "normalized_dedup": QuerySpec(q_normalized_dedup, SQL_NORMALIZED_DEDUP),
+    "bitmap_distinct": QuerySpec(q_bitmap_distinct, SQL_BITMAP_DISTINCT),
+    "grouping_sets_revenue": QuerySpec(
+        q_grouping_sets_revenue, SQL_GROUPING_SETS_REVENUE
+    ),
 }
