@@ -31,7 +31,11 @@ bucket→count (<= 64·32 BIGINTs per key, <= 1/32 relative value error —
 queries.q_hdr_quantiles' layout exactly) and merge is per-bucket SUM,
 so the continuously-maintained p50/p90/p99 read-out
 (:meth:`current_quantiles`) is bit-identical to a one-shot sketch over
-the union. A truly non-combinable metric (exact distinct, exact median)
+the union. EXACT distinct over a non-negative integer id domain becomes
+combinable through 64-bit bitmap words (``exact_distinct_col`` — the
+queries.q_bitmap_distinct layout; merge is per-word bit_or, state is
+<= domain/64 words per key, zero error). A truly non-combinable metric
+(exact median, exact distinct over unbounded domains)
 still needs its own state shape. At 100 TB the log grows by ~|active
 keys per batch| rows per trigger, independent of input row count — the
 partial-agg is what makes a hot topic sustainable.
@@ -61,6 +65,7 @@ class StreamingAggregateSink:
         spark: SparkSession,
         distinct_col: str | None = None,
         quantile_col: str | None = None,
+        exact_distinct_col: str | None = None,
     ) -> None:
         self.state_dir = state_dir.rstrip("/")
         self.key_cols = list(key_cols)
@@ -68,6 +73,7 @@ class StreamingAggregateSink:
         self.spark = spark
         self.distinct_col = distinct_col
         self.quantile_col = quantile_col
+        self.exact_distinct_col = exact_distinct_col
         self._schema_checked = False
 
     def _check_log_schema(self) -> None:
@@ -86,6 +92,7 @@ class StreamingAggregateSink:
         for col, name, want in (
             ("__hll", "distinct_col", self.distinct_col is not None),
             ("__hdr", "quantile_col", self.quantile_col is not None),
+            ("__bmp", "exact_distinct_col", self.exact_distinct_col is not None),
         ):
             has = col in cols
             if has != want:
@@ -129,6 +136,34 @@ class StreamingAggregateSink:
             )
         )
 
+    def _bitmap_partial(self, df: DataFrame) -> DataFrame:
+        """Per-key sparse 64-bit bitmap words over a NON-NEGATIVE integer
+        id column (word id/64, bit id%64 — queries.q_bitmap_distinct's
+        layout): merge is per-word bit_or, so the maintained distinct
+        count is EXACT under any batch split, replay, or compaction —
+        the error-free sibling of the HLL registers, priced by the id
+        domain (state <= domain/64 words per key) instead of a fixed m."""
+        return (
+            df.filter(F.col(self.exact_distinct_col).isNotNull())
+            .select(
+                *self.key_cols,
+                F.col(self.exact_distinct_col).cast("long").alias("__id"),
+            )
+            .selectExpr(
+                *self.key_cols,
+                "__id div 64 AS __w",
+                "shiftleft(CAST(1 AS BIGINT), CAST(__id % 64 AS INT)) AS __b",
+            )
+            .groupBy(*self.key_cols, "__w")
+            .agg(F.bit_or("__b").alias("__bits"))
+            .groupBy(*self.key_cols)
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("__w", "__bits"))
+                ).alias("__bmp")
+            )
+        )
+
     def _partial(self, df: DataFrame) -> DataFrame:
         aggs = [F.count(F.lit(1)).alias("__n")] + [
             F.sum(c).cast("long").alias(f"__sum_{c}") for c in self.sum_cols
@@ -136,6 +171,8 @@ class StreamingAggregateSink:
         base = df.groupBy(*self.key_cols).agg(*aggs)
         if self.quantile_col is not None:
             base = base.join(self._hdr_partial(df), self.key_cols, "left")
+        if self.exact_distinct_col is not None:
+            base = base.join(self._bitmap_partial(df), self.key_cols, "left")
         if self.distinct_col is None:
             return base
         # per-key sparse HLL registers: bucket = md5 % m, rho = leading
@@ -200,6 +237,23 @@ class StreamingAggregateSink:
             for c in self.sum_cols
         ]
         merged = log.groupBy(*self.key_cols).agg(*aggs)
+        if self.exact_distinct_col is not None:
+            bmp = (
+                log.select(
+                    *self.key_cols, F.explode("__bmp").alias("__w", "__bits")
+                )
+                .groupBy(*self.key_cols, "__w")
+                .agg(F.bit_or("__bits").alias("__bits"))
+                .groupBy(*self.key_cols)
+                .agg(
+                    F.sum(F.bit_count("__bits")).cast("long").alias(
+                        "distinct_exact"
+                    )
+                )
+            )
+            merged = merged.join(bmp, self.key_cols, "left").withColumn(
+                "distinct_exact", F.coalesce("distinct_exact", F.lit(0))
+            )
         if self.distinct_col is None:
             return merged
         # a key whose batches carried only NULL distinct values has no
@@ -322,6 +376,21 @@ class StreamingAggregateSink:
                 )
             )
             merged = merged.join(folded, self.key_cols, "left")
+        if self.exact_distinct_col is not None:
+            bmp_folded = (
+                log.select(
+                    *self.key_cols, F.explode("__bmp").alias("__w", "__bits")
+                )
+                .groupBy(*self.key_cols, "__w")
+                .agg(F.bit_or("__bits").alias("__bits"))
+                .groupBy(*self.key_cols)
+                .agg(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("__w", "__bits"))
+                    ).alias("__bmp")
+                )
+            )
+            merged = merged.join(bmp_folded, self.key_cols, "left")
         # crash-safe write-then-swap (streaming.maintenance): never hold
         # the only copy of the state in memory while truncating the dir
         from flink_sql_ai_meetingcoach_azure_spark.streaming.maintenance import (  # noqa: PLC0415

@@ -1657,3 +1657,66 @@ def test_streaming_heavy_hitters_composes_from_aggregate_sink(spark, tmp_path):
     )
     want = heavy_hitters_exact(union.repartition(8), "term", k).collect()
     assert [tuple(r) for r in verified] == [tuple(r) for r in want]
+
+
+def test_streaming_aggregate_sink_exact_bitmap_distinct(spark, tmp_path):
+    """Continuously-maintained EXACT COUNT(DISTINCT) per key via 64-bit
+    bitmap words (the error-free sibling of the HLL registers): the
+    merged count must EQUAL the exact distinct over the union of every
+    batch, survive a replayed batch unchanged, and be exactly invariant
+    under compaction (per-word bit_or is lossless)."""
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.aggregate_sink import (
+        StreamingAggregateSink,
+    )
+
+    src = str(tmp_path / "bd_src")
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    # overlapping ids across batches: exact distinct is NOT the sum; word
+    # boundaries crossed (ids span several 64-blocks)
+    batches = [
+        [("a", i) for i in range(200)] + [("b", i) for i in range(50)],
+        [("a", i) for i in range(100, 300)] + [("b", i) for i in range(25, 60)],
+        [("a", i) for i in range(250, 400)] + [("c", 1), ("c", 2), ("c", 1)],
+    ]
+    _write_value_batch(src, batches[0], n=0)
+    sink = StreamingAggregateSink(
+        str(tmp_path / "bd_state"), ["k"], ["v"], spark, exact_distinct_col="v"
+    )
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "bd_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, rows in enumerate(batches[1:], start=1):
+            _write_value_batch(src, rows, n=i)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def counts():
+        return {r.k: r.distinct_exact for r in sink.current().collect()}
+
+    exact = {"a": 400, "b": 60, "c": 2}
+    assert counts() == exact
+
+    # replayed batch: marker no-op, counts identical
+    sink(spark.createDataFrame(batches[0], schema), 0)
+    assert counts() == exact
+
+    # compaction folds bitmap words losslessly: counts EXACTLY identical
+    sink.compact()
+    log = spark.read.parquet(str(tmp_path / "bd_state" / "log"))
+    assert log.count() == 3  # one partial row per key
+    assert counts() == exact
+
+    # schema mismatch fails fast (same contract as distinct_col)
+    import pytest as _pytest
+
+    off = StreamingAggregateSink(str(tmp_path / "bd_state"), ["k"], ["v"], spark)
+    with _pytest.raises(ValueError, match="exact_distinct_col"):
+        off(spark.createDataFrame(batches[0], schema), 99)
