@@ -277,11 +277,27 @@ def delta_lsh_pairs(
     # id-keyed semi join, deliberately NOT hint-broadcast: a delivery batch
     # can be arbitrarily large, and AQE picks broadcast on its own when the
     # batch is small. (With a persisted band index the delta's band keys
-    # arrive as their own table and this join disappears entirely.)
+    # arrive as their own table and this join disappears entirely — see
+    # band_delta_join, which this wraps and the persisted-index test
+    # drives against a parquet-backed index.)
     new_ids = signatures.filter(is_new).select(id_col)
     new_bands = bands.join(new_ids, on=id_col, how="left_semi")
+    return band_delta_join(new_bands, bands, id_col)
+
+
+def band_delta_join(
+    new_bands: DataFrame, index_bands: DataFrame, id_col: str
+) -> DataFrame:
+    """The delta-ingest core: candidate pairs from joining a NEW batch's
+    band keys against the corpus band-key INDEX (``(id, band, bh)`` rows —
+    typically a parquet table appended at every prior ingest, and exactly
+    what :func:`lsh_band_keys` emits). ``index_bands`` must already
+    contain the new batch's own keys for new-new pairs to surface.
+    Shuffle key is the uniform (band, bh); output is (id_a < id_b)
+    distinct — the least/greatest canonicalization dedups the double
+    match a new-new collision produces."""
     a = new_bands.alias("a")
-    b = bands.alias("b")
+    b = index_bands.alias("b")
     ia, ib = F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
     return (
         a.join(b, on=["band", "bh"], how="inner")

@@ -235,3 +235,51 @@ def test_delta_lsh_pairs_equals_full_pairs_new_subset(spark):
             ).collect()
         }
         assert got == want, f"seed={seed}"
+
+
+def test_band_delta_join_against_persisted_index(spark, tmp_path):
+    """The production delta-ingest loop: ingest 1 writes its band keys to
+    a parquet index; ingest 2 computes ONLY its own band keys, appends
+    them, and joins against the index — the resulting pairs must equal
+    the full-corpus delta computation (and the batch never re-bands the
+    base corpus)."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (
+        band_delta_join,
+        delta_lsh_pairs,
+        lsh_band_keys,
+        minhash_signatures,
+    )
+
+    rows = _random_corpus(23, n_docs=90)
+    base_rows, new_rows = rows[:70], rows[70:]
+    idx_path = str(tmp_path / "band_index")
+
+    base = spark.createDataFrame(base_rows, "doc_id int, text string")
+    lsh_band_keys(
+        minhash_signatures(base, "doc_id", "text", num_hashes=8, shingle_n=3),
+        "doc_id", 8, 2,
+    ).write.parquet(idx_path)
+
+    new = spark.createDataFrame(new_rows, "doc_id int, text string")
+    new_bands = lsh_band_keys(
+        minhash_signatures(new, "doc_id", "text", num_hashes=8, shingle_n=3),
+        "doc_id", 8, 2,
+    ).localCheckpoint()
+    new_bands.write.mode("append").parquet(idx_path)
+
+    index = spark.read.parquet(idx_path)
+    got = {
+        (r.id_a, r.id_b)
+        for r in band_delta_join(new_bands, index, "doc_id").collect()
+    }
+
+    # reference: the single-frame delta operator over the union corpus
+    union = spark.createDataFrame(rows, "doc_id int, text string")
+    sigs = minhash_signatures(union, "doc_id", "text", num_hashes=8, shingle_n=3)
+    want = {
+        (r.id_a, r.id_b)
+        for r in delta_lsh_pairs(
+            sigs, "doc_id", F.col("doc_id") >= 70, 8, 2
+        ).collect()
+    }
+    assert got == want and got  # non-vacuous
