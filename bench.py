@@ -152,6 +152,7 @@ BENCH_QUERIES = [
     "normalized_dedup",
     "bitmap_distinct",
     "grouping_sets_revenue",
+    "lsh_recall_eval",
     # event-sequence (CEP-lite) funnel
     "funnel_match",
     # text analysis

@@ -7290,6 +7290,84 @@ FROM top ORDER BY drift_micro DESC, term
 """
 
 
+LSH_EVAL_TAU_NUM, LSH_EVAL_TAU_DEN = 1, 2  # truth threshold: jaccard >= 1/2
+
+
+def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision evaluation of the MinHash-LSH candidate stage
+    against the EXACT shingle-Jaccard ground truth it approximates — the
+    dedup sibling of ann_recall_eval (an LSH dedup without a measured
+    miss rate is a guess, and band/row tuning is exactly this dial).
+    Ground truth = exact 3-shingle Jaccard >= 1/2 pairs (integer
+    cross-multiplied threshold, df-capped shingle join — never n²);
+    candidates = the lsh_pairs entry's 4x2 banding. One bounded pair
+    join; one summary row of exact-integer counts + ppm rates.
+    At 100 TB this runs on a sampled sub-corpus — the tuning loop, not
+    the production pass — which the doc_id cap models."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: PLC0415
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=SHINGLE_N, threshold=0.0,
+        max_doc_freq=CP_MAX_DF,
+    ).filter(
+        F.col("jaccard") * LSH_EVAL_TAU_DEN >= LSH_EVAL_TAU_NUM
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=MINHASH_N, shingle_n=SHINGLE_N
+    )
+    cand = lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=MINHASH_N, band_size=BAND_SIZE
+    ).localCheckpoint(eager=False)
+    hits = truth.join(cand, ["id_a", "id_b"])
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_cand"))))
+        .crossJoin(F.broadcast(hits.agg(F.count(F.lit(1)).alias("n_hit"))))
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            F.expr("n_hit * 1000000L div n_truth").alias("recall_ppm"),
+            F.expr("n_hit * 1000000L div n_cand").alias("precision_ppm"),
+        )
+    )
+
+
+def _sql_lsh_recall_eval() -> str:
+    return f"""
+WITH cand AS (SELECT * FROM ({_sql_lsh_pairs()}) t),
+dtoks AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM documents),
+sh0 AS (SELECT DISTINCT doc_id,
+              array_to_string(list_slice(tk, s, s + {SHINGLE_N - 1}), ' ') AS shingle
+        FROM dtoks,
+             unnest(generate_series(1, greatest(len(tk) - {SHINGLE_N - 1}, 1))) AS t(s)),
+shj AS (SELECT doc_id, shingle FROM sh0
+        WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY shingle
+                          HAVING count(*) <= {CP_MAX_DF})),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shj GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+truth AS (SELECT id_a, id_b
+          FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                     JOIN sizes sb ON sb.doc_id = id_b
+          WHERE round(i / (sa.sz + sb.sz - i), 6) * {LSH_EVAL_TAU_DEN}
+                >= {LSH_EVAL_TAU_NUM}),
+hit AS (SELECT count(*) AS n_hit FROM truth JOIN cand USING (id_a, id_b)),
+nt AS (SELECT count(*) AS n_truth FROM truth),
+nc AS (SELECT count(*) AS n_cand FROM cand)
+SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       n_hit * 1000000 // n_truth AS recall_ppm,
+       n_hit * 1000000 // n_cand AS precision_ppm
+FROM nt, nc, hit
+"""
+
+
 def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT COUNT(DISTINCT) as mergeable bitmap state (the Druid/
     ClickHouse bitmap-index trick, and the exact sibling of the HLL
@@ -7978,6 +8056,7 @@ QUERIES: dict[str, QuerySpec] = {
     "band_join": QuerySpec(q_band_join, _sql_band_join()),
     "normalized_dedup": QuerySpec(q_normalized_dedup, SQL_NORMALIZED_DEDUP),
     "bitmap_distinct": QuerySpec(q_bitmap_distinct, SQL_BITMAP_DISTINCT),
+    "lsh_recall_eval": QuerySpec(q_lsh_recall_eval, _sql_lsh_recall_eval()),
     "grouping_sets_revenue": QuerySpec(
         q_grouping_sets_revenue, SQL_GROUPING_SETS_REVENUE
     ),
