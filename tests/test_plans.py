@@ -430,3 +430,44 @@ def test_tpch_q8_q9_q11_dims_broadcast_and_filters_pushed(spark):
     # the only nested-loop is the 1-row scalar total broadcast (formatted
     # explain prints each node twice: once in the tree, once in details)
     assert p11.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_bitmap_distinct_two_level_agg_no_expand(spark):
+    """The bitmap plan must be two hash aggregates over words — never
+    Spark's Expand-based distinct rewrite over raw events."""
+    plan = _plan(spark, "bitmap_distinct")
+    assert "Expand" not in plan
+    # formatted explain lists each node twice (tree + details):
+    # 3 exchanges = word agg + group agg + final presentation sort
+    assert plan.count("Exchange") <= 6
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_cooc_window_is_join_free(spark):
+    """Windowed co-occurrence must stay two narrow generators + one
+    aggregate — no self-join, no per-doc window."""
+    plan = _plan(spark, "cooc_window")
+    assert "Join" not in plan  # no join operator of any kind
+    assert "Generate" in plan  # the explode stages
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
+
+
+def test_band_join_broadcasts_tier_table(spark):
+    plan = _plan(spark, "band_join")
+    assert "BroadcastNestedLoopJoin" in plan  # 6-row band table broadcast
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_budget_select_uses_range_exchange_not_global_window(spark):
+    plan = _plan(spark, "budget_select")
+    assert "rangepartitioning" in plan.lower()  # the one global-order exchange
+    import re as _re
+
+    assert not _re.search(r"Window \[[^\]]*\], \[\]", plan)  # no global window
+
+
+def test_grouping_sets_single_expand(spark):
+    plan = _plan(spark, "grouping_sets_revenue")
+    assert plan.count("Expand") == 2  # ONE node (tree + details listing)
