@@ -132,6 +132,12 @@ def register_sketch_sql(spark: SparkSession) -> None:
         "(length(bin(v)) - 1) * 32 + v * 32 div shiftleft(1L, length(bin(v)) - 1) - 32",
         "hdr_lo(bucket BIGINT) RETURNS BIGINT RETURN "
         "(32 + bucket % 32) * shiftleft(1L, bucket div 32) div 32",
+        # exact-distinct bitmap words (queries.q_bitmap_distinct's layout):
+        # SELECT k, sum(bit_count(w)) FROM (SELECT k, bitmap_word(id) wi,
+        #   bit_or(bitmap_bit(id)) w ... GROUP BY k, wi) GROUP BY k
+        "bitmap_word(id BIGINT) RETURNS BIGINT RETURN id div 64",
+        "bitmap_bit(id BIGINT) RETURNS BIGINT RETURN "
+        "shiftleft(CAST(1 AS BIGINT), CAST(id % 64 AS INT))",
     ]
     for f in fns:
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {f}")

@@ -220,3 +220,38 @@ def test_hdr_sketch_functions_through_sql(spark):
         """
     ).collect()[0].n
     assert bad == 0
+
+
+def test_bitmap_distinct_functions_through_sql(spark):
+    """bitmap_word / bitmap_bit (the SQL surface of the exact-distinct
+    bitmap) composed by hand in SQL must reproduce COUNT(DISTINCT)
+    exactly — same layout as queries.q_bitmap_distinct and the rollup
+    sink's exact_distinct_col state."""
+    from flink_sql_ai_meetingcoach_azure_spark.queries import _prep, _t
+    from flink_sql_ai_meetingcoach_azure_spark.sqlapi import register_sketch_sql
+
+    _prep(spark)
+    register_sketch_sql(spark)
+    sf = "/root/testdata/sf0.001"
+    ev = _t(spark, sf, "events")
+    ev.createOrReplaceTempView("ev_bmp")
+    got = {
+        r.event_type: r.n
+        for r in spark.sql(
+            """
+            SELECT event_type, CAST(sum(bit_count(w)) AS BIGINT) AS n FROM (
+              SELECT event_type, bitmap_word(user_id) AS wi,
+                     bit_or(bitmap_bit(user_id)) AS w
+              FROM ev_bmp GROUP BY event_type, bitmap_word(user_id)
+            ) GROUP BY event_type
+            """
+        ).collect()
+    }
+    want = {
+        r.event_type: r.n
+        for r in spark.sql(
+            "SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n "
+            "FROM ev_bmp GROUP BY event_type"
+        ).collect()
+    }
+    assert got == want and got
