@@ -153,6 +153,7 @@ BENCH_QUERIES = [
     "bitmap_distinct",
     "grouping_sets_revenue",
     "lsh_recall_eval",
+    "ivm_aggregate",
     # event-sequence (CEP-lite) funnel
     "funnel_match",
     # text analysis

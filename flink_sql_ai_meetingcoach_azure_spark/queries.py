@@ -7290,6 +7290,71 @@ FROM top ORDER BY drift_micro DESC, term
 """
 
 
+IVM_MOD = 13  # o_orderkey % 13 == 0: the change batch (delete + re-insert)
+
+
+def q_ivm_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance of a grouped aggregate under a CDC
+    delta: every 13th order is updated (price +10%), and the maintained
+    rollup is computed as BASE AGGREGATE + SIGNED DELTA AGGREGATE
+    (deletes carry −1, inserts +1) — never a rescan of the fact table.
+    count and integer-cent sum are abelian-group aggregates, so the
+    algebra is exact; the oracle recomputes the rollup directly over the
+    post-change table and must agree to the cent. At 100 TB this is THE
+    reason the rollup sink stores partials: a delivery's delta aggregate
+    is delta-sized, the merge is key-local, and the 100-TB base is never
+    touched (here the base agg stands in for the stored partial)."""
+    _prep(spark)
+    orders = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("rev_cents")
+    )
+    changed = orders.filter(F.col("o_orderkey") % IVM_MOD == 0)
+    # CDC delta: a delete image of the old row + an insert image at +10%
+    delta = changed.select(
+        "o_orderstatus", F.lit(-1).alias("sign"), cents.alias("c")
+    ).unionByName(
+        changed.select(
+            "o_orderstatus",
+            F.lit(1).alias("sign"),
+            # +10% in pure integer cents (floor div — no float re-round)
+            F.expr(
+                "CAST(round(o_totalprice * 100) AS BIGINT) * 110 div 100"
+            ).alias("c"),
+        )
+    )
+    dagg = delta.groupBy("o_orderstatus").agg(
+        F.sum("sign").cast("bigint").alias("dn"),
+        F.sum(F.col("sign") * F.col("c")).alias("drev"),
+    )
+    return (
+        base.join(dagg, "o_orderstatus", "left")
+        .select(
+            "o_orderstatus",
+            (F.col("n") + F.coalesce("dn", F.lit(0))).alias("n"),
+            (F.col("rev_cents") + F.coalesce("drev", F.lit(0))).alias(
+                "rev_cents"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+SQL_IVM_AGGREGATE = f"""
+WITH post AS (
+  SELECT o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders WHERE o_orderkey % {IVM_MOD} <> 0
+  UNION ALL
+  SELECT o_orderstatus,
+         CAST(round(o_totalprice * 100) AS BIGINT) * 110 // 100 AS c
+  FROM orders WHERE o_orderkey % {IVM_MOD} = 0)
+SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(c) AS BIGINT) AS rev_cents
+FROM post GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 LSH_EVAL_TAU_NUM, LSH_EVAL_TAU_DEN = 1, 2  # truth threshold: jaccard >= 1/2
 
 
@@ -8057,6 +8122,7 @@ QUERIES: dict[str, QuerySpec] = {
     "normalized_dedup": QuerySpec(q_normalized_dedup, SQL_NORMALIZED_DEDUP),
     "bitmap_distinct": QuerySpec(q_bitmap_distinct, SQL_BITMAP_DISTINCT),
     "lsh_recall_eval": QuerySpec(q_lsh_recall_eval, _sql_lsh_recall_eval()),
+    "ivm_aggregate": QuerySpec(q_ivm_aggregate, SQL_IVM_AGGREGATE),
     "grouping_sets_revenue": QuerySpec(
         q_grouping_sets_revenue, SQL_GROUPING_SETS_REVENUE
     ),

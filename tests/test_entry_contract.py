@@ -146,6 +146,7 @@ def test_entry_contract_shape():
         "normalized_dedup",  # r7 late addition (post-rotation); window candidate r8
         "bitmap_distinct",  # r7 late addition (post-rotation); window candidate r8
         "lsh_recall_eval",  # r7 late addition (post-rotation); window candidate r8
+        "ivm_aggregate",  # r7 late addition (post-rotation); window candidate r8
         "grouping_sets_revenue",  # r7 late addition (post-rotation); window candidate r8
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
