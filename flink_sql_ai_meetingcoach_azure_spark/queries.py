@@ -614,22 +614,22 @@ WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
 """
 
 
-def _sql_shingles_cte() -> str:
+def _sql_shingles_cte(where: str = "") -> str:
     return f"""
-toks AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM documents),
+toks AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM documents {where}),
 sh AS (SELECT DISTINCT doc_id,
               array_to_string(list_slice(tk, s, s + {SHINGLE_N - 1}), ' ') AS shingle
        FROM toks, unnest(generate_series(1, greatest(len(tk) - {SHINGLE_N - 1}, 1))) AS t(s))
 """
 
 
-def _sql_minhash_cte() -> str:
+def _sql_minhash_cte(where: str = "") -> str:
     base = md5_int32_sql("shingle")
     mins = ",\n       ".join(
         f"min({affine_hash_sql('bh', i)}) AS h{i}" for i in range(MINHASH_N)
     )
     return f"""
-WITH {_sql_shingles_cte()},
+WITH {_sql_shingles_cte(where)},
 shh AS (SELECT doc_id, {base} AS bh FROM sh),
 sig AS (SELECT doc_id, {mins} FROM shh GROUP BY doc_id)
 """
@@ -654,7 +654,7 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(sigs, "doc_id", num_hashes=MINHASH_N, band_size=BAND_SIZE)
 
 
-def _sql_lsh_pairs() -> str:
+def _sql_lsh_pairs(where: str = "") -> str:
     n_bands = MINHASH_N // BAND_SIZE
     band_selects = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, CAST(h{b * BAND_SIZE} AS VARCHAR) || '_' || "
@@ -662,7 +662,7 @@ def _sql_lsh_pairs() -> str:
         for b in range(n_bands)
     )
     return (
-        _sql_minhash_cte()
+        _sql_minhash_cte(where)
         + f""",
 bands AS ({band_selects})
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -7356,6 +7356,7 @@ FROM post GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 
 LSH_EVAL_TAU_NUM, LSH_EVAL_TAU_DEN = 1, 2  # truth threshold: jaccard >= 1/2
+LSH_EVAL_MAX_ID = 1000  # the sampled tuning sub-corpus
 
 
 def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7374,7 +7375,9 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_jaccard_pairs,
     )
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < LSH_EVAL_MAX_ID
+    )
     truth = ngram_jaccard_pairs(
         docs, "doc_id", "text", n=SHINGLE_N, threshold=0.0,
         max_doc_freq=CP_MAX_DF,
@@ -7403,9 +7406,10 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sql_lsh_recall_eval() -> str:
+    cap = f"WHERE doc_id < {LSH_EVAL_MAX_ID}"
     return f"""
-WITH cand AS (SELECT * FROM ({_sql_lsh_pairs()}) t),
-dtoks AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM documents),
+WITH cand AS (SELECT * FROM ({_sql_lsh_pairs(cap)}) t),
+dtoks AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM documents {cap}),
 sh0 AS (SELECT DISTINCT doc_id,
               array_to_string(list_slice(tk, s, s + {SHINGLE_N - 1}), ' ') AS shingle
         FROM dtoks,
