@@ -154,6 +154,8 @@ BENCH_QUERIES = [
     "grouping_sets_revenue",
     "lsh_recall_eval",
     "ivm_aggregate",
+    "mutual_info",
+    "zipf_slope",
     # event-sequence (CEP-lite) funnel
     "funnel_match",
     # text analysis

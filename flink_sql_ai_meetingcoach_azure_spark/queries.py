@@ -7290,6 +7290,139 @@ FROM top ORDER BY drift_micro DESC, term
 """
 
 
+MI_COHORT_MOD = 7  # user cohort = user_id % 7
+
+
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between two categorical columns (event_type ×
+    user cohort) — the data-profiling association measure behind feature
+    selection and leakage screens ('does this column secretly encode the
+    label?'). I(X;Y) = Σ c_xy·ln(c_xy·N/(c_x·c_y))/N: each cell's ln runs
+    once over an EXACT integer rational (the PMI/term_drift micro-nat
+    discipline, here milli-nats to keep the Σ c_xy·ln products safely in
+    BIGINT at any scale), marginals broadcast back onto the cell table.
+    Cost: one combinable cell count over the fact table + two
+    marginal-sized joins; the cell table is |X|·|Y| rows regardless of N.
+    Output keeps the exact integer numerator/denominator alongside the
+    divided estimate so downstream math never re-rounds."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    pairs = ev.select(
+        "event_type", (F.col("user_id") % MI_COHORT_MOD).alias("cohort")
+    )
+    cells = pairs.groupBy("event_type", "cohort").agg(
+        F.count(F.lit(1)).alias("cxy")
+    )
+    mx = pairs.groupBy("event_type").agg(F.count(F.lit(1)).alias("cx"))
+    my = pairs.groupBy("cohort").agg(F.count(F.lit(1)).alias("cy"))
+    n = pairs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        cells.join(F.broadcast(mx), "event_type")
+        .join(F.broadcast(my), "cohort")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("n"),
+            (
+                F.col("cxy")
+                * F.expr(
+                    "CAST(round(ln(CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE)"
+                    " / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE)))"
+                    " * 1000) AS BIGINT)"
+                )
+            ).alias("term"),
+        )
+    )
+    return scored.groupBy("n").agg(
+        F.sum("term").alias("mi_num_milli")
+    ).select(
+        F.col("n").cast("bigint").alias("n"),
+        "mi_num_milli",
+        F.expr("mi_num_milli div n").alias("mi_milli_nats"),
+    )
+
+
+SQL_MUTUAL_INFO = f"""
+WITH p AS (SELECT event_type, user_id % {MI_COHORT_MOD} AS cohort FROM events),
+cells AS (SELECT event_type, cohort, count(*) AS cxy FROM p GROUP BY 1, 2),
+mx AS (SELECT event_type, count(*) AS cx FROM p GROUP BY 1),
+my AS (SELECT cohort, count(*) AS cy FROM p GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM p),
+sc AS (SELECT n,
+              cxy * CAST(round(ln(CAST(cxy AS DOUBLE) * CAST(n AS DOUBLE)
+                    / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))) * 1000)
+                    AS BIGINT) AS term
+       FROM cells JOIN mx USING (event_type) JOIN my USING (cohort), nn)
+SELECT CAST(n AS BIGINT) AS n, CAST(sum(term) AS BIGINT) AS mi_num_milli,
+       CAST(sum(term) AS BIGINT) // n AS mi_milli_nats
+FROM sc GROUP BY n
+"""
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law fit of the corpus vocabulary: OLS slope of
+    ln(count) against ln(rank) over the term frequency table — the
+    one-number health check of a text corpus (natural language sits near
+    −1; generated/templated corpora drift). Rank comes from
+    operators/indexing.py::contiguous_row_ids (the range-exchange global
+    rank — NO single-partition window over the vocabulary), each ln is
+    one exact-integer-input call rounded to milli-nats, and the OLS
+    closed form is four combinable BIGINT sums; the only floats are the
+    two final slope divisions. Work: one corpus token pass + one
+    vocabulary-sized ranking."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import tokens_col  # noqa: PLC0415
+    from flink_sql_ai_meetingcoach_azure_spark.operators.indexing import (  # noqa: PLC0415
+        contiguous_row_ids,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = contiguous_row_ids(
+        counts, [F.desc("cnt"), F.asc("term")], id_col="rank"
+    )
+    xy = ranked.select(
+        F.expr("CAST(round(ln(CAST(rank AS DOUBLE)) * 1000) AS BIGINT)").alias("x"),
+        F.expr("CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000) AS BIGINT)").alias("y"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("v"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        F.col("v").cast("bigint").alias("vocab"),
+        F.expr(
+            "CAST(round((CAST(v AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+            " / (CAST(v AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+            " * 1000000) AS BIGINT)"
+        ).alias("slope_micro"),
+    )
+
+
+SQL_ZIPF_SLOPE = f"""
+WITH c AS (SELECT t AS term, count(*) AS cnt
+           FROM (SELECT unnest({_TOKS.format(col='text')}) AS t FROM documents)
+           GROUP BY t),
+r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term) AS rank FROM c),
+xy AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000) AS BIGINT) AS x,
+              CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000) AS BIGINT) AS y
+       FROM r),
+s AS (SELECT count(*) AS v, sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx FROM xy)
+SELECT CAST(v AS BIGINT) AS vocab,
+       CAST(round((CAST(v AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+            / (CAST(v AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+            * 1000000) AS BIGINT) AS slope_micro
+FROM s
+"""
+
+
 IVM_MOD = 13  # o_orderkey % 13 == 0: the change batch (delete + re-insert)
 
 
@@ -8130,4 +8263,6 @@ QUERIES: dict[str, QuerySpec] = {
     "grouping_sets_revenue": QuerySpec(
         q_grouping_sets_revenue, SQL_GROUPING_SETS_REVENUE
     ),
+    "mutual_info": QuerySpec(q_mutual_info, SQL_MUTUAL_INFO),
+    "zipf_slope": QuerySpec(q_zipf_slope, SQL_ZIPF_SLOPE),
 }
