@@ -18,8 +18,9 @@ LSM state shape as the near-dup dedup and IVF-ingest sinks:
   the write-then-mark pair leaves the same at-most-one-duplicate-batch
   crash window every non-transactional object-store sink has.
 
-Only COMBINABLE aggregates (count, sum — and anything derivable from
-them: mean, integer-cents totals) belong here natively; DISTINCT counts
+Only COMBINABLE aggregates (count, sum, min, max — and anything
+derivable from them: mean, integer-cents totals, value ranges) belong
+here natively; DISTINCT counts
 become combinable through the HyperLogLog register trick (``distinct_col``):
 each partial row carries a sparse map of per-bucket max-rho registers
 (<= 1024 small ints per key) and register merge is ``max`` — lossless
@@ -66,10 +67,14 @@ class StreamingAggregateSink:
         distinct_col: str | None = None,
         quantile_col: str | None = None,
         exact_distinct_col: str | None = None,
+        min_cols: list[str] | None = None,
+        max_cols: list[str] | None = None,
     ) -> None:
         self.state_dir = state_dir.rstrip("/")
         self.key_cols = list(key_cols)
         self.sum_cols = list(sum_cols)
+        self.min_cols = list(min_cols or [])
+        self.max_cols = list(max_cols or [])
         self.spark = spark
         self.distinct_col = distinct_col
         self.quantile_col = quantile_col
@@ -165,9 +170,14 @@ class StreamingAggregateSink:
         )
 
     def _partial(self, df: DataFrame) -> DataFrame:
-        aggs = [F.count(F.lit(1)).alias("__n")] + [
-            F.sum(c).cast("long").alias(f"__sum_{c}") for c in self.sum_cols
-        ]
+        aggs = (
+            [F.count(F.lit(1)).alias("__n")]
+            + [F.sum(c).cast("long").alias(f"__sum_{c}") for c in self.sum_cols]
+            # min/max are idempotent-combinable: partial min of mins IS the
+            # min, so the same log-append/merge-on-read algebra holds
+            + [F.min(c).alias(f"__min_{c}") for c in self.min_cols]
+            + [F.max(c).alias(f"__max_{c}") for c in self.max_cols]
+        )
         base = df.groupBy(*self.key_cols).agg(*aggs)
         if self.quantile_col is not None:
             base = base.join(self._hdr_partial(df), self.key_cols, "left")
@@ -232,10 +242,15 @@ class StreamingAggregateSink:
         recover_log(self.spark, f"{self.state_dir}/log")  # self-heal a crashed compact
         self._check_log_schema()
         log = self.spark.read.parquet(f"{self.state_dir}/log")
-        aggs = [F.sum("__n").cast("long").alias("n_rows")] + [
-            F.sum(f"__sum_{c}").cast("long").alias(f"sum_{c}")
-            for c in self.sum_cols
-        ]
+        aggs = (
+            [F.sum("__n").cast("long").alias("n_rows")]
+            + [
+                F.sum(f"__sum_{c}").cast("long").alias(f"sum_{c}")
+                for c in self.sum_cols
+            ]
+            + [F.min(f"__min_{c}").alias(f"min_{c}") for c in self.min_cols]
+            + [F.max(f"__max_{c}").alias(f"max_{c}") for c in self.max_cols]
+        )
         merged = log.groupBy(*self.key_cols).agg(*aggs)
         if self.exact_distinct_col is not None:
             bmp = (
@@ -341,10 +356,15 @@ class StreamingAggregateSink:
         O(keys) storage; merged HLL registers fold losslessly). Offline
         maintenance, not on the hot path."""
         log = self.spark.read.parquet(f"{self.state_dir}/log")
-        aggs = [F.sum("__n").cast("long").alias("__n")] + [
-            F.sum(f"__sum_{c}").cast("long").alias(f"__sum_{c}")
-            for c in self.sum_cols
-        ]
+        aggs = (
+            [F.sum("__n").cast("long").alias("__n")]
+            + [
+                F.sum(f"__sum_{c}").cast("long").alias(f"__sum_{c}")
+                for c in self.sum_cols
+            ]
+            + [F.min(f"__min_{c}").alias(f"__min_{c}") for c in self.min_cols]
+            + [F.max(f"__max_{c}").alias(f"__max_{c}") for c in self.max_cols]
+        )
         merged = log.groupBy(*self.key_cols).agg(*aggs)
         if self.quantile_col is not None:
             hdr_folded = (

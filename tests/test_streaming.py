@@ -1720,3 +1720,54 @@ def test_streaming_aggregate_sink_exact_bitmap_distinct(spark, tmp_path):
     off = StreamingAggregateSink(str(tmp_path / "bd_state"), ["k"], ["v"], spark)
     with _pytest.raises(ValueError, match="exact_distinct_col"):
         off(spark.createDataFrame(batches[0], schema), 99)
+
+
+def test_streaming_aggregate_sink_min_max(spark, tmp_path):
+    """min/max are idempotent-combinable: the maintained per-key range
+    must equal the batch groupBy over the union of all batches, survive
+    replay, and be exactly invariant under compaction."""
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.aggregate_sink import (
+        StreamingAggregateSink,
+    )
+
+    src = str(tmp_path / "mm_src")
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    batches = [
+        [("a", 7), ("a", 3), ("b", 100)],
+        [("a", 12), ("b", -5), ("b", 40)],
+        [("a", 1), ("c", 0)],
+    ]
+    _write_value_batch(src, batches[0], n=0)
+    sink = StreamingAggregateSink(
+        str(tmp_path / "mm_state"), ["k"], ["v"], spark,
+        min_cols=["v"], max_cols=["v"],
+    )
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "mm_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, rows in enumerate(batches[1:], start=1):
+            _write_value_batch(src, rows, n=i)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def state():
+        return {
+            r.k: (r.n_rows, r.sum_v, r.min_v, r.max_v)
+            for r in sink.current().collect()
+        }
+
+    want = {"a": (4, 23, 1, 12), "b": (3, 135, -5, 100), "c": (1, 0, 0, 0)}
+    assert state() == want
+    sink(spark.createDataFrame(batches[0], schema), 0)  # replay no-op
+    assert state() == want
+    sink.compact()
+    assert spark.read.parquet(str(tmp_path / "mm_state" / "log")).count() == 3
+    assert state() == want
