@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "ivm_aggregate",
     "mutual_info",
     "zipf_slope",
+    "interarrival_stats",
+    "embedding_norms",
     # event-sequence (CEP-lite) funnel
     "funnel_match",
     # text analysis

@@ -7290,6 +7290,104 @@ FROM top ORDER BY drift_micro DESC, term
 """
 
 
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival time profile: per event_type, min/avg/max gap (µs)
+    between a user's consecutive events of that type plus the gap count —
+    the rate/burstiness readout behind session-gap and watermark tuning
+    (sessionize's 30-min gap and the streaming watermark bounds should be
+    justified by THIS table, not folklore). One lag window partitioned by
+    (user, type) — never global — then a combinable aggregate; integer µs
+    so avg = exact sum div count."""
+    _prep(spark)
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    ev = _events(spark, sf_dir)
+    w = W.partitionBy("user_id", "event_type").orderBy("us", "event_id")
+    gaps = (
+        ev.select(
+            "event_type",
+            "user_id",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+        )
+        .withColumn("gap", F.col("us") - F.lag("us").over(w))
+        .filter(F.col("gap").isNotNull())
+    )
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap").alias("min_gap_us"),
+            F.expr("sum(gap) div count(1)").alias("avg_gap_us"),
+            F.max("gap").alias("max_gap_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+SQL_INTERARRIVAL_STATS = """
+WITH g AS (SELECT event_type,
+                  epoch_us(ts::TIMESTAMP)
+                  - lag(epoch_us(ts::TIMESTAMP)) OVER (
+                      PARTITION BY user_id, event_type
+                      ORDER BY ts, event_id) AS gap
+           FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap) AS BIGINT) AS min_gap_us,
+       CAST(sum(gap) // count(*) AS BIGINT) AS avg_gap_us,
+       CAST(max(gap) AS BIGINT) AS max_gap_us
+FROM g WHERE gap IS NOT NULL
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding hygiene profile: per label, count + min/avg/max L2 norm
+    in integer micro-units — the sanity table any vector corpus needs
+    before indexing (un-normalized rows break cosine shortcuts; zero or
+    exploding norms flag ingest bugs). Each row's norm is ONE in-order
+    float fold (the JVM-side zip_with/aggregate vector math the ANN
+    entries share) rounded to 6 dp BEFORE micro-int conversion, so the
+    per-group sums are exact integers — cross-engine and
+    partition-order safe. One map pass + one combinable aggregate."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.functions.vectors import (  # noqa: PLC0415
+        norm_col,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    nm = (
+        F.round(F.round(norm_col("embedding"), 6) * 1_000_000)
+        .cast("bigint")
+        .alias("nm")
+    )
+    return (
+        emb.select("label", nm)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("nm").alias("min_norm_micro"),
+            F.expr("sum(nm) div count(1)").alias("avg_norm_micro"),
+            F.max("nm").alias("max_norm_micro"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_EMBEDDING_NORMS = """
+WITH n AS (SELECT label,
+                  CAST(round(round(sqrt(list_dot_product(
+                       embedding::DOUBLE[], embedding::DOUBLE[])), 6)
+                       * 1000000) AS BIGINT) AS nm
+           FROM embeddings)
+SELECT label, CAST(count(*) AS BIGINT) AS n,
+       CAST(min(nm) AS BIGINT) AS min_norm_micro,
+       CAST(sum(nm) // count(*) AS BIGINT) AS avg_norm_micro,
+       CAST(max(nm) AS BIGINT) AS max_norm_micro
+FROM n GROUP BY label ORDER BY label
+"""
+
+
 MI_COHORT_MOD = 7  # user cohort = user_id % 7
 
 
@@ -8265,4 +8363,6 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "mutual_info": QuerySpec(q_mutual_info, SQL_MUTUAL_INFO),
     "zipf_slope": QuerySpec(q_zipf_slope, SQL_ZIPF_SLOPE),
+    "interarrival_stats": QuerySpec(q_interarrival_stats, SQL_INTERARRIVAL_STATS),
+    "embedding_norms": QuerySpec(q_embedding_norms, SQL_EMBEDDING_NORMS),
 }

@@ -150,6 +150,8 @@ def test_entry_contract_shape():
         "grouping_sets_revenue",  # r7 late addition (post-rotation); window candidate r8
         "mutual_info",  # r7 late addition (post-rotation); window candidate r8
         "zipf_slope",  # r7 late addition (post-rotation); window candidate r8
+        "interarrival_stats",  # r7 late addition (post-rotation); window candidate r8
+        "embedding_norms",  # r7 late addition (post-rotation); window candidate r8
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
