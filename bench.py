@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "zipf_slope",
     "interarrival_stats",
     "embedding_norms",
+    "containment_pairs",
     # event-sequence (CEP-lite) funnel
     "funnel_match",
     # text analysis

@@ -7290,6 +7290,70 @@ FROM top ORDER BY drift_micro DESC, term
 """
 
 
+CONTAIN_TAU = 0.8
+
+
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED shingle containment |A∩B|/|A| ≥ 0.8: document A is mostly
+    a quote/excerpt/subset of B — the asymmetric duplication mode Jaccard
+    structurally misses (a tweet quoted inside an article scores near-zero
+    Jaccard but containment 1.0). Same df-capped shingle equi-join as the
+    Jaccard verifier (one m²-bounded bucket join, never corpus n²), per-
+    SOURCE division instead of union division; both directions of a pair
+    emit independently. The standard suppression rule for training
+    corpora: drop the contained side, keep the container."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import shingles  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", n=SHINGLE_N)
+    freq_ok = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") <= CP_MAX_DF)
+        .select("shingle")
+    )
+    sh = sh.join(freq_ok, "shingle").localCheckpoint(eager=False)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("src_id"), F.col("b.doc_id").alias("dst_id")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "src_id"), "src_id")
+        .withColumn("containment", F.round(F.col("inter") / F.col("sz"), 6))
+        .filter(F.col("containment") >= CONTAIN_TAU)
+        .select("src_id", "dst_id", "containment")
+        .orderBy("src_id", "dst_id")
+    )
+
+
+SQL_CONTAINMENT_PAIRS = f"""
+WITH dtoks AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM documents),
+sh0 AS (SELECT DISTINCT doc_id,
+              array_to_string(list_slice(tk, s, s + {SHINGLE_N - 1}), ' ') AS shingle
+        FROM dtoks,
+             unnest(generate_series(1, greatest(len(tk) - {SHINGLE_N - 1}, 1))) AS t(s)),
+shj AS (SELECT doc_id, shingle FROM sh0
+        WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY shingle
+                          HAVING count(*) <= {CP_MAX_DF})),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shj GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS src_id, b.doc_id AS dst_id, count(*) AS i
+          FROM shj a JOIN shj b ON a.shingle = b.shingle
+                                AND a.doc_id <> b.doc_id
+          GROUP BY 1, 2)
+SELECT src_id, dst_id, round(i / s.sz, 6) AS containment
+FROM inter JOIN sizes s ON s.doc_id = src_id
+WHERE round(i / s.sz, 6) >= {CONTAIN_TAU}
+ORDER BY src_id, dst_id
+"""
+
+
 def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival time profile: per event_type, min/avg/max gap (µs)
     between a user's consecutive events of that type plus the gap count —
@@ -8365,4 +8429,5 @@ QUERIES: dict[str, QuerySpec] = {
     "zipf_slope": QuerySpec(q_zipf_slope, SQL_ZIPF_SLOPE),
     "interarrival_stats": QuerySpec(q_interarrival_stats, SQL_INTERARRIVAL_STATS),
     "embedding_norms": QuerySpec(q_embedding_norms, SQL_EMBEDDING_NORMS),
+    "containment_pairs": QuerySpec(q_containment_pairs, SQL_CONTAINMENT_PAIRS),
 }

@@ -152,6 +152,7 @@ def test_entry_contract_shape():
         "zipf_slope",  # r7 late addition (post-rotation); window candidate r8
         "interarrival_stats",  # r7 late addition (post-rotation); window candidate r8
         "embedding_norms",  # r7 late addition (post-rotation); window candidate r8
+        "containment_pairs",  # r7 late addition (post-rotation); window candidate r8
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
