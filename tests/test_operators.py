@@ -1436,3 +1436,41 @@ def test_kcore_hand_graph_and_fixpoint(spark):
     for iters in (2, 3, 6):
         got = {(r.node, r.degree) for r in kcore(pairs, k=2, iters=iters).collect()}
         assert got == want, iters
+
+
+def test_new_operator_empty_and_degenerate_edges(spark):
+    """Edge semantics pinned for the r7 additions: empty graphs, absent
+    sources, empty deltas, and zero-row running sums must return empty
+    (never throw, never NULL-pollute)."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.components import (
+        bfs_hops,
+        kcore,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (
+        delta_lsh_pairs,
+        minhash_signatures,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.indexing import (
+        global_running_sum,
+    )
+
+    empty_pairs = spark.createDataFrame([], "id_a bigint, id_b bigint")
+    src = spark.createDataFrame([(1,)], ["node"])
+    # empty graph: sources still emit themselves at hops 0
+    assert bfs_hops(empty_pairs, src, iters=2).collect() == [(1, 0)]
+    # no sources at all: empty result
+    no_src = spark.createDataFrame([], "node bigint")
+    pairs = spark.createDataFrame([(1, 2)], ["id_a", "id_b"])
+    assert bfs_hops(pairs, no_src, iters=2).count() == 0
+    # kcore: k larger than any degree peels everything
+    assert kcore(pairs, k=5, iters=3).count() == 0
+    assert kcore(empty_pairs, k=1, iters=3).count() == 0
+    # delta dedup with an is_new predicate matching nothing: no pairs
+    docs = spark.createDataFrame(
+        [(i, "w1 w2 w3 w4 w5") for i in range(6)], "doc_id int, text string"
+    )
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=8, shingle_n=3)
+    assert delta_lsh_pairs(sigs, "doc_id", F.lit(False), 8, 2).count() == 0
+    # running sum over zero rows: empty, no offset-map blowup
+    empty_vals = spark.createDataFrame([], "k bigint, w bigint")
+    assert global_running_sum(empty_vals, ["k"], "w").count() == 0
