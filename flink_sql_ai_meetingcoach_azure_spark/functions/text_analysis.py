@@ -475,7 +475,10 @@ def pmi_collocations(
     bi = toks.select(
         F.explode(
             F.expr(
-                "transform(slice(__tk, 1, size(__tk) - 1), "
+                # greatest(.., 0): slice() rejects negative lengths, so an
+                # empty/1-token doc must yield zero bigrams, not an error
+                # (the DuckDB oracle's range(1, 0) is naturally empty)
+                "transform(slice(__tk, 1, greatest(size(__tk) - 1, 0)), "
                 "(x, i) -> struct(x AS w1, element_at(__tk, i + 2) AS w2))"
             )
         ).alias("__b")

@@ -85,7 +85,16 @@ def global_running_sum(
     count, never by rows. ``order_cols`` must be a total order (append a
     unique key); the explicit ROWS frame makes the window exact even if a
     caller violates that, and determinism then still holds because RANGE
-    vs ROWS only differ under ties."""
+    vs ROWS only differ under ties.
+
+    NULL semantics (pinned, ADVICE r7): exactly SQL
+    ``SUM(v) OVER (ORDER BY ... ROWS UNBOUNDED PRECEDING)`` —
+    ``out_col`` is NULL until the first non-NULL value in the GLOBAL
+    prefix, after which NULLs contribute 0. Invariant under
+    ``num_partitions``: the per-partition totals are coalesced to 0 for
+    the offset arithmetic (an all-NULL partition never poisons the
+    driver prefix loop) and a parallel non-NULL COUNT prefix decides
+    the NULL-vs-0 head, so partition boundaries never show through."""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     ranged = (
         df.repartitionByRange(n, *order_cols)
@@ -93,18 +102,32 @@ def global_running_sum(
         .localCheckpoint(eager=False)
     )
     pid = ranged.withColumn("__pid", F.spark_partition_id())
-    sums = {
-        r["__pid"]: r["s"]
+    stats = {
+        r["__pid"]: (r["s"], r["c"])
         for r in pid.groupBy("__pid")
-        .agg(F.sum(F.col(value_col).cast("bigint")).alias("s"))
+        .agg(
+            # coalesce: an all-NULL partition sums to NULL, which would
+            # raise TypeError in the prefix loop below (ADVICE r7)
+            F.coalesce(F.sum(F.col(value_col).cast("bigint")), F.lit(0)).alias("s"),
+            F.count(value_col).alias("c"),  # non-NULL count for the head rule
+        )
         .collect()
     }
-    offsets, acc = {}, 0
-    for p in sorted(sums):
-        offsets[p] = acc
-        acc += sums[p]
+    offsets, acc, acc_c = {}, 0, 0
+    for p in sorted(stats):
+        offsets[p] = (acc, acc_c)
+        acc += stats[p][0]
+        acc_c += stats[p][1]
     off = F.element_at(
-        F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]),
+        F.create_map(
+            *[F.lit(x) for p, (s, _) in sorted(offsets.items()) for x in (p, s)]
+        ),
+        F.col("__pid"),
+    )
+    off_cnt = F.element_at(
+        F.create_map(
+            *[F.lit(x) for p, (_, c) in sorted(offsets.items()) for x in (p, c)]
+        ),
         F.col("__pid"),
     )
     w = (
@@ -112,7 +135,11 @@ def global_running_sum(
         .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    win_sum = F.sum(F.col(value_col).cast("bigint")).over(w)
+    win_cnt = F.count(value_col).over(w)
     return pid.withColumn(
         out_col,
-        (off + F.sum(F.col(value_col).cast("bigint")).over(w)).cast("bigint"),
+        F.when(off_cnt + win_cnt == 0, F.lit(None).cast("bigint")).otherwise(
+            (off + F.coalesce(win_sum, F.lit(0))).cast("bigint")
+        ),
     ).drop("__pid")

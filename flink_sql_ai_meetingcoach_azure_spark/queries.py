@@ -7694,8 +7694,11 @@ def q_lsh_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_truth",
             "n_cand",
             "n_hit",
-            F.expr("n_hit * 1000000L div n_truth").alias("recall_ppm"),
-            F.expr("n_hit * 1000000L div n_cand").alias("precision_ppm"),
+            # nullif: on an empty truth/candidate set both engines must
+            # agree on NULL — Spark's div already yields NULL on /0 but
+            # DuckDB's // raises, so pin NULL explicitly on BOTH sides
+            F.expr("n_hit * 1000000L div nullif(n_truth, 0)").alias("recall_ppm"),
+            F.expr("n_hit * 1000000L div nullif(n_cand, 0)").alias("precision_ppm"),
         )
     )
 
@@ -7726,8 +7729,8 @@ nt AS (SELECT count(*) AS n_truth FROM truth),
 nc AS (SELECT count(*) AS n_cand FROM cand)
 SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_cand AS BIGINT) AS n_cand,
        CAST(n_hit AS BIGINT) AS n_hit,
-       n_hit * 1000000 // n_truth AS recall_ppm,
-       n_hit * 1000000 // n_cand AS precision_ppm
+       n_hit * 1000000 // nullif(n_truth, 0) AS recall_ppm,
+       n_hit * 1000000 // nullif(n_cand, 0) AS precision_ppm
 FROM nt, nc, hit
 """
 
@@ -8240,6 +8243,101 @@ ORDER BY c.id_a, c.id_b
 """
 
 
+KMEANS_K = 8  # refined cells; SemDeDup/IVF use the same seam at larger k
+KMEANS_ITERS = 2  # fixed rounds — unrolled in the oracle, pagerank-style
+
+
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round Lloyd k-means refinement in exact integer micros
+    (operators/clustering.py::lloyd_refine) — closes the clustering
+    seam's quality gap (VERDICT r7 #2): first-K seeds are deterministic
+    but unrepresentative, and at 100 TB the LARGEST cell is what the
+    SemDeDup Σn_c² pair bound and the hottest IVF probe pay for. Two
+    Lloyd rounds move seeds to mass; the balance win is pinned in
+    tests/test_operators.py (max-cell share shrinks vs first-K).
+
+    Every step is exact BIGINT (micro quantization, integer squared
+    distances, id-ASC argmin tie-break, truncated-division means), so
+    the whole iteration hash-matches a pagerank-style unrolled SQL
+    oracle. Per round: one MAP-ONLY codegen assignment (centroids ride
+    the plan as literals — zero shuffle) + one map-side-combinable
+    (cid, pos) aggregate whose driver collect is k·dim metadata rows.
+
+    Returns ``(cluster_id, pos, centroid_micro, n_vecs)`` — the refined
+    centroids with final-assignment cell sizes, k·dim rows."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.clustering import (  # noqa: PLC0415
+        lloyd_refine,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    assigned, cents = lloyd_refine(emb, k=KMEANS_K, iters=KMEANS_ITERS)
+    sizes = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("__n"))
+    cdf = spark.createDataFrame(
+        [
+            (cid, pos, int(v))
+            for cid, vec in enumerate(cents)
+            for pos, v in enumerate(vec)
+        ],
+        "cluster_id int, pos int, centroid_micro bigint",
+    )
+    return (
+        cdf.join(F.broadcast(sizes), cdf.cluster_id == sizes.cid, "left")
+        .select(
+            "cluster_id",
+            "pos",
+            "centroid_micro",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n_vecs"),
+        )
+        .orderBy("cluster_id", "pos")
+    )
+
+
+def _sql_kmeans_refine() -> str:
+    k, dim = KMEANS_K, EMB_DIM
+    prev, iter_ctes = "c0", []
+    for i in range(1, KMEANS_ITERS + 1):
+        iter_ctes.append(f"""
+d{i} AS (SELECT e.vec_id, c.cid,
+                sum((e.v[t.j] - c.v[t.j]) * (e.v[t.j] - c.v[t.j])) AS d
+         FROM e, {prev} c, range(1, {dim + 1}) t(j) GROUP BY 1, 2),
+a{i} AS (SELECT vec_id, cid FROM
+           (SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+            FROM d{i}) WHERE rn = 1),
+u{i} AS (SELECT a.cid, t.j AS j,
+                CAST(trunc(CAST(sum(e.v[t.j]) AS DOUBLE) / count(*)) AS BIGINT)
+                  AS m
+         FROM e JOIN a{i} a USING (vec_id), range(1, {dim + 1}) t(j)
+         GROUP BY 1, 2),
+c{i} AS (SELECT s.cid, COALESCE(u.v, s.v) AS v
+         FROM {prev} s LEFT JOIN
+              (SELECT cid, list(m ORDER BY j) AS v FROM u{i} GROUP BY cid) u
+         USING (cid))""")
+        prev = f"c{i}"
+    return f"""
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding::DOUBLE[],
+                                 x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+           FROM embeddings),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+       FROM e ORDER BY vec_id LIMIT {k}),{",".join(iter_ctes)},
+df AS (SELECT e.vec_id, c.cid,
+              sum((e.v[t.j] - c.v[t.j]) * (e.v[t.j] - c.v[t.j])) AS d
+       FROM e, {prev} c, range(1, {dim + 1}) t(j) GROUP BY 1, 2),
+af AS (SELECT vec_id, cid FROM
+         (SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM df) WHERE rn = 1),
+sz AS (SELECT cid, count(*) AS n FROM af GROUP BY cid)
+SELECT c.cid AS cluster_id, CAST(t.j - 1 AS INT) AS pos,
+       CAST(c.v[t.j] AS BIGINT) AS centroid_micro,
+       CAST(COALESCE(sz.n, 0) AS BIGINT) AS n_vecs
+FROM {prev} c CROSS JOIN range(1, {dim + 1}) t(j) LEFT JOIN sz USING (cid)
+ORDER BY cluster_id, pos
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-7 rotation (VERDICT r6 #1): EVERY entry below was never
@@ -8430,4 +8528,5 @@ QUERIES: dict[str, QuerySpec] = {
     "interarrival_stats": QuerySpec(q_interarrival_stats, SQL_INTERARRIVAL_STATS),
     "embedding_norms": QuerySpec(q_embedding_norms, SQL_EMBEDDING_NORMS),
     "containment_pairs": QuerySpec(q_containment_pairs, SQL_CONTAINMENT_PAIRS),
+    "kmeans_refine": QuerySpec(q_kmeans_refine, _sql_kmeans_refine()),
 }

@@ -94,19 +94,40 @@ class StreamingAggregateSink:
         except Exception:  # noqa: BLE001 — no log yet: nothing to match
             self._schema_checked = True
             return
-        for col, name, want in (
+        checks = [
             ("__hll", "distinct_col", self.distinct_col is not None),
             ("__hdr", "quantile_col", self.quantile_col is not None),
             ("__bmp", "exact_distinct_col", self.exact_distinct_col is not None),
-        ):
+        ]
+        # min_cols/max_cols get the same fail-fast contract (ADVICE r7):
+        # both directions — a configured column missing from the log AND
+        # a logged __min_/__max_ column the sink no longer carries — would
+        # otherwise surface later as an opaque AnalysisException or a
+        # silent state drop on the parquet schema pick.
+        checks += [
+            (f"__min_{c}", f"min_cols[{c!r}]", True) for c in self.min_cols
+        ]
+        checks += [
+            (f"__max_{c}", f"max_cols[{c!r}]", True) for c in self.max_cols
+        ]
+        want_minmax = {f"__min_{c}" for c in self.min_cols} | {
+            f"__max_{c}" for c in self.max_cols
+        }
+        checks += [
+            (col, "min_cols/max_cols", False)
+            for col in cols
+            if (col.startswith("__min_") or col.startswith("__max_"))
+            and col not in want_minmax
+        ]
+        for col, name, want in checks:
             has = col in cols
             if has != want:
                 raise ValueError(
                     f"state dir {self.state_dir!r} was written with "
-                    f"{name} {'set' if has else 'unset'} but this sink "
-                    f"has it {'set' if want else 'unset'} — {name} must "
-                    "match the existing log schema (start a new state dir "
-                    "to change it)"
+                    f"{name} {'set' if has else 'unset'} ({col}) but this "
+                    f"sink has it {'set' if want else 'unset'} — {name} "
+                    "must match the existing log schema (start a new "
+                    "state dir to change it)"
                 )
         self._schema_checked = True
 

@@ -473,6 +473,24 @@ def test_pmi_collocations_hand_computed(spark):
     assert got[0][:2] == ("a", "b") and got[1][:2] == ("b", "c")
 
 
+def test_pmi_collocations_degenerate_docs(spark):
+    """Empty, whitespace-only, and 1-token docs yield zero bigrams and
+    never throw (slice() rejects negative lengths without the
+    greatest(...) guard — ADVICE r7); mixed corpora still count the
+    healthy docs' bigrams."""
+    from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import (
+        pmi_collocations,
+    )
+
+    docs = spark.createDataFrame([("",), ("   ",), ("solo",)], "text string")
+    assert pmi_collocations(docs, "text", min_count=1, top_n=10).count() == 0
+    mixed = spark.createDataFrame(
+        [("",), ("a b",), ("solo",), ("a b",)], "text string"
+    )
+    got = pmi_collocations(mixed, "text", min_count=1, top_n=10).collect()
+    assert [(r.w1, r.w2, r.c_xy) for r in got] == [("a", "b", 2)]
+
+
 def test_pmi_collocations_min_count_and_plan(spark):
     from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import (
         pmi_collocations,

@@ -1474,3 +1474,46 @@ def test_new_operator_empty_and_degenerate_edges(spark):
     # running sum over zero rows: empty, no offset-map blowup
     empty_vals = spark.createDataFrame([], "k bigint, w bigint")
     assert global_running_sum(empty_vals, ["k"], "w").count() == 0
+    # all-NULL value partitions: NULLs contribute 0 to offsets (the
+    # driver prefix loop must not see a None total — ADVICE r7), and a
+    # row's own run_sum follows SQL window-SUM (NULL until the first
+    # non-NULL in its prefix)
+    nulls_first = spark.createDataFrame(
+        [(1, None), (2, None), (3, 5), (4, None), (5, 7)],
+        "k bigint, w bigint",
+    )
+    for n_parts in (1, 2, 5):  # invariant under partition boundaries
+        got = {
+            r.k: r.run_sum
+            for r in global_running_sum(
+                nulls_first, ["k"], "w", num_partitions=n_parts
+            ).collect()
+        }
+        assert got == {1: None, 2: None, 3: 5, 4: 5, 5: 12}, n_parts
+
+
+def test_lsh_recall_eval_empty_corpus_agrees_with_oracle(spark, tmp_path):
+    """Empty corpus: one summary row, zero counts, NULL ppm rates — and
+    the DuckDB oracle says the SAME (its // raises on /0 without the
+    nullif guard, ADVICE r7), so the degenerate case can never produce
+    an entry/oracle divergence."""
+    import duckdb
+
+    from flink_sql_ai_meetingcoach_azure_spark.queries import QUERIES
+
+    src = "/root/testdata/sf0.001/documents.parquet"
+    dst = str(tmp_path / "documents.parquet")
+    spark.read.parquet(src).limit(0).write.parquet(dst)
+
+    got = QUERIES["lsh_recall_eval"].fn(spark, str(tmp_path)).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_truth, r.n_cand, r.n_hit) == (0, 0, 0)
+    assert r.recall_ppm is None and r.precision_ppm is None
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM '{dst}/*.parquet'")
+    d = con.sql(QUERIES["lsh_recall_eval"].sql).df()
+    assert len(d) == 1
+    assert int(d["n_truth"][0]) == 0 and int(d["n_cand"][0]) == 0
+    assert d["recall_ppm"].isna().all() and d["precision_ppm"].isna().all()

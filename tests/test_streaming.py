@@ -1771,3 +1771,47 @@ def test_streaming_aggregate_sink_min_max(spark, tmp_path):
     sink.compact()
     assert spark.read.parquet(str(tmp_path / "mm_state" / "log")).count() == 3
     assert state() == want
+
+
+def test_streaming_aggregate_sink_min_max_schema_mismatch(spark, tmp_path):
+    """min_cols/max_cols get the same fail-fast contract as the sketch
+    columns (ADVICE r7): a sink reconfigured with different min/max
+    columns against an existing log raises the actionable ValueError up
+    front, in BOTH directions (configured-but-missing and
+    logged-but-dropped), instead of a later AnalysisException or a
+    silent state drop."""
+    import pytest as _pytest
+
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.aggregate_sink import (
+        StreamingAggregateSink,
+    )
+
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    batch = spark.createDataFrame([("a", 1), ("b", 2)], schema)
+    state = str(tmp_path / "mm_chk_state")
+    StreamingAggregateSink(
+        state, ["k"], ["v"], spark, min_cols=["v"], max_cols=["v"]
+    )(batch, 0)
+
+    # dropped max_cols against min+max state: fail fast
+    dropped = StreamingAggregateSink(state, ["k"], ["v"], spark, min_cols=["v"])
+    with _pytest.raises(ValueError, match="min_cols/max_cols"):
+        dropped(batch, 1)
+
+    # added min_cols against plain state: fail fast too
+    plain_state = str(tmp_path / "mm_chk_plain")
+    StreamingAggregateSink(plain_state, ["k"], ["v"], spark)(batch, 0)
+    added = StreamingAggregateSink(
+        plain_state, ["k"], ["v"], spark, min_cols=["v"]
+    )
+    with _pytest.raises(ValueError, match="min_cols"):
+        added(batch, 1)
+
+    # unchanged config: replay/restart is a no-op, never a false alarm
+    again = StreamingAggregateSink(
+        state, ["k"], ["v"], spark, min_cols=["v"], max_cols=["v"]
+    )
+    again(batch, 0)
+    assert {r.k for r in again.current().collect()} == {"a", "b"}

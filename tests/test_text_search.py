@@ -290,6 +290,76 @@ def test_trained_centroids_feed_cluster_sampling(spark, sf_dir):
     assert len(sizes) >= 2  # trained centroids split the corpus
 
 
+def test_lloyd_refine_shrinks_max_cell_share_vs_first_k(spark):
+    """VERDICT r7 #2's acceptance test: on clustered/sorted input (the
+    first-K failure mode — all K seeds land in one region), fixed-round
+    Lloyd refinement shrinks the max-cell share. Three 30-point blobs,
+    ids ordered so every seed starts inside blob one: seeded assignment
+    puts ~86/90 points in one cell; two Lloyd rounds cut the max cell
+    to ≤ 2/3 — the Σn_c² SemDeDup bound and IVF probe-latency win."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.clustering import (
+        lloyd_refine,
+    )
+
+    rows = []
+    for i in range(30):
+        rows.append((i, [0.001 * i, 0.0]))
+    for i in range(30):
+        rows.append((30 + i, [10.0, 0.001 * i]))
+    for i in range(30):
+        rows.append((60 + i, [0.001 * i, 10.0]))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    def max_share(iters):
+        a, _ = lloyd_refine(emb, k=3, iters=iters)
+        sizes = [r["count"] for r in a.groupBy("cid").count().collect()]
+        return max(sizes) / sum(sizes)
+
+    seeded, refined = max_share(0), max_share(2)
+    assert seeded > 0.9  # first-K seeding is pathological here
+    assert refined <= 2 / 3 + 1e-9
+    assert refined < seeded
+
+
+def test_lloyd_refine_hand_case_empty_cluster_and_exactness(spark):
+    """Two well-separated blobs with BOTH seeds in blob one: after two
+    rounds the assignment is the textbook separation; an all-identical
+    corpus leaves cluster 1 empty and its centroid keeps the previous
+    (seed) value — the pinned empty-cluster rule; empty input raises."""
+    import pytest as _pytest
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.clustering import (
+        lloyd_refine,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0]),
+            (1, [0.1, 0.0]),
+            (2, [0.2, 0.0]),
+            (3, [10.0, 10.0]),
+            (4, [10.1, 10.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    assigned, cents = lloyd_refine(emb, k=2, iters=2)
+    got = {r["vec_id"]: r["cid"] for r in assigned.collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 1, 4: 1}
+    # exact-integer means: c0 = mean(0, .1, .2) = .1; c1 = mean(10, 10.1)
+    assert cents[0] == [100000, 0] and cents[1] == [10050000, 10000000]
+
+    same = spark.createDataFrame(
+        [(i, [1.0, 1.0]) for i in range(4)], "vec_id bigint, embedding array<float>"
+    )
+    a2, c2 = lloyd_refine(same, k=2, iters=2)
+    assert {r["cid"] for r in a2.collect()} == {0}  # id-ASC tie-break
+    assert c2[1] == [1000000, 1000000]  # empty cluster kept its seed
+
+    empty = spark.createDataFrame([], "vec_id bigint, embedding array<float>")
+    with _pytest.raises(ValueError, match="empty"):
+        lloyd_refine(empty, k=2, iters=1)
+
+
 def test_bm25_zero_and_null_terms_guarded(spark):
     """A query table with zero non-null terms (or only NULL terms) must
     short-circuit to an empty result through the join path — the inline
