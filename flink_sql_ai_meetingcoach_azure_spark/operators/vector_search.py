@@ -407,9 +407,19 @@ def build_ivf_index(
     nlist: int = 16,
     seed: int = 42,
     n_iter: int = 5,
+    refine_iters: int = 0,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Assign each index row a ``centroid_id`` via Lloyd's k-means on a
     driver-collected sample. Returns (index_df + centroid_id, centroids).
+
+    ``refine_iters > 0`` additionally refines the sample-trained
+    centroids over the FULL corpus with the exact-integer distributed
+    Lloyd rounds (operators/clustering.py::lloyd_refine, seeded with the
+    sample model) — at 100 TB the sample sees ~nlist·200 rows, so heavy
+    tails the sample missed can skew cells; each refine round is one
+    map-only assignment + one map-side-combinable (cid, pos) aggregate
+    over the corpus. Default 0 keeps the sample-only model (pinned
+    ann_ivf_topk behavior).
 
     Scale note: write the result partitioned by ``centroid_id``
     (``df.write.partitionBy('centroid_id')``) so probes prune partitions at
@@ -435,6 +445,25 @@ def build_ivf_index(
             pts = x[assign == c]
             if len(pts):
                 cent[c] = pts.mean(axis=0)
+    if refine_iters > 0:
+        from flink_sql_ai_meetingcoach_azure_spark.operators.clustering import (  # noqa: PLC0415
+            lloyd_refine,
+        )
+
+        micro_seeds = [
+            [int(round(float(v) * 1_000_000)) for v in c] for c in cent
+        ]
+        tmp = index_df.select(
+            F.monotonically_increasing_id().alias("__rid"),
+            F.col(index_col).alias("embedding"),
+        )
+        _, refined = lloyd_refine(
+            tmp, k=len(cent), iters=refine_iters, id_col="__rid",
+            seeds=micro_seeds,
+        )
+        cent = np.asarray(
+            [[v / 1e6 for v in c] for c in refined], dtype=np.float32
+        )
     spark = index_df.sparkSession
     bc = spark.sparkContext.broadcast(cent)
 

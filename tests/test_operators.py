@@ -303,6 +303,42 @@ def test_vector_search_autoroutes_to_ivf_past_cliff(spark, tmp_path):
                       method="numpy", max_index_rows=3)
 
 
+def test_build_ivf_index_refine_iters_full_corpus_refinement(spark):
+    """refine_iters > 0 refines the sample-trained centroids over the
+    FULL corpus with exact-integer Lloyd rounds (seeded lloyd_refine,
+    VERDICT r8 #2): centroids move, every row still gets a centroid_id
+    in range, and at nprobe = nlist the IVF result set is exhaustive so
+    retrieval equality with the unrefined index is preserved."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (
+        build_ivf_index,
+    )
+
+    rows = [(f"d{i}", [float(i % 7) - 3.0, float((i * 3) % 11) - 5.0,
+                       float(i % 4) + 0.25]) for i in range(120)]
+    emb = spark.createDataFrame(rows, "document_id string, embedding array<float>")
+
+    ivf0, cent0 = build_ivf_index(emb, "embedding", nlist=3, seed=7)
+    ivf2, cent2 = build_ivf_index(emb, "embedding", nlist=3, seed=7,
+                                  refine_iters=2)
+    assert len(cent2) == len(cent0) and len(cent2[0]) == 3
+    assert cent2 != cent0  # refinement actually moved the model
+    got = ivf2.groupBy("centroid_id").count().collect()
+    assert {r["centroid_id"] for r in got} <= {0, 1, 2}
+    assert sum(r["count"] for r in got) == 120
+    # full-corpus refinement never degrades the exhaustive-probe result
+    q = spark.createDataFrame([("q1", [0.5, -0.5, 1.0])], ["qid", "embedding"])
+    exact = vector_search(q, emb, k=3, payload_cols=["document_id"])
+    exact_ids = [s["document_id"] for s in exact.collect()[0]["search_results"]]
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (
+        vector_search_ivf,
+    )
+
+    routed = vector_search_ivf(q, ivf2, cent2, k=3, nprobe=3,
+                               payload_cols=["document_id"])
+    routed_ids = [s["document_id"] for s in routed.collect()[0]["search_results"]]
+    assert routed_ids == exact_ids
+
+
 def test_embed_and_search_autoroutes_to_ivf_past_cliff(spark, tmp_path):
     """The fused embed+GEMM path un-fuses past the ceiling: an embed
     pandas-UDF then the partition-pruned IVF probe, same output schema and
@@ -1492,7 +1528,7 @@ def test_new_operator_empty_and_degenerate_edges(spark):
         assert got == {1: None, 2: None, 3: 5, 4: 5, 5: 12}, n_parts
 
 
-def test_lsh_recall_eval_empty_corpus_agrees_with_oracle(spark, tmp_path):
+def test_lsh_recall_eval_empty_corpus_agrees_with_oracle(spark, sf_dir, tmp_path):
     """Empty corpus: one summary row, zero counts, NULL ppm rates — and
     the DuckDB oracle says the SAME (its // raises on /0 without the
     nullif guard, ADVICE r7), so the degenerate case can never produce
@@ -1501,7 +1537,7 @@ def test_lsh_recall_eval_empty_corpus_agrees_with_oracle(spark, tmp_path):
 
     from flink_sql_ai_meetingcoach_azure_spark.queries import QUERIES
 
-    src = "/root/testdata/sf0.001/documents.parquet"
+    src = f"{sf_dir}/documents.parquet"
     dst = str(tmp_path / "documents.parquet")
     spark.read.parquet(src).limit(0).write.parquet(dst)
 

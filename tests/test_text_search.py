@@ -360,6 +360,101 @@ def test_lloyd_refine_hand_case_empty_cluster_and_exactness(spark):
         lloyd_refine(empty, k=2, iters=1)
 
 
+def test_lloyd_refine_pinned_edges_k1_ragged_budget(spark):
+    """ADVICE r8 pins: k=1 assigns everything to cluster 0 (no least());
+    ragged vector widths raise up front instead of NULL-winning the
+    argmin; k<1 and k*dim over the inline budget raise ValueError."""
+    import pytest as _pytest
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.clustering import (
+        lloyd_refine,
+    )
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [5.0, 5.0]), (2, [9.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    a, c = lloyd_refine(emb, k=1, iters=2)
+    assert {r["cid"] for r in a.collect()} == {0}
+    assert len(c) == 1  # centroid = exact-integer mean of all rows
+    assert c[0] == [4666666, 1666666]
+
+    ragged = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0])], "vec_id bigint, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="ragged"):
+        lloyd_refine(ragged, k=2, iters=1)
+    with _pytest.raises(ValueError, match="k must be"):
+        lloyd_refine(emb, k=0, iters=1)
+    with _pytest.raises(ValueError, match="budget"):
+        lloyd_refine(emb, k=1_000_001, iters=1)  # k*dim = 2,000,002 > 2e6
+
+
+def test_lloyd_assignment_paths_bit_identical(spark, monkeypatch):
+    """The Arrow int64-matmul assignment (x·x - 2x·c + c·c, argmin
+    first-min) must produce the SAME centroids and assignment as the
+    inline-literal zip_with form on the same input — the expansion is
+    exact integer math and np.argmin's first-occurrence rule equals the
+    least(struct) cid-ASC tie-break. Includes deliberate exact ties."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators import clustering
+
+    rows = [(i, [float((i * 7) % 13) - 6.0, float((i * 11) % 17) - 8.0,
+                 float(i % 5)]) for i in range(60)]
+    # exact-tie rows: equidistant from multiple refined centroids
+    rows += [(100, [0.0, 0.0, 0.0]), (101, [0.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+
+    def run():
+        a, c = clustering.lloyd_refine(emb, k=4, iters=2)
+        return sorted((r["vec_id"], r["cid"]) for r in a.collect()), c
+
+    monkeypatch.setattr(clustering, "INLINE_ASSIGN_BUDGET", 10**9)  # expr
+    a_expr, c_expr = run()
+    monkeypatch.setattr(clustering, "INLINE_ASSIGN_BUDGET", 0)  # numpy
+    a_np, c_np = run()
+    assert c_expr == c_np
+    assert a_expr == a_np
+
+
+def test_lloyd_oracle_division_is_exact_integer():
+    """ADVICE r8 (medium): the unrolled oracle's centroid update must
+    truncate EXACT integer sums — a DOUBLE-cast division rounds
+    (sum=999999999*1e8-1, n=1e8 -> 999999999) and loses precision past
+    2^53, silently breaking the bit-for-bit entry/oracle contract. Pin
+    that the shipped SQL uses integer `//` (truncate-toward-zero on
+    HUGEINT, matching _trunc_div) and that the exact form disagrees
+    with the DOUBLE form at the adversarial magnitudes."""
+    import duckdb
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.clustering import (
+        _trunc_div,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.queries import _sql_kmeans_refine
+
+    sql = _sql_kmeans_refine()
+    assert "// count(*)" in sql
+    assert "AS DOUBLE" not in sql.split("WITH e AS")[0]  # update CTEs exact
+
+    con = duckdb.connect()
+    cases = [
+        (999999999 * 10**8 - 1, 10**8),  # DOUBLE trunc gives 999999999
+        (-(999999999 * 10**8 - 1), 10**8),  # sign: truncate toward zero
+        (2**60 + 7, 3),  # beyond 2^53 — DOUBLE loses the low bits
+        (-7, 2),
+    ]
+    for s, n in cases:
+        (got,) = con.sql(
+            f"SELECT CAST(CAST({s} AS HUGEINT) // {n} AS BIGINT)"
+        ).fetchone()
+        assert got == _trunc_div(s, n), (s, n)
+    # and the old DOUBLE form is genuinely wrong on the first case
+    (bad,) = con.sql(
+        "SELECT CAST(trunc(CAST(99999999900000000 - 1 AS DOUBLE) / 100000000)"
+        " AS BIGINT)"
+    ).fetchone()
+    assert bad != _trunc_div(999999999 * 10**8 - 1, 10**8)
+
+
 def test_bm25_zero_and_null_terms_guarded(spark):
     """A query table with zero non-null terms (or only NULL terms) must
     short-circuit to an empty result through the join path — the inline
