@@ -20,8 +20,16 @@ from flink_sql_ai_meetingcoach_azure_spark.queries import QUERIES  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return QUERIES["rag_pipeline"].fn(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Round 9 (VERDICT r8 #7): the flagship is now the HASH-VERIFIED
+    coaching chain ``rag_pipeline_verified`` — same three-column output
+    schema (message, rag_results_string, coaching_response) as the
+    rows-only ``rag_pipeline`` it replaces, but every stage (embed →
+    top-3 retrieval → prompt CONCAT → generation) is value-checked
+    against a pure-SQL oracle, so the smoke check carries value
+    verification instead of only row-count."""
+    return QUERIES["rag_pipeline_verified"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

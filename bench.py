@@ -43,6 +43,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from flink_sql_ai_meetingcoach_azure_spark import get_spark  # noqa: E402
 from flink_sql_ai_meetingcoach_azure_spark.queries import QUERIES  # noqa: E402
 
+# Registry entries deliberately NOT benched (19, all trivial one/two-
+# operator single-table shapes whose plan families are covered by benched
+# lines): leakage_split, keyword_trigger, cache_hit_join, recent_history,
+# ddl_struct_array, filter_route, case_dispatch, null_guard, path_extract,
+# set_ops, json_cleanup_extract, concat_prompt, array_ops, multimodal_meta,
+# order_limit, anti_join, vocab_size, deterministic_split,
+# stratified_sample. Everything else in QUERIES has a line below
+# (VERDICT r8 #4).
 BENCH_QUERIES = [
     # relational core
     "tpch_q1",
@@ -117,6 +125,7 @@ BENCH_QUERIES = [
     "fuzzy_dedup",
     "semantic_dedup",
     "contrastive_pairs",
+    "ngram_jaccard",  # candidate-restricted verify join (VERDICT r8 #4)
     # similarity search + lexical/hybrid retrieval
     "ann_topk",
     "ann_ivf_topk",
@@ -188,6 +197,7 @@ BENCH_QUERIES = [
     "curation_v2",
     "quality_filter",
     "cluster_sample",
+    "kmeans_refine",  # exact-integer Lloyd rounds (VERDICT r8 #4)
     "mixture_sample",
     "tiered_sample",
     # PII scrub + sequence packing (beyond-reference curation ops)
@@ -197,9 +207,13 @@ BENCH_QUERIES = [
     "multimodal_features",
     # SQL DDL statement path (translator overhead ~0: same operators)
     "ddl_ctas_topn",
+    "ddl_reference_pipeline",  # the full reference DDL chain (VERDICT r8 #4)
+    # BPE tokenizer training (fixed-round argmax merges)
+    "bpe_merges",
     # RAG pipeline end-to-end (mock provider): correctness-shaped + bulk
     "rag_pipeline",
     "rag_pipeline_bulk",
+    "chunk_embed_ingest",  # splitter + embed UDF ingest chain (VERDICT r8 #4)
     # hash-verified chains (oracle reproduces embed/retrieve/generate in SQL)
     "rag_retrieval",
     "rag_pipeline_verified",

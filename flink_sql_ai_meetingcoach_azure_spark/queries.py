@@ -8388,20 +8388,78 @@ ORDER BY cluster_id, pos
 
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
-    # Round-7 rotation (VERDICT r6 #1): EVERY entry below was never
-    # externally driver-checked before r7 — the 9 new TPC-H queries
-    # (the full 22/22 suite now exists), bucketed_join and the newly
-    # oracle-backed bpe_merges, the r6 additions (TPC-H pack, SemDeDup,
-    # contrastive pairs, global row ids, sessionize, TF-IDF, recall
-    # eval), and the long pytest-gate-only tail (PQ/IVF-PQ, JL
-    # projection, samplers, CDC, CEP, profiling). The r6 window (all 50
-    # hash-green in CORRECTNESS_r06) moved to the pytest-gated tail.
-    # After this round the only never-driver-checked entries are the 8
-    # deliberate tail drops listed in test_entry_contract plus the 2
-    # rows-only pipeline chains.
+    # Round-9 rotation (VERDICT r8 #1): the first 36 entries below had
+    # NEVER been externally driver-checked (the r7 late additions plus
+    # kmeans_refine and the 8 former deliberate tail drops); the last 14
+    # are previously hash-green ballast chosen because round 9 changed
+    # them (semantic_dedup / cluster_sample now assign against
+    # Lloyd-refined centroids; kmeans_refine's oracle division became
+    # exact-integer) or because they are the heaviest non-trivial chains
+    # (rag_* / curation / fuzzy / bpe / chunk_embed / ngram_jaccard).
+    # After this round every oracle-backed registry entry has been in at
+    # least one external driver window.
+    "bloom_join": QuerySpec(q_bloom_join, SQL_BLOOM_JOIN),
+    "heavy_hitters": QuerySpec(q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "setsim_join": QuerySpec(q_setsim_join, SQL_SETSIM_JOIN),
+    "incremental_neardup": QuerySpec(
+        q_incremental_neardup, _sql_incremental_neardup()
+    ),
+    "kcore": QuerySpec(q_kcore, _sql_kcore()),
+    "bfs_hops": QuerySpec(q_bfs_hops, _sql_bfs_hops()),
+    "containment_pairs": QuerySpec(q_containment_pairs, SQL_CONTAINMENT_PAIRS),
+    "skew_profile": QuerySpec(q_skew_profile, SQL_SKEW_PROFILE),
+    "join_blowup": QuerySpec(q_join_blowup, SQL_JOIN_BLOWUP),
+    "pmi_collocations": QuerySpec(q_pmi_collocations, SQL_PMI_COLLOCATIONS),
+    "frequent_pairs": QuerySpec(q_frequent_pairs, SQL_FREQUENT_PAIRS),
+    "lsh_recall_eval": QuerySpec(q_lsh_recall_eval, _sql_lsh_recall_eval()),
+    "term_drift": QuerySpec(q_term_drift, SQL_TERM_DRIFT),
+    "zipf_slope": QuerySpec(q_zipf_slope, SQL_ZIPF_SLOPE),
+    "mutual_info": QuerySpec(q_mutual_info, SQL_MUTUAL_INFO),
+    "interarrival_stats": QuerySpec(q_interarrival_stats, SQL_INTERARRIVAL_STATS),
+    "embedding_norms": QuerySpec(q_embedding_norms, SQL_EMBEDDING_NORMS),
+    "bitmap_distinct": QuerySpec(q_bitmap_distinct, SQL_BITMAP_DISTINCT),
+    "grouping_sets_revenue": QuerySpec(
+        q_grouping_sets_revenue, SQL_GROUPING_SETS_REVENUE
+    ),
+    "ivm_aggregate": QuerySpec(q_ivm_aggregate, SQL_IVM_AGGREGATE),
+    "snapshot_diff": QuerySpec(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
+    "cooc_window": QuerySpec(q_cooc_window, SQL_COOC_WINDOW),
+    "ohlc_bars": QuerySpec(q_ohlc_bars, SQL_OHLC_BARS),
+    "band_join": QuerySpec(q_band_join, _sql_band_join()),
+    "normalized_dedup": QuerySpec(q_normalized_dedup, SQL_NORMALIZED_DEDUP),
+    "hdr_quantiles": QuerySpec(q_hdr_quantiles, _sql_hdr_quantiles()),
+    "budget_select": QuerySpec(q_budget_select, SQL_BUDGET_SELECT),
+    "kmeans_refine": QuerySpec(q_kmeans_refine, _sql_kmeans_refine()),
+    "gap_fill": QuerySpec(q_gap_fill, SQL_GAP_FILL),
+    "linear_trend": QuerySpec(q_linear_trend, SQL_LINEAR_TREND),
+    "winsorize": QuerySpec(q_winsorize, SQL_WINSORIZE),
+    "value_histogram": QuerySpec(q_value_histogram, SQL_VALUE_HISTOGRAM),
+    "unpivot_types": QuerySpec(q_unpivot_types, _sql_unpivot_types()),
+    "cohort_retention": QuerySpec(q_cohort_retention, SQL_COHORT_RETENTION),
+    "decayed_score": QuerySpec(q_decayed_score, SQL_DECAYED_SCORE),
+    "profile_columns": QuerySpec(q_profile_columns, SQL_PROFILE_COLUMNS),
+    "semantic_dedup": QuerySpec(q_semantic_dedup, _sql_semantic_dedup()),
+    "cluster_sample": QuerySpec(q_cluster_sample, _sql_cluster_sample()),
+    "fuzzy_dedup": QuerySpec(q_fuzzy_dedup, _sql_fuzzy_dedup()),
+    "curation_v2": QuerySpec(q_curation_v2, _sql_curation_v2()),
+    "contrastive_pairs": QuerySpec(q_contrastive_pairs, _sql_contrastive_pairs()),
+    "rag_pipeline_verified": QuerySpec(q_rag_pipeline_verified, _sql_rag_pipeline_verified()),
+    "rag_pipeline_bulk": QuerySpec(q_rag_pipeline_bulk, _sql_rag_pipeline_bulk()),
+    "chunk_embed_ingest": QuerySpec(q_chunk_embed_ingest, _sql_chunk_embed_ingest()),
+    "bpe_merges": QuerySpec(q_bpe_merges, _sql_bpe_merges()),
+    "ngram_jaccard": QuerySpec(q_ngram_jaccard, _sql_ngram_jaccard()),
+    "tpch_q1": QuerySpec(q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q9": QuerySpec(q_tpch_q9, SQL_TPCH_Q9),
+    "ann_topk": QuerySpec(q_ann_topk, SQL_ANN_TOPK),
+    "mask_spans": QuerySpec(q_mask_spans, _sql_mask_spans()),
+    # ---- outside the driver's 50-entry window ----
+    # every entry below was externally hash-checked in at least one
+    # r1-r8 driver window, except the 2 rows-only chains (rag_pipeline,
+    # ddl_reference_pipeline); the full tail is re-verified against its
+    # oracles at sf0.001 on every pytest run (test_entry_contract) and
+    # at sf0.01 by tools/check_correctness.py
     "tpch_q2": QuerySpec(q_tpch_q2, SQL_TPCH_Q2),
     "tpch_q8": QuerySpec(q_tpch_q8, SQL_TPCH_Q8),
-    "tpch_q9": QuerySpec(q_tpch_q9, SQL_TPCH_Q9),
     "tpch_q11": QuerySpec(q_tpch_q11, SQL_TPCH_Q11),
     "tpch_q13": QuerySpec(q_tpch_q13, SQL_TPCH_Q13),
     "tpch_q16": QuerySpec(q_tpch_q16, SQL_TPCH_Q16),
@@ -8409,7 +8467,6 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q20": QuerySpec(q_tpch_q20, SQL_TPCH_Q20),
     "tpch_q21": QuerySpec(q_tpch_q21, SQL_TPCH_Q21),
     "bucketed_join": QuerySpec(q_bucketed_join, SQL_BUCKETED_JOIN),
-    "bpe_merges": QuerySpec(q_bpe_merges, _sql_bpe_merges()),
     "tpch_q4": QuerySpec(q_tpch_q4, SQL_TPCH_Q4),
     "tpch_q7": QuerySpec(q_tpch_q7, SQL_TPCH_Q7),
     "tpch_q10": QuerySpec(q_tpch_q10, SQL_TPCH_Q10),
@@ -8419,10 +8476,6 @@ QUERIES: dict[str, QuerySpec] = {
     "tpch_q18": QuerySpec(q_tpch_q18, SQL_TPCH_Q18),
     "tpch_q19": QuerySpec(q_tpch_q19, SQL_TPCH_Q19),
     "tpch_q22": QuerySpec(q_tpch_q22, SQL_TPCH_Q22),
-    "fuzzy_dedup": QuerySpec(q_fuzzy_dedup, _sql_fuzzy_dedup()),
-    "semantic_dedup": QuerySpec(q_semantic_dedup, _sql_semantic_dedup()),
-    "contrastive_pairs": QuerySpec(q_contrastive_pairs, _sql_contrastive_pairs()),
-    "curation_v2": QuerySpec(q_curation_v2, _sql_curation_v2()),
     "global_row_number": QuerySpec(q_global_row_number, SQL_GLOBAL_ROW_NUMBER),
     "sessionize": QuerySpec(q_sessionize, SQL_SESSIONIZE),
     "tfidf_vectors": QuerySpec(q_tfidf_vectors, _sql_tfidf_vectors()),
@@ -8449,17 +8502,12 @@ QUERIES: dict[str, QuerySpec] = {
     "asof_snapshot": QuerySpec(q_asof_snapshot, SQL_ASOF_SNAPSHOT),
     "transition_matrix": QuerySpec(q_transition_matrix, SQL_TRANSITION_MATRIX),
     "equidepth_histogram": QuerySpec(q_equidepth_histogram, SQL_EQUIDEPTH_HISTOGRAM),
-    # ---- outside the driver's 50-entry window (see comment above) ----
-    # r7 rotation: all externally hash-checked in the r1-r6 windows,
-    # except the 8 deliberate drops + 2 rows-only chains (see
-    # test_entry_contract for the per-entry rationale)
     "keyword_trigger": QuerySpec(q_keyword_trigger, SQL_KEYWORD_TRIGGER),
     "cache_hit_join": QuerySpec(q_cache_hit_join, SQL_CACHE_HIT_JOIN),
     "explode_chunks": QuerySpec(q_explode_chunks, SQL_EXPLODE_CHUNKS),
     "topn_per_user": QuerySpec(q_topn_per_user, SQL_TOPN_PER_USER),
     "recent_history": QuerySpec(q_recent_history, SQL_RECENT_HISTORY),
     "session_window": QuerySpec(q_session_window, SQL_SESSION_WINDOW),
-    "tpch_q1": QuerySpec(q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": QuerySpec(q_tpch_q3, SQL_TPCH_Q3),
     "tpch_q5": QuerySpec(q_tpch_q5, SQL_TPCH_Q5),
     "tpch_q6": QuerySpec(q_tpch_q6, SQL_TPCH_Q6),
@@ -8475,14 +8523,11 @@ QUERIES: dict[str, QuerySpec] = {
     "neardup_dedup": QuerySpec(q_neardup_dedup, _sql_neardup_dedup()),
     "dup_spans": QuerySpec(q_dup_spans, _sql_dup_spans()),
     "span_pairs": QuerySpec(q_span_pairs, _sql_span_pairs()),
-    "mask_spans": QuerySpec(q_mask_spans, _sql_mask_spans()),
     "decontaminate": QuerySpec(q_decontaminate, SQL_DECONTAMINATE),
     "edit_distance_pairs": QuerySpec(q_edit_distance_pairs, SQL_EDIT_DISTANCE_PAIRS),
-    "ann_topk": QuerySpec(q_ann_topk, SQL_ANN_TOPK),
     "ann_ivf_topk": QuerySpec(q_ann_ivf_topk, SQL_ANN_TOPK),
     "bm25_topk": QuerySpec(q_bm25_topk, SQL_BM25_TOPK),
     "hybrid_rrf": QuerySpec(q_hybrid_rrf, SQL_HYBRID_RRF),
-    "cluster_sample": QuerySpec(q_cluster_sample, _sql_cluster_sample()),
     "lang_id": QuerySpec(q_lang_id, _sql_lang_id()),
     "quality_filter": QuerySpec(q_quality_filter, SQL_QUALITY_FILTER),
     "repetition_scores": QuerySpec(q_repetition_scores, SQL_REPETITION_SCORES),
@@ -8494,9 +8539,6 @@ QUERIES: dict[str, QuerySpec] = {
     "triangle_count": QuerySpec(q_triangle_count, _sql_triangle_count()),
     "pagerank": QuerySpec(q_pagerank, _sql_pagerank()),
     "multimodal_features": QuerySpec(q_multimodal_features, _sql_multimodal_features()),
-    "rag_pipeline_verified": QuerySpec(q_rag_pipeline_verified, _sql_rag_pipeline_verified()),
-    "rag_pipeline_bulk": QuerySpec(q_rag_pipeline_bulk, _sql_rag_pipeline_bulk()),
-    "chunk_embed_ingest": QuerySpec(q_chunk_embed_ingest, _sql_chunk_embed_ingest()),
     "mixture_sample": QuerySpec(q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "curation_pipeline": QuerySpec(q_curation_pipeline, _sql_curation_pipeline()),
     "pii_redact": QuerySpec(q_pii_redact, _sql_pii_redact()),
@@ -8516,7 +8558,6 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_keep_best": QuerySpec(q_dedup_keep_best, SQL_DEDUP_KEEP_BEST),
     "asof_join": QuerySpec(q_asof_join, SQL_ASOF_JOIN),
     "rollup_revenue": QuerySpec(q_rollup_revenue, SQL_ROLLUP_REVENUE),
-    "ngram_jaccard": QuerySpec(q_ngram_jaccard, _sql_ngram_jaccard()),
     "tumbling_window": QuerySpec(q_tumbling_window, SQL_TUMBLING_WINDOW),
     "concat_prompt": QuerySpec(q_concat_prompt, SQL_CONCAT_PROMPT),
     "array_ops": QuerySpec(q_array_ops, SQL_ARRAY_OPS),
@@ -8536,45 +8577,4 @@ QUERIES: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(q_stratified_sample, _sql_stratified_sample()),
     "quality_score": QuerySpec(q_quality_score, _sql_quality_score()),
     "token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS),
-    "gap_fill": QuerySpec(q_gap_fill, SQL_GAP_FILL),
-    "unpivot_types": QuerySpec(q_unpivot_types, _sql_unpivot_types()),
-    "winsorize": QuerySpec(q_winsorize, SQL_WINSORIZE),
-    "cohort_retention": QuerySpec(q_cohort_retention, SQL_COHORT_RETENTION),
-    "value_histogram": QuerySpec(q_value_histogram, SQL_VALUE_HISTOGRAM),
-    "linear_trend": QuerySpec(q_linear_trend, SQL_LINEAR_TREND),
-    "profile_columns": QuerySpec(q_profile_columns, SQL_PROFILE_COLUMNS),
-    "decayed_score": QuerySpec(q_decayed_score, SQL_DECAYED_SCORE),
-    # -- r7 late additions (after the rotation; window candidates for r8) --
-    "hdr_quantiles": QuerySpec(q_hdr_quantiles, _sql_hdr_quantiles()),
-    "snapshot_diff": QuerySpec(q_snapshot_diff, SQL_SNAPSHOT_DIFF),
-    "bloom_join": QuerySpec(q_bloom_join, SQL_BLOOM_JOIN),
-    "heavy_hitters": QuerySpec(q_heavy_hitters, SQL_HEAVY_HITTERS),
-    "skew_profile": QuerySpec(q_skew_profile, SQL_SKEW_PROFILE),
-    "pmi_collocations": QuerySpec(q_pmi_collocations, SQL_PMI_COLLOCATIONS),
-    "frequent_pairs": QuerySpec(q_frequent_pairs, SQL_FREQUENT_PAIRS),
-    "join_blowup": QuerySpec(q_join_blowup, SQL_JOIN_BLOWUP),
-    "setsim_join": QuerySpec(q_setsim_join, SQL_SETSIM_JOIN),
-    "term_drift": QuerySpec(q_term_drift, SQL_TERM_DRIFT),
-    "incremental_neardup": QuerySpec(
-        q_incremental_neardup, _sql_incremental_neardup()
-    ),
-    "budget_select": QuerySpec(q_budget_select, SQL_BUDGET_SELECT),
-    "bfs_hops": QuerySpec(q_bfs_hops, _sql_bfs_hops()),
-    "kcore": QuerySpec(q_kcore, _sql_kcore()),
-    "cooc_window": QuerySpec(q_cooc_window, SQL_COOC_WINDOW),
-    "ohlc_bars": QuerySpec(q_ohlc_bars, SQL_OHLC_BARS),
-    "band_join": QuerySpec(q_band_join, _sql_band_join()),
-    "normalized_dedup": QuerySpec(q_normalized_dedup, SQL_NORMALIZED_DEDUP),
-    "bitmap_distinct": QuerySpec(q_bitmap_distinct, SQL_BITMAP_DISTINCT),
-    "lsh_recall_eval": QuerySpec(q_lsh_recall_eval, _sql_lsh_recall_eval()),
-    "ivm_aggregate": QuerySpec(q_ivm_aggregate, SQL_IVM_AGGREGATE),
-    "grouping_sets_revenue": QuerySpec(
-        q_grouping_sets_revenue, SQL_GROUPING_SETS_REVENUE
-    ),
-    "mutual_info": QuerySpec(q_mutual_info, SQL_MUTUAL_INFO),
-    "zipf_slope": QuerySpec(q_zipf_slope, SQL_ZIPF_SLOPE),
-    "interarrival_stats": QuerySpec(q_interarrival_stats, SQL_INTERARRIVAL_STATS),
-    "embedding_norms": QuerySpec(q_embedding_norms, SQL_EMBEDDING_NORMS),
-    "containment_pairs": QuerySpec(q_containment_pairs, SQL_CONTAINMENT_PAIRS),
-    "kmeans_refine": QuerySpec(q_kmeans_refine, _sql_kmeans_refine()),
 }

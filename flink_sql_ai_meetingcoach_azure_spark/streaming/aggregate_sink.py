@@ -35,7 +35,14 @@ so the continuously-maintained p50/p90/p99 read-out
 the union. EXACT distinct over a non-negative integer id domain becomes
 combinable through 64-bit bitmap words (``exact_distinct_col`` — the
 queries.q_bitmap_distinct layout; merge is per-word bit_or, state is
-<= domain/64 words per key, zero error). A truly non-combinable metric
+<= domain/64 words per key, zero error). SET SKETCHES become combinable
+through KMV k-minimum-values (``kmv_col`` — queries.q_kmv_overlap's
+fixed-hash layout): each partial row carries the k=256 smallest 60-bit
+md5 values of the batch's distinct items, merge is k-min of the union
+(idempotent — equal values hash equally), so the maintained sketch is
+bit-identical to a one-shot sketch over everything ingested and
+supports both a distinct estimate (:meth:`current_kmv`) and cross-key
+Jaccard. A truly non-combinable metric
 (exact median, exact distinct over unbounded domains)
 still needs its own state shape. At 100 TB the log grows by ~|active
 keys per batch| rows per trigger, independent of input row count — the
@@ -52,6 +59,8 @@ _HLL_R = 51  # 60-bit md5 // 1024 leaves a 50-bit field; rho in [1, 51]
 _HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
 _HDR_SUB = 32  # sub-buckets per octave (queries.HDR_SUB) — <= 1/32 rel. error
 _HDR_QS = [(500000, "p50"), (900000, "p90"), (990000, "p99")]
+_KMV_K = 256  # sketch size (queries.KMV_K) — k smallest 60-bit md5 values
+_KMV_DOMAIN = 1 << 60  # md5_bigint_col range [0, 2^60)
 
 
 class StreamingAggregateSink:
@@ -69,6 +78,7 @@ class StreamingAggregateSink:
         exact_distinct_col: str | None = None,
         min_cols: list[str] | None = None,
         max_cols: list[str] | None = None,
+        kmv_col: str | None = None,
     ) -> None:
         self.state_dir = state_dir.rstrip("/")
         self.key_cols = list(key_cols)
@@ -79,6 +89,7 @@ class StreamingAggregateSink:
         self.distinct_col = distinct_col
         self.quantile_col = quantile_col
         self.exact_distinct_col = exact_distinct_col
+        self.kmv_col = kmv_col
         self._schema_checked = False
 
     def _check_log_schema(self) -> None:
@@ -98,6 +109,7 @@ class StreamingAggregateSink:
             ("__hll", "distinct_col", self.distinct_col is not None),
             ("__hdr", "quantile_col", self.quantile_col is not None),
             ("__bmp", "exact_distinct_col", self.exact_distinct_col is not None),
+            ("__kmv", "kmv_col", self.kmv_col is not None),
         ]
         # min_cols/max_cols get the same fail-fast contract (ADVICE r7):
         # both directions — a configured column missing from the log AND
@@ -190,6 +202,34 @@ class StreamingAggregateSink:
             )
         )
 
+    def _kmv_partial(self, df: DataFrame) -> DataFrame:
+        """Per-key KMV sketch of the batch: the k=256 smallest 60-bit md5
+        values of the batch's DISTINCT items (queries.q_kmv_overlap's
+        fixed-hash layout). Merge is k-min of the union — idempotent
+        (same value → same hash), commutative, associative — so the
+        maintained sketch is bit-identical to a one-shot sketch over the
+        union of everything ingested, under any batch split, replay, or
+        compaction. State <= k BIGINTs per key regardless of batch size."""
+        from pyspark.sql.window import Window  # noqa: PLC0415
+
+        from flink_sql_ai_meetingcoach_azure_spark.functions.hashing import (  # noqa: PLC0415
+            md5_bigint_col,
+        )
+
+        w = Window.partitionBy(*self.key_cols).orderBy("__h")
+        return (
+            df.filter(F.col(self.kmv_col).isNotNull())
+            .select(
+                *self.key_cols,
+                md5_bigint_col(F.col(self.kmv_col).cast("string")).alias("__h"),
+            )
+            .distinct()
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= _KMV_K)
+            .groupBy(*self.key_cols)
+            .agg(F.array_sort(F.collect_list("__h")).alias("__kmv"))
+        )
+
     def _partial(self, df: DataFrame) -> DataFrame:
         aggs = (
             [F.count(F.lit(1)).alias("__n")]
@@ -204,6 +244,8 @@ class StreamingAggregateSink:
             base = base.join(self._hdr_partial(df), self.key_cols, "left")
         if self.exact_distinct_col is not None:
             base = base.join(self._bitmap_partial(df), self.key_cols, "left")
+        if self.kmv_col is not None:
+            base = base.join(self._kmv_partial(df), self.key_cols, "left")
         if self.distinct_col is None:
             return base
         # per-key sparse HLL registers: bucket = md5 % m, rho = leading
@@ -372,6 +414,60 @@ class StreamingAggregateSink:
             F.col("__n_vals").alias("n_vals"),
         )
 
+    def _merged_kmv_rows(self, log: DataFrame) -> DataFrame:
+        """(keys…, __h) — the k smallest distinct hashes per key across
+        the whole log: k-min of the union of per-batch k-mins, which IS
+        the k-min of the union (every dropped hash was larger than k
+        survivors in its own batch, hence larger than k union-wide)."""
+        from pyspark.sql.window import Window  # noqa: PLC0415
+
+        w = Window.partitionBy(*self.key_cols).orderBy("__h")
+        return (
+            log.filter(F.col("__kmv").isNotNull())
+            .select(*self.key_cols, F.explode("__kmv").alias("__h"))
+            .distinct()
+            .withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= _KMV_K)
+            .drop("__rk")
+        )
+
+    def current_kmv(self) -> DataFrame:
+        """The continuously-maintained per-key KMV read-out (requires
+        ``kmv_col``): (keys…, kmv_sketch, n_sketch, distinct_kmv_est).
+        ``kmv_sketch`` is the merged k-min array (bit-identical to a
+        one-shot sketch over the union — usable for cross-key Jaccard
+        exactly like queries.q_kmv_overlap); ``distinct_kmv_est`` is the
+        standard KMV estimator (k-1)·2^60 / h_(k) in exact DECIMAL
+        integer arithmetic, or the EXACT distinct count whenever the
+        sketch is not full (n_sketch < k ⇒ every distinct item is in
+        the sketch)."""
+        if self.kmv_col is None:
+            raise ValueError("current_kmv() requires kmv_col")
+        from flink_sql_ai_meetingcoach_azure_spark.streaming.maintenance import (  # noqa: PLC0415
+            recover_log,
+        )
+
+        recover_log(self.spark, f"{self.state_dir}/log")
+        self._check_log_schema()
+        log = self.spark.read.parquet(f"{self.state_dir}/log")
+        per = self._merged_kmv_rows(log).groupBy(*self.key_cols).agg(
+            F.array_sort(F.collect_list("__h")).alias("kmv_sketch"),
+            F.count(F.lit(1)).alias("n_sketch"),
+            F.max("__h").alias("__hk"),
+        )
+        est = F.when(F.col("n_sketch") < _KMV_K, F.col("n_sketch")).otherwise(
+            F.expr(
+                f"CAST(floor(CAST({_KMV_K - 1} AS DECIMAL(38,0)) * "
+                f"{_KMV_DOMAIN} / greatest(__hk, 1L)) AS BIGINT)"
+            )
+        )
+        return per.select(
+            *self.key_cols,
+            "kmv_sketch",
+            "n_sketch",
+            est.cast("long").alias("distinct_kmv_est"),
+        )
+
     def compact(self) -> None:
         """Fold the log to one partial row per key (same read results,
         O(keys) storage; merged HLL registers fold losslessly). Offline
@@ -432,6 +528,13 @@ class StreamingAggregateSink:
                 )
             )
             merged = merged.join(bmp_folded, self.key_cols, "left")
+        if self.kmv_col is not None:
+            kmv_folded = (
+                self._merged_kmv_rows(log)
+                .groupBy(*self.key_cols)
+                .agg(F.array_sort(F.collect_list("__h")).alias("__kmv"))
+            )
+            merged = merged.join(kmv_folded, self.key_cols, "left")
         # crash-safe write-then-swap (streaming.maintenance): never hold
         # the only copy of the state in memory while truncating the dir
         from flink_sql_ai_meetingcoach_azure_spark.streaming.maintenance import (  # noqa: PLC0415

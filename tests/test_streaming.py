@@ -1722,6 +1722,101 @@ def test_streaming_aggregate_sink_exact_bitmap_distinct(spark, tmp_path):
         off(spark.createDataFrame(batches[0], schema), 99)
 
 
+def test_streaming_aggregate_sink_kmv(spark, tmp_path):
+    """Continuously-maintained KMV set sketch per key (VERDICT r8 #8 —
+    the last sketch without a streaming form): the merged k-min array
+    must be BIT-IDENTICAL to a one-shot sketch over the union of every
+    batch (k-min of per-batch k-mins IS k-min of the union), the
+    estimate must be EXACT whenever the sketch is not full, the
+    estimator must land near truth when it is, and the whole state must
+    survive replay and compaction unchanged."""
+    from flink_sql_ai_meetingcoach_azure_spark.functions.hashing import (
+        md5_bigint_col,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.aggregate_sink import (
+        _KMV_K,
+        StreamingAggregateSink,
+    )
+
+    src = str(tmp_path / "kmv_src")
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    # 'a' exceeds k=256 distinct (estimator path, overlapping batches);
+    # 'b' and 'c' stay under (exact path); duplicates everywhere
+    batches = [
+        [("a", i) for i in range(400)] + [("b", i) for i in range(50)],
+        [("a", i) for i in range(200, 600)] + [("b", i) for i in range(25, 60)],
+        [("a", i) for i in range(550, 700)] + [("c", 1), ("c", 2), ("c", 1)],
+    ]
+    _write_value_batch(src, batches[0], n=0)
+    sink = StreamingAggregateSink(
+        str(tmp_path / "kmv_state"), ["k"], ["v"], spark, kmv_col="v"
+    )
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "kmv_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, rows in enumerate(batches[1:], start=1):
+            _write_value_batch(src, rows, n=i)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def state():
+        return {
+            r.k: (tuple(r.kmv_sketch), r.n_sketch, r.distinct_kmv_est)
+            for r in sink.current_kmv().collect()
+        }
+
+    got = state()
+    # one-shot sketch over the union, same hash layout
+    union = spark.createDataFrame(
+        sorted(set(batches[0]) | set(batches[1]) | set(batches[2])), schema
+    )
+    oneshot = {}
+    for key in ("a", "b", "c"):
+        hs = sorted(
+            r["__h"]
+            for r in union.filter(F.col("k") == key)
+            .select(md5_bigint_col(F.col("v").cast("string")).alias("__h"))
+            .distinct()
+            .collect()
+        )[:_KMV_K]
+        oneshot[key] = tuple(hs)
+    for key in ("a", "b", "c"):
+        assert got[key][0] == oneshot[key], key  # bit-identical sketch
+    # exact path: sketch not full => estimate IS the distinct count
+    assert got["b"][1:] == (60, 60)
+    assert got["c"][1:] == (2, 2)
+    # estimator path: 'a' has 700 distinct; k=256 KMV std ~ n/sqrt(k-2)
+    assert got["a"][1] == _KMV_K
+    assert 500 <= got["a"][2] <= 900, got["a"][2]
+
+    sink(spark.createDataFrame(batches[0], schema), 0)  # replay no-op
+    assert state() == got
+    sink.compact()
+    assert spark.read.parquet(str(tmp_path / "kmv_state" / "log")).count() == 3
+    assert state() == got
+
+    # schema mismatch fails fast, both directions
+    import pytest as _pytest
+
+    off = StreamingAggregateSink(str(tmp_path / "kmv_state"), ["k"], ["v"], spark)
+    with _pytest.raises(ValueError, match="kmv_col"):
+        off(spark.createDataFrame(batches[0], schema), 99)
+    plain_state = str(tmp_path / "kmv_plain")
+    plain = StreamingAggregateSink(plain_state, ["k"], ["v"], spark)
+    plain(spark.createDataFrame(batches[0], schema), 0)
+    on = StreamingAggregateSink(plain_state, ["k"], ["v"], spark, kmv_col="v")
+    with _pytest.raises(ValueError, match="kmv_col"):
+        on(spark.createDataFrame(batches[1], schema), 1)
+
+
 def test_streaming_aggregate_sink_min_max(spark, tmp_path):
     """min/max are idempotent-combinable: the maintained per-key range
     must equal the batch groupBy over the union of all batches, survive

@@ -1,0 +1,230 @@
+"""Empirical scaling spot-check (VERDICT r7 #5 / r8 #3): measure how the
+heaviest registry entries actually grow with corpus size, so a df-cap or
+band bound silently degrading to quadratic shows up as a number, not a
+plan-reading claim.
+
+Method
+------
+Synthetic 2x/4x corpora are derived from sf0.1 by ISOMORPHIC copies:
+
+- documents: every word ``w`` of a copied doc becomes
+  ``substr(md5(w || salt_c), 1, 2) || w`` — a per-copy vocabulary remap.
+  Within a copy, every doc-to-doc similarity relationship of the
+  original corpus is preserved exactly (same shingle/token overlap
+  structure), while across copies no shingle or token matches, so
+  near-dup candidate buckets scale LINEARLY with corpus size — the same
+  growth a real 2x crawl would produce. Naive duplication would instead
+  double every LSH bucket (pairs x4) and measure a fake quadratic.
+- embeddings: each copy applies a deterministic per-copy sign-flip
+  pattern (a diagonal isometry): within-copy distances are bit-preserved
+  and copies land in different orthants.
+
+Each entry runs once per scale (min of 2 runs at the base scale for a
+stable denominator) with the same local[32] session bench.py uses; the
+fitted exponent is log(t_4x / t_1x) / log(4).
+
+Expected-superlinear note: ``semantic_dedup`` bounds its pair space by
+sum(n_c^2) over k=64 FIXED cells, so doubling the corpus doubles every
+cell and the pair stage grows ~x4 — BY DESIGN the knob is k (SemDeDup's
+own contract: grow k with the corpus). The harness therefore also runs
+the knob-scaled variant (k = 64 * scale via the clustering operators
+directly) to verify the documented linear path.
+
+Usage: python tools/scaling_check.py [--scales 1 2 4] [--out -]
+Writes a JSON report to stdout; the pinned table lives in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from flink_sql_ai_meetingcoach_azure_spark import get_spark  # noqa: E402
+from flink_sql_ai_meetingcoach_azure_spark.queries import QUERIES  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+ENTRIES = [
+    "semantic_dedup",
+    "fuzzy_dedup",
+    "containment_pairs",
+    "mask_spans",
+    "curation_v2",
+    "incremental_neardup",
+    "lsh_recall_eval",
+    "setsim_join",
+]
+N_DOCS_BASE = 5000
+N_VECS_BASE = 2000
+EMB_DIM = 64
+
+
+def _sign_pattern(copy: int) -> list[int]:
+    """Deterministic per-copy per-dim sign flips (diagonal isometry)."""
+    out = []
+    for i in range(EMB_DIM):
+        h = hashlib.md5(f"scale-{copy}-{i}".encode()).digest()[0]
+        out.append(1 if h % 2 == 0 else -1)
+    return out
+
+
+def build_scaled_dir(spark, scale: int, root: str) -> str:
+    """documents+embeddings at `scale`x sf0.1 via isomorphic copies."""
+    out = os.path.join(root, f"sfx{scale}")
+    if os.path.exists(os.path.join(out, "embeddings.parquet")):
+        return out
+    docs = spark.read.parquet(f"{BASE}/documents.parquet")
+    embs = spark.read.parquet(f"{BASE}/embeddings.parquet")
+    doc_parts, emb_parts = [docs], [embs]
+    for c in range(1, scale):
+        salt = f"·c{c}"
+        remapped = F.array_join(
+            F.transform(
+                F.split(F.col("text"), " "),
+                lambda w: F.concat(  # noqa: B023 — salt is loop-stable per expr build
+                    F.substring(F.md5(F.concat(w, F.lit(salt))), 1, 2), w
+                ),
+            ),
+            " ",
+        )
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + c * N_DOCS_BASE).alias("doc_id"),
+                remapped.alias("text"),
+                "lang",
+                "source",
+                F.length(remapped).alias("n_chars"),
+            )
+        )
+        signs = F.array(*[F.lit(s) for s in _sign_pattern(c)])
+        emb_parts.append(
+            embs.select(
+                (F.col("vec_id") + c * N_VECS_BASE).alias("vec_id"),
+                F.zip_with(
+                    "embedding", signs, lambda x, s: x * s.cast("float")
+                ).alias("embedding"),
+                "label",
+            )
+        )
+    d, e = doc_parts[0], emb_parts[0]
+    for p in doc_parts[1:]:
+        d = d.unionByName(p)
+    for p in emb_parts[1:]:
+        e = e.unionByName(p)
+    d.repartition(8 * scale).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    e.repartition(4 * scale).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
+    return out
+
+
+def knob_scaled_semdedup_seconds(spark, sf_dir: str, k: int) -> float:
+    """semantic_dedup's documented linear path: k grows with the corpus so
+    cell sizes stay constant. Mirrors q_semantic_dedup but with k a knob
+    (the registry entry pins k=64 for its unrolled oracle)."""
+    from flink_sql_ai_meetingcoach_azure_spark.functions.vectors import (
+        cosine_similarity_col,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.clustering import (
+        assign_nearest_centroid,
+        lloyd_refine,
+    )
+
+    t0 = time.time()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, cents = lloyd_refine(emb, k=k, iters=2)
+    seeds = spark.createDataFrame(
+        [(cid, [v / 1e6 for v in vec]) for cid, vec in enumerate(cents)],
+        "centroid_id int, centroid array<double>",
+    )
+    assigned = assign_nearest_centroid(emb, seeds).localCheckpoint(eager=False)
+    av = assigned.join(emb.select("vec_id", "embedding"), "vec_id").localCheckpoint(
+        eager=False
+    )
+    left = av.select(
+        F.col("cluster_id").alias("l_cid"),
+        F.col("vec_id").alias("l_id"),
+        F.col("embedding").alias("l_v"),
+    )
+    right = av.select(
+        F.col("cluster_id").alias("r_cid"),
+        F.col("vec_id").alias("r_id"),
+        F.col("embedding").alias("r_v"),
+    )
+    dropped = (
+        left.join(
+            right,
+            (F.col("l_cid") == F.col("r_cid")) & (F.col("l_id") < F.col("r_id")),
+        )
+        .withColumn("cs", F.round(cosine_similarity_col("l_v", "r_v"), 6))
+        .filter(F.col("cs") >= 0.3)
+        .select(F.col("r_id").alias("vec_id"))
+        .distinct()
+    )
+    out = assigned.join(dropped, "vec_id", "left_anti").select(
+        "cluster_id", "vec_id", "sim"
+    )
+    out.write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
+
+
+def main() -> None:
+    scales = [1, 2, 4]
+    if "--scales" in sys.argv:
+        i = sys.argv.index("--scales")
+        scales = [int(x) for x in sys.argv[i + 1 :] if x.isdigit()]
+    root = os.environ.get("SCALING_DIR", "/tmp/spark_graft_scaling")
+    spark = get_spark("scaling_check")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JIT warmup
+
+    dirs = {s: build_scaled_dir(spark, s, root) for s in scales}
+
+    def run(name: str, sf_dir: str) -> float:
+        t0 = time.time()
+        QUERIES[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.time() - t0, 3)
+
+    report: dict = {"scales": scales, "entries": {}}
+    for name in ENTRIES:
+        times = {}
+        for s in scales:
+            r = [run(name, dirs[s]) for _ in range(2 if s == 1 else 1)]
+            times[s] = min(r)
+        import math
+
+        hi = max(scales)
+        exp = math.log(times[hi] / times[1]) / math.log(hi)
+        report["entries"][name] = {
+            "seconds": times,
+            "exponent": round(exp, 2),
+        }
+        print(f"{name}: {times} exponent={exp:.2f}", file=sys.stderr)
+
+    # semantic_dedup knob-scaled linear path: k grows with the corpus
+    knob = {}
+    for s in scales:
+        knob[s] = knob_scaled_semdedup_seconds(spark, dirs[s], k=64 * s)
+        print(f"semantic_dedup[k=64*{s}]: {knob[s]}", file=sys.stderr)
+    import math
+
+    hi = max(scales)
+    report["semantic_dedup_knob_scaled"] = {
+        "seconds": knob,
+        "exponent": round(math.log(knob[hi] / knob[1]) / math.log(hi), 2),
+    }
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
