@@ -208,8 +208,9 @@ BENCH_QUERIES = [
     # SQL DDL statement path (translator overhead ~0: same operators)
     "ddl_ctas_topn",
     "ddl_reference_pipeline",  # the full reference DDL chain (VERDICT r8 #4)
-    # BPE tokenizer training (fixed-round argmax merges)
+    # BPE tokenizer training (fixed-round argmax merges) + corpus encode
     "bpe_merges",
+    "bpe_encode",
     # RAG pipeline end-to-end (mock provider): correctness-shaped + bulk
     "rag_pipeline",
     "rag_pipeline_bulk",

@@ -1893,6 +1893,99 @@ b{i} AS (SELECT l, r FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1)"""
     return ",\n".join(parts) + "\n" + " UNION ALL ".join(sels) + ' ORDER BY "rank"'
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the TRAINED BPE vocabulary — the apply
+    half of the tokenizer seam (operators/bpe.py::apply_bpe): train the
+    8-merge vocab (one corpus pass + vocabulary-sized rounds), then
+    encode every document with the classic rank-greedy merge loop
+    (Arrow-batched pandas UDF, per-batch word cache — the custom-
+    semantics seam the mandate routes through pandas UDFs). Per doc:
+    word count, BPE token count, distinct-subword count — the token
+    budget numbers a training-mix planner actually consumes.
+
+    The oracle replays the merges SEQUENTIALLY per distinct word (one
+    list_reduce fold per rank); rank-greedy and sequential replay are
+    equivalent because any merge consuming a produced symbol must have
+    a later rank than the merge that produced it — the hash gate proves
+    the equivalence on real data. At 100 TB: encoding is map-only over
+    the corpus; the distinct-word fold table is vocabulary-sized."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.bpe import (  # noqa: PLC0415
+        apply_bpe,
+        learn_bpe_merges,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import tokens_col  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, "text", n_merges=8)
+    enc = apply_bpe(docs, merges, "text", "__bpe")
+    return enc.select(
+        "doc_id",
+        F.size(tokens_col("text")).cast("bigint").alias("n_words"),
+        F.size("__bpe").cast("bigint").alias("n_bpe_tokens"),
+        F.size(F.array_distinct("__bpe")).cast("bigint").alias(
+            "n_distinct_subwords"
+        ),
+    ).orderBy("doc_id")
+
+
+def _sql_bpe_encode(n_merges: int = 8) -> str:
+    """Training chain from _sql_bpe_merges (same b1..bN merge CTEs) plus
+    an encode chain: per DISTINCT word, one list_reduce fold per rank in
+    training order (sequential replay — equivalent to the application
+    loop's rank-greedy order, see q_bpe_encode), then a per-doc join and
+    token/distinct-subword counts. Empty-token documents survive via the
+    LEFT JOIN with zero counts."""
+    toks = _TOKS.format(col="text")
+    parts = [
+        f"""WITH tok AS (SELECT unnest({toks}) AS w FROM documents),
+words AS (SELECT w, count(*) AS freq FROM tok GROUP BY w),
+w0 AS (SELECT freq, array_to_string(string_split(w, ''), '|') AS s FROM words),
+e0 AS (SELECT w, array_to_string(string_split(w, ''), '|') AS s FROM words)"""
+    ]
+    prev, eprev = "w0", "e0"
+    fold = (
+        "list_reduce(string_split(s, '|'),"
+        " (acc, x) -> CASE WHEN x = b{i}.r"
+        " AND (acc = b{i}.l OR ends_with(acc, '|' || b{i}.l))"
+        " THEN acc || x ELSE acc || '|' || x END)"
+    )
+    for i in range(1, n_merges + 1):
+        parts.append(
+            f"""p{i} AS (SELECT arr[j] AS l, arr[j+1] AS r, sum(freq) AS cnt
+      FROM (SELECT freq, string_split(s, '|') AS arr FROM {prev}) t,
+           unnest(range(1, len(arr))) AS u(j)
+      GROUP BY 1, 2),
+b{i} AS (SELECT l, r FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+e{i} AS (SELECT w, {fold.format(i=i)} AS s FROM {eprev} CROSS JOIN b{i})"""
+        )
+        if i < n_merges:
+            parts.append(
+                f"""w{i} AS (SELECT freq, {fold.format(i=i)} AS s
+      FROM {prev} CROSS JOIN b{i})"""
+            )
+            prev = f"w{i}"
+        eprev = f"e{i}"
+    parts.append(
+        f"""dt AS (SELECT doc_id, unnest({toks}) AS w FROM documents),
+su AS (SELECT d.doc_id, unnest(string_split(e.s, '|')) AS t
+       FROM dt d JOIN {eprev} e USING (w)),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bpe_tokens,
+               CAST(count(DISTINCT t) AS BIGINT) AS n_distinct_subwords
+        FROM su GROUP BY doc_id),
+wc AS (SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_words FROM documents)"""
+    )
+    return (
+        ",\n".join(parts)
+        + """
+SELECT wc.doc_id, wc.n_words,
+       COALESCE(agg.n_bpe_tokens, 0) AS n_bpe_tokens,
+       COALESCE(agg.n_distinct_subwords, 0) AS n_distinct_subwords
+FROM wc LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id"""
+    )
+
+
 FUNNEL_PATTERN = ("view", "click", "purchase")
 FUNNEL_WITHIN_S = 7 * 24 * 3600
 
@@ -3396,7 +3489,7 @@ BM25_QUERIES: list[tuple[int, str]] = [
 ]
 BM25_K = 5
 HYBRID_K = 8
-CLUSTER_K = 8  # seed centroids: vec_id < CLUSTER_K
+CLUSTER_K = 8  # clusters (Lloyd-refined centroids as of r9)
 CLUSTER_SAMPLE_M = 10
 
 
@@ -3744,9 +3837,10 @@ ORDER BY event_id
 
 
 SEMDEDUP_TAU = 0.3  # within-cluster cosine duplicate threshold
-# more seed cells than cluster_sample's k: the pair space is sum(n_c^2),
+# more cells than cluster_sample's k: the pair space is sum(n_c^2),
 # and k is SemDeDup's scale knob — 64 cells keeps the biggest cell's
-# pair block ~100x smaller than n^2 at sf0.1 (10.7 s -> ~1 s measured)
+# pair block ~100x smaller than n^2 at sf0.1 (10.7 s -> ~1 s measured);
+# knob-scaled k (k ∝ n) measures ~linear end-to-end (SCALING_r09.json)
 SEMDEDUP_K = 64
 
 
@@ -8577,4 +8671,6 @@ QUERIES: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(q_stratified_sample, _sql_stratified_sample()),
     "quality_score": QuerySpec(q_quality_score, _sql_quality_score()),
     "token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS),
+    # -- r9 late additions (after the rotation; window candidates r10) --
+    "bpe_encode": QuerySpec(q_bpe_encode, _sql_bpe_encode()),
 }
