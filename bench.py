@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     # text analysis
     "lang_id",
     "quality_score",
+    "char_entropy",
     "token_stats",
     "top_terms",
     "heavy_hitters",

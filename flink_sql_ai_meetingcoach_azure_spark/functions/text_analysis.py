@@ -296,6 +296,63 @@ def unigram_lm_scores(
     )
 
 
+def char_entropy_scores(
+    df: "DataFrame",  # noqa: F821
+    id_col: str,
+    text_col: str,
+) -> "DataFrame":  # noqa: F821
+    """Per-document Shannon CHARACTER entropy in exact integer
+    micro-nats — the distribution-shape quality signal that separates
+    natural prose (~4.1 nats/char for English) from repeated-character
+    spam (→0) and near-random noise (→ln|alphabet|); complements the
+    zlib ratio (:func:`compression_scores`), which this one can express
+    as a SQL oracle.
+
+    Exactness discipline (the lm_score rule): ``ln(n/n_c)`` is evaluated
+    ONCE per distinct (doc, char) on the exact integer ratio and rounded
+    to BIGINT micro-nats THERE; the per-doc entropy is then the exact
+    integer ``Σ n_c·t_c div n`` — partition-count- and order-invariant
+    where summing doubles would drift.
+
+    Plan shape: one char explode → combinable (doc, char) count → one
+    doc-keyed join of the (alphabet-bounded) count table with its per-doc
+    totals → combinable final sum. Linear in corpus characters; the
+    exploded exchange is the cost, the alphabet bound keeps every
+    aggregate output small."""
+    chars = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("__c")
+    ).filter(F.col("__c") != "")
+    counts = chars.groupBy(id_col, "__c").agg(F.count(F.lit(1)).alias("__nc"))
+    tot = counts.groupBy(id_col).agg(
+        F.sum("__nc").alias("__n"), F.count(F.lit(1)).alias("__nd")
+    )
+    terms = counts.join(tot, id_col).withColumn(
+        "__t",
+        F.round(
+            F.log(F.col("__n").cast("double") / F.col("__nc")) * 1_000_000
+        ).cast("bigint"),
+    )
+    ent = terms.groupBy(id_col).agg(
+        F.max("__n").cast("bigint").alias("n_chars"),
+        F.max("__nd").cast("bigint").alias("n_distinct_chars"),
+        F.expr("sum(__nc * __t) div max(__n)").cast("bigint").alias(
+            "entropy_micro_nats"
+        ),
+    )
+    return (
+        df.select(id_col)
+        .join(ent, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+            F.coalesce("n_distinct_chars", F.lit(0)).alias("n_distinct_chars"),
+            F.coalesce("entropy_micro_nats", F.lit(0)).alias(
+                "entropy_micro_nats"
+            ),
+        )
+    )
+
+
 def compression_scores(
     df: "DataFrame",  # noqa: F821
     id_col: str,

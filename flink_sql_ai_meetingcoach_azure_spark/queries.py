@@ -1986,6 +1986,42 @@ ORDER BY doc_id"""
     )
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy in exact micro-nats
+    (functions/text_analysis.py::char_entropy_scores) — the
+    distribution-shape quality signal between repeated-char spam (→0)
+    and random noise (→ln|alphabet|); the oracle-expressible companion
+    of the zlib compression ratio."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import (  # noqa: PLC0415
+        char_entropy_scores,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return char_entropy_scores(docs, "doc_id", "text").orderBy("doc_id")
+
+
+SQL_CHAR_ENTROPY = """
+WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+cc AS (SELECT doc_id, c, count(*) AS nc FROM ch WHERE c <> '' GROUP BY 1, 2),
+tot AS (SELECT doc_id, sum(nc) AS n, count(*) AS nd FROM cc GROUP BY 1),
+terms AS (SELECT cc.doc_id, nc, n, nd,
+                 CAST(round(ln(CAST(n AS DOUBLE) / nc) * 1000000) AS BIGINT) AS t
+          FROM cc JOIN tot USING (doc_id)),
+agg AS (SELECT doc_id,
+               CAST(max(n) AS BIGINT) AS n_chars,
+               CAST(max(nd) AS BIGINT) AS n_distinct_chars,
+               CAST(sum(nc * t) // max(n) AS BIGINT) AS entropy_micro_nats
+        FROM terms GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.n_chars, 0) AS n_chars,
+       COALESCE(a.n_distinct_chars, 0) AS n_distinct_chars,
+       COALESCE(a.entropy_micro_nats, 0) AS entropy_micro_nats
+FROM documents d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 FUNNEL_PATTERN = ("view", "click", "purchase")
 FUNNEL_WITHIN_S = 7 * 24 * 3600
 
@@ -8673,4 +8709,5 @@ QUERIES: dict[str, QuerySpec] = {
     "token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS),
     # -- r9 late additions (after the rotation; window candidates r10) --
     "bpe_encode": QuerySpec(q_bpe_encode, _sql_bpe_encode()),
+    "char_entropy": QuerySpec(q_char_entropy, SQL_CHAR_ENTROPY),
 }

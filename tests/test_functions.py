@@ -209,6 +209,48 @@ def test_compression_scores_signal_and_parity(spark):
     assert got["rep"][2] < got["nat"][2] < got["rand"][2]
 
 
+def test_char_entropy_hand_cases_and_python_parity(spark):
+    """Shannon character entropy in exact micro-nats: single-repeated-
+    char spam scores 0, a uniform two-char doc scores ln 2, empty text
+    gets the pinned zero row, and everything matches a pure-Python
+    reference applying the same ln-per-distinct-then-integer-divide
+    discipline; partition-count invariant."""
+    import math
+    from collections import Counter
+
+    from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import (
+        char_entropy_scores,
+    )
+
+    rows = [
+        ("spam", "aaaaaaaaaa"),
+        ("two", "abababab"),
+        ("nat", "the quick brown fox jumps over the lazy dog"),
+        ("empty", ""),
+    ]
+
+    def ref(text):
+        c = Counter(text)
+        n = sum(c.values())
+        if n == 0:
+            return (0, 0, 0)
+        s = sum(nc * round(math.log(n / nc) * 1_000_000) for nc in c.values())
+        return (n, len(c), s // n)
+
+    for parts in (1, 3):
+        df = spark.createDataFrame(rows, ["id", "text"]).repartition(parts)
+        got = {
+            r.id: (r.n_chars, r.n_distinct_chars, r.entropy_micro_nats)
+            for r in char_entropy_scores(df, "id", "text").collect()
+        }
+        assert len(got) == 4
+        for rid, text in rows:
+            assert got[rid] == ref(text), (rid, parts)
+    assert got["spam"][2] == 0
+    assert got["two"][2] == round(math.log(2) * 1_000_000)  # ln 2 exactly
+    assert got["spam"][2] < got["two"][2] < got["nat"][2]
+
+
 def test_bigram_lm_scores_python_parity_and_order_signal(spark):
     """Exact parity vs a pure-Python reference on a small corpus, and
     the signal bigrams exist for: a word-order-garbled copy of a
