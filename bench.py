@@ -168,8 +168,9 @@ BENCH_QUERIES = [
     "interarrival_stats",
     "embedding_norms",
     "containment_pairs",
-    # event-sequence (CEP-lite) funnel
+    # event-sequence (CEP-lite) funnel + last-touch attribution
     "funnel_match",
+    "attribution",
     # text analysis
     "lang_id",
     "quality_score",

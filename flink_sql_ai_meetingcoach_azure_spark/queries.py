@@ -2022,6 +2022,87 @@ ORDER BY d.doc_id
 """
 
 
+ATTRIB_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # last-touch lookback
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch conversion attribution — for every purchase, the
+    user's most recent view/click PRIOR IN THE (ts, event_id) TOTAL
+    ORDER (a same-microsecond touch with a smaller id counts, gap 0 —
+    pinned in tests) within a 7-day
+    lookback (the funnel family's assignment-level companion: funnel
+    says whether a user converted; attribution says which touch gets
+    credit). ONE user-partitioned window over the touch∪purchase event
+    stream: `last(touch, ignorenulls)` over ROWS UNBOUNDED PRECEDING..1
+    PRECEDING carries the latest prior touch to each purchase row — no
+    self-join, no per-purchase scan; out-of-window or missing touches
+    yield NULL attribution (the purchase row survives). Total order
+    (ts, event_id) makes the pick engine-exact; gaps in integer µs."""
+    _prep(spark)
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.when(
+        F.col("event_type").isin("view", "click"),
+        F.struct(
+            F.unix_micros("ts").alias("us"),
+            F.col("event_id").alias("eid"),
+            F.col("event_type").alias("etype"),
+        ),
+    )
+    out = (
+        ev.withColumn("__lt", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .withColumn("__pus", F.unix_micros("ts"))
+        .withColumn(
+            "__ok",
+            F.col("__lt").isNotNull()
+            & ((F.col("__pus") - F.col("__lt.us")) <= ATTRIB_WINDOW_US),
+        )
+    )
+    return out.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("__pus").alias("purchase_us"),
+        F.when(F.col("__ok"), F.col("__lt.eid")).alias("touch_id"),
+        F.when(F.col("__ok"), F.col("__lt.etype")).alias("touch_type"),
+        F.when(F.col("__ok"), F.col("__pus") - F.col("__lt.us")).alias("gap_us"),
+    ).orderBy("purchase_id")
+
+
+SQL_ATTRIBUTION = f"""
+WITH e AS (SELECT event_id, user_id, event_type,
+                  epoch_us(ts::TIMESTAMP) AS us
+           FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+lt AS (SELECT event_id, user_id, event_type, us,
+              last_value(CASE WHEN event_type IN ('view', 'click')
+                              THEN struct_pack(us := us, eid := event_id,
+                                               etype := event_type) END
+                         IGNORE NULLS)
+                OVER (PARTITION BY user_id ORDER BY us, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                AS t
+       FROM e)
+SELECT event_id AS purchase_id, user_id, us AS purchase_us,
+       CASE WHEN t IS NOT NULL AND us - t.us <= {ATTRIB_WINDOW_US}
+            THEN t.eid END AS touch_id,
+       CASE WHEN t IS NOT NULL AND us - t.us <= {ATTRIB_WINDOW_US}
+            THEN t.etype END AS touch_type,
+       CASE WHEN t IS NOT NULL AND us - t.us <= {ATTRIB_WINDOW_US}
+            THEN us - t.us END AS gap_us
+FROM lt WHERE event_type = 'purchase'
+ORDER BY purchase_id
+"""
+
+
 FUNNEL_PATTERN = ("view", "click", "purchase")
 FUNNEL_WITHIN_S = 7 * 24 * 3600
 
@@ -8710,4 +8791,5 @@ QUERIES: dict[str, QuerySpec] = {
     # -- r9 late additions (after the rotation; window candidates r10) --
     "bpe_encode": QuerySpec(q_bpe_encode, _sql_bpe_encode()),
     "char_entropy": QuerySpec(q_char_entropy, SQL_CHAR_ENTROPY),
+    "attribution": QuerySpec(q_attribution, SQL_ATTRIBUTION),
 }

@@ -1553,3 +1553,59 @@ def test_lsh_recall_eval_empty_corpus_agrees_with_oracle(spark, sf_dir, tmp_path
     assert len(d) == 1
     assert int(d["n_truth"][0]) == 0 and int(d["n_cand"][0]) == 0
     assert d["recall_ppm"].isna().all() and d["precision_ppm"].isna().all()
+
+
+def test_attribution_hand_semantics(spark):
+    """Last-touch attribution pins: 'prior' means prior in the
+    (ts, event_id) TOTAL ORDER — a same-microsecond touch with a
+    smaller event id attributes with gap 0 (both engines agree by
+    construction); most recent touch wins across types; out-of-lookback
+    and touchless purchases survive with NULL attribution; non-touch
+    event types never attribute."""
+    from flink_sql_ai_meetingcoach_azure_spark.queries import (
+        ATTRIB_WINDOW_US,
+        q_attribution,
+    )
+
+    us = 1_000_000
+    day = 24 * 3600 * us
+
+    def ts(u):
+        from datetime import datetime, timezone
+
+        return datetime.fromtimestamp(u / 1e6, tz=timezone.utc).replace(
+            tzinfo=None
+        )
+
+    rows = [
+        # u1: view then click then purchase -> click (most recent) wins
+        (1, ts(1 * us), 1, "view", 0.0, ""),
+        (2, ts(2 * us), 1, "click", 0.0, ""),
+        (3, ts(3 * us), 1, "purchase", 1.0, ""),
+        # u2: touch at the purchase microsecond, smaller id -> prior in
+        # the total order, attributes with gap 0
+        (4, ts(5 * us), 2, "view", 0.0, ""),
+        (5, ts(5 * us), 2, "purchase", 1.0, ""),
+        # u3: touch outside the 7-day lookback -> NULL attribution
+        (6, ts(0), 3, "click", 0.0, ""),
+        (7, ts(ATTRIB_WINDOW_US + 2 * us), 3, "purchase", 1.0, ""),
+        # u4: purchase with no touches at all; signup must not attribute
+        (8, ts(1 * us), 4, "signup", 0.0, ""),
+        (9, ts(2 * us), 4, "purchase", 1.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        got = {
+            r.purchase_id: (r.touch_id, r.touch_type, r.gap_us)
+            for r in q_attribution(spark, d).collect()
+        }
+    assert got[3] == (2, "click", 1 * us)
+    assert got[5] == (4, "view", 0)  # same-instant smaller-id touch counts
+    assert got[7] == (None, None, None)  # outside lookback
+    assert got[9] == (None, None, None)  # no touch; signup ignored
