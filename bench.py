@@ -207,6 +207,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     # multimodal plumbing
     "multimodal_features",
+    "png_meta",
     # SQL DDL statement path (translator overhead ~0: same operators)
     "ddl_ctas_topn",
     "ddl_reference_pipeline",  # the full reference DDL chain (VERDICT r8 #4)

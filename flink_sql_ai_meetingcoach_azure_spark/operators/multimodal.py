@@ -43,6 +43,42 @@ MEDIA_META = T.StructType(
 )
 
 
+_PNG_SIG_HEX = "89504E470D0A1A0A"
+
+
+def parse_png_header(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Parse the PNG signature + IHDR chunk out of an opaque binary
+    column with PURE Catalyst expressions — the zero-Python metadata
+    pass that runs BEFORE any decode UDF at 100 TB: scan-side codegen
+    classifies payloads and extracts (width, height, bit_depth,
+    color_type) from the first 26 bytes, so routing/filtering (drop
+    oversized images, group by color type, skip non-PNG rows) never
+    pays Python or full-payload decode. Real PNG files parse correctly
+    (the IHDR layout is fixed by the spec: 8-byte signature, 4-byte
+    length, 'IHDR', then big-endian u32 width/height and u8
+    depth/color-type at bytes 17-26).
+
+    Non-PNG or truncated payloads get ``is_png = false`` and NULL
+    fields — the row always survives (filter-not-fail, the
+    attach_media_metadata discipline)."""
+    b = F.col(payload_col)
+    sig_ok = F.hex(F.substring(b, 1, 8)) == F.lit(_PNG_SIG_HEX)
+    is_png = sig_ok & (F.length(b) >= 26)
+
+    def be(pos: int, nbytes: int):
+        return F.conv(F.hex(F.substring(b, pos, nbytes)), 16, 10).cast("bigint")
+
+    return df.withColumns(
+        {
+            "is_png": F.coalesce(is_png, F.lit(False)),
+            "width": F.when(is_png, be(17, 4)),
+            "height": F.when(is_png, be(21, 4)),
+            "bit_depth": F.when(is_png, be(25, 1)),
+            "color_type": F.when(is_png, be(26, 1)),
+        }
+    )
+
+
 def attach_media_metadata(
     df: DataFrame, payload_col: str = "payload", modality_col: str | None = None
 ) -> DataFrame:

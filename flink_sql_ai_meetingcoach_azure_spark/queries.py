@@ -2305,6 +2305,75 @@ FROM documents
 """
 
 
+def q_png_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-side PNG IHDR parsing over an opaque binary column
+    (operators/multimodal.py::parse_png_header) — pure Catalyst byte
+    slicing, zero Python: the metadata pass that classifies and routes
+    media payloads BEFORE any decode UDF. Even doc_ids carry a
+    spec-correct synthesized PNG header (dimensions derived from the
+    id), odd doc_ids carry raw text bytes — exercising both the parse
+    and the is_png=false/NULL survival path. The oracle builds the
+    identical bytes and slices the hex string (DuckDB cannot substring
+    a BLOB)."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+        parse_png_header,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    w = (F.lit(16) + F.col("doc_id") % 64).cast("int")
+    h = (F.lit(16) + (F.col("doc_id") * 7) % 64).cast("int")
+    ct = F.element_at(F.array(F.lit(0), F.lit(2), F.lit(6)), (F.col("doc_id") % 3 + 1).cast("int"))
+    png = F.unhex(
+        F.concat(
+            F.lit("89504E470D0A1A0A0000000D49484452"),
+            F.lpad(F.hex(w), 8, "0"),
+            F.lpad(F.hex(h), 8, "0"),
+            F.lit("08"),
+            F.lpad(F.hex(ct), 2, "0"),
+        )
+    )
+    media = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, png)
+        .otherwise(F.encode(F.col("text"), "utf-8"))
+        .alias("payload"),
+    )
+    return parse_png_header(media).select(
+        "doc_id", "is_png", "width", "height", "bit_depth", "color_type"
+    ).orderBy("doc_id")
+
+
+SQL_PNG_META = """
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN
+           unhex('89504E470D0A1A0A0000000D49484452'
+                 || lpad(hex(CAST(16 + doc_id % 64 AS INT)), 8, '0')
+                 || lpad(hex(CAST(16 + (doc_id * 7) % 64 AS INT)), 8, '0')
+                 || '08'
+                 || lpad(hex(([0, 2, 6])[CAST(doc_id % 3 AS INT) + 1]), 2, '0'))
+         ELSE encode(text) END AS payload
+  FROM documents),
+hx AS (SELECT doc_id, hex(payload) AS s, octet_length(payload) AS n FROM media),
+parsed AS (
+  SELECT doc_id,
+         substring(s, 1, 16) = '89504E470D0A1A0A' AND n >= 26 AS is_png,
+         ('0x' || substring(s, 33, 8))::BIGINT AS w,
+         ('0x' || substring(s, 41, 8))::BIGINT AS h,
+         ('0x' || substring(s, 49, 2))::BIGINT AS bd,
+         ('0x' || substring(s, 51, 2))::BIGINT AS ct
+  FROM hx)
+SELECT doc_id, is_png,
+       CASE WHEN is_png THEN w END AS width,
+       CASE WHEN is_png THEN h END AS height,
+       CASE WHEN is_png THEN bd END AS bit_depth,
+       CASE WHEN is_png THEN ct END AS color_type
+FROM parsed
+ORDER BY doc_id
+"""
+
+
 MM_MAX_ID = 100
 MM_H = MM_W = 16
 
@@ -8792,4 +8861,5 @@ QUERIES: dict[str, QuerySpec] = {
     "bpe_encode": QuerySpec(q_bpe_encode, _sql_bpe_encode()),
     "char_entropy": QuerySpec(q_char_entropy, SQL_CHAR_ENTROPY),
     "attribution": QuerySpec(q_attribution, SQL_ATTRIBUTION),
+    "png_meta": QuerySpec(q_png_meta, SQL_PNG_META),
 }

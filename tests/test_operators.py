@@ -1609,3 +1609,34 @@ def test_attribution_hand_semantics(spark):
     assert got[5] == (4, "view", 0)  # same-instant smaller-id touch counts
     assert got[7] == (None, None, None)  # outside lookback
     assert got[9] == (None, None, None)  # no touch; signup ignored
+
+
+def test_parse_png_header_real_png_and_edges(spark):
+    """The IHDR parser on a REAL minimal 1x1 RGBA PNG (full file bytes,
+    zlib IDAT and all) plus the edge pins: truncated signature-only
+    payloads and text bytes are is_png=false with NULL fields, NULL
+    payloads survive."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        parse_png_header,
+    )
+
+    real_png = bytes.fromhex(
+        "89504E470D0A1A0A0000000D4948445200000001000000010806000000"
+        "1F15C4890000000D49444154789C6260010000000500010D0A2DB4"
+        "0000000049454E44AE426082"
+    )
+    rows = [
+        (1, bytearray(real_png)),
+        (2, bytearray(b"\x89PNG\r\n\x1a\n")),  # signature only: truncated
+        (3, bytearray(b"plain text bytes")),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, payload binary")
+    got = {
+        r.id: (r.is_png, r.width, r.height, r.bit_depth, r.color_type)
+        for r in parse_png_header(df).collect()
+    }
+    assert got[1] == (True, 1, 1, 8, 6)  # real file parses exactly
+    assert got[2] == (False, None, None, None, None)
+    assert got[3] == (False, None, None, None, None)
+    assert got[4] == (False, None, None, None, None)
