@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "simhash",
     "simhash_pairs",
     "neardup_dedup",
+    "neardup_keep_best",  # LSH -> CC -> keep-best curation composite
     "setsim_join",  # exact prefix-filter set-similarity (no LSH miss)
     "fingerprint",
     "line_dedup",

@@ -3145,6 +3145,68 @@ ORDER BY doc_id
 """
 
 
+def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical fuzzy-dedup CURATION composite (LSH → transitive
+    clusters → keep the BEST document per cluster): MinHash-LSH band
+    collisions propose the duplicate graph, alternating large-star/
+    small-star CC labels every doc with its component, and per cluster
+    ONE combinable min(struct(-n_chars, doc_id)) argmax picks the
+    longest (id-ASC tie-break) survivor — the policy real pipelines run
+    where `neardup_dedup`'s keep-smallest-id would throw away the best
+    copy. Singletons survive untouched. Never n²: pair space is band
+    collisions; the pick is an aggregate, not a window."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.components import (  # noqa: PLC0415
+        duplicate_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=MINHASH_N, shingle_n=SHINGLE_N
+    )
+    pairs = lsh_candidate_pairs(sigs, "doc_id", num_hashes=MINHASH_N, band_size=BAND_SIZE)
+    clusters = duplicate_clusters(docs.select("doc_id"), pairs, "doc_id")
+    joined = clusters.join(docs.select("doc_id", "n_chars", "source"), "doc_id")
+    best = joined.groupBy("cluster").agg(
+        F.min(
+            F.struct((-F.col("n_chars")).alias("nn"), F.col("doc_id").alias("did"))
+        ).alias("b"),
+        F.max("cluster_size").alias("cluster_size"),
+    )
+    return (
+        best.select(F.col("b.did").alias("doc_id"), "cluster", "cluster_size")
+        .join(docs.select("doc_id", "n_chars", "source"), "doc_id")
+        .select("doc_id", "cluster", "cluster_size", "n_chars", "source")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_neardup_keep_best() -> str:
+    lsh = _sql_lsh_pairs()
+    return f"""
+WITH RECURSIVE pairs AS ({lsh}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (SELECT u, v FROM edges
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+lab AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS cluster,
+               d.n_chars, d.source
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+       FROM lab GROUP BY cluster),
+pick AS (SELECT doc_id, cluster, n_chars, source,
+                row_number() OVER (PARTITION BY cluster
+                                   ORDER BY n_chars DESC, doc_id) AS rn
+         FROM lab)
+SELECT p.doc_id, p.cluster, s.cluster_size, p.n_chars, p.source
+FROM pick p JOIN sz s USING (cluster)
+WHERE p.rn = 1
+ORDER BY p.doc_id
+"""
+
+
 def q_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup REMOVAL end-to-end: LSH candidate pairs → drop
     every vector near-duplicating a smaller id. One GEMM bucket pass, one
@@ -8862,4 +8924,5 @@ QUERIES: dict[str, QuerySpec] = {
     "char_entropy": QuerySpec(q_char_entropy, SQL_CHAR_ENTROPY),
     "attribution": QuerySpec(q_attribution, SQL_ATTRIBUTION),
     "png_meta": QuerySpec(q_png_meta, SQL_PNG_META),
+    "neardup_keep_best": QuerySpec(q_neardup_keep_best, _sql_neardup_keep_best()),
 }

@@ -159,6 +159,7 @@ def test_entry_contract_shape():
         "char_entropy",  # r9 late addition (post-rotation); window candidate r10
         "attribution",  # r9 late addition (post-rotation); window candidate r10
         "png_meta",  # r9 late addition (post-rotation); window candidate r10
+        "neardup_keep_best",  # r9 late addition (post-rotation); window candidate r10
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
