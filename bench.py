@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "equidepth_histogram",
     "argmax_per_user",
     "global_row_number",
+    "rank_normalize",
     "zorder_key",
     "tumbling_window",
     "hopping_window",

@@ -1986,6 +1986,54 @@ ORDER BY doc_id"""
     )
 
 
+def q_rank_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global percentile-rank normalization of a feature column WITHOUT
+    a global window (the feature-scaling transform training pipelines
+    apply corpus-wide): ranks come from the VALUE-HISTOGRAM — one
+    combinable value-count aggregate, a distributed running sum over the
+    (distinct-value-sized) count table (operators/indexing.py::
+    global_running_sum — range exchange + driver prefix over partition
+    counts), and a value-keyed join back. Ties share a rank (SQL RANK
+    semantics: count of strictly-smaller rows), ppm in exact integers.
+    At 100 TB the corpus is never globally sorted — only the distinct
+    value table is."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.indexing import (  # noqa: PLC0415
+        global_running_sum,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vc = docs.groupBy("n_chars").agg(F.count(F.lit(1)).alias("__c"))
+    cum = global_running_sum(vc, [F.asc("n_chars")], "__c", "__run")
+    ranks = cum.select(
+        "n_chars", (F.col("__run") - F.col("__c")).cast("bigint").alias("__below")
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        docs.select("doc_id", "n_chars")
+        .join(ranks, "n_chars")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "n_chars",
+            F.expr("__below * 1000000L div greatest(__n - 1, 1L)").alias(
+                "rank_ppm"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_RANK_NORMALIZE = """
+WITH n AS (SELECT count(*) AS n FROM documents)
+SELECT doc_id, n_chars,
+       CAST((rank() OVER (ORDER BY n_chars) - 1) * 1000000
+            // greatest(n.n - 1, 1) AS BIGINT) AS rank_ppm
+FROM documents, n
+ORDER BY doc_id
+"""
+
+
 def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon character entropy in exact micro-nats
     (functions/text_analysis.py::char_entropy_scores) — the
@@ -8925,4 +8973,5 @@ QUERIES: dict[str, QuerySpec] = {
     "attribution": QuerySpec(q_attribution, SQL_ATTRIBUTION),
     "png_meta": QuerySpec(q_png_meta, SQL_PNG_META),
     "neardup_keep_best": QuerySpec(q_neardup_keep_best, _sql_neardup_keep_best()),
+    "rank_normalize": QuerySpec(q_rank_normalize, SQL_RANK_NORMALIZE),
 }
