@@ -195,6 +195,7 @@ BENCH_QUERIES = [
     "dup_clusters",
     "triangle_count",
     "pagerank",
+    "label_propagation",
     # curation: dedup + stratified downsample + split composed, rule-pack
     # filtering, semantic cluster sampling, domain mixture rebalancing
     "curation_pipeline",

@@ -412,3 +412,63 @@ def kcore(
         .agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
         .select(F.col("u").alias("node"), "degree")
     )
+
+
+def label_propagation(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    rounds: int = 3,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Fixed-round SYNCHRONOUS label propagation (Raghavan et al. 2007)
+    — community detection, the modularity-flavored sibling of
+    :func:`connected_components` (CC answers "reachable at all?", LPA
+    answers "densely attached where?"): every node starts with its own
+    id as label; each round, a node adopts the MOST FREQUENT label among
+    its neighbors, ties broken by smallest label, isolated nodes keep
+    theirs. The deterministic synchronous variant (all updates read the
+    previous round — no update-order dependence, so an unrolled SQL CTE
+    reproduces every round bit-for-bit; classic async LPA is
+    nondeterministic by design and un-oracle-able).
+
+    Scale shape: per round one edge⋈label join (edge-sized), one
+    combinable (node, label) count, one combinable min-struct argmax —
+    all linear in edges; fixed rounds bound the job count exactly like
+    pagerank/kcore/bfs. ``localCheckpoint`` cuts the per-round lineage
+    (swap for ``checkpoint`` on a cluster).
+
+    Returns ``(id_col, community)`` for every node of ``nodes``.
+    """
+    edges = _canonical_edges(pairs, id_a, id_b)
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=False)
+    labels = nodes.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=False)
+    for _ in range(rounds):
+        votes = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .select(sym["u"].alias("n"), "label")
+            .groupBy("n", "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        mode = (
+            votes.groupBy("n")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label").alias("l"))
+                ).alias("b")
+            )
+            .select(F.col("n").alias("node"), F.col("b.l").alias("__new"))
+        )
+        labels = (
+            labels.join(mode, "node", "left")
+            .select(
+                "node", F.coalesce("__new", "label").alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("community"))

@@ -1581,6 +1581,71 @@ ORDER BY l.vec_id
 """
 
 
+LPA_ROUNDS = 3
+
+
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation over the embedding
+    near-dup graph (operators/components.py::label_propagation) —
+    community detection: where `dup_clusters` answers reachability,
+    LPA's most-frequent-neighbor vote finds the densely-attached
+    groups. Fixed rounds (pagerank discipline), smallest-label
+    tie-break, unrolled-CTE oracle reproduces every round."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.components import (  # noqa: PLC0415
+        label_propagation,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: PLC0415
+        embedding_lsh_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < COS_PAIR_MAX_ID)
+    pairs = embedding_lsh_pairs(
+        emb, "vec_id", "embedding", dim=EMB_DIM, threshold=0.2,
+        n_planes=RP_PLANES, n_tables=RP_TABLES, round_to=6,
+    )
+    lab = label_propagation(
+        emb.select("vec_id"), pairs, "vec_id", rounds=LPA_ROUNDS
+    )
+    sizes = lab.groupBy("community").agg(
+        F.count(F.lit(1)).cast("bigint").alias("community_size")
+    )
+    return (
+        lab.join(sizes, "community")
+        .select("vec_id", "community", "community_size")
+        .orderBy("vec_id")
+    )
+
+
+def _sql_label_propagation() -> str:
+    lsh = _sql_embedding_lsh_pairs()
+    rounds = []
+    prev = "l0"
+    for i in range(1, LPA_ROUNDS + 1):
+        rounds.append(f"""
+v{i} AS (SELECT e.u AS n, l.label, count(*) AS c
+         FROM sym e JOIN {prev} l ON l.node = e.v GROUP BY 1, 2),
+m{i} AS (SELECT n, label FROM (
+           SELECT n, label,
+                  row_number() OVER (PARTITION BY n ORDER BY c DESC, label) AS rn
+           FROM v{i}) WHERE rn = 1),
+l{i} AS (SELECT b.node, coalesce(m.label, b.label) AS label
+         FROM {prev} b LEFT JOIN m{i} m ON m.n = b.node)""")
+        prev = f"l{i}"
+    return f"""
+WITH pairs AS ({lsh}),
+sym AS (SELECT id_a AS u, id_b AS v FROM pairs
+        UNION ALL SELECT id_b, id_a FROM pairs),
+base AS (SELECT vec_id FROM embeddings WHERE vec_id < {COS_PAIR_MAX_ID}),
+l0 AS (SELECT vec_id AS node, vec_id AS label FROM base),{",".join(rounds)},
+sz AS (SELECT label AS community, CAST(count(*) AS BIGINT) AS community_size
+       FROM {prev} GROUP BY label)
+SELECT l.node AS vec_id, l.label AS community, s.community_size
+FROM {prev} l JOIN sz s ON s.community = l.label
+ORDER BY vec_id
+"""
+
+
 def q_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k against an int8-QUANTIZED broadcast index (4× smaller
     broadcast → the ceiling moves 4× before IVF must take over). Queries
@@ -8974,4 +9039,5 @@ QUERIES: dict[str, QuerySpec] = {
     "png_meta": QuerySpec(q_png_meta, SQL_PNG_META),
     "neardup_keep_best": QuerySpec(q_neardup_keep_best, _sql_neardup_keep_best()),
     "rank_normalize": QuerySpec(q_rank_normalize, SQL_RANK_NORMALIZE),
+    "label_propagation": QuerySpec(q_label_propagation, _sql_label_propagation()),
 }

@@ -161,6 +161,7 @@ def test_entry_contract_shape():
         "png_meta",  # r9 late addition (post-rotation); window candidate r10
         "neardup_keep_best",  # r9 late addition (post-rotation); window candidate r10
         "rank_normalize",  # r9 late addition (post-rotation); window candidate r10
+        "label_propagation",  # r9 late addition (post-rotation); window candidate r10
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

@@ -1640,3 +1640,34 @@ def test_parse_png_header_real_png_and_edges(spark):
     assert got[2] == (False, None, None, None, None)
     assert got[3] == (False, None, None, None, None)
     assert got[4] == (False, None, None, None, None)
+
+
+def test_label_propagation_hand_graph(spark):
+    """Synchronous LPA pins: a triangle community converges to its min
+    label, a single bridge edge does NOT pull the second triangle into
+    the first (CC would merge them — the operators answer different
+    questions), isolated nodes keep their own label, and the smallest-
+    label tie-break is deterministic."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.components import (
+        label_propagation,
+    )
+
+    # triangles {1,2,3} and {10,11,12} bridged by (3,10); 99 isolated
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12), (3, 10)],
+        "id_a bigint, id_b bigint",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in (1, 2, 3, 10, 11, 12, 99)], "vec_id bigint"
+    )
+    got = {
+        r.vec_id: r.community
+        for r in label_propagation(nodes, pairs, "vec_id", rounds=3).collect()
+    }
+    assert got[99] == 99  # isolated keeps its own label
+    # first triangle converges to its min label
+    assert got[1] == got[2] == 1
+    # the second triangle stays a SEPARATE community from the first
+    second = {got[10], got[11], got[12]}
+    assert len(second) == 1
+    assert second != {got[1]}
