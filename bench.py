@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "countmin_sketch",
     "hll_vocab",
     "kmv_overlap",
+    "source_overlap",
     "hdr_quantiles",
     "length_percentiles",
     "repetition_scores",

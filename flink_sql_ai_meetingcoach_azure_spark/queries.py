@@ -4112,6 +4112,154 @@ ORDER BY cluster_id, vec_id
 """
 
 
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise SOURCE-level content overlap — the corpus-composition
+    question ('how much do my data sources duplicate each other?')
+    answered two ways side by side: the exact 3-gram-shingle Jaccard
+    per source pair (one hash-keyed join, combinable counts — linear in
+    distinct (source, shingle) rows) and the k=256 KMV-sketch estimate
+    (the q_kmv_overlap estimator generalized to ALL pairs at once:
+    per-source k-min sketches, pair-merged k-min of the union — pair
+    work is sketch-sized, 45 pairs × ≤2k rows, however big the corpus).
+    At 100 TB you keep only the KMV half; the exact half is the quality
+    gauge the gate verifies it against. Integer ppm everywhere."""
+    _prep(spark)
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    from flink_sql_ai_meetingcoach_azure_spark.functions.hashing import (  # noqa: PLC0415
+        md5_bigint_col,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import shingles  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").select("source", "text")
+    hs = (
+        shingles(docs, "source", "text", n=SHINGLE_N, distinct=False)
+        .select("source", md5_bigint_col("shingle").alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)  # feeds sketch + sizes + intersection
+    )
+    # exact per-pair Jaccard from the (source, h) set relation
+    sizes = hs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        hs.alias("a")
+        .join(hs.alias("b"), "h")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    allpairs = (
+        sizes.alias("x")
+        .crossJoin(sizes.alias("y"))
+        .filter(F.col("x.source") < F.col("y.source"))
+        .select(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+            F.col("x.n").alias("n_a"),
+            F.col("y.n").alias("n_b"),
+        )
+    )
+    exact = allpairs.join(inter, ["source_a", "source_b"], "left").withColumn(
+        "n_inter", F.coalesce("n_inter", F.lit(0))
+    )
+    # KMV sketches: k smallest hashes per source, then per-pair k-min of
+    # the union and the |A∩B∩U|·1e6 div |U| estimate (q_kmv_overlap)
+    wsrc = Window.partitionBy("source").orderBy("h")
+    sk = (
+        hs.withColumn("__rk", F.row_number().over(wsrc))
+        .filter(F.col("__rk") <= KMV_K)
+        .select("source", "h")
+        .localCheckpoint(eager=False)
+    )
+    pair_pool = (
+        sk.alias("s")
+        .join(
+            allpairs.select("source_a", "source_b").alias("p"),
+            (F.col("s.source") == F.col("p.source_a"))
+            | (F.col("s.source") == F.col("p.source_b")),
+        )
+        .select("source_a", "source_b", "source", "h")
+    )
+    wpair = Window.partitionBy("source_a", "source_b").orderBy("h")
+    u = (
+        pair_pool.select("source_a", "source_b", "h")
+        .distinct()
+        .withColumn("__rk", F.row_number().over(wpair))
+        .filter(F.col("__rk") <= KMV_K)
+    )
+    both = (
+        pair_pool.groupBy("source_a", "source_b", "h")
+        .agg(F.count(F.lit(1)).alias("__ns"))
+        .filter(F.col("__ns") == 2)
+    )
+    kmv = (
+        u.join(both, ["source_a", "source_b", "h"], "left_semi")
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("kmv_inter"))
+    )
+    un = u.groupBy("source_a", "source_b").agg(F.count(F.lit(1)).alias("u_n"))
+    return (
+        exact.join(un, ["source_a", "source_b"])
+        .join(kmv, ["source_a", "source_b"], "left")
+        .withColumn("kmv_inter", F.coalesce("kmv_inter", F.lit(0)))
+        .select(
+            "source_a",
+            "source_b",
+            F.expr(
+                "n_inter * 1000000L div greatest(n_a + n_b - n_inter, 1L)"
+            ).alias("exact_jaccard_ppm"),
+            F.expr("kmv_inter * 1000000L div greatest(u_n, 1L)").alias(
+                "kmv_est_ppm"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _sql_source_overlap() -> str:
+    h = md5_bigint_sql("shingle")
+    toks = _TOKS.format(col="text")
+    return f"""
+WITH t AS (SELECT source, {toks} AS toks FROM documents),
+sh AS (SELECT DISTINCT source,
+              {h.replace("shingle", "array_to_string(list_slice(toks, j, j + 2), ' ')")} AS h
+       FROM t, unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS r(j)),
+sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+ap AS (SELECT x.source AS source_a, y.source AS source_b, x.n AS n_a, y.n AS n_b
+       FROM sizes x JOIN sizes y ON x.source < y.source),
+inter AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_inter
+          FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+          GROUP BY 1, 2),
+sk AS (SELECT source, h FROM (
+         SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+         FROM sh) WHERE rk <= {KMV_K}),
+pool AS (SELECT p.source_a, p.source_b, s.source, s.h
+         FROM sk s JOIN ap p ON s.source = p.source_a OR s.source = p.source_b),
+u AS (SELECT source_a, source_b, h FROM (
+        SELECT source_a, source_b, h,
+               row_number() OVER (PARTITION BY source_a, source_b ORDER BY h) AS rk
+        FROM (SELECT DISTINCT source_a, source_b, h FROM pool))
+      WHERE rk <= {KMV_K}),
+b2 AS (SELECT source_a, source_b, h FROM pool
+       GROUP BY 1, 2, 3 HAVING count(*) = 2),
+kmv AS (SELECT u.source_a, u.source_b, count(*) AS kmv_inter
+        FROM u JOIN b2 USING (source_a, source_b, h) GROUP BY 1, 2),
+un AS (SELECT source_a, source_b, count(*) AS u_n FROM u GROUP BY 1, 2)
+SELECT ap.source_a, ap.source_b,
+       CAST(COALESCE(i.n_inter, 0) * 1000000
+            // greatest(ap.n_a + ap.n_b - COALESCE(i.n_inter, 0), 1) AS BIGINT)
+         AS exact_jaccard_ppm,
+       CAST(COALESCE(k.kmv_inter, 0) * 1000000
+            // greatest(un.u_n, 1) AS BIGINT) AS kmv_est_ppm
+FROM ap JOIN un USING (source_a, source_b)
+LEFT JOIN inter i USING (source_a, source_b)
+LEFT JOIN kmv k USING (source_a, source_b)
+ORDER BY source_a, source_b
+"""
+
+
 def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 (global sales opportunity), adapted to the reduced
     schema (nation key stands in for the phone country code): customers
@@ -9040,4 +9188,5 @@ QUERIES: dict[str, QuerySpec] = {
     "neardup_keep_best": QuerySpec(q_neardup_keep_best, _sql_neardup_keep_best()),
     "rank_normalize": QuerySpec(q_rank_normalize, SQL_RANK_NORMALIZE),
     "label_propagation": QuerySpec(q_label_propagation, _sql_label_propagation()),
+    "source_overlap": QuerySpec(q_source_overlap, _sql_source_overlap()),
 }

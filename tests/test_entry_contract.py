@@ -162,6 +162,7 @@ def test_entry_contract_shape():
         "neardup_keep_best",  # r9 late addition (post-rotation); window candidate r10
         "rank_normalize",  # r9 late addition (post-rotation); window candidate r10
         "label_propagation",  # r9 late addition (post-rotation); window candidate r10
+        "source_overlap",  # r9 late addition (post-rotation); window candidate r10
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
