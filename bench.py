@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "hopping_window",
     "session_window",
     "sessionize",
+    "context_windows",
     "explode_chunks",
     # dedup / fingerprint family
     "dedup_exact",
@@ -128,6 +129,7 @@ BENCH_QUERIES = [
     "semantic_dedup",
     "contrastive_pairs",
     "ngram_jaccard",  # candidate-restricted verify join (VERDICT r8 #4)
+    "ngram_novelty",  # per-doc uniqueness share (df==1 shingles)
     # similarity search + lexical/hybrid retrieval
     "ann_topk",
     "ann_ivf_topk",

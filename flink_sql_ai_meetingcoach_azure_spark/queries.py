@@ -4112,6 +4112,116 @@ ORDER BY cluster_id, vec_id
 """
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY — the share (integer ppm) of a doc's
+    distinct 3-gram shingles that appear in NO other document: the
+    uniqueness signal curation mixes use to up-weight genuinely novel
+    content and down-weight boilerplate recombinations (complement of
+    the dup/containment family: those find what IS shared, this scores
+    what isn't). One distinct-shingle pass → one combinable
+    document-frequency count → one shingle-keyed join back + per-doc
+    combinable sum. Linear; the df table is vocabulary-sized."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import shingles  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = shingles(docs, "doc_id", "text", n=SHINGLE_N, distinct=True)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    per = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_unique"),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).alias("n_shingles"),
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.expr(
+                "coalesce(n_unique, 0L) * 1000000L"
+                " div greatest(coalesce(n_shingles, 0L), 1L)"
+            ).alias("novelty_ppm"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_ngram_novelty() -> str:
+    toks = _TOKS.format(col="text")
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+sh AS (SELECT DISTINCT doc_id,
+              array_to_string(list_slice(toks, j, j + 2), ' ') AS shingle
+       FROM t, unnest(range(1, greatest(len(toks) - 2, 1) + 1)) AS r(j)),
+dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+per AS (SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_unique
+        FROM sh JOIN dfreq USING (shingle) GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(p.n_shingles, 0) AS n_shingles,
+       COALESCE(p.n_unique, 0) AS n_unique,
+       CAST(COALESCE(p.n_unique, 0) * 1000000
+            // greatest(COALESCE(p.n_shingles, 0), 1) AS BIGINT)
+         AS novelty_ppm
+FROM documents d LEFT JOIN per p USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+CTX_WINDOW_N = 3
+
+
+def q_context_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing conversation-context assembly — the reference app's
+    context shape (its coaching prompt carries the last few
+    conversation turns): per event, the previous N=3 events' ids and
+    types for the same user as ordered arrays, from ONE user-partitioned
+    window with an explicit ROWS -3..-1 frame (no self-join, no
+    per-event scan); first events get empty arrays. Frame order =
+    (ts, event_id) total order, so array contents are engine-exact."""
+    _prep(spark)
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"), "event_id")
+        .rowsBetween(-CTX_WINDOW_N, -1)
+    )
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.collect_list("event_id").over(w).alias("ctx_ids"),
+            F.collect_list("event_type").over(w).alias("ctx_types"),
+        )
+        .orderBy("event_id")
+    )
+
+
+SQL_CONTEXT_WINDOWS = f"""
+WITH e AS (SELECT event_id, user_id, event_type,
+                  epoch_us(ts::TIMESTAMP) AS us
+           FROM events)
+SELECT event_id, user_id,
+       COALESCE(list(event_id) OVER w, CAST([] AS BIGINT[])) AS ctx_ids,
+       COALESCE(list(event_type) OVER w, CAST([] AS VARCHAR[])) AS ctx_types
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id
+             ROWS BETWEEN {CTX_WINDOW_N} PRECEDING AND 1 PRECEDING)
+ORDER BY event_id
+"""
+
+
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise SOURCE-level content overlap — the corpus-composition
     question ('how much do my data sources duplicate each other?')
@@ -9189,4 +9299,6 @@ QUERIES: dict[str, QuerySpec] = {
     "rank_normalize": QuerySpec(q_rank_normalize, SQL_RANK_NORMALIZE),
     "label_propagation": QuerySpec(q_label_propagation, _sql_label_propagation()),
     "source_overlap": QuerySpec(q_source_overlap, _sql_source_overlap()),
+    "ngram_novelty": QuerySpec(q_ngram_novelty, _sql_ngram_novelty()),
+    "context_windows": QuerySpec(q_context_windows, SQL_CONTEXT_WINDOWS),
 }

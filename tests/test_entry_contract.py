@@ -163,6 +163,8 @@ def test_entry_contract_shape():
         "rank_normalize",  # r9 late addition (post-rotation); window candidate r10
         "label_propagation",  # r9 late addition (post-rotation); window candidate r10
         "source_overlap",  # r9 late addition (post-rotation); window candidate r10
+        "ngram_novelty",  # r9 late addition (post-rotation); window candidate r10
+        "context_windows",  # r9 late addition (post-rotation); window candidate r10
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

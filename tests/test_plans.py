@@ -57,7 +57,11 @@ def test_relational_queries_stay_jvm_side(spark):
     # oracle value-checks
     python_ok = {"ann_ivf_topk", "chunk_embed_ingest", "rag_retrieval",
                  "rag_pipeline_verified", "rag_pipeline_bulk",
-                 "multimodal_features"}
+                 "multimodal_features",
+                 # r9: trained-tokenizer application is the documented
+                 # pandas-UDF seam (rank-greedy merge loop, word cache) —
+                 # the oracle value-checks exactly that Python stage
+                 "bpe_encode"}
     for name, spec in QUERIES.items():
         if spec.sql is None or name in python_ok:
             continue  # model/multimodal pipelines legitimately use Python
