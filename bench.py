@@ -146,6 +146,7 @@ BENCH_QUERIES = [
     "rerank_topk",
     # joins beyond the reference
     "asof_join",
+    "temporal_enrich",  # point-in-time dim enrichment via union-window carry
     "interval_join",
     "bucketed_join",  # shuffle-free co-bucketed join (write cost included)
     "bloom_join",  # bloom runtime pre-filter (bitmap build cost included)

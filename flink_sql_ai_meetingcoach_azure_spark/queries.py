@@ -5545,6 +5545,95 @@ ORDER BY vec_id, j
 """
 
 
+def q_temporal_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL (point-in-time) dimension enrichment — every view/click
+    event joined to the dimension version VALID AT ITS TIMESTAMP, where
+    the dimension is the same change log scd2_history builds (purchase/
+    signup upserts set a user's value, error events DELETE it). The
+    scale-right plan is NOT an interval join: dimension changes and
+    query events union into ONE user-partitioned window ordered by
+    (us, is_query, event_id) — dim changes sort BEFORE queries at the
+    same microsecond, so same-instant updates apply (pinned) — and a
+    single `last(dim_state, ignorenulls)` carry-forward hands every
+    query row its version; tombstones carry forward as explicit NULLs, so a
+    deleted dimension never resurrects. One exchange, linear, no
+    non-equi join, no per-event scan."""
+    _prep(spark)
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    ev = _events(spark, sf_dir)
+    dim = ev.filter(F.col("event_type").isin("purchase", "signup", "error")).select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.lit(0).alias("is_query"),
+        F.struct(
+            F.when(F.col("event_type") != "error", F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("alive"),
+            F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+            F.col("event_id").alias("src_id"),
+        ).alias("__dim"),
+    )
+    q = ev.filter(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.lit(1).alias("is_query"),
+        F.lit(None).cast(dim.schema["__dim"].dataType).alias("__dim"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "is_query", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = dim.unionByName(q).withColumn(
+        "__st", F.last("__dim", ignorenulls=True).over(w)
+    )
+    ok = F.col("__st").isNotNull() & (F.col("__st.alive") == 1)
+    return (
+        carried.filter(F.col("is_query") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            F.col("us").alias("event_us"),
+            F.when(ok, F.col("__st.value_cents")).alias("value_cents_at_event"),
+            F.when(ok, F.col("__st.src_id")).alias("dim_src_id"),
+        )
+        .orderBy("event_id")
+    )
+
+
+SQL_TEMPORAL_ENRICH = """
+WITH e AS (SELECT event_id, user_id, event_type,
+                  epoch_us(ts::TIMESTAMP) AS us,
+                  CAST(round(value * 100) AS BIGINT) AS value_cents
+           FROM events),
+dim AS (SELECT user_id, us, event_id, 0 AS is_query,
+               struct_pack(alive := CASE WHEN event_type <> 'error'
+                                         THEN 1 ELSE 0 END,
+                           value_cents := value_cents,
+                           src_id := event_id) AS d
+        FROM e WHERE event_type IN ('purchase', 'signup', 'error')),
+q AS (SELECT user_id, us, event_id, 1 AS is_query,
+             CAST(NULL AS STRUCT(alive INT, value_cents BIGINT,
+                                 src_id BIGINT)) AS d
+      FROM e WHERE event_type IN ('view', 'click')),
+u AS (SELECT * FROM dim UNION ALL SELECT * FROM q),
+c AS (SELECT *, last_value(d IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY us, is_query, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS st
+      FROM u)
+SELECT event_id, user_id, us AS event_us,
+       CASE WHEN st IS NOT NULL AND st.alive = 1
+            THEN st.value_cents END AS value_cents_at_event,
+       CASE WHEN st IS NOT NULL AND st.alive = 1
+            THEN st.src_id END AS dim_src_id
+FROM c WHERE is_query = 1
+ORDER BY event_id
+"""
+
+
 def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD Type-2 dimension from the same change log as `cdc_apply`:
     every upsert becomes a validity interval [valid_from, valid_to)
@@ -9301,4 +9390,5 @@ QUERIES: dict[str, QuerySpec] = {
     "source_overlap": QuerySpec(q_source_overlap, _sql_source_overlap()),
     "ngram_novelty": QuerySpec(q_ngram_novelty, _sql_ngram_novelty()),
     "context_windows": QuerySpec(q_context_windows, SQL_CONTEXT_WINDOWS),
+    "temporal_enrich": QuerySpec(q_temporal_enrich, SQL_TEMPORAL_ENRICH),
 }

@@ -1671,3 +1671,53 @@ def test_label_propagation_hand_graph(spark):
     second = {got[10], got[11], got[12]}
     assert len(second) == 1
     assert second != {got[1]}
+
+
+def test_temporal_enrich_hand_semantics(spark):
+    """Point-in-time enrichment pins: a query reads the dimension
+    version valid AT its timestamp (not the latest); a delete
+    tombstones the dimension (later queries get NULL — never the
+    pre-delete value); a dimension change at the SAME microsecond as a
+    query applies (dim sorts before query); users with no dimension
+    history get NULL."""
+    from datetime import datetime, timezone
+
+    from flink_sql_ai_meetingcoach_azure_spark.queries import q_temporal_enrich
+
+    us = 1_000_000
+
+    def ts(u):
+        return datetime.fromtimestamp(u / 1e6, tz=timezone.utc).replace(tzinfo=None)
+
+    rows = [
+        # u1: v=100 @1s, query @2s (sees 100), v=200 @3s, query @4s (200),
+        # delete @5s, query @6s (NULL — no resurrection)
+        (1, ts(1 * us), 1, "purchase", 1.00, ""),
+        (2, ts(2 * us), 1, "view", 0.0, ""),
+        (3, ts(3 * us), 1, "signup", 2.00, ""),
+        (4, ts(4 * us), 1, "click", 0.0, ""),
+        (5, ts(5 * us), 1, "error", 0.0, ""),
+        (6, ts(6 * us), 1, "view", 0.0, ""),
+        # u2: update and query at the SAME microsecond -> update applies
+        (7, ts(9 * us), 2, "purchase", 3.00, ""),
+        (8, ts(9 * us), 2, "view", 0.0, ""),
+        # u3: query with no dimension history
+        (9, ts(1 * us), 3, "click", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        got = {
+            r.event_id: (r.value_cents_at_event, r.dim_src_id)
+            for r in q_temporal_enrich(spark, d).collect()
+        }
+    assert got[2] == (100, 1)  # version at 2s, not the later 200
+    assert got[4] == (200, 3)
+    assert got[6] == (None, None)  # tombstone: deleted dim stays deleted
+    assert got[8] == (300, 7)  # same-instant update applies
+    assert got[9] == (None, None)  # no history
