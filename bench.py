@@ -191,6 +191,7 @@ BENCH_QUERIES = [
     "kmv_overlap",
     "source_overlap",
     "hdr_quantiles",
+    "group_quantiles",  # per-source HDR read-out, distributed
     "length_percentiles",
     "repetition_scores",
     "lm_score",

@@ -4864,6 +4864,91 @@ HDR_SUB = 32  # sub-buckets per octave: relative error <= 1/32 (~3.1 %)
 HDR_QUANTILES = [(500000, "p50"), (900000, "p90"), (990000, "p99"), (999000, "p999")]
 
 
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED HDR quantiles — per-source p50/p90/p99 of document length
+    from the same mergeable log-bucket sketch as `hdr_quantiles`, but
+    with the read-out DISTRIBUTED (the streaming sink's
+    current_quantiles shape): the global entry folds its <= 64·SUB
+    counters driver-side; per GROUP that becomes groups × 2048 rows, so
+    here one group-PARTITIONED cumulative window over <= 2048 bucket
+    rows per source + a broadcast quantile list + one combinable
+    min-struct pick per (source, quantile). Never a percentile pass
+    over the corpus; everything exact BIGINT."""
+    _prep(spark)
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    hist = (
+        docs.select("source", F.col("n_chars").cast("bigint").alias("v"))
+        .filter(F.col("v") >= 1)
+        .selectExpr("source", "v", "length(bin(v)) - 1 AS e")
+        .selectExpr(
+            "source",
+            f"e * {HDR_SUB} + v * {HDR_SUB} div shiftleft(1L, e)"
+            f" - {HDR_SUB} AS bucket_id",
+        )
+        .groupBy("source", "bucket_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy("bucket_id")
+    n = hist.groupBy("source").agg(F.sum("cnt").alias("__n"))
+    cum = hist.withColumn("__cum", F.sum("cnt").over(w)).join(n, "source")
+    qs = spark.createDataFrame(
+        sorted(HDR_QUANTILES), "q_ppm bigint, q_label string"
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("__cum") * 1_000_000 >= F.col("q_ppm") * F.col("__n"))
+        .groupBy("source", "q_ppm", "q_label", "__n")
+        .agg(F.min(F.struct("bucket_id", "__cum")).alias("__b"))
+    )
+    return hit.select(
+        "source",
+        "q_ppm",
+        "q_label",
+        F.expr(
+            f"({HDR_SUB} + __b.bucket_id % {HDR_SUB})"
+            f" * shiftleft(1L, CAST(__b.bucket_id div {HDR_SUB} AS INT))"
+            f" div {HDR_SUB}"
+        ).alias("est_chars"),
+        F.col("__b.__cum").alias("cum_count"),
+        F.col("__n").alias("n_vals"),
+    ).orderBy("source", "q_ppm")
+
+
+def _sql_group_quantiles() -> str:
+    qvals = ", ".join(f"({p}, '{lab}')" for p, lab in sorted(HDR_QUANTILES))
+    return f"""
+WITH v AS (SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+           WHERE n_chars >= 1),
+b AS (SELECT source,
+             (length(bin(v)) - 1) * {HDR_SUB}
+               + v * {HDR_SUB} // (1::BIGINT << (length(bin(v)) - 1))
+               - {HDR_SUB} AS bucket_id
+      FROM v),
+hist AS (SELECT source, bucket_id, count(*) AS cnt FROM b GROUP BY 1, 2),
+n AS (SELECT source, sum(cnt) AS n FROM hist GROUP BY source),
+cum AS (SELECT h.source, h.bucket_id, h.cnt, n.n,
+               sum(h.cnt) OVER (PARTITION BY h.source ORDER BY h.bucket_id)
+                 AS c
+        FROM hist h JOIN n USING (source)),
+qs(q_ppm, q_label) AS (VALUES {qvals}),
+hit AS (SELECT source, q_ppm, q_label, n,
+               min(struct_pack(b := bucket_id, c := c)) AS pick
+        FROM cum CROSS JOIN qs
+        WHERE c * 1000000 >= q_ppm * n
+        GROUP BY 1, 2, 3, 4)
+SELECT source, CAST(q_ppm AS BIGINT) AS q_ppm, q_label,
+       CAST(({HDR_SUB} + pick.b % {HDR_SUB})
+            * (1::BIGINT << CAST(pick.b // {HDR_SUB} AS INT))
+            // {HDR_SUB} AS BIGINT) AS est_chars,
+       CAST(pick.c AS BIGINT) AS cum_count,
+       CAST(n AS BIGINT) AS n_vals
+FROM hit
+ORDER BY source, q_ppm
+"""
+
+
 def q_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HDR-histogram quantile sketch over order revenue — the MERGEABLE
     quantile sketch completing the sketch family (Count-Min counts, HLL
@@ -9391,4 +9476,5 @@ QUERIES: dict[str, QuerySpec] = {
     "ngram_novelty": QuerySpec(q_ngram_novelty, _sql_ngram_novelty()),
     "context_windows": QuerySpec(q_context_windows, SQL_CONTEXT_WINDOWS),
     "temporal_enrich": QuerySpec(q_temporal_enrich, SQL_TEMPORAL_ENRICH),
+    "group_quantiles": QuerySpec(q_group_quantiles, _sql_group_quantiles()),
 }
