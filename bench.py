@@ -106,6 +106,7 @@ BENCH_QUERIES = [
     "hopping_window",
     "session_window",
     "sessionize",
+    "session_stats",
     "context_windows",
     "explode_chunks",
     # dedup / fingerprint family

@@ -7175,6 +7175,66 @@ ORDER BY user_id, event_id
 """
 
 
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SESSION product-analytics rollup on top of the sessionize
+    assignment — the aggregate table sessions actually feed (duration,
+    event count, distinct event types, conversion flag): the same ONE
+    user-partitioned window builds session ids, then one combinable
+    groupBy((user, session)) produces the rollup. Integer µs durations;
+    conversion = any purchase in the session. Two exchanges total at
+    any scale (the window's by-user and the groupBy's by-(user,
+    session) — and the second collapses map-side)."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    new_sess = (
+        F.when(F.col("us") - F.lag("us").over(w) > gap_us, 1)
+        .otherwise(0)
+        .cast("int")
+    )
+    assigned = ev.select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    ).withColumn("session_seq", F.sum(new_sess).over(w).cast("bigint"))
+    return (
+        assigned.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.max("us") - F.min("us")).cast("bigint").alias("duration_us"),
+            F.countDistinct("event_type").cast("bigint").alias("n_types"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("int").alias("converted"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+SQL_SESSION_STATS = f"""
+WITH e AS (
+  SELECT event_id, user_id, event_type, epoch_us(ts::TIMESTAMP) AS us,
+         CASE WHEN epoch_us(ts::TIMESTAMP)
+                   - epoch_us(lag(ts) OVER w :: TIMESTAMP)
+                   > {SESSION_GAP_MIN * 60 * 1_000_000} THEN 1 ELSE 0 END
+           AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (SELECT user_id, event_type, us,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM e)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(us) - min(us) AS BIGINT) AS duration_us,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS INT)
+         AS converted
+FROM s GROUP BY user_id, session_seq
+ORDER BY user_id, session_seq
+"""
+
+
 TFIDF_TOPK = 5
 
 
@@ -9477,4 +9537,5 @@ QUERIES: dict[str, QuerySpec] = {
     "context_windows": QuerySpec(q_context_windows, SQL_CONTEXT_WINDOWS),
     "temporal_enrich": QuerySpec(q_temporal_enrich, SQL_TEMPORAL_ENRICH),
     "group_quantiles": QuerySpec(q_group_quantiles, _sql_group_quantiles()),
+    "session_stats": QuerySpec(q_session_stats, SQL_SESSION_STATS),
 }
