@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "session_window",
     "sessionize",
     "session_stats",
+    "event_rate_anomaly",
     "context_windows",
     "explode_chunks",
     # dedup / fingerprint family

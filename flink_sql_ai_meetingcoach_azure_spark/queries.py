@@ -7175,6 +7175,61 @@ ORDER BY user_id, event_id
 """
 
 
+def q_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly rate-anomaly screen per event type — the ops-monitoring
+    rollup over a stream's history: one combinable (type, hour) count,
+    per-type totals broadcast back, and the anomaly test as an exact
+    integer cross-multiplication (cnt · n_hours > 3 · total ⇔ rate >
+    3× the type's mean hourly rate — no float mean, no window). Emits
+    EVERY (type, hour) bucket with its flag so quiet hours are part of
+    the verified result, not silently absent. Bucket table is
+    types × hours regardless of event volume."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.select(
+            "event_type",
+            (F.unix_micros("ts") - F.unix_micros("ts") % 3_600_000_000).alias(
+                "hour_us"
+            ),
+        )
+        .groupBy("event_type", "hour_us")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    totals = hourly.groupBy("event_type").agg(
+        F.sum("cnt").alias("__total"),
+        F.count(F.lit(1)).cast("bigint").alias("__n_hours"),
+    )
+    return (
+        hourly.join(F.broadcast(totals), "event_type")
+        .select(
+            "event_type",
+            "hour_us",
+            "cnt",
+            (F.col("cnt") * F.col("__n_hours") > 3 * F.col("__total"))
+            .cast("int")
+            .alias("is_anomaly"),
+        )
+        .orderBy("event_type", "hour_us")
+    )
+
+
+SQL_EVENT_RATE_ANOMALY = """
+WITH h AS (SELECT event_type,
+                  epoch_us(ts::TIMESTAMP)
+                    - epoch_us(ts::TIMESTAMP) % 3600000000 AS hour_us,
+                  count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+t AS (SELECT event_type, sum(cnt) AS total, count(*) AS n_hours
+      FROM h GROUP BY event_type)
+SELECT h.event_type, h.hour_us, CAST(h.cnt AS BIGINT) AS cnt,
+       CAST(CASE WHEN h.cnt * t.n_hours > 3 * t.total
+                 THEN 1 ELSE 0 END AS INT) AS is_anomaly
+FROM h JOIN t USING (event_type)
+ORDER BY h.event_type, h.hour_us
+"""
+
+
 def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-SESSION product-analytics rollup on top of the sessionize
     assignment — the aggregate table sessions actually feed (duration,
@@ -9538,4 +9593,5 @@ QUERIES: dict[str, QuerySpec] = {
     "temporal_enrich": QuerySpec(q_temporal_enrich, SQL_TEMPORAL_ENRICH),
     "group_quantiles": QuerySpec(q_group_quantiles, _sql_group_quantiles()),
     "session_stats": QuerySpec(q_session_stats, SQL_SESSION_STATS),
+    "event_rate_anomaly": QuerySpec(q_event_rate_anomaly, SQL_EVENT_RATE_ANOMALY),
 }

@@ -168,6 +168,7 @@ def test_entry_contract_shape():
         "temporal_enrich",  # r9 late addition (post-rotation); window candidate r10
         "group_quantiles",  # r9 late addition (post-rotation); window candidate r10
         "session_stats",  # r9 late addition (post-rotation); window candidate r10
+        "event_rate_anomaly",  # r9 late addition (post-rotation); window candidate r10
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
