@@ -154,6 +154,7 @@ BENCH_QUERIES = [
     "bloom_join",  # bloom runtime pre-filter (bitmap build cost included)
     "salted_join",
     "skew_profile",
+    "shard_balance",  # output-side layout diagnostic
     "join_blowup",
     "profile_columns",
     "snapshot_diff",

@@ -7175,6 +7175,77 @@ ORDER BY user_id, event_id
 """
 
 
+SHARD_N = 32
+
+
+def q_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-balance diagnostic for the training-shard layout: assign
+    every doc its shard by the ENGINE-PORTABLE salted-md5 hash (the
+    deterministic_split discipline — never Spark's internal hash, which
+    no oracle can reproduce) and report per-shard row count, byte load,
+    and share ppm plus the max/mean imbalance each shard would impose
+    on a 100 TB write. One combinable groupBy + a broadcast 1-row
+    total — the pre-flight check before paying a full shard write
+    (skew_profile's sibling for the OUTPUT side)."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.functions.hashing import (  # noqa: PLC0415
+        md5_bigint_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    per = (
+        docs.select(
+            (md5_bigint_col(F.col("doc_id").cast("string"), "shard") % SHARD_N)
+            .cast("int")
+            .alias("shard"),
+            F.col("n_chars"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars_total"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_chars_total").alias("__t"),
+        F.count(F.lit(1)).alias("__s"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "shard",
+            "n_docs",
+            "n_chars_total",
+            F.expr("n_chars_total * 1000000L div greatest(__t, 1L)").alias(
+                "share_ppm"
+            ),
+            # load imbalance vs a perfectly even write, in ppm of mean
+            F.expr(
+                "n_chars_total * __s * 1000000L div greatest(__t, 1L)"
+            ).alias("load_vs_mean_ppm"),
+        )
+        .orderBy("shard")
+    )
+
+
+def _sql_shard_balance() -> str:
+    h = md5_bigint_sql("CAST(doc_id AS VARCHAR)", "shard")
+    return f"""
+WITH per AS (SELECT CAST({h} % {SHARD_N} AS INT) AS shard,
+                    CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(n_chars) AS BIGINT) AS n_chars_total
+             FROM documents GROUP BY 1),
+t AS (SELECT sum(n_chars_total) AS t, count(*) AS s FROM per)
+SELECT shard, n_docs, n_chars_total,
+       CAST(n_chars_total * 1000000 // greatest(t.t, 1) AS BIGINT)
+         AS share_ppm,
+       CAST(n_chars_total * t.s * 1000000 // greatest(t.t, 1) AS BIGINT)
+         AS load_vs_mean_ppm
+FROM per, t
+ORDER BY shard
+"""
+
+
 def q_event_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly rate-anomaly screen per event type — the ops-monitoring
     rollup over a stream's history: one combinable (type, hour) count,
@@ -9594,4 +9665,5 @@ QUERIES: dict[str, QuerySpec] = {
     "group_quantiles": QuerySpec(q_group_quantiles, _sql_group_quantiles()),
     "session_stats": QuerySpec(q_session_stats, SQL_SESSION_STATS),
     "event_rate_anomaly": QuerySpec(q_event_rate_anomaly, SQL_EVENT_RATE_ANOMALY),
+    "shard_balance": QuerySpec(q_shard_balance, _sql_shard_balance()),
 }

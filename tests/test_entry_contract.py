@@ -169,6 +169,7 @@ def test_entry_contract_shape():
         "group_quantiles",  # r9 late addition (post-rotation); window candidate r10
         "session_stats",  # r9 late addition (post-rotation); window candidate r10
         "event_rate_anomaly",  # r9 late addition (post-rotation); window candidate r10
+        "shard_balance",  # r9 late addition (post-rotation); window candidate r10
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
