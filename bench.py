@@ -216,6 +216,7 @@ BENCH_QUERIES = [
     # PII scrub + sequence packing (beyond-reference curation ops)
     "pii_redact",
     "pack_sequences",
+    "pack_efficiency",
     # multimodal plumbing
     "multimodal_features",
     "png_meta",

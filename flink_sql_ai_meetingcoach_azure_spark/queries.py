@@ -2349,6 +2349,49 @@ ORDER BY doc_id
 """
 
 
+def q_pack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-efficiency report over the `pack_sequences` bins — the
+    fill/waste numbers that decide whether the token budget or the
+    packing order needs tuning before a full shard write: per (lang,
+    bin) the doc count, tokens used and fill ppm of the budget (the
+    trailing bin per lang is legitimately underfull; an overflow doc
+    reports > 1e6). One combinable groupBy on top of the packing
+    window — the report costs nothing beyond the packing itself."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.packing import (  # noqa: PLC0415
+        pack_contiguous,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", token_count_col("text").alias("n_tokens"))
+    packed = pack_contiguous(
+        toks, "doc_id", "n_tokens", budget=PACK_BUDGET, partition_by=["lang"]
+    )
+    return (
+        packed.groupBy("lang", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("tokens_used"),
+        )
+        .withColumn(
+            "fill_ppm", F.expr(f"tokens_used * 1000000L div {PACK_BUDGET}L")
+        )
+        .orderBy("lang", "bin_id")
+    )
+
+
+def _sql_pack_efficiency() -> str:
+    return f"""
+SELECT lang, bin_id,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_used,
+       CAST(sum(n_tokens) * 1000000 // {PACK_BUDGET} AS BIGINT) AS fill_ppm
+FROM ({_sql_pack_sequences()}) p
+GROUP BY lang, bin_id
+ORDER BY lang, bin_id
+"""
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: length/punct/stopword/word-length bands."""
     _prep(spark)
@@ -9666,4 +9709,5 @@ QUERIES: dict[str, QuerySpec] = {
     "session_stats": QuerySpec(q_session_stats, SQL_SESSION_STATS),
     "event_rate_anomaly": QuerySpec(q_event_rate_anomaly, SQL_EVENT_RATE_ANOMALY),
     "shard_balance": QuerySpec(q_shard_balance, _sql_shard_balance()),
+    "pack_efficiency": QuerySpec(q_pack_efficiency, _sql_pack_efficiency()),
 }

@@ -170,6 +170,7 @@ def test_entry_contract_shape():
         "session_stats",  # r9 late addition (post-rotation); window candidate r10
         "event_rate_anomaly",  # r9 late addition (post-rotation); window candidate r10
         "shard_balance",  # r9 late addition (post-rotation); window candidate r10
+        "pack_efficiency",  # r9 late addition (post-rotation); window candidate r10
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
