@@ -213,6 +213,10 @@ BENCH_QUERIES = [
     "kmeans_refine",  # exact-integer Lloyd rounds (VERDICT r8 #4)
     "mixture_sample",
     "tiered_sample",
+    # robust screens / privacy / density (beyond-reference curation ops)
+    "mad_outliers",
+    "k_anonymity",
+    "grid_density",
     # PII scrub + sequence packing (beyond-reference curation ops)
     "pii_redact",
     "pack_sequences",

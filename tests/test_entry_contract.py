@@ -171,6 +171,9 @@ def test_entry_contract_shape():
         "event_rate_anomaly",  # r9 late addition (post-rotation); window candidate r10
         "shard_balance",  # r9 late addition (post-rotation); window candidate r10
         "pack_efficiency",  # r9 late addition (post-rotation); window candidate r10
+        "mad_outliers",  # r9 late addition (post-rotation); window candidate r10
+        "k_anonymity",  # r9 late addition (post-rotation); window candidate r10
+        "grid_density",  # r9 late addition (post-rotation); window candidate r10
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

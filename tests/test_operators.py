@@ -1721,3 +1721,119 @@ def test_temporal_enrich_hand_semantics(spark):
     assert got[6] == (None, None)  # tombstone: deleted dim stays deleted
     assert got[8] == (300, 7)  # same-instant update applies
     assert got[9] == (None, None)  # no history
+
+
+def test_mad_outliers_degenerate_and_flag(spark):
+    """MAD pins: a degenerate group (over half the values identical ->
+    MAD = 0) flags ANY deviation; a spread group flags only beyond
+    3*MAD; the flag is a strict > so a point exactly AT the fence
+    survives."""
+    from flink_sql_ai_meetingcoach_azure_spark.queries import q_mad_outliers
+
+    rows = (
+        # srcA: med=10, MAD=0 -> the single 100 is the only outlier
+        [(i, "t", "en", "srcA", 10) for i in range(4)]
+        + [(4, "t", "en", "srcA", 100)]
+        # srcB: med=30, MAD=10, fence=60 -> 60 survives (strict >),
+        # 61 flags
+        + [
+            (10, "t", "en", "srcB", 10),
+            (11, "t", "en", "srcB", 20),
+            (12, "t", "en", "srcB", 30),
+            (13, "t", "en", "srcB", 40),
+            (14, "t", "en", "srcB", 60),
+            (15, "t", "en", "srcB", 61),
+            (16, "t", "en", "srcB", 30),
+        ]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        got = {r.doc_id: (r.med, r.mad, r.is_outlier)
+               for r in q_mad_outliers(spark, d).collect()}
+    assert got[0] == (10, 0, False)
+    assert got[4] == (10, 0, True)  # degenerate MAD=0: any deviation flags
+    assert got[14] == (30, 10, False)  # exactly at the 3*MAD fence: survives
+    assert got[15] == (30, 10, True)  # one past the fence: flags
+
+
+def test_k_anonymity_generalization_levels(spark):
+    """k-anonymity pins: a level-0 group >= k stays level 0; a small
+    group generalizes hour -> 4-hour band and is admitted by the band's
+    pooled count; a group whose whole band is still < k remains at
+    risk after generalizing."""
+    from datetime import datetime
+
+    from flink_sql_ai_meetingcoach_azure_spark.queries import (
+        K_ANON,
+        q_k_anonymity,
+    )
+
+    def ts(h, i):
+        return datetime(2024, 1, 1, h, 0, i % 60)
+
+    rows = []
+    eid = 0
+    # view@h0 x25 (level 0), view@h1 x3 (generalizes into band 0:
+    # 25+3+10 = 38 >= k), view@h2 x10
+    for h, n in [(0, 25), (1, 3), (2, 10)]:
+        for i in range(n):
+            rows.append((eid, ts(h, i), 1, "view", 0.0, ""))
+            eid += 1
+    # error@h23 x2, nothing else in band 5 -> still at risk at level 1
+    for i in range(2):
+        rows.append((eid, ts(23, i), 1, "error", 0.0, ""))
+        eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        got = {(r.event_type, r.hour): (r.level, r.anonymity_set, r.at_risk)
+               for r in q_k_anonymity(spark, d).collect()}
+    assert K_ANON == 20
+    assert got[("view", 0)] == (0, 25, False)  # big enough on its own
+    assert got[("view", 1)] == (1, 38, False)  # admitted by the band pool
+    assert got[("view", 2)] == (1, 38, False)
+    assert got[("error", 23)] == (1, 2, True)  # band can't save it
+
+
+def test_grid_density_neighborhood_sum(spark):
+    """Grid density pins: cell counts are exact, the 3x3 neighborhood
+    mass includes the cell itself plus adjacent cells only, and is_core
+    is >= minPts on the CELL count (not the neighborhood)."""
+    from flink_sql_ai_meetingcoach_azure_spark.queries import (
+        GRID_MINPTS,
+        q_grid_density,
+    )
+
+    # 8 points in one cell (core at minPts=8), 1 point one cell to the
+    # +x side (not core), a far-away singleton with empty neighborhood
+    rows = (
+        [(i, [0.05, 0.05], 0) for i in range(8)]
+        + [(8, [0.15, 0.05], 0)]
+        + [(9, [3.05, 3.05], 0)]
+    )
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/embeddings.parquet")
+        got = {(r.gx, r.gy): (r.n_pts, r.neigh_pts, r.is_core)
+               for r in q_grid_density(spark, d).collect()}
+    assert GRID_MINPTS == 8
+    base = (10_000_000 + 50_000) // 100_000  # cell index of coord 0.05
+    assert got[(base, base)] == (8, 9, True)
+    assert got[(base + 1, base)] == (1, 9, False)
+    far = (10_000_000 + 3_050_000) // 100_000
+    assert got[(far, far)] == (1, 1, False)  # isolated: neighborhood = self
