@@ -217,6 +217,7 @@ BENCH_QUERIES = [
     "mad_outliers",
     "k_anonymity",
     "grid_density",
+    "cdc_chunks",
     # PII scrub + sequence packing (beyond-reference curation ops)
     "pii_redact",
     "pack_sequences",

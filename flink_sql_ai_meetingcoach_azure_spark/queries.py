@@ -9711,6 +9711,110 @@ ORDER BY c.gx, c.gy
 """
 
 
+CDC_GRAM = 8  # rolling-hash window (chars)
+CDC_MOD = 64  # boundary iff h % CDC_MOD == 0 => expected chunk ~64 chars
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (Rabin/LBFS-style, the rsync/backup-dedup
+    primitive): cut every document where the rolling k-gram hash ≡ 0
+    (mod 64), then count corpus-wide copies of each chunk. Unlike
+    line_dedup's fixed boundaries, CDC boundaries move WITH the content,
+    so an insertion near the head re-chunks only the first chunk and the
+    rest still dedup (shift-robustness pinned in tests) — the property
+    that makes chunk-level storage dedup work on near-identical crawl
+    snapshots.
+
+    The whole per-document stage is ONE WholeStageCodegen map — the cut
+    set is a higher-order `filter(sequence(..))` over positions (no
+    explode of non-boundaries ever materializes), chunk spans come from
+    a `transform` over the cut array, and only real chunks explode
+    (~n_chars/64 rows per doc). One groupBy(chunk_md5) + join-back pins
+    copy counts. At 100 TB: hashing every position is inherent to CDC;
+    it stays map-local here, and the only shuffles are chunk-keyed
+    (output-sized, ~1/64 of corpus chars)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    k, m = CDC_GRAM, CDC_MOD
+    cuts = (
+        f"filter(sequence(1, greatest(length(text) - {k} + 1, 1)), "
+        f"p -> cast(conv(substring(md5(substring(text, p, {k})), 1, 8), 16, 10) "
+        f"AS BIGINT) % {m} = 0 AND p + {k} - 1 < length(text))"
+    )
+    with_ends = docs.withColumn(
+        "__ends",
+        F.expr(
+            f"concat(transform({cuts}, p -> p + {k} - 1), array(length(text)))"
+        ),
+    )
+    chunks = with_ends.withColumn(
+        "__chunk",
+        F.expr(
+            "transform(__ends, (e, j) -> named_struct("
+            "'s', CASE WHEN j = 0 THEN 1 ELSE element_at(__ends, j) + 1 END, "
+            "'e', e))"
+        ),
+    ).select(
+        "doc_id",
+        "text",
+        F.posexplode("__chunk").alias("__j", "__c"),
+    ).select(
+        "doc_id",
+        (F.col("__j") + 1).alias("chunk_idx"),
+        F.col("__c.s").cast("bigint").alias("start_pos"),
+        (F.col("__c.e") - F.col("__c.s") + 1).cast("bigint").alias("chunk_len"),
+        F.md5(
+            F.expr("substring(text, __c.s, __c.e - __c.s + 1)")
+        ).alias("chunk_md5"),
+    ).filter(F.col("chunk_len") > 0)
+    copies = chunks.groupBy("chunk_md5").agg(
+        F.count(F.lit(1)).alias("n_copies")
+    )
+    return (
+        chunks.join(copies, "chunk_md5")
+        .select(
+            "doc_id",
+            "chunk_idx",
+            "start_pos",
+            "chunk_len",
+            "chunk_md5",
+            F.col("n_copies").cast("bigint").alias("n_copies"),
+            (F.col("n_copies") > 1).alias("is_dup"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+SQL_CDC_CHUNKS = f"""
+WITH pos AS (SELECT doc_id, text,
+                    unnest(range(1, greatest(len(text) - {CDC_GRAM} + 2, 2))) AS p
+             FROM documents),
+cuts AS (SELECT doc_id, p + {CDC_GRAM} - 1 AS e
+         FROM pos
+         WHERE ('0x' || substr(md5(substr(text, CAST(p AS INT), {CDC_GRAM})), 1, 8))::bigint
+                 % {CDC_MOD} = 0
+           AND p + {CDC_GRAM} - 1 < len(text)),
+ends AS (SELECT doc_id, e FROM cuts
+         UNION ALL SELECT doc_id, len(text) AS e FROM documents),
+spans AS (SELECT doc_id, e,
+                 coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) + 1 AS s,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY e) AS chunk_idx
+          FROM ends),
+chunks AS (SELECT sp.doc_id, CAST(sp.chunk_idx AS BIGINT) AS chunk_idx,
+                  CAST(sp.s AS BIGINT) AS start_pos,
+                  CAST(sp.e - sp.s + 1 AS BIGINT) AS chunk_len,
+                  md5(substr(d.text, CAST(sp.s AS INT), CAST(sp.e - sp.s + 1 AS INT)))
+                    AS chunk_md5
+           FROM spans sp JOIN documents d USING (doc_id)
+           WHERE sp.e - sp.s + 1 > 0),
+copies AS (SELECT chunk_md5, count(*) AS n_copies FROM chunks GROUP BY 1)
+SELECT c.doc_id, c.chunk_idx, c.start_pos, c.chunk_len, c.chunk_md5,
+       CAST(p.n_copies AS BIGINT) AS n_copies, p.n_copies > 1 AS is_dup
+FROM chunks c JOIN copies p USING (chunk_md5)
+ORDER BY c.doc_id, c.chunk_idx
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-9 rotation (VERDICT r8 #1): the first 36 entries below had
@@ -9922,4 +10026,5 @@ QUERIES: dict[str, QuerySpec] = {
     "mad_outliers": QuerySpec(q_mad_outliers, SQL_MAD_OUTLIERS),
     "k_anonymity": QuerySpec(q_k_anonymity, SQL_K_ANONYMITY),
     "grid_density": QuerySpec(q_grid_density, SQL_GRID_DENSITY),
+    "cdc_chunks": QuerySpec(q_cdc_chunks, SQL_CDC_CHUNKS),
 }

@@ -1837,3 +1837,50 @@ def test_grid_density_neighborhood_sum(spark):
     assert got[(base + 1, base)] == (1, 9, False)
     far = (10_000_000 + 3_050_000) // 100_000
     assert got[(far, far)] == (1, 1, False)  # isolated: neighborhood = self
+
+
+def test_cdc_chunks_shift_robust(spark):
+    """The CDC selling point: prepending a prefix re-chunks only the
+    head — every boundary strictly inside the shared suffix lands on
+    the same CONTENT, so the tail chunks keep their hashes and dedup
+    across the two versions (a fixed-boundary chunker would shift every
+    chunk). Also pins: chunk spans tile the doc exactly (no gaps, no
+    overlaps, last span ends at n_chars)."""
+    import hashlib
+
+    from flink_sql_ai_meetingcoach_azure_spark.queries import q_cdc_chunks
+
+    # deterministic pseudo-random text, long enough for several cuts
+    t = "".join(
+        hashlib.md5(f"cdc-{i}".encode()).hexdigest() for i in range(16)
+    )  # 512 chars
+    rows = [
+        (0, t, "en", "srcA", len(t)),
+        (1, "PREFIX-" * 6 + t, "en", "srcA", len("PREFIX-" * 6 + t)),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+        "n_chars bigint"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/documents.parquet")
+        out = q_cdc_chunks(spark, d).collect()
+    by_doc = {0: [], 1: []}
+    for r in out:
+        by_doc[r.doc_id].append(r)
+    # spans tile each doc exactly
+    for doc_id, rs in by_doc.items():
+        rs.sort(key=lambda r: r.chunk_idx)
+        assert rs[0].start_pos == 1
+        for a, b in zip(rs, rs[1:]):
+            assert b.start_pos == a.start_pos + a.chunk_len
+        n_chars = len(t) if doc_id == 0 else len("PREFIX-" * 6 + t)
+        assert rs[-1].start_pos + rs[-1].chunk_len - 1 == n_chars
+    h0 = {r.chunk_md5 for r in by_doc[0]}
+    h1 = {r.chunk_md5 for r in by_doc[1]}
+    shared = h0 & h1
+    # all of doc0's chunks except (at most) its head chunk survive the shift
+    assert len(shared) >= len(h0) - 1 >= 2
+    assert all(r.is_dup for r in by_doc[0] if r.chunk_md5 in shared)
