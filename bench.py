@@ -218,6 +218,7 @@ BENCH_QUERIES = [
     "k_anonymity",
     "grid_density",
     "cdc_chunks",
+    "theil_sen_trend",
     # PII scrub + sequence packing (beyond-reference curation ops)
     "pii_redact",
     "pack_sequences",

@@ -9815,6 +9815,96 @@ ORDER BY c.doc_id, c.chunk_idx
 """
 
 
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend per user: the MEDIAN of all pairwise
+    slopes over the user's (day, daily-spend) series — breakdown-29%
+    immune to the outlier days that wreck the OLS fit linear_trend
+    reports (the two entries are deliberate companions). The corpus
+    first shrinks to user-days (one combinable aggregate); each user's
+    pair space then lives INSIDE one collected array — a higher-order
+    double-`transform` emits the C(n,2) slopes and an `array_sort`
+    reads off the exact median, so there is exactly ONE shuffle and no
+    self-join, no window.
+
+    Exactness: slopes are truncated-division ppm/day over integer cents
+    and integer days (the CASE-wrapped trunc-div both engines compute
+    bit-identically); the median is reported DOUBLED (odd n: 2·mid;
+    even n: the sum of the two middles) so it stays an exact BIGINT —
+    no half-unit rounding to straddle.
+
+    At 100 TB: per-user state is calendar-bounded (n days ≤ series
+    span), so C(n,2) is bounded per key regardless of corpus size; the
+    user-day pre-aggregate is where the data-sized work happens and it
+    is map-side combinable."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    ud = (
+        ev.select(
+            "user_id",
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast(
+                "bigint"
+            ).alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("c").alias("c"))
+    )
+    slope = (
+        "CASE WHEN (b.c - a.c) < 0 "
+        "THEN -(((a.c - b.c) * 1000000L) div (b.day - a.day)) "
+        "ELSE ((b.c - a.c) * 1000000L) div (b.day - a.day) END"
+    )
+    per_user = ud.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("day", "c"))).alias("__pts")
+    )
+    slopes = per_user.withColumn(
+        "__slopes",
+        F.expr(
+            "flatten(transform(__pts, (a, i) -> "
+            f"transform(slice(__pts, i + 2, size(__pts)), b -> {slope})))"
+        ),
+    ).withColumn("__sorted", F.expr("array_sort(__slopes)"))
+    med2x = F.expr(
+        "CASE WHEN size(__sorted) % 2 = 1 "
+        "THEN 2 * element_at(__sorted, CAST((size(__sorted) + 1) div 2 AS INT)) "
+        "ELSE element_at(__sorted, CAST(size(__sorted) div 2 AS INT)) "
+        "   + element_at(__sorted, CAST(size(__sorted) div 2 + 1 AS INT)) END"
+    )
+    return (
+        slopes.filter(F.size("__pts") >= 2)
+        .select(
+            "user_id",
+            F.size("__pts").cast("bigint").alias("n_days"),
+            F.size("__sorted").cast("bigint").alias("n_pairs"),
+            med2x.cast("bigint").alias("slope2x_ppm_per_day"),
+        )
+        .orderBy("user_id")
+    )
+
+
+SQL_THEIL_SEN_TREND = """
+WITH ud AS (SELECT user_id,
+                   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                        AS BIGINT) AS day,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS c
+            FROM events GROUP BY 1, 2),
+pairs AS (SELECT a.user_id,
+                 CASE WHEN (b.c - a.c) < 0
+                      THEN -(((a.c - b.c) * 1000000) // (b.day - a.day))
+                      ELSE ((b.c - a.c) * 1000000) // (b.day - a.day) END
+                   AS slope
+          FROM ud a JOIN ud b
+            ON a.user_id = b.user_id AND a.day < b.day),
+pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_pairs,
+              CAST(round(2 * quantile_cont(slope, 0.5)) AS BIGINT) AS med2x
+       FROM pairs GROUP BY user_id),
+nd AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days FROM ud GROUP BY user_id)
+SELECT user_id, nd.n_days, pu.n_pairs, pu.med2x AS slope2x_ppm_per_day
+FROM nd JOIN pu USING (user_id)
+ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-9 rotation (VERDICT r8 #1): the first 36 entries below had
@@ -10027,4 +10117,5 @@ QUERIES: dict[str, QuerySpec] = {
     "k_anonymity": QuerySpec(q_k_anonymity, SQL_K_ANONYMITY),
     "grid_density": QuerySpec(q_grid_density, SQL_GRID_DENSITY),
     "cdc_chunks": QuerySpec(q_cdc_chunks, SQL_CDC_CHUNKS),
+    "theil_sen_trend": QuerySpec(q_theil_sen_trend, SQL_THEIL_SEN_TREND),
 }

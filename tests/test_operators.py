@@ -1884,3 +1884,45 @@ def test_cdc_chunks_shift_robust(spark):
     # all of doc0's chunks except (at most) its head chunk survive the shift
     assert len(shared) >= len(h0) - 1 >= 2
     assert all(r.is_dup for r in by_doc[0] if r.chunk_md5 in shared)
+
+
+def test_theil_sen_trend_robust_to_outlier(spark):
+    """Theil-Sen pins: the pairwise-slope MEDIAN ignores a wild final
+    day that would wreck an OLS fit; same-day events aggregate before
+    pairing; negative slopes truncate toward zero (the CASE-wrapped
+    trunc-div, not floor-div); the doubled median is exact for even
+    pair counts."""
+    from datetime import datetime
+
+    from flink_sql_ai_meetingcoach_azure_spark.queries import q_theil_sen_trend
+
+    def ts(d):
+        return datetime(2024, 1, 1 + d, 12, 0, 0)
+
+    rows = []
+    eid = 0
+    # u1: 100 cents/day for 4 days then a 100x outlier day
+    for d, cents in [(0, 0), (1, 100), (2, 200), (3, 300), (4, 10000)]:
+        rows.append((eid, ts(d), 1, "view", cents / 100.0, ""))
+        eid += 1
+    # u2: two same-day events (5+5 cents) then 0 three days later:
+    # slope = -10*1e6/3 -> trunc -3333333 (floor would give -3333334)
+    rows.append((eid, ts(0), 2, "view", 0.05, "")); eid += 1
+    rows.append((eid, ts(0), 2, "view", 0.05, "")); eid += 1
+    rows.append((eid, ts(3), 2, "view", 0.0, "")); eid += 1
+    # u3: single day -> excluded
+    rows.append((eid, ts(0), 3, "view", 1.0, "")); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        got = {r.user_id: (r.n_days, r.n_pairs, r.slope2x_ppm_per_day)
+               for r in q_theil_sen_trend(spark, d).collect()}
+    # 10 pairs; 6 clean 100e6 slopes dominate the median despite the spike
+    assert got[1] == (5, 10, 200_000_000)
+    assert got[2] == (2, 1, -6_666_666)  # trunc toward zero, doubled
+    assert 3 not in got
