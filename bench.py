@@ -232,6 +232,7 @@ BENCH_QUERIES = [
     # BPE tokenizer training (fixed-round argmax merges) + corpus encode
     "bpe_merges",
     "bpe_encode",
+    "token_compression",
     # RAG pipeline end-to-end (mock provider): correctness-shaped + bulk
     "rag_pipeline",
     "rag_pipeline_bulk",

@@ -1994,13 +1994,15 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-def _sql_bpe_encode(n_merges: int = 8) -> str:
+def _sql_bpe_encode_ctes(n_merges: int = 8) -> str:
     """Training chain from _sql_bpe_merges (same b1..bN merge CTEs) plus
     an encode chain: per DISTINCT word, one list_reduce fold per rank in
     training order (sequential replay — equivalent to the application
     loop's rank-greedy order, see q_bpe_encode), then a per-doc join and
     token/distinct-subword counts. Empty-token documents survive via the
-    LEFT JOIN with zero counts."""
+    LEFT JOIN with zero counts. Returns the WITH-prefixed CTE chain up
+    to `agg` (per-doc token counts) and `wc` (per-doc word counts) —
+    the shared oracle prefix for bpe_encode and token_compression."""
     toks = _TOKS.format(col="text")
     parts = [
         f"""WITH tok AS (SELECT unnest({toks}) AS w FROM documents),
@@ -2040,8 +2042,12 @@ agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bpe_tokens,
         FROM su GROUP BY doc_id),
 wc AS (SELECT doc_id, CAST(len({toks}) AS BIGINT) AS n_words FROM documents)"""
     )
+    return ",\n".join(parts)
+
+
+def _sql_bpe_encode(n_merges: int = 8) -> str:
     return (
-        ",\n".join(parts)
+        _sql_bpe_encode_ctes(n_merges)
         + """
 SELECT wc.doc_id, wc.n_words,
        COALESCE(agg.n_bpe_tokens, 0) AS n_bpe_tokens,
@@ -9905,6 +9911,72 @@ ORDER BY user_id
 """
 
 
+def q_token_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility / compression by language — UTF-8 bytes per
+    BPE token for each lang bucket, the number a multilingual training-
+    mix planner reads to see which languages the tokenizer wastes
+    context window on (low bytes/token = fragmenting). Reuses the
+    trained 8-merge vocab + rank-greedy encoder (operators/bpe.py), so
+    the oracle replays the identical merge chain; the rollup itself is
+    one combinable groupBy(lang) with exact integer ppm division.
+
+    At 100 TB: encode is map-only (vocabulary-sized per-batch cache),
+    the rollup shuffles lang-cardinality rows."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.bpe import (  # noqa: PLC0415
+        apply_bpe,
+        learn_bpe_merges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = learn_bpe_merges(docs, "text", n_merges=8)
+    enc = apply_bpe(docs, merges, "text", "__bpe")
+    return (
+        enc.select(
+            "lang",
+            F.length(F.encode(F.col("text"), "utf-8")).cast("bigint").alias("b"),
+            F.size("__bpe").cast("bigint").alias("t"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("b").alias("n_bytes"),
+            F.sum("t").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_bytes").cast("bigint").alias("n_bytes"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr(
+                "n_bytes * 1000000L div greatest(n_tokens, 1L)"
+            ).alias("bytes_per_token_ppm"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_token_compression() -> str:
+    return (
+        _sql_bpe_encode_ctes()
+        + """,
+bl AS (SELECT doc_id, lang,
+              CAST(octet_length(encode(text)) AS BIGINT) AS b
+       FROM documents),
+pd AS (SELECT bl.lang, bl.b, COALESCE(agg.n_bpe_tokens, 0) AS t
+       FROM bl LEFT JOIN agg USING (doc_id))
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(b) AS BIGINT) AS n_bytes,
+       CAST(sum(t) AS BIGINT) AS n_tokens,
+       CAST(sum(b) * 1000000 // greatest(sum(t), 1) AS BIGINT)
+         AS bytes_per_token_ppm
+FROM pd
+GROUP BY lang
+ORDER BY lang"""
+    )
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-9 rotation (VERDICT r8 #1): the first 36 entries below had
@@ -10118,4 +10190,5 @@ QUERIES: dict[str, QuerySpec] = {
     "grid_density": QuerySpec(q_grid_density, SQL_GRID_DENSITY),
     "cdc_chunks": QuerySpec(q_cdc_chunks, SQL_CDC_CHUNKS),
     "theil_sen_trend": QuerySpec(q_theil_sen_trend, SQL_THEIL_SEN_TREND),
+    "token_compression": QuerySpec(q_token_compression, _sql_token_compression()),
 }
