@@ -211,6 +211,7 @@ BENCH_QUERIES = [
     "quality_filter",
     "cluster_sample",
     "kmeans_refine",  # exact-integer Lloyd rounds (VERDICT r8 #4)
+    "topic_keywords",  # TF-IDF labels over the refined clusters
     "mixture_sample",
     "tiered_sample",
     # robust screens / privacy / density (beyond-reference curation ops)

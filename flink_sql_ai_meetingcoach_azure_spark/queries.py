@@ -9977,6 +9977,116 @@ ORDER BY lang"""
     )
 
 
+TOPIC_TOP_TERMS = 5
+
+
+def q_topic_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling: the top TF-IDF terms of every Lloyd-refined
+    semantic cluster — the human-readable answer to \"what IS cluster
+    7?\" that turns kmeans_refine/cluster_sample output into a curation
+    report (treating each CLUSTER as one pseudo-document, the standard
+    cluster-labeling formulation). Reuses the exact-integer Lloyd seam:
+    refined centroids → broadcast cosine assignment (one shuffle row
+    per embedding) → docs joined on vec_id → one (cluster, term)
+    aggregate. TF is the cluster's term count; IDF is ln(#clusters/df)
+    in exact micro-nats (both engines compute the same IEEE double and
+    round once); top-5 by (score DESC, term ASC) via a window over the
+    vocabulary-sized (cluster, term) table — never the corpus.
+
+    At 100 TB the shuffles are: assignment (1 row/embedding), the
+    token aggregate (combinable), and a clusters×vocab-bounded window."""
+    _prep(spark)
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.clustering import (  # noqa: PLC0415
+        assign_nearest_centroid,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: PLC0415
+        tokens_col,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    docs = _t(spark, sf_dir, "documents")
+    seeds = _refined_seeds(spark, emb, KMEANS_K)
+    assigned = assign_nearest_centroid(emb, seeds)
+    dt = (
+        assigned.join(docs, assigned.vec_id == docs.doc_id)
+        .select(F.col("cluster_id").alias("cid"), F.explode(tokens_col("text")).alias("term"))
+    )
+    tf = dt.groupBy("cid", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("term").agg(F.countDistinct("cid").alias("df"))
+    ncl = tf.agg(F.countDistinct("cid").alias("n_clusters"))
+    scored = (
+        tf.join(dfq, "term")
+        .crossJoin(F.broadcast(ncl))
+        .withColumn(
+            "idf_micro",
+            F.round(
+                F.log(F.col("n_clusters").cast("double") / F.col("df"))
+                * 1_000_000
+            ).cast("bigint"),
+        )
+        .withColumn("score_micro", F.col("tf") * F.col("idf_micro"))
+    )
+    w = Window.partitionBy("cid").orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPIC_TOP_TERMS)
+        .select(
+            F.col("cid").alias("cluster_id"),
+            "rnk",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            "score_micro",
+        )
+        .orderBy("cluster_id", "rnk")
+    )
+
+
+def _sql_topic_keywords() -> str:
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    ctes, cf = _sql_lloyd_ctes(KMEANS_K)
+    toks = _TOKS.format(col="d.text")
+    return f"""
+WITH {ctes},
+seeds AS (SELECT cid, list_transform(v, x -> CAST(x AS DOUBLE) / 1000000.0) AS cv
+          FROM {cf}),
+corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+prs AS (SELECT c.vec_id, s.cid,
+               {cos.format(a='c.v', b='s.cv')} AS sim
+        FROM corpus c CROSS JOIN seeds s),
+assigned AS (SELECT vec_id, cid AS cluster_id FROM
+               (SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY sim DESC, cid ASC) AS rn
+                FROM prs) WHERE rn = 1),
+dt AS (SELECT a.cluster_id AS cid, unnest({toks}) AS term
+       FROM assigned a JOIN documents d ON d.doc_id = a.vec_id),
+tf AS (SELECT cid, term, count(*) AS tf FROM dt GROUP BY 1, 2),
+dfq AS (SELECT term, count(DISTINCT cid) AS df FROM tf GROUP BY term),
+ncl AS (SELECT count(DISTINCT cid) AS n_clusters FROM tf),
+scored AS (SELECT cid, term, tf, df,
+                  tf * CAST(round(ln(CAST(n_clusters AS DOUBLE) / df)
+                                  * 1000000) AS BIGINT) AS score_micro
+           FROM tf JOIN dfq USING (term) CROSS JOIN ncl)
+SELECT cid AS cluster_id,
+       CAST(rnk AS INT) AS rnk, term,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       CAST(score_micro AS BIGINT) AS score_micro
+FROM (SELECT *, row_number() OVER (PARTITION BY cid
+                                   ORDER BY score_micro DESC, term ASC) AS rnk
+      FROM scored)
+WHERE rnk <= {TOPIC_TOP_TERMS}
+ORDER BY cluster_id, rnk
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-9 rotation (VERDICT r8 #1): the first 36 entries below had
@@ -10191,4 +10301,5 @@ QUERIES: dict[str, QuerySpec] = {
     "cdc_chunks": QuerySpec(q_cdc_chunks, SQL_CDC_CHUNKS),
     "theil_sen_trend": QuerySpec(q_theil_sen_trend, SQL_THEIL_SEN_TREND),
     "token_compression": QuerySpec(q_token_compression, _sql_token_compression()),
+    "topic_keywords": QuerySpec(q_topic_keywords, _sql_topic_keywords()),
 }
