@@ -220,6 +220,7 @@ BENCH_QUERIES = [
     "grid_density",
     "cdc_chunks",
     "theil_sen_trend",
+    "phrase_search",
     # PII scrub + sequence packing (beyond-reference curation ops)
     "pii_redact",
     "pack_sequences",

@@ -244,3 +244,51 @@ def rerank_by_term_overlap(
         F.desc("overlap"), F.asc(prior_col)
     )
     return scored.withColumn(rank_col, F.row_number().over(w))
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase matching over a POSITIONAL postings index — the
+    lexical-retrieval capability BM25's bag-of-words scoring cannot
+    express (reference boundary: its vector store retrieves by cosine
+    only; a phrase filter is the standard lexical companion).
+
+    Plan shape (the selective-postings discipline of :func:`bm25_scores`):
+    the token explode is filtered to the phrase's terms BEFORE any
+    shuffle, so postings carry only the (few) matching tokens, never the
+    corpus vocabulary; adjacency is an equi-join on ``(doc_id,
+    pos + offset)`` per subsequent term — each join is keyed and linear
+    in the term's posting size. Returns one row per matching document:
+    ``(doc_id, n_matches, first_pos)`` with ``first_pos`` the 1-based
+    token index of the first occurrence.
+
+    At 100 TB: posting sizes are term-frequency-bounded (the same reason
+    inverted indexes work); a stop-word phrase degrades to the hot-term
+    join and should be df-capped upstream like the shingle joins.
+    """
+    if len(phrase_terms) < 2:
+        raise ValueError("phrase_search: need at least 2 phrase terms")
+    pos = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.posexplode(tokens_col(text_col)).alias("pos", "w"),
+        )
+        .filter(F.col("w").isin(list(set(phrase_terms))))
+    )
+    cur = (
+        pos.filter(F.col("w") == phrase_terms[0])
+        .select("doc_id", F.col("pos").alias("p0"))
+    )
+    for i, term in enumerate(phrase_terms[1:], start=1):
+        nxt = pos.filter(F.col("w") == term).select(
+            "doc_id", (F.col("pos") - i).alias("p0")
+        )
+        cur = cur.join(nxt, ["doc_id", "p0"])
+    return cur.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_matches"),
+        (F.min("p0") + 1).cast("bigint").alias("first_pos"),
+    )

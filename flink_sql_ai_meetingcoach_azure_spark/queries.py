@@ -10087,6 +10087,40 @@ ORDER BY cluster_id, rnk
 """
 
 
+PHRASE_TERMS = ["table", "hash"]  # fixed test phrase
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase retrieval (operators/text_search.py::phrase_search):
+    positional postings filtered to the phrase's terms BEFORE any
+    shuffle, adjacency = keyed (doc_id, pos+i) equi-joins, one
+    combinable per-doc rollup — the lexical filter bag-of-words BM25
+    cannot express. Matching docs ordered by first occurrence then id
+    (deterministic)."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.text_search import (  # noqa: PLC0415
+        phrase_search,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_search(docs, PHRASE_TERMS).orderBy("doc_id")
+
+
+SQL_PHRASE_SEARCH = f"""
+WITH t AS (SELECT doc_id, {_TOKS.format(col="text")} AS toks FROM documents),
+p AS (SELECT doc_id, unnest(toks) AS w,
+             generate_subscripts(toks, 1) AS pos
+      FROM t),
+m AS (SELECT a.doc_id, a.pos
+      FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+      WHERE a.w = '{PHRASE_TERMS[0]}' AND b.w = '{PHRASE_TERMS[1]}')
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(pos) AS BIGINT) AS first_pos
+FROM m GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-9 rotation (VERDICT r8 #1): the first 36 entries below had
@@ -10302,4 +10336,5 @@ QUERIES: dict[str, QuerySpec] = {
     "theil_sen_trend": QuerySpec(q_theil_sen_trend, SQL_THEIL_SEN_TREND),
     "token_compression": QuerySpec(q_token_compression, _sql_token_compression()),
     "topic_keywords": QuerySpec(q_topic_keywords, _sql_topic_keywords()),
+    "phrase_search": QuerySpec(q_phrase_search, SQL_PHRASE_SEARCH),
 }

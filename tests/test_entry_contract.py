@@ -178,6 +178,7 @@ def test_entry_contract_shape():
         "theil_sen_trend",  # r9 late addition (post-rotation); window candidate r10
         "token_compression",  # r9 late addition (post-rotation); window candidate r10
         "topic_keywords",  # r9 late addition (post-rotation); window candidate r10
+        "phrase_search",  # r9 late addition (post-rotation); window candidate r10
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

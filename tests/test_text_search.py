@@ -475,3 +475,37 @@ def test_bm25_zero_and_null_terms_guarded(spark):
     )
     got = bm25_scores(docs, mixed).collect()
     assert [(r.qid, r.doc_id) for r in got] == [(0, 0)]
+
+
+def test_phrase_search_overlaps_and_three_terms(spark):
+    """Phrase pins: overlapping occurrences each count ('x x x' matches
+    'x x' twice); first_pos is the 1-based token index; a 3-term phrase
+    chains adjacency joins; docs without the full phrase (terms present
+    but not adjacent) don't match; < 2 terms raises."""
+    import pytest
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.text_search import (
+        phrase_search,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "x x x y"),          # 'x x' twice (overlap), at pos 1
+            (2, "y x z x"),          # terms present, never adjacent
+            (3, "pad x x tail"),     # once, at pos 2
+            (4, "a b c a b c"),      # 3-term phrase twice
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(docs, ["x", "x"]).collect()
+    }
+    assert got == {1: (2, 1), 3: (1, 2)}
+    got3 = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in phrase_search(docs, ["a", "b", "c"]).collect()
+    }
+    assert got3 == {4: (2, 1)}
+    with pytest.raises(ValueError):
+        phrase_search(docs, ["solo"])
