@@ -221,6 +221,8 @@ BENCH_QUERIES = [
     "cdc_chunks",
     "theil_sen_trend",
     "phrase_search",
+    "ab_lift",
+    "funnel_latency",
     # PII scrub + sequence packing (beyond-reference curation ops)
     "pii_redact",
     "pack_sequences",

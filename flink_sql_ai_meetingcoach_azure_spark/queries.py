@@ -10121,6 +10121,159 @@ ORDER BY doc_id
 """
 
 
+def q_ab_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment read-out: users split into two arms by the
+    engine-portable salted-md5 bucket (the deterministic_split
+    discipline — NEVER rand() or Spark's internal hash), conversion =
+    any purchase; one summary row with per-arm counts, exact-ppm
+    conversion rates, the lift, and the two-proportion z-score in
+    milli-units (the one libm sqrt, computed from exact integer counts
+    identically on both engines and rounded once). Two combinable
+    aggregates (per-user flag, then the 1-row conditional rollup) —
+    nothing wider than users ever shuffles. Zero-variance edge (no or
+    all conversions) pins z = 0."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.sampling import (  # noqa: PLC0415
+        hash_bucket_col,
+    )
+
+    ev = _events(spark, sf_dir)
+    users = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    per_user = users.withColumn(
+        "arm", (hash_bucket_col("user_id", "ab") % 2).cast("int")
+    )
+    agg = per_user.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("arm") == 0, F.col("conv")).otherwise(0)).alias(
+            "conv_a"
+        ),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0)).alias("n_b"),
+        F.sum(F.when(F.col("arm") == 1, F.col("conv")).otherwise(0)).alias(
+            "conv_b"
+        ),
+    )
+    return agg.selectExpr(
+        "CAST(n_a AS BIGINT) AS n_a",
+        "CAST(conv_a AS BIGINT) AS conv_a",
+        "conv_a * 1000000L div greatest(n_a, 1L) AS ppm_a",
+        "CAST(n_b AS BIGINT) AS n_b",
+        "CAST(conv_b AS BIGINT) AS conv_b",
+        "conv_b * 1000000L div greatest(n_b, 1L) AS ppm_b",
+        "conv_b * 1000000L div greatest(n_b, 1L) "
+        "- conv_a * 1000000L div greatest(n_a, 1L) AS lift_ppm",
+        "CAST(CASE WHEN (conv_a + conv_b) = 0 OR (conv_a + conv_b) = (n_a + n_b) "
+        "THEN 0 ELSE round("
+        "(CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a) / "
+        "sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) "
+        "* (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b)) "
+        "* (1.0 / n_a + 1.0 / n_b)) * 1000) END AS BIGINT) AS z_milli",
+    )
+
+
+def _sql_ab_lift() -> str:
+    from flink_sql_ai_meetingcoach_azure_spark.operators.sampling import (  # noqa: PLC0415
+        hash_bucket_sql,
+    )
+
+    b = hash_bucket_sql("user_id", "ab")
+    return f"""
+WITH u AS (SELECT user_id,
+                  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS conv
+           FROM events GROUP BY user_id),
+pu AS (SELECT conv, CAST({b} % 2 AS INT) AS arm FROM u),
+a AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+      FROM pu)
+SELECT n_a, conv_a,
+       conv_a * 1000000 // greatest(n_a, 1) AS ppm_a,
+       n_b, conv_b,
+       conv_b * 1000000 // greatest(n_b, 1) AS ppm_b,
+       conv_b * 1000000 // greatest(n_b, 1)
+         - conv_a * 1000000 // greatest(n_a, 1) AS lift_ppm,
+       CAST(CASE WHEN (conv_a + conv_b) = 0 OR (conv_a + conv_b) = (n_a + n_b)
+            THEN 0 ELSE round(
+            (CAST(conv_b AS DOUBLE) / n_b - CAST(conv_a AS DOUBLE) / n_a) /
+            sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 / n_a + 1.0 / n_b)) * 1000) END AS BIGINT) AS z_milli
+FROM a
+"""
+
+
+WEEK_US = 7 * 24 * 3600 * 1_000_000
+
+
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert by signup cohort: each user's first signup →
+    first subsequent purchase latency in integer µs, rolled up per
+    signup-week cohort with the DOUBLED exact median (the theil_sen
+    trick: odd n = 2·mid, even n = sum of middles — BIGINT-exact, no
+    half-unit rounding). funnel_match says WHO converted; this says HOW
+    LONG conversion takes and whether later cohorts are faster.
+
+    Two combinable per-user aggregates (first signup, first qualifying
+    purchase) + one per-cohort rollup; purchases BEFORE signup never
+    count (pinned). At 100 TB everything is keyed by user then by
+    cohort — the exact median sorts within cohort-sized groups (the
+    HDR/group_quantiles seam is the sort-free fallback)."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("s_us"))
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("p_us")
+    )
+    lat = (
+        s.join(p, "user_id")
+        .filter(F.col("p_us") >= F.col("s_us"))
+        .groupBy("user_id", "s_us")
+        .agg(F.min("p_us").alias("p_us"))
+        .select(
+            "user_id",
+            F.expr(f"s_us div {WEEK_US}").alias("cohort_week"),
+            (F.col("p_us") - F.col("s_us")).alias("lat_us"),
+        )
+    )
+    return (
+        lat.groupBy("cohort_week")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+            F.expr("CAST(round(2 * percentile(lat_us, 0.5)) AS BIGINT)").alias(
+                "med2x_latency_us"
+            ),
+        )
+        .orderBy("cohort_week")
+    )
+
+
+SQL_FUNNEL_LATENCY = f"""
+WITH s AS (SELECT user_id, min(epoch_us(ts)) AS s_us
+           FROM events WHERE event_type = 'signup' GROUP BY user_id),
+p AS (SELECT user_id, epoch_us(ts) AS p_us
+      FROM events WHERE event_type = 'purchase'),
+lat AS (SELECT s.user_id, s.s_us // {WEEK_US} AS cohort_week,
+               min(p.p_us) - s.s_us AS lat_us
+        FROM s JOIN p USING (user_id)
+        WHERE p.p_us >= s.s_us
+        GROUP BY s.user_id, s.s_us)
+SELECT cohort_week,
+       CAST(count(*) AS BIGINT) AS n_converted,
+       CAST(round(2 * quantile_cont(lat_us, 0.5)) AS BIGINT)
+         AS med2x_latency_us
+FROM lat
+GROUP BY cohort_week
+ORDER BY cohort_week
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-9 rotation (VERDICT r8 #1): the first 36 entries below had
@@ -10337,4 +10490,6 @@ QUERIES: dict[str, QuerySpec] = {
     "token_compression": QuerySpec(q_token_compression, _sql_token_compression()),
     "topic_keywords": QuerySpec(q_topic_keywords, _sql_topic_keywords()),
     "phrase_search": QuerySpec(q_phrase_search, SQL_PHRASE_SEARCH),
+    "ab_lift": QuerySpec(q_ab_lift, _sql_ab_lift()),
+    "funnel_latency": QuerySpec(q_funnel_latency, SQL_FUNNEL_LATENCY),
 }

@@ -1926,3 +1926,47 @@ def test_theil_sen_trend_robust_to_outlier(spark):
     assert got[1] == (5, 10, 200_000_000)
     assert got[2] == (2, 1, -6_666_666)  # trunc toward zero, doubled
     assert 3 not in got
+
+
+def test_funnel_latency_pre_signup_purchase_excluded(spark):
+    """Funnel-latency pins: a purchase BEFORE the first signup never
+    counts; the FIRST qualifying purchase wins; users with no
+    qualifying purchase drop; the doubled median is exact for even
+    cohort sizes."""
+    from datetime import datetime
+
+    from flink_sql_ai_meetingcoach_azure_spark.queries import q_funnel_latency
+
+    def ts(sec):
+        return datetime(2024, 1, 1, 0, 0, 0) if sec == 0 else \
+            datetime.fromtimestamp(
+                datetime(2024, 1, 1).timestamp() + sec
+            )
+
+    us = 1_000_000
+    rows = [
+        # u1: purchase 10s after signup (an earlier one is pre-signup)
+        (1, ts(100), 1, "purchase", 1.0, ""),  # BEFORE signup: ignored
+        (2, ts(200), 1, "signup", 0.0, ""),
+        (3, ts(210), 1, "purchase", 1.0, ""),
+        (4, ts(500), 1, "purchase", 1.0, ""),  # later one: not first
+        # u2: 30s latency, same cohort week
+        (5, ts(0), 2, "signup", 0.0, ""),
+        (6, ts(30), 2, "purchase", 1.0, ""),
+        # u3: signup, never purchases -> drops
+        (7, ts(0), 3, "signup", 0.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = q_funnel_latency(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    # latencies 10s and 30s -> doubled median = 40s
+    assert r.n_converted == 2
+    assert r.med2x_latency_us == 40 * us
