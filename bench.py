@@ -223,6 +223,7 @@ BENCH_QUERIES = [
     "phrase_search",
     "ab_lift",
     "funnel_latency",
+    "centroid_shift",
     # PII scrub + sequence packing (beyond-reference curation ops)
     "pii_redact",
     "pack_sequences",

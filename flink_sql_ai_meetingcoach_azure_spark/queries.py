@@ -10274,6 +10274,111 @@ ORDER BY cohort_week
 """
 
 
+def q_centroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-drift monitor: per label, the cosine between the MEAN
+    embeddings of two snapshot halves (id-parity proxy for before/
+    after) — the per-class drift gauge an embedding-pipeline upgrade is
+    gated on (label_centroids' longitudinal companion). Cosine is
+    scale-invariant, so the means never need dividing: exact BIGINT
+    micro-component SUMS per (label, half) feed the cosine directly.
+    The only floating point is one ordered left-to-right fold per dot
+    product (identical `0 + x1 + x2 …` IEEE sequence on both engines)
+    plus sqrt, rounded once at 6 dp.
+
+    One posexplode + combinable (label, half, pos) sum (k·2·dim result
+    rows regardless of corpus size), arrays reassembled pos-ordered,
+    zero windows. Labels missing a half drop (inner join — pinned)."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    sums = (
+        emb.select(
+            "label",
+            (F.col("vec_id") % 2).cast("int").alias("half"),
+            F.posexplode(
+                F.expr(
+                    "transform(embedding, "
+                    "x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+                )
+            ).alias("pos", "m"),
+        )
+        .groupBy("label", "half", "pos")
+        .agg(F.sum("m").alias("s"))
+        .groupBy("label", "half")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, s))), x -> x.s)"
+            ).alias("sv"),
+            F.expr("count(DISTINCT pos)").alias("__dim"),
+        )
+    )
+    cnt = (
+        emb.select(
+            "label", (F.col("vec_id") % 2).cast("int").alias("half")
+        )
+        .groupBy("label", "half")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    halves = sums.join(cnt, ["label", "half"])
+    a = halves.filter(F.col("half") == 0).select(
+        "label", F.col("sv").alias("sa"), F.col("n").alias("n_a")
+    )
+    b = halves.filter(F.col("half") == 1).select(
+        "label", F.col("sv").alias("sb"), F.col("n").alias("n_b")
+    )
+    dot = (
+        "aggregate(zip_with({x}, {y}, (p, q) -> "
+        "CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+    )
+    return (
+        a.join(b, "label")
+        .select(
+            "label",
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.col("n_b").cast("bigint").alias("n_b"),
+            F.expr(
+                f"round({dot.format(x='sa', y='sb')} / "
+                f"(sqrt({dot.format(x='sa', y='sa')}) * "
+                f"sqrt({dot.format(x='sb', y='sb')})), 6)"
+            ).alias("cos_shift"),
+        )
+        .orderBy("label")
+    )
+
+
+def _sql_centroid_shift() -> str:
+    dot = (
+        "list_reduce(list_transform(range(1, {dim} + 1), j -> "
+        "CAST({x}[j] AS DOUBLE) * CAST({y}[j] AS DOUBLE)), "
+        "(acc, v) -> acc + v)"
+    )
+
+    def d(x: str, y: str) -> str:
+        return dot.format(dim=EMB_DIM, x=x, y=y)
+
+    return f"""
+WITH m AS (SELECT label, CAST(vec_id % 2 AS INT) AS half,
+                  list_transform(embedding::DOUBLE[],
+                                 x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+           FROM embeddings),
+e AS (SELECT label, half, generate_subscripts(v, 1) AS pos, unnest(v) AS c
+      FROM m),
+s AS (SELECT label, half, pos, sum(c) AS s FROM e GROUP BY 1, 2, 3),
+sv AS (SELECT label, half, list(CAST(s AS BIGINT) ORDER BY pos) AS sv
+       FROM s GROUP BY 1, 2),
+cn AS (SELECT label, half, count(*) AS n FROM m GROUP BY 1, 2),
+h AS (SELECT sv.label, sv.half, sv.sv, cn.n
+      FROM sv JOIN cn USING (label, half))
+SELECT a.label,
+       CAST(a.n AS BIGINT) AS n_a,
+       CAST(b.n AS BIGINT) AS n_b,
+       round({d('a.sv', 'b.sv')} /
+             (sqrt({d('a.sv', 'a.sv')}) * sqrt({d('b.sv', 'b.sv')})), 6)
+         AS cos_shift
+FROM h a JOIN h b ON a.label = b.label AND a.half = 0 AND b.half = 1
+ORDER BY a.label
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-9 rotation (VERDICT r8 #1): the first 36 entries below had
@@ -10492,4 +10597,5 @@ QUERIES: dict[str, QuerySpec] = {
     "phrase_search": QuerySpec(q_phrase_search, SQL_PHRASE_SEARCH),
     "ab_lift": QuerySpec(q_ab_lift, _sql_ab_lift()),
     "funnel_latency": QuerySpec(q_funnel_latency, SQL_FUNNEL_LATENCY),
+    "centroid_shift": QuerySpec(q_centroid_shift, _sql_centroid_shift()),
 }
