@@ -224,6 +224,7 @@ BENCH_QUERIES = [
     "ab_lift",
     "funnel_latency",
     "centroid_shift",
+    "dsir_weights",
     # PII scrub + sequence packing (beyond-reference curation ops)
     "pii_redact",
     "pack_sequences",

@@ -10399,6 +10399,144 @@ ORDER BY a.label
 """
 
 
+DSIR_BUCKETS = 4096  # hashed-bigram feature space (DSIR's "hashed n-grams")
+
+
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance
+    Resampling, Xie et al. 2023, arXiv:2302.03169): per-document
+    log-importance of a TARGET distribution (here the 'en' slice as the
+    target proxy) over the RAW corpus, in the paper's hashed-bigram
+    feature space — the principled replacement for rule-pack filters
+    when "select data that looks like X" is the curation goal. Weight =
+    Σ_b n_doc(b) · ln(p̂_target(b)/p̂_raw(b)) with add-1 smoothing over
+    the 4096 buckets; the log-ratio is evaluated ONCE PER BUCKET on
+    exact integer counts (micro-nat rounded there — the lm_score
+    discipline), so per-doc weights are exact BIGINT sums.
+
+    Plan: one explode+lag bigram pass (per-doc window, doc-bounded
+    partitions), two combinable bucket counts (≤4096 result rows each),
+    one broadcast of the bucket log-ratio table back onto the per-doc
+    bucket counts. At 100 TB the only corpus-sized exchanges are the
+    (doc, bucket) combinable aggregate — the model itself is
+    constant-size by construction (that is DSIR's point)."""
+    _prep(spark)
+    from pyspark.sql import Window as W  # noqa: PLC0415
+
+    from flink_sql_ai_meetingcoach_azure_spark.functions.hashing import (  # noqa: PLC0415
+        md5_int32_col,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: PLC0415
+        tokens_col,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", F.posexplode(tokens_col("text")).alias("__p", "__w")
+    )
+    win = W.partitionBy("doc_id").orderBy("__p")
+    bg = (
+        tok.withColumn("__prev", F.lag("__w").over(win))
+        .filter(F.col("__prev").isNotNull())
+        .select(
+            "doc_id",
+            "lang",
+            (
+                md5_int32_col(F.concat_ws(" ", "__prev", "__w"))
+                % DSIR_BUCKETS
+            ).alias("b"),
+        )
+    )
+    raw = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = (
+        bg.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tots = raw.agg(F.sum("cr").alias("nr")).crossJoin(
+        tgt.agg(F.sum("ct").alias("nt"))
+    )
+    lr = (
+        raw.join(tgt, "b", "left")
+        .withColumn("ct", F.coalesce(F.col("ct"), F.lit(0)))
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.col("ct") + 1) * (F.col("nr") + DSIR_BUCKETS)
+                    ).cast("double")
+                    / (
+                        (F.col("cr") + 1) * (F.col("nt") + DSIR_BUCKETS)
+                    ).cast("double")
+                )
+                * 1_000_000
+            )
+            .cast("bigint")
+            .alias("lr_micro"),
+        )
+    )
+    per_doc = (
+        bg.groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("n") * F.col("lr_micro")).cast("bigint").alias(
+                "weight_micro"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint").alias("n_bigrams"),
+            F.coalesce("weight_micro", F.lit(0)).cast("bigint").alias(
+                "weight_micro"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_dsir_weights() -> str:
+    from flink_sql_ai_meetingcoach_azure_spark.functions.hashing import (  # noqa: PLC0415
+        md5_int32_sql,
+    )
+
+    toks = _TOKS.format(col="text")
+    h = md5_int32_sql("t[i] || ' ' || t[i+1]")
+    b = DSIR_BUCKETS
+    return f"""
+WITH d AS (SELECT doc_id, lang, {toks} AS t FROM documents),
+bg AS (SELECT doc_id, lang, {h} % {b} AS b
+       FROM d, unnest(range(1, len(t))) u(i)),
+raw AS (SELECT b, count(*) AS cr FROM bg GROUP BY b),
+tgt AS (SELECT b, count(*) AS ct FROM bg WHERE lang = 'en' GROUP BY b),
+tots AS (SELECT (SELECT sum(cr) FROM raw) AS nr,
+                (SELECT sum(ct) FROM tgt) AS nt),
+lr AS (SELECT raw.b,
+              CAST(round(ln(CAST((COALESCE(tgt.ct, 0) + 1) * (nr + {b}) AS DOUBLE)
+                            / CAST((raw.cr + 1) * (nt + {b}) AS DOUBLE))
+                         * 1000000) AS BIGINT) AS lr_micro
+       FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tots),
+pd AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY 1, 2),
+w AS (SELECT doc_id,
+             CAST(sum(n) AS BIGINT) AS n_bigrams,
+             CAST(sum(n * lr_micro) AS BIGINT) AS weight_micro
+      FROM pd JOIN lr USING (b) GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(w.n_bigrams, 0) AS n_bigrams,
+       COALESCE(w.weight_micro, 0) AS weight_micro
+FROM documents d LEFT JOIN w USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-9 rotation (VERDICT r8 #1): the first 36 entries below had
@@ -10618,4 +10756,5 @@ QUERIES: dict[str, QuerySpec] = {
     "ab_lift": QuerySpec(q_ab_lift, _sql_ab_lift()),
     "funnel_latency": QuerySpec(q_funnel_latency, SQL_FUNNEL_LATENCY),
     "centroid_shift": QuerySpec(q_centroid_shift, _sql_centroid_shift()),
+    "dsir_weights": QuerySpec(q_dsir_weights, _sql_dsir_weights()),
 }

@@ -182,6 +182,7 @@ def test_entry_contract_shape():
         "ab_lift",  # r9 late addition (post-rotation); window candidate r10
         "funnel_latency",  # r9 late addition (post-rotation); window candidate r10
         "centroid_shift",  # r9 late addition (post-rotation); window candidate r10
+        "dsir_weights",  # r9 late addition (post-rotation); window candidate r10
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

@@ -59,6 +59,12 @@ ENTRIES = [
     "incremental_neardup",
     "lsh_recall_eval",
     "setsim_join",
+    # second late-r9 heavy batch (documents/embeddings-only entries;
+    # events-table entries can't scale here — the synthetic dirs hold
+    # documents+embeddings only)
+    "cdc_chunks",
+    "topic_keywords",
+    "token_compression",
 ]
 N_DOCS_BASE = 5000
 N_VECS_BASE = 2000
@@ -178,9 +184,14 @@ def knob_scaled_semdedup_seconds(spark, sf_dir: str, k: int) -> float:
 
 def main() -> None:
     scales = [1, 2, 4]
+    entries = ENTRIES
     if "--scales" in sys.argv:
         i = sys.argv.index("--scales")
         scales = [int(x) for x in sys.argv[i + 1 :] if x.isdigit()]
+    if "--entries" in sys.argv:
+        i = sys.argv.index("--entries")
+        names = [x for x in sys.argv[i + 1 :] if not x.startswith("--")]
+        entries = [n for n in ENTRIES if n in names]
     root = os.environ.get("SCALING_DIR", "/tmp/spark_graft_scaling")
     spark = get_spark("scaling_check")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # JIT warmup
@@ -195,7 +206,7 @@ def main() -> None:
         return round(time.time() - t0, 3)
 
     report: dict = {"scales": scales, "entries": {}}
-    for name in ENTRIES:
+    for name in entries:
         times = {}
         for s in scales:
             r = [run(name, dirs[s]) for _ in range(2 if s == 1 else 1)]
@@ -211,17 +222,19 @@ def main() -> None:
         print(f"{name}: {times} exponent={exp:.2f}", file=sys.stderr)
 
     # semantic_dedup knob-scaled linear path: k grows with the corpus
-    knob = {}
-    for s in scales:
-        knob[s] = knob_scaled_semdedup_seconds(spark, dirs[s], k=64 * s)
-        print(f"semantic_dedup[k=64*{s}]: {knob[s]}", file=sys.stderr)
-    import math
+    # (skipped when an --entries filter excludes semantic_dedup)
+    if "semantic_dedup" in entries:
+        knob = {}
+        for s in scales:
+            knob[s] = knob_scaled_semdedup_seconds(spark, dirs[s], k=64 * s)
+            print(f"semantic_dedup[k=64*{s}]: {knob[s]}", file=sys.stderr)
+        import math
 
-    hi = max(scales)
-    report["semantic_dedup_knob_scaled"] = {
-        "seconds": knob,
-        "exponent": round(math.log(knob[hi] / knob[1]) / math.log(hi), 2),
-    }
+        hi = max(scales)
+        report["semantic_dedup_knob_scaled"] = {
+            "seconds": knob,
+            "exponent": round(math.log(knob[hi] / knob[1]) / math.log(hi), 2),
+        }
     print(json.dumps(report))
     spark.stop()
 
