@@ -60,8 +60,9 @@ def test_relational_queries_stay_jvm_side(spark):
                  "multimodal_features",
                  # r9: trained-tokenizer application is the documented
                  # pandas-UDF seam (rank-greedy merge loop, word cache) —
-                 # the oracle value-checks exactly that Python stage
-                 "bpe_encode"}
+                 # the oracle value-checks exactly that Python stage;
+                 # token_compression rolls up the same encoder output
+                 "bpe_encode", "token_compression"}
     for name, spec in QUERIES.items():
         if spec.sql is None or name in python_ok:
             continue  # model/multimodal pipelines legitimately use Python
