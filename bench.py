@@ -225,6 +225,8 @@ BENCH_QUERIES = [
     "funnel_latency",
     "centroid_shift",
     "dsir_weights",
+    "knn_classify",
+    "cusum_changepoint",
     # PII scrub + sequence packing (beyond-reference curation ops)
     "pii_redact",
     "pack_sequences",

@@ -10537,6 +10537,174 @@ ORDER BY d.doc_id
 """
 
 
+KNN_K = 3  # neighbors per query
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised kNN labeling: every UNLABELED embedding
+    (id-parity proxy: odd ids) classified by majority vote of its k=3
+    nearest LABELED neighbors (even ids) — the label-spreading step a
+    weak-supervision pipeline runs to extend a small labeled seed over
+    a 100 TB corpus. Reuses the audited broadcast exact top-k
+    (operators/vector_search.py::vector_search_topk_flat — 6dp cosine,
+    (sim DESC, id ASC) tie-break), then two combinable aggregates:
+    (query, label) vote counts and a min-struct argmax with
+    (votes DESC, label ASC) pinned tie-break. True labels ride along
+    so the output doubles as the accuracy audit (`correct` flag).
+
+    At 100 TB the labeled seed is the broadcast side (small by
+    definition here — the IVF route swaps in when it isn't), queries
+    stream map-side; votes are k rows per query."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # noqa: PLC0415
+        vector_search_topk_flat,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    labeled = emb.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id", "embedding", "label"
+    )
+    queries = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("qid"), "embedding", F.col("label").alias("true_label")
+    )
+    hits = vector_search_topk_flat(
+        queries,
+        labeled,
+        k=KNN_K,
+        payload_cols=["vec_id", "label"],
+        round_sim=6,
+    )
+    votes = hits.groupBy("qid", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("votes")
+    )
+    pick = votes.groupBy("qid", "true_label").agg(
+        F.min(
+            F.struct(
+                (-F.col("votes")).alias("nv"), F.col("label").alias("label")
+            )
+        ).alias("__w")
+    )
+    return pick.select(
+        F.col("qid").alias("vec_id"),
+        F.col("__w.label").alias("pred_label"),
+        (-F.col("__w.nv")).cast("bigint").alias("votes"),
+        F.col("true_label").alias("true_label"),
+        (F.col("__w.label") == F.col("true_label")).alias("correct"),
+    ).orderBy("vec_id")
+
+
+SQL_KNN_CLASSIFY = f"""
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS v, label AS true_label
+           FROM embeddings WHERE vec_id % 2 = 1),
+i AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+      WHERE vec_id % 2 = 0),
+s AS (SELECT q.qid, q.true_label, i.vec_id, i.label,
+             round(list_dot_product(q.v, i.v) /
+                   (sqrt(list_dot_product(q.v, q.v))
+                    * sqrt(list_dot_product(i.v, i.v))), 6) AS sim
+      FROM q CROSS JOIN i),
+r AS (SELECT qid, true_label, label,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY sim DESC, vec_id ASC) AS rnk
+      FROM s),
+v AS (SELECT qid, true_label, label, count(*) AS votes
+      FROM r WHERE rnk <= {KNN_K} GROUP BY 1, 2, 3),
+p AS (SELECT qid, true_label, label, votes,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY votes DESC, label ASC) AS prnk
+      FROM v)
+SELECT qid AS vec_id, label AS pred_label,
+       CAST(votes AS BIGINT) AS votes, true_label,
+       label = true_label AS correct
+FROM p WHERE prnk = 1
+ORDER BY vec_id
+"""
+
+
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection per event type — WHERE the rate
+    shifted, not just that an hour is anomalous (event_rate_anomaly's
+    structural companion): over the ordered hourly-count series, the
+    integer statistic S_h = H·(running count) − h·(total) is the
+    classic CUSUM against the constant-rate null SCALED BY H·T so it
+    stays an exact BIGINT (no float mean is ever computed); the
+    changepoint is the bucket maximizing |S_h| (earliest on ties —
+    min-struct argmax, pinned). One combinable hourly aggregate, one
+    per-type window over the types×hours bucket table (never the event
+    stream), one argmax aggregate.
+
+    At 100 TB the only corpus-sized work is the first groupBy; the
+    CUSUM scan is bounded by buckets per type regardless of volume."""
+    _prep(spark)
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    ev = _events(spark, sf_dir)
+    hb = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("hour_idx"),
+        )
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_idx")
+    tot = hb.groupBy("event_type").agg(
+        F.sum("c").alias("t"), F.count(F.lit(1)).alias("h")
+    )
+    s = (
+        hb.withColumn("run", F.sum("c").over(w))
+        .withColumn("idx", F.row_number().over(w))
+        .join(F.broadcast(tot), "event_type")
+        .withColumn(
+            "stat", F.abs(F.col("h") * F.col("run") - F.col("idx") * F.col("t"))
+        )
+    )
+    pick = s.groupBy("event_type").agg(
+        F.max("h").cast("bigint").alias("n_buckets"),
+        F.max("t").cast("bigint").alias("total_events"),
+        F.min(
+            F.struct(
+                (-F.col("stat")).alias("ns"), F.col("hour_idx").alias("hi")
+            )
+        ).alias("__w"),
+    )
+    return pick.select(
+        "event_type",
+        "n_buckets",
+        "total_events",
+        F.col("__w.hi").cast("bigint").alias("cp_hour_idx"),
+        (-F.col("__w.ns")).cast("bigint").alias("cusum_stat"),
+    ).orderBy("event_type")
+
+
+SQL_CUSUM_CHANGEPOINT = """
+WITH hb AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2),
+tot AS (SELECT event_type, sum(c) AS t, count(*) AS h
+        FROM hb GROUP BY event_type),
+s AS (SELECT hb.event_type, hb.hour_idx,
+             abs(tot.h * sum(hb.c) OVER (PARTITION BY hb.event_type
+                                         ORDER BY hb.hour_idx)
+                 - row_number() OVER (PARTITION BY hb.event_type
+                                      ORDER BY hb.hour_idx) * tot.t)
+               AS stat
+      FROM hb JOIN tot USING (event_type)),
+p AS (SELECT event_type, hour_idx, stat,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY stat DESC, hour_idx ASC) AS rnk
+      FROM s)
+SELECT p.event_type,
+       CAST(tot.h AS BIGINT) AS n_buckets,
+       CAST(tot.t AS BIGINT) AS total_events,
+       CAST(p.hour_idx AS BIGINT) AS cp_hour_idx,
+       CAST(p.stat AS BIGINT) AS cusum_stat
+FROM p JOIN tot USING (event_type)
+WHERE p.rnk = 1
+ORDER BY p.event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-9 rotation (VERDICT r8 #1): the first 36 entries below had
@@ -10757,4 +10925,6 @@ QUERIES: dict[str, QuerySpec] = {
     "funnel_latency": QuerySpec(q_funnel_latency, SQL_FUNNEL_LATENCY),
     "centroid_shift": QuerySpec(q_centroid_shift, _sql_centroid_shift()),
     "dsir_weights": QuerySpec(q_dsir_weights, _sql_dsir_weights()),
+    "knn_classify": QuerySpec(q_knn_classify, SQL_KNN_CLASSIFY),
+    "cusum_changepoint": QuerySpec(q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
 }

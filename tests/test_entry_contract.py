@@ -183,6 +183,8 @@ def test_entry_contract_shape():
         "funnel_latency",  # r9 late addition (post-rotation); window candidate r10
         "centroid_shift",  # r9 late addition (post-rotation); window candidate r10
         "dsir_weights",  # r9 late addition (post-rotation); window candidate r10
+        "knn_classify",  # r9 late addition (post-rotation); window candidate r10
+        "cusum_changepoint",  # r9 late addition (post-rotation); window candidate r10
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

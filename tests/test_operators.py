@@ -1970,3 +1970,43 @@ def test_funnel_latency_pre_signup_purchase_excluded(spark):
     # latencies 10s and 30s -> doubled median = 40s
     assert r.n_converted == 2
     assert r.med2x_latency_us == 40 * us
+
+
+def test_cusum_changepoint_detects_known_shift(spark):
+    """CUSUM pins: a series with a rate shift puts the |CUSUM| max at
+    the last pre-shift bucket; the integer statistic uses H·run − h·T
+    (no float mean); earliest bucket wins exact ties."""
+    from datetime import datetime, timedelta
+
+    from flink_sql_ai_meetingcoach_azure_spark.queries import (
+        q_cusum_changepoint,
+    )
+
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # 4 hours at 1 event/h then 4 hours at 5 events/h: T=24, H=8
+    # S_h = 8*run - h*24; runs 1,2,3,4,9,14,19,24 ->
+    # |S| = 16,32,48,64,48,32,16,0 -> max at bucket 4 (last quiet hour)
+    for h in range(8):
+        n = 1 if h < 4 else 5
+        for i in range(n):
+            rows.append(
+                (eid, base + timedelta(hours=h, minutes=i), 1, "view", 0.0, "")
+            )
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = q_cusum_changepoint(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_buckets, r.total_events) == (8, 24)
+    base_hour = int(base.timestamp()) // 3600
+    assert r.cp_hour_idx == base_hour + 3  # 4th bucket = last pre-shift
+    assert r.cusum_stat == 64
