@@ -35,7 +35,23 @@ def test_entry_contract_shape():
     # non-trivial chains. Every tail entry below was externally
     # hash-checked in at least one r1-r8 driver window, EXCEPT the 2
     # rows-only chains. All further changes are gated here.
+    # Second late-r9 rotation: nine UNCHANGED previously-hash-green
+    # ballast lines moved here (tail head) to hand their window slots to
+    # nine never-externally-checked late-r9 entries (cdc_chunks,
+    # topic_keywords, dsir_weights, theil_sen_trend, knn_classify,
+    # token_compression, phrase_search, mad_outliers, centroid_shift);
+    # rag_pipeline_verified / tpch_q1 / ann_topk stay in-window as
+    # known-good ballast.
     assert list(qs)[50:] == [
+        "fuzzy_dedup",  # externally checked r1-r8; rotated out late r9
+        "curation_v2",  # externally checked r1-r8; rotated out late r9
+        "contrastive_pairs",  # externally checked r7-r8; rotated out late r9
+        "rag_pipeline_bulk",  # externally checked r7-r8; rotated out late r9
+        "chunk_embed_ingest",  # externally checked r1-r8; rotated out late r9
+        "bpe_merges",  # externally checked r7-r8; rotated out late r9
+        "ngram_jaccard",  # externally checked r1-r8; rotated out late r9
+        "tpch_q9",  # externally checked r1-r8; rotated out late r9
+        "mask_spans",  # externally checked r1-r8; rotated out late r9
         "tpch_q2",  # externally checked r7-r8
         "tpch_q8",  # externally checked r7-r8
         "tpch_q11",  # externally checked r7-r8
@@ -171,20 +187,11 @@ def test_entry_contract_shape():
         "event_rate_anomaly",  # r9 late addition (post-rotation); window candidate r10
         "shard_balance",  # r9 late addition (post-rotation); window candidate r10
         "pack_efficiency",  # r9 late addition (post-rotation); window candidate r10
-        "mad_outliers",  # r9 late addition (post-rotation); window candidate r10
-        "k_anonymity",  # r9 late addition (post-rotation); window candidate r10
-        "grid_density",  # r9 late addition (post-rotation); window candidate r10
-        "cdc_chunks",  # r9 late addition (post-rotation); window candidate r10
-        "theil_sen_trend",  # r9 late addition (post-rotation); window candidate r10
-        "token_compression",  # r9 late addition (post-rotation); window candidate r10
-        "topic_keywords",  # r9 late addition (post-rotation); window candidate r10
-        "phrase_search",  # r9 late addition (post-rotation); window candidate r10
-        "ab_lift",  # r9 late addition (post-rotation); window candidate r10
-        "funnel_latency",  # r9 late addition (post-rotation); window candidate r10
-        "centroid_shift",  # r9 late addition (post-rotation); window candidate r10
-        "dsir_weights",  # r9 late addition (post-rotation); window candidate r10
-        "knn_classify",  # r9 late addition (post-rotation); window candidate r10
-        "cusum_changepoint",  # r9 late addition (post-rotation); window candidate r10
+        "k_anonymity",  # r9 late addition; window candidate r10
+        "grid_density",  # r9 late addition; window candidate r10
+        "ab_lift",  # r9 late addition; window candidate r10
+        "funnel_latency",  # r9 late addition; window candidate r10
+        "cusum_changepoint",  # r9 late addition; window candidate r10
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
