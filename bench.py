@@ -227,6 +227,7 @@ BENCH_QUERIES = [
     "dsir_weights",
     "knn_classify",
     "cusum_changepoint",
+    "fk_integrity",
     # PII scrub + sequence packing (beyond-reference curation ops)
     "pii_redact",
     "pack_sequences",

@@ -10705,6 +10705,71 @@ ORDER BY p.event_type
 """
 
 
+FK_CHECKS = [  # (child table, fk col, parent table, pk col)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    ("part", "p_partkey", "part", "p_partkey"),  # self: always clean control
+]
+
+
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the schema's FK edges (the
+    dbt-test / data-contract pass a warehouse runs before anything
+    downstream trusts a load): per declared FK, total child rows,
+    orphan rows (LEFT ANTI against the parent key), and the orphan rate
+    in exact ppm — one summary row per edge, with a self-referencing
+    control edge that must always read clean. Each check is one
+    key-only anti-join (both sides pruned to the key column at the
+    scan, AQE-broadcastable parents); the union is edge-count-sized.
+
+    At 100 TB each edge costs one key-projected join — the parent side
+    is usually dimension-sized and broadcasts; the child side never
+    carries payload columns through the check."""
+    _prep(spark)
+    parts = []
+    for child, fk, parent, pk in FK_CHECKS:
+        c = _t(spark, sf_dir, child).select(F.col(fk).alias("__k"))
+        p = _t(spark, sf_dir, parent).select(F.col(pk).alias("__k"))
+        tot = c.agg(F.count(F.lit(1)).alias("n_rows"))
+        orph = c.join(p, "__k", "left_anti").agg(
+            F.count(F.lit(1)).alias("n_orphans")
+        )
+        parts.append(
+            tot.crossJoin(orph).select(
+                F.lit(f"{child}.{fk}->{parent}.{pk}").alias("fk_edge"),
+                F.col("n_rows").cast("bigint").alias("n_rows"),
+                F.col("n_orphans").cast("bigint").alias("n_orphans"),
+                F.expr(
+                    "n_orphans * 1000000L div greatest(n_rows, 1L)"
+                ).alias("orphan_ppm"),
+            )
+        )
+    out = parts[0]
+    for pdf in parts[1:]:
+        out = out.unionByName(pdf)
+    return out.orderBy("fk_edge")
+
+
+def _sql_fk_integrity() -> str:
+    arms = []
+    for child, fk, parent, pk in FK_CHECKS:
+        arms.append(f"""
+SELECT '{child}.{fk}->{parent}.{pk}' AS fk_edge,
+       CAST((SELECT count(*) FROM {child}) AS BIGINT) AS n_rows,
+       CAST((SELECT count(*) FROM {child} c
+             WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pk} = c.{fk})) AS BIGINT) AS n_orphans,
+       CAST((SELECT count(*) FROM {child} c
+             WHERE NOT EXISTS (SELECT 1 FROM {parent} p
+                               WHERE p.{pk} = c.{fk})) * 1000000
+            // greatest((SELECT count(*) FROM {child}), 1) AS BIGINT)
+         AS orphan_ppm""")
+    return " UNION ALL ".join(arms) + "\nORDER BY fk_edge"
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-9 rotation (VERDICT r8 #1): the first 36 entries below had
@@ -10940,4 +11005,5 @@ QUERIES: dict[str, QuerySpec] = {
     "ab_lift": QuerySpec(q_ab_lift, _sql_ab_lift()),
     "funnel_latency": QuerySpec(q_funnel_latency, SQL_FUNNEL_LATENCY),
     "cusum_changepoint": QuerySpec(q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
+    "fk_integrity": QuerySpec(q_fk_integrity, _sql_fk_integrity()),
 }

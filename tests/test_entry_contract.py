@@ -192,6 +192,7 @@ def test_entry_contract_shape():
         "ab_lift",  # r9 late addition; window candidate r10
         "funnel_latency",  # r9 late addition; window candidate r10
         "cusum_changepoint",  # r9 late addition; window candidate r10
+        "fk_integrity",  # r9 late addition; window candidate r10
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
