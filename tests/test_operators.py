@@ -2010,3 +2010,102 @@ def test_cusum_changepoint_detects_known_shift(spark):
     base_hour = int(base.timestamp()) // 3600
     assert r.cp_hour_idx == base_hour + 3  # 4th bucket = last pre-shift
     assert r.cusum_stat == 64
+
+
+def test_fk_integrity_detects_injected_orphans(spark):
+    """FK-audit pins: injected orphan keys are counted with an exact
+    ppm rate; clean edges and the self-referencing control edge report
+    zero; NULL FKs count as orphans (they match no parent — the
+    anti-join semantic, pinned)."""
+    import tempfile
+
+    from flink_sql_ai_meetingcoach_azure_spark.queries import q_fk_integrity
+
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            [(1, "r1")], "r_regionkey bigint, r_name string"
+        ).write.parquet(f"{d}/region.parquet")
+        # nation: 3 clean, 1 orphan region key, 1 NULL region key
+        spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 1), (3, "c", 1), (4, "x", 9), (5, "y", None)],
+            "n_nationkey bigint, n_name string, n_regionkey bigint",
+        ).write.parquet(f"{d}/nation.parquet")
+        spark.createDataFrame(
+            [(1, 1), (2, 9)], "c_custkey bigint, c_nationkey bigint"
+        ).write.parquet(f"{d}/customer.parquet")
+        spark.createDataFrame(
+            [(1, 1)], "s_suppkey bigint, s_nationkey bigint"
+        ).write.parquet(f"{d}/supplier.parquet")
+        spark.createDataFrame(
+            [(1,)], "p_partkey bigint"
+        ).write.parquet(f"{d}/part.parquet")
+        spark.createDataFrame(
+            [(1, 1)], "o_orderkey bigint, o_custkey bigint"
+        ).write.parquet(f"{d}/orders.parquet")
+        spark.createDataFrame(
+            [(1, 1), (2, 1)], "l_linenumber bigint, l_orderkey bigint"
+        ).write.parquet(f"{d}/lineitem.parquet")
+        got = {r.fk_edge: (r.n_rows, r.n_orphans, r.orphan_ppm)
+               for r in q_fk_integrity(spark, d).collect()}
+    assert got["nation.n_regionkey->region.r_regionkey"] == (5, 2, 400_000)
+    assert got["customer.c_nationkey->nation.n_nationkey"] == (2, 1, 500_000)
+    assert got["lineitem.l_orderkey->orders.o_orderkey"] == (2, 0, 0)
+    assert got["part.p_partkey->part.p_partkey"] == (1, 0, 0)  # control
+
+
+def test_ab_lift_zero_variance_and_determinism(spark):
+    """A/B pins: all-converted (and none-converted) pools pin z = 0;
+    arm assignment is the salted-md5 bucket — stable across runs and
+    partitionings (same user always lands in the same arm)."""
+    import tempfile
+    from datetime import datetime
+
+    from flink_sql_ai_meetingcoach_azure_spark.queries import q_ab_lift
+
+    ts = datetime(2024, 1, 1)
+    rows = [(i, ts, i, "purchase", 1.0, "") for i in range(20)]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        r1 = q_ab_lift(spark, d).collect()[0]
+        r2 = q_ab_lift(spark, d).collect()[0]
+    assert r1 == r2  # deterministic split
+    assert r1.n_a + r1.n_b == 20
+    assert (r1.conv_a, r1.conv_b) == (r1.n_a, r1.n_b)  # everyone converted
+    assert (r1.ppm_a, r1.ppm_b, r1.lift_ppm) == (1_000_000, 1_000_000, 0)
+    assert r1.z_milli == 0  # zero-variance edge pinned
+
+
+def test_knn_classify_majority_and_tie(spark):
+    """kNN pins: majority of the 3 nearest labeled neighbors wins; a
+    1-1-1 three-way vote tie resolves to the SMALLEST label; the
+    'correct' flag compares against the query's true label."""
+    import tempfile
+
+    from flink_sql_ai_meetingcoach_azure_spark.queries import q_knn_classify
+
+    # labeled (even ids): two tight label-7 points + one label-2 point
+    # near the query, rest far away
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0], 7),
+        (2, [0.99, 0.1, 0.0, 0.0], 7),
+        (4, [0.95, 0.2, 0.0, 0.0], 2),
+        (6, [0.0, 1.0, 0.0, 0.0], 9),
+        # odd = queries: q1 near the label-7 cluster (true label 7)
+        (1, [1.0, 0.05, 0.0, 0.0], 7),
+        # q3 equidistant-ish from three distinct labels -> 1-1-1 tie
+        (3, [0.0, 0.9, 0.3, 0.0], 9),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/embeddings.parquet")
+        got = {r.vec_id: (r.pred_label, r.votes, r.correct)
+               for r in q_knn_classify(spark, d).collect()}
+    assert got[1] == (7, 2, True)  # 2-of-3 majority
+    # q3's 3 nearest are labels {9, 7, 2} (one vote each) -> smallest label
+    assert got[3] == (2, 1, False)
