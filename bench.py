@@ -228,6 +228,8 @@ BENCH_QUERIES = [
     "knn_classify",
     "cusum_changepoint",
     "fk_integrity",
+    "group_moments",
+    "spend_concentration",
     # PII scrub + sequence packing (beyond-reference curation ops)
     "pii_redact",
     "pack_sequences",

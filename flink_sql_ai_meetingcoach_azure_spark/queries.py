@@ -10770,6 +10770,122 @@ SELECT '{child}.{fk}->{parent}.{pk}' AS fk_edge,
     return " UNION ALL ".join(arms) + "\nORDER BY fk_edge"
 
 
+def q_group_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution moments per group from COMBINABLE POWER SUMS — the
+    one distributed-correct way to compute mean/variance (a naive
+    two-pass mean-then-deviation recomputes the corpus; power sums are
+    map-side-combinable and shard-mergeable like the sketch family):
+    per event type, n / Σc / Σc² in exact integer cents, with the
+    population variance derived from the EXACT INTEGER numerator
+    n·Σc² − (Σc)² (no float mean ever enters) and reported in
+    milli-cents² via trunc-div. Σc² stays inside BIGINT to ~4e9 rows at
+    these magnitudes; shard the sums beyond (the bitmap_distinct
+    discipline). One aggregate, group-cardinality output."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    g = (
+        ev.select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("c").alias("s"),
+            F.sum(F.col("c") * F.col("c")).alias("ss"),
+        )
+    )
+    return g.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("s").cast("bigint").alias("sum_cents"),
+        F.col("ss").cast("bigint").alias("sum_sq_cents2"),
+        F.expr("s * 1000L div n").alias("mean_milli_cents"),
+        # trunc((num·1000)/den) WITHOUT forming num·1000 (which overflows
+        # BIGINT once n·Σc² reaches ~1e16): split the division into
+        # quotient·1000 + scaled remainder — exact for num ≥ 0
+        F.expr(
+            "((n * ss - s * s) div (n * n)) * 1000L "
+            "+ (((n * ss - s * s) % (n * n)) * 1000L) div (n * n)"
+        ).alias("var_milli_cents2"),
+    ).orderBy("event_type")
+
+
+SQL_GROUP_MOMENTS = """
+WITH g AS (SELECT event_type,
+                  count(*) AS n,
+                  sum(CAST(round(value * 100) AS BIGINT)) AS s,
+                  sum(CAST(round(value * 100) AS BIGINT)
+                      * CAST(round(value * 100) AS BIGINT)) AS ss
+           FROM events GROUP BY event_type)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(s AS BIGINT) AS sum_cents,
+       CAST(ss AS BIGINT) AS sum_sq_cents2,
+       CAST(s * 1000 // n AS BIGINT) AS mean_milli_cents,
+       CAST(((n * ss - s * s) // (n * n)) * 1000
+            + (((n * ss - s * s) % (n * n)) * 1000) // (n * n) AS BIGINT)
+         AS var_milli_cents2
+FROM g
+ORDER BY event_type
+"""
+
+
+def q_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration analysis per event type: the Herfindahl–Hirschman
+    index of per-user spend shares plus the top-user share — whether a
+    metric is broad-based or one whale (the skew_profile of VALUE mass
+    rather than row counts). Exact integers end to end: per-user cent
+    sums (combinable), then HHI = Σ sᵤ² div (S² div 10⁶) — the divisor
+    is pre-scaled so every product stays inside BIGINT at corpus scale
+    (Σ sᵤ²·10⁶ would overflow first); top share in plain ppm. Two
+    combinable aggregates, group-cardinality output."""
+    _prep(spark)
+    ev = _events(spark, sf_dir)
+    pu = (
+        ev.select(
+            "event_type",
+            "user_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("c"),
+        )
+        .groupBy("event_type", "user_id")
+        .agg(F.sum("c").alias("su"))
+    )
+    g = pu.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("su").alias("s"),
+        F.sum(F.col("su") * F.col("su")).alias("q"),
+        F.max("su").alias("top"),
+    )
+    return g.select(
+        "event_type",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.col("s").cast("bigint").alias("total_cents"),
+        F.expr("q div greatest((s * s) div 1000000L, 1L)").alias("hhi_ppm"),
+        F.expr("top * 1000000L div greatest(s, 1L)").alias("top_share_ppm"),
+    ).orderBy("event_type")
+
+
+SQL_SPEND_CONCENTRATION = """
+WITH pu AS (SELECT event_type, user_id,
+                   sum(CAST(round(value * 100) AS BIGINT)) AS su
+            FROM events GROUP BY 1, 2),
+g AS (SELECT event_type,
+             count(*) AS n_users,
+             CAST(sum(su) AS BIGINT) AS s,
+             CAST(sum(su * su) AS BIGINT) AS q,
+             max(su) AS top
+      FROM pu GROUP BY event_type)
+SELECT event_type,
+       CAST(n_users AS BIGINT) AS n_users,
+       s AS total_cents,
+       CAST(q // greatest((s * s) // 1000000, 1) AS BIGINT) AS hhi_ppm,
+       CAST(top * 1000000 // greatest(s, 1) AS BIGINT) AS top_share_ppm
+FROM g
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-9 rotation (VERDICT r8 #1): the first 36 entries below had
@@ -11006,4 +11122,8 @@ QUERIES: dict[str, QuerySpec] = {
     "funnel_latency": QuerySpec(q_funnel_latency, SQL_FUNNEL_LATENCY),
     "cusum_changepoint": QuerySpec(q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "fk_integrity": QuerySpec(q_fk_integrity, _sql_fk_integrity()),
+    "group_moments": QuerySpec(q_group_moments, SQL_GROUP_MOMENTS),
+    "spend_concentration": QuerySpec(
+        q_spend_concentration, SQL_SPEND_CONCENTRATION
+    ),
 }

@@ -193,6 +193,8 @@ def test_entry_contract_shape():
         "funnel_latency",  # r9 late addition; window candidate r10
         "cusum_changepoint",  # r9 late addition; window candidate r10
         "fk_integrity",  # r9 late addition; window candidate r10
+        "group_moments",  # r9 late addition; window candidate r10
+        "spend_concentration",  # r9 late addition; window candidate r10
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
