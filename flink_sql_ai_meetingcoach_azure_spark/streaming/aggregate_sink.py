@@ -79,12 +79,24 @@ class StreamingAggregateSink:
         min_cols: list[str] | None = None,
         max_cols: list[str] | None = None,
         kmv_col: str | None = None,
+        sumsq_cols: list[str] | None = None,
     ) -> None:
         self.state_dir = state_dir.rstrip("/")
         self.key_cols = list(key_cols)
         self.sum_cols = list(sum_cols)
         self.min_cols = list(min_cols or [])
         self.max_cols = list(max_cols or [])
+        # power sums (Σc²): with `c` also in sum_cols the merged view
+        # derives an exact-integer population variance (the
+        # queries.q_group_moments algebra — sums are the mergeable
+        # state, variance is a read-out)
+        self.sumsq_cols = list(sumsq_cols or [])
+        missing = [c for c in self.sumsq_cols if c not in self.sum_cols]
+        if missing:
+            raise ValueError(
+                f"sumsq_cols {missing} must also be in sum_cols — the "
+                "variance read-out needs the matching Σc partial"
+            )
         self.spark = spark
         self.distinct_col = distinct_col
         self.quantile_col = quantile_col
@@ -122,13 +134,23 @@ class StreamingAggregateSink:
         checks += [
             (f"__max_{c}", f"max_cols[{c!r}]", True) for c in self.max_cols
         ]
-        want_minmax = {f"__min_{c}" for c in self.min_cols} | {
-            f"__max_{c}" for c in self.max_cols
-        }
         checks += [
-            (col, "min_cols/max_cols", False)
+            (f"__sumsq_{c}", f"sumsq_cols[{c!r}]", True)
+            for c in self.sumsq_cols
+        ]
+        want_minmax = (
+            {f"__min_{c}" for c in self.min_cols}
+            | {f"__max_{c}" for c in self.max_cols}
+            | {f"__sumsq_{c}" for c in self.sumsq_cols}
+        )
+        checks += [
+            (col, "min_cols/max_cols/sumsq_cols", False)
             for col in cols
-            if (col.startswith("__min_") or col.startswith("__max_"))
+            if (
+                col.startswith("__min_")
+                or col.startswith("__max_")
+                or col.startswith("__sumsq_")
+            )
             and col not in want_minmax
         ]
         for col, name, want in checks:
@@ -238,6 +260,14 @@ class StreamingAggregateSink:
             # min, so the same log-append/merge-on-read algebra holds
             + [F.min(c).alias(f"__min_{c}") for c in self.min_cols]
             + [F.max(c).alias(f"__max_{c}") for c in self.max_cols]
+            # Σc² partials merge by plain addition — same abelian-group
+            # algebra as the sums, so replay/compaction hold for free
+            + [
+                F.sum(F.col(c).cast("long") * F.col(c).cast("long"))
+                .cast("long")
+                .alias(f"__sumsq_{c}")
+                for c in self.sumsq_cols
+            ]
         )
         base = df.groupBy(*self.key_cols).agg(*aggs)
         if self.quantile_col is not None:
@@ -313,8 +343,25 @@ class StreamingAggregateSink:
             ]
             + [F.min(f"__min_{c}").alias(f"min_{c}") for c in self.min_cols]
             + [F.max(f"__max_{c}").alias(f"max_{c}") for c in self.max_cols]
+            + [
+                F.sum(f"__sumsq_{c}").cast("long").alias(f"sumsq_{c}")
+                for c in self.sumsq_cols
+            ]
         )
         merged = log.groupBy(*self.key_cols).agg(*aggs)
+        for c in self.sumsq_cols:
+            # exact-integer population variance in milli-units² — the
+            # q_group_moments split trunc-division (quotient·1000 +
+            # scaled remainder) so the milli-scaling never overflows
+            num = f"(n_rows * sumsq_{c} - sum_{c} * sum_{c})"
+            den = "(n_rows * n_rows)"
+            merged = merged.withColumn(
+                f"var_milli_{c}",
+                F.expr(
+                    f"({num} div {den}) * 1000L"
+                    f" + (({num} % {den}) * 1000L) div {den}"
+                ),
+            )
         if self.exact_distinct_col is not None:
             bmp = (
                 log.select(
@@ -481,6 +528,10 @@ class StreamingAggregateSink:
             ]
             + [F.min(f"__min_{c}").alias(f"__min_{c}") for c in self.min_cols]
             + [F.max(f"__max_{c}").alias(f"__max_{c}") for c in self.max_cols]
+            + [
+                F.sum(f"__sumsq_{c}").cast("long").alias(f"__sumsq_{c}")
+                for c in self.sumsq_cols
+            ]
         )
         merged = log.groupBy(*self.key_cols).agg(*aggs)
         if self.quantile_col is not None:

@@ -1910,3 +1910,86 @@ def test_streaming_aggregate_sink_min_max_schema_mismatch(spark, tmp_path):
     )
     again(batch, 0)
     assert {r.k for r in again.current().collect()} == {"a", "b"}
+
+
+def test_streaming_aggregate_sink_sumsq_variance(spark, tmp_path):
+    """Σc² partials merge by addition (same abelian group as the sums),
+    so the continuously-maintained variance equals q_group_moments'
+    exact-integer algebra over the union of all batches, survives
+    replay, and is invariant under compaction; sumsq without the
+    matching sum is rejected up front; the fail-fast schema contract
+    covers __sumsq_ in both directions."""
+    import pytest as _pytest
+
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.aggregate_sink import (
+        StreamingAggregateSink,
+    )
+
+    with _pytest.raises(ValueError, match="must also be in sum_cols"):
+        StreamingAggregateSink(
+            str(tmp_path / "never"), ["k"], [], spark, sumsq_cols=["v"]
+        )
+
+    src = str(tmp_path / "sq_src")
+    schema = T.StructType(
+        [T.StructField("k", T.StringType()), T.StructField("v", T.LongType())]
+    )
+    batches = [
+        [("a", 7), ("a", 3), ("b", 100)],
+        [("a", 12), ("b", -5), ("b", 40)],
+        [("a", 2), ("c", 6)],
+    ]
+    _write_value_batch(src, batches[0], n=0)
+    sink = StreamingAggregateSink(
+        str(tmp_path / "sq_state"), ["k"], ["v"], spark, sumsq_cols=["v"]
+    )
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "sq_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, rows in enumerate(batches[1:], start=1):
+            _write_value_batch(src, rows, n=i)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    def state():
+        return {
+            r.k: (r.n_rows, r.sum_v, r.sumsq_v, r.var_milli_v)
+            for r in sink.current().collect()
+        }
+
+    def moments(vals):
+        n, s, ss = len(vals), sum(vals), sum(v * v for v in vals)
+        num, den = n * ss - s * s, n * n
+        return (n, s, ss, (num // den) * 1000 + ((num % den) * 1000) // den)
+
+    want = {
+        "a": moments([7, 3, 12, 2]),
+        "b": moments([100, -5, 40]),
+        "c": moments([6]),
+    }
+    assert state() == want
+    assert want["c"][3] == 0  # single value: zero variance
+    sink(spark.createDataFrame(batches[0], schema), 0)  # replay no-op
+    assert state() == want
+    sink.compact()
+    assert state() == want
+
+    # fail-fast both directions against the existing log
+    with _pytest.raises(ValueError, match="sumsq"):
+        StreamingAggregateSink(  # dropped sumsq against sumsq state
+            str(tmp_path / "sq_state"), ["k"], ["v"], spark
+        )._check_log_schema()
+    plain_state = str(tmp_path / "sq_plain")
+    StreamingAggregateSink(plain_state, ["k"], ["v"], spark)(
+        spark.createDataFrame(batches[0], schema), 0
+    )
+    with _pytest.raises(ValueError, match="sumsq"):
+        StreamingAggregateSink(  # added sumsq against plain state
+            plain_state, ["k"], ["v"], spark, sumsq_cols=["v"]
+        )._check_log_schema()
