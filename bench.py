@@ -230,6 +230,7 @@ BENCH_QUERIES = [
     "fk_integrity",
     "group_moments",
     "spend_concentration",
+    "langid_eval",
     # PII scrub + sequence packing (beyond-reference curation ops)
     "pii_redact",
     "pack_sequences",

@@ -10886,6 +10886,59 @@ ORDER BY event_type
 """
 
 
+def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix + per-class metrics for the lang-id heuristic
+    against the dataset's labeled `lang` column — the eval-discipline
+    entry for the classifier family (ann_recall_eval : ANN ::
+    lsh_recall_eval : LSH :: this : lang_id — every approximate
+    operator ships with its measured accuracy). One row per observed
+    (true, predicted) cell with the cell count, the true-class total,
+    and recall in exact ppm; cells table is |langs|² regardless of
+    corpus size (one combinable count + one broadcast marginal join)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.select(
+        "doc_id",
+        F.col("lang").alias("true_lang"),
+        lang_id_col("text").alias("pred_lang"),
+    )
+    cells = pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    marg = cells.groupBy("true_lang").agg(F.sum("n").alias("n_true"))
+    return (
+        cells.join(F.broadcast(marg), "true_lang")
+        .select(
+            "true_lang",
+            "pred_lang",
+            F.col("n").cast("bigint").alias("n"),
+            F.col("n_true").cast("bigint").alias("n_true"),
+            F.expr("n * 1000000L div n_true").alias("recall_ppm"),
+            (F.col("true_lang") == F.col("pred_lang")).alias("is_hit"),
+        )
+        .orderBy("true_lang", "pred_lang")
+    )
+
+
+def _sql_langid_eval() -> str:
+    inner = _sql_lang_id().strip()
+    return f"""
+WITH pred AS (
+  SELECT p.doc_id, d.lang AS true_lang, p.lang_pred AS pred_lang
+  FROM ({inner}) p JOIN documents d USING (doc_id)),
+cells AS (SELECT true_lang, pred_lang, count(*) AS n
+          FROM pred GROUP BY 1, 2),
+marg AS (SELECT true_lang, sum(n) AS n_true FROM cells GROUP BY 1)
+SELECT c.true_lang, c.pred_lang,
+       CAST(c.n AS BIGINT) AS n,
+       CAST(m.n_true AS BIGINT) AS n_true,
+       CAST(c.n * 1000000 // m.n_true AS BIGINT) AS recall_ppm,
+       c.true_lang = c.pred_lang AS is_hit
+FROM cells c JOIN marg m USING (true_lang)
+ORDER BY c.true_lang, c.pred_lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-9 rotation (VERDICT r8 #1): the first 36 entries below had
@@ -11126,4 +11179,5 @@ QUERIES: dict[str, QuerySpec] = {
     "spend_concentration": QuerySpec(
         q_spend_concentration, SQL_SPEND_CONCENTRATION
     ),
+    "langid_eval": QuerySpec(q_langid_eval, _sql_langid_eval()),
 }
