@@ -231,6 +231,7 @@ BENCH_QUERIES = [
     "group_moments",
     "spend_concentration",
     "langid_eval",
+    "quantization_error",
     # PII scrub + sequence packing (beyond-reference curation ops)
     "pii_redact",
     "pack_sequences",

@@ -10939,6 +10939,91 @@ ORDER BY c.true_lang, c.pred_lang
 """
 
 
+def q_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruction-error profile of the int8 quantization rung — the
+    eval-discipline companion of `ann_quantized` (that entry verifies
+    the SEARCH results; this one quantifies the representation itself):
+    per label, the count / min / mean / max angular error
+    (1e6 − cosine(v, x̂) in integer micro) between each vector and its
+    dequantized reconstruction. The storage-ladder report a 100 TB
+    deployment reads before committing to 4× smaller indexes.
+
+    Map-only quantize→dequantize→cosine (one codegen pass; the cosine
+    is micro-rounded PER VECTOR so the group sums are exact BIGINT),
+    then one combinable per-label aggregate. Zero vectors (undefined
+    cosine) are excluded by the norm guard — pinned."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.functions.vectors import (  # noqa: PLC0415
+        cosine_similarity_col,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.quantize import (  # noqa: PLC0415
+        dequantize_col,
+        quantize_embeddings,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = quantize_embeddings(
+        emb.select(
+            "vec_id",
+            "label",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        ),
+        vec_col="v",
+    )
+    recon = qdf.withColumn("dv", dequantize_col("q_vec", "q_scale"))
+    per_vec = (
+        recon.filter(
+            F.expr("aggregate(dv, 0.0D, (acc, x) -> acc + x * x)") > 0
+        )
+        .select(
+            "label",
+            (
+                F.lit(1_000_000)
+                - F.round(cosine_similarity_col("v", "dv") * 1_000_000).cast(
+                    "bigint"
+                )
+            ).alias("err_micro"),
+        )
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.min("err_micro").alias("min_err_micro"),
+            F.expr("sum(err_micro) div count(1)").alias("mean_err_micro"),
+            F.max("err_micro").alias("max_err_micro"),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_QUANTIZATION_ERROR = """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (SELECT vec_id, label, v,
+              list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+       FROM e),
+dq AS (SELECT vec_id, label, v,
+              CASE WHEN s = 0 THEN list_transform(v, x -> 0.0)
+                   ELSE list_transform(v, x -> round(x / s) * s) END AS dv
+       FROM sc),
+pv AS (SELECT label,
+              1000000 - CAST(round(
+                list_dot_product(v, dv) /
+                (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(dv, dv)))
+                * 1000000) AS BIGINT) AS err_micro
+       FROM dq
+       WHERE list_dot_product(dv, dv) > 0)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(err_micro) AS BIGINT) AS min_err_micro,
+       CAST(sum(err_micro) // count(*) AS BIGINT) AS mean_err_micro,
+       CAST(max(err_micro) AS BIGINT) AS max_err_micro
+FROM pv
+GROUP BY label
+ORDER BY label
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-9 rotation (VERDICT r8 #1): the first 36 entries below had
@@ -11180,4 +11265,7 @@ QUERIES: dict[str, QuerySpec] = {
         q_spend_concentration, SQL_SPEND_CONCENTRATION
     ),
     "langid_eval": QuerySpec(q_langid_eval, _sql_langid_eval()),
+    "quantization_error": QuerySpec(
+        q_quantization_error, SQL_QUANTIZATION_ERROR
+    ),
 }
