@@ -232,6 +232,8 @@ BENCH_QUERIES = [
     "spend_concentration",
     "langid_eval",
     "quantization_error",
+    "cumulative_distinct",
+    "oov_rate",
     # PII scrub + sequence packing (beyond-reference curation ops)
     "pii_redact",
     "pack_sequences",

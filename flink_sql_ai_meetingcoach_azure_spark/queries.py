@@ -11024,6 +11024,141 @@ ORDER BY label
 """
 
 
+def q_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT cardinality per user per day — "how many
+    distinct event types has this user touched so far" — the cumulative
+    count-distinct a naive engine writes as COUNT(DISTINCT) OVER
+    (ROWS UNBOUNDED PRECEDING), which Spark (and most engines) reject
+    and which would be quadratic anyway. The scale-right identity:
+    a value's FIRST day is one combinable min() aggregate, so the
+    running distinct count is just a running SUM of first-occurrence
+    counts — per-user-partitioned window over the user-day table
+    (calendar-bounded partitions), never over raw events. Days with
+    activity but no new types still emit (running count carries)."""
+    _prep(spark)
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    ev = _events(spark, sf_dir)
+    ud = ev.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day"),
+        "event_type",
+    )
+    first = ud.groupBy("user_id", "event_type").agg(
+        F.min("day").alias("first_day")
+    )
+    new_per_day = first.groupBy(
+        "user_id", F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    active = ud.select("user_id", "day").distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    return (
+        active.join(new_per_day, ["user_id", "day"], "left")
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+        .withColumn(
+            "distinct_types_so_far", F.sum("n_new").over(w).cast("bigint")
+        )
+        .select(
+            "user_id",
+            "day",
+            F.col("n_new").cast("bigint").alias("n_new_types"),
+            "distinct_types_so_far",
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+SQL_CUMULATIVE_DISTINCT = """
+WITH ud AS (SELECT user_id,
+                   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                        AS BIGINT) AS day,
+                   event_type
+            FROM events),
+fst AS (SELECT user_id, event_type, min(day) AS first_day
+        FROM ud GROUP BY 1, 2),
+npd AS (SELECT user_id, first_day AS day, count(*) AS n_new
+        FROM fst GROUP BY 1, 2),
+act AS (SELECT DISTINCT user_id, day FROM ud)
+SELECT a.user_id, a.day,
+       CAST(COALESCE(n.n_new, 0) AS BIGINT) AS n_new_types,
+       CAST(sum(COALESCE(n.n_new, 0)) OVER (PARTITION BY a.user_id
+                                            ORDER BY a.day) AS BIGINT)
+         AS distinct_types_so_far
+FROM act a LEFT JOIN npd n ON a.user_id = n.user_id AND a.day = n.day
+ORDER BY a.user_id, a.day
+"""
+
+
+OOV_VOCAB_SIZE = 1000  # fixed top-V vocabulary
+
+
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus's top-1000
+    vocabulary (count DESC, term ASC ties — deterministic) — the
+    coverage number a tokenizer/vocab decision is gated on: a source
+    whose tokens fall outside the shared vocabulary will fragment into
+    rare subwords and eat the context window. Vocabulary selection is
+    one combinable count + the audited range-exchange global ranking
+    (operators/indexing.py::contiguous_row_ids — the zipf_slope
+    primitive; a plain ORDER BY window would serialize the vocabulary
+    through one task) over the VOCABULARY-sized term table; membership
+    is a broadcast join; the per-source rollup is exact integer ppm."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: PLC0415
+        tokens_col,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.indexing import (  # noqa: PLC0415
+        contiguous_row_ids,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokens_col("text")).alias("w"))
+    counts = tok.groupBy("w").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        contiguous_row_ids(counts, [F.desc("cnt"), F.asc("w")], "rnk")
+        .filter(F.col("rnk") <= OOV_VOCAB_SIZE)
+        .select("w")
+    )
+    flagged = tok.join(
+        F.broadcast(vocab.withColumn("__in", F.lit(1))), "w", "left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .withColumn(
+            "oov_ppm", F.expr("n_oov * 1000000L div greatest(n_tokens, 1L)")
+        )
+        .orderBy("source")
+    )
+
+
+def _sql_oov_rate() -> str:
+    toks = _TOKS.format(col="text")
+    return f"""
+WITH tok AS (SELECT source, unnest({toks}) AS w FROM documents),
+counts AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+vocab AS (SELECT w FROM
+            (SELECT w, row_number() OVER (ORDER BY cnt DESC, w ASC) AS rnk
+             FROM counts)
+          WHERE rnk <= {OOV_VOCAB_SIZE})
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) * 1000000
+            // greatest(count(*), 1) AS BIGINT) AS oov_ppm
+FROM tok t LEFT JOIN vocab v USING (w)
+GROUP BY source
+ORDER BY source
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-9 rotation (VERDICT r8 #1): the first 36 entries below had
@@ -11268,4 +11403,8 @@ QUERIES: dict[str, QuerySpec] = {
     "quantization_error": QuerySpec(
         q_quantization_error, SQL_QUANTIZATION_ERROR
     ),
+    "cumulative_distinct": QuerySpec(
+        q_cumulative_distinct, SQL_CUMULATIVE_DISTINCT
+    ),
+    "oov_rate": QuerySpec(q_oov_rate, _sql_oov_rate()),
 }

@@ -197,6 +197,8 @@ def test_entry_contract_shape():
         "spend_concentration",  # r9 late addition; window candidate r10
         "langid_eval",  # r9 late addition; window candidate r10
         "quantization_error",  # r9 late addition; window candidate r10
+        "cumulative_distinct",  # r9 late addition; window candidate r10
+        "oov_rate",  # r9 late addition; window candidate r10
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
