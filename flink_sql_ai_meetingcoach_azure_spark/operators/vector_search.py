@@ -131,6 +131,7 @@ def vector_search(
     max_index_rows: int | None = MAX_BROADCAST_INDEX_ROWS,
     fallback_path: str | None = None,
     fallback_nprobe: int = 4,
+    round_sim: int | None = None,
 ) -> DataFrame:
     """LATERAL TABLE(VECTOR_SEARCH(...)) equivalent: appends
     ``output_col ARRAY<STRUCT<payload...>>`` (top-k by cosine) to every query
@@ -143,6 +144,11 @@ def vector_search(
     ``fallback_nprobe`` cells instead of raising.  With
     ``fallback_nprobe >= nlist`` the probe is exhaustive, so results are
     identical to the broadcast path; smaller values trade recall for reads.
+
+    ``round_sim``: round cosine to this many decimals BEFORE ranking (both
+    routes), so the (sim DESC, payload ASC) order — including which rows
+    make the k cut — is reproducible across engines regardless of float
+    summation order. Required for oracle-exact entries that route-flip.
     """
     payload_cols = payload_cols or [c for c in index_df.columns if c != index_col]
 
@@ -156,6 +162,7 @@ def vector_search(
             index_col=index_col,
             payload_cols=payload_cols,
             output_col=output_col,
+            round_sim=round_sim,
         )
 
     if method == "numpy":
@@ -185,6 +192,8 @@ def vector_search(
         dot_col(F.col(query_col), F.col("__index_vec"))
         / (F.col("__qnorm") * F.col("__inorm"))
     ).alias("__sim")
+    if round_sim is not None:
+        sim = F.round(sim, round_sim).alias("__sim")
     joined = q.join(F.broadcast(idx), how="cross").withColumn("__sim", sim)
     w = Window.partitionBy(_QID).orderBy(F.desc("__sim"), *[F.asc(c) for c in payload_cols[:1]])
     ranked = joined.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k)
@@ -558,6 +567,7 @@ def vector_search_ivf_parquet(
     index_col: str = "embedding",
     payload_cols: list[str] | None = None,
     output_col: str = "search_results",
+    round_sim: int | None = None,
 ) -> DataFrame:
     """IVF probe against an on-disk partitioned index: one small job over
     the (query-side) stream collects the distinct probed cells, the index
@@ -584,6 +594,7 @@ def vector_search_ivf_parquet(
         index_col=index_col,
         payload_cols=payload_cols,
         output_col=output_col,
+        round_sim=round_sim,
     )
 
 
@@ -597,6 +608,7 @@ def vector_search_ivf(
     index_col: str = "embedding",
     payload_cols: list[str] | None = None,
     output_col: str = "search_results",
+    round_sim: int | None = None,
 ) -> DataFrame:
     """IVF probe: each query searches only its ``nprobe`` nearest centroid
     cells. Join on centroid_id prunes the candidate set to ~nprobe/nlist of
@@ -617,6 +629,8 @@ def vector_search_ivf(
     )
     joined = q.join(idx, on="centroid_id", how="inner")
     sim = cosine_similarity_col(F.col(query_col), F.col("__index_vec")).alias("__sim")
+    if round_sim is not None:
+        sim = F.round(sim, round_sim).alias("__sim")
     joined = joined.withColumn("__sim", sim)
     w = Window.partitionBy(_QID).orderBy(F.desc("__sim"), *[F.asc(c) for c in payload_cols[:1]])
     ranked = joined.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k)

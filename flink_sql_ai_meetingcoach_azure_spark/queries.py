@@ -10621,6 +10621,98 @@ ORDER BY vec_id
 """
 
 
+KNN_IVF_CEILING = 128  # rows: deliberately below the labeled seed size
+
+
+def _knn_ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """On-disk IVF index over the LABELED (even-id) seed with the label
+    riding as a payload column — the artifact ``q_knn_classify_ivf``'s
+    route-flip probes. Same (applicationId, sf_dir)-keyed cache discipline
+    as :func:`_ivf_index_path`; nlist=8 so ``fallback_nprobe=8`` makes the
+    probe exhaustive (exact, oracle-shared results)."""
+    import hashlib  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # noqa: PLC0415
+        build_ivf_index,
+        write_ivf_index,
+    )
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, "knn_labeled")
+    path = _IVF_CACHE.get(key)
+    if path is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        labeled = emb.filter(F.col("vec_id") % 2 == 0).select(
+            "vec_id", "embedding", "label"
+        )
+        ivf, centroids = build_ivf_index(labeled, nlist=8)
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = f"{tempfile.gettempdir()}/ivf_knn_{app}_{tag}/index"
+        write_ivf_index(ivf, centroids, path)
+        _IVF_CACHE[key] = path
+    return path
+
+
+def q_knn_classify_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``knn_classify`` through the NON-broadcast route (VERDICT r9 #2):
+    the labeled seed is declared over the broadcast ceiling
+    (``max_index_rows=KNN_IVF_CEILING`` < seed rows at every SF), so
+    :func:`operators.vector_search.vector_search` takes its guarded
+    fallback (vector_search.py:158-176) and probes the on-disk IVF index
+    (parquet PARTITIONED BY centroid_id, pruned at the scan —
+    PartitionFilters, plan-asserted in tests/test_pq.py). With
+    ``fallback_nprobe == nlist`` every cell is probed, so predictions are
+    EXACT and the entry shares ``knn_classify``'s oracle — this is the
+    label-spreading shape that survives a labeled seed too large to
+    broadcast (the reference's numCandidates-bounded search:
+    generate_personalized_commands.sh:379-384). ``round_sim=6`` pins the
+    (sim DESC, vec_id ASC) k-cut to the oracle's 6dp ranking on BOTH
+    routes, so the route flip is value-invisible."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # noqa: PLC0415
+        vector_search,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    labeled = emb.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id", "embedding", "label"
+    )
+    queries = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("qid"), "embedding",
+        F.col("label").alias("true_label"),
+    )
+    hits = vector_search(
+        queries,
+        labeled,
+        k=KNN_K,
+        payload_cols=["vec_id", "label"],
+        max_index_rows=KNN_IVF_CEILING,
+        fallback_path=_knn_ivf_index_path(spark, sf_dir),
+        fallback_nprobe=8,
+        round_sim=6,
+    )
+    votes = (
+        hits.select("qid", "true_label", F.explode("search_results").alias("__s"))
+        .groupBy("qid", "true_label", F.col("__s.label").alias("label"))
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    pick = votes.groupBy("qid", "true_label").agg(
+        F.min(
+            F.struct(
+                (-F.col("votes")).alias("nv"), F.col("label").alias("label")
+            )
+        ).alias("__w")
+    )
+    return pick.select(
+        F.col("qid").alias("vec_id"),
+        F.col("__w.label").alias("pred_label"),
+        (-F.col("__w.nv")).cast("bigint").alias("votes"),
+        F.col("true_label").alias("true_label"),
+        (F.col("__w.label") == F.col("true_label")).alias("correct"),
+    ).orderBy("vec_id")
+
+
 def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CUSUM changepoint detection per event type — WHERE the rate
     shifted, not just that an hour is anomalous (event_rate_anomaly's
@@ -11161,16 +11253,68 @@ ORDER BY source
 
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
-    # Round-9 rotation (VERDICT r8 #1): the first 36 entries below had
-    # NEVER been externally driver-checked (the r7 late additions plus
-    # kmeans_refine and the 8 former deliberate tail drops); the last 14
-    # are previously hash-green ballast chosen because round 9 changed
-    # them (semantic_dedup / cluster_sample now assign against
-    # Lloyd-refined centroids; kmeans_refine's oracle division became
-    # exact-integer) or because they are the heaviest non-trivial chains
-    # (rag_* / curation / fuzzy / bpe / chunk_embed / ngram_jaccard).
-    # After this round every oracle-backed registry entry has been in at
-    # least one external driver window.
+    # Round-10 rotation (VERDICT r9 #1): the first 28 entries below are
+    # the late-r9 additions that have NEVER been in an external driver
+    # window (all locally green in the full-registry gate and the
+    # per-pytest tail check since they landed). The remaining 22 slots
+    # are ballast chosen from the r9-green window: the three canonical
+    # known-good lines (rag_pipeline_verified / tpch_q1 / ann_topk) that
+    # distinguish a broken driver run from entry failures, plus the
+    # heaviest non-trivial r9-verified chains. After this round every
+    # oracle-backed registry entry has external hash evidence.
+    "bpe_encode": QuerySpec(q_bpe_encode, _sql_bpe_encode()),
+    "char_entropy": QuerySpec(q_char_entropy, SQL_CHAR_ENTROPY),
+    "attribution": QuerySpec(q_attribution, SQL_ATTRIBUTION),
+    "png_meta": QuerySpec(q_png_meta, SQL_PNG_META),
+    "neardup_keep_best": QuerySpec(q_neardup_keep_best, _sql_neardup_keep_best()),
+    "rank_normalize": QuerySpec(q_rank_normalize, SQL_RANK_NORMALIZE),
+    "label_propagation": QuerySpec(q_label_propagation, _sql_label_propagation()),
+    "source_overlap": QuerySpec(q_source_overlap, _sql_source_overlap()),
+    "ngram_novelty": QuerySpec(q_ngram_novelty, _sql_ngram_novelty()),
+    "context_windows": QuerySpec(q_context_windows, SQL_CONTEXT_WINDOWS),
+    "temporal_enrich": QuerySpec(q_temporal_enrich, SQL_TEMPORAL_ENRICH),
+    "group_quantiles": QuerySpec(q_group_quantiles, _sql_group_quantiles()),
+    "session_stats": QuerySpec(q_session_stats, SQL_SESSION_STATS),
+    "event_rate_anomaly": QuerySpec(q_event_rate_anomaly, SQL_EVENT_RATE_ANOMALY),
+    "shard_balance": QuerySpec(q_shard_balance, _sql_shard_balance()),
+    "pack_efficiency": QuerySpec(q_pack_efficiency, _sql_pack_efficiency()),
+    "k_anonymity": QuerySpec(q_k_anonymity, SQL_K_ANONYMITY),
+    "grid_density": QuerySpec(q_grid_density, SQL_GRID_DENSITY),
+    "ab_lift": QuerySpec(q_ab_lift, _sql_ab_lift()),
+    "funnel_latency": QuerySpec(q_funnel_latency, SQL_FUNNEL_LATENCY),
+    "cusum_changepoint": QuerySpec(q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
+    "fk_integrity": QuerySpec(q_fk_integrity, _sql_fk_integrity()),
+    "group_moments": QuerySpec(q_group_moments, SQL_GROUP_MOMENTS),
+    "spend_concentration": QuerySpec(
+        q_spend_concentration, SQL_SPEND_CONCENTRATION
+    ),
+    "langid_eval": QuerySpec(q_langid_eval, _sql_langid_eval()),
+    "quantization_error": QuerySpec(
+        q_quantization_error, SQL_QUANTIZATION_ERROR
+    ),
+    "cumulative_distinct": QuerySpec(
+        q_cumulative_distinct, SQL_CUMULATIVE_DISTINCT
+    ),
+    "oov_rate": QuerySpec(q_oov_rate, _sql_oov_rate()),
+    # ---- ballast (22): r9-externally-green lines ----
+    "rag_pipeline_verified": QuerySpec(q_rag_pipeline_verified, _sql_rag_pipeline_verified()),
+    "tpch_q1": QuerySpec(q_tpch_q1, SQL_TPCH_Q1),
+    "ann_topk": QuerySpec(q_ann_topk, SQL_ANN_TOPK),
+    "cdc_chunks": QuerySpec(q_cdc_chunks, SQL_CDC_CHUNKS),
+    "topic_keywords": QuerySpec(q_topic_keywords, _sql_topic_keywords()),
+    "dsir_weights": QuerySpec(q_dsir_weights, _sql_dsir_weights()),
+    "theil_sen_trend": QuerySpec(q_theil_sen_trend, SQL_THEIL_SEN_TREND),
+    "knn_classify": QuerySpec(q_knn_classify, SQL_KNN_CLASSIFY),
+    # new in r10 (VERDICT r9 #2): the route-flip demonstration shares
+    # knn_classify's oracle — identical semantics, non-broadcast plan
+    "knn_classify_ivf": QuerySpec(q_knn_classify_ivf, SQL_KNN_CLASSIFY),
+    "token_compression": QuerySpec(q_token_compression, _sql_token_compression()),
+    "phrase_search": QuerySpec(q_phrase_search, SQL_PHRASE_SEARCH),
+    "mad_outliers": QuerySpec(q_mad_outliers, SQL_MAD_OUTLIERS),
+    "centroid_shift": QuerySpec(q_centroid_shift, _sql_centroid_shift()),
+    "semantic_dedup": QuerySpec(q_semantic_dedup, _sql_semantic_dedup()),
+    "cluster_sample": QuerySpec(q_cluster_sample, _sql_cluster_sample()),
+    "kmeans_refine": QuerySpec(q_kmeans_refine, _sql_kmeans_refine()),
     "bloom_join": QuerySpec(q_bloom_join, SQL_BLOOM_JOIN),
     "heavy_hitters": QuerySpec(q_heavy_hitters, SQL_HEAVY_HITTERS),
     "setsim_join": QuerySpec(q_setsim_join, SQL_SETSIM_JOIN),
@@ -11179,6 +11323,14 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "kcore": QuerySpec(q_kcore, _sql_kcore()),
     "bfs_hops": QuerySpec(q_bfs_hops, _sql_bfs_hops()),
+    # ---- outside the driver's 50-entry window ----
+    # every entry below was externally hash-checked in at least one
+    # r1-r9 driver window, except the 2 rows-only chains (rag_pipeline,
+    # ddl_reference_pipeline); the full tail is re-verified against its
+    # oracles at sf0.001 on every pytest run (test_entry_contract) and
+    # at sf0.01 by tools/check_correctness.py. Tail head: the 28 r9
+    # window lines (all ext-r9 hash-green) that handed their slots to
+    # the late-r9 pack above.
     "containment_pairs": QuerySpec(q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "skew_profile": QuerySpec(q_skew_profile, SQL_SKEW_PROFILE),
     "join_blowup": QuerySpec(q_join_blowup, SQL_JOIN_BLOWUP),
@@ -11202,7 +11354,6 @@ QUERIES: dict[str, QuerySpec] = {
     "normalized_dedup": QuerySpec(q_normalized_dedup, SQL_NORMALIZED_DEDUP),
     "hdr_quantiles": QuerySpec(q_hdr_quantiles, _sql_hdr_quantiles()),
     "budget_select": QuerySpec(q_budget_select, SQL_BUDGET_SELECT),
-    "kmeans_refine": QuerySpec(q_kmeans_refine, _sql_kmeans_refine()),
     "gap_fill": QuerySpec(q_gap_fill, SQL_GAP_FILL),
     "linear_trend": QuerySpec(q_linear_trend, SQL_LINEAR_TREND),
     "winsorize": QuerySpec(q_winsorize, SQL_WINSORIZE),
@@ -11211,37 +11362,6 @@ QUERIES: dict[str, QuerySpec] = {
     "cohort_retention": QuerySpec(q_cohort_retention, SQL_COHORT_RETENTION),
     "decayed_score": QuerySpec(q_decayed_score, SQL_DECAYED_SCORE),
     "profile_columns": QuerySpec(q_profile_columns, SQL_PROFILE_COLUMNS),
-    "semantic_dedup": QuerySpec(q_semantic_dedup, _sql_semantic_dedup()),
-    "cluster_sample": QuerySpec(q_cluster_sample, _sql_cluster_sample()),
-    # second window rotation (late r9): nine never-externally-checked
-    # late-r9 entries replace nine UNCHANGED previously-hash-green
-    # ballast lines (fuzzy_dedup/curation_v2/contrastive_pairs/
-    # rag_pipeline_bulk/chunk_embed_ingest/bpe_merges/ngram_jaccard/
-    # tpch_q9/mask_spans — all moved to the tail head below); three
-    # strong ballast lines remain (the flagship hash-verified RAG chain,
-    # tpch_q1, ann_topk) so a systematically broken driver run is
-    # distinguishable from new-entry failures. Window first-time share:
-    # 45/50 (the 36 above + these 9; semantic_dedup/cluster_sample/
-    # kmeans_refine count as changed-code re-verification).
-    "rag_pipeline_verified": QuerySpec(q_rag_pipeline_verified, _sql_rag_pipeline_verified()),
-    "tpch_q1": QuerySpec(q_tpch_q1, SQL_TPCH_Q1),
-    "ann_topk": QuerySpec(q_ann_topk, SQL_ANN_TOPK),
-    "cdc_chunks": QuerySpec(q_cdc_chunks, SQL_CDC_CHUNKS),
-    "topic_keywords": QuerySpec(q_topic_keywords, _sql_topic_keywords()),
-    "dsir_weights": QuerySpec(q_dsir_weights, _sql_dsir_weights()),
-    "theil_sen_trend": QuerySpec(q_theil_sen_trend, SQL_THEIL_SEN_TREND),
-    "knn_classify": QuerySpec(q_knn_classify, SQL_KNN_CLASSIFY),
-    "token_compression": QuerySpec(q_token_compression, _sql_token_compression()),
-    "phrase_search": QuerySpec(q_phrase_search, SQL_PHRASE_SEARCH),
-    "mad_outliers": QuerySpec(q_mad_outliers, SQL_MAD_OUTLIERS),
-    "centroid_shift": QuerySpec(q_centroid_shift, _sql_centroid_shift()),
-    # ---- outside the driver's 50-entry window ----
-    # every entry below was externally hash-checked in at least one
-    # r1-r8 driver window, except the 2 rows-only chains (rag_pipeline,
-    # ddl_reference_pipeline) and the late-r9 additions marked as r10
-    # window candidates; the full tail is re-verified against its
-    # oracles at sf0.001 on every pytest run (test_entry_contract) and
-    # at sf0.01 by tools/check_correctness.py
     "fuzzy_dedup": QuerySpec(q_fuzzy_dedup, _sql_fuzzy_dedup()),
     "curation_v2": QuerySpec(q_curation_v2, _sql_curation_v2()),
     "contrastive_pairs": QuerySpec(q_contrastive_pairs, _sql_contrastive_pairs()),
@@ -11370,41 +11490,4 @@ QUERIES: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(q_stratified_sample, _sql_stratified_sample()),
     "quality_score": QuerySpec(q_quality_score, _sql_quality_score()),
     "token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS),
-    # -- r9 late additions (after the rotation; window candidates r10) --
-    "bpe_encode": QuerySpec(q_bpe_encode, _sql_bpe_encode()),
-    "char_entropy": QuerySpec(q_char_entropy, SQL_CHAR_ENTROPY),
-    "attribution": QuerySpec(q_attribution, SQL_ATTRIBUTION),
-    "png_meta": QuerySpec(q_png_meta, SQL_PNG_META),
-    "neardup_keep_best": QuerySpec(q_neardup_keep_best, _sql_neardup_keep_best()),
-    "rank_normalize": QuerySpec(q_rank_normalize, SQL_RANK_NORMALIZE),
-    "label_propagation": QuerySpec(q_label_propagation, _sql_label_propagation()),
-    "source_overlap": QuerySpec(q_source_overlap, _sql_source_overlap()),
-    "ngram_novelty": QuerySpec(q_ngram_novelty, _sql_ngram_novelty()),
-    "context_windows": QuerySpec(q_context_windows, SQL_CONTEXT_WINDOWS),
-    "temporal_enrich": QuerySpec(q_temporal_enrich, SQL_TEMPORAL_ENRICH),
-    "group_quantiles": QuerySpec(q_group_quantiles, _sql_group_quantiles()),
-    "session_stats": QuerySpec(q_session_stats, SQL_SESSION_STATS),
-    "event_rate_anomaly": QuerySpec(q_event_rate_anomaly, SQL_EVENT_RATE_ANOMALY),
-    "shard_balance": QuerySpec(q_shard_balance, _sql_shard_balance()),
-    "pack_efficiency": QuerySpec(q_pack_efficiency, _sql_pack_efficiency()),
-    # late-r9 additions NOT in the second rotation (r10 window
-    # candidates); their 9 siblings were rotated into window slots 39-50
-    "k_anonymity": QuerySpec(q_k_anonymity, SQL_K_ANONYMITY),
-    "grid_density": QuerySpec(q_grid_density, SQL_GRID_DENSITY),
-    "ab_lift": QuerySpec(q_ab_lift, _sql_ab_lift()),
-    "funnel_latency": QuerySpec(q_funnel_latency, SQL_FUNNEL_LATENCY),
-    "cusum_changepoint": QuerySpec(q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
-    "fk_integrity": QuerySpec(q_fk_integrity, _sql_fk_integrity()),
-    "group_moments": QuerySpec(q_group_moments, SQL_GROUP_MOMENTS),
-    "spend_concentration": QuerySpec(
-        q_spend_concentration, SQL_SPEND_CONCENTRATION
-    ),
-    "langid_eval": QuerySpec(q_langid_eval, _sql_langid_eval()),
-    "quantization_error": QuerySpec(
-        q_quantization_error, SQL_QUANTIZATION_ERROR
-    ),
-    "cumulative_distinct": QuerySpec(
-        q_cumulative_distinct, SQL_CUMULATIVE_DISTINCT
-    ),
-    "oov_rate": QuerySpec(q_oov_rate, _sql_oov_rate()),
 }

@@ -2109,3 +2109,36 @@ def test_knn_classify_majority_and_tie(spark):
     assert got[1] == (7, 2, True)  # 2-of-3 majority
     # q3's 3 nearest are labels {9, 7, 2} (one vote each) -> smallest label
     assert got[3] == (2, 1, False)
+
+
+def test_knn_classify_ivf_routes_and_matches_flat(spark):
+    """q_knn_classify_ivf (VERDICT r9 #2): the labeled seed exceeds
+    KNN_IVF_CEILING at every SF, so vector_search must take the guarded
+    IVF-parquet fallback — the plan reads the partitioned index with a
+    centroid_id PartitionFilter (never a broadcast of the seed) — and,
+    probed exhaustively (nprobe == nlist), predictions are bit-identical
+    to the broadcast-route q_knn_classify."""
+    from flink_sql_ai_meetingcoach_azure_spark.queries import (
+        KNN_IVF_CEILING,
+        q_knn_classify,
+        q_knn_classify_ivf,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    seed_rows = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .filter("vec_id % 2 = 0")
+        .count()
+    )
+    assert seed_rows > KNN_IVF_CEILING  # the guard MUST trip
+
+    ivf_df = q_knn_classify_ivf(spark, sf)
+    plan = ivf_df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "PartitionFilters" in plan
+    assert "centroid_id" in plan.split("PartitionFilters", 1)[1][:200]
+
+    flat = [tuple(r) for r in q_knn_classify(spark, sf).collect()]
+    ivf = [tuple(r) for r in ivf_df.collect()]
+    assert ivf == flat
