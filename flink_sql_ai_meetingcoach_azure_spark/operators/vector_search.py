@@ -91,8 +91,9 @@ def vector_search_topk_flat(
 ) -> DataFrame:
     """Flat top-k: one output row per (query row, matched index row).
 
-    Deterministic tie-break: orders by (similarity desc, first payload col)
-    so ranks are stable across engines and runs.
+    Deterministic tie-break: orders by (similarity desc, payload cols asc)
+    — a total order when the payload is a key — so ranks are stable across
+    engines and runs.
     """
     payload_cols = payload_cols or [c for c in index_df.columns if c != index_col]
 
@@ -111,7 +112,7 @@ def vector_search_topk_flat(
     if round_sim is not None:
         sim = F.round(sim, round_sim)
     joined = q.join(F.broadcast(idx), how="cross").withColumn(sim_col, sim)
-    w = Window.partitionBy(_QID).orderBy(F.desc(sim_col), *[F.asc(c) for c in payload_cols[:1]])
+    w = Window.partitionBy(_QID).orderBy(F.desc(sim_col), *[F.asc(c) for c in payload_cols])
     return (
         joined.withColumn(rank_col, F.row_number().over(w))
         .filter(F.col(rank_col) <= k)
@@ -169,7 +170,7 @@ def vector_search(
         try:
             return _vector_search_numpy(
                 query_df, index_df, k, query_col, index_col, payload_cols, output_col,
-                max_index_rows=max_index_rows,
+                max_index_rows=max_index_rows, round_sim=round_sim,
             )
         except IndexTooLargeError:
             if fallback_path is None:
@@ -195,7 +196,7 @@ def vector_search(
     if round_sim is not None:
         sim = F.round(sim, round_sim).alias("__sim")
     joined = q.join(F.broadcast(idx), how="cross").withColumn("__sim", sim)
-    w = Window.partitionBy(_QID).orderBy(F.desc("__sim"), *[F.asc(c) for c in payload_cols[:1]])
+    w = Window.partitionBy(_QID).orderBy(F.desc("__sim"), *[F.asc(c) for c in payload_cols])
     ranked = joined.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k)
     result_struct = F.struct(*[F.col(c) for c in payload_cols])
     agg = ranked.groupBy(_QID).agg(
@@ -218,6 +219,7 @@ def _vector_search_numpy(
     payload_cols: list[str],
     output_col: str,
     max_index_rows: int | None = MAX_BROADCAST_INDEX_ROWS,
+    round_sim: int | None = None,
 ) -> DataFrame:
     """Broadcast the index as numpy matrices; per-Arrow-batch GEMM top-k.
 
@@ -261,6 +263,8 @@ def _vector_search_numpy(
             qn = np.linalg.norm(qm, axis=1)
             qn[qn == 0] = 1.0
             sims = (qm / qn[:, None]) @ mat_n_l.T  # (batch, n_index) GEMM
+            if round_sim is not None:
+                sims = np.round(sims, round_sim)
             kk = min(k, sims.shape[1])
             top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
             results = []
@@ -632,7 +636,7 @@ def vector_search_ivf(
     if round_sim is not None:
         sim = F.round(sim, round_sim).alias("__sim")
     joined = joined.withColumn("__sim", sim)
-    w = Window.partitionBy(_QID).orderBy(F.desc("__sim"), *[F.asc(c) for c in payload_cols[:1]])
+    w = Window.partitionBy(_QID).orderBy(F.desc("__sim"), *[F.asc(c) for c in payload_cols])
     ranked = joined.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k)
     agg = ranked.groupBy(_QID).agg(
         F.sort_array(

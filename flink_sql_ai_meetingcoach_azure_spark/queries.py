@@ -3826,25 +3826,35 @@ ORDER BY event_id
 def q_ddl_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's ENTIRE SQL script (models, tables, chunk+embed
     INSERT, 4-stage CTAS chain, monitoring view, ALTERs — ddl.py
-    reference_pipeline_script) executed statement-for-statement on testdata
-    stand-ins. Model UDFs make it rows-only, like rag_pipeline; the
-    statement-vs-programmatic byte-parity is pinned by
-    tests/test_ddl.py."""
+    reference_pipeline_script, mirroring
+    generate_personalized_commands.sh:215-521) executed
+    statement-for-statement on testdata stand-ins — and since round 10
+    HASH-VERIFIED end-to-end (VERDICT r9 #5, the rag_pipeline_verified
+    trick): the mock providers are deterministic closed forms, the
+    knowledge stand-in is filtered to printable-ASCII-no-quote text so
+    JSON rendering is exact string algebra, and the DDL VECTOR_SEARCH
+    ranking is pinned to the 6-dp cosine with (document_id, chunks)
+    tie-break — so a pure-SQL oracle reproduces every stage including
+    the generated coaching JSON byte-for-byte. Statement-vs-programmatic
+    byte-parity is separately pinned by tests/test_ddl.py."""
     _prep(spark)
     from flink_sql_ai_meetingcoach_azure_spark.ddl import run_reference_pipeline  # noqa: PLC0415
 
-    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < INGEST_MAX_ID)
+        .filter(~F.col("text").rlike(_JSON_CLEAN_RE))
+    )
     knowledge = docs.select(
-        F.concat_ws("/", "source", F.col("doc_id").cast("string")).alias("document_id"),
+        F.col("doc_id").cast("string").alias("document_id"),
         F.col("doc_id").cast("string").alias("document_name"),
         F.col("source").alias("document_category"),
         F.col("text").alias("document_text"),
     )
-    ev = _events(spark, sf_dir).filter(F.col("event_id") < 60)
+    ev = _events(spark, sf_dir).filter(F.col("event_id") < RAG_NQ)
     messages = ev.select(
-        F.concat_ws(" ", F.lit("msg"), F.col("event_id").cast("string"), "props").alias(
-            "message"
-        ),
+        F.concat(F.lit("msg "), F.col("event_id").cast("string"), F.lit(" "),
+                 F.col("event_type")).alias("message"),
         F.when(F.col("event_type") == "purchase", "prospect")
         .otherwise(F.col("event_type"))
         .alias("speaker"),
@@ -3852,6 +3862,66 @@ def q_ddl_reference_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_reference_pipeline(spark, knowledge, messages, mock_dim=EMB_DIM)
     return spark.table("messages_prospect_rag_llm_response").orderBy("message")
+
+
+def _sql_ddl_reference_pipeline() -> str:
+    """Pure-SQL oracle for the verbatim DDL chain. Differs from
+    _sql_rag_pipeline_verified in exactly the ways the statement script
+    differs from the programmatic plan: no chunk dedup (the INSERT
+    SELECT has no DISTINCT), and only 'prospect' (= purchase) messages
+    flow through the Step-6.1 router."""
+    n = "chr(10)"
+    src = lambda i: (  # noqa: E731 — one json source object, json.dumps spacing
+        f"'{{\"document_index\": {i}, \"document_id\": \"' || d{i} || "
+        f"'\", \"title\": \"' || d{i} || '\", \"path\": \"\", \"full_text\": \"' || c{i} || "
+        f"'\", \"used_excerpt\": \"' || substr(c{i}, 1, 80) || '\"}}'"
+    )
+    return f"""
+WITH {_sql_chunk_cte(INGEST_MAX_ID, "AND NOT regexp_matches(text, '" + _JSON_CLEAN_RE + "')")},
+r AS (SELECT document_id, chunks, {_sql_mock_embedding_raw('chunks')} AS raw FROM ch),
+idx AS (SELECT document_id, chunks, {_SQL_EMB_NORM} AS embedding FROM r),
+msgs AS (SELECT 'msg ' || CAST(event_id AS VARCHAR) || ' ' || event_type AS message
+         FROM events WHERE event_id < {RAG_NQ} AND event_type = 'purchase'),
+mr AS (SELECT message, {_sql_mock_embedding_raw('message')} AS raw FROM msgs),
+qe AS (SELECT message, {_SQL_EMB_NORM} AS qv FROM mr),
+scored AS (SELECT message, document_id, chunks,
+                  round(list_dot_product(qv::DOUBLE[], embedding::DOUBLE[])
+                        / (sqrt(list_dot_product(qv::DOUBLE[], qv::DOUBLE[]))
+                           * sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))),
+                        6) AS sim
+           FROM qe, idx),
+ranked AS (SELECT message, document_id, chunks,
+                  row_number() OVER (PARTITION BY message
+                                     ORDER BY sim DESC, document_id, chunks) AS rank
+           FROM scored),
+agg AS (SELECT message,
+               max(CASE WHEN rank = 1 THEN document_id END) AS d1,
+               max(CASE WHEN rank = 1 THEN chunks END) AS c1,
+               max(CASE WHEN rank = 2 THEN document_id END) AS d2,
+               max(CASE WHEN rank = 2 THEN chunks END) AS c2,
+               max(CASE WHEN rank = 3 THEN document_id END) AS d3,
+               max(CASE WHEN rank = 3 THEN chunks END) AS c3
+        FROM ranked WHERE rank <= 3 GROUP BY message),
+p AS (SELECT *,
+             '## PROSPECT MESSAGE: ' || message || {n} || {n} || '## RAG DOCUMENTS:' || {n} ||
+             'Document 1: ' || d1 || {n} || c1 || {n} || {n} ||
+             'Document 2: ' || d2 || {n} || c2 || {n} || {n} ||
+             'Document 3: ' || d3 || {n} || c3 AS prompt
+      FROM agg),
+g AS (SELECT *, substr(md5(prompt), 1, 8) AS h FROM p)
+SELECT message,
+       '[{{"document_id":"' || d1 || '","chunks":"' || c1 ||
+       '"}},{{"document_id":"' || d2 || '","chunks":"' || c2 ||
+       '"}},{{"document_id":"' || d3 || '","chunks":"' || c3 || '"}}]' AS rag_results_string,
+       '```json' || {n} ||
+       '{{"suggested_response": "[mock:' || h || '] Address the point: ' ||
+       substr(message, 1, 120) ||
+       '", "sources": [' || {src(1)} || ', ' || {src(2)} || ', ' || {src(3)} ||
+       '], "reasoning": "Top documents matched the message (mock ' || h || ')."}}' ||
+       {n} || '```' AS coaching_response
+FROM g
+ORDER BY message
+"""
 
 
 # Entry order is the driver's check order and the driver verifies the FIRST
@@ -11322,7 +11392,11 @@ QUERIES: dict[str, QuerySpec] = {
         q_incremental_neardup, _sql_incremental_neardup()
     ),
     "kcore": QuerySpec(q_kcore, _sql_kcore()),
-    "bfs_hops": QuerySpec(q_bfs_hops, _sql_bfs_hops()),
+    # newly oracle-backed in r10 (VERDICT r9 #5): the verbatim DDL chain,
+    # hash-verified end-to-end for the first time
+    "ddl_reference_pipeline": QuerySpec(
+        q_ddl_reference_pipeline, _sql_ddl_reference_pipeline()
+    ),
     # ---- outside the driver's 50-entry window ----
     # every entry below was externally hash-checked in at least one
     # r1-r9 driver window, except the 2 rows-only chains (rag_pipeline,
@@ -11331,6 +11405,7 @@ QUERIES: dict[str, QuerySpec] = {
     # at sf0.01 by tools/check_correctness.py. Tail head: the 28 r9
     # window lines (all ext-r9 hash-green) that handed their slots to
     # the late-r9 pack above.
+    "bfs_hops": QuerySpec(q_bfs_hops, _sql_bfs_hops()),
     "containment_pairs": QuerySpec(q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "skew_profile": QuerySpec(q_skew_profile, SQL_SKEW_PROFILE),
     "join_blowup": QuerySpec(q_join_blowup, SQL_JOIN_BLOWUP),
@@ -11479,7 +11554,6 @@ QUERIES: dict[str, QuerySpec] = {
     "minhash_signatures": QuerySpec(q_minhash_signatures, SQL_MINHASH_SIGNATURES),
     "simhash": QuerySpec(q_simhash, _sql_simhash()),
     "rag_pipeline": QuerySpec(q_rag_pipeline, None),
-    "ddl_reference_pipeline": QuerySpec(q_ddl_reference_pipeline, None),
     "order_limit": QuerySpec(q_order_limit, SQL_ORDER_LIMIT),
     "window_running_sum": QuerySpec(q_window_running_sum, SQL_WINDOW_RUNNING_SUM),
     "anti_join": QuerySpec(q_anti_join, SQL_ANTI_JOIN),

@@ -22,8 +22,9 @@ def test_entry_contract_shape():
     rows_only = set(qs) - set(oracles)
     assert rows_only == {
         "rag_pipeline",
-        "ddl_reference_pipeline",
-        # bpe_merges moved to oracle-backed in r7 (unrolled CTE chain)
+        # ddl_reference_pipeline moved to oracle-backed in r10 (mock
+        # closed forms + 6-dp VECTOR_SEARCH pin make the verbatim DDL
+        # chain pure-SQL-reproducible); bpe_merges in r7
     }, rows_only
     # the driver checks the FIRST 50 entries; the tail is the deliberate
     # out-of-window set. Round 10 rotated the window again (VERDICT r9
@@ -35,6 +36,7 @@ def test_entry_contract_shape():
     # r1-r9 driver window, EXCEPT the 2 rows-only chains. All further
     # changes are gated here.
     assert list(qs)[50:] == [
+        "bfs_hops",  # externally checked r9; rotated out r10 (slot handed to ddl_reference_pipeline)
         "containment_pairs",  # externally checked r9; rotated out r10 (slot handed to knn_classify_ivf)
         "skew_profile",  # externally checked r9; rotated out r10
         "join_blowup",  # externally checked r9; rotated out r10
@@ -181,7 +183,6 @@ def test_entry_contract_shape():
         "minhash_signatures",  # externally checked r1-r6
         "simhash",  # externally checked r1-r6
         "rag_pipeline",  # rows-only by nature (mock-LLM chain)
-        "ddl_reference_pipeline",  # rows-only by nature (DDL chain)
         "order_limit",  # externally checked r1-r6
         "window_running_sum",  # externally checked r1-r6
         "anti_join",  # externally checked r1-r6
