@@ -226,6 +226,7 @@ BENCH_QUERIES = [
     "centroid_shift",
     "dsir_weights",
     "knn_classify",
+    "knn_classify_ivf",  # the route-flip form (IVF-parquet probe)
     "cusum_changepoint",
     "fk_integrity",
     "group_moments",
