@@ -242,6 +242,7 @@ BENCH_QUERIES = [
     # multimodal plumbing
     "multimodal_features",
     "png_meta",
+    "jpeg_meta",  # r10: SOF segment-walk parse
     # SQL DDL statement path (translator overhead ~0: same operators)
     "ddl_ctas_topn",
     "ddl_reference_pipeline",  # the full reference DDL chain (VERDICT r8 #4)

@@ -79,6 +79,80 @@ def parse_png_header(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
+_JPEG_WALK_STEPS = 12  # segments scanned before giving up (APPn/DQT/DHT…)
+_SOF_MARKERS = ("C0", "C1", "C2")  # baseline / extended / progressive
+
+
+def parse_jpeg_header(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Parse JPEG SOF dimensions out of an opaque binary column with
+    PURE Catalyst expressions — PNG's IHDR sits at a fixed offset, but a
+    JPEG's frame header (SOFn) floats behind a variable prefix of
+    APPn/EXIF/DQT/DHT segments, so this is a bounded SEGMENT WALK, not a
+    slice: fold over ``_JPEG_WALK_STEPS`` rounds carrying the current
+    1-based segment offset (negated once the SOF marker is found; 0 =
+    structurally invalid), each step either recording the SOF position
+    or hopping ``2 + big-endian segment length`` forward. A naive
+    'search the bytes for FFC0' is WRONG — EXIF payloads (thumbnails)
+    legally contain any byte pair; only the walk respects segment
+    boundaries. The fold is a JVM higher-order function over <= 12
+    elements per row (constant work — the HOF-vs-codegen concern applies
+    to corpus-sized lambdas, not a 12-step scalar fold), so
+    classification and size-filtering still run scan-side before any
+    decode UDF, the parse_png_header discipline.
+
+    Output: ``is_jpeg`` (SOI signature + an SOF found within the walk),
+    and NULL-guarded ``width``, ``height``, ``precision``,
+    ``n_components`` (big-endian u16/u16/u8/u8 at SOF+7/+5/+4/+9).
+    Non-JPEG, truncated, or SOS-before-SOF payloads survive as
+    ``is_jpeg = false`` + NULLs (filter-not-fail)."""
+    b = F.col(payload_col)
+
+    def be(pos, nbytes):
+        return F.conv(F.hex(F.substring(b, pos, F.lit(nbytes))), 16, 10).cast(
+            "bigint"
+        )
+
+    def hx(pos, nbytes):
+        return F.hex(F.substring(b, pos, F.lit(nbytes)))
+
+    soi_ok = hx(F.lit(1), 2) == F.lit("FFD8")
+
+    def step(acc, _):
+        off = acc  # >0: keep walking; <0: -(sof offset); 0: invalid
+        marker = hx(off + 1, 1)
+        is_sof = marker.isin(*_SOF_MARKERS)
+        return (
+            F.when(off <= 0, off)
+            .when(hx(off, 1) != "FF", F.lit(0).cast("bigint"))
+            .when(is_sof, -off)
+            .otherwise(off + 2 + be(off + 2, 2))
+        )
+
+    walked = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_JPEG_WALK_STEPS)),
+        F.lit(3).cast("bigint"),  # first segment marker follows the SOI
+        step,
+    )
+    df = df.withColumn("__sof", F.when(soi_ok, -walked))
+    sof = F.col("__sof")
+    found = sof.isNotNull() & (sof > 0) & (F.length(b) >= sof + 9)
+
+    def be2(pos_expr, nbytes):
+        return F.conv(
+            F.hex(F.substring(b, pos_expr, F.lit(nbytes))), 16, 10
+        ).cast("bigint")
+
+    return df.withColumns(
+        {
+            "is_jpeg": F.coalesce(found, F.lit(False)),
+            "precision": F.when(found, be2(sof + 4, 1)),
+            "height": F.when(found, be2(sof + 5, 2)),
+            "width": F.when(found, be2(sof + 7, 2)),
+            "n_components": F.when(found, be2(sof + 9, 1)),
+        }
+    ).drop("__sof")
+
+
 def attach_media_metadata(
     df: DataFrame, payload_col: str = "payload", modality_col: str | None = None
 ) -> DataFrame:

@@ -625,14 +625,24 @@ def vector_search_ivf(
     _probes = _probe_udf(centroids, nprobe, spark)
 
     q0 = query_df.withColumn(_QID, F.monotonically_increasing_id())
-    q = q0.withColumn("centroid_id", F.explode(_probes(F.col(query_col))))
+    # norms are hoisted ONCE per side (the vector_search_topk_flat
+    # discipline): cosine per candidate pair then costs one zip_with dot
+    # instead of three array folds — at nprobe cells × index rows this is
+    # the difference between O(pairs·dim) and 3·O(pairs·dim) interpreted
+    # work (the r10 knn_classify_ivf pin dropped ~3× from this hoist)
+    q = q0.withColumn("centroid_id", F.explode(_probes(F.col(query_col)))).withColumn(
+        "__qnorm", norm_col(query_col)
+    )
     # alias the index vector: query_col and index_col are usually both
     # named "embedding", which would make the join output ambiguous
     idx = ivf_index_df.select(
         "centroid_id", *payload_cols, F.col(index_col).alias("__index_vec")
-    )
+    ).withColumn("__inorm", norm_col("__index_vec"))
     joined = q.join(idx, on="centroid_id", how="inner")
-    sim = cosine_similarity_col(F.col(query_col), F.col("__index_vec")).alias("__sim")
+    sim = (
+        dot_col(F.col(query_col), F.col("__index_vec"))
+        / (F.col("__qnorm") * F.col("__inorm"))
+    ).alias("__sim")
     if round_sim is not None:
         sim = F.round(sim, round_sim).alias("__sim")
     joined = joined.withColumn("__sim", sim)

@@ -2536,6 +2536,98 @@ ORDER BY doc_id
 """
 
 
+#: synthesized JPEG layout (hex): SOI, a spec-correct JFIF APP0, an
+#: APP1 whose PAYLOAD contains a DECOY 'FFC0' byte pair (a byte search
+#: would misparse — only the segment walk survives EXIF thumbnails),
+#: then the real SOF0 with id-derived dimensions
+_JPEG_PREFIX_HEX = (
+    "FFD8"  # SOI
+    "FFE000104A46494600010100000100010000"  # APP0 len 16, JFIF
+    "FFE10008FFC0DEADBEEF"  # APP1 len 8 — decoy FFC0 inside the payload
+    "FFC0001108"  # SOF0 len 17, precision 8
+)
+_JPEG_SUFFIX_HEX = "03011100021101031101"  # 3 components
+
+
+def q_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-side JPEG SOF parsing over an opaque binary column
+    (operators/multimodal.py::parse_jpeg_header) — png_meta's harder
+    sibling (VERDICT r9 #8): the frame header floats behind a variable
+    APPn/EXIF prefix, so extraction is a bounded Catalyst segment walk,
+    not a fixed slice. Even doc_ids carry a synthesized JPEG whose APP1
+    payload embeds a DECOY SOF marker (proving the walk respects
+    segment boundaries where a byte search would not); odd doc_ids
+    carry raw text bytes (is_jpeg=false/NULL survival). The oracle
+    replays the identical walk as a list_reduce fold over the hex
+    string."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+        parse_jpeg_header,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    h = (F.lit(16) + (F.col("doc_id") * 5) % 1000).cast("int")
+    w = (F.lit(16) + (F.col("doc_id") * 3) % 1200).cast("int")
+    jpeg = F.unhex(
+        F.concat(
+            F.lit(_JPEG_PREFIX_HEX),
+            F.lpad(F.hex(h), 4, "0"),
+            F.lpad(F.hex(w), 4, "0"),
+            F.lit(_JPEG_SUFFIX_HEX),
+        )
+    )
+    media = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, jpeg)
+        .otherwise(F.encode(F.col("text"), "utf-8"))
+        .alias("payload"),
+    )
+    return (
+        parse_jpeg_header(media)
+        .select("doc_id", "is_jpeg", "width", "height", "precision", "n_components")
+        .orderBy("doc_id")
+    )
+
+
+SQL_JPEG_META = f"""
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN
+           unhex('{_JPEG_PREFIX_HEX}'
+                 || lpad(hex(CAST(16 + (doc_id * 5) % 1000 AS INT)), 4, '0')
+                 || lpad(hex(CAST(16 + (doc_id * 3) % 1200 AS INT)), 4, '0')
+                 || '{_JPEG_SUFFIX_HEX}')
+         ELSE encode(text) END AS payload
+  FROM documents),
+hx AS (SELECT doc_id, hex(payload) AS s, octet_length(payload) AS n FROM media),
+walked AS (
+  SELECT doc_id, s, n,
+         substr(s, 1, 4) = 'FFD8' AS soi_ok,
+         list_reduce(list_prepend(CAST(3 AS BIGINT), range(1, 13)),
+           (acc, x) -> CASE
+               WHEN acc <= 0 THEN acc
+               WHEN substr(s, CAST((acc - 1) * 2 + 1 AS INT), 2) <> 'FF' THEN 0
+               WHEN substr(s, CAST(acc * 2 + 1 AS INT), 2) IN ('C0', 'C1', 'C2')
+                 THEN -acc
+               ELSE acc + 2 + ('0x' || substr(s, CAST((acc + 1) * 2 + 1 AS INT), 4))::BIGINT
+           END) AS wk
+  FROM hx),
+parsed AS (
+  SELECT doc_id, s,
+         soi_ok AND wk < 0 AND n >= (-wk) + 9 AS found,
+         -wk AS sof
+  FROM walked)
+SELECT doc_id,
+       found AS is_jpeg,
+       CASE WHEN found THEN ('0x' || substr(s, CAST((sof + 6) * 2 + 1 AS INT), 4))::BIGINT END AS width,
+       CASE WHEN found THEN ('0x' || substr(s, CAST((sof + 4) * 2 + 1 AS INT), 4))::BIGINT END AS height,
+       CASE WHEN found THEN ('0x' || substr(s, CAST((sof + 3) * 2 + 1 AS INT), 2))::BIGINT END AS precision,
+       CASE WHEN found THEN ('0x' || substr(s, CAST((sof + 8) * 2 + 1 AS INT), 2))::BIGINT END AS n_components
+FROM parsed
+ORDER BY doc_id
+"""
+
+
 MM_MAX_ID = 100
 MM_H = MM_W = 16
 
@@ -11385,9 +11477,10 @@ QUERIES: dict[str, QuerySpec] = {
     "semantic_dedup": QuerySpec(q_semantic_dedup, _sql_semantic_dedup()),
     "cluster_sample": QuerySpec(q_cluster_sample, _sql_cluster_sample()),
     "kmeans_refine": QuerySpec(q_kmeans_refine, _sql_kmeans_refine()),
+    # new in r10 (VERDICT r9 #8): JPEG SOF segment-walk parse
+    "jpeg_meta": QuerySpec(q_jpeg_meta, SQL_JPEG_META),
     "bloom_join": QuerySpec(q_bloom_join, SQL_BLOOM_JOIN),
     "heavy_hitters": QuerySpec(q_heavy_hitters, SQL_HEAVY_HITTERS),
-    "setsim_join": QuerySpec(q_setsim_join, SQL_SETSIM_JOIN),
     "incremental_neardup": QuerySpec(
         q_incremental_neardup, _sql_incremental_neardup()
     ),
@@ -11406,6 +11499,7 @@ QUERIES: dict[str, QuerySpec] = {
     # window lines (all ext-r9 hash-green) that handed their slots to
     # the late-r9 pack above.
     "bfs_hops": QuerySpec(q_bfs_hops, _sql_bfs_hops()),
+    "setsim_join": QuerySpec(q_setsim_join, SQL_SETSIM_JOIN),
     "containment_pairs": QuerySpec(q_containment_pairs, SQL_CONTAINMENT_PAIRS),
     "skew_profile": QuerySpec(q_skew_profile, SQL_SKEW_PROFILE),
     "join_blowup": QuerySpec(q_join_blowup, SQL_JOIN_BLOWUP),

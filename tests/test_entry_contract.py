@@ -37,6 +37,7 @@ def test_entry_contract_shape():
     # changes are gated here.
     assert list(qs)[50:] == [
         "bfs_hops",  # externally checked r9; rotated out r10 (slot handed to ddl_reference_pipeline)
+        "setsim_join",  # externally checked r9; rotated out r10 (slot handed to jpeg_meta)
         "containment_pairs",  # externally checked r9; rotated out r10 (slot handed to knn_classify_ivf)
         "skew_profile",  # externally checked r9; rotated out r10
         "join_blowup",  # externally checked r9; rotated out r10

@@ -65,3 +65,34 @@ def test_metadata_predicate_before_decode(spark):
     small = df.filter(F.col("n_bytes") > 0).filter(F.col("modality") == "image")
     out = decode_and_featurize(small).collect()
     assert len(out) == 3
+
+
+def test_parse_jpeg_header_segment_walk(spark):
+    """JPEG SOF parsing is a segment WALK, not a byte search: the decoy
+    'FFC0' inside the APP1 payload must not be mistaken for the frame
+    header; truncated/SOS-only/non-JPEG payloads survive as
+    is_jpeg=false + NULLs."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        parse_jpeg_header,
+    )
+
+    app0 = "FFE000104A46494600010100000100010000"
+    decoy = "FFE10008FFC0DEADBEEF"  # payload contains a fake SOF marker
+    sof = "FFC00011" + "08" + "0140" + "00F0" + "03011100021101031101"
+    good = bytes.fromhex("FFD8" + app0 + decoy + sof)
+    no_decoy = bytes.fromhex("FFD8" + app0 + sof)
+    truncated = bytes.fromhex("FFD8" + app0 + decoy + "FFC00011" + "08")
+    sos_first = bytes.fromhex("FFD8" + "FFDA0008FFC0DEADBEEF")  # SOS, no SOF
+    rows = [
+        (1, good), (2, no_decoy), (3, truncated), (4, sos_first),
+        (5, b"plain text"), (6, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, payload binary")
+    got = {r.id: (r.is_jpeg, r.width, r.height, r.precision, r.n_components)
+           for r in parse_jpeg_header(df).collect()}
+    assert got[1] == (True, 0x00F0, 0x0140, 8, 3)   # walk skipped the decoy
+    assert got[2] == (True, 0x00F0, 0x0140, 8, 3)
+    assert got[3][0] is False                        # SOF found but truncated
+    assert got[4][0] is False                        # SOS payload decoy ignored
+    assert got[5] == (False, None, None, None, None)
+    assert got[6] == (False, None, None, None, None)
