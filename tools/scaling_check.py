@@ -65,6 +65,18 @@ ENTRIES = [
     "cdc_chunks",
     "topic_keywords",
     "token_compression",
+    # r10 batch (VERDICT r9 #4): the remaining heavy lines
+    "neardup_keep_best",
+    "bpe_encode",
+    "dsir_weights",
+    "source_overlap",
+    # knn_classify is EXPECTED quadratic: the registry entry is the
+    # brute-force exact form (queries × index both grow with the
+    # corpus). Its scale knob is the IVF route with nlist ∝ corpus and
+    # nprobe fixed (per-query candidate work constant) — measured below
+    # as the knob-scaled variant, the semantic_dedup treatment.
+    "knn_classify",
+    "knn_classify_ivf",
 ]
 N_DOCS_BASE = 5000
 N_VECS_BASE = 2000
@@ -182,6 +194,52 @@ def knob_scaled_semdedup_seconds(spark, sf_dir: str, k: int) -> float:
     return round(time.time() - t0, 3)
 
 
+def knob_scaled_knn_seconds(spark, sf_dir: str, nlist: int, scale: int) -> float:
+    """knn_classify's documented linear path: the IVF index grows its
+    cell count WITH the corpus (nlist ∝ scale) while nprobe stays fixed,
+    so each query's candidate set is a constant fraction — per-query
+    work constant, total ∝ queries. The registry's knn_classify_ivf pins
+    nprobe == nlist for oracle-exactness (that form is still quadratic,
+    like the brute-force one); this variant is the approximate
+    production shape. Includes the per-corpus index build (itself one
+    linear assignment pass)."""
+    import tempfile
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (
+        build_ivf_index,
+        vector_search_ivf_parquet,
+        write_ivf_index,
+    )
+
+    t0 = time.time()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    labeled = emb.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id", "embedding", "label"
+    )
+    ivf, cents = build_ivf_index(labeled, nlist=nlist)
+    path = f"{tempfile.gettempdir()}/scaling_knn_idx_x{scale}/index"
+    write_ivf_index(ivf, cents, path)
+    queries = emb.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("qid"), "embedding",
+        F.col("label").alias("true_label"),
+    )
+    hits = vector_search_ivf_parquet(
+        queries, path, k=3, nprobe=8, payload_cols=["vec_id", "label"],
+        round_sim=6,
+    )
+    votes = (
+        hits.select("qid", "true_label", F.explode("search_results").alias("__s"))
+        .groupBy("qid", "true_label", F.col("__s.label").alias("label"))
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    pick = votes.groupBy("qid", "true_label").agg(
+        F.min(F.struct((-F.col("votes")).alias("nv"),
+                       F.col("label").alias("label"))).alias("__w")
+    )
+    pick.write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     scales = [1, 2, 4]
     entries = ENTRIES
@@ -234,6 +292,21 @@ def main() -> None:
         report["semantic_dedup_knob_scaled"] = {
             "seconds": knob,
             "exponent": round(math.log(knob[hi] / knob[1]) / math.log(hi), 2),
+        }
+
+    # knn knob-scaled linear path: nlist grows with the corpus, nprobe
+    # fixed (skipped when an --entries filter excludes knn_classify)
+    if "knn_classify" in entries:
+        import math
+
+        kknob = {}
+        for s in scales:
+            kknob[s] = knob_scaled_knn_seconds(spark, dirs[s], nlist=8 * s, scale=s)
+            print(f"knn_classify[nlist=8*{s}, nprobe=8]: {kknob[s]}", file=sys.stderr)
+        hi = max(scales)
+        report["knn_classify_knob_scaled"] = {
+            "seconds": kknob,
+            "exponent": round(math.log(kknob[hi] / kknob[1]) / math.log(hi), 2),
         }
     print(json.dumps(report))
     spark.stop()
