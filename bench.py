@@ -233,6 +233,7 @@ BENCH_QUERIES = [
     "spend_concentration",
     "langid_eval",
     "quantization_error",
+    "gram_matrix",  # r10: one-pass exact covariance accumulation
     "cumulative_distinct",
     "oov_rate",
     # PII scrub + sequence packing (beyond-reference curation ops)

@@ -8759,6 +8759,71 @@ FROM n GROUP BY label ORDER BY label
 """
 
 
+def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus Gram/covariance accumulation — the one-pass input to
+    PCA whitening, OPQ rotation, or a random-projection quality check
+    (the preprocessing the ANN storage ladder assumes): for every dim
+    pair i <= j, n, sum_xy = Σ xᵢxⱼ and the covariance NUMERATOR
+    n·Σxᵢxⱼ − Σxᵢ·Σxⱼ, all in exact integer micro² units (components
+    quantized once at 1e6, the quantization_error discipline, so the
+    sums are order- and partition-safe BIGINTs). Shape: one NARROW
+    double-posexplode projection (n·dim² rows never leave their task)
+    into ONE map-side-combinable groupBy over the dim·(dim+1)/2 cell
+    space — the output is MODEL-sized (2,080 rows at dim=64) at any
+    corpus size, and the partials are shard-mergeable by plain addition
+    (the streaming-rollup algebra). At true 100 TB row counts the
+    micro² sums approach BIGINT range — the documented fallback is
+    DECIMAL(38,0) partials, same plan shape."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"),
+    )
+    pairs = (
+        emb.select(q.alias("v"))
+        .select(F.posexplode("v").alias("i", "xi"), F.col("v"))
+        .select("i", "xi", F.posexplode("v").alias("j", "xj"))
+        .filter(F.col("j") >= F.col("i"))
+    )
+    return (
+        pairs.groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("xi") * F.col("xj")).cast("bigint").alias("sum_xy"),
+            F.sum("xi").cast("bigint").alias("sx"),
+            F.sum("xj").cast("bigint").alias("sy"),
+        )
+        .select(
+            "i",
+            "j",
+            "n",
+            "sum_xy",
+            (F.col("n") * F.col("sum_xy") - F.col("sx") * F.col("sy"))
+            .cast("bigint")
+            .alias("cov_num"),
+        )
+        .orderBy("i", "j")
+    )
+
+
+SQL_GRAM_MATRIX = """
+WITH q AS (SELECT list_transform(embedding::DOUBLE[],
+                                 x -> CAST(round(x * 1000000.0) AS BIGINT)) AS v
+           FROM embeddings),
+p AS (SELECT i - 1 AS i, j - 1 AS j, v[CAST(i AS INT)] AS xi, v[CAST(j AS INT)] AS xj
+      FROM q,
+           unnest(range(1, len(v) + 1)) AS a(i),
+           unnest(range(1, len(v) + 1)) AS b(j)
+      WHERE j >= i)
+SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(xi * xj) AS BIGINT) AS sum_xy,
+       CAST(count(*) * sum(xi * xj) - sum(xi) * sum(xj) AS BIGINT) AS cov_num
+FROM p GROUP BY i, j ORDER BY i, j
+"""
+
+
 MI_COHORT_MOD = 7  # user cohort = user_id % 7
 
 
@@ -11658,4 +11723,6 @@ QUERIES: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(q_stratified_sample, _sql_stratified_sample()),
     "quality_score": QuerySpec(q_quality_score, _sql_quality_score()),
     "token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS),
+    # -- r10 late additions (after the rotation; window candidates r11) --
+    "gram_matrix": QuerySpec(q_gram_matrix, SQL_GRAM_MATRIX),
 }
