@@ -234,6 +234,7 @@ BENCH_QUERIES = [
     "langid_eval",
     "quantization_error",
     "gram_matrix",  # r10: one-pass exact covariance accumulation
+    "wav_meta",  # r10: RIFF chunk-walk audio metadata
     "cumulative_distinct",
     "oov_rate",
     # PII scrub + sequence packing (beyond-reference curation ops)

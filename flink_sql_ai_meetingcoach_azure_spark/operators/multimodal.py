@@ -153,6 +153,77 @@ def parse_jpeg_header(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     ).drop("__sof")
 
 
+_WAV_WALK_STEPS = 8  # RIFF chunks scanned before giving up (LIST/fact/…)
+
+
+def parse_wav_header(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Parse WAV (RIFF/WAVE) audio metadata out of an opaque binary
+    column with PURE Catalyst expressions — the audio sibling of
+    :func:`parse_png_header` (fixed slice) and :func:`parse_jpeg_header`
+    (big-endian segment walk): the ``fmt `` chunk floats behind optional
+    LIST/fact/JUNK chunks, so this is a bounded RIFF chunk walk with
+    LITTLE-endian sizes (hop = 8 + chunk size, padded to even per the
+    RIFF spec). Extracts audio_format/channels/sample_rate/
+    bits_per_sample (u16le/u16le/u32le/u16le at data+0/+2/+4/+14 of the
+    fmt chunk body) so audio routing — resample
+    targets, mono/stereo split, drop non-PCM — runs scan-side before any
+    decode UDF. Non-RIFF/truncated payloads survive as is_wav=false +
+    NULLs (filter-not-fail)."""
+    b = F.col(payload_col)
+
+    def byte(pos):
+        return F.conv(F.hex(F.substring(b, pos, F.lit(1))), 16, 10).cast("bigint")
+
+    def le(pos, nbytes: int):
+        v = byte(pos)
+        for k in range(1, nbytes):
+            v = v + byte(pos + k) * F.lit(256**k)
+        return v
+
+    def tag(pos, s: str):
+        return F.substring(b, pos, F.lit(len(s))).cast("string") == s
+
+    riff_ok = tag(F.lit(1), "RIFF") & tag(F.lit(9), "WAVE")
+
+    def step(acc, _):
+        off = acc  # >0: keep walking; <0: -(fmt data offset); 0: invalid
+        size = le(off + 4, 4)
+        return (
+            F.when(off <= 0, off)
+            .when(F.length(b) < off + 7, F.lit(0).cast("bigint"))
+            .when(tag(off, "fmt "), -(off + 8))
+            # RIFF pads odd-sized chunk bodies to even boundaries
+            .otherwise(off + 8 + size + size % 2)
+        )
+
+    walked = F.aggregate(
+        F.sequence(F.lit(1), F.lit(_WAV_WALK_STEPS)),
+        F.lit(13).cast("bigint"),  # first chunk follows RIFF(4)+size(4)+WAVE(4)
+        step,
+    )
+    df = df.withColumn("__fmt", F.when(riff_ok, -walked))
+    fmt = F.col("__fmt")
+    found = fmt.isNotNull() & (fmt > 0) & (F.length(b) >= fmt + 15)
+
+    def le_at(pos_expr, nbytes: int):
+        v = F.conv(F.hex(F.substring(b, pos_expr, F.lit(1))), 16, 10).cast("bigint")
+        for k in range(1, nbytes):
+            v = v + F.conv(
+                F.hex(F.substring(b, pos_expr + k, F.lit(1))), 16, 10
+            ).cast("bigint") * F.lit(256**k)
+        return v
+
+    return df.withColumns(
+        {
+            "is_wav": F.coalesce(found, F.lit(False)),
+            "audio_format": F.when(found, le_at(fmt, 2)),
+            "channels": F.when(found, le_at(fmt + 2, 2)),
+            "sample_rate": F.when(found, le_at(fmt + 4, 4)),
+            "bits_per_sample": F.when(found, le_at(fmt + 14, 2)),
+        }
+    ).drop("__fmt")
+
+
 def attach_media_metadata(
     df: DataFrame, payload_col: str = "payload", modality_col: str | None = None
 ) -> DataFrame:

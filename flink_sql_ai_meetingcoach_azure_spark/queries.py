@@ -2628,6 +2628,116 @@ ORDER BY doc_id
 """
 
 
+def _le_hex(expr: str, nbytes: int, div: str) -> str:
+    """Dialect-shared little-endian hex of an integer expression —
+    ``div`` is 'div' (Spark) or '//' (DuckDB); values are non-negative."""
+    parts = [
+        f"lpad(hex((({expr}) {div} {256**k}) % 256), 2, '0')"
+        for k in range(nbytes)
+    ]
+    return " || ".join(parts)
+
+
+def _wav_hex_sql(div: str, elem: str) -> str:
+    """Synthesized RIFF/WAVE hex for even doc_ids: RIFF header, a DECOY
+    LIST chunk whose payload contains the bytes 'fmt ' (666D7420 — a
+    byte search would misparse; only the chunk walk survives), then a
+    spec-correct 16-byte PCM fmt chunk with id-derived channels/rate/
+    bits, then an empty data chunk. ``elem`` is the dialect's 1-based
+    array subscript template."""
+    ch = f"(1 + (doc_id {div} 2) % 2)"
+    rate = "(8000 + (doc_id % 8) * 1000)"
+    bits = elem.format(arr="8, 16, 24", idx="doc_id % 3 + 1")
+    byte_rate = f"({rate} * {ch} * {bits} {div} 8)"
+    block = f"({ch} * {bits} {div} 8)"
+    return (
+        "'52494646' || '64000000' || '57415645'"  # RIFF <size> WAVE
+        " || '4C495354' || '06000000' || '666D7420AABB'"  # LIST decoy
+        " || '666D7420' || '10000000'"  # fmt , size 16
+        " || '0100'"  # PCM
+        f" || {_le_hex(ch, 2, div)}"
+        f" || {_le_hex(rate, 4, div)}"
+        f" || {_le_hex(byte_rate, 4, div)}"
+        f" || {_le_hex(block, 2, div)}"
+        f" || {_le_hex(bits, 2, div)}"
+        " || '64617461' || '00000000'"  # empty data chunk
+    )
+
+
+def q_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-side WAV (RIFF) audio metadata over an opaque binary column
+    (operators/multimodal.py::parse_wav_header) — the AUDIO member of
+    the scan-side media family (png_meta: fixed slice; jpeg_meta:
+    big-endian segment walk; this: little-endian RIFF chunk walk). Even
+    doc_ids carry a synthesized WAV whose decoy LIST chunk embeds the
+    bytes 'fmt ' in its payload (walk-vs-byte-search pin); odd doc_ids
+    carry raw text (is_wav=false/NULL survival). The oracle replays the
+    identical chunk walk as a list_reduce fold over the hex string."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+        parse_wav_header,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    wav_hex = _wav_hex_sql(
+        "div", "element_at(array({arr}), cast({idx} as int))"
+    )
+    media = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 2 == 0, F.unhex(F.expr(wav_hex)))
+        .otherwise(F.encode(F.col("text"), "utf-8"))
+        .alias("payload"),
+    )
+    return (
+        parse_wav_header(media)
+        .select("doc_id", "is_wav", "audio_format", "channels",
+                "sample_rate", "bits_per_sample")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_wav_meta() -> str:
+    wav_hex = _wav_hex_sql("//", "([{arr}])[CAST({idx} AS INT)]")
+    le16 = ("('0x' || substr(s, CAST(({p} - 1) * 2 + 1 AS INT), 2))::BIGINT"
+            " + 256 * ('0x' || substr(s, CAST({p} * 2 + 1 AS INT), 2))::BIGINT")
+    le32 = (le16 + " + 65536 * ('0x' || substr(s, CAST(({p} + 1) * 2 + 1 AS INT), 2))::BIGINT"
+            " + 16777216 * ('0x' || substr(s, CAST(({p} + 2) * 2 + 1 AS INT), 2))::BIGINT")
+    size = le32.format(p="(acc + 4)")
+    return f"""
+WITH media AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN unhex({wav_hex})
+         ELSE encode(text) END AS payload
+  FROM documents),
+hx AS (SELECT doc_id, hex(payload) AS s, octet_length(payload) AS n FROM media),
+walked AS (
+  SELECT doc_id, s, n,
+         substr(s, 1, 8) = '52494646' AND substr(s, 17, 8) = '57415645' AS riff_ok,
+         list_reduce(list_prepend(CAST(13 AS BIGINT), range(1, 9)),
+           (acc, x) -> CASE
+               WHEN acc <= 0 THEN acc
+               WHEN n < acc + 7 THEN 0
+               WHEN substr(s, CAST((acc - 1) * 2 + 1 AS INT), 8) = '666D7420'
+                 THEN -(acc + 8)
+               ELSE acc + 8 + ({size}) + ({size}) % 2
+           END) AS wk
+  FROM hx),
+parsed AS (
+  SELECT doc_id, s,
+         riff_ok AND wk < 0 AND n >= (-wk) + 15 AS found,
+         -wk AS d
+  FROM walked)
+SELECT doc_id,
+       found AS is_wav,
+       CASE WHEN found THEN {le16.format(p="d")} END AS audio_format,
+       CASE WHEN found THEN {le16.format(p="(d + 2)")} END AS channels,
+       CASE WHEN found THEN {le32.format(p="(d + 4)")} END AS sample_rate,
+       CASE WHEN found THEN {le16.format(p="(d + 14)")} END AS bits_per_sample
+FROM parsed
+ORDER BY doc_id
+"""
+
+
 MM_MAX_ID = 100
 MM_H = MM_W = 16
 
@@ -11725,4 +11835,5 @@ QUERIES: dict[str, QuerySpec] = {
     "token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS),
     # -- r10 late additions (after the rotation; window candidates r11) --
     "gram_matrix": QuerySpec(q_gram_matrix, SQL_GRAM_MATRIX),
+    "wav_meta": QuerySpec(q_wav_meta, _sql_wav_meta()),
 }

@@ -96,3 +96,47 @@ def test_parse_jpeg_header_segment_walk(spark):
     assert got[4][0] is False                        # SOS payload decoy ignored
     assert got[5] == (False, None, None, None, None)
     assert got[6] == (False, None, None, None, None)
+
+
+def test_parse_wav_header_riff_chunk_walk(spark):
+    """WAV metadata comes from a little-endian RIFF chunk walk: the
+    decoy 'fmt ' bytes inside a LIST chunk payload must not be mistaken
+    for the fmt chunk; odd-sized chunk bodies hop with the RIFF even
+    pad; non-RIFF/truncated payloads survive as is_wav=false + NULLs."""
+    import struct
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        parse_wav_header,
+    )
+
+    def fmt_chunk(ch, rate, bits):
+        body = struct.pack("<HHIIHH", 1, ch, rate, rate * ch * bits // 8,
+                           ch * bits // 8, bits)
+        return b"fmt " + struct.pack("<I", len(body)) + body
+
+    def riff(*chunks):
+        body = b"WAVE" + b"".join(chunks)
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    decoy = b"LIST" + struct.pack("<I", 6) + b"fmt \xaa\xbb"
+    odd_chunk = b"JUNK" + struct.pack("<I", 3) + b"abc\x00"  # padded to even
+    rows = [
+        (1, riff(decoy, fmt_chunk(2, 44100, 16))),
+        (2, riff(fmt_chunk(1, 8000, 8))),
+        (3, riff(odd_chunk, fmt_chunk(2, 48000, 24))),
+        (4, riff(decoy)),          # no fmt chunk at all
+        (5, b"RIFFxxxxAVI LIST"),  # RIFF but not WAVE
+        (6, b"plain text"),
+        (7, None),
+    ]
+    df = spark.createDataFrame(rows, "id int, payload binary")
+    got = {r.id: (r.is_wav, r.audio_format, r.channels, r.sample_rate,
+                  r.bits_per_sample)
+           for r in parse_wav_header(df).collect()}
+    assert got[1] == (True, 1, 2, 44100, 16)   # walked past the decoy
+    assert got[2] == (True, 1, 1, 8000, 8)
+    assert got[3] == (True, 1, 2, 48000, 24)   # odd-size pad respected
+    assert got[4][0] is False
+    assert got[5][0] is False
+    assert got[6] == (False, None, None, None, None)
+    assert got[7] == (False, None, None, None, None)
