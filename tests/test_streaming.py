@@ -2122,3 +2122,89 @@ def test_streaming_rate_anomaly_and_cumulative_distinct_readouts(spark, tmp_path
     rate_sink.compact()
     cd_sink.compact()
     assert got_rate() == want_rate and got_cd() == want_cd
+
+
+def test_streaming_gram_matrix_composes_from_aggregate_sink(spark, tmp_path):
+    """Continuously-maintained PCA statistics: gram_matrix's per-(i,j)
+    sums are plain addition-mergeable, so keying the rollup sink by the
+    cell coordinates maintains the exact covariance accumulator with no
+    new sink code — the same composition law as streaming Count-Min.
+    The merged state must equal the batch q_gram_matrix over the union
+    and survive replay/compaction."""
+    from flink_sql_ai_meetingcoach_azure_spark.queries import q_gram_matrix
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.aggregate_sink import (
+        StreamingAggregateSink,
+    )
+
+    dim = 3
+    batches = [
+        [(0, [1.0, 0.5, -0.25]), (1, [0.0, 2.0, 1.0])],
+        [(2, [-1.0, 0.25, 0.5])],
+        [(3, [0.125, -2.0, 1.5]), (4, [0.75, 0.0, -1.0])],
+    ]
+    schema = "vec_id bigint, embedding array<float>"
+    src = str(tmp_path / "gm_src")
+    os.makedirs(src, exist_ok=True)
+
+    def write_batch(rows, n):
+        with open(os.path.join(src, f"b_{n}.json"), "w") as f:
+            for vid, v in rows:
+                f.write(json.dumps({"vec_id": vid, "embedding": v}) + "\n")
+
+    sink = StreamingAggregateSink(
+        str(tmp_path / "gm_state"), ["i", "j"], ["xy", "xi", "xj"], spark
+    )
+
+    def keyed(df):
+        q = F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"),
+        )
+        return (
+            df.select(q.alias("v"))
+            .select(F.posexplode("v").alias("i", "xi"), F.col("v"))
+            .select("i", "xi", F.posexplode("v").alias("j", "xj"))
+            .filter(F.col("j") >= F.col("i"))
+            .withColumn("xy", F.col("xi") * F.col("xj"))
+        )
+
+    write_batch(batches[0], 0)
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        stream.writeStream.foreachBatch(lambda df, bid: sink(keyed(df), bid))
+        .option("checkpointLocation", str(tmp_path / "gm_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for n, rows in enumerate(batches[1:], start=1):
+            write_batch(rows, n)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    union_dir = str(tmp_path / "gm_union")
+    all_rows = [(vid, v, 0) for b in batches for vid, v in b]
+    spark.createDataFrame(
+        all_rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{union_dir}/embeddings.parquet")
+    want = {
+        (r.i, r.j): (r.n, r.sum_xy, r.cov_num)
+        for r in q_gram_matrix(spark, union_dir).collect()
+    }
+
+    def got():
+        return {
+            (r.i, r.j): (
+                r.n_rows,
+                r.sum_xy,
+                r.n_rows * r.sum_xy - r.sum_xi * r.sum_xj,
+            )
+            for r in sink.current().collect()
+        }
+
+    assert got() == want and len(want) == dim * (dim + 1) // 2
+    sink(keyed(spark.createDataFrame(batches[0], schema)), 0)  # replay no-op
+    assert got() == want
+    sink.compact()
+    assert got() == want
