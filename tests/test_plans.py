@@ -62,7 +62,11 @@ def test_relational_queries_stay_jvm_side(spark):
                  # pandas-UDF seam (rank-greedy merge loop, word cache) —
                  # the oracle value-checks exactly that Python stage;
                  # token_compression rolls up the same encoder output
-                 "bpe_encode", "token_compression"}
+                 "bpe_encode", "token_compression",
+                 # r10: the IVF route-flip probe runs the same centroid
+                 # pandas UDF as ann_ivf_topk; the verbatim DDL chain runs
+                 # the mock embed/generate UDFs its oracle value-checks
+                 "knn_classify_ivf", "ddl_reference_pipeline"}
     for name, spec in QUERIES.items():
         if spec.sql is None or name in python_ok:
             continue  # model/multimodal pipelines legitimately use Python
