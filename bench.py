@@ -235,6 +235,7 @@ BENCH_QUERIES = [
     "quantization_error",
     "gram_matrix",  # r10: one-pass exact covariance accumulation
     "wav_meta",  # r10: RIFF chunk-walk audio metadata
+    "label_outliers",  # r10: per-label angular outlier screen
     "cumulative_distinct",
     "oov_rate",
     # PII scrub + sequence packing (beyond-reference curation ops)

@@ -10736,6 +10736,107 @@ ORDER BY a.label
 """
 
 
+OUTLIER_K = 3  # most-atypical vectors reported per label
+
+
+def q_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabeled-sample mining: per label, the OUTLIER_K members most
+    angularly distant from their label centroid — the classic
+    label-noise screen a curation pass runs before training on weak
+    labels. Cosine's scale-invariance means the centroid is never
+    divided (the centroid_shift discipline): exact BIGINT
+    micro-component SUMS per label feed cos(v, Σx) directly; the only
+    floating point is one ordered left-to-right fold per dot product
+    (identical IEEE sequence on both engines) + sqrt, rounded once at
+    6 dp. One combinable (label, pos) aggregate (k·dim rows at any
+    corpus size) broadcast back onto the members, then ONE
+    label-partitioned bottom-k window — never a pairwise space."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    sums = (
+        emb.select(
+            "label",
+            F.posexplode(
+                F.expr(
+                    "transform(embedding, "
+                    "x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+                )
+            ).alias("pos", "m"),
+        )
+        .groupBy("label", "pos")
+        .agg(F.sum("m").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, s))), x -> x.s)"
+            ).alias("sv")
+        )
+    )
+    cnt = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    dot = (
+        "aggregate(zip_with({x}, {y}, (p, q) -> "
+        "CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), 0.0D, (acc, v) -> acc + v)"
+    )
+    scored = (
+        emb.join(F.broadcast(sums.join(cnt, "label")), "label")
+        .select(
+            "label",
+            "vec_id",
+            F.col("n").cast("bigint").alias("n_label"),
+            F.expr(
+                f"round({dot.format(x='embedding', y='sv')} / "
+                f"(sqrt({dot.format(x='embedding', y='embedding')}) * "
+                f"sqrt({dot.format(x='sv', y='sv')})), 6)"
+            ).alias("cos_centroid"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.asc("cos_centroid"), F.asc("vec_id")
+    )
+    return (
+        scored.withColumn("out_rank", F.row_number().over(w))
+        .filter(F.col("out_rank") <= OUTLIER_K)
+        .select("label", "out_rank", "vec_id", "n_label", "cos_centroid")
+        .orderBy("label", "out_rank")
+    )
+
+
+def _sql_label_outliers() -> str:
+    dot = (
+        "list_reduce(list_transform(range(1, {dim} + 1), j -> "
+        "CAST({x}[j] AS DOUBLE) * CAST({y}[j] AS DOUBLE)), "
+        "(acc, v) -> acc + v)"
+    )
+
+    def d(x: str, y: str) -> str:
+        return dot.format(dim=EMB_DIM, x=x, y=y)
+
+    return f"""
+WITH m AS (SELECT label, vec_id, embedding::DOUBLE[] AS v,
+                  list_transform(embedding::DOUBLE[],
+                                 x -> CAST(round(x * 1000000) AS BIGINT)) AS q
+           FROM embeddings),
+e AS (SELECT label, generate_subscripts(q, 1) AS pos, unnest(q) AS c FROM m),
+s AS (SELECT label, pos, sum(c) AS s FROM e GROUP BY 1, 2),
+sv AS (SELECT label, list(CAST(s AS BIGINT) ORDER BY pos) AS sv
+       FROM s GROUP BY label),
+cn AS (SELECT label, count(*) AS n FROM m GROUP BY label),
+sc AS (SELECT m.label, m.vec_id, cn.n,
+              round({d('m.v', 'sv.sv')} /
+                    (sqrt({d('m.v', 'm.v')}) * sqrt({d('sv.sv', 'sv.sv')})), 6)
+                AS cos_centroid
+       FROM m JOIN sv USING (label) JOIN cn USING (label)),
+r AS (SELECT label, vec_id, n, cos_centroid,
+             row_number() OVER (PARTITION BY label
+                                ORDER BY cos_centroid ASC, vec_id ASC) AS out_rank
+      FROM sc)
+SELECT label, CAST(out_rank AS INT) AS out_rank, vec_id,
+       CAST(n AS BIGINT) AS n_label, cos_centroid
+FROM r WHERE out_rank <= {OUTLIER_K}
+ORDER BY label, out_rank
+"""
+
+
 DSIR_BUCKETS = 4096  # hashed-bigram feature space (DSIR's "hashed n-grams")
 
 
@@ -11836,4 +11937,5 @@ QUERIES: dict[str, QuerySpec] = {
     # -- r10 late additions (after the rotation; window candidates r11) --
     "gram_matrix": QuerySpec(q_gram_matrix, SQL_GRAM_MATRIX),
     "wav_meta": QuerySpec(q_wav_meta, _sql_wav_meta()),
+    "label_outliers": QuerySpec(q_label_outliers, _sql_label_outliers()),
 }

@@ -196,6 +196,7 @@ def test_entry_contract_shape():
         "token_stats",  # externally checked r1-r6
         "gram_matrix",  # r10 late addition (post-rotation); window candidate r11
         "wav_meta",  # r10 late addition (post-rotation); window candidate r11
+        "label_outliers",  # r10 late addition (post-rotation); window candidate r11
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
