@@ -236,6 +236,7 @@ BENCH_QUERIES = [
     "gram_matrix",  # r10: one-pass exact covariance accumulation
     "wav_meta",  # r10: RIFF chunk-walk audio metadata
     "label_outliers",  # r10: per-label angular outlier screen
+    "hdr_error_eval",  # r10: measured sketch accuracy (exact rank via range exchange)
     "cumulative_distinct",
     "oov_rate",
     # PII scrub + sequence packing (beyond-reference curation ops)

@@ -5364,6 +5364,74 @@ ORDER BY q_ppm
 """
 
 
+def q_hdr_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured HDR-sketch accuracy — the eval-discipline entry for the
+    quantile sketch (ANN has recall@k, LSH has recall/precision, the
+    classifier has its confusion matrix; the sketch family now has its
+    measured error): per quantile, the HDR estimate beside the EXACT
+    type-1 percentile (smallest v whose running count reaches rank
+    ceil(ppm·n/1e6)) and the relative error in exact integer ppm, with
+    the sketch's design bound (1e6/HDR_SUB) riding the row. The exact
+    side ranks via the audited range-exchange running sum over the
+    DISTINCT-value table (operators/indexing.py::global_running_sum) —
+    never a single-partition global window over rows; the estimate side
+    reuses q_hdr_quantiles verbatim."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.indexing import (  # noqa: PLC0415
+        global_running_sum,
+    )
+
+    est = q_hdr_quantiles(spark, sf_dir).select(
+        "q_label", "q_ppm", "est_cents", "n_rows"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v")
+    ).filter(F.col("v") >= 1)
+    dv = vals.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    cum = global_running_sum(dv, ["v"], "c", "cum")
+    q = est.withColumn(
+        "__r", F.expr("(q_ppm * n_rows + 999999) div 1000000")
+    )
+    exact = (
+        cum.join(F.broadcast(q), F.col("cum") >= F.col("__r"))
+        .groupBy("q_label", "q_ppm", "est_cents")
+        .agg(F.min("v").alias("exact_cents"))
+    )
+    return exact.select(
+        "q_label",
+        "q_ppm",
+        "est_cents",
+        "exact_cents",
+        F.expr(
+            "abs(est_cents - exact_cents) * 1000000L div exact_cents"
+        ).alias("err_ppm"),
+        F.lit(1_000_000 // HDR_SUB).cast("bigint").alias("bound_ppm"),
+    ).orderBy("q_ppm")
+
+
+def _sql_hdr_error_eval() -> str:
+    return f"""
+WITH hdr AS (SELECT * FROM ({_sql_hdr_quantiles()})),
+vals AS (SELECT CAST(round(l_extendedprice*100) AS BIGINT) AS v
+         FROM lineitem
+         WHERE CAST(round(l_extendedprice*100) AS BIGINT) >= 1),
+dv AS (SELECT v, count(*) AS c FROM vals GROUP BY v),
+cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM dv),
+ex AS (SELECT hdr.q_label, hdr.q_ppm, hdr.est_cents,
+              min(cum.v) AS exact_cents
+       FROM hdr JOIN cum
+         ON cum.cum >= (hdr.q_ppm * hdr.n_rows + 999999) // 1000000
+       GROUP BY 1, 2, 3)
+SELECT q_label, q_ppm, est_cents, exact_cents,
+       CAST(abs(est_cents - exact_cents) * 1000000 // exact_cents AS BIGINT)
+         AS err_ppm,
+       CAST({1_000_000 // HDR_SUB} AS BIGINT) AS bound_ppm
+FROM ex
+ORDER BY q_ppm
+"""
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff — the dataset-versioning primitive every
     managed training corpus needs: given two versions of the documents
@@ -11938,4 +12006,5 @@ QUERIES: dict[str, QuerySpec] = {
     "gram_matrix": QuerySpec(q_gram_matrix, SQL_GRAM_MATRIX),
     "wav_meta": QuerySpec(q_wav_meta, _sql_wav_meta()),
     "label_outliers": QuerySpec(q_label_outliers, _sql_label_outliers()),
+    "hdr_error_eval": QuerySpec(q_hdr_error_eval, _sql_hdr_error_eval()),
 }
