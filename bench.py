@@ -237,6 +237,8 @@ BENCH_QUERIES = [
     "wav_meta",  # r10: RIFF chunk-walk audio metadata
     "label_outliers",  # r10: per-label angular outlier screen
     "hdr_error_eval",  # r10: measured sketch accuracy (exact rank via range exchange)
+    "ks_drift",  # r10: exact-integer two-sample KS drift test
+    "rate_autocorr",  # r10: lag-1 hourly-rate autocorrelation
     "cumulative_distinct",
     "oov_rate",
     # PII scrub + sequence packing (beyond-reference curation ops)

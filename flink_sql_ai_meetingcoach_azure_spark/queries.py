@@ -5432,6 +5432,176 @@ ORDER BY q_ppm
 """
 
 
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift test on the document-length
+    distribution between two corpus halves (id-parity proxy for
+    before/after) — the DISTRIBUTION-level companion of snapshot_diff
+    (per-doc) and term_drift (per-term): a re-crawl that keeps every
+    doc but truncates them is invisible to both, and shows here. The
+    statistic max|F_a(x) − F_b(x)| is computed EXACTLY in integer ppm
+    by cross-multiplication (|cum_a·n_b − cum_b·n_a|·1e6 div (n_a·n_b)
+    — no float CDFs): one combinable (value, half) count, one cumulative
+    window over the DISTINCT-VALUE table (value-bounded — lengths, not
+    rows; the vocabulary-window discipline), one argmax with the
+    smallest-value tie pin. Also reports the classic α=0.01 threshold
+    scaled the same way (1.628·sqrt((n_a+n_b)/(n_a·n_b)), the only
+    float, rounded once) and the reject flag."""
+    _prep(spark)
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents")
+    vh = docs.select(
+        F.col("n_chars").cast("bigint").alias("v"),
+        (F.col("doc_id") % 2).cast("int").alias("half"),
+    )
+    counts = vh.groupBy("v").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "v",
+        F.sum("ca").over(w).alias("cum_a"),
+        F.sum("cb").over(w).alias("cum_b"),
+    )
+    tot = vh.groupBy().agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    scored = cum.join(F.broadcast(tot)).withColumn(
+        "d_ppm",
+        F.expr(
+            "abs(cum_a * n_b - cum_b * n_a) * 1000000L div (n_a * n_b)"
+        ),
+    )
+    pick = scored.groupBy("n_a", "n_b").agg(
+        F.min(
+            F.struct((-F.col("d_ppm")).alias("nd"), F.col("v").alias("v"))
+        ).alias("__w")
+    )
+    return pick.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("__w.v").alias("ks_at_value"),
+        (-F.col("__w.nd")).cast("bigint").alias("ks_ppm"),
+        F.expr(
+            "cast(round(1.628 * sqrt(cast(n_a + n_b as double) /"
+            " (cast(n_a as double) * cast(n_b as double))) * 1000000) as bigint)"
+        ).alias("crit_ppm_a01"),
+    ).withColumn(
+        "reject", (F.col("ks_ppm") > F.col("crit_ppm_a01")).cast("int")
+    )
+
+
+SQL_KS_DRIFT = """
+WITH vh AS (SELECT CAST(n_chars AS BIGINT) AS v,
+                   CAST(doc_id % 2 AS INT) AS half
+            FROM documents),
+c AS (SELECT v,
+             sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb
+      FROM vh GROUP BY v),
+cum AS (SELECT v,
+               sum(ca) OVER (ORDER BY v) AS cum_a,
+               sum(cb) OVER (ORDER BY v) AS cum_b
+        FROM c),
+t AS (SELECT sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n_a,
+             sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n_b
+      FROM vh),
+s AS (SELECT cum.v, t.n_a, t.n_b,
+             abs(cum_a * n_b - cum_b * n_a) * 1000000 // (n_a * n_b) AS d_ppm
+      FROM cum CROSS JOIN t),
+r AS (SELECT *, row_number() OVER (ORDER BY d_ppm DESC, v ASC) AS rn FROM s),
+f AS (SELECT n_a, n_b, v, d_ppm,
+             CAST(round(1.628 * sqrt(CAST(n_a + n_b AS DOUBLE) /
+                                     (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                        * 1000000) AS BIGINT) AS crit
+      FROM r WHERE rn = 1)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       v AS ks_at_value, CAST(d_ppm AS BIGINT) AS ks_ppm,
+       crit AS crit_ppm_a01,
+       CAST(CASE WHEN d_ppm > crit THEN 1 ELSE 0 END AS INT) AS reject
+FROM f
+"""
+
+
+def q_rate_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the hourly event rate per type — the
+    periodicity/burstiness gauge beside event_rate_anomaly (is an hour
+    anomalous?) and cusum_changepoint (where did the level shift?):
+    strong positive lag-1 correlation means bursts persist across hours
+    (rate-limit accordingly), ~0 means Poisson-like arrivals. Pearson r
+    over consecutive (cnt_h, cnt_{h+1}) pairs with EXACT integer
+    moments: one combinable hourly count, one per-type lag window over
+    the types×hours bucket table (never the event stream), five exact
+    BIGINT sums, and the only floats are the two sqrt's of exact
+    integers + one final division, rounded once to milli-units.
+    Zero-variance series pin r = 0."""
+    _prep(spark)
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    ev = _events(spark, sf_dir)
+    hourly = (
+        ev.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    pairs = hourly.withColumn("x", F.lag("c").over(w)).filter(
+        F.col("x").isNotNull()
+    )
+    m = pairs.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("c").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("c")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("syy"),
+    )
+    return m.select(
+        "event_type",
+        "n_pairs",
+        F.expr(
+            "CASE WHEN n_pairs * sxx - sx * sx = 0"
+            "       OR n_pairs * syy - sy * sy = 0 THEN 0L"
+            " ELSE cast(round(1000.0 * (n_pairs * sxy - sx * sy) /"
+            "   (sqrt(cast(n_pairs * sxx - sx * sx as double)) *"
+            "    sqrt(cast(n_pairs * syy - sy * sy as double)))) as bigint)"
+            " END"
+        ).alias("r_milli"),
+    ).orderBy("event_type")
+
+
+SQL_RATE_AUTOCORR = """
+WITH hourly AS (SELECT event_type,
+                       epoch_us(ts::TIMESTAMP) // 3600000000 AS h,
+                       count(*) AS c
+                FROM events GROUP BY 1, 2),
+p AS (SELECT event_type, c,
+             lag(c) OVER (PARTITION BY event_type ORDER BY h) AS x
+      FROM hourly),
+m AS (SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(c) AS BIGINT) AS sy,
+             CAST(sum(x * c) AS BIGINT) AS sxy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(c * c) AS BIGINT) AS syy
+      FROM p WHERE x IS NOT NULL GROUP BY event_type)
+SELECT event_type, n_pairs,
+       CASE WHEN n_pairs * sxx - sx * sx = 0 OR n_pairs * syy - sy * sy = 0
+            THEN CAST(0 AS BIGINT)
+       ELSE CAST(round(1000.0 * (n_pairs * sxy - sx * sy) /
+                 (sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)) *
+                  sqrt(CAST(n_pairs * syy - sy * sy AS DOUBLE)))) AS BIGINT)
+       END AS r_milli
+FROM m
+ORDER BY event_type
+"""
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus snapshot diff — the dataset-versioning primitive every
     managed training corpus needs: given two versions of the documents
@@ -12007,4 +12177,6 @@ QUERIES: dict[str, QuerySpec] = {
     "wav_meta": QuerySpec(q_wav_meta, _sql_wav_meta()),
     "label_outliers": QuerySpec(q_label_outliers, _sql_label_outliers()),
     "hdr_error_eval": QuerySpec(q_hdr_error_eval, _sql_hdr_error_eval()),
+    "ks_drift": QuerySpec(q_ks_drift, SQL_KS_DRIFT),
+    "rate_autocorr": QuerySpec(q_rate_autocorr, SQL_RATE_AUTOCORR),
 }

@@ -198,6 +198,8 @@ def test_entry_contract_shape():
         "wav_meta",  # r10 late addition (post-rotation); window candidate r11
         "label_outliers",  # r10 late addition (post-rotation); window candidate r11
         "hdr_error_eval",  # r10 late addition (post-rotation); window candidate r11
+        "ks_drift",  # r10 late addition (post-rotation); window candidate r11
+        "rate_autocorr",  # r10 late addition (post-rotation); window candidate r11
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
