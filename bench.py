@@ -239,6 +239,7 @@ BENCH_QUERIES = [
     "hdr_error_eval",  # r10: measured sketch accuracy (exact rank via range exchange)
     "ks_drift",  # r10: exact-integer two-sample KS drift test
     "rate_autocorr",  # r10: lag-1 hourly-rate autocorrelation
+    "png_decode_stats",  # r10: REAL PNG codec path, hash-verified
     "cumulative_distinct",
     "oov_rate",
     # PII scrub + sequence packing (beyond-reference curation ops)

@@ -237,6 +237,255 @@ def attach_media_metadata(
     return out
 
 
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decode with the standard library only (zlib is baked into
+    CPython — no PIL needed): parse chunks, inflate the concatenated IDAT
+    stream, and invert the per-scanline filters (None/Sub/Up/Average/
+    Paeth, PNG spec §6). Supports 8-bit gray / gray+alpha / RGB / RGBA,
+    non-interlaced — the overwhelming majority of stored PNGs; 16-bit and
+    Adam7 raise NotImplementedError (the remaining documented seam).
+    Returns (H, W, 3) uint8 RGB (gray replicated, alpha dropped).
+
+    This closes most of the 'real decoders need PIL' gap for PNG: the
+    unfilter loop is per-scanline Python over numpy rows — decoding is
+    inherently per-item work inside the Arrow batch, exactly where the
+    mapInPandas seam puts it."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    if not payload or len(payload) < 8 or bytes(payload[:8]) != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    payload = bytes(payload)
+    pos, idat, meta = 8, b"", None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            meta = (w, h, depth, ctype, interlace)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if meta is None:
+        raise ValueError("PNG without IHDR")
+    w, h, depth, ctype, interlace = meta
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            "decode_png supports 8-bit non-interlaced PNGs; "
+            f"got depth={depth} interlace={interlace}"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(f"unsupported PNG color type {ctype}")
+    raw = zlib.decompress(idat)
+    stride, bpp = w * channels, channels
+    if len(raw) < (stride + 1) * h:
+        raise ValueError("truncated PNG pixel stream")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    off = 0
+    for y in range(h):
+        f = raw[off]
+        off += 1
+        cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off).astype(
+            np.int64
+        )
+        off += stride
+        if f == 0:
+            pass
+        elif f == 2:  # Up — vectorized (no intra-row dependency)
+            cur = (cur + prev) % 256
+        elif f == 1:  # Sub
+            for i in range(bpp, stride):
+                cur[i] = (cur[i] + cur[i - bpp]) % 256
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = cur[i - bpp] if i >= bpp else 0
+                cur[i] = (cur[i] + (left + prev[i]) // 2) % 256
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = cur[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[i] = (cur[i] + pred) % 256
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    img = out.reshape(h, w, channels)
+    if channels == 1:
+        return np.repeat(img, 3, axis=2)
+    if channels == 2:
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    if channels == 4:
+        return np.ascontiguousarray(img[:, :, :3])
+    return img
+
+
+def encode_png(img: np.ndarray, color_type: int = 2, filters=None) -> bytes:
+    """Minimal spec-correct PNG encoder (test/fixture helper — stdlib
+    zlib + CRC32): 8-bit, non-interlaced, one IDAT. ``filters`` picks the
+    per-row filter type (default all 0) and APPLIES the forward filter,
+    so round-trips through :func:`decode_png` exercise every unfilter
+    branch with real filtered data."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    h, w = img.shape[0], img.shape[1]
+    px = img.reshape(h, w * channels).astype(np.int64)
+    filters = list(filters or [0] * h)
+    bpp = channels
+    lines = b""
+    prev = np.zeros(w * channels, dtype=np.int64)
+    for y in range(h):
+        row, f = px[y], filters[y]
+        if f == 0:
+            enc = row.copy()
+        elif f == 1:
+            enc = row.copy()
+            enc[bpp:] = (row[bpp:] - row[:-bpp]) % 256
+        elif f == 2:
+            enc = (row - prev) % 256
+        elif f == 3:
+            enc = row.copy()
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                enc[i] = (row[i] - (left + prev[i]) // 2) % 256
+        elif f == 4:
+            enc = row.copy()
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (row[i] - pred) % 256
+        else:
+            raise ValueError(f"invalid filter {f}")
+        lines += bytes([f]) + bytes(enc.astype(np.uint8))
+        prev = row
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(lines))
+        + chunk(b"IEND", b"")
+    )
+
+
+def nn_resize(img: np.ndarray, height: int, width: int) -> np.ndarray:
+    """Nearest-neighbor resize with pure numpy index math — the resize
+    stage the brief stubs behind image libs, made real: deterministic
+    (floor-sampling grid), no interpolation libs."""
+    h, w = img.shape[0], img.shape[1]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return img[ys][:, xs]
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """REAL WAV (PCM) decode with the standard library only (the `wave`
+    module ships with CPython): returns (mono int64 samples, sample
+    rate). 16-bit samples pass through; 8-bit unsigned is centered and
+    scaled to the 16-bit range; multi-channel mixes down by exact
+    integer mean (sum div channels). Compressed WAV raises — the
+    documented ffmpeg seam covers non-PCM audio."""
+    import io  # noqa: PLC0415
+    import wave  # noqa: PLC0415
+
+    with wave.open(io.BytesIO(bytes(payload))) as wf:
+        rate = wf.getframerate()
+        ch = wf.getnchannels()
+        sw = wf.getsampwidth()
+        frames = wf.readframes(wf.getnframes())
+    if sw == 2:
+        x = np.frombuffer(frames, dtype="<i2").astype(np.int64)
+    elif sw == 1:
+        x = (np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128) * 256
+    else:
+        raise NotImplementedError(f"sample width {sw} needs a codec library")
+    if ch > 1:
+        x = x[: (len(x) // ch) * ch].reshape(-1, ch)
+        sign = np.where(x.sum(axis=1) < 0, -1, 1)
+        x = sign * (np.abs(x.sum(axis=1)) // ch)  # exact trunc-toward-zero mean
+    return x, rate
+
+
+def audio_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "media_id"
+) -> DataFrame:
+    """Per-item audio feature extraction over opaque WAV payloads via
+    Arrow-batched ``mapInPandas`` (the decode_and_featurize discipline,
+    audio edition): n_samples / sample_rate / exact integer duration_ms
+    and sum of squares / zero crossings, plus RMS in rounded milli-units
+    (the only float). Undecodable payloads survive as is_decoded=false +
+    NULLs (filter-not-fail)."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("is_decoded", T.BooleanType()),
+            T.StructField("sample_rate", T.LongType()),
+            T.StructField("n_samples", T.LongType()),
+            T.StructField("duration_ms", T.LongType()),
+            T.StructField("sumsq", T.LongType()),
+            T.StructField("zero_crossings", T.LongType()),
+            T.StructField("rms_milli", T.LongType()),
+        ]
+    )
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    x, rate = decode_wav(payload)
+                    if not len(x) or rate <= 0:
+                        raise ValueError("empty audio")
+                except Exception:  # noqa: BLE001 — filter-not-fail contract
+                    rows.append((mid, False, None, None, None, None, None, None))
+                    continue
+                sumsq = int((x * x).sum())
+                zc = int((np.signbit(x[1:]) != np.signbit(x[:-1])).sum())
+                rows.append(
+                    (
+                        mid,
+                        True,
+                        int(rate),
+                        len(x),
+                        len(x) * 1000 // rate,
+                        sumsq,
+                        zc,
+                        round(1000.0 * (sumsq / len(x)) ** 0.5),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    return df.mapInPandas(_proc, schema=out_schema)
+
+
 def _fake_decode(payload: bytes, h: int, w: int) -> np.ndarray:
     """Deterministic stand-in for an image decode: md5 counter-mode uint8
     HxWx3 — pixel stream = md5(payload·0) || md5(payload·1) || … (the same
@@ -272,7 +521,7 @@ def decode_and_featurize(
     compare it bit-exactly). Runs as one Arrow batch per task via
     ``mapInPandas`` — the real-decoder seam is marked below.
     """
-    if decoder not in ("fake", "real"):
+    if decoder not in ("fake", "png", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
     out_schema = T.StructType(
@@ -292,18 +541,28 @@ def decode_and_featurize(
             if not len(pdf):
                 continue
             if decoder == "real":
-                # REAL-DECODER SEAM: PIL.Image.open(io.BytesIO(payload)),
-                # one call per item — decoding is inherently per-item
+                # REAL-DECODER SEAM (narrowed in r10: PNG decodes for real
+                # via decoder='png' — stdlib zlib unfilter, no PIL): this
+                # branch remains for JPEG/WebP/..., which need PIL/opencv
                 raise NotImplementedError(
-                    "real image decoding requires PIL/opencv (not in this "
-                    "container); use decoder='fake'"
+                    "non-PNG image decoding requires PIL/opencv (not in "
+                    "this container); use decoder='png' for real PNGs or "
+                    "decoder='fake'"
                 )
             # decode per item (a real codec is per-item too), then compute
             # every statistic over the STACKED batch — one numpy pass
             # instead of per-row Python
-            imgs = np.stack(
-                [_fake_decode(p, height, width) for p in pdf[payload_col]]
-            )  # (n, H, W, 3) uint8
+            if decoder == "png":
+                imgs = np.stack(
+                    [
+                        nn_resize(decode_png(p), height, width)
+                        for p in pdf[payload_col]
+                    ]
+                )  # (n, height, width, 3) uint8 — real pixels
+            else:
+                imgs = np.stack(
+                    [_fake_decode(p, height, width) for p in pdf[payload_col]]
+                )  # (n, H, W, 3) uint8
             n = len(pdf)
             flat = imgs.astype(np.float32) / 255.0
             # 64-dim pooled feature: mean over an 8x8 grid of cells

@@ -2738,6 +2738,95 @@ ORDER BY doc_id
 """
 
 
+PNGDEC_MAX_ID = 120
+PNGDEC_OUT = 4  # decode_and_featurize output grid (height == width)
+
+
+def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL PNG codec path hash-verified end-to-end (r10 — the first
+    value-checked REAL decoder, not the deterministic fake): per doc, a
+    spec-correct PNG is encoded from a deterministic gradient
+    ``b(y,x,c) = (doc_id·31 + y·7 + x·3 + c) % 256`` with the scanline
+    FILTER TYPE CYCLING 0→4 per row (None/Sub/Up/Average/Paeth all
+    exercised on real data), then decoded by
+    operators/multimodal.py::decode_png (stdlib zlib inflate + unfilter
+    — no PIL) inside decode_and_featurize's Arrow batch, nearest-
+    neighbor resized, and summed. The oracle recomputes the resize
+    index math and the pixel formula in closed form — a wrong inflate,
+    unfilter branch, channel order, or resize index all break the hash.
+    Image dims vary per doc (W = 5 + id%4, H = 4 + id%3) so the NN
+    grid is non-trivial."""
+    _prep(spark)
+    import pyspark.sql.types as T  # noqa: PLC0415
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+        decode_and_featurize,
+        encode_png,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < PNGDEC_MAX_ID
+    ).select("doc_id")
+
+    def _make(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 4, 4 + did % 3
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                img = ((did * 31 + y * 7 + x * 3 + c) % 256).astype("uint8")
+                payloads.append(
+                    bytearray(encode_png(img, 2, [r % 5 for r in range(h)]))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(
+        _make,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    out = decode_and_featurize(
+        media, id_col="doc_id", height=PNGDEC_OUT, width=PNGDEC_OUT,
+        decoder="png",
+    )
+    return out.select("doc_id", "height", "width", "intensity_sum").orderBy(
+        "doc_id"
+    )
+
+
+def _sql_png_decode_stats() -> str:
+    g = PNGDEC_OUT
+    return f"""
+WITH d AS (SELECT doc_id, 5 + doc_id % 4 AS w, 4 + doc_id % 3 AS h
+           FROM documents WHERE doc_id < {PNGDEC_MAX_ID}),
+cells AS (SELECT d.doc_id,
+                 (i * d.h) // {g} AS y, (j * d.w) // {g} AS x, c
+          FROM d,
+               unnest(range(0, {g})) AS a(i),
+               unnest(range(0, {g})) AS b(j),
+               unnest(range(0, 3)) AS cc(c))
+SELECT doc_id,
+       CAST({g} AS INT) AS height, CAST({g} AS INT) AS width,
+       CAST(sum((doc_id * 31 + y * 7 + x * 3 + c) % 256) AS BIGINT)
+         AS intensity_sum
+FROM cells
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 MM_MAX_ID = 100
 MM_H = MM_W = 16
 
@@ -12179,4 +12268,5 @@ QUERIES: dict[str, QuerySpec] = {
     "hdr_error_eval": QuerySpec(q_hdr_error_eval, _sql_hdr_error_eval()),
     "ks_drift": QuerySpec(q_ks_drift, SQL_KS_DRIFT),
     "rate_autocorr": QuerySpec(q_rate_autocorr, SQL_RATE_AUTOCORR),
+    "png_decode_stats": QuerySpec(q_png_decode_stats, _sql_png_decode_stats()),
 }

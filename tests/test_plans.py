@@ -65,8 +65,11 @@ def test_relational_queries_stay_jvm_side(spark):
                  "bpe_encode", "token_compression",
                  # r10: the IVF route-flip probe runs the same centroid
                  # pandas UDF as ann_ivf_topk; the verbatim DDL chain runs
-                 # the mock embed/generate UDFs its oracle value-checks
-                 "knn_classify_ivf", "ddl_reference_pipeline"}
+                 # the mock embed/generate UDFs its oracle value-checks;
+                 # png_decode_stats IS the real-codec mapInPandas chain the
+                 # oracle value-checks (encode -> stdlib-zlib decode)
+                 "knn_classify_ivf", "ddl_reference_pipeline",
+                 "png_decode_stats"}
     for name, spec in QUERIES.items():
         if spec.sql is None or name in python_ok:
             continue  # model/multimodal pipelines legitimately use Python
