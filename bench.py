@@ -240,6 +240,7 @@ BENCH_QUERIES = [
     "ks_drift",  # r10: exact-integer two-sample KS drift test
     "rate_autocorr",  # r10: lag-1 hourly-rate autocorrelation
     "png_decode_stats",  # r10: REAL PNG codec path, hash-verified
+    "wav_decode_stats",  # r10: REAL WAV codec path, hash-verified
     "cumulative_distinct",
     "oov_rate",
     # PII scrub + sequence packing (beyond-reference curation ops)

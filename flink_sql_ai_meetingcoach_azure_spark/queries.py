@@ -2827,6 +2827,103 @@ ORDER BY doc_id
 """
 
 
+WAVDEC_MAX_ID = 120
+WAVDEC_RATE = 8000
+
+
+def q_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL WAV codec path hash-verified end-to-end (png_decode_stats'
+    audio twin): per doc, a PCM16 mono WAV is written with the stdlib
+    `wave` module from the deterministic sample stream
+    ``s_k = (doc_id·13 + k·7) % 2001 − 1000`` (n = 16 + id%16 samples),
+    decoded back by operators/multimodal.py::decode_wav inside
+    audio_features' Arrow batch, and reduced to exact integers
+    (duration_ms, Σs², zero crossings). The oracle replays the sample
+    formula in closed form — a wrong endianness, sample width, header
+    offset, or sign convention all break the hash."""
+    _prep(spark)
+    import pyspark.sql.types as T  # noqa: PLC0415
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+        audio_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < WAVDEC_MAX_ID
+    ).select("doc_id")
+
+    def _make(batches):
+        import io  # noqa: PLC0415
+        import struct  # noqa: PLC0415
+        import wave  # noqa: PLC0415
+
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 16 + did % 16
+                samples = [
+                    (did * 13 + k * 7) % 2001 - 1000 for k in range(n)
+                ]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(WAVDEC_RATE)
+                    wf.writeframes(
+                        b"".join(struct.pack("<h", s) for s in samples)
+                    )
+                payloads.append(bytearray(buf.getvalue()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(
+        _make,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    return (
+        audio_features(media, id_col="doc_id")
+        .select(
+            "doc_id", "sample_rate", "n_samples", "duration_ms", "sumsq",
+            "zero_crossings",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_wav_decode_stats() -> str:
+    # numpy signbit(0) is False, so a crossing is strictly sign(s)<0 XOR
+    # sign(prev)<0 — mirrored here as (s<0) <> (prev<0)
+    return f"""
+WITH d AS (SELECT doc_id, 16 + doc_id % 16 AS n
+           FROM documents WHERE doc_id < {WAVDEC_MAX_ID}),
+s AS (SELECT doc_id, n, k,
+             (doc_id * 13 + k * 7) % 2001 - 1000 AS v
+      FROM d, unnest(range(0, n)) AS t(k)),
+w AS (SELECT doc_id, n, k, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+      FROM s)
+SELECT doc_id,
+       CAST({WAVDEC_RATE} AS BIGINT) AS sample_rate,
+       CAST(max(n) AS BIGINT) AS n_samples,
+       CAST(max(n) * 1000 // {WAVDEC_RATE} AS BIGINT) AS duration_ms,
+       CAST(sum(v * v) AS BIGINT) AS sumsq,
+       CAST(sum(CASE WHEN pv IS NOT NULL AND ((v < 0) <> (pv < 0))
+                     THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM w
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 MM_MAX_ID = 100
 MM_H = MM_W = 16
 
@@ -12269,4 +12366,5 @@ QUERIES: dict[str, QuerySpec] = {
     "ks_drift": QuerySpec(q_ks_drift, SQL_KS_DRIFT),
     "rate_autocorr": QuerySpec(q_rate_autocorr, SQL_RATE_AUTOCORR),
     "png_decode_stats": QuerySpec(q_png_decode_stats, _sql_png_decode_stats()),
+    "wav_decode_stats": QuerySpec(q_wav_decode_stats, _sql_wav_decode_stats()),
 }

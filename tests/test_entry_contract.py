@@ -201,6 +201,7 @@ def test_entry_contract_shape():
         "ks_drift",  # r10 late addition (post-rotation); window candidate r11
         "rate_autocorr",  # r10 late addition (post-rotation); window candidate r11
         "png_decode_stats",  # r10 late addition (post-rotation); window candidate r11
+        "wav_decode_stats",  # r10 late addition (post-rotation); window candidate r11
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
