@@ -6,13 +6,20 @@ Design: media payloads are opaque ``binary`` columns with typed metadata
 Arrow-batched pandas functions over ``mapInPandas`` so each task processes
 a whole batch with NumPy, and partitioning/pushdown stay Spark-native.
 
-The actual codec work (JPEG/PNG decode, audio resample, video demux) needs
-libraries not present in this container, so the decode step is STUBBED:
-``decoder='fake'`` (default) derives a deterministic small tensor from the
-bytes (md5-seeded) so every downstream stage — feature extraction, resize,
-frame sampling, batching shapes — is real and testable; ``decoder='real'``
-raises ``NotImplementedError`` at the exact seam where a PIL/ffmpeg call
-would go.
+Codec status (r10): PNG and WAV decode FOR REAL with the standard library
+alone — :func:`decode_png` (zlib inflate + scanline unfilter, wired in as
+``decoder='png'`` and hash-verified end-to-end by the
+``png_decode_stats`` oracle entry) and :func:`decode_wav` (stdlib
+``wave``, PCM — ``wav_decode_stats``), with :func:`nn_resize` as the
+pure-numpy resize stage. JPEG/WebP pixel decode, lossy audio, and video
+demux need libraries not present in this container, so those paths stay
+STUBBED: ``decoder='fake'`` (default) derives a deterministic small
+tensor from the bytes (md5-seeded) so every downstream stage — feature
+extraction, frame sampling, batching shapes — is real and testable;
+``decoder='real'`` raises ``NotImplementedError`` at the exact seam where
+a PIL/ffmpeg call would go. Scan-side header metadata needs no decode at
+all: :func:`parse_png_header` / :func:`parse_jpeg_header` /
+:func:`parse_wav_header` classify and size-filter in pure Catalyst.
 
 Scale notes (100 TB): the input is typically parquet with a binary column;
 ``spark.sql.files.maxPartitionBytes`` bounds task size, mapInPandas streams
