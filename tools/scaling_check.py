@@ -77,6 +77,11 @@ ENTRIES = [
     # as the knob-scaled variant, the semantic_dedup treatment.
     "knn_classify",
     "knn_classify_ivf",
+    # r10 late additions (documents/embeddings entries only; the
+    # decode-stats entries are MAX_ID-bounded — flat by construction)
+    "gram_matrix",
+    "label_outliers",
+    "ks_drift",
 ]
 N_DOCS_BASE = 5000
 N_VECS_BASE = 2000
