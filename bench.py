@@ -170,6 +170,7 @@ BENCH_QUERIES = [
     "bitmap_distinct",
     "grouping_sets_revenue",
     "lsh_recall_eval",
+    "simhash_recall_eval",  # r10: SimHash family measured vs the same truth
     "ivm_aggregate",
     "mutual_info",
     "zipf_slope",

@@ -9641,6 +9641,90 @@ FROM nt, nc, hit
 """
 
 
+SIMHASH_EVAL_HAMMING = 3  # candidate threshold: hamming(simhash) <= 3
+
+
+def q_simhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of SIMHASH near-dup candidates (hamming <=
+    SIMHASH_EVAL_HAMMING over 64-bit fingerprints) against the SAME
+    exact shingle-Jaccard >= 1/2 ground truth lsh_recall_eval uses —
+    the two approximate dedup families become directly comparable on
+    one dial, which is exactly how a pipeline chooses between them (and
+    how hamming/band thresholds get tuned). SimHash candidates are
+    pigeonhole-exact for their OWN hamming predicate; what this
+    measures is hamming-as-a-proxy-for-Jaccard. Same bounded shapes:
+    df-capped shingle truth join, band-bucketed candidate join, one
+    summary row of exact counts + ppm rates."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: PLC0415
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < LSH_EVAL_MAX_ID
+    )
+    truth = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=SHINGLE_N, threshold=0.0,
+        max_doc_freq=CP_MAX_DF,
+    ).filter(
+        F.col("jaccard") * LSH_EVAL_TAU_DEN >= LSH_EVAL_TAU_NUM
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
+    cand = simhash_pairs(
+        docs, "doc_id", "text", bits=SIMHASH_BITS, bands=4,
+        max_hamming=SIMHASH_EVAL_HAMMING,
+    ).select("id_a", "id_b").localCheckpoint(eager=False)
+    hits = truth.join(cand, ["id_a", "id_b"])
+    return (
+        truth.agg(F.count(F.lit(1)).alias("n_truth"))
+        .crossJoin(F.broadcast(cand.agg(F.count(F.lit(1)).alias("n_cand"))))
+        .crossJoin(F.broadcast(hits.agg(F.count(F.lit(1)).alias("n_hit"))))
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            F.expr("n_hit * 1000000L div nullif(n_truth, 0)").alias("recall_ppm"),
+            F.expr("n_hit * 1000000L div nullif(n_cand, 0)").alias("precision_ppm"),
+        )
+    )
+
+
+def _sql_simhash_recall_eval() -> str:
+    cap = f"WHERE doc_id < {LSH_EVAL_MAX_ID}"
+    fp = _sql_simhash(where=cap)
+    return f"""
+WITH fp AS ({fp}),
+cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_EVAL_HAMMING}),
+dtoks AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM documents {cap}),
+sh0 AS (SELECT DISTINCT doc_id,
+              array_to_string(list_slice(tk, s, s + {SHINGLE_N - 1}), ' ') AS shingle
+        FROM dtoks,
+             unnest(generate_series(1, greatest(len(tk) - {SHINGLE_N - 1}, 1))) AS t(s)),
+shj AS (SELECT doc_id, shingle FROM sh0
+        WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY shingle
+                          HAVING count(*) <= {CP_MAX_DF})),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shj GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+truth AS (SELECT id_a, id_b
+          FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                     JOIN sizes sb ON sb.doc_id = id_b
+          WHERE round(i / (sa.sz + sb.sz - i), 6) * {LSH_EVAL_TAU_DEN}
+                >= {LSH_EVAL_TAU_NUM}),
+hit AS (SELECT count(*) AS n_hit FROM truth JOIN cand USING (id_a, id_b)),
+nt AS (SELECT count(*) AS n_truth FROM truth),
+nc AS (SELECT count(*) AS n_cand FROM cand)
+SELECT CAST(n_truth AS BIGINT) AS n_truth, CAST(n_cand AS BIGINT) AS n_cand,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       n_hit * 1000000 // nullif(n_truth, 0) AS recall_ppm,
+       n_hit * 1000000 // nullif(n_cand, 0) AS precision_ppm
+FROM nt, nc, hit
+"""
+
+
 def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT COUNT(DISTINCT) as mergeable bitmap state (the Druid/
     ClickHouse bitmap-index trick, and the exact sibling of the HLL
@@ -12367,4 +12451,7 @@ QUERIES: dict[str, QuerySpec] = {
     "rate_autocorr": QuerySpec(q_rate_autocorr, SQL_RATE_AUTOCORR),
     "png_decode_stats": QuerySpec(q_png_decode_stats, _sql_png_decode_stats()),
     "wav_decode_stats": QuerySpec(q_wav_decode_stats, _sql_wav_decode_stats()),
+    "simhash_recall_eval": QuerySpec(
+        q_simhash_recall_eval, _sql_simhash_recall_eval()
+    ),
 }

@@ -202,6 +202,7 @@ def test_entry_contract_shape():
         "rate_autocorr",  # r10 late addition (post-rotation); window candidate r11
         "png_decode_stats",  # r10 late addition (post-rotation); window candidate r11
         "wav_decode_stats",  # r10 late addition (post-rotation); window candidate r11
+        "simhash_recall_eval",  # r10 late addition (post-rotation); window candidate r11
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
