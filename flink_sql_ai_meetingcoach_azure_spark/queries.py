@@ -12256,19 +12256,27 @@ QUERIES: dict[str, QuerySpec] = {
     "knn_classify_ivf": QuerySpec(q_knn_classify_ivf, SQL_KNN_CLASSIFY),
     "token_compression": QuerySpec(q_token_compression, _sql_token_compression()),
     "phrase_search": QuerySpec(q_phrase_search, SQL_PHRASE_SEARCH),
-    "mad_outliers": QuerySpec(q_mad_outliers, SQL_MAD_OUTLIERS),
-    "centroid_shift": QuerySpec(q_centroid_shift, _sql_centroid_shift()),
-    "semantic_dedup": QuerySpec(q_semantic_dedup, _sql_semantic_dedup()),
-    "cluster_sample": QuerySpec(q_cluster_sample, _sql_cluster_sample()),
-    "kmeans_refine": QuerySpec(q_kmeans_refine, _sql_kmeans_refine()),
     # new in r10 (VERDICT r9 #8): JPEG SOF segment-walk parse
     "jpeg_meta": QuerySpec(q_jpeg_meta, SQL_JPEG_META),
-    "bloom_join": QuerySpec(q_bloom_join, SQL_BLOOM_JOIN),
-    "heavy_hitters": QuerySpec(q_heavy_hitters, SQL_HEAVY_HITTERS),
-    "incremental_neardup": QuerySpec(
-        q_incremental_neardup, _sql_incremental_neardup()
+    # second r10 rotation (the late-round pattern): the nine r10 late
+    # additions (all locally hash-green) take the slots of nine UNCHANGED
+    # previously-green ballast lines (mad_outliers/centroid_shift/
+    # semantic_dedup/cluster_sample/kmeans_refine/bloom_join/
+    # heavy_hitters/incremental_neardup/kcore — moved to the tail head),
+    # so after this round's driver run EVERY oracle-backed entry
+    # including this round's own additions has external hash evidence.
+    # Window first-time share: 40/50.
+    "gram_matrix": QuerySpec(q_gram_matrix, SQL_GRAM_MATRIX),
+    "wav_meta": QuerySpec(q_wav_meta, _sql_wav_meta()),
+    "label_outliers": QuerySpec(q_label_outliers, _sql_label_outliers()),
+    "hdr_error_eval": QuerySpec(q_hdr_error_eval, _sql_hdr_error_eval()),
+    "ks_drift": QuerySpec(q_ks_drift, SQL_KS_DRIFT),
+    "rate_autocorr": QuerySpec(q_rate_autocorr, SQL_RATE_AUTOCORR),
+    "png_decode_stats": QuerySpec(q_png_decode_stats, _sql_png_decode_stats()),
+    "wav_decode_stats": QuerySpec(q_wav_decode_stats, _sql_wav_decode_stats()),
+    "simhash_recall_eval": QuerySpec(
+        q_simhash_recall_eval, _sql_simhash_recall_eval()
     ),
-    "kcore": QuerySpec(q_kcore, _sql_kcore()),
     # newly oracle-backed in r10 (VERDICT r9 #5): the verbatim DDL chain,
     # hash-verified end-to-end for the first time
     "ddl_reference_pipeline": QuerySpec(
@@ -12281,7 +12289,19 @@ QUERIES: dict[str, QuerySpec] = {
     # oracles at sf0.001 on every pytest run (test_entry_contract) and
     # at sf0.01 by tools/check_correctness.py. Tail head: the 28 r9
     # window lines (all ext-r9 hash-green) that handed their slots to
-    # the late-r9 pack above.
+    # the late-r9 pack above (bfs_hops..profile_columns) or to the
+    # second-r10-rotation pack (mad_outliers..kcore).
+    "mad_outliers": QuerySpec(q_mad_outliers, SQL_MAD_OUTLIERS),
+    "centroid_shift": QuerySpec(q_centroid_shift, _sql_centroid_shift()),
+    "semantic_dedup": QuerySpec(q_semantic_dedup, _sql_semantic_dedup()),
+    "cluster_sample": QuerySpec(q_cluster_sample, _sql_cluster_sample()),
+    "kmeans_refine": QuerySpec(q_kmeans_refine, _sql_kmeans_refine()),
+    "bloom_join": QuerySpec(q_bloom_join, SQL_BLOOM_JOIN),
+    "heavy_hitters": QuerySpec(q_heavy_hitters, SQL_HEAVY_HITTERS),
+    "incremental_neardup": QuerySpec(
+        q_incremental_neardup, _sql_incremental_neardup()
+    ),
+    "kcore": QuerySpec(q_kcore, _sql_kcore()),
     "bfs_hops": QuerySpec(q_bfs_hops, _sql_bfs_hops()),
     "setsim_join": QuerySpec(q_setsim_join, SQL_SETSIM_JOIN),
     "containment_pairs": QuerySpec(q_containment_pairs, SQL_CONTAINMENT_PAIRS),
@@ -12442,16 +12462,4 @@ QUERIES: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(q_stratified_sample, _sql_stratified_sample()),
     "quality_score": QuerySpec(q_quality_score, _sql_quality_score()),
     "token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS),
-    # -- r10 late additions (after the rotation; window candidates r11) --
-    "gram_matrix": QuerySpec(q_gram_matrix, SQL_GRAM_MATRIX),
-    "wav_meta": QuerySpec(q_wav_meta, _sql_wav_meta()),
-    "label_outliers": QuerySpec(q_label_outliers, _sql_label_outliers()),
-    "hdr_error_eval": QuerySpec(q_hdr_error_eval, _sql_hdr_error_eval()),
-    "ks_drift": QuerySpec(q_ks_drift, SQL_KS_DRIFT),
-    "rate_autocorr": QuerySpec(q_rate_autocorr, SQL_RATE_AUTOCORR),
-    "png_decode_stats": QuerySpec(q_png_decode_stats, _sql_png_decode_stats()),
-    "wav_decode_stats": QuerySpec(q_wav_decode_stats, _sql_wav_decode_stats()),
-    "simhash_recall_eval": QuerySpec(
-        q_simhash_recall_eval, _sql_simhash_recall_eval()
-    ),
 }

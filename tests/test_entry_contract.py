@@ -36,6 +36,15 @@ def test_entry_contract_shape():
     # r1-r9 driver window, EXCEPT the 2 rows-only chains. All further
     # changes are gated here.
     assert list(qs)[50:] == [
+        "mad_outliers",  # externally checked r9; rotated out late r10 (slot handed to the r10 late pack)
+        "centroid_shift",  # externally checked r9; rotated out late r10 (slot handed to the r10 late pack)
+        "semantic_dedup",  # externally checked r9; rotated out late r10 (slot handed to the r10 late pack)
+        "cluster_sample",  # externally checked r9; rotated out late r10 (slot handed to the r10 late pack)
+        "kmeans_refine",  # externally checked r9; rotated out late r10 (slot handed to the r10 late pack)
+        "bloom_join",  # externally checked r9; rotated out late r10 (slot handed to the r10 late pack)
+        "heavy_hitters",  # externally checked r9; rotated out late r10 (slot handed to the r10 late pack)
+        "incremental_neardup",  # externally checked r9; rotated out late r10 (slot handed to the r10 late pack)
+        "kcore",  # externally checked r9; rotated out late r10 (slot handed to the r10 late pack)
         "bfs_hops",  # externally checked r9; rotated out r10 (slot handed to ddl_reference_pipeline)
         "setsim_join",  # externally checked r9; rotated out r10 (slot handed to jpeg_meta)
         "containment_pairs",  # externally checked r9; rotated out r10 (slot handed to knn_classify_ivf)
@@ -194,15 +203,6 @@ def test_entry_contract_shape():
         "stratified_sample",  # externally checked r1-r6
         "quality_score",  # externally checked r1-r6
         "token_stats",  # externally checked r1-r6
-        "gram_matrix",  # r10 late addition (post-rotation); window candidate r11
-        "wav_meta",  # r10 late addition (post-rotation); window candidate r11
-        "label_outliers",  # r10 late addition (post-rotation); window candidate r11
-        "hdr_error_eval",  # r10 late addition (post-rotation); window candidate r11
-        "ks_drift",  # r10 late addition (post-rotation); window candidate r11
-        "rate_autocorr",  # r10 late addition (post-rotation); window candidate r11
-        "png_decode_stats",  # r10 late addition (post-rotation); window candidate r11
-        "wav_decode_stats",  # r10 late addition (post-rotation); window candidate r11
-        "simhash_recall_eval",  # r10 late addition (post-rotation); window candidate r11
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
