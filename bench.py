@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "explode_chunks",
     # dedup / fingerprint family
     "dedup_exact",
+    "dup_rate_by_source",  # r10: per-source duplication report
     "dedup_keep_best",
     "minhash_signatures",
     "lsh_pairs",
@@ -176,6 +177,7 @@ BENCH_QUERIES = [
     "zipf_slope",
     "interarrival_stats",
     "embedding_norms",
+    "embedding_isotropy",  # r10: exact anisotropy diagnostic (zero floats)
     "containment_pairs",
     # event-sequence (CEP-lite) funnel + last-touch attribution
     "funnel_match",

@@ -11244,6 +11244,131 @@ ORDER BY a.label
 """
 
 
+def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-space isotropy diagnostic (cf. Ethayarajh
+    2019's anisotropy finding, public): the share of total vector mass
+    captured by the MEAN direction, ``||Σx||² / (n·Σ||x||²)`` in exact
+    integer ppm — 0 for perfectly spread (isotropic) embeddings,
+    1e6/n... rising toward 1e6 as vectors collapse into a cone (the
+    failure mode that silently breaks cosine retrieval). ZERO floats:
+    both numerator (Σ_pos (Σx_pos)² from the micro-component sums) and
+    denominator (Σ per-vector micro sum-of-squares) are exact BIGINTs
+    and the ratio is one integer division. Two combinable aggregates
+    ((label, pos) sums → label·dim rows; per-label sumsq), no windows,
+    no pairs — the cheapest possible health check before committing to
+    an ANN index."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = F.expr(
+        "transform(embedding, "
+        "x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))"
+    )
+    pos_sums = (
+        emb.select("label", F.posexplode(q).alias("pos", "m"))
+        .groupBy("label", "pos")
+        .agg(F.sum("m").alias("s"))
+        .groupBy("label")
+        .agg(F.sum(F.col("s") * F.col("s")).alias("num"))
+    )
+    per_vec = emb.select(
+        "label",
+        F.aggregate(
+            q, F.lit(0).cast("bigint"), lambda acc, v: acc + v * v
+        ).alias("ss"),
+    ).groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ss").alias("den"),
+    )
+    return (
+        pos_sums.join(per_vec, "label")
+        .select(
+            "label",
+            "n",
+            # pre-scaled divisor (the spend_concentration overflow
+            # discipline): num is ~n²·1e12·dim, so num·1e6 overflows
+            # BIGINT — divide by (n·den div 1e6) instead, identical
+            # integer algebra on both engines
+            F.expr("num div greatest((n * den) div 1000000L, 1L)").alias(
+                "isotropy_ppm"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+SQL_EMBEDDING_ISOTROPY = """
+WITH m AS (SELECT label,
+                  list_transform(embedding::DOUBLE[],
+                                 x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+           FROM embeddings),
+e AS (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS c FROM m),
+num AS (SELECT label, sum(s * s) AS num
+        FROM (SELECT label, pos, sum(c) AS s FROM e GROUP BY 1, 2)
+        GROUP BY label),
+den AS (SELECT label, count(*) AS n,
+               sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                     list_transform(v, x -> x * x)), (a, b) -> a + b)) AS den
+        FROM m GROUP BY label)
+SELECT label, CAST(n AS BIGINT) AS n,
+       CAST(num // greatest((n * den) // 1000000, 1) AS BIGINT) AS isotropy_ppm
+FROM num JOIN den USING (label)
+ORDER BY label
+"""
+
+
+def q_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report — the corpus-composition table a
+    curation run publishes alongside the dedup pass itself: documents,
+    distinct texts (md5 identity, the dedup_exact key), redundant copies
+    and the exact-ppm dup rate per source, plus each source's share of
+    corpus-wide redundancy (broadcast 1-row total). Two combinable
+    aggregates on the 32-byte digest — the shuffle never carries
+    document bodies (the snapshot_diff discipline)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    per = (
+        docs.select("source", F.md5("text").alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("h").cast("bigint").alias("n_distinct"),
+        )
+        .withColumn("n_dup", F.col("n_docs") - F.col("n_distinct"))
+    )
+    tot = per.groupBy().agg(F.sum("n_dup").alias("__t"))
+    return (
+        per.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            "n_dup",
+            F.expr("n_dup * 1000000L div n_docs").alias("dup_ppm"),
+            F.expr("n_dup * 1000000L div nullif(__t, 0)").alias(
+                "share_of_corpus_dups_ppm"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+SQL_DUP_RATE_BY_SOURCE = """
+WITH per AS (SELECT source, count(*) AS n_docs,
+                    count(DISTINCT md5(text)) AS n_distinct
+             FROM documents GROUP BY source),
+t AS (SELECT sum(n_docs - n_distinct) AS tot FROM per)
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_distinct AS BIGINT) AS n_distinct,
+       CAST(n_docs - n_distinct AS BIGINT) AS n_dup,
+       (n_docs - n_distinct) * 1000000 // n_docs AS dup_ppm,
+       (n_docs - n_distinct) * 1000000 // nullif(t.tot, 0)
+         AS share_of_corpus_dups_ppm
+FROM per CROSS JOIN t
+ORDER BY source
+"""
+
+
 OUTLIER_K = 3  # most-atypical vectors reported per label
 
 
@@ -12462,4 +12587,11 @@ QUERIES: dict[str, QuerySpec] = {
     "stratified_sample": QuerySpec(q_stratified_sample, _sql_stratified_sample()),
     "quality_score": QuerySpec(q_quality_score, _sql_quality_score()),
     "token_stats": QuerySpec(q_token_stats, SQL_TOKEN_STATS),
+    # -- r10 late additions (after the second rotation; r11 candidates) --
+    "embedding_isotropy": QuerySpec(
+        q_embedding_isotropy, SQL_EMBEDDING_ISOTROPY
+    ),
+    "dup_rate_by_source": QuerySpec(
+        q_dup_rate_by_source, SQL_DUP_RATE_BY_SOURCE
+    ),
 }

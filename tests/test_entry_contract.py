@@ -203,6 +203,8 @@ def test_entry_contract_shape():
         "stratified_sample",  # externally checked r1-r6
         "quality_score",  # externally checked r1-r6
         "token_stats",  # externally checked r1-r6
+        "embedding_isotropy",  # r10 late addition (post second rotation); window candidate r11
+        "dup_rate_by_source",  # r10 late addition (post second rotation); window candidate r11
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
