@@ -178,6 +178,13 @@ BENCH_QUERIES = [
     "interarrival_stats",
     "embedding_norms",
     "embedding_isotropy",  # r10: exact anisotropy diagnostic (zero floats)
+    "silhouette_eval",  # r10: clustering-quality eval over the Lloyd cells
+    "coreset_sample",  # r10: greedy k-center diverse selection (K scans)
+    "readability_scores",  # r10: Flesch milli-score per (lang, source)
+    "dedup_sweep",  # r10: Jaccard threshold-sensitivity tuning table
+    "pca_power",  # r10: top principal component via fixed-round power iter
+    "pq_recall_eval",  # r10: PQ retrieval recall vs exact ground truth
+    "vocab_coverage_sweep",  # r10: vocab-size coverage tuning table
     "containment_pairs",
     # event-sequence (CEP-lite) funnel + last-touch attribution
     "funnel_match",

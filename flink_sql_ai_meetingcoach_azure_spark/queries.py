@@ -12322,6 +12322,681 @@ ORDER BY source
 """
 
 
+def q_silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster SIMPLIFIED SILHOUETTE over the Lloyd-refined cells —
+    the clustering family's measured-quality entry (the eval discipline
+    ANN/LSH/SimHash/HDR/langid already have: a clustering without a
+    separation score is a guess, and k / iteration tuning is exactly
+    this dial). Classic silhouette is O(n²) pairwise; the simplified
+    form (Hruschka et al., public) replaces mean-intra/inter distances
+    with CENTROID distances — per point a = 1 − sim(own centroid),
+    b = 1 − sim(best other centroid), s = (b − a)/b — which keeps the
+    whole eval at the assignment's own cost: one broadcast
+    nested-loop over k centroids, one combinable top-2 aggregate
+    (k-bounded collect_list per vec), ZERO pairwise space.
+
+    Determinism: similarities quantized once to integer ppm, per-point
+    silhouette is pure integer algebra ((s1−s2)·1e6 div (1e6−s2) —
+    never a float division), tie-break (sim DESC, cid ASC) matches
+    assign_nearest_centroid. Per-cluster means are integer div."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    seeds = _refined_seeds(spark, emb, CLUSTER_K)
+    pairs = emb.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        F.col("centroid_id").alias("cid"),
+        F.round(
+            cosine_similarity_col(
+                F.col("embedding").cast("array<double>"), F.col("centroid")
+            )
+            * 1_000_000.0
+        )
+        .cast("bigint")
+        .alias("sp"),
+    )
+    top2 = (
+        pairs.groupBy("vec_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct((-F.col("sp")).alias("ns"), F.col("cid"))
+                    )
+                ),
+                1,
+                2,
+            ).alias("t2")
+        )
+        .select(
+            F.col("t2")[0]["cid"].alias("cluster_id"),
+            (-F.col("t2")[0]["ns"]).alias("s1p"),
+            (-F.col("t2")[1]["ns"]).alias("s2p"),
+        )
+    )
+    sil = top2.select(
+        "cluster_id",
+        F.expr(
+            "CASE WHEN s2p >= 1000000 THEN 0L "
+            "ELSE (s1p - s2p) * 1000000L div (1000000L - s2p) END"
+        ).alias("sil_ppm"),
+    )
+    return (
+        sil.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.expr("sum(sil_ppm) div count(*)").alias("mean_sil_ppm"),
+            F.min("sil_ppm").cast("bigint").alias("min_sil_ppm"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+def _sql_silhouette_eval() -> str:
+    ctes, cf = _sql_lloyd_ctes(CLUSTER_K)
+    return f"""
+WITH {ctes},
+seeds AS (SELECT cid, list_transform(v, x -> CAST(x AS DOUBLE) / 1000000.0) AS cv
+          FROM {cf}),
+corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (SELECT c.vec_id, s.cid,
+                 CAST(round(list_dot_product(c.v, s.cv) /
+                      (sqrt(list_dot_product(c.v, c.v)) *
+                       sqrt(list_dot_product(s.cv, s.cv))) * 1000000)
+                      AS BIGINT) AS sp
+          FROM corpus c CROSS JOIN seeds s),
+r AS (SELECT vec_id, cid, sp,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sp DESC, cid ASC) AS rn
+      FROM pairs),
+t AS (SELECT a.vec_id, a.cid AS cluster_id, a.sp AS s1p, b.sp AS s2p
+      FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+sil AS (SELECT cluster_id,
+               CASE WHEN s2p >= 1000000 THEN 0
+                    ELSE (s1p - s2p) * 1000000 // (1000000 - s2p) END AS sil_ppm
+        FROM t)
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(sil_ppm) // count(*) AS BIGINT) AS mean_sil_ppm,
+       CAST(min(sil_ppm) AS BIGINT) AS min_sil_ppm
+FROM sil GROUP BY cluster_id ORDER BY cluster_id
+"""
+
+
+CORESET_K = 8  # greedy k-center selections (fixed rounds, Lloyd-style)
+
+
+def q_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center CORESET selection (farthest-point sampling, the
+    Gonzalez 2-approximation — public) over the embedding corpus: the
+    data-selection primitive for maximally DIVERSE subsets (seed
+    prompts, eval panels, active-learning batches) — the opposite dial
+    from cluster_sample's mode-balanced quota. Seed = smallest vec_id;
+    each of the CORESET_K−1 remaining rounds picks the point FARTHEST
+    (max-min cosine distance, integer ppm) from everything selected so
+    far, with (dist DESC, vec_id ASC) tie-break. The reported dist_ppm
+    per selection IS the coverage radius curve — how well k centers
+    cover the corpus, the stopping dial.
+
+    Plan shape (the Lloyd discipline): per round ONE map-only scan —
+    the ≤k selected vectors ride the plan as literals, the min-distance
+    is a bounded array fold, the argmax is TakeOrderedAndProject(1) —
+    and a 1-row model-sized collect. K scans total, zero shuffles
+    beyond the top-1, state never exceeds k·dim driver floats."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    seed = (
+        emb.orderBy("vec_id").select("vec_id", "embedding").limit(1).collect()[0]
+    )
+    selected: list[tuple[int, list[float], int | None]] = [
+        (int(seed["vec_id"]), [float(x) for x in seed["embedding"]], None)
+    ]
+    for _ in range(1, CORESET_K):
+        ids = [s[0] for s in selected]
+        cents = F.array(
+            *[F.array(*[F.lit(x) for x in v]) for _, v, _ in selected]
+        )
+        dist = F.array_min(
+            F.transform(
+                cents,
+                lambda c: F.lit(1_000_000).cast("bigint")
+                - F.round(
+                    cosine_similarity_col(
+                        F.col("embedding").cast("array<double>"), c
+                    )
+                    * 1_000_000.0
+                ).cast("bigint"),
+            )
+        )
+        nxt = (
+            emb.filter(~F.col("vec_id").isin(ids))
+            .select("vec_id", "embedding", dist.alias("d"))
+            .orderBy(F.desc("d"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        selected.append(
+            (
+                int(nxt["vec_id"]),
+                [float(x) for x in nxt["embedding"]],
+                int(nxt["d"]),
+            )
+        )
+    return spark.createDataFrame(
+        [(i, vid, d) for i, (vid, _, d) in enumerate(selected)],
+        "sel_order int, vec_id bigint, dist_ppm bigint",
+    ).orderBy("sel_order")
+
+
+def _sql_coreset_sample() -> str:
+    dist = (
+        "1000000 - CAST(round(list_dot_product(e.v, s.v) / "
+        "(sqrt(list_dot_product(e.v, e.v)) * "
+        "sqrt(list_dot_product(s.v, s.v))) * 1000000) AS BIGINT)"
+    )
+    # MATERIALIZED: s{t} references every earlier s{j}; left to the
+    # inliner the selection chain re-expands exponentially
+    ctes = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v"
+        " FROM embeddings)",
+        "s0 AS MATERIALIZED (SELECT vec_id, v, CAST(NULL AS BIGINT) AS d"
+        " FROM e ORDER BY vec_id LIMIT 1)",
+    ]
+    for t in range(1, CORESET_K):
+        prev_v = " UNION ALL ".join(
+            f"SELECT vec_id, v FROM s{j}" for j in range(t)
+        )
+        prev_ids = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(t)
+        )
+        ctes.append(f"""
+d{t} AS MATERIALIZED (SELECT e.vec_id, min({dist}) AS d
+         FROM e, ({prev_v}) s
+         WHERE e.vec_id NOT IN ({prev_ids})
+         GROUP BY e.vec_id),
+s{t} AS MATERIALIZED (SELECT d.vec_id, e.v, d.d
+         FROM d{t} d JOIN e USING (vec_id)
+         ORDER BY d.d DESC, d.vec_id ASC LIMIT 1)""")
+    final = " UNION ALL ".join(
+        f"SELECT {i} AS sel_order, vec_id, d FROM s{i}"
+        for i in range(CORESET_K)
+    )
+    return (
+        f"WITH {','.join(ctes)}\n"
+        "SELECT CAST(sel_order AS INT) AS sel_order, vec_id, "
+        "CAST(d AS BIGINT) AS dist_ppm\n"
+        f"FROM ({final}) ORDER BY sel_order"
+    )
+
+
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-style readability profile per (lang, source) slice — the
+    syllable-complexity axis the Gopher rule pack (quality_filter) and
+    quality_score don't measure: words via [a-z]+ runs, sentences via
+    terminal-punctuation runs (floor 1 — headline-style text has none),
+    syllables via the classic vowel-group approximation [aeiouy]+
+    (public heuristic). The reading-ease formula 206.835 − 1.015·(W/S)
+    − 84.6·(Y/W) is evaluated on the SLICE-AGGREGATED integer counts in
+    exact milli-units (integer div — positive operands, so Spark's
+    truncating div and the oracle's floor // agree), never per-doc
+    floats. One codegen regexp map over the scan + one combinable
+    aggregate; at 100 TB this is scan-bound and shuffle-free up to the
+    (lang, source)-sized result."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        "source",
+        F.expr("regexp_count(lower(text), '[a-z]+')").cast("bigint").alias("w"),
+        F.expr("greatest(regexp_count(text, '[.!?]+'), 1)")
+        .cast("bigint")
+        .alias("s"),
+        F.expr("regexp_count(lower(text), '[aeiouy]+')")
+        .cast("bigint")
+        .alias("y"),
+    )
+    return (
+        per.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("w").alias("words"),
+            F.sum("s").alias("sentences"),
+            F.sum("y").alias("syllables"),
+        )
+        .select(
+            "lang",
+            "source",
+            "n_docs",
+            "words",
+            "sentences",
+            "syllables",
+            F.expr(
+                "206835L - (1015L * words div greatest(sentences, 1L))"
+                " - (84600L * syllables div greatest(words, 1L))"
+            ).alias("flesch_milli"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+SQL_READABILITY_SCORES = """
+WITH per AS (
+  SELECT lang, source,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT) AS w,
+         CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y
+  FROM documents),
+agg AS (SELECT lang, source, count(*) AS n_docs, sum(w) AS words,
+               sum(s) AS sentences, sum(y) AS syllables
+        FROM per GROUP BY lang, source)
+SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(words AS BIGINT) AS words,
+       CAST(sentences AS BIGINT) AS sentences,
+       CAST(syllables AS BIGINT) AS syllables,
+       CAST(206835 - (1015 * words // greatest(sentences, 1))
+                   - (84600 * syllables // greatest(words, 1)) AS BIGINT)
+         AS flesch_milli
+FROM agg ORDER BY lang, source
+"""
+
+
+DEDUP_SWEEP_TAUS = [500_000, 600_000, 700_000, 800_000, 900_000]
+
+
+def q_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup THRESHOLD-SENSITIVITY sweep — the tuning table a curation
+    run publishes before committing to a Jaccard cutoff: for each
+    candidate threshold τ, how many near-dup pairs fire and how many
+    documents are touched. One exact-Jaccard pass over the df-capped
+    shingle join (the lsh_recall_eval tuning sub-corpus and bounds),
+    then ONE broadcast of the 5-row τ table — the sweep re-reads the
+    materialized pair list, never the corpus, so adding thresholds is
+    free. Pair-jaccards are quantized to integer ppm before the
+    comparison (a τ decision must never straddle a float ulp).
+    At 100 TB this is the tuning loop on a sampled sub-corpus (the
+    doc_id cap models it); the chosen τ then drives the banded
+    production pass (lsh_pairs → neardup_keep_best)."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < LSH_EVAL_MAX_ID
+    )
+    pairs = (
+        ngram_jaccard_pairs(
+            docs, "doc_id", "text", n=SHINGLE_N, threshold=0.0,
+            max_doc_freq=CP_MAX_DF,
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("jaccard") * 1_000_000.0).cast("bigint").alias("jp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    taus = spark.createDataFrame(
+        [(t,) for t in DEDUP_SWEEP_TAUS], "tau_ppm bigint"
+    )
+    swept = pairs.join(
+        F.broadcast(taus), F.col("jp") >= F.col("tau_ppm")
+    )
+    n_pairs = swept.groupBy("tau_ppm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    n_docs = (
+        swept.select("tau_ppm", F.col("id_a").alias("d"))
+        .unionByName(swept.select("tau_ppm", F.col("id_b").alias("d")))
+        .groupBy("tau_ppm")
+        .agg(F.countDistinct("d").cast("bigint").alias("n_docs"))
+    )
+    return (
+        taus.join(n_pairs, "tau_ppm", "left")
+        .join(n_docs, "tau_ppm", "left")
+        .select(
+            "tau_ppm",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs", F.lit(0)).cast("bigint").alias("n_docs"),
+        )
+        .orderBy("tau_ppm")
+    )
+
+
+def _sql_dedup_sweep() -> str:
+    cap = f"WHERE doc_id < {LSH_EVAL_MAX_ID}"
+    tau_rows = ", ".join(f"({t})" for t in DEDUP_SWEEP_TAUS)
+    return f"""
+WITH dtoks AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk
+               FROM documents {cap}),
+sh0 AS (SELECT DISTINCT doc_id,
+              array_to_string(list_slice(tk, s, s + {SHINGLE_N - 1}), ' ') AS shingle
+        FROM dtoks,
+             unnest(generate_series(1, greatest(len(tk) - {SHINGLE_N - 1}, 1))) AS t(s)),
+shj AS (SELECT doc_id, shingle FROM sh0
+        WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY shingle
+                          HAVING count(*) <= {CP_MAX_DF})),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shj GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+pairs AS (SELECT id_a, id_b,
+                 CAST(round(round(i / (sa.sz + sb.sz - i), 6) * 1000000)
+                      AS BIGINT) AS jp
+          FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                     JOIN sizes sb ON sb.doc_id = id_b),
+taus AS (SELECT CAST(tau_ppm AS BIGINT) AS tau_ppm
+         FROM (VALUES {tau_rows}) v(tau_ppm)),
+swept AS (SELECT t.tau_ppm, p.id_a, p.id_b
+          FROM pairs p JOIN taus t ON p.jp >= t.tau_ppm),
+np AS (SELECT tau_ppm, count(*) AS n_pairs FROM swept GROUP BY tau_ppm),
+nd AS (SELECT tau_ppm, count(DISTINCT d) AS n_docs
+       FROM (SELECT tau_ppm, id_a AS d FROM swept
+             UNION ALL SELECT tau_ppm, id_b FROM swept)
+       GROUP BY tau_ppm)
+SELECT t.tau_ppm,
+       CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(nd.n_docs, 0) AS BIGINT) AS n_docs
+FROM taus t LEFT JOIN np USING (tau_ppm) LEFT JOIN nd USING (tau_ppm)
+ORDER BY tau_ppm
+"""
+
+
+PCA_POWER_ROUNDS = 6  # fixed power-iteration rounds (unrolled in the oracle)
+
+
+def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding covariance by
+    FIXED-ROUND power iteration — the payoff of gram_matrix's one-pass
+    accumulation (PCA whitening / OPQ rotation / anisotropy direction,
+    the preprocessing the ANN storage ladder assumes): the corpus is
+    touched ONCE (the exact-integer Gram pass, combinable, model-sized
+    output); the iteration itself runs on the dim×dim matrix carried as
+    ONE ROW of nested arrays, so every multiply-add is an ORDERED array
+    fold — bit-identical across engines — and each round's vector is
+    re-quantized at 6 dp (the Lloyd/pagerank fixed-round discipline,
+    here in floats because eigenvectors have no integer form). Output:
+    the unit loading per dimension plus the explained-variance share of
+    PC1 in ppm (Rayleigh quotient over the exact-integer trace) — the
+    gauge that decides how many PQ subspaces / projection dims survive.
+    Covariance is PSD so the iterate's sign is stable; v₀ = 1/√dim
+    (exact at dim=64). At 100 TB: one linear pass + driver-free
+    model-sized algebra; rounds are unrolled in the oracle exactly like
+    pagerank's."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") * 1_000_000).cast("bigint"),
+    )
+    cells = (
+        emb.select(q.alias("v"))
+        .select(F.posexplode("v").alias("i", "xi"), F.col("v"))
+        .select("i", "xi", F.posexplode("v").alias("j", "xj"))
+        .filter(F.col("j") >= F.col("i"))
+        .groupBy("i", "j")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("xi") * F.col("xj")).cast("bigint").alias("sxy"),
+            F.sum("xi").cast("bigint").alias("sx"),
+            F.sum("xj").cast("bigint").alias("sy"),
+        )
+        .select(
+            "i",
+            "j",
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            .cast("bigint")
+            .alias("cov"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    full = cells.unionByName(
+        cells.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "cov"
+        )
+    )
+    rows = full.groupBy("i").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(j, cov))),"
+            " x -> CAST(x.cov AS DOUBLE))"
+        ).alias("row")
+    )
+    mat = rows.agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(i, row))), x -> x.row)"
+        ).alias("m")
+    )
+    trace = cells.filter(F.col("i") == F.col("j")).agg(
+        F.sum("cov").cast("bigint").alias("tr")
+    )
+    it = mat.crossJoin(F.broadcast(trace)).selectExpr(
+        "m",
+        "tr",
+        f"array_repeat(round(1.0D / sqrt(CAST({EMB_DIM} AS DOUBLE)), 6),"
+        f" {EMB_DIM}) AS v",
+    )
+    dot = (
+        "aggregate(zip_with({x}, {y}, (p, q) -> p * q), 0.0D,"
+        " (acc, t) -> acc + t)"
+    )
+    for _ in range(PCA_POWER_ROUNDS):
+        it = (
+            it.selectExpr(
+                "m",
+                "tr",
+                f"transform(m, row -> {dot.format(x='row', y='v')}) AS w",
+            )
+            .selectExpr(
+                "m",
+                "tr",
+                "w",
+                f"sqrt({dot.format(x='w', y='w')}) AS nrm",
+            )
+            .selectExpr(
+                "m", "tr", "transform(w, x -> round(x / nrm, 6)) AS v"
+            )
+            # the iterate is ONE model-sized row; checkpointing it per
+            # round truncates the expression lineage — without this,
+            # Catalyst's projection collapse inlines v→w→nrm ~3× per
+            # round and the interpreted tree grows 3^rounds
+            .localCheckpoint()
+        )
+    fin = it.selectExpr(
+        "tr",
+        "v",
+        f"transform(m, row -> {dot.format(x='row', y='v')}) AS mv",
+    ).selectExpr(
+        "v",
+        f"CAST(round({dot.format(x='v', y='mv')} * 1000000.0"
+        " / CAST(tr AS DOUBLE)) AS BIGINT) AS ev_share_ppm",
+    )
+    return (
+        fin.select(
+            F.posexplode("v").alias("pos", "loading"), "ev_share_ppm"
+        )
+        .select("pos", "loading", "ev_share_ppm")
+        .orderBy("pos")
+    )
+
+
+def _sql_pca_power() -> str:
+    dim = EMB_DIM
+    dot = (
+        "list_reduce(list_transform(range(1, {dim} + 1),"
+        " j -> {x}[j] * {y}[j]), (acc, t) -> acc + t)"
+    )
+
+    def d(x: str, y: str) -> str:
+        return dot.format(dim=dim, x=x, y=y)
+
+    ctes = [f"""
+m0 AS (SELECT list_transform(embedding::DOUBLE[],
+                             x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+       FROM embeddings),
+cells AS (SELECT ti.i - 1 AS i, tj.j - 1 AS j, count(*) AS n,
+                 sum(v[ti.i] * v[tj.j]) AS sxy,
+                 sum(v[ti.i]) AS sx, sum(v[tj.j]) AS sy
+          FROM m0, range(1, {dim + 1}) ti(i), range(1, {dim + 1}) tj(j)
+          WHERE tj.j >= ti.i GROUP BY 1, 2),
+cov AS (SELECT i, j, CAST(n * sxy - sx * sy AS BIGINT) AS cov FROM cells),
+fullm AS (SELECT i, j, cov FROM cov
+          UNION ALL SELECT j, i, cov FROM cov WHERE i <> j),
+rows_ AS (SELECT i, list(CAST(cov AS DOUBLE) ORDER BY j) AS row
+          FROM fullm GROUP BY i),
+mat AS (SELECT list(row ORDER BY i) AS m FROM rows_),
+tr AS (SELECT CAST(sum(cov) AS BIGINT) AS tr FROM cov WHERE i = j),
+i0 AS (SELECT m, tr,
+              list_transform(range(1, {dim + 1}),
+                x -> round(1.0 / sqrt(CAST({dim} AS DOUBLE)), 6)) AS v
+       FROM mat, tr)"""]
+    prev = "i0"
+    for t in range(1, PCA_POWER_ROUNDS + 1):
+        ctes.append(f"""
+i{t} AS (SELECT m, tr, list_transform(w, x -> round(x / nrm, 6)) AS v
+         FROM (SELECT m, tr, w, sqrt({d('w', 'w')}) AS nrm
+               FROM (SELECT m, tr,
+                            list_transform(m, row -> {d('row', 'v')}) AS w
+                     FROM {prev})))""")
+        prev = f"i{t}"
+    return f"""
+WITH {','.join(ctes)},
+fin AS (SELECT tr, v, list_transform(m, row -> {d('row', 'v')}) AS mv
+        FROM {prev})
+SELECT CAST(t.j - 1 AS INT) AS pos, v[t.j] AS loading,
+       CAST(round({d('v', 'mv')} * 1000000.0 / CAST(tr AS DOUBLE))
+            AS BIGINT) AS ev_share_ppm
+FROM fin, range(1, {dim + 1}) t(j)
+ORDER BY pos
+"""
+
+
+def q_pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PRODUCT-QUANTIZED rung against the exact flat
+    ground truth — closes the PQ family's eval gap: quantization_error
+    measures RECONSTRUCTION fidelity, but what a deployment cares about
+    is whether the ADC ranking still surfaces the true neighbors (the
+    32× memory saving is only free if recall says so — this is the dial
+    that picks PQ_M/PQ_KSUB). Both rankings are already-hash-verified
+    deterministic entries (`ann_topk`, `ann_pq`), so the metric is
+    exact integer ppm: hits = |exact ∩ pq| per query via one bounded
+    (queries·k) join. At 100 TB the ground truth is computed once on a
+    sampled query set — exactly what this entry models."""
+    exact = q_ann_topk(spark, sf_dir).select("qid", "neighbor_id")
+    pq = q_ann_pq(spark, sf_dir).select("qid", "neighbor_id")
+    hits = (
+        exact.join(pq, ["qid", "neighbor_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("hits_at_k"))
+    )
+    return (
+        exact.select("qid")
+        .distinct()
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("hits_at_k", F.lit(0)).alias("hits_at_k"),
+            F.expr(
+                f"coalesce(hits_at_k, 0L) * 1000000L div {ANN_K}"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("qid")
+    )
+
+
+def _sql_pq_recall_eval() -> str:
+    return f"""
+WITH ex AS (SELECT qid, neighbor_id FROM ({SQL_ANN_TOPK}) t),
+pq AS (SELECT qid, neighbor_id FROM ({SQL_ANN_PQ}) t),
+j AS (SELECT ex.qid, count(*) AS hits
+      FROM ex JOIN pq ON pq.qid = ex.qid AND pq.neighbor_id = ex.neighbor_id
+      GROUP BY ex.qid)
+SELECT q.qid,
+       CAST(coalesce(j.hits, 0) AS BIGINT) AS hits_at_k,
+       CAST(coalesce(j.hits, 0) * 1000000 // {ANN_K} AS BIGINT) AS recall_ppm
+FROM (SELECT DISTINCT qid FROM ex) q LEFT JOIN j USING (qid)
+ORDER BY qid
+"""
+
+
+VOCAB_SWEEP_NS = [250, 500, 1_000, 2_000, 4_000, 8_000]
+
+
+def q_vocab_coverage_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-size COVERAGE curve — the tokenizer-design sweep
+    (oov_rate's tuning sibling, the dedup_sweep pattern applied to the
+    vocab axis): for each candidate vocabulary size N, the share of all
+    corpus token INSTANCES covered by the top-N types (freq DESC, term
+    ASC rank) in exact integer ppm, plus the types actually available.
+    This is the table that picks a vocab size / decides between word-
+    and subword-level tokenization (coverage saturating early → word
+    vocab suffices; a long tail → BPE, the bpe_merges seam).
+
+    Shape: one token count (vocabulary-sized result), one range-exchange
+    contiguous rank, then a BROADCAST 6-row threshold join + combinable
+    per-threshold sum — never a running-sum window over the vocabulary.
+    Thresholds past the vocabulary saturate at 1e6 ppm by construction."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import tokens_col  # noqa: PLC0415
+    from flink_sql_ai_meetingcoach_azure_spark.operators.indexing import (  # noqa: PLC0415
+        contiguous_row_ids,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens_col("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = contiguous_row_ids(
+        counts, [F.desc("cnt"), F.asc("term")], id_col="rank"
+    ).localCheckpoint(eager=False)
+    ths = spark.createDataFrame(
+        [(n,) for n in VOCAB_SWEEP_NS], "vocab_n bigint"
+    )
+    per = (
+        ranked.join(F.broadcast(ths), F.col("rank") <= F.col("vocab_n"))
+        .groupBy("vocab_n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum("cnt").cast("bigint").alias("covered_tokens"),
+        )
+    )
+    tot = ranked.agg(F.sum("cnt").alias("__t"))
+    return (
+        ths.join(per, "vocab_n", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "vocab_n",
+            F.coalesce("n_types", F.lit(0)).cast("bigint").alias("n_types"),
+            F.coalesce("covered_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.expr(
+                "coalesce(covered_tokens, 0L) * 1000000L"
+                " div nullif(__t, 0)"
+            ).alias("covered_ppm"),
+        )
+        .orderBy("vocab_n")
+    )
+
+
+def _sql_vocab_coverage_sweep() -> str:
+    toks = _TOKS.format(col="text")
+    th_rows = ", ".join(f"({n})" for n in VOCAB_SWEEP_NS)
+    return f"""
+WITH c AS (SELECT t AS term, count(*) AS cnt
+           FROM (SELECT unnest({toks}) AS t FROM documents) GROUP BY t),
+r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, term ASC) AS rank
+      FROM c),
+ths AS (SELECT CAST(vocab_n AS BIGINT) AS vocab_n
+        FROM (VALUES {th_rows}) v(vocab_n)),
+per AS (SELECT t.vocab_n, count(*) AS n_types, sum(r.cnt) AS covered_tokens
+        FROM r JOIN ths t ON r.rank <= t.vocab_n GROUP BY t.vocab_n),
+tot AS (SELECT sum(cnt) AS t FROM c)
+SELECT t.vocab_n,
+       CAST(COALESCE(per.n_types, 0) AS BIGINT) AS n_types,
+       CAST(COALESCE(per.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+       CAST(COALESCE(per.covered_tokens, 0) * 1000000 // nullif(tot.t, 0)
+            AS BIGINT) AS covered_ppm
+FROM ths t LEFT JOIN per USING (vocab_n) CROSS JOIN tot
+ORDER BY vocab_n
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-10 rotation (VERDICT r9 #1): the first 28 entries below are
@@ -12593,5 +13268,16 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dup_rate_by_source": QuerySpec(
         q_dup_rate_by_source, SQL_DUP_RATE_BY_SOURCE
+    ),
+    "silhouette_eval": QuerySpec(q_silhouette_eval, _sql_silhouette_eval()),
+    "coreset_sample": QuerySpec(q_coreset_sample, _sql_coreset_sample()),
+    "readability_scores": QuerySpec(
+        q_readability_scores, SQL_READABILITY_SCORES
+    ),
+    "dedup_sweep": QuerySpec(q_dedup_sweep, _sql_dedup_sweep()),
+    "pca_power": QuerySpec(q_pca_power, _sql_pca_power()),
+    "pq_recall_eval": QuerySpec(q_pq_recall_eval, _sql_pq_recall_eval()),
+    "vocab_coverage_sweep": QuerySpec(
+        q_vocab_coverage_sweep, _sql_vocab_coverage_sweep()
     ),
 }

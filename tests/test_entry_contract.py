@@ -205,6 +205,13 @@ def test_entry_contract_shape():
         "token_stats",  # externally checked r1-r6
         "embedding_isotropy",  # r10 late addition (post second rotation); window candidate r11
         "dup_rate_by_source",  # r10 late addition (post second rotation); window candidate r11
+        "silhouette_eval",  # r10 late addition (post second rotation); window candidate r11
+        "coreset_sample",  # r10 late addition (post second rotation); window candidate r11
+        "readability_scores",  # r10 late addition (post second rotation); window candidate r11
+        "dedup_sweep",  # r10 late addition (post second rotation); window candidate r11
+        "pca_power",  # r10 late addition (post second rotation); window candidate r11
+        "pq_recall_eval",  # r10 late addition (post second rotation); window candidate r11
+        "vocab_coverage_sweep",  # r10 late addition (post second rotation); window candidate r11
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

@@ -2142,3 +2142,113 @@ def test_knn_classify_ivf_routes_and_matches_flat(spark):
     flat = [tuple(r) for r in q_knn_classify(spark, sf).collect()]
     ivf = [tuple(r) for r in ivf_df.collect()]
     assert ivf == flat
+
+
+def test_coreset_sample_greedy_invariants(spark):
+    """q_coreset_sample: greedy k-center invariants — unique selections,
+    the seed is the smallest vec_id with NULL radius, and the coverage
+    radius (max-min distance at selection time) is NON-INCREASING: each
+    pick covers the previously-farthest point, so the next farthest
+    point can only be nearer (the Gonzalez-approximation monotonicity)."""
+    from flink_sql_ai_meetingcoach_azure_spark.queries import (
+        CORESET_K,
+        q_coreset_sample,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_coreset_sample(spark, sf).collect()
+    assert [r["sel_order"] for r in rows] == list(range(CORESET_K))
+    assert len({r["vec_id"] for r in rows}) == CORESET_K
+    min_id = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .agg({"vec_id": "min"})
+        .collect()[0][0]
+    )
+    assert rows[0]["vec_id"] == min_id and rows[0]["dist_ppm"] is None
+    radii = [r["dist_ppm"] for r in rows[1:]]
+    assert all(d is not None and 0 <= d <= 2_000_000 for d in radii)
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+
+
+def test_silhouette_eval_bounds_and_coverage(spark):
+    """q_silhouette_eval: simplified-silhouette algebra guarantees — a
+    point's best-centroid sim >= its second-best, so per-point (and
+    therefore per-cluster mean/min) silhouette is in [0, 1e6] ppm; every
+    embedding lands in exactly one cluster."""
+    from flink_sql_ai_meetingcoach_azure_spark.queries import q_silhouette_eval
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_silhouette_eval(spark, sf).collect()
+    n_emb = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    assert sum(r["n"] for r in rows) == n_emb
+    for r in rows:
+        assert 0 <= r["min_sil_ppm"] <= r["mean_sil_ppm"] <= 1_000_000
+
+
+def test_pca_power_unit_norm_and_rayleigh(spark):
+    """q_pca_power: the reported loading is unit-norm (up to the 6-dp
+    per-component quantization) and PC1's explained-variance share is a
+    Rayleigh quotient over a PSD covariance — strictly positive, at
+    most 1e6 ppm, and at least the uniform share 1e6/dim (the dominant
+    eigenvalue can't be below the average eigenvalue)."""
+    from flink_sql_ai_meetingcoach_azure_spark.queries import (
+        EMB_DIM,
+        q_pca_power,
+    )
+
+    rows = q_pca_power(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == EMB_DIM
+    nrm = sum(r["loading"] ** 2 for r in rows) ** 0.5
+    assert abs(nrm - 1.0) < 1e-4
+    share = rows[0]["ev_share_ppm"]
+    assert all(r["ev_share_ppm"] == share for r in rows)
+    assert 1_000_000 // EMB_DIM <= share <= 1_000_000
+
+
+def test_dedup_sweep_monotone(spark):
+    """q_dedup_sweep: raising the Jaccard threshold can only shrink the
+    pair set and the touched-document set — the tuning table must be
+    monotonically non-increasing in tau."""
+    from flink_sql_ai_meetingcoach_azure_spark.queries import q_dedup_sweep
+
+    rows = q_dedup_sweep(spark, "/root/testdata/sf0.001").collect()
+    pairs = [r["n_pairs"] for r in rows]
+    docs = [r["n_docs"] for r in rows]
+    assert all(a >= b for a, b in zip(pairs, pairs[1:]))
+    assert all(a >= b for a, b in zip(docs, docs[1:]))
+    assert all(d <= 2 * p for p, d in zip(pairs, docs) if p)
+
+
+def test_vocab_coverage_sweep_monotone_saturating(spark):
+    """q_vocab_coverage_sweep: coverage is non-decreasing in N, types are
+    capped by both N and the vocabulary, and once N reaches the full
+    vocabulary the curve saturates at exactly 1e6 ppm."""
+    from flink_sql_ai_meetingcoach_azure_spark.queries import (
+        VOCAB_SWEEP_NS,
+        q_vocab_coverage_sweep,
+    )
+
+    rows = q_vocab_coverage_sweep(spark, "/root/testdata/sf0.001").collect()
+    assert [r["vocab_n"] for r in rows] == VOCAB_SWEEP_NS
+    cov = [r["covered_ppm"] for r in rows]
+    assert all(a <= b for a, b in zip(cov, cov[1:]))
+    for r in rows:
+        assert r["n_types"] <= r["vocab_n"]
+        if r["n_types"] < r["vocab_n"]:  # vocabulary exhausted
+            assert r["covered_ppm"] == 1_000_000
+
+
+def test_pq_recall_eval_bounds(spark):
+    """q_pq_recall_eval: recall@k per query is a hits/k ratio — hits in
+    [0, k], ppm in [0, 1e6], one row per query id."""
+    from flink_sql_ai_meetingcoach_azure_spark.queries import (
+        ANN_K,
+        ANN_NQ,
+        q_pq_recall_eval,
+    )
+
+    rows = q_pq_recall_eval(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == ANN_NQ
+    for r in rows:
+        assert 0 <= r["hits_at_k"] <= ANN_K
+        assert r["recall_ppm"] == r["hits_at_k"] * 1_000_000 // ANN_K

@@ -82,6 +82,12 @@ ENTRIES = [
     "gram_matrix",
     "label_outliers",
     "ks_drift",
+    # third r10 batch (dedup_sweep is MAX_ID-bounded — flat by
+    # construction, like the decode-stats entries; not listed)
+    "silhouette_eval",
+    "coreset_sample",
+    "pca_power",
+    "readability_scores",
 ]
 N_DOCS_BASE = 5000
 N_VECS_BASE = 2000
