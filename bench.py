@@ -185,6 +185,7 @@ BENCH_QUERIES = [
     "pca_power",  # r10: top principal component via fixed-round power iter
     "pq_recall_eval",  # r10: PQ retrieval recall vs exact ground truth
     "vocab_coverage_sweep",  # r10: vocab-size coverage tuning table
+    "minhash_error_eval",  # r10: measured MinHash estimator error
     "containment_pairs",
     # event-sequence (CEP-lite) funnel + last-touch attribution
     "funnel_match",

@@ -12997,6 +12997,121 @@ ORDER BY vocab_n
 """
 
 
+def q_minhash_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash ESTIMATOR error, measured — the third leg of the dedup
+    eval family: lsh_recall_eval measures which pairs the banding
+    surfaces, simhash_recall_eval measures hamming-as-a-proxy, this
+    measures how far the 8-perm signature's Jaccard ESTIMATE (matching
+    components / 8, exact ppm since 1e6 divides by 8) sits from the
+    exact shingle Jaccard on the surfaced candidate pairs — the dial
+    that decides whether candidates can be THRESHOLDED on the estimate
+    alone (skipping the exact-verify join entirely at 100 TB) or must
+    be re-verified. Same tuning sub-corpus and df-capped truth as the
+    sibling evals; one bounded candidate join + one summary row of
+    exact-integer error moments (quantization granularity is 125,000
+    ppm at 8 perms — the expected |error| of a Bernoulli(j) mean at
+    n=8; more perms shrink it as 1/√n)."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (  # noqa: PLC0415
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < LSH_EVAL_MAX_ID
+    )
+    sigs = minhash_signatures(
+        docs, "doc_id", "text", num_hashes=MINHASH_N, shingle_n=SHINGLE_N
+    ).localCheckpoint(eager=False)
+    cand = lsh_candidate_pairs(
+        sigs, "doc_id", num_hashes=MINHASH_N, band_size=BAND_SIZE
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(MINHASH_N)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(MINHASH_N)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(MINHASH_N)
+    )
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (matches * F.lit(1_000_000 // MINHASH_N))
+            .cast("bigint")
+            .alias("est_ppm"),
+        )
+    )
+    exact = ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=SHINGLE_N, threshold=0.0,
+        max_doc_freq=CP_MAX_DF,
+    ).select(
+        "id_a",
+        "id_b",
+        F.round(F.col("jaccard") * 1_000_000.0).cast("bigint").alias("jp"),
+    )
+    err = est.join(exact, ["id_a", "id_b"], "left").select(
+        F.abs(
+            F.col("est_ppm") - F.coalesce(F.col("jp"), F.lit(0))
+        ).alias("abs_err")
+    )
+    return err.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("coalesce(sum(abs_err) div count(*), 0L)").alias(
+            "mean_abs_err_ppm"
+        ),
+        F.coalesce(F.max("abs_err"), F.lit(0))
+        .cast("bigint")
+        .alias("max_abs_err_ppm"),
+    )
+
+
+def _sql_minhash_error_eval() -> str:
+    cap = f"WHERE doc_id < {LSH_EVAL_MAX_ID}"
+    matches = " + ".join(
+        f"(CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END)"
+        for i in range(MINHASH_N)
+    )
+    return f"""
+WITH cand AS (SELECT * FROM ({_sql_lsh_pairs(cap)}) t),
+sig AS (SELECT * FROM ({_sql_minhash_cte(cap)} SELECT * FROM sig) t),
+est AS (SELECT c.id_a, c.id_b,
+               CAST(({matches}) * {1_000_000 // MINHASH_N} AS BIGINT) AS est_ppm
+        FROM cand c JOIN sig a ON a.doc_id = c.id_a
+                    JOIN sig b ON b.doc_id = c.id_b),
+dtoks AS (SELECT doc_id, {_TOKS.format(col='text')} AS tk FROM documents {cap}),
+sh0 AS (SELECT DISTINCT doc_id,
+              array_to_string(list_slice(tk, s, s + {SHINGLE_N - 1}), ' ') AS shingle
+        FROM dtoks,
+             unnest(generate_series(1, greatest(len(tk) - {SHINGLE_N - 1}, 1))) AS t(s)),
+shj AS (SELECT doc_id, shingle FROM sh0
+        WHERE shingle IN (SELECT shingle FROM sh0 GROUP BY shingle
+                          HAVING count(*) <= {CP_MAX_DF})),
+sizes AS (SELECT doc_id, count(*) AS sz FROM shj GROUP BY doc_id),
+inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+          FROM shj a JOIN shj b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+exact AS (SELECT id_a, id_b,
+                 CAST(round(round(i / (sa.sz + sb.sz - i), 6) * 1000000)
+                      AS BIGINT) AS jp
+          FROM inter JOIN sizes sa ON sa.doc_id = id_a
+                     JOIN sizes sb ON sb.doc_id = id_b),
+err AS (SELECT abs(est.est_ppm - COALESCE(exact.jp, 0)) AS abs_err
+        FROM est LEFT JOIN exact USING (id_a, id_b))
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(sum(abs_err) // count(*), 0) AS BIGINT)
+         AS mean_abs_err_ppm,
+       CAST(COALESCE(max(abs_err), 0) AS BIGINT) AS max_abs_err_ppm
+FROM err
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-10 rotation (VERDICT r9 #1): the first 28 entries below are
@@ -13279,5 +13394,8 @@ QUERIES: dict[str, QuerySpec] = {
     "pq_recall_eval": QuerySpec(q_pq_recall_eval, _sql_pq_recall_eval()),
     "vocab_coverage_sweep": QuerySpec(
         q_vocab_coverage_sweep, _sql_vocab_coverage_sweep()
+    ),
+    "minhash_error_eval": QuerySpec(
+        q_minhash_error_eval, _sql_minhash_error_eval()
     ),
 }

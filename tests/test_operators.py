@@ -2252,3 +2252,17 @@ def test_pq_recall_eval_bounds(spark):
     for r in rows:
         assert 0 <= r["hits_at_k"] <= ANN_K
         assert r["recall_ppm"] == r["hits_at_k"] * 1_000_000 // ANN_K
+
+
+def test_minhash_error_eval_quantization_bound(spark):
+    """q_minhash_error_eval: the 8-perm estimate lives on a 125,000-ppm
+    grid, so per-pair |error| is bounded by 1e6 and the summary moments
+    respect mean <= max; at least one candidate pair exists on the test
+    corpus (exact dups collide on every band)."""
+    from flink_sql_ai_meetingcoach_azure_spark.queries import (
+        q_minhash_error_eval,
+    )
+
+    row = q_minhash_error_eval(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row["n_pairs"] >= 1
+    assert 0 <= row["mean_abs_err_ppm"] <= row["max_abs_err_ppm"] <= 1_000_000
