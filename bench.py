@@ -186,6 +186,7 @@ BENCH_QUERIES = [
     "pq_recall_eval",  # r10: PQ retrieval recall vs exact ground truth
     "vocab_coverage_sweep",  # r10: vocab-size coverage tuning table
     "minhash_error_eval",  # r10: measured MinHash estimator error
+    "cosine_sweep",  # r10: embedding near-dup threshold sweep (SemDeDup eps dial)
     "containment_pairs",
     # event-sequence (CEP-lite) funnel + last-touch attribution
     "funnel_match",

@@ -12760,12 +12760,15 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(array_sort(collect_list(struct(i, row))), x -> x.row)"
         ).alias("m")
     )
-    trace = cells.filter(F.col("i") == F.col("j")).agg(
-        F.sum("cov").cast("bigint").alias("tr")
-    )
-    it = mat.crossJoin(F.broadcast(trace)).selectExpr(
+    # trace as an ORDERED double fold over the diagonal of the already-
+    # cast matrix row — a BIGINT sum of the 64 cov cells overflows at
+    # ~4e18 (each cell is safely BIGINT, their sum is not: measured
+    # 4.0e18 at sf0.1, 1.6e19 at the 2x scaling corpus)
+    it = mat.selectExpr(
         "m",
-        "tr",
+        f"aggregate(transform(sequence(1, {EMB_DIM}),"
+        " i -> element_at(element_at(m, i), i)), 0.0D,"
+        " (acc, t) -> acc + t) AS tr",
         f"array_repeat(round(1.0D / sqrt(CAST({EMB_DIM} AS DOUBLE)), 6),"
         f" {EMB_DIM}) AS v",
     )
@@ -12802,7 +12805,7 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).selectExpr(
         "v",
         f"CAST(round({dot.format(x='v', y='mv')} * 1000000.0"
-        " / CAST(tr AS DOUBLE)) AS BIGINT) AS ev_share_ppm",
+        " / tr) AS BIGINT) AS ev_share_ppm",
     )
     return (
         fin.select(
@@ -12838,11 +12841,12 @@ fullm AS (SELECT i, j, cov FROM cov
 rows_ AS (SELECT i, list(CAST(cov AS DOUBLE) ORDER BY j) AS row
           FROM fullm GROUP BY i),
 mat AS (SELECT list(row ORDER BY i) AS m FROM rows_),
-tr AS (SELECT CAST(sum(cov) AS BIGINT) AS tr FROM cov WHERE i = j),
-i0 AS (SELECT m, tr,
+i0 AS (SELECT m,
+              list_reduce(list_transform(range(1, {dim + 1}),
+                i -> m[i][i]), (acc, t) -> acc + t) AS tr,
               list_transform(range(1, {dim + 1}),
                 x -> round(1.0 / sqrt(CAST({dim} AS DOUBLE)), 6)) AS v
-       FROM mat, tr)"""]
+       FROM mat)"""]
     prev = "i0"
     for t in range(1, PCA_POWER_ROUNDS + 1):
         ctes.append(f"""
@@ -12857,7 +12861,7 @@ WITH {','.join(ctes)},
 fin AS (SELECT tr, v, list_transform(m, row -> {d('row', 'v')}) AS mv
         FROM {prev})
 SELECT CAST(t.j - 1 AS INT) AS pos, v[t.j] AS loading,
-       CAST(round({d('v', 'mv')} * 1000000.0 / CAST(tr AS DOUBLE))
+       CAST(round({d('v', 'mv')} * 1000000.0 / tr)
             AS BIGINT) AS ev_share_ppm
 FROM fin, range(1, {dim + 1}) t(j)
 ORDER BY pos
@@ -13109,6 +13113,86 @@ SELECT CAST(count(*) AS BIGINT) AS n_pairs,
          AS mean_abs_err_ppm,
        CAST(COALESCE(max(abs_err), 0) AS BIGINT) AS max_abs_err_ppm
 FROM err
+"""
+
+
+COSINE_SWEEP_TAUS = [200_000, 400_000, 600_000, 800_000, 900_000]
+
+
+def q_cosine_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup THRESHOLD-SENSITIVITY sweep — dedup_sweep's
+    embedding twin and SemDeDup's epsilon dial: for each candidate
+    cosine cutoff τ, how many near-dup pairs fire and how many vectors
+    are touched, before committing the semantic-dedup pass to one
+    epsilon. One exact pair pass over the bounded tuning id range (the
+    audited embedding_cosine_pairs baseline; at production scale the
+    within-cell SemDeDup or LSH-bucketed pair space feeds the same
+    sweep), similarities quantized to integer ppm before every
+    comparison, then ONE broadcast 5-row τ join over the materialized
+    pair list — extra thresholds are free."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < COS_PAIR_MAX_ID
+    )
+    pairs = (
+        embedding_cosine_pairs(
+            emb, "vec_id", "embedding", threshold=0.2, round_to=6
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("cos_sim") * 1_000_000.0)
+            .cast("bigint")
+            .alias("sp"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    taus = spark.createDataFrame(
+        [(t,) for t in COSINE_SWEEP_TAUS], "tau_ppm bigint"
+    )
+    swept = pairs.join(F.broadcast(taus), F.col("sp") >= F.col("tau_ppm"))
+    n_pairs = swept.groupBy("tau_ppm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs")
+    )
+    n_vecs = (
+        swept.select("tau_ppm", F.col("id_a").alias("d"))
+        .unionByName(swept.select("tau_ppm", F.col("id_b").alias("d")))
+        .groupBy("tau_ppm")
+        .agg(F.countDistinct("d").cast("bigint").alias("n_vecs"))
+    )
+    return (
+        taus.join(n_pairs, "tau_ppm", "left")
+        .join(n_vecs, "tau_ppm", "left")
+        .select(
+            "tau_ppm",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_vecs", F.lit(0)).cast("bigint").alias("n_vecs"),
+        )
+        .orderBy("tau_ppm")
+    )
+
+
+def _sql_cosine_sweep() -> str:
+    tau_rows = ", ".join(f"({t})" for t in COSINE_SWEEP_TAUS)
+    return f"""
+WITH base AS ({SQL_EMBEDDING_COSINE_PAIRS}),
+pairs AS (SELECT id_a, id_b,
+                 CAST(round(cos_sim * 1000000) AS BIGINT) AS sp
+          FROM base),
+taus AS (SELECT CAST(tau_ppm AS BIGINT) AS tau_ppm
+         FROM (VALUES {tau_rows}) v(tau_ppm)),
+swept AS (SELECT t.tau_ppm, p.id_a, p.id_b
+          FROM pairs p JOIN taus t ON p.sp >= t.tau_ppm),
+np AS (SELECT tau_ppm, count(*) AS n_pairs FROM swept GROUP BY tau_ppm),
+nv AS (SELECT tau_ppm, count(DISTINCT d) AS n_vecs
+       FROM (SELECT tau_ppm, id_a AS d FROM swept
+             UNION ALL SELECT tau_ppm, id_b FROM swept)
+       GROUP BY tau_ppm)
+SELECT t.tau_ppm,
+       CAST(COALESCE(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+       CAST(COALESCE(nv.n_vecs, 0) AS BIGINT) AS n_vecs
+FROM taus t LEFT JOIN np USING (tau_ppm) LEFT JOIN nv USING (tau_ppm)
+ORDER BY tau_ppm
 """
 
 
@@ -13398,4 +13482,5 @@ QUERIES: dict[str, QuerySpec] = {
     "minhash_error_eval": QuerySpec(
         q_minhash_error_eval, _sql_minhash_error_eval()
     ),
+    "cosine_sweep": QuerySpec(q_cosine_sweep, _sql_cosine_sweep()),
 }

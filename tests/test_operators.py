@@ -2266,3 +2266,16 @@ def test_minhash_error_eval_quantization_bound(spark):
     row = q_minhash_error_eval(spark, "/root/testdata/sf0.001").collect()[0]
     assert row["n_pairs"] >= 1
     assert 0 <= row["mean_abs_err_ppm"] <= row["max_abs_err_ppm"] <= 1_000_000
+
+
+def test_cosine_sweep_monotone(spark):
+    """q_cosine_sweep: raising the cosine cutoff can only shrink the
+    pair set and the touched-vector set."""
+    from flink_sql_ai_meetingcoach_azure_spark.queries import q_cosine_sweep
+
+    rows = q_cosine_sweep(spark, "/root/testdata/sf0.001").collect()
+    pairs = [r["n_pairs"] for r in rows]
+    vecs = [r["n_vecs"] for r in rows]
+    assert all(a >= b for a, b in zip(pairs, pairs[1:]))
+    assert all(a >= b for a, b in zip(vecs, vecs[1:]))
+    assert all(v <= 2 * p for p, v in zip(pairs, vecs) if p)
