@@ -2208,3 +2208,91 @@ def test_streaming_gram_matrix_composes_from_aggregate_sink(spark, tmp_path):
     assert got() == want
     sink.compact()
     assert got() == want
+
+
+def test_streaming_vocab_coverage_composes_from_aggregate_sink(spark, tmp_path):
+    """Continuously-maintained tokenizer-design table: per-term counts
+    are plain count partials, so a rollup sink keyed by the token
+    maintains the exact term-frequency state and vocab_coverage_readout
+    derives the SAME coverage curve the batch sweep computes over the
+    union of everything ingested — and survives replay and compaction."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import tokens_col
+    from flink_sql_ai_meetingcoach_azure_spark.queries import (
+        q_vocab_coverage_sweep,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.aggregate_sink import (
+        StreamingAggregateSink,
+        vocab_coverage_readout,
+    )
+
+    batches = [
+        [(0, "the quick brown fox the quick"), (1, "lazy dog the end")],
+        [(2, "quick quick fox fox fox jumps")],
+        [(3, "the the the dog runs far away now")],
+    ]
+    ns = [2, 4, 8]
+    schema = "doc_id bigint, text string"
+    src = str(tmp_path / "vc_src")
+    os.makedirs(src, exist_ok=True)
+
+    def write_batch(rows, n):
+        with open(os.path.join(src, f"b_{n}.json"), "w") as f:
+            for did, txt in rows:
+                f.write(json.dumps({"doc_id": did, "text": txt}) + "\n")
+
+    sink = StreamingAggregateSink(
+        str(tmp_path / "vc_state"), ["term"], [], spark
+    )
+
+    def keyed(df):
+        return df.select(F.explode(tokens_col("text")).alias("term"))
+
+    write_batch(batches[0], 0)
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        stream.writeStream.foreachBatch(lambda df, bid: sink(keyed(df), bid))
+        .option("checkpointLocation", str(tmp_path / "vc_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for n, rows in enumerate(batches[1:], start=1):
+            write_batch(rows, n)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    union_dir = str(tmp_path / "vc_union")
+    all_rows = [
+        (did, txt, "en", "s0", len(txt))
+        for b in batches
+        for did, txt in b
+    ]
+    spark.createDataFrame(
+        all_rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.mode("overwrite").parquet(f"{union_dir}/documents.parquet")
+
+    import flink_sql_ai_meetingcoach_azure_spark.queries as qmod
+
+    orig_ns = qmod.VOCAB_SWEEP_NS
+    qmod.VOCAB_SWEEP_NS = ns
+    try:
+        want = [tuple(r) for r in q_vocab_coverage_sweep(spark, union_dir).collect()]
+    finally:
+        qmod.VOCAB_SWEEP_NS = orig_ns
+
+    def got():
+        return [
+            tuple(r)
+            for r in vocab_coverage_readout(sink.current(), vocab_ns=ns).collect()
+        ]
+
+    assert got() == want
+    # replay of an already-marked batch is a no-op
+    first_keyed = keyed(
+        spark.createDataFrame(batches[0], schema)
+    )
+    sink(first_keyed, 0)
+    assert got() == want
+    sink.compact()
+    assert got() == want
