@@ -12436,52 +12436,59 @@ def q_coreset_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     per selection IS the coverage radius curve — how well k centers
     cover the corpus, the stopping dial.
 
-    Plan shape (the Lloyd discipline): per round ONE map-only scan —
-    the ≤k selected vectors ride the plan as literals, the min-distance
-    is a bounded array fold, the argmax is TakeOrderedAndProject(1) —
-    and a 1-row model-sized collect. K scans total, zero shuffles
-    beyond the top-1, state never exceeds k·dim driver floats."""
+    Plan shape — the textbook distributed k-center: the algorithm's
+    state is the per-point MIN-DISTANCE-TO-SELECTED column, folded
+    forward with ``least(prev_d, dist_to_newest)`` so each round costs
+    ONE map-only pass against ONLY the newest centroid (k·n dot
+    products total, not k²·n/2), one TakeOrderedAndProject(1) argmax
+    and a 1-row collect; the (vec_id, d) state is localCheckpoint'd per
+    round, which bounds the lineage AND keeps every round's plan the
+    same compiled shape (the first form grew a literal centroid array
+    per round — fresh codegen each time measured 2.7× slower mid-suite
+    from code-cache pressure). Driver state never exceeds k·dim
+    floats; identical min-set algebra, same oracle."""
     _prep(spark)
     emb = _t(spark, sf_dir, "embeddings")
     seed = (
         emb.orderBy("vec_id").select("vec_id", "embedding").limit(1).collect()[0]
     )
-    selected: list[tuple[int, list[float], int | None]] = [
-        (int(seed["vec_id"]), [float(x) for x in seed["embedding"]], None)
-    ]
+    selected: list[tuple[int, int | None]] = [(int(seed["vec_id"]), None)]
+
+    def dist_to(vec: list[float]):
+        c = F.array(*[F.lit(x) for x in vec])
+        return F.lit(1_000_000).cast("bigint") - F.round(
+            cosine_similarity_col(F.col("embedding").cast("array<double>"), c)
+            * 1_000_000.0
+        ).cast("bigint")
+
+    state = (
+        emb.filter(F.col("vec_id") != selected[0][0])
+        .select(
+            "vec_id",
+            "embedding",
+            dist_to([float(x) for x in seed["embedding"]]).alias("d"),
+        )
+        .localCheckpoint()
+    )
     for _ in range(1, CORESET_K):
-        ids = [s[0] for s in selected]
-        cents = F.array(
-            *[F.array(*[F.lit(x) for x in v]) for _, v, _ in selected]
-        )
-        dist = F.array_min(
-            F.transform(
-                cents,
-                lambda c: F.lit(1_000_000).cast("bigint")
-                - F.round(
-                    cosine_similarity_col(
-                        F.col("embedding").cast("array<double>"), c
-                    )
-                    * 1_000_000.0
-                ).cast("bigint"),
+        nxt = state.orderBy(F.desc("d"), F.asc("vec_id")).limit(1).collect()[0]
+        selected.append((int(nxt["vec_id"]), int(nxt["d"])))
+        if len(selected) == CORESET_K:
+            break
+        state = (
+            state.filter(F.col("vec_id") != int(nxt["vec_id"]))
+            .select(
+                "vec_id",
+                "embedding",
+                F.least(
+                    F.col("d"),
+                    dist_to([float(x) for x in nxt["embedding"]]),
+                ).alias("d"),
             )
-        )
-        nxt = (
-            emb.filter(~F.col("vec_id").isin(ids))
-            .select("vec_id", "embedding", dist.alias("d"))
-            .orderBy(F.desc("d"), F.asc("vec_id"))
-            .limit(1)
-            .collect()[0]
-        )
-        selected.append(
-            (
-                int(nxt["vec_id"]),
-                [float(x) for x in nxt["embedding"]],
-                int(nxt["d"]),
-            )
+            .localCheckpoint()
         )
     return spark.createDataFrame(
-        [(i, vid, d) for i, (vid, _, d) in enumerate(selected)],
+        [(i, vid, d) for i, (vid, d) in enumerate(selected)],
         "sel_order int, vec_id bigint, dist_ppm bigint",
     ).orderBy("sel_order")
 
