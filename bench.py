@@ -513,6 +513,16 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # SPARK_GRAFT_QUERIES=a,b,c runs only those entries and SKIPS the
+    # streaming benches and the BENCH_DETAIL.json write — a targeted
+    # re-measure/verification drive must never clobber the full-suite
+    # artifact the driver and the pins reference. Unset → full suite,
+    # unchanged driver contract.
+    subset_env = os.environ.get("SPARK_GRAFT_QUERIES", "").strip()
+    subset = [q.strip() for q in subset_env.split(",") if q.strip()]
+    unknown = [q for q in subset if q not in QUERIES]
+    if unknown:
+        raise SystemExit(f"unknown SPARK_GRAFT_QUERIES entries: {unknown}")
     spark = get_spark("bench")
     # JVM/codegen warmup so query timings measure the plan, not JIT
     spark.range(1_000_000).selectExpr("sum(id)").collect()
@@ -531,7 +541,7 @@ def main() -> None:
         return runs[n // 2]
 
     timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
+    for name in (subset or BENCH_QUERIES):
         if name == "ann_ivf_topk":
             from flink_sql_ai_meetingcoach_azure_spark.queries import _IVF_CACHE  # noqa: PLC0415
 
@@ -541,6 +551,15 @@ def main() -> None:
             mins["ann_ivf_probe"] = mins.pop(name)
         else:
             timings[name] = median(name)
+
+    if subset:
+        total = round(sum(timings.values()), 3)
+        print(json.dumps({
+            "metric": "subset_seconds", "value": total, "unit": "sec",
+            "queries": timings, "queries_min": mins, "sf": sf,
+        }))
+        spark.stop()
+        return
 
     streaming = bench_streaming(spark, sf_dir)
     # sf-scaled variant: enough rows that per-row cost dominates trigger
