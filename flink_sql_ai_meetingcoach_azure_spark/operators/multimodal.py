@@ -231,6 +231,77 @@ def parse_wav_header(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     ).drop("__fmt")
 
 
+_GIF_SIG_HEX = ("474946383761", "474946383961")  # GIF87a / GIF89a
+
+
+def sniff_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Magic-byte container classification + cheap fixed-offset dimension
+    extraction over an opaque binary column — the route-by-format pass a
+    mixed-media corpus runs at the scan, BEFORE any per-format parser or
+    decode UDF: one codegen projection tags every payload png / jpeg /
+    gif / bmp / wav / unknown, so the expensive per-format paths
+    (parse_jpeg_header's segment walk, the decode UDFs) each see only
+    their own rows. Pure Catalyst, zero Python, zero shuffle.
+
+    Dimensions are extracted ONLY where the container fixes them at a
+    constant offset (PNG IHDR big-endian, GIF logical-screen-descriptor
+    little-endian u16, BMP BITMAPINFOHEADER little-endian i32 — SIGNED:
+    a negative height is the spec's top-down row order and is reported
+    as-is); JPEG dims float behind variable APPn segments and are left
+    NULL here (parse_jpeg_header's job), WAV has none. Non-media or
+    truncated payloads survive as format='unknown' / NULL dims
+    (filter-not-fail, the attach_media_metadata discipline)."""
+    b = F.col(payload_col)
+    n = F.length(b)
+
+    def pfx(nbytes: int):
+        return F.hex(F.substring(b, 1, nbytes))
+
+    def be(pos: int, nbytes: int):
+        return F.conv(F.hex(F.substring(b, pos, nbytes)), 16, 10).cast("bigint")
+
+    def le(pos: int, nbytes: int):
+        v = F.conv(F.hex(F.substring(b, pos, 1)), 16, 10).cast("bigint")
+        for k in range(1, nbytes):
+            v = v + F.conv(F.hex(F.substring(b, pos + k, 1)), 16, 10).cast(
+                "bigint"
+            ) * F.lit(256**k)
+        return v
+
+    def le_i32(pos: int):
+        v = le(pos, 4)
+        return F.when(v >= F.lit(2**31), v - F.lit(2**32)).otherwise(v)
+
+    is_png = pfx(8) == F.lit(_PNG_SIG_HEX)
+    is_jpeg = pfx(3) == F.lit("FFD8FF")
+    is_gif = pfx(6).isin(*_GIF_SIG_HEX)
+    is_bmp = pfx(2) == F.lit("424D")
+    is_wav = (pfx(4) == F.lit("52494646")) & (
+        F.hex(F.substring(b, 9, 4)) == F.lit("57415645")
+    )
+    fmt = (
+        F.when(is_png, "png")
+        .when(is_jpeg, "jpeg")
+        .when(is_gif, "gif")
+        .when(is_bmp, "bmp")
+        .when(is_wav, "wav")
+        .otherwise("unknown")
+    )
+    width = (
+        F.when(is_png & (n >= 24), be(17, 4))
+        .when(is_gif & (n >= 10), le(7, 2))
+        .when(is_bmp & (n >= 26), le_i32(19))
+    )
+    height = (
+        F.when(is_png & (n >= 24), be(21, 4))
+        .when(is_gif & (n >= 10), le(9, 2))
+        .when(is_bmp & (n >= 26), le_i32(23))
+    )
+    return df.withColumns(
+        {"media_format": fmt, "width": width, "height": height}
+    )
+
+
 def attach_media_metadata(
     df: DataFrame, payload_col: str = "payload", modality_col: str | None = None
 ) -> DataFrame:

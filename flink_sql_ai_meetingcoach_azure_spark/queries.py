@@ -2738,6 +2738,115 @@ ORDER BY doc_id
 """
 
 
+def _media_payload_sql(div: str, enc: str) -> str:
+    """Dialect-shared synthesized mixed-media corpus (doc_id % 6 routes
+    the row): 0→PNG sig+IHDR, 1→raw text bytes, 2→JPEG SOI+JFIF APP0,
+    3→GIF89a logical screen descriptor, 4→RIFF/WAVE header, 5→BMP with
+    BITMAPINFOHEADER — negative (top-down) i32 height for every other
+    BMP row, exercising the signed parse. ``div``/``enc`` are the
+    integer-division operator and text-encode call of the dialect."""
+    gif_w = _le_hex("1 + doc_id % 500", 2, div)
+    gif_h = _le_hex("1 + (doc_id * 7) % 400", 2, div)
+    bmp_w = _le_hex("4 + doc_id % 1024", 4, div)
+    bmp_h = _le_hex(
+        f"CASE WHEN (doc_id {div} 6) % 2 = 0"
+        " THEN 4294967296 - (4 + (doc_id * 5) % 768)"
+        " ELSE 4 + (doc_id * 5) % 768 END",
+        4,
+        div,
+    )
+    return f"""CASE CAST(doc_id % 6 AS INT) WHEN 1 THEN {enc} ELSE unhex(
+      CASE CAST(doc_id % 6 AS INT)
+        WHEN 0 THEN '89504E470D0A1A0A0000000D49484452'
+                    || lpad(hex(CAST(16 + doc_id % 300 AS INT)), 8, '0')
+                    || lpad(hex(CAST(16 + (doc_id * 3) % 200 AS INT)), 8, '0')
+                    || '0806'
+        WHEN 2 THEN 'FFD8FFE000104A46494600010100000100010000'
+        WHEN 3 THEN '474946383961' || {gif_w} || {gif_h} || 'F70000'
+        WHEN 4 THEN '524946462400000057415645'
+        ELSE '424D460000000000000036000000' || '28000000'
+             || {bmp_w} || {bmp_h} || '01001800'
+      END) END"""
+
+
+def q_media_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan-side container classification over a MIXED media corpus
+    (operators/multimodal.py::sniff_media) — the dispatcher in front of
+    the per-format family (png_meta / jpeg_meta / wav_meta): one
+    codegen projection tags every payload png/jpeg/gif/bmp/wav/unknown
+    by magic bytes and pulls dimensions where the container fixes them
+    at a constant offset (PNG big-endian u32, GIF little-endian u16,
+    BMP little-endian SIGNED i32 — top-down bitmaps report their
+    negative height as-is). At 100 TB this is the pass that lets each
+    per-format parser/decoder see only its own rows. doc_id % 6 routes
+    each row to one of five containers or raw text; the oracle builds
+    the identical bytes and classifies/slices the hex string."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+        sniff_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.expr(_media_payload_sql("div", "encode(text, 'utf-8')"))
+    media = docs.select("doc_id", payload.alias("payload"))
+    return (
+        sniff_media(media)
+        .select("doc_id", "media_format", "width", "height")
+        .orderBy("doc_id")
+    )
+
+
+def _sql_media_sniff() -> str:
+    payload = _media_payload_sql("//", "encode(text)")
+
+    def le16(p: int) -> str:
+        return (
+            f"('0x' || substr(s, {(p - 1) * 2 + 1}, 2))::BIGINT"
+            f" + 256 * ('0x' || substr(s, {p * 2 + 1}, 2))::BIGINT"
+        )
+
+    def i32(p: int) -> str:
+        u = (
+            f"{le16(p)}"
+            f" + 65536 * ('0x' || substr(s, {(p + 1) * 2 + 1}, 2))::BIGINT"
+            f" + 16777216 * ('0x' || substr(s, {(p + 2) * 2 + 1}, 2))::BIGINT"
+        )
+        return (
+            f"CASE WHEN ({u}) >= 2147483648 THEN ({u}) - 4294967296"
+            f" ELSE ({u}) END"
+        )
+
+    return f"""
+WITH media AS (SELECT doc_id, {payload} AS payload FROM documents),
+hx AS (SELECT doc_id, hex(payload) AS s, octet_length(payload) AS n FROM media),
+cls AS (
+  SELECT doc_id, s, n,
+         CASE
+           WHEN substr(s, 1, 16) = '89504E470D0A1A0A' THEN 'png'
+           WHEN substr(s, 1, 6) = 'FFD8FF' THEN 'jpeg'
+           WHEN substr(s, 1, 12) IN ('474946383761', '474946383961') THEN 'gif'
+           WHEN substr(s, 1, 4) = '424D' THEN 'bmp'
+           WHEN substr(s, 1, 8) = '52494646' AND substr(s, 17, 8) = '57415645'
+             THEN 'wav'
+           ELSE 'unknown'
+         END AS media_format
+  FROM hx)
+SELECT doc_id, media_format,
+       CASE WHEN media_format = 'png' AND n >= 24
+              THEN ('0x' || substr(s, 33, 8))::BIGINT
+            WHEN media_format = 'gif' AND n >= 10 THEN {le16(7)}
+            WHEN media_format = 'bmp' AND n >= 26 THEN {i32(19)}
+       END AS width,
+       CASE WHEN media_format = 'png' AND n >= 24
+              THEN ('0x' || substr(s, 41, 8))::BIGINT
+            WHEN media_format = 'gif' AND n >= 10 THEN {le16(9)}
+            WHEN media_format = 'bmp' AND n >= 26 THEN {i32(23)}
+       END AS height
+FROM cls
+ORDER BY doc_id
+"""
+
+
 PNGDEC_MAX_ID = 120
 PNGDEC_OUT = 4  # decode_and_featurize output grid (height == width)
 
@@ -13490,4 +13599,5 @@ QUERIES: dict[str, QuerySpec] = {
         q_minhash_error_eval, _sql_minhash_error_eval()
     ),
     "cosine_sweep": QuerySpec(q_cosine_sweep, _sql_cosine_sweep()),
+    "media_sniff": QuerySpec(q_media_sniff, _sql_media_sniff()),
 }

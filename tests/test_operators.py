@@ -2279,3 +2279,42 @@ def test_cosine_sweep_monotone(spark):
     assert all(a >= b for a, b in zip(pairs, pairs[1:]))
     assert all(a >= b for a, b in zip(vecs, vecs[1:]))
     assert all(v <= 2 * p for p, v in zip(pairs, vecs) if p)
+
+
+def test_sniff_media_edges(spark):
+    """operators/multimodal.py::sniff_media: hand-built payloads pin the
+    classification and the dimension parses — PNG big-endian, GIF
+    little-endian u16, BMP SIGNED little-endian i32 (top-down bitmaps
+    report a negative height), truncated-after-magic rows classify but
+    yield NULL dims, non-media and NULL payloads survive as unknown."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        sniff_media,
+    )
+
+    png = (bytes.fromhex("89504E470D0A1A0A0000000D49484452")
+           + (300).to_bytes(4, "big") + (200).to_bytes(4, "big") + b"\x08\x06")
+    png_trunc = png[:12]  # signature intact, IHDR dims missing
+    gif = b"GIF89a" + (640).to_bytes(2, "little") + (480).to_bytes(2, "little") + b"\xf7\x00\x00"
+    bmp_up = (b"BM" + b"\x46\x00\x00\x00" + b"\x00" * 4 + b"\x36\x00\x00\x00"
+              + b"\x28\x00\x00\x00" + (32).to_bytes(4, "little")
+              + (24).to_bytes(4, "little") + b"\x01\x00\x18\x00")
+    bmp_down = (b"BM" + b"\x46\x00\x00\x00" + b"\x00" * 4 + b"\x36\x00\x00\x00"
+                + b"\x28\x00\x00\x00" + (32).to_bytes(4, "little")
+                + (-24).to_bytes(4, "little", signed=True) + b"\x01\x00\x18\x00")
+    wav = b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE"
+    jpeg = bytes.fromhex("FFD8FFE000104A46494600010100000100010000")
+    rows = [
+        (1, png), (2, png_trunc), (3, gif), (4, bmp_up), (5, bmp_down),
+        (6, wav), (7, jpeg), (8, b"plain text"), (9, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, payload binary")
+    got = {r["doc_id"]: r for r in sniff_media(df).collect()}
+    assert got[1]["media_format"] == "png" and got[1]["width"] == 300 and got[1]["height"] == 200
+    assert got[2]["media_format"] == "png" and got[2]["width"] is None
+    assert got[3]["media_format"] == "gif" and got[3]["width"] == 640 and got[3]["height"] == 480
+    assert got[4]["media_format"] == "bmp" and got[4]["height"] == 24
+    assert got[5]["media_format"] == "bmp" and got[5]["width"] == 32 and got[5]["height"] == -24
+    assert got[6]["media_format"] == "wav" and got[6]["width"] is None
+    assert got[7]["media_format"] == "jpeg" and got[7]["width"] is None
+    assert got[8]["media_format"] == "unknown"
+    assert got[9]["media_format"] == "unknown" and got[9]["width"] is None
