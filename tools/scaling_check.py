@@ -88,6 +88,8 @@ ENTRIES = [
     "coreset_sample",
     "pca_power",
     "readability_scores",
+    # final r10 addition: pure-scan container dispatcher — expect ~linear
+    "media_sniff",
 ]
 N_DOCS_BASE = 5000
 N_VECS_BASE = 2000
