@@ -2318,3 +2318,21 @@ def test_sniff_media_edges(spark):
     assert got[7]["media_format"] == "jpeg" and got[7]["width"] is None
     assert got[8]["media_format"] == "unknown"
     assert got[9]["media_format"] == "unknown" and got[9]["width"] is None
+
+
+def test_sniff_media_real_png_roundtrip(spark):
+    """sniff_media on a REAL encode_png payload (zlib IDAT, CRCs) reports
+    the same dimensions the actual codec wrote — the dispatcher and the
+    real decoder agree on the container they share."""
+    import numpy as np
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        encode_png,
+        sniff_media,
+    )
+
+    img = np.arange(7 * 5 * 3, dtype=np.uint8).reshape(7, 5, 3)
+    df = spark.createDataFrame([(1, encode_png(img))], "doc_id int, payload binary")
+    row = sniff_media(df).collect()[0]
+    assert row["media_format"] == "png"
+    assert (row["width"], row["height"]) == (5, 7)
