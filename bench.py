@@ -264,6 +264,7 @@ BENCH_QUERIES = [
     "png_meta",
     "jpeg_meta",  # r10: SOF segment-walk parse
     "media_sniff",  # r10: magic-byte container dispatcher over mixed media
+    "media_profile",  # r10: per-format corpus inventory over the dispatcher
     # SQL DDL statement path (translator overhead ~0: same operators)
     "ddl_ctas_topn",
     "ddl_reference_pipeline",  # the full reference DDL chain (VERDICT r8 #4)

@@ -2847,6 +2847,58 @@ ORDER BY doc_id
 """
 
 
+def q_media_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-format corpus inventory over the sniffed mixed-media corpus —
+    the capacity-planning readout that precedes any multimodal ingest
+    (how many of each container, how many bytes, what dimension mass):
+    sniff_media's one-scan classification feeds ONE combinable
+    six-group aggregate, so the whole profile costs a single map-side-
+    combined pass at any corpus size. Byte and dimension sums are exact
+    integers (BMP's negative top-down heights sum as-is); formats with
+    no fixed-offset dims (jpeg/wav/unknown) report NULL sums."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+        sniff_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.expr(_media_payload_sql("div", "encode(text, 'utf-8')"))
+    media = docs.select("doc_id", payload.alias("payload"))
+    return (
+        sniff_media(media)
+        .groupBy("media_format")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("payload")).alias("total_bytes"),
+            F.count("width").alias("n_dims"),
+            F.sum("width").alias("sum_width"),
+            F.sum("height").alias("sum_height"),
+        )
+        .orderBy("media_format")
+    )
+
+
+def _sql_media_profile() -> str:
+    sniff = _sql_media_sniff()
+    # reuse the dispatcher oracle verbatim as a derived table, re-joining
+    # the payload size from an identically-built media CTE
+    payload = _media_payload_sql("//", "encode(text)")
+    return f"""
+WITH sniffed AS ({sniff.replace("ORDER BY doc_id", "")}),
+sizes AS (
+  SELECT doc_id, octet_length({payload}) AS n_bytes FROM documents)
+SELECT s.media_format,
+       count(*)::BIGINT AS n_docs,
+       sum(z.n_bytes)::BIGINT AS total_bytes,
+       count(s.width)::BIGINT AS n_dims,
+       sum(s.width)::BIGINT AS sum_width,
+       sum(s.height)::BIGINT AS sum_height
+FROM sniffed s JOIN sizes z USING (doc_id)
+GROUP BY s.media_format
+ORDER BY s.media_format
+"""
+
+
 PNGDEC_MAX_ID = 120
 PNGDEC_OUT = 4  # decode_and_featurize output grid (height == width)
 
@@ -13600,4 +13652,5 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "cosine_sweep": QuerySpec(q_cosine_sweep, _sql_cosine_sweep()),
     "media_sniff": QuerySpec(q_media_sniff, _sql_media_sniff()),
+    "media_profile": QuerySpec(q_media_profile, _sql_media_profile()),
 }

@@ -215,6 +215,7 @@ def test_entry_contract_shape():
         "minhash_error_eval",  # r10 late addition (post second rotation); window candidate r11
         "cosine_sweep",  # r10 late addition (post second rotation); window candidate r11
         "media_sniff",  # r10 late addition (post second rotation); window candidate r11
+        "media_profile",  # r10 late addition (post second rotation); window candidate r11
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 
