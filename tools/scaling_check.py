@@ -88,8 +88,10 @@ ENTRIES = [
     "coreset_sample",
     "pca_power",
     "readability_scores",
-    # final r10 addition: pure-scan container dispatcher — expect ~linear
+    # final r10 additions: pure-scan container dispatcher + its
+    # combinable per-format inventory — expect ~linear
     "media_sniff",
+    "media_profile",
 ]
 N_DOCS_BASE = 5000
 N_VECS_BASE = 2000
