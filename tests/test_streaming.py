@@ -2296,3 +2296,114 @@ def test_streaming_vocab_coverage_composes_from_aggregate_sink(spark, tmp_path):
     assert got() == want
     sink.compact()
     assert got() == want
+
+
+def test_streaming_media_profile_composes_from_aggregate_sink(spark, tmp_path):
+    """Continuously-maintained mixed-media inventory: media_profile's
+    per-format count/byte/dimension sums are plain addition partials, so
+    a rollup sink keyed by media_format maintains the exact inventory of
+    everything ingested — no new sink code, the same composition law as
+    streaming Count-Min/gram_matrix. Merged state must equal the batch
+    q_media_profile over the union and survive replay/compaction (NULL
+    dimension sums surface as 0-with-n_dims=0 in the additive state)."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        sniff_media,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.queries import (
+        _media_payload_sql,
+        q_media_profile,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.aggregate_sink import (
+        StreamingAggregateSink,
+    )
+
+    batches = [[0, 1, 2, 3], [4, 5, 6, 7], [8, 9, 10, 11]]
+    schema = "doc_id bigint, text string"
+    src = str(tmp_path / "mp_src")
+    os.makedirs(src, exist_ok=True)
+
+    def write_batch(ids, n):
+        with open(os.path.join(src, f"b_{n}.json"), "w") as f:
+            for did in ids:
+                f.write(json.dumps({"doc_id": did, "text": f"doc {did} text"}) + "\n")
+
+    sink = StreamingAggregateSink(
+        str(tmp_path / "mp_state"),
+        ["media_format"],
+        ["n_bytes", "has_dims", "w", "h"],
+        spark,
+    )
+
+    def keyed(df):
+        payload = F.expr(_media_payload_sql("div", "encode(text, 'utf-8')"))
+        sn = sniff_media(df.select("doc_id", payload.alias("payload")))
+        return sn.select(
+            "media_format",
+            F.length("payload").cast("bigint").alias("n_bytes"),
+            F.col("width").isNotNull().cast("bigint").alias("has_dims"),
+            F.coalesce("width", F.lit(0)).alias("w"),
+            F.coalesce("height", F.lit(0)).alias("h"),
+        )
+
+    write_batch(batches[0], 0)
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        stream.writeStream.foreachBatch(lambda df, bid: sink(keyed(df), bid))
+        .option("checkpointLocation", str(tmp_path / "mp_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for n, ids in enumerate(batches[1:], start=1):
+            write_batch(ids, n)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    union_dir = str(tmp_path / "mp_union")
+    all_rows = [
+        (did, f"doc {did} text", "en", "s", 12)
+        for b in batches
+        for did in b
+    ]
+    spark.createDataFrame(
+        all_rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{union_dir}/documents.parquet")
+    want = {
+        r.media_format: (
+            r.n_docs,
+            r.total_bytes,
+            r.n_dims,
+            r.sum_width or 0,
+            r.sum_height or 0,
+        )
+        for r in q_media_profile(spark, union_dir).collect()
+    }
+
+    def got():
+        return {
+            r.media_format: (
+                r.n_rows,
+                r.sum_n_bytes,
+                r.sum_has_dims,
+                r.sum_w,
+                r.sum_h,
+            )
+            for r in sink.current().collect()
+        }
+
+    assert got() == want
+    assert set(want) == {"png", "jpeg", "gif", "bmp", "wav", "unknown"}
+    # doc 5 is top-down (height -29), doc 11 bottom-up (+59): signed sum
+    assert want["bmp"][2:] == (2, 9 + 15, -29 + 59)
+    sink(
+        keyed(
+            spark.createDataFrame(
+                [(d, f"doc {d} text") for d in batches[0]], schema
+            )
+        ),
+        0,
+    )  # replay no-op
+    assert got() == want
+    sink.compact()
+    assert got() == want
