@@ -25,7 +25,7 @@ def entry(spark: SparkSession) -> DataFrame:
     Round 9 (VERDICT r8 #7): the flagship is now the HASH-VERIFIED
     coaching chain ``rag_pipeline_verified`` — same three-column output
     schema (message, rag_results_string, coaching_response) as the
-    rows-only ``rag_pipeline`` it replaces, but every stage (embed →
+    rows-only ``rag_pipeline`` it replaced (retired r11), but every stage (embed →
     top-3 retrieval → prompt CONCAT → generation) is value-checked
     against a pure-SQL oracle, so the smoke check carries value
     verification instead of only row-count."""
@@ -38,6 +38,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query; model-UDF pipelines are omitted
-    (rows-only check) since ML_PREDICT is not SQL-expressible."""
+    """DuckDB-equivalent SQL per query. As of r11 EVERY registry entry is
+    oracle-backed — the mock model providers have closed SQL forms, so
+    even the ML_PREDICT / VECTOR_SEARCH chains are value-verified."""
     return {name: spec.sql for name, spec in QUERIES.items() if spec.sql is not None}

@@ -272,8 +272,9 @@ BENCH_QUERIES = [
     "bpe_merges",
     "bpe_encode",
     "token_compression",
-    # RAG pipeline end-to-end (mock provider): correctness-shaped + bulk
-    "rag_pipeline",
+    # RAG pipeline end-to-end (mock provider): bulk throughput line
+    # (the rows-only correctness-shaped rag_pipeline entry was retired
+    # in r11 — rag_pipeline_verified below is the correctness twin)
     "rag_pipeline_bulk",
     "chunk_embed_ingest",  # splitter + embed UDF ingest chain (VERDICT r8 #4)
     # hash-verified chains (oracle reproduces embed/retrieve/generate in SQL)

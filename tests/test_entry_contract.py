@@ -17,25 +17,36 @@ def test_entry_contract_shape():
     assert len(oracles) >= 68
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(v, str) and v.strip() for v in oracles.values())
-    # the rows-only entries are a deliberate, named set — additions to it
-    # should be conscious decisions, not accidents
+    # every registry entry is oracle-backed as of r11: the last rows-only
+    # entry (rag_pipeline — nondeterministic limit() knowledge base) was
+    # retired in favour of its hash-verified twins rag_pipeline_verified
+    # and rag_pipeline_bulk (VERDICT r10 #8). Additions to the rows-only
+    # set must be conscious decisions, not accidents.
     rows_only = set(qs) - set(oracles)
-    assert rows_only == {
-        "rag_pipeline",
-        # ddl_reference_pipeline moved to oracle-backed in r10 (mock
-        # closed forms + 6-dp VECTOR_SEARCH pin make the verbatim DDL
-        # chain pure-SQL-reproducible); bpe_merges in r7
-    }, rows_only
+    assert rows_only == set(), rows_only
     # the driver checks the FIRST 50 entries; the tail is the deliberate
-    # out-of-window set. Round 10 rotated the window again (VERDICT r9
-    # #1): the 28 late-r9 additions that had never been in an external
-    # driver window now occupy the front, with 22 r9-hash-green ballast
-    # lines (the three canonical known-good lines rag_pipeline_verified
-    # / tpch_q1 / ann_topk plus the heaviest non-trivial r9 chains).
+    # out-of-window set. Round 11 rotated the window again (VERDICT r10
+    # #2): the 13 late-r10 additions that had never been in an external
+    # driver window occupy the front with the re-encoded context_windows
+    # (scalar ctx columns, VERDICT r10 #1); the rest is r10-hash-green
+    # ballast (canonical known-good lines rag_pipeline_verified /
+    # tpch_q1 / ann_topk plus the heaviest non-trivial r10 chains).
     # Every tail entry below was externally hash-checked in at least one
-    # r1-r9 driver window, EXCEPT the 2 rows-only chains. All further
-    # changes are gated here.
+    # r1-r10 driver window. All further changes are gated here.
     assert list(qs)[50:] == [
+        "char_entropy",  # externally checked r10; rotated out r11 (slot handed to the late-r10 pack)
+        "attribution",  # externally checked r10; rotated out r11 (slot handed to the late-r10 pack)
+        "png_meta",  # externally checked r10; rotated out r11 (slot handed to the late-r10 pack)
+        "rank_normalize",  # externally checked r10; rotated out r11 (slot handed to the late-r10 pack)
+        "temporal_enrich",  # externally checked r10; rotated out r11 (slot handed to the late-r10 pack)
+        "group_quantiles",  # externally checked r10; rotated out r11 (slot handed to the late-r10 pack)
+        "session_stats",  # externally checked r10; rotated out r11 (slot handed to the late-r10 pack)
+        "shard_balance",  # externally checked r10; rotated out r11 (slot handed to the late-r10 pack)
+        "pack_efficiency",  # externally checked r10; rotated out r11 (slot handed to the late-r10 pack)
+        "k_anonymity",  # externally checked r10; rotated out r11 (slot handed to the late-r10 pack)
+        "grid_density",  # externally checked r10; rotated out r11 (slot handed to the late-r10 pack)
+        "ab_lift",  # externally checked r10; rotated out r11 (slot handed to the late-r10 pack)
+        "funnel_latency",  # externally checked r10; rotated out r11 (slot handed to the late-r10 pack)
         "mad_outliers",  # externally checked r9; rotated out late r10 (slot handed to the r10 late pack)
         "centroid_shift",  # externally checked r9; rotated out late r10 (slot handed to the r10 late pack)
         "semantic_dedup",  # externally checked r9; rotated out late r10 (slot handed to the r10 late pack)
@@ -192,7 +203,6 @@ def test_entry_contract_shape():
         "multimodal_meta",  # externally checked r1-r6
         "minhash_signatures",  # externally checked r1-r6
         "simhash",  # externally checked r1-r6
-        "rag_pipeline",  # rows-only by nature (mock-LLM chain)
         "order_limit",  # externally checked r1-r6
         "window_running_sum",  # externally checked r1-r6
         "anti_join",  # externally checked r1-r6
@@ -203,19 +213,6 @@ def test_entry_contract_shape():
         "stratified_sample",  # externally checked r1-r6
         "quality_score",  # externally checked r1-r6
         "token_stats",  # externally checked r1-r6
-        "embedding_isotropy",  # r10 late addition (post second rotation); window candidate r11
-        "dup_rate_by_source",  # r10 late addition (post second rotation); window candidate r11
-        "silhouette_eval",  # r10 late addition (post second rotation); window candidate r11
-        "coreset_sample",  # r10 late addition (post second rotation); window candidate r11
-        "readability_scores",  # r10 late addition (post second rotation); window candidate r11
-        "dedup_sweep",  # r10 late addition (post second rotation); window candidate r11
-        "pca_power",  # r10 late addition (post second rotation); window candidate r11
-        "pq_recall_eval",  # r10 late addition (post second rotation); window candidate r11
-        "vocab_coverage_sweep",  # r10 late addition (post second rotation); window candidate r11
-        "minhash_error_eval",  # r10 late addition (post second rotation); window candidate r11
-        "cosine_sweep",  # r10 late addition (post second rotation); window candidate r11
-        "media_sniff",  # r10 late addition (post second rotation); window candidate r11
-        "media_profile",  # r10 late addition (post second rotation); window candidate r11
     ]
     assert all(oracles.get(n) for n in list(qs)[:50])  # window is 100% oracle-backed
 

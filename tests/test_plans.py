@@ -483,3 +483,20 @@ def test_budget_select_uses_range_exchange_not_global_window(spark):
 def test_grouping_sets_single_expand(spark):
     plan = _plan(spark, "grouping_sets_revenue")
     assert plan.count("Expand") == 2  # ONE node (tree + details listing)
+
+
+def test_no_driver_unhashable_output_columns(spark):
+    """No registry entry may emit ARRAY/MAP/STRUCT-typed FINAL columns:
+    the driver's canonicalizer sorts raw pandas cells before hashing and
+    raises ``TypeError: unhashable type`` on list/dict cells — r10's only
+    red row (context_windows, since scalar-encoded via array_join).
+    Schema-level so it costs one plan build per entry, no execution."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    bad = []
+    for name, spec in QUERIES.items():
+        schema = spec.fn(spark, SF).schema
+        for f in schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                bad.append((name, f.name, f.dataType.simpleString()))
+    assert not bad, f"driver-unhashable output columns: {bad}"

@@ -69,6 +69,33 @@ def norm_cell(v):
     return str(v)
 
 
+_UNHASHABLE = (list, tuple, dict, np.ndarray)
+
+
+def unhashable_cols(pdf: pd.DataFrame) -> list[str]:
+    """Columns whose cells the DRIVER's canonicalizer cannot hash.
+
+    The driver sorts raw pandas cells (``sort_values`` -> ``factorize``)
+    before hashing; list/ndarray/dict/Row cells raise
+    ``TypeError: unhashable type`` there (r10's only red row,
+    ``context_windows``).  The old mirror stringified such cells first
+    (``norm_cell``) and so was MORE permissive than the driver — the
+    same gate-fidelity class as the r4/r5 dtype drift.  Any entry whose
+    final output carries such a column must scalar-encode it
+    (``array_join`` / ``to_json``) on BOTH engine and oracle sides.
+    """
+    bad = []
+    for c in pdf.columns:
+        col = pdf[c]
+        if col.dtype.kind != "O":
+            continue
+        if col.map(
+            lambda v: isinstance(v, _UNHASHABLE) or hasattr(v, "asDict")
+        ).any():
+            bad.append(c)
+    return bad
+
+
 def norm_rows(pdf: pd.DataFrame):
     cols = sorted(pdf.columns)
     return sorted(
@@ -94,6 +121,12 @@ def check_entries(spark, sf_dir: str, only=()) -> list[str]:
             s_pdf = spec.fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        uh = unhashable_cols(s_pdf)
+        if uh:
+            print(f"FAIL {name}: driver-unhashable cells (list/ndarray/struct) "
+                  f"in columns {uh} — scalar-encode them on both sides")
             failures.append(name)
             continue
         if spec.sql is None:
