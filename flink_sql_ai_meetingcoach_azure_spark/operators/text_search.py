@@ -292,3 +292,63 @@ def phrase_search(
         F.count(F.lit(1)).cast("bigint").alias("n_matches"),
         (F.min("p0") + 1).cast("bigint").alias("first_pos"),
     )
+
+
+def vocab_coverage_curve(
+    term_counts: DataFrame,
+    vocab_ns: list[int],
+    term_col: str = "term",
+    cnt_col: str = "cnt",
+) -> DataFrame:
+    """Vocabulary-size coverage curve over a (term, count) table: for
+    each candidate vocabulary size N, the token-instance share covered
+    by the top-N types (freq DESC, term ASC rank) in exact integer ppm,
+    plus the types actually available.  ONE implementation shared by the
+    batch sweep (queries.q_vocab_coverage_sweep) and the continuous
+    readout (streaming.aggregate_sink.vocab_coverage_readout) so the two
+    cannot drift (ADVICE r10).
+
+    Shape: one range-exchange contiguous rank over the vocabulary-sized
+    input, then a BROADCAST threshold join + combinable per-threshold
+    sums — never a running-sum window over the vocabulary.  Thresholds
+    past the vocabulary saturate at 1e6 ppm by construction.  Output:
+    (vocab_n, n_types, covered_tokens, covered_ppm) ordered by vocab_n.
+    """
+    from flink_sql_ai_meetingcoach_azure_spark.operators.indexing import (  # noqa: PLC0415
+        contiguous_row_ids,
+    )
+
+    spark = term_counts.sparkSession
+    ranked = contiguous_row_ids(
+        term_counts.select(
+            F.col(term_col).alias("__term"),
+            F.col(cnt_col).cast("bigint").alias("__cnt"),
+        ),
+        [F.desc("__cnt"), F.asc("__term")],
+        id_col="__rank",
+    ).localCheckpoint(eager=False)
+    ths = spark.createDataFrame([(n,) for n in vocab_ns], "vocab_n bigint")
+    per = (
+        ranked.join(F.broadcast(ths), F.col("__rank") <= F.col("vocab_n"))
+        .groupBy("vocab_n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_types"),
+            F.sum("__cnt").cast("bigint").alias("covered_tokens"),
+        )
+    )
+    tot = ranked.agg(F.sum("__cnt").alias("__t"))
+    return (
+        ths.join(per, "vocab_n", "left")
+        .join(F.broadcast(tot))
+        .select(
+            "vocab_n",
+            F.coalesce("n_types", F.lit(0)).cast("bigint").alias("n_types"),
+            F.coalesce("covered_tokens", F.lit(0))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.expr(
+                "coalesce(covered_tokens, 0L) * 1000000L div nullif(__t, 0)"
+            ).alias("covered_ppm"),
+        )
+        .orderBy("vocab_n")
+    )

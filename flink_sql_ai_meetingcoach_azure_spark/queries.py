@@ -12895,9 +12895,16 @@ def q_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "i",
             "j",
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            .cast("bigint")
-            .alias("cov"),
+            # ADVICE r10: combine through DOUBLE, not int64 — n*sxy is
+            # ~N²·1e12 and wraps silently at roughly sf0.5 while the
+            # HUGEINT oracle errors loudly. int64→double conversion and
+            # the multiply/subtract are IEEE round-to-nearest in both
+            # engines, so the cov cells stay bit-identical cross-engine
+            # at ANY corpus size (precision loss replaces wraparound).
+            (
+                F.col("n").cast("double") * F.col("sxy").cast("double")
+                - F.col("sx").cast("double") * F.col("sy").cast("double")
+            ).alias("cov"),
         )
         .localCheckpoint(eager=False)
     )
@@ -12992,7 +12999,10 @@ cells AS (SELECT ti.i - 1 AS i, tj.j - 1 AS j, count(*) AS n,
                  sum(v[ti.i]) AS sx, sum(v[tj.j]) AS sy
           FROM m0, range(1, {dim + 1}) ti(i), range(1, {dim + 1}) tj(j)
           WHERE tj.j >= ti.i GROUP BY 1, 2),
-cov AS (SELECT i, j, CAST(n * sxy - sx * sy AS BIGINT) AS cov FROM cells),
+cov AS (SELECT i, j,
+               CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov
+        FROM cells),
 fullm AS (SELECT i, j, cov FROM cov
           UNION ALL SELECT j, i, cov FROM cov WHERE i <> j),
 rows_ AS (SELECT i, list(CAST(cov AS DOUBLE) ORDER BY j) AS row
@@ -13086,14 +13096,17 @@ def q_vocab_coverage_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     and subword-level tokenization (coverage saturating early → word
     vocab suffices; a long tail → BPE, the bpe_merges seam).
 
-    Shape: one token count (vocabulary-sized result), one range-exchange
-    contiguous rank, then a BROADCAST 6-row threshold join + combinable
-    per-threshold sum — never a running-sum window over the vocabulary.
+    Shape: one token count (vocabulary-sized result), then the shared
+    operators.text_search.vocab_coverage_curve — one range-exchange
+    contiguous rank, a BROADCAST 6-row threshold join + combinable
+    per-threshold sum, never a running-sum window over the vocabulary;
+    the SAME helper the streaming vocab_coverage_readout derives its
+    curve from, so batch and continuous forms cannot drift (ADVICE r10).
     Thresholds past the vocabulary saturate at 1e6 ppm by construction."""
     _prep(spark)
     from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import tokens_col  # noqa: PLC0415
-    from flink_sql_ai_meetingcoach_azure_spark.operators.indexing import (  # noqa: PLC0415
-        contiguous_row_ids,
+    from flink_sql_ai_meetingcoach_azure_spark.operators.text_search import (  # noqa: PLC0415
+        vocab_coverage_curve,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -13102,37 +13115,7 @@ def q_vocab_coverage_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    ranked = contiguous_row_ids(
-        counts, [F.desc("cnt"), F.asc("term")], id_col="rank"
-    ).localCheckpoint(eager=False)
-    ths = spark.createDataFrame(
-        [(n,) for n in VOCAB_SWEEP_NS], "vocab_n bigint"
-    )
-    per = (
-        ranked.join(F.broadcast(ths), F.col("rank") <= F.col("vocab_n"))
-        .groupBy("vocab_n")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_types"),
-            F.sum("cnt").cast("bigint").alias("covered_tokens"),
-        )
-    )
-    tot = ranked.agg(F.sum("cnt").alias("__t"))
-    return (
-        ths.join(per, "vocab_n", "left")
-        .join(F.broadcast(tot))
-        .select(
-            "vocab_n",
-            F.coalesce("n_types", F.lit(0)).cast("bigint").alias("n_types"),
-            F.coalesce("covered_tokens", F.lit(0))
-            .cast("bigint")
-            .alias("covered_tokens"),
-            F.expr(
-                "coalesce(covered_tokens, 0L) * 1000000L"
-                " div nullif(__t, 0)"
-            ).alias("covered_ppm"),
-        )
-        .orderBy("vocab_n")
-    )
+    return vocab_coverage_curve(counts, list(VOCAB_SWEEP_NS))
 
 
 def _sql_vocab_coverage_sweep() -> str:

@@ -688,48 +688,20 @@ def vocab_coverage_readout(
     maintained per-term count rollup (a StreamingAggregateSink keyed by
     [term_col] over the exploded token stream — ``n_rows`` IS the term
     frequency), derive the vocabulary-size coverage curve with the batch
-    query's exact shape: a range-exchange contiguous rank over the
-    (vocabulary-sized) state table, then a broadcast threshold join with
-    combinable sums — never a running-sum window. Bit-identical to the
-    batch sweep over the union of everything ingested; per-trigger cost
-    is state-sized regardless of stream volume."""
-    from flink_sql_ai_meetingcoach_azure_spark.operators.indexing import (  # noqa: PLC0415
-        contiguous_row_ids,
+    query's exact shape because it IS the batch query's code — the
+    shared operators.text_search.vocab_coverage_curve helper (ADVICE
+    r10: the two copies could drift; now there is one): a range-exchange
+    contiguous rank over the (vocabulary-sized) state table, then a
+    broadcast threshold join with combinable sums — never a running-sum
+    window. Bit-identical to the batch sweep over the union of
+    everything ingested; per-trigger cost is state-sized regardless of
+    stream volume."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.text_search import (  # noqa: PLC0415
+        vocab_coverage_curve,
     )
 
     if vocab_ns is None:
         vocab_ns = [250, 500, 1_000, 2_000, 4_000, 8_000]
-    spark = merged.sparkSession
-    ranked = contiguous_row_ids(
-        merged.select(
-            F.col(term_col).alias("__term"),
-            F.col(cnt_col).cast("bigint").alias("__cnt"),
-        ),
-        [F.desc("__cnt"), F.asc("__term")],
-        id_col="__rank",
-    ).localCheckpoint(eager=False)
-    ths = spark.createDataFrame([(n,) for n in vocab_ns], "vocab_n bigint")
-    per = (
-        ranked.join(F.broadcast(ths), F.col("__rank") <= F.col("vocab_n"))
-        .groupBy("vocab_n")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_types"),
-            F.sum("__cnt").cast("bigint").alias("covered_tokens"),
-        )
-    )
-    tot = ranked.agg(F.sum("__cnt").alias("__t"))
-    return (
-        ths.join(per, "vocab_n", "left")
-        .join(F.broadcast(tot))
-        .select(
-            "vocab_n",
-            F.coalesce("n_types", F.lit(0)).cast("bigint").alias("n_types"),
-            F.coalesce("covered_tokens", F.lit(0))
-            .cast("bigint")
-            .alias("covered_tokens"),
-            F.expr(
-                "coalesce(covered_tokens, 0L) * 1000000L div nullif(__t, 0)"
-            ).alias("covered_ppm"),
-        )
-        .orderBy("vocab_n")
+    return vocab_coverage_curve(
+        merged, vocab_ns, term_col=term_col, cnt_col=cnt_col
     )
