@@ -319,9 +319,12 @@ def decode_png(payload: bytes) -> np.ndarray:
     """REAL PNG decode with the standard library only (zlib is baked into
     CPython — no PIL needed): parse chunks, inflate the concatenated IDAT
     stream, and invert the per-scanline filters (None/Sub/Up/Average/
-    Paeth, PNG spec §6). Supports 8-bit gray / gray+alpha / RGB / RGBA,
-    non-interlaced — the overwhelming majority of stored PNGs; 16-bit and
-    Adam7 raise NotImplementedError (the remaining documented seam).
+    Paeth, PNG spec §6). Supports 8-bit AND 16-bit gray / gray+alpha /
+    RGB / RGBA, non-interlaced — effectively all non-interlaced PNGs
+    (filters operate BYTEwise per spec §6 whatever the depth, with
+    bpp = channels·depth/8; 16-bit samples are big-endian, spec §7.1,
+    and are reduced to 8-bit by taking the high byte). Adam7 interlace
+    raises NotImplementedError (the remaining documented seam).
     Returns (H, W, 3) uint8 RGB (gray replicated, alpha dropped).
 
     This closes most of the 'real decoders need PIL' gap for PNG: the
@@ -352,16 +355,17 @@ def decode_png(payload: bytes) -> np.ndarray:
     if meta is None:
         raise ValueError("PNG without IHDR")
     w, h, depth, ctype, interlace = meta
-    if depth != 8 or interlace != 0:
+    if depth not in (8, 16) or interlace != 0:
         raise NotImplementedError(
-            "decode_png supports 8-bit non-interlaced PNGs; "
+            "decode_png supports 8/16-bit non-interlaced PNGs; "
             f"got depth={depth} interlace={interlace}"
         )
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise NotImplementedError(f"unsupported PNG color type {ctype}")
     raw = zlib.decompress(idat)
-    stride, bpp = w * channels, channels
+    sample_bytes = depth // 8
+    stride, bpp = w * channels * sample_bytes, channels * sample_bytes
     if len(raw) < (stride + 1) * h:
         raise ValueError("truncated PNG pixel stream")
     out = np.zeros((h, stride), dtype=np.uint8)
@@ -398,7 +402,18 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"invalid PNG filter type {f}")
         out[y] = cur.astype(np.uint8)
         prev = cur
-    img = out.reshape(h, w, channels)
+    if depth == 16:
+        # big-endian 16-bit samples (spec §7.1); reduce to 8-bit via the
+        # high byte — after the BYTEwise unfilter above, that is simply
+        # every even-offset byte of each scanline
+        img = (
+            np.frombuffer(out.tobytes(), dtype=">u2")
+            .reshape(h, w, channels)
+            .astype(np.uint16)
+            >> 8
+        ).astype(np.uint8)
+    else:
+        img = out.reshape(h, w, channels)
     if channels == 1:
         return np.repeat(img, 3, axis=2)
     if channels == 2:
@@ -408,22 +423,36 @@ def decode_png(payload: bytes) -> np.ndarray:
     return img
 
 
-def encode_png(img: np.ndarray, color_type: int = 2, filters=None) -> bytes:
+def encode_png(
+    img: np.ndarray, color_type: int = 2, filters=None, depth: int = 8
+) -> bytes:
     """Minimal spec-correct PNG encoder (test/fixture helper — stdlib
-    zlib + CRC32): 8-bit, non-interlaced, one IDAT. ``filters`` picks the
-    per-row filter type (default all 0) and APPLIES the forward filter,
-    so round-trips through :func:`decode_png` exercise every unfilter
-    branch with real filtered data."""
+    zlib + CRC32): 8- or 16-bit, non-interlaced, one IDAT. ``filters``
+    picks the per-row filter type (default all 0) and APPLIES the
+    forward filter — BYTEwise with bpp = channels·depth/8, exactly as
+    the spec defines for any depth — so round-trips through
+    :func:`decode_png` exercise every unfilter branch with real
+    filtered data at both depths. 16-bit input must be uint16; samples
+    are serialized big-endian (spec §7.1)."""
     import struct  # noqa: PLC0415
     import zlib  # noqa: PLC0415
 
+    if depth not in (8, 16):
+        raise ValueError(f"depth must be 8 or 16, got {depth}")
     channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     h, w = img.shape[0], img.shape[1]
-    px = img.reshape(h, w * channels).astype(np.int64)
+    if depth == 16:
+        # serialize big-endian, then filter over the BYTE stream
+        be = img.reshape(h, w * channels).astype(np.uint16).astype(">u2")
+        px = np.frombuffer(be.tobytes(), dtype=np.uint8).reshape(
+            h, w * channels * 2
+        ).astype(np.int64)
+    else:
+        px = img.reshape(h, w * channels).astype(np.int64)
     filters = list(filters or [0] * h)
-    bpp = channels
+    bpp = channels * (depth // 8)
     lines = b""
-    prev = np.zeros(w * channels, dtype=np.int64)
+    prev = np.zeros(px.shape[1], dtype=np.int64)
     for y in range(h):
         row, f = px[y], filters[y]
         if f == 0:
@@ -461,7 +490,7 @@ def encode_png(img: np.ndarray, color_type: int = 2, filters=None) -> bytes:
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)

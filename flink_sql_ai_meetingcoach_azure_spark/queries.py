@@ -2912,11 +2912,16 @@ def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised on real data), then decoded by
     operators/multimodal.py::decode_png (stdlib zlib inflate + unfilter
     — no PIL) inside decode_and_featurize's Arrow batch, nearest-
-    neighbor resized, and summed. The oracle recomputes the resize
-    index math and the pixel formula in closed form — a wrong inflate,
-    unfilter branch, channel order, or resize index all break the hash.
-    Image dims vary per doc (W = 5 + id%4, H = 4 + id%3) so the NN
-    grid is non-trivial."""
+    neighbor resized, and summed. ODD doc_ids encode at depth=16
+    (r11, VERDICT r10 #7): the 16-bit sample puts the formula value in
+    the HIGH byte and deliberate junk ``(v·7+3)%256`` in the low byte,
+    so the byte-doubled filter arithmetic (bpp=6), the big-endian
+    sample order, and the high-byte 16→8 reduction are all on the hash
+    path while the closed-form oracle stays depth-blind. The oracle
+    recomputes the resize index math and the pixel formula in closed
+    form — a wrong inflate, unfilter branch, channel order, byte order,
+    or resize index all break the hash. Image dims vary per doc
+    (W = 5 + id%4, H = 4 + id%3) so the NN grid is non-trivial."""
     _prep(spark)
     import pyspark.sql.types as T  # noqa: PLC0415
 
@@ -2944,9 +2949,16 @@ def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     np.arange(h), np.arange(w), np.arange(3), indexing="ij"
                 )
                 img = ((did * 31 + y * 7 + x * 3 + c) % 256).astype("uint8")
-                payloads.append(
-                    bytearray(encode_png(img, 2, [r % 5 for r in range(h)]))
-                )
+                if did % 2:  # 16-bit: formula in high byte, junk low byte
+                    v = img.astype("uint16")
+                    img = (v << 8) | ((v * 7 + 3) % 256)
+                    payloads.append(bytearray(encode_png(
+                        img, 2, [r % 5 for r in range(h)], depth=16
+                    )))
+                else:
+                    payloads.append(bytearray(
+                        encode_png(img, 2, [r % 5 for r in range(h)])
+                    ))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     media = docs.mapInPandas(

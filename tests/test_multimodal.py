@@ -175,6 +175,48 @@ def test_decode_png_roundtrip_all_filters():
         decode_png(b"not a png")
 
 
+def test_decode_png_16bit_high_byte_reduction():
+    """16-bit PNG path (r11, VERDICT r10 #7): byte-doubled filter
+    arithmetic (bpp = 2·channels), big-endian sample order, and the
+    high-byte 16→8 reduction. The low byte is deliberate junk so a
+    wrong byte order or low-byte pick changes the output; every filter
+    type is exercised at depth 16. Adam7 stays a documented seam."""
+    import numpy as np
+    import pytest as _pytest
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    hi = rng.randint(0, 256, size=(6, 5, 3), dtype=np.uint16)
+    img16 = (hi << 8) | ((hi * 7 + 3) % 256)
+    for filters in ([0] * 6, [1] * 6, [2] * 6, [3] * 6, [4] * 6,
+                    [3, 4, 0, 1, 2, 4]):
+        got = decode_png(encode_png(img16, 2, filters, depth=16))
+        assert np.array_equal(got, hi.astype(np.uint8)), filters
+    # 16-bit gray+alpha: replicate gray, drop alpha — via high bytes
+    ga = (rng.randint(0, 256, size=(3, 4, 2), dtype=np.uint16) << 8) | 0x5A
+    got = decode_png(encode_png(ga, 4, [4, 2, 1], depth=16))
+    assert np.array_equal(
+        got, np.repeat((ga[:, :, :1] >> 8).astype(np.uint8), 3, axis=2)
+    )
+    # Adam7 interlace still refuses loudly (documented seam)
+    import struct as _struct
+
+    raw = bytearray(encode_png(hi.astype(np.uint8), 2))
+    # IHDR data starts at offset 16; interlace byte is the 13th data byte
+    raw[16 + 12] = 1
+    # fix the IHDR CRC so the refusal is about interlace, not corruption
+    import zlib as _zlib
+
+    crc = _zlib.crc32(bytes(raw[12:29])) & 0xFFFFFFFF
+    raw[29:33] = _struct.pack(">I", crc)
+    with _pytest.raises(NotImplementedError, match="interlace"):
+        decode_png(bytes(raw))
+
+
 def test_decode_and_featurize_png_real_pixels(spark):
     """decoder='png' runs the REAL decode inside mapInPandas: a solid-
     color PNG must produce exactly-known intensity sums after the
