@@ -144,6 +144,12 @@ BENCH_QUERIES = [
     "random_projection",
     "ann_projected",
     "ann_recall_eval",
+    "ann_hamming",  # r11: sign-bit Hamming prefilter + exact rerank
+    "hamming_recall_eval",  # r11: recall@k of the Hamming rung vs exact
+    "mmr_rerank",  # r11: greedy diversified top-k over the candidate pool
+    "mmr_diversity_eval",  # r11: measured diversity/relevance tradeoff
+    "knn_hubness",  # r11: k-occurrence histogram of the retrieval workload
+    "semantic_decontaminate",  # r11: embedding-space eval-leak audit
     "bm25_topk",
     "hybrid_rrf",
     "rerank_topk",

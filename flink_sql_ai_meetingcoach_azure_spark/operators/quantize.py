@@ -565,3 +565,35 @@ def vector_search_ivfpq_parquet(
     # reattach the full query rows (queries with zero candidates drop out,
     # matching the flat PQ operator's inner semantics)
     return query_df.join(topk, query_id_col, "inner")
+
+
+def sign_signature_exprs(
+    vec_col: str, dim: int = 64, words: int = 2
+) -> list[str]:
+    """Spark SQL expressions packing a float vector's SIGN BITS into
+    ``words`` BIGINT words (dim/words bits each, bit i of word w set when
+    component w·(dim/words)+i is > 0) — the 1-bit-per-dimension
+    binarization behind Hamming-prefilter ANN (Charikar'02 SimHash with
+    the identity rotation; reference anchor: the vector index the
+    reference outsources, terraform/main.tf:649-669, stores full floats
+    — the binary sketch is its 64x-smaller scale sibling).
+
+    Two 32-bit words, not one 64-bit word: bit 63 would need 1<<63,
+    which overflows DuckDB's BIGINT shift (the oracle must build the
+    IDENTICAL words), and 32-bit words keep every term < 2^32 so the
+    unrolled ``+`` of disjoint bits is exact in both engines. The
+    expression is a flat UNROLLED sum of IF terms — whole-stage-codegen
+    JVM work, no HOF fold, no Python — so signature build is one
+    linear projection pass at any corpus size."""
+    per = dim // words
+    if per * words != dim:
+        raise ValueError(f"dim {dim} not divisible by words {words}")
+    out = []
+    for w in range(words):
+        terms = [
+            f"IF(element_at({vec_col}, {w * per + i + 1}) > 0D,"
+            f" {1 << i}L, 0L)"
+            for i in range(per)
+        ]
+        out.append(" + ".join(terms))
+    return out

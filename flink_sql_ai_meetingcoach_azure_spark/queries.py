@@ -5788,57 +5788,29 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc but truncates them is invisible to both, and shows here. The
     statistic max|F_a(x) − F_b(x)| is computed EXACTLY in integer ppm
     by cross-multiplication (|cum_a·n_b − cum_b·n_a|·1e6 div (n_a·n_b)
-    — no float CDFs): one combinable (value, half) count, one cumulative
-    window over the DISTINCT-VALUE table (value-bounded — lengths, not
-    rows; the vocabulary-window discipline), one argmax with the
-    smallest-value tie pin. Also reports the classic α=0.01 threshold
-    scaled the same way (1.628·sqrt((n_a+n_b)/(n_a·n_b)), the only
-    float, rounded once) and the reject flag."""
+    — no float CDFs): one combinable (value, half) count, then the
+    shared operators.drift.ks_from_counts core — cumulative window over
+    the DISTINCT-VALUE table (value-bounded — lengths, not rows; the
+    vocabulary-window discipline), argmax with the smallest-value tie
+    pin, the classic α=0.01 threshold (1.628·sqrt((n_a+n_b)/(n_a·n_b)),
+    the only float, rounded once) and the reject flag. The SAME core
+    the streaming ks_drift_readout derives its statistic from (r11,
+    VERDICT r10 #6), so batch and continuous forms cannot drift."""
     _prep(spark)
-    from pyspark.sql.window import Window  # noqa: PLC0415
+    from flink_sql_ai_meetingcoach_azure_spark.operators.drift import (  # noqa: PLC0415
+        ks_from_counts,
+    )
 
     docs = _t(spark, sf_dir, "documents")
-    vh = docs.select(
-        F.col("n_chars").cast("bigint").alias("v"),
-        (F.col("doc_id") % 2).cast("int").alias("half"),
+    counts = (
+        docs.select(
+            F.col("n_chars").cast("bigint").alias("v"),
+            (F.col("doc_id") % 2).cast("int").alias("half"),
+        )
+        .groupBy("v", "half")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    counts = vh.groupBy("v").agg(
-        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
-        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
-    )
-    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = counts.select(
-        "v",
-        F.sum("ca").over(w).alias("cum_a"),
-        F.sum("cb").over(w).alias("cum_b"),
-    )
-    tot = vh.groupBy().agg(
-        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_a"),
-        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_b"),
-    )
-    scored = cum.join(F.broadcast(tot)).withColumn(
-        "d_ppm",
-        F.expr(
-            "abs(cum_a * n_b - cum_b * n_a) * 1000000L div (n_a * n_b)"
-        ),
-    )
-    pick = scored.groupBy("n_a", "n_b").agg(
-        F.min(
-            F.struct((-F.col("d_ppm")).alias("nd"), F.col("v").alias("v"))
-        ).alias("__w")
-    )
-    return pick.select(
-        F.col("n_a").cast("bigint").alias("n_a"),
-        F.col("n_b").cast("bigint").alias("n_b"),
-        F.col("__w.v").alias("ks_at_value"),
-        (-F.col("__w.nd")).cast("bigint").alias("ks_ppm"),
-        F.expr(
-            "cast(round(1.628 * sqrt(cast(n_a + n_b as double) /"
-            " (cast(n_a as double) * cast(n_b as double))) * 1000000) as bigint)"
-        ).alias("crit_ppm_a01"),
-    ).withColumn(
-        "reject", (F.col("ks_ppm") > F.col("crit_ppm_a01")).cast("int")
-    )
+    return ks_from_counts(counts)
 
 
 SQL_KS_DRIFT = """
@@ -11954,14 +11926,19 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     classic CUSUM against the constant-rate null SCALED BY H·T so it
     stays an exact BIGINT (no float mean is ever computed); the
     changepoint is the bucket maximizing |S_h| (earliest on ties —
-    min-struct argmax, pinned). One combinable hourly aggregate, one
-    per-type window over the types×hours bucket table (never the event
-    stream), one argmax aggregate.
+    min-struct argmax, pinned). One combinable hourly aggregate, then
+    the shared operators.drift.cusum_from_counts core — one per-type
+    window over the types×hours bucket table (never the event stream),
+    one argmax aggregate; the SAME core the streaming cusum_readout
+    derives its changepoint from (r11), so batch and continuous forms
+    cannot drift.
 
     At 100 TB the only corpus-sized work is the first groupBy; the
     CUSUM scan is bounded by buckets per type regardless of volume."""
     _prep(spark)
-    from pyspark.sql.window import Window  # noqa: PLC0415
+    from flink_sql_ai_meetingcoach_azure_spark.operators.drift import (  # noqa: PLC0415
+        cusum_from_counts,
+    )
 
     ev = _events(spark, sf_dir)
     hb = (
@@ -11972,34 +11949,7 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "hour_idx")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.partitionBy("event_type").orderBy("hour_idx")
-    tot = hb.groupBy("event_type").agg(
-        F.sum("c").alias("t"), F.count(F.lit(1)).alias("h")
-    )
-    s = (
-        hb.withColumn("run", F.sum("c").over(w))
-        .withColumn("idx", F.row_number().over(w))
-        .join(F.broadcast(tot), "event_type")
-        .withColumn(
-            "stat", F.abs(F.col("h") * F.col("run") - F.col("idx") * F.col("t"))
-        )
-    )
-    pick = s.groupBy("event_type").agg(
-        F.max("h").cast("bigint").alias("n_buckets"),
-        F.max("t").cast("bigint").alias("total_events"),
-        F.min(
-            F.struct(
-                (-F.col("stat")).alias("ns"), F.col("hour_idx").alias("hi")
-            )
-        ).alias("__w"),
-    )
-    return pick.select(
-        "event_type",
-        "n_buckets",
-        "total_events",
-        F.col("__w.hi").cast("bigint").alias("cp_hour_idx"),
-        (-F.col("__w.ns")).cast("bigint").alias("cusum_stat"),
-    ).orderBy("event_type")
+    return cusum_from_counts(hb)
 
 
 SQL_CUSUM_CHANGEPOINT = """
@@ -13348,6 +13298,675 @@ ORDER BY tau_ppm
 """
 
 
+# ---------------------------------------------------------------------------
+# r11 additions: binary-sketch ANN, MMR diversified retrieval, hubness
+
+
+HAM_WORDS = 2  # 2 x 32-bit signature words (see sign_signature_exprs)
+HAM_M = 32  # Hamming prefilter candidate pool per query
+HAM_BITS_PER_WORD = EMB_DIM // HAM_WORDS
+
+
+def q_ann_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-sketch ANN: sign-bit signatures (1 bit/dimension — a 64x
+    storage cut vs the float vectors the reference's managed index
+    stores, terraform/main.tf:649-669) Hamming-prefilter the index down
+    to M=32 candidates per query (bit_count(xor) over two BIGINT words —
+    pure JVM codegen, no Python, no floats), and ONLY the surviving
+    candidates get the exact 6-dp cosine rerank to top-k=3. The
+    production pattern for cheap first-stage retrieval: at 100 TB the
+    prefilter scans 16 bytes/vector with the queries broadcast
+    (BroadcastNestedLoopJoin — index side streams, never shuffles) and
+    the float vectors are touched for M rows per query, not the corpus.
+    Prefilter rank = (hamming ASC, vec_id ASC) — all-integer, engine-
+    exact; rerank = the ann_topk discipline (6-dp sim DESC, id ASC)."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.quantize import (  # noqa: PLC0415
+        sign_signature_exprs,
+    )
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    emb = _t(spark, sf_dir, "embeddings")
+    sig_exprs = sign_signature_exprs("embedding", EMB_DIM, HAM_WORDS)
+    sigs = emb.select(
+        "vec_id",
+        *[F.expr(e).alias(f"w{i}") for i, e in enumerate(sig_exprs)],
+    ).localCheckpoint(eager=False)  # feeds query AND index sides
+    q = sigs.filter(F.col("vec_id") < ANN_NQ).select(
+        F.col("vec_id").alias("qid"),
+        *[F.col(f"w{i}").alias(f"qw{i}") for i in range(HAM_WORDS)],
+    )
+    ham = sum(
+        F.expr(f"bit_count(w{i} ^ qw{i})") for i in range(HAM_WORDS)
+    )
+    wpre = Window.partitionBy("qid").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    cand = (
+        sigs.join(F.broadcast(q), how="cross")
+        .withColumn("hamming", ham.cast("int"))
+        .withColumn("pre_rank", F.row_number().over(wpre))
+        .filter(F.col("pre_rank") <= HAM_M)
+        .select("qid", "vec_id", "hamming")
+    )
+    # exact rerank over the M survivors only: rejoin floats for query and
+    # candidate sides, 6-dp cosine, ann_topk's tie discipline
+    qv = emb.filter(F.col("vec_id") < ANN_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("__qv")
+    )
+    cv = emb.select("vec_id", F.col("embedding").alias("__cv"))
+    wfin = Window.partitionBy("qid").orderBy(
+        F.desc("similarity"), F.asc("neighbor_id")
+    )
+    return (
+        cand.join(F.broadcast(qv), "qid")
+        .join(cv, "vec_id")
+        .select(
+            "qid",
+            F.col("vec_id").alias("neighbor_id"),
+            "hamming",
+            F.round(cosine_similarity_col("__qv", "__cv"), 6).alias(
+                "similarity"
+            ),
+        )
+        .withColumn("search_rank", F.row_number().over(wfin))
+        .filter(F.col("search_rank") <= ANN_K)
+        .orderBy("qid", "search_rank")
+    )
+
+
+def _sql_ann_hamming() -> str:
+    per = HAM_BITS_PER_WORD
+    words = []
+    for w in range(HAM_WORDS):
+        terms = " + ".join(
+            f"(CASE WHEN v[{w * per + i + 1}] > 0 THEN {1 << i}::BIGINT"
+            " ELSE 0::BIGINT END)"
+            for i in range(per)
+        )
+        words.append(terms)
+    sig_cols = ", ".join(f"({e}) AS w{i}" for i, e in enumerate(words))
+    ham = " + ".join(f"bit_count(xor(s.w{i}, q.w{i}))" for i in range(HAM_WORDS))
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sigs AS MATERIALIZED (SELECT vec_id, v, {sig_cols} FROM e),
+q AS (SELECT vec_id AS qid, v, w0, w1 FROM sigs WHERE vec_id < {ANN_NQ}),
+ham AS (SELECT q.qid, s.vec_id, CAST({ham} AS INT) AS hamming,
+               row_number() OVER (PARTITION BY q.qid
+                                  ORDER BY {ham} ASC, s.vec_id ASC)
+                 AS pre_rank,
+               round(list_dot_product(q.v, s.v) /
+                     (sqrt(list_dot_product(q.v, q.v)) *
+                      sqrt(list_dot_product(s.v, s.v))), 6) AS similarity
+        FROM sigs s CROSS JOIN q),
+cand AS (SELECT qid, vec_id, hamming, similarity FROM ham
+         WHERE pre_rank <= {HAM_M}),
+r AS (SELECT qid, vec_id AS neighbor_id, hamming, similarity,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY similarity DESC, vec_id ASC)
+               AS search_rank
+      FROM cand)
+SELECT qid, neighbor_id, hamming, similarity, search_rank
+FROM r WHERE search_rank <= {ANN_K}
+ORDER BY qid, search_rank
+"""
+
+
+MMR_NQ = 10  # query rows: vec_id < 10 (the ann_topk workload shape)
+MMR_NCAND = 10  # first-stage candidate pool per query
+MMR_K = 5  # diversified picks per query (fixed rounds, unrolled oracle)
+MMR_LAMBDA_X10 = 7  # λ=0.7 as an integer: mmr_x10 = 7·sim − 3·maxsel
+
+
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell &
+    Goldstein SIGIR'98) — the retrieval-diversity stage between
+    VECTOR_SEARCH and prompt assembly (the reference feeds top-3 raw
+    neighbors into its coaching prompt, terraform/main.tf:649-669; MMR
+    is what production RAG uses so those k excerpts aren't three copies
+    of the same paragraph): first-stage top-10 by exact cosine, then
+    k=5 GREEDY picks maximizing λ·sim(q,d) − (1−λ)·max_{s∈selected}
+    sim(d,s). All-integer ppm scoring (mmr_x10 = 7·sim_ppm −
+    3·maxsel_ppm, exact), smallest-id tie pins.
+
+    Shape (the coreset_sample discipline): candidate-pair sims are
+    per-query M² = 100 rows however big the corpus; each greedy round
+    folds ONE max into per-candidate state (maxsel :=
+    greatest(maxsel, sim-to-newest-pick)) on a localCheckpoint'd
+    bounded table, so every round compiles the SAME plan shape — O(1)
+    codegen in k, never a growing literal. The oracle unrolls the k
+    rounds as MATERIALIZED CTEs (the Lloyd/pagerank fixed-round
+    discipline)."""
+    _prep(spark)
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < MMR_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    hits = vector_search_topk_flat(
+        queries,
+        emb.select("vec_id", "embedding"),
+        k=MMR_NCAND,
+        payload_cols=["vec_id"],
+        round_sim=6,
+    ).select(
+        "qid",
+        "vec_id",
+        F.round(F.col("similarity") * 1_000_000)
+        .cast("bigint")
+        .alias("sim_ppm"),
+    )
+    cv = emb.select("vec_id", "embedding")
+    cands = (
+        hits.join(cv, "vec_id")
+        .select("qid", "vec_id", "sim_ppm", "embedding")
+        .localCheckpoint(eager=False)  # bounded: NQ x M rows
+    )
+    # candidate-pair sims within each query's pool: M^2 per query, exact
+    # integer ppm after the 6-dp round
+    a = cands.select(
+        "qid", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    )
+    b = cands.select(
+        "qid", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
+    )
+    cp = (
+        a.join(b, "qid")
+        .select(
+            "qid",
+            "id_a",
+            "id_b",
+            (F.round(cosine_similarity_col("va", "vb"), 6) * 1_000_000)
+            .cast("bigint")
+            .alias("sim_dd_ppm"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    # greedy rounds over bounded state (qid, vec_id, sim_ppm, maxsel, sel)
+    st = cands.select(
+        "qid",
+        "vec_id",
+        "sim_ppm",
+        F.lit(-1_000_000).cast("bigint").alias("maxsel_ppm"),
+        F.lit(0).alias("sel"),
+    ).localCheckpoint()
+    picks = []
+    lam, lam1 = MMR_LAMBDA_X10, 10 - MMR_LAMBDA_X10
+    for r in range(1, MMR_K + 1):
+        mmr = lam * F.col("sim_ppm") - lam1 * F.col("maxsel_ppm")
+        pick = (
+            st.filter(F.col("sel") == 0)
+            .groupBy("qid")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-mmr).alias("nm"), F.col("vec_id").alias("vid")
+                    )
+                ).alias("__w")
+            )
+            .select(
+                "qid",
+                F.col("__w.vid").alias("pick_id"),
+                (-F.col("__w.nm")).cast("bigint").alias("mmr_x10"),
+                F.lit(r).alias("mmr_rank"),
+            )
+        )
+        picks.append(pick.localCheckpoint())
+        st = (
+            st.join(F.broadcast(picks[-1].select("qid", "pick_id")), "qid")
+            .join(
+                cp.select(
+                    "qid",
+                    F.col("id_a").alias("vec_id"),
+                    F.col("id_b").alias("pick_id"),
+                    "sim_dd_ppm",
+                ),
+                ["qid", "vec_id", "pick_id"],
+                "left",
+            )
+            .select(
+                "qid",
+                "vec_id",
+                "sim_ppm",
+                F.greatest(
+                    "maxsel_ppm", F.coalesce("sim_dd_ppm", F.lit(-1_000_000))
+                ).alias("maxsel_ppm"),
+                F.when(F.col("vec_id") == F.col("pick_id"), r)
+                .otherwise(F.col("sel"))
+                .alias("sel"),
+            )
+            .localCheckpoint()
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    sims = cands.select(
+        "qid", F.col("vec_id").alias("pick_id"), "sim_ppm"
+    )
+    return (
+        out.join(sims, ["qid", "pick_id"])
+        .select(
+            "qid",
+            "mmr_rank",
+            F.col("pick_id").alias("neighbor_id"),
+            "sim_ppm",
+            "mmr_x10",
+        )
+        .orderBy("qid", "mmr_rank")
+    )
+
+
+def _sql_mmr_rerank() -> str:
+    lam, lam1 = MMR_LAMBDA_X10, 10 - MMR_LAMBDA_X10
+    parts = [f"""
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id < {MMR_NQ}),
+sc AS (SELECT q.qid, e.vec_id,
+              CAST(round(list_dot_product(q.v, e.v) /
+                    (sqrt(list_dot_product(q.v, q.v)) *
+                     sqrt(list_dot_product(e.v, e.v))), 6) * 1000000
+                   AS BIGINT) AS sim_ppm
+       FROM q CROSS JOIN e),
+cand AS MATERIALIZED (
+  SELECT qid, vec_id, sim_ppm FROM (
+    SELECT qid, vec_id, sim_ppm,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY sim_ppm DESC, vec_id ASC) AS rk
+    FROM sc) WHERE rk <= {MMR_NCAND}),
+cp AS MATERIALIZED (
+  SELECT a.qid, a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(round(list_dot_product(ea.v, eb.v) /
+               (sqrt(list_dot_product(ea.v, ea.v)) *
+                sqrt(list_dot_product(eb.v, eb.v))), 6) * 1000000
+              AS BIGINT) AS sim_dd_ppm
+  FROM cand a JOIN cand b USING (qid)
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id),
+s0 AS MATERIALIZED (
+  SELECT qid, vec_id, sim_ppm,
+         CAST(-1000000 AS BIGINT) AS maxsel_ppm, 0 AS sel
+  FROM cand)"""]
+    for r in range(1, MMR_K + 1):
+        parts.append(f"""
+p{r} AS MATERIALIZED (
+  SELECT qid, vec_id AS pick_id,
+         CAST({lam} * sim_ppm - {lam1} * maxsel_ppm AS BIGINT) AS mmr_x10,
+         {r} AS mmr_rank
+  FROM (SELECT qid, vec_id, sim_ppm, maxsel_ppm,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY {lam} * sim_ppm - {lam1} * maxsel_ppm DESC,
+                          vec_id ASC) AS rk
+        FROM s{r - 1} WHERE sel = 0)
+  WHERE rk = 1),
+s{r} AS MATERIALIZED (
+  SELECT s.qid, s.vec_id, s.sim_ppm,
+         greatest(s.maxsel_ppm, COALESCE(cp.sim_dd_ppm, -1000000))
+           AS maxsel_ppm,
+         CASE WHEN s.vec_id = p.pick_id THEN {r} ELSE s.sel END AS sel
+  FROM s{r - 1} s
+  JOIN p{r} p USING (qid)
+  LEFT JOIN cp ON cp.qid = s.qid AND cp.id_a = s.vec_id
+              AND cp.id_b = p.pick_id)""")
+    picks = "\nUNION ALL\n".join(
+        f"SELECT qid, pick_id, mmr_x10, mmr_rank FROM p{r}"
+        for r in range(1, MMR_K + 1)
+    )
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+allp AS ({picks})
+SELECT allp.qid, allp.mmr_rank, allp.pick_id AS neighbor_id,
+       cand.sim_ppm, allp.mmr_x10
+FROM allp JOIN cand ON cand.qid = allp.qid AND cand.vec_id = allp.pick_id
+ORDER BY allp.qid, allp.mmr_rank
+"""
+    )
+
+
+HUB_Q_MOD = 5  # query workload: every 5th vector
+HUB_K = 3
+
+
+def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-occurrence HUBNESS profile of the embedding space (Radovanović
+    et al. JMLR'10): how often each index vector lands in a query's
+    top-k — the high-dimensional pathology gauge every ANN deployment
+    should watch (hubs dominate retrieval results and poison RAG
+    context diversity; antihubs are never retrieved, wasted index
+    mass). A 20% systematic query workload (vec_id % 5 == 0, self
+    excluded) runs the exact 6-dp top-k=3, then the k-occurrence counts
+    roll up into a histogram: (n_hits, n_vecs) with the never-retrieved
+    mass as the n_hits=0 row. All counts exact integers; at 100 TB the
+    search is the documented ANN ladder (flat here — the IVF/Hamming
+    siblings share the ranking contract) and the histogram is two
+    combinable aggregates over the hit list."""
+    _prep(spark)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % HUB_Q_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    hits = vector_search_topk_flat(
+        queries,
+        emb.select("vec_id", "embedding"),
+        k=HUB_K + 1,  # self lands at rank 1 (sim 1.0); drop it below
+        payload_cols=["vec_id"],
+        round_sim=6,
+    ).filter(F.col("vec_id") != F.col("qid"))
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("qid").orderBy(
+        F.desc("similarity"), F.asc("vec_id")
+    )
+    topk = hits.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= HUB_K
+    )
+    occ = topk.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    hist = occ.groupBy("n_hits").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    tot = emb.agg(F.count(F.lit(1)).alias("__n"))
+    hit_mass = occ.agg(
+        F.count(F.lit(1)).alias("__h")
+    )
+    zero = (
+        tot.join(F.broadcast(hit_mass))
+        .select(
+            F.lit(0).cast("bigint").alias("n_hits"),
+            (F.col("__n") - F.col("__h")).cast("bigint").alias("n_vecs"),
+        )
+    )
+    return (
+        hist.select(F.col("n_hits").cast("bigint"), "n_vecs")
+        .unionByName(zero)
+        .orderBy("n_hits")
+    )
+
+
+def _sql_knn_hubness() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS qid, v FROM e WHERE vec_id % {HUB_Q_MOD} = 0),
+s AS (SELECT q.qid, e.vec_id,
+             round(list_dot_product(q.v, e.v) /
+                   (sqrt(list_dot_product(q.v, q.v)) *
+                    sqrt(list_dot_product(e.v, e.v))), 6) AS similarity
+      FROM q CROSS JOIN e
+      WHERE e.vec_id <> q.qid),
+r AS (SELECT qid, vec_id,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY similarity DESC, vec_id ASC) AS rk
+      FROM s),
+occ AS (SELECT vec_id, count(*) AS n_hits FROM r
+        WHERE rk <= {HUB_K} GROUP BY vec_id),
+hist AS (SELECT n_hits, count(*) AS n_vecs FROM occ GROUP BY n_hits),
+z AS (SELECT 0 AS n_hits,
+             (SELECT count(*) FROM e) - (SELECT count(*) FROM occ) AS n_vecs)
+SELECT CAST(n_hits AS BIGINT) AS n_hits, CAST(n_vecs AS BIGINT) AS n_vecs
+FROM (SELECT * FROM hist UNION ALL SELECT * FROM z)
+ORDER BY n_hits
+"""
+
+
+def q_hamming_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the Hamming-prefilter rung against the exact flat
+    ground truth — the eval-discipline sibling every ANN rung ships
+    with (ann_recall_eval for JL, pq_recall_eval for PQ; an approximate
+    index without a measured recall is a guess). Both rankings are the
+    already-hash-verified deterministic entries (`ann_topk`,
+    `ann_hamming`), so the metric is exact integer ppm: hits =
+    |exact ∩ hamming| per query via one bounded (queries·k) join. This
+    is the number that justifies the 64× byte cut: it measures how
+    often sign-bit agreement at M=32 candidates preserves the true
+    top-3."""
+    exact = q_ann_topk(spark, sf_dir).select("qid", "neighbor_id")
+    ham = q_ann_hamming(spark, sf_dir).select("qid", "neighbor_id")
+    hits = (
+        exact.join(ham, ["qid", "neighbor_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("hits_at_k"))
+    )
+    return (
+        exact.select("qid")
+        .distinct()
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce("hits_at_k", F.lit(0)).alias("hits_at_k"),
+            F.expr(
+                f"coalesce(hits_at_k, 0L) * 1000000L div {ANN_K}"
+            ).alias("recall_ppm"),
+        )
+        .orderBy("qid")
+    )
+
+
+def _sql_hamming_recall_eval() -> str:
+    return f"""
+WITH ex AS (SELECT qid, neighbor_id FROM ({SQL_ANN_TOPK}) t),
+hm AS (SELECT qid, neighbor_id FROM ({_sql_ann_hamming()}) t),
+j AS (SELECT ex.qid, count(*) AS hits
+      FROM ex JOIN hm ON hm.qid = ex.qid AND hm.neighbor_id = ex.neighbor_id
+      GROUP BY ex.qid)
+SELECT q.qid,
+       CAST(coalesce(j.hits, 0) AS BIGINT) AS hits_at_k,
+       CAST(coalesce(j.hits, 0) * 1000000 // {ANN_K} AS BIGINT) AS recall_ppm
+FROM (SELECT DISTINCT qid FROM ex) q LEFT JOIN j USING (qid)
+ORDER BY qid
+"""
+
+
+def q_mmr_diversity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What MMR actually buys, measured: per query, the mean intra-list
+    cosine of the k=5 MMR picks vs the plain top-5-by-similarity list
+    from the SAME candidate pool, plus the mean relevance both lists
+    give up/keep — the diversity/relevance tradeoff table a retrieval
+    stack consults before turning MMR on (the eval discipline every
+    approximate operator here carries). All integer ppm: pair sims are
+    the 6-dp-rounded cosines over C(5,2)=10 pairs per list (bounded
+    regardless of corpus), means by truncating division; relevance =
+    mean first-stage sim of the list. diversity_gain_ppm =
+    intra_top − intra_mmr (positive when MMR de-duplicated the list)."""
+    _prep(spark)
+    mmr = q_mmr_rerank(spark, sf_dir).select(
+        "qid", F.col("neighbor_id").alias("vid"), "sim_ppm"
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < MMR_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    top = (
+        vector_search_topk_flat(
+            queries,
+            emb.select("vec_id", "embedding"),
+            k=MMR_K,
+            payload_cols=["vec_id"],
+            round_sim=6,
+        )
+        .select(
+            "qid",
+            F.col("vec_id").alias("vid"),
+            F.round(F.col("similarity") * 1_000_000)
+            .cast("bigint")
+            .alias("sim_ppm"),
+        )
+    )
+    cv = emb.select(F.col("vec_id").alias("vid"), "embedding")
+
+    def intra(lst: DataFrame, tag: str) -> DataFrame:
+        withv = lst.join(cv, "vid").localCheckpoint(eager=False)
+        a = withv.select(
+            "qid", F.col("vid").alias("id_a"), F.col("embedding").alias("va")
+        )
+        b = withv.select(
+            "qid", F.col("vid").alias("id_b"), F.col("embedding").alias("vb")
+        )
+        pairs = (
+            a.join(b, "qid")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "qid",
+                (F.round(cosine_similarity_col("va", "vb"), 6) * 1_000_000)
+                .cast("bigint")
+                .alias("ps"),
+            )
+        )
+        return pairs.groupBy("qid").agg(
+            F.expr("sum(ps) div count(*)").alias(f"intra_{tag}_ppm")
+        )
+
+    rel = mmr.groupBy("qid").agg(
+        F.expr("sum(sim_ppm) div count(*)").alias("rel_mmr_ppm")
+    )
+    rel_top = top.groupBy("qid").agg(
+        F.expr("sum(sim_ppm) div count(*)").alias("rel_top_ppm")
+    )
+    return (
+        intra(mmr, "mmr")
+        .join(intra(top, "top"), "qid")
+        .join(rel, "qid")
+        .join(rel_top, "qid")
+        .select(
+            "qid",
+            "intra_mmr_ppm",
+            "intra_top_ppm",
+            (F.col("intra_top_ppm") - F.col("intra_mmr_ppm")).alias(
+                "diversity_gain_ppm"
+            ),
+            "rel_mmr_ppm",
+            "rel_top_ppm",
+        )
+        .orderBy("qid")
+    )
+
+
+def _sql_mmr_diversity_eval() -> str:
+    pair_sim = (
+        "CAST(round(list_dot_product(ea.v, eb.v) /"
+        " (sqrt(list_dot_product(ea.v, ea.v)) *"
+        " sqrt(list_dot_product(eb.v, eb.v))), 6) * 1000000 AS BIGINT)"
+    )
+    return f"""
+WITH mm AS MATERIALIZED (
+  SELECT qid, neighbor_id AS vid, sim_ppm FROM ({_sql_mmr_rerank()}) t),
+ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+qq AS (SELECT vec_id AS qid, v FROM ev WHERE vec_id < {MMR_NQ}),
+sc AS (SELECT qq.qid, ev.vec_id AS vid,
+              CAST(round(list_dot_product(qq.v, ev.v) /
+                    (sqrt(list_dot_product(qq.v, qq.v)) *
+                     sqrt(list_dot_product(ev.v, ev.v))), 6) * 1000000
+                   AS BIGINT) AS sim_ppm
+       FROM qq CROSS JOIN ev),
+tp AS MATERIALIZED (
+  SELECT qid, vid, sim_ppm FROM (
+    SELECT qid, vid, sim_ppm,
+           row_number() OVER (PARTITION BY qid
+                              ORDER BY sim_ppm DESC, vid ASC) AS rk
+    FROM sc) WHERE rk <= {MMR_K}),
+im AS (SELECT a.qid,
+              CAST(trunc(sum({pair_sim})::DOUBLE / count(*)) AS BIGINT)
+                AS intra_mmr_ppm
+       FROM mm a JOIN mm b ON a.qid = b.qid AND a.vid < b.vid
+       JOIN ev ea ON ea.vec_id = a.vid
+       JOIN ev eb ON eb.vec_id = b.vid
+       GROUP BY a.qid),
+it AS (SELECT a.qid,
+              CAST(trunc(sum({pair_sim})::DOUBLE / count(*)) AS BIGINT)
+                AS intra_top_ppm
+       FROM tp a JOIN tp b ON a.qid = b.qid AND a.vid < b.vid
+       JOIN ev ea ON ea.vec_id = a.vid
+       JOIN ev eb ON eb.vec_id = b.vid
+       GROUP BY a.qid),
+rm AS (SELECT qid,
+              CAST(trunc(sum(sim_ppm)::DOUBLE / count(*)) AS BIGINT)
+                AS rel_mmr_ppm
+       FROM mm GROUP BY qid),
+rt AS (SELECT qid,
+              CAST(trunc(sum(sim_ppm)::DOUBLE / count(*)) AS BIGINT)
+                AS rel_top_ppm
+       FROM tp GROUP BY qid)
+SELECT im.qid,
+       CAST(im.intra_mmr_ppm AS BIGINT) AS intra_mmr_ppm,
+       CAST(it.intra_top_ppm AS BIGINT) AS intra_top_ppm,
+       CAST(it.intra_top_ppm - im.intra_mmr_ppm AS BIGINT)
+         AS diversity_gain_ppm,
+       CAST(rm.rel_mmr_ppm AS BIGINT) AS rel_mmr_ppm,
+       CAST(rt.rel_top_ppm AS BIGINT) AS rel_top_ppm
+FROM im JOIN it USING (qid) JOIN rm USING (qid) JOIN rt USING (qid)
+ORDER BY im.qid
+"""
+
+
+SEMDECON_MOD = 17  # eval stand-in: every 17th vector
+SEMDECON_TAU_PPM = 400_000  # cosine >= 0.4 flags semantic contamination
+# (testdata embeddings are near-isotropic — max cross-set cosine ~0.49 at
+# sf0.01, so 0.5 fires on nothing; 0.4 keeps the flag selective AND the
+# oracle check non-vacuous)
+
+
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EMBEDDING-space benchmark decontamination — q_decontaminate's
+    semantic companion (n-gram collision misses paraphrased/translated
+    eval leakage; semantic overlap is how modern decontamination audits
+    it): every train vector whose 6-dp cosine to ANY eval vector (every
+    17th id — the held-out-benchmark stand-in) reaches τ=0.4 is flagged
+    with its closest eval item ((sim DESC, eval_id ASC) argmax pin) and
+    the sim in exact ppm. Production shape: benchmarks are tiny next to
+    the corpus, so the EVAL side broadcasts and the train side streams
+    — one BroadcastNestedLoopJoin scan, no shuffle of the corpus, flag
+    rows only survive; at 100 TB you'd route the same predicate through
+    the IVF/Hamming rungs, which share this ranking contract."""
+    _prep(spark)
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % SEMDECON_MOD == 0).select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("__ev")
+    )
+    train = emb.filter(F.col("vec_id") % SEMDECON_MOD != 0).select(
+        "vec_id", "embedding"
+    )
+    sims = (
+        train.join(F.broadcast(ev), how="cross")
+        .select(
+            "vec_id",
+            "eval_id",
+            (F.round(cosine_similarity_col("embedding", "__ev"), 6) * 1_000_000)
+            .cast("bigint")
+            .alias("sim_ppm"),
+        )
+        .filter(F.col("sim_ppm") >= SEMDECON_TAU_PPM)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim_ppm"), F.asc("eval_id")
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", "eval_id", "sim_ppm")
+        .orderBy("vec_id")
+    )
+
+
+def _sql_semantic_decontaminate() -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ev AS (SELECT vec_id AS eval_id, v FROM e WHERE vec_id % {SEMDECON_MOD} = 0),
+tr AS (SELECT vec_id, v FROM e WHERE vec_id % {SEMDECON_MOD} <> 0),
+s AS (SELECT tr.vec_id, ev.eval_id,
+             CAST(round(list_dot_product(tr.v, ev.v) /
+                   (sqrt(list_dot_product(tr.v, tr.v)) *
+                    sqrt(list_dot_product(ev.v, ev.v))), 6) * 1000000
+                  AS BIGINT) AS sim_ppm
+      FROM tr CROSS JOIN ev),
+f AS (SELECT vec_id, eval_id, sim_ppm,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim_ppm DESC, eval_id ASC) AS rk
+      FROM s WHERE sim_ppm >= {SEMDECON_TAU_PPM})
+SELECT vec_id, eval_id, sim_ppm FROM f WHERE rk = 1
+ORDER BY vec_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-11 rotation (VERDICT r10 #2): the first 14 entries are this
@@ -13388,23 +14007,33 @@ QUERIES: dict[str, QuerySpec] = {
     "media_sniff": QuerySpec(q_media_sniff, _sql_media_sniff()),
     "media_profile": QuerySpec(q_media_profile, _sql_media_profile()),
     "context_windows": QuerySpec(q_context_windows, SQL_CONTEXT_WINDOWS),
-    # ---- ballast: r10-externally-green lines ----
+    # r11 additions — NEW entries go straight into the window (see the
+    # header note): binary-sketch ANN, MMR diversified retrieval, and
+    # the hubness gauge, each displacing one unchanged r10-green
+    # ballast line (source_overlap / ngram_novelty / event_rate_anomaly
+    # moved to the tail head)
+    "ann_hamming": QuerySpec(q_ann_hamming, _sql_ann_hamming()),
+    "mmr_rerank": QuerySpec(q_mmr_rerank, _sql_mmr_rerank()),
+    "knn_hubness": QuerySpec(q_knn_hubness, _sql_knn_hubness()),
+    "hamming_recall_eval": QuerySpec(
+        q_hamming_recall_eval, _sql_hamming_recall_eval()
+    ),
+    "mmr_diversity_eval": QuerySpec(
+        q_mmr_diversity_eval, _sql_mmr_diversity_eval()
+    ),
+    "semantic_decontaminate": QuerySpec(
+        q_semantic_decontaminate, _sql_semantic_decontaminate()
+    ),
+    # ---- ballast: r10-externally-green lines (incl. every entry whose
+    # code the r11 refactors touched: cusum_changepoint / ks_drift /
+    # png_decode_stats below, vocab_coverage_sweep / pca_power /
+    # context_windows above) ----
     "bpe_encode": QuerySpec(q_bpe_encode, _sql_bpe_encode()),
     "neardup_keep_best": QuerySpec(q_neardup_keep_best, _sql_neardup_keep_best()),
     "label_propagation": QuerySpec(q_label_propagation, _sql_label_propagation()),
-    "source_overlap": QuerySpec(q_source_overlap, _sql_source_overlap()),
-    "ngram_novelty": QuerySpec(q_ngram_novelty, _sql_ngram_novelty()),
-    "event_rate_anomaly": QuerySpec(q_event_rate_anomaly, SQL_EVENT_RATE_ANOMALY),
     "cusum_changepoint": QuerySpec(q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "fk_integrity": QuerySpec(q_fk_integrity, _sql_fk_integrity()),
-    "group_moments": QuerySpec(q_group_moments, SQL_GROUP_MOMENTS),
-    "spend_concentration": QuerySpec(
-        q_spend_concentration, SQL_SPEND_CONCENTRATION
-    ),
     "langid_eval": QuerySpec(q_langid_eval, _sql_langid_eval()),
-    "quantization_error": QuerySpec(
-        q_quantization_error, SQL_QUANTIZATION_ERROR
-    ),
     "cumulative_distinct": QuerySpec(
         q_cumulative_distinct, SQL_CUMULATIVE_DISTINCT
     ),
@@ -13441,12 +14070,22 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     # ---- outside the driver's 50-entry window ----
     # every entry below was externally hash-checked in at least one
-    # r1-r10 driver window, except the rows-only chain rag_pipeline;
-    # the full tail is re-verified against its oracles at sf0.001 on
-    # every pytest run (test_entry_contract) and at sf0.01 by
-    # tools/check_correctness.py. Tail head: the 13 r10-window lines
-    # (all ext-r10 hash-green) that handed their slots to the late-r10
-    # pack in the r11 rotation, then earlier rotations' alumni.
+    # r1-r10 driver window; the full tail is re-verified against its
+    # oracles at sf0.001 on every pytest run (test_entry_contract) and
+    # at sf0.01 by tools/check_correctness.py. Tail head: the 16
+    # r10-window lines (all ext-r10 hash-green) that handed their slots
+    # to the late-r10 pack + the three r11 additions in the r11
+    # rotation, then earlier rotations' alumni.
+    "source_overlap": QuerySpec(q_source_overlap, _sql_source_overlap()),
+    "ngram_novelty": QuerySpec(q_ngram_novelty, _sql_ngram_novelty()),
+    "event_rate_anomaly": QuerySpec(q_event_rate_anomaly, SQL_EVENT_RATE_ANOMALY),
+    "group_moments": QuerySpec(q_group_moments, SQL_GROUP_MOMENTS),
+    "spend_concentration": QuerySpec(
+        q_spend_concentration, SQL_SPEND_CONCENTRATION
+    ),
+    "quantization_error": QuerySpec(
+        q_quantization_error, SQL_QUANTIZATION_ERROR
+    ),
     "char_entropy": QuerySpec(q_char_entropy, SQL_CHAR_ENTROPY),
     "attribution": QuerySpec(q_attribution, SQL_ATTRIBUTION),
     "png_meta": QuerySpec(q_png_meta, SQL_PNG_META),

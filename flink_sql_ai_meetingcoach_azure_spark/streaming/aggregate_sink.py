@@ -705,3 +705,82 @@ def vocab_coverage_readout(
     return vocab_coverage_curve(
         merged, vocab_ns, term_col=term_col, cnt_col=cnt_col
     )
+
+
+def ks_drift_readout(
+    merged: DataFrame,
+    v_col: str = "v",
+    half_col: str = "half",
+    cnt_col: str = "n_rows",
+) -> DataFrame:
+    """Continuous two-sample KS drift monitor (r11, VERDICT r10 #6):
+    given the maintained per-(value, half) count rollup (a
+    StreamingAggregateSink keyed by [v_col, half_col] — ``n_rows`` IS
+    the per-bucket count, and counts are the sink's replay-safe
+    combinable partials), derive the exact-integer KS statistic with
+    the batch query's code — the shared operators.drift.ks_from_counts
+    core — so the live monitor is bit-identical to q_ks_drift over the
+    union of everything ingested. Per-trigger cost is value-vocabulary-
+    sized (distinct metric values, not stream volume): the drift family
+    (ks_drift / event_rate_anomaly / cusum) becomes a standing readout
+    instead of a batch job."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.drift import (  # noqa: PLC0415
+        ks_from_counts,
+    )
+
+    return ks_from_counts(
+        merged, v_col=v_col, half_col=half_col, cnt_col=cnt_col
+    )
+
+
+def cusum_readout(
+    merged: DataFrame,
+    key_col: str = "event_type",
+    bucket_col: str = "hour_idx",
+    cnt_col: str = "n_rows",
+) -> DataFrame:
+    """Continuous CUSUM changepoint monitor (r11 — completes the live
+    drift family alongside rate_anomaly_readout and ks_drift_readout):
+    given the maintained per-(key, bucket) count rollup (a
+    StreamingAggregateSink keyed by [key_col, bucket_col]), derive the
+    exact-integer changepoint with the batch query's code — the shared
+    operators.drift.cusum_from_counts core — so the live monitor is
+    bit-identical to q_cusum_changepoint over the union of everything
+    ingested. Per-trigger cost is keys×buckets-sized, independent of
+    stream volume."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.drift import (  # noqa: PLC0415
+        cusum_from_counts,
+    )
+
+    return cusum_from_counts(
+        merged, key_col=key_col, bucket_col=bucket_col, cnt_col=cnt_col
+    )
+
+
+def top_terms_readout(
+    merged: DataFrame,
+    group_col: str = "lang",
+    term_col: str = "term",
+    cnt_col: str = "n_rows",
+    k: int = 10,
+) -> DataFrame:
+    """Continuously-maintained per-group top-k terms (r11): given the
+    rollup keyed by [group_col, term_col] (``n_rows`` IS the term
+    count — plain count partials, replay-safe), derive batch
+    q_top_terms' exact table: per-group top-k by (count DESC, term ASC)
+    with ranks. Per-trigger cost is state-vocabulary-sized; the token
+    flood was already absorbed by the sink's map-side partials. Output
+    columns mirror the batch entry: (group_col, term_col, n, rank)."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.desc("n"), F.asc(term_col)
+    )
+    return (
+        merged.select(
+            group_col, term_col, F.col(cnt_col).cast("bigint").alias("n")
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy(group_col, "rank")
+    )

@@ -28,12 +28,22 @@ def test_entry_contract_shape():
     # out-of-window set. Round 11 rotated the window again (VERDICT r10
     # #2): the 13 late-r10 additions that had never been in an external
     # driver window occupy the front with the re-encoded context_windows
-    # (scalar ctx columns, VERDICT r10 #1); the rest is r10-hash-green
+    # (scalar ctx columns, VERDICT r10 #1) and the three NEW r11
+    # entries (ann_hamming / mmr_rerank / knn_hubness / hamming_recall_eval
+    # / mmr_diversity_eval / semantic_decontaminate — new work goes
+    # straight into the window so it cannot re-open the external-
+    # evidence ledger); the rest is r10-hash-green
     # ballast (canonical known-good lines rag_pipeline_verified /
     # tpch_q1 / ann_topk plus the heaviest non-trivial r10 chains).
     # Every tail entry below was externally hash-checked in at least one
     # r1-r10 driver window. All further changes are gated here.
     assert list(qs)[50:] == [
+        "source_overlap",  # externally checked r10; rotated out mid-r11 (slot handed to the r11 additions)
+        "ngram_novelty",  # externally checked r10; rotated out mid-r11 (slot handed to the r11 additions)
+        "event_rate_anomaly",  # externally checked r10; rotated out mid-r11 (slot handed to the r11 additions)
+        "group_moments",  # externally checked r10; rotated out mid-r11 (slot handed to the r11 eval additions)
+        "spend_concentration",  # externally checked r10; rotated out mid-r11 (slot handed to the r11 eval additions)
+        "quantization_error",  # externally checked r10; rotated out mid-r11 (slot handed to semantic_decontaminate)
         "char_entropy",  # externally checked r10; rotated out r11 (slot handed to the late-r10 pack)
         "attribution",  # externally checked r10; rotated out r11 (slot handed to the late-r10 pack)
         "png_meta",  # externally checked r10; rotated out r11 (slot handed to the late-r10 pack)

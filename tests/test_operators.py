@@ -2336,3 +2336,150 @@ def test_sniff_media_real_png_roundtrip(spark):
     row = sniff_media(df).collect()[0]
     assert row["media_format"] == "png"
     assert (row["width"], row["height"]) == (5, 7)
+
+
+def _write_embeddings(spark, path, vecs):
+    """vecs: {vec_id: list[float]} -> embeddings.parquet with the
+    testdata schema (float32 vectors, a label column)."""
+    rows = [
+        (int(vid), [float(x) for x in v], f"l{vid % 3}")
+        for vid, v in vecs.items()
+    ]
+    (
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label string"
+        ).write.mode("overwrite").parquet(f"{path}/embeddings.parquet")
+    )
+
+
+def test_sign_signature_words_match_python(spark):
+    """sign_signature_exprs packs bit i of word w iff component
+    w·32+i > 0 — checked against a straight Python repack, including a
+    vector that sets bit 31 (the word's top bit: the 1<<31 term that
+    motivated 2x32-bit words over one 64-bit word)."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.quantize import (
+        sign_signature_exprs,
+    )
+
+    vecs = [
+        [0.5 if i % 3 == 0 else -0.25 for i in range(64)],
+        [1.0 if i in (31, 63) else -1.0 for i in range(64)],  # top bits
+        [0.0] * 64,  # zero is NOT positive: empty signature
+    ]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "id int, emb array<float>"
+    )
+    exprs = sign_signature_exprs("emb", 64, 2)
+    got = {
+        r["id"]: (r["w0"], r["w1"])
+        for r in df.select(
+            "id", F.expr(exprs[0]).alias("w0"), F.expr(exprs[1]).alias("w1")
+        ).collect()
+    }
+    for i, v in enumerate(vecs):
+        w0 = sum(1 << b for b in range(32) if v[b] > 0)
+        w1 = sum(1 << b for b in range(32) if v[32 + b] > 0)
+        assert got[i] == (w0, w1), i
+
+
+def test_ann_hamming_prefilter_finds_exact_neighbors(spark, tmp_path):
+    """On a corpus whose sign structure mirrors its cosine structure
+    (axis-aligned clusters), the Hamming prefilter must surface the
+    exact top-k: query 0's nearest neighbors by cosine are its own
+    cluster, which also minimizes Hamming distance."""
+    import flink_sql_ai_meetingcoach_azure_spark.queries as qmod
+
+    d = 64
+    vecs = {}
+    # cluster A (ids 0-4): positive on dims 0-31; cluster B (ids 10-14):
+    # positive on dims 32-63; small id-dependent jitter breaks ties
+    for i in range(5):
+        vecs[i] = [1.0 + 0.01 * i if j < 32 else -1.0 for j in range(d)]
+        vecs[10 + i] = [
+            -1.0 if j < 32 else 1.0 + 0.01 * i for j in range(d)
+        ]
+    _write_embeddings(spark, str(tmp_path), vecs)
+    out = qmod.q_ann_hamming(spark, str(tmp_path)).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append(r)
+    # every query id < 10 present (ids 0-4 here), each with k=3 hits
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    for qid, rows in by_q.items():
+        assert [r["search_rank"] for r in rows] == [1, 2, 3]
+        # rank 1 is the query itself (sim 1.0, hamming 0)
+        assert rows[0]["neighbor_id"] == qid and rows[0]["hamming"] == 0
+        # all hits stay inside cluster A — the Hamming prefilter never
+        # lets a cluster-B vector (hamming 64) into the pool
+        assert all(r["neighbor_id"] < 5 for r in rows)
+        assert all(r["hamming"] == 0 for r in rows)
+
+
+def test_mmr_rerank_prefers_diverse_pick(spark, tmp_path):
+    """MMR semantics: query 0's two most-similar candidates are
+    near-duplicates of each other; pure top-k would return both
+    back-to-back, MMR (λ=0.7) must interleave the DIVERSE candidate
+    ahead of the duplicate."""
+    import math
+
+    import flink_sql_ai_meetingcoach_azure_spark.queries as qmod
+
+    d = 64
+
+    def unit(primary, secondary, wp, ws):
+        v = [0.0] * d
+        v[primary], v[secondary] = wp, ws
+        n = math.sqrt(wp * wp + ws * ws)
+        return [x / n for x in v]
+
+    vecs = {
+        0: unit(0, 1, 1.0, 0.0),          # the query
+        20: unit(0, 1, 0.95, 0.3122),     # near-dup pair: sims to q are
+        21: unit(0, 1, 0.949, 0.3153),    # .950/.949, mutual sim ~1.0
+        22: unit(0, 2, 0.93, 0.3676),     # diverse: sim .93 to q, only
+                                          # ~.88 to the pair
+    }
+    # greedy trace (λ=.7; after the self pick maxsel = sim_qd for all):
+    # r2 argmax .4·sim → 20; r3: mmr(21)=.7·.949−.3·1.0=.364 loses to
+    # mmr(22)=.4·.93=.372 → the diverse 22 beats the higher-sim dup 21
+    # pad the id<10 query range with far-away junk so only qid=0 matters
+    for i in range(1, 10):
+        vecs[i] = unit(30 + i % 3, 40 + i % 5, 0.7, 0.714)
+    _write_embeddings(spark, str(tmp_path), vecs)
+    out = [
+        r
+        for r in qmod.q_mmr_rerank(spark, str(tmp_path)).collect()
+        if r["qid"] == 0
+    ]
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["mmr_rank"])]
+    # rank1 = self, rank2 = best non-dup candidate (20), rank3 must be
+    # the DIVERSE 22, not 21 (which a plain top-k would place there)
+    assert order[0] == 0
+    assert order[1] == 20
+    assert order[2] == 22, order
+    assert 21 in order[3:]
+
+
+def test_knn_hubness_mass_conservation_and_hub(spark, tmp_path):
+    """Hubness invariants: Σ n_vecs over the histogram = index size,
+    Σ n_hits·n_vecs = queries·k; a constructed hub (the centroid of
+    every query cluster) lands at the maximum k-occurrence."""
+    import flink_sql_ai_meetingcoach_azure_spark.queries as qmod
+
+    d = 64
+    vecs = {}
+    # hub: id 7 sits between three spread-out clusters; queries are ids
+    # 0,5,10,... (vec_id % 5 == 0)
+    vecs[7] = [1.0] * d
+    for c in range(3):
+        base = [1.0 if (j // 21) % 3 == c else 0.05 for j in range(d)]
+        for m in range(4):
+            vid = c * 20 + m * 5  # all % 5 == 0: queries
+            vecs[vid] = [x + 0.01 * m * ((j % 7) - 3) for j, x in enumerate(base)]
+    _write_embeddings(spark, str(tmp_path), vecs)
+    rows = qmod.q_knn_hubness(spark, str(tmp_path)).collect()
+    n_index = len(vecs)
+    n_queries = sum(1 for v in vecs if v % 5 == 0)
+    assert sum(r["n_vecs"] for r in rows) == n_index
+    assert sum(r["n_hits"] * r["n_vecs"] for r in rows) == n_queries * 3
+    assert [r["n_hits"] for r in rows] == sorted(r["n_hits"] for r in rows)

@@ -2407,3 +2407,246 @@ def test_streaming_media_profile_composes_from_aggregate_sink(spark, tmp_path):
     assert got() == want
     sink.compact()
     assert got() == want
+
+
+def test_streaming_ks_drift_composes_from_aggregate_sink(spark, tmp_path):
+    """Continuously-maintained KS drift monitor (r11, VERDICT r10 #6):
+    per-(value, half) counts are plain count partials, so a rollup sink
+    keyed by [v, half] maintains the exact bucket state and
+    ks_drift_readout derives the SAME exact-integer statistic the batch
+    q_ks_drift computes over the union of everything ingested — via the
+    shared operators.drift.ks_from_counts core — and survives replay
+    and compaction."""
+    from flink_sql_ai_meetingcoach_azure_spark.queries import q_ks_drift
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.aggregate_sink import (
+        StreamingAggregateSink,
+        ks_drift_readout,
+    )
+
+    # (doc_id, n_chars) pairs; half = doc_id % 2, value = n_chars —
+    # deliberately skewed so the two halves genuinely differ
+    batches = [
+        [(0, 10), (1, 40), (2, 10), (3, 50)],
+        [(4, 20), (5, 60), (6, 20)],
+        [(7, 55), (8, 10), (9, 45), (10, 30)],
+    ]
+    schema = "doc_id bigint, n_chars bigint"
+    src = str(tmp_path / "ks_src")
+    os.makedirs(src, exist_ok=True)
+
+    def write_batch(rows, n):
+        with open(os.path.join(src, f"b_{n}.json"), "w") as f:
+            for did, nc in rows:
+                f.write(json.dumps({"doc_id": did, "n_chars": nc}) + "\n")
+
+    sink = StreamingAggregateSink(
+        str(tmp_path / "ks_state"), ["v", "half"], [], spark
+    )
+
+    def keyed(df):
+        return df.select(
+            F.col("n_chars").cast("bigint").alias("v"),
+            (F.col("doc_id") % 2).cast("int").alias("half"),
+        )
+
+    write_batch(batches[0], 0)
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        stream.writeStream.foreachBatch(lambda df, bid: sink(keyed(df), bid))
+        .option("checkpointLocation", str(tmp_path / "ks_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for n, rows in enumerate(batches[1:], start=1):
+            write_batch(rows, n)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    union_dir = str(tmp_path / "ks_union")
+    all_rows = [
+        (did, "x" * nc, "en", "s0", nc) for b in batches for did, nc in b
+    ]
+    spark.createDataFrame(
+        all_rows,
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.mode("overwrite").parquet(f"{union_dir}/documents.parquet")
+    want = [tuple(r) for r in q_ks_drift(spark, union_dir).collect()]
+
+    def got():
+        return [tuple(r) for r in ks_drift_readout(sink.current()).collect()]
+
+    assert got() == want
+    assert want[0][3] > 0  # the skewed halves produce a non-trivial D
+    # replay of an already-marked batch is a no-op
+    sink(keyed(spark.createDataFrame(batches[0], schema)), 0)
+    assert got() == want
+    sink.compact()
+    assert got() == want
+
+
+def test_streaming_cusum_composes_from_aggregate_sink(spark, tmp_path):
+    """Continuous CUSUM changepoint (r11 — the third live drift monitor,
+    after rate-anomaly and KS): the readout over the maintained
+    per-(type, hour) rollup must equal batch q_cusum_changepoint over
+    the union of every micro-batch — via the shared
+    operators.drift.cusum_from_counts core — and survive replay and
+    compaction. The rate genuinely SHIFTS mid-series so the argmax is
+    non-trivial."""
+    from flink_sql_ai_meetingcoach_azure_spark.queries import (
+        q_cusum_changepoint,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.aggregate_sink import (
+        StreamingAggregateSink,
+        cusum_readout,
+    )
+
+    # 'view': 1/hour for hours 0-2, then 5/hour for hours 3-5 (clean
+    # level shift at hour 2→3); 'click': flat 2/hour
+    rows, eid = [], 0
+    for h in range(6):
+        n_view = 1 if h < 3 else 5
+        for _ in range(n_view):
+            rows.append((eid, f"2024-01-01T{h:02d}:10:00", 1, "view")); eid += 1
+        for _ in range(2):
+            rows.append((eid, f"2024-01-01T{h:02d}:20:00", 2, "click")); eid += 1
+    batches = [rows[:8], rows[8:15], rows[15:]]
+    src = str(tmp_path / "cu_src")
+    _write_event_batch(src, batches[0], n=0)
+    sink = StreamingAggregateSink(
+        str(tmp_path / "cu_state"), ["event_type", "hour_idx"], [], spark
+    )
+
+    def keyed(df):
+        return df.select(
+            "event_type",
+            F.expr("unix_micros(ts) div 3600000000").alias("hour_idx"),
+        )
+
+    stream = spark.readStream.schema(_EV_SCHEMA).json(src)
+    q = (
+        stream.writeStream.foreachBatch(lambda df, bid: sink(keyed(df), bid))
+        .option("checkpointLocation", str(tmp_path / "cu_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for i, b in enumerate(batches[1:], start=1):
+            _write_event_batch(src, b, n=i)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    union_dir = str(tmp_path / "cu_union")
+    all_rows = [r for b in batches for r in b]
+    (
+        spark.createDataFrame(
+            all_rows,
+            "event_id bigint, ts string, user_id bigint, event_type string",
+        )
+        .select("event_id", F.to_timestamp("ts").alias("ts"), "user_id",
+                "event_type", F.lit(0.0).alias("value"),
+                F.lit("").alias("props"))
+        .write.mode("overwrite").parquet(f"{union_dir}/events.parquet")
+    )
+    want = [tuple(r) for r in q_cusum_changepoint(spark, union_dir).collect()]
+
+    def got():
+        return [tuple(r) for r in cusum_readout(sink.current()).collect()]
+
+    assert got() == want
+    # the view changepoint lands at the last pre-shift hour (hour 2):
+    # S_h = H·run − h·T is maximal in magnitude right before the jump
+    view = [r for r in want if r[0] == "view"][0]
+    assert view[3] % 24 == 2 and view[4] > 0
+    # replay + compaction invariance
+    sink(keyed(spark.createDataFrame(
+        batches[0],
+        "event_id bigint, ts string, user_id bigint, event_type string",
+    ).select("event_id", F.to_timestamp("ts").alias("ts"), "user_id",
+             "event_type")), 0)
+    assert got() == want
+    sink.compact()
+    assert got() == want
+
+
+def test_streaming_top_terms_composes_from_aggregate_sink(spark, tmp_path):
+    """Continuously-maintained per-language top-k vocabulary (r11):
+    (lang, term) counts are plain count partials, so the rollup sink
+    maintains the exact state and top_terms_readout derives batch
+    q_top_terms' table over the union of everything ingested — and
+    survives replay and compaction."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import tokens_col
+    from flink_sql_ai_meetingcoach_azure_spark.queries import q_top_terms
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.aggregate_sink import (
+        StreamingAggregateSink,
+        top_terms_readout,
+    )
+
+    batches = [
+        [(0, "en", "the quick fox the fox"), (1, "de", "der der die das")],
+        [(2, "en", "quick quick dog jumps over the dog")],
+        [(3, "de", "die katze und der hund und die maus")],
+    ]
+    schema = "doc_id bigint, lang string, text string"
+    src = str(tmp_path / "tt_src")
+    os.makedirs(src, exist_ok=True)
+
+    def write_batch(rows, n):
+        with open(os.path.join(src, f"b_{n}.json"), "w") as f:
+            for did, lang, txt in rows:
+                f.write(json.dumps(
+                    {"doc_id": did, "lang": lang, "text": txt}) + "\n")
+
+    sink = StreamingAggregateSink(
+        str(tmp_path / "tt_state"), ["lang", "term"], [], spark
+    )
+
+    def keyed(df):
+        return df.select(
+            "lang", F.explode(tokens_col("text")).alias("term")
+        )
+
+    write_batch(batches[0], 0)
+    stream = spark.readStream.schema(schema).json(src)
+    q = (
+        stream.writeStream.foreachBatch(lambda df, bid: sink(keyed(df), bid))
+        .option("checkpointLocation", str(tmp_path / "tt_ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        for n, rows in enumerate(batches[1:], start=1):
+            write_batch(rows, n)
+            q.processAllAvailable()
+    finally:
+        q.stop()
+
+    union_dir = str(tmp_path / "tt_union")
+    all_rows = [
+        (did, txt, lang, "s0", len(txt))
+        for b in batches
+        for did, lang, txt in b
+    ]
+    spark.createDataFrame(
+        all_rows,
+        "doc_id bigint, text string, lang string, source string, n_chars int",
+    ).write.mode("overwrite").parquet(f"{union_dir}/documents.parquet")
+    want = [tuple(r) for r in q_top_terms(spark, union_dir).collect()]
+
+    def got():
+        return [tuple(r) for r in top_terms_readout(sink.current()).collect()]
+
+    assert got() == want
+    # cross-batch accumulation is visible ('the' spans batches 0 and 2)
+    # and the (count DESC, term ASC) tie pin holds: quick=3 ties the=3,
+    # 'quick' sorts first
+    en = [(r[1], r[2]) for r in want if r[0] == "en"]
+    assert en[0] == ("quick", 3) and en[1] == ("the", 3)
+    # replay + compaction invariance
+    sink(keyed(spark.createDataFrame(
+        [(d, l, t) for d, l, t in batches[0]], schema)), 0)
+    assert got() == want
+    sink.compact()
+    assert got() == want
