@@ -13457,7 +13457,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cv = emb.select("vec_id", "embedding")
     cands = (
-        hits.join(cv, "vec_id")
+        cv.join(F.broadcast(hits), "vec_id")  # hits is NQ x M — broadcast it
         .select("qid", "vec_id", "sim_ppm", "embedding")
         .localCheckpoint(eager=False)  # bounded: NQ x M rows
     )
@@ -13469,8 +13469,8 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = cands.select(
         "qid", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
     )
-    cp = (
-        a.join(b, "qid")
+    cp = (  # M rows per query on each side — broadcast one
+        a.join(F.broadcast(b), "qid")
         .select(
             "qid",
             "id_a",
@@ -13514,12 +13514,12 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         st = (
             st.join(F.broadcast(picks[-1].select("qid", "pick_id")), "qid")
             .join(
-                cp.select(
+                F.broadcast(cp.select(
                     "qid",
                     F.col("id_a").alias("vec_id"),
                     F.col("id_b").alias("pick_id"),
                     "sim_dd_ppm",
-                ),
+                )),
                 ["qid", "vec_id", "pick_id"],
                 "left",
             )
@@ -13543,7 +13543,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "qid", F.col("vec_id").alias("pick_id"), "sim_ppm"
     )
     return (
-        out.join(sims, ["qid", "pick_id"])
+        out.join(F.broadcast(sims), ["qid", "pick_id"])
         .select(
             "qid",
             "mmr_rank",
@@ -13720,15 +13720,15 @@ def q_hamming_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-3."""
     exact = q_ann_topk(spark, sf_dir).select("qid", "neighbor_id")
     ham = q_ann_hamming(spark, sf_dir).select("qid", "neighbor_id")
-    hits = (
-        exact.join(ham, ["qid", "neighbor_id"])
+    hits = (  # both sides are (queries x k)-row rankings — broadcast one
+        exact.join(F.broadcast(ham), ["qid", "neighbor_id"])
         .groupBy("qid")
         .agg(F.count(F.lit(1)).alias("hits_at_k"))
     )
     return (
         exact.select("qid")
         .distinct()
-        .join(hits, "qid", "left")
+        .join(F.broadcast(hits), "qid", "left")
         .select(
             "qid",
             F.coalesce("hits_at_k", F.lit(0)).alias("hits_at_k"),
@@ -13793,15 +13793,15 @@ def q_mmr_diversity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     cv = emb.select(F.col("vec_id").alias("vid"), "embedding")
 
     def intra(lst: DataFrame, tag: str) -> DataFrame:
-        withv = lst.join(cv, "vid").localCheckpoint(eager=False)
+        withv = cv.join(F.broadcast(lst), "vid").localCheckpoint(eager=False)
         a = withv.select(
             "qid", F.col("vid").alias("id_a"), F.col("embedding").alias("va")
         )
         b = withv.select(
             "qid", F.col("vid").alias("id_b"), F.col("embedding").alias("vb")
         )
-        pairs = (
-            a.join(b, "qid")
+        pairs = (  # k rows per query on each side — broadcast one
+            a.join(F.broadcast(b), "qid")
             .filter(F.col("id_a") < F.col("id_b"))
             .select(
                 "qid",
@@ -13822,9 +13822,9 @@ def q_mmr_diversity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         intra(mmr, "mmr")
-        .join(intra(top, "top"), "qid")
-        .join(rel, "qid")
-        .join(rel_top, "qid")
+        .join(F.broadcast(intra(top, "top")), "qid")
+        .join(F.broadcast(rel), "qid")
+        .join(F.broadcast(rel_top), "qid")
         .select(
             "qid",
             "intra_mmr_ppm",
@@ -13896,7 +13896,10 @@ ORDER BY im.qid
 """
 
 
-SEMDECON_MOD = 17  # eval stand-in: every 17th vector
+SEMDECON_MOD = 17  # eval stand-in: every 17th vector ...
+SEMDECON_EVAL_MAX = 1_000  # ... below a FIXED id bound: benchmarks don't
+# grow with the corpus, so the eval side must stay constant-size as the
+# corpus scales (otherwise the audit is accidentally quadratic)
 SEMDECON_TAU_PPM = 400_000  # cosine >= 0.4 flags semantic contamination
 # (testdata embeddings are near-isotropic — max cross-set cosine ~0.49 at
 # sf0.01, so 0.5 fires on nothing; 0.4 keeps the flag selective AND the
@@ -13919,7 +13922,10 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window  # noqa: PLC0415
 
     emb = _t(spark, sf_dir, "embeddings")
-    ev = emb.filter(F.col("vec_id") % SEMDECON_MOD == 0).select(
+    ev = emb.filter(
+        (F.col("vec_id") % SEMDECON_MOD == 0)
+        & (F.col("vec_id") < SEMDECON_EVAL_MAX)
+    ).select(
         F.col("vec_id").alias("eval_id"), F.col("embedding").alias("__ev")
     )
     train = emb.filter(F.col("vec_id") % SEMDECON_MOD != 0).select(
@@ -13950,7 +13956,8 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_semantic_decontaminate() -> str:
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-ev AS (SELECT vec_id AS eval_id, v FROM e WHERE vec_id % {SEMDECON_MOD} = 0),
+ev AS (SELECT vec_id AS eval_id, v FROM e
+       WHERE vec_id % {SEMDECON_MOD} = 0 AND vec_id < {SEMDECON_EVAL_MAX}),
 tr AS (SELECT vec_id, v FROM e WHERE vec_id % {SEMDECON_MOD} <> 0),
 s AS (SELECT tr.vec_id, ev.eval_id,
              CAST(round(list_dot_product(tr.v, ev.v) /

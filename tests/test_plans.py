@@ -500,3 +500,27 @@ def test_no_driver_unhashable_output_columns(spark):
             if isinstance(f.dataType, (ArrayType, MapType, StructType)):
                 bad.append((name, f.name, f.dataType.simpleString()))
     assert not bad, f"driver-unhashable output columns: {bad}"
+
+
+def test_ann_hamming_broadcasts_queries_no_shuffle_joins(spark):
+    plan = _plan(spark, "ann_hamming")
+    # prefilter: queries broadcast over the streaming signature scan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan  # rerank joins broadcast too
+    assert "CartesianProduct" not in plan
+
+
+def test_mmr_entries_stay_broadcast_only(spark):
+    for name in ("mmr_rerank", "mmr_diversity_eval", "hamming_recall_eval"):
+        plan = _plan(spark, name)
+        # every join side is queries×M-bounded — nothing may shuffle-join
+        assert "SortMergeJoin" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_semantic_decontaminate_broadcasts_eval_side(spark):
+    plan = _plan(spark, "semantic_decontaminate")
+    assert "BroadcastNestedLoopJoin" in plan  # eval side broadcast
+    assert "SortMergeJoin" not in plan
+    # the tau filter runs before the per-train argmax window
+    assert "Window" in plan

@@ -97,6 +97,19 @@ ENTRIES = [
     # measured here like everything else so the claim is a number
     "minhash_error_eval",
     "cosine_sweep",
+    # r11 additions. ann_hamming/mmr_rerank: fixed query workload over a
+    # growing index — expect ~linear (one signature/flat scan).
+    # semantic_decontaminate: FIXED-size eval broadcast (bounded ids)
+    # over a growing train scan — expect ~linear. knn_hubness is the
+    # knn_classify treatment: the query workload is BY CONSTRUCTION a
+    # fixed FRACTION of the corpus (20%), so the brute-force form is
+    # expected quadratic — the production route is the same histogram
+    # over whichever ANN rung is deployed (IVF/Hamming), whose per-query
+    # cost is corpus-independent.
+    "ann_hamming",
+    "mmr_rerank",
+    "semantic_decontaminate",
+    "knn_hubness",
 ]
 N_DOCS_BASE = 5000
 N_VECS_BASE = 2000
