@@ -149,6 +149,7 @@ BENCH_QUERIES = [
     "mmr_rerank",  # r11: greedy diversified top-k over the candidate pool
     "mmr_diversity_eval",  # r11: measured diversity/relevance tradeoff
     "knn_hubness",  # r11: k-occurrence histogram of the retrieval workload
+    "knn_hubness_ivf",  # r11: same histogram via the partition-pruned IVF probe
     "semantic_decontaminate",  # r11: embedding-space eval-leak audit
     "bm25_topk",
     "hybrid_rrf",

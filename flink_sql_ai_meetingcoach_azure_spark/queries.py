@@ -13707,6 +13707,60 @@ ORDER BY n_hits
 """
 
 
+def q_knn_hubness_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``knn_hubness`` through the partition-pruned on-disk IVF route —
+    the production answer to the brute-force form's EXPECTED-quadratic
+    scaling (SCALING_r11: workload ∝ corpus ⇒ exponent 1.36 by
+    construction; the knn_classify/knn_classify_ivf treatment applied
+    to the hubness gauge): the same 20% query workload probes the
+    parquet index PARTITIONED BY centroid_id (PartitionFilters at the
+    scan), so per-query candidate work is nprobe/nlist-bounded instead
+    of corpus-sized. Run with nprobe == nlist so every cell is probed —
+    the k-occurrence histogram is then EXACT and the entry SHARES
+    knn_hubness's oracle: the route flip is value-invisible (round_sim=6
+    pins the k-cut to the oracle's ranking on both routes). The packed
+    result array is rank-ordered, so self-exclusion = drop the qid
+    element of the top-(k+1) — no re-ranking join needed."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # noqa: PLC0415
+        vector_search_ivf_parquet,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % HUB_Q_MOD == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    )
+    hits = vector_search_ivf_parquet(
+        queries,
+        _ivf_index_path(spark, sf_dir),
+        k=HUB_K + 1,  # self lands at rank 1; dropped below
+        nprobe=8,
+        payload_cols=["vec_id"],
+        output_col="search_results",
+        round_sim=6,
+    )
+    topk = (
+        hits.select("qid", F.explode("search_results").alias("__s"))
+        .filter(F.col("__s.vec_id") != F.col("qid"))
+        .select("qid", F.col("__s.vec_id").alias("vec_id"))
+    )
+    occ = topk.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    hist = occ.groupBy("n_hits").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    tot = emb.agg(F.count(F.lit(1)).alias("__n"))
+    hit_mass = occ.agg(F.count(F.lit(1)).alias("__h"))
+    zero = tot.join(F.broadcast(hit_mass)).select(
+        F.lit(0).cast("bigint").alias("n_hits"),
+        (F.col("__n") - F.col("__h")).cast("bigint").alias("n_vecs"),
+    )
+    return (
+        hist.select(F.col("n_hits").cast("bigint"), "n_vecs")
+        .unionByName(zero)
+        .orderBy("n_hits")
+    )
+
+
 def q_hamming_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the Hamming-prefilter rung against the exact flat
     ground truth — the eval-discipline sibling every ANN rung ships
@@ -14022,6 +14076,9 @@ QUERIES: dict[str, QuerySpec] = {
     "ann_hamming": QuerySpec(q_ann_hamming, _sql_ann_hamming()),
     "mmr_rerank": QuerySpec(q_mmr_rerank, _sql_mmr_rerank()),
     "knn_hubness": QuerySpec(q_knn_hubness, _sql_knn_hubness()),
+    # route-flip sibling: shares knn_hubness's oracle (nprobe == nlist
+    # makes the IVF probe exhaustive, so the histogram is value-identical)
+    "knn_hubness_ivf": QuerySpec(q_knn_hubness_ivf, _sql_knn_hubness()),
     "hamming_recall_eval": QuerySpec(
         q_hamming_recall_eval, _sql_hamming_recall_eval()
     ),
@@ -14040,7 +14097,6 @@ QUERIES: dict[str, QuerySpec] = {
     "label_propagation": QuerySpec(q_label_propagation, _sql_label_propagation()),
     "cusum_changepoint": QuerySpec(q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "fk_integrity": QuerySpec(q_fk_integrity, _sql_fk_integrity()),
-    "langid_eval": QuerySpec(q_langid_eval, _sql_langid_eval()),
     "cumulative_distinct": QuerySpec(
         q_cumulative_distinct, SQL_CUMULATIVE_DISTINCT
     ),
@@ -14093,6 +14149,7 @@ QUERIES: dict[str, QuerySpec] = {
     "quantization_error": QuerySpec(
         q_quantization_error, SQL_QUANTIZATION_ERROR
     ),
+    "langid_eval": QuerySpec(q_langid_eval, _sql_langid_eval()),
     "char_entropy": QuerySpec(q_char_entropy, SQL_CHAR_ENTROPY),
     "attribution": QuerySpec(q_attribution, SQL_ATTRIBUTION),
     "png_meta": QuerySpec(q_png_meta, SQL_PNG_META),

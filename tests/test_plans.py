@@ -68,7 +68,7 @@ def test_relational_queries_stay_jvm_side(spark):
                  # the mock embed/generate UDFs its oracle value-checks;
                  # png_decode_stats IS the real-codec mapInPandas chain the
                  # oracle value-checks (encode -> stdlib-zlib decode)
-                 "knn_classify_ivf", "ddl_reference_pipeline",
+                 "knn_classify_ivf", "knn_hubness_ivf", "ddl_reference_pipeline",
                  "png_decode_stats", "wav_decode_stats"}
     for name, spec in QUERIES.items():
         if spec.sql is None or name in python_ok:

@@ -110,6 +110,11 @@ ENTRIES = [
     "mmr_rerank",
     "semantic_decontaminate",
     "knn_hubness",
+    # pinned-exhaustive IVF form (nprobe == nlist for oracle-exactness):
+    # still workload-proportional; the production knob (nlist ∝ corpus,
+    # nprobe fixed) is measured by the knn_classify knob-scaled variant,
+    # which exercises the IDENTICAL probe machinery
+    "knn_hubness_ivf",
 ]
 N_DOCS_BASE = 5000
 N_VECS_BASE = 2000
