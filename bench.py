@@ -101,6 +101,7 @@ BENCH_QUERIES = [
     "argmax_per_user",
     "global_row_number",
     "rank_normalize",
+    "quantile_normalize",  # r11: per-source distribution alignment
     "zorder_key",
     "tumbling_window",
     "hopping_window",
@@ -201,6 +202,7 @@ BENCH_QUERIES = [
     # text analysis
     "lang_id",
     "quality_score",
+    "md_structure",  # r11: markdown ingest-structure profile
     "char_entropy",
     "token_stats",
     "top_terms",

@@ -14028,6 +14028,147 @@ ORDER BY vec_id
 """
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source QUANTILE NORMALIZATION of a document metric onto the
+    global distribution — the batch-effect correction a multi-source
+    corpus needs before cross-source thresholds mean anything (a "keep
+    if len > X" or "quality > q" cutoff applied to raw per-source
+    distributions silently keeps 90% of one crawl and 10% of another;
+    after quantile mapping every source's distribution IS the global
+    one, so one threshold treats all sources the same — the
+    rank_normalize idea upgraded from ranks to full distribution
+    alignment). All-integer: within-source rank r by (metric, doc_id),
+    mapped to the global order statistic at rank
+    g = 1 + (r−1)·(N−1) div max(n_src−1, 1) — exact in both engines,
+    no float percentile ever computed. Two ranking windows (one per
+    source — parallel by source; one global — the single documented
+    global exchange, rank_normalize's shape) + one integer-key join
+    back to the global order statistics; linear at any corpus size."""
+    _prep(spark)
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("bigint").alias("metric")
+    )
+    ws = Window.partitionBy("source").orderBy("metric", "doc_id")
+    wg = Window.orderBy("metric", "doc_id")
+    nsrc = Window.partitionBy("source")
+    ranked = (
+        docs.withColumn("r", F.row_number().over(ws))
+        .withColumn("n_src", F.count(F.lit(1)).over(nsrc))
+    )
+    glob = docs.select(
+        F.row_number().over(wg).alias("g"),
+        F.col("metric").alias("calibrated"),
+    )
+    ntot = docs.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        ranked.join(F.broadcast(ntot))
+        .withColumn(
+            "g",
+            1
+            + F.expr(
+                "(r - 1) * (__n - 1) div greatest(n_src - 1, 1)"
+            ),
+        )
+        .join(glob, "g")
+        .select(
+            "doc_id",
+            "source",
+            "metric",
+            F.col("r").cast("bigint").alias("src_rank"),
+            F.col("calibrated").cast("bigint").alias("calibrated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_QUANTILE_NORMALIZE = """
+WITH d AS (SELECT doc_id, source, CAST(n_chars AS BIGINT) AS metric
+           FROM documents),
+rk AS (SELECT doc_id, source, metric,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY metric, doc_id) AS r,
+              count(*) OVER (PARTITION BY source) AS n_src
+       FROM d),
+g AS (SELECT row_number() OVER (ORDER BY metric, doc_id) AS g,
+             metric AS calibrated
+      FROM d),
+t AS (SELECT count(*) AS n FROM d)
+SELECT rk.doc_id, rk.source, rk.metric,
+       CAST(rk.r AS BIGINT) AS src_rank,
+       CAST(g.calibrated AS BIGINT) AS calibrated
+FROM rk CROSS JOIN t
+JOIN g ON g.g = 1 + (rk.r - 1) * (t.n - 1) // greatest(rk.n_src - 1, 1)
+ORDER BY rk.doc_id
+"""
+
+
+def q_md_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown STRUCTURE profile of the ingest corpus — the reference's
+    knowledge base is .md files fed through an md→JSON preprocessor
+    (sources/documents.py mirrors reference/knowledge/*.md ingestion);
+    before chunking, a pipeline wants to know how structured each doc
+    is: heading/bullet/code-fence/link marker counts decide splitter
+    settings (the reference's 8-param splitter splits on '###') and
+    code-heavy docs usually route to different quality rules. Counting
+    is LITERAL-marker based via replace-length arithmetic —
+    `(len(s) − len(replace(s, m, ''))) / len(m)`, exact integers in
+    both engines, no regex dialect risk ('](' would be an invalid Java
+    regex) — one codegen projection, no shuffle until the tiny per-doc
+    result. structure_ppm = markers·1e6 div chars — a comparable
+    density whatever the doc length."""
+    _prep(spark)
+    docs = _t(spark, sf_dir, "documents")
+
+    def cnt(marker: str) -> F.Column:
+        m = marker.replace("'", "''")
+        return F.expr(
+            f"CAST((length(text) - length(replace(text, '{m}', '')))"
+            f" div {len(marker)} AS BIGINT)"
+        )
+
+    out = docs.select(
+        "doc_id",
+        cnt("#").alias("n_hash"),
+        cnt("](").alias("n_links"),
+        cnt("```").alias("n_fences"),
+        cnt("- ").alias("n_bullets"),
+        F.length("text").cast("bigint").alias("n_chars2"),
+    )
+    return out.select(
+        "doc_id",
+        "n_hash",
+        "n_links",
+        "n_fences",
+        "n_bullets",
+        F.expr(
+            "(n_hash + n_links + n_fences + n_bullets) * 1000000L"
+            " div greatest(n_chars2, 1)"
+        ).alias("structure_ppm"),
+    ).orderBy("doc_id")
+
+
+SQL_MD_STRUCTURE = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(text) - len(replace(text, '#', '')) AS BIGINT) AS n_hash,
+         CAST((len(text) - len(replace(text, '](', ''))) // 2 AS BIGINT)
+           AS n_links,
+         CAST((len(text) - len(replace(text, '```', ''))) // 3 AS BIGINT)
+           AS n_fences,
+         CAST((len(text) - len(replace(text, '- ', ''))) // 2 AS BIGINT)
+           AS n_bullets,
+         CAST(len(text) AS BIGINT) AS n
+  FROM documents)
+SELECT doc_id, n_hash, n_links, n_fences, n_bullets,
+       (n_hash + n_links + n_fences + n_bullets) * 1000000
+         // greatest(n, 1) AS structure_ppm
+FROM t
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-11 rotation (VERDICT r10 #2): the first 14 entries are this
@@ -14088,6 +14229,10 @@ QUERIES: dict[str, QuerySpec] = {
     "semantic_decontaminate": QuerySpec(
         q_semantic_decontaminate, _sql_semantic_decontaminate()
     ),
+    "quantile_normalize": QuerySpec(
+        q_quantile_normalize, SQL_QUANTILE_NORMALIZE
+    ),
+    "md_structure": QuerySpec(q_md_structure, SQL_MD_STRUCTURE),
     # ---- ballast: r10-externally-green lines (incl. every entry whose
     # code the r11 refactors touched: cusum_changepoint / ks_drift /
     # png_decode_stats below, vocab_coverage_sweep / pca_power /
@@ -14097,10 +14242,6 @@ QUERIES: dict[str, QuerySpec] = {
     "label_propagation": QuerySpec(q_label_propagation, _sql_label_propagation()),
     "cusum_changepoint": QuerySpec(q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "fk_integrity": QuerySpec(q_fk_integrity, _sql_fk_integrity()),
-    "cumulative_distinct": QuerySpec(
-        q_cumulative_distinct, SQL_CUMULATIVE_DISTINCT
-    ),
-    "oov_rate": QuerySpec(q_oov_rate, _sql_oov_rate()),
     # canonical known-good lines + heaviest r10-verified chains
     "rag_pipeline_verified": QuerySpec(q_rag_pipeline_verified, _sql_rag_pipeline_verified()),
     "tpch_q1": QuerySpec(q_tpch_q1, SQL_TPCH_Q1),
@@ -14150,6 +14291,10 @@ QUERIES: dict[str, QuerySpec] = {
         q_quantization_error, SQL_QUANTIZATION_ERROR
     ),
     "langid_eval": QuerySpec(q_langid_eval, _sql_langid_eval()),
+    "cumulative_distinct": QuerySpec(
+        q_cumulative_distinct, SQL_CUMULATIVE_DISTINCT
+    ),
+    "oov_rate": QuerySpec(q_oov_rate, _sql_oov_rate()),
     "char_entropy": QuerySpec(q_char_entropy, SQL_CHAR_ENTROPY),
     "attribution": QuerySpec(q_attribution, SQL_ATTRIBUTION),
     "png_meta": QuerySpec(q_png_meta, SQL_PNG_META),

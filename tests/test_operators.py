@@ -2483,3 +2483,35 @@ def test_knn_hubness_mass_conservation_and_hub(spark, tmp_path):
     assert sum(r["n_vecs"] for r in rows) == n_index
     assert sum(r["n_hits"] * r["n_vecs"] for r in rows) == n_queries * 3
     assert [r["n_hits"] for r in rows] == sorted(r["n_hits"] for r in rows)
+
+
+def test_quantile_normalize_aligns_source_distributions(spark, tmp_path):
+    """Quantile-mapping invariants: calibrated values come from the
+    global order statistics; within each source calibration is monotone
+    in the source rank; each source's extremes map to the global
+    extremes (that is what makes one threshold treat all sources the
+    same)."""
+    import flink_sql_ai_meetingcoach_azure_spark.queries as qmod
+
+    rows = []
+    # source A: short docs (lengths 10..14); source B: long docs
+    # (100..109) — raw thresholds would treat them incomparably
+    for i in range(5):
+        rows.append((i, "x" * (10 + i), "en", "A", 10 + i))
+    for i in range(10):
+        rows.append((100 + i, "y" * (100 + i), "en", "B", 100 + i))
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = qmod.q_quantile_normalize(spark, str(tmp_path)).collect()
+    glob = sorted(r["metric"] for r in out)
+    by_src = {}
+    for r in out:
+        assert r["calibrated"] in glob
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: r["src_rank"])
+        cal = [r["calibrated"] for r in rs]
+        assert cal == sorted(cal), src  # monotone in source rank
+        assert cal[0] == glob[0], src  # source min -> global min
+        assert cal[-1] == glob[-1], src  # source max -> global max
