@@ -272,6 +272,7 @@ BENCH_QUERIES = [
     "multimodal_features",
     "png_meta",
     "jpeg_meta",  # r10: SOF segment-walk parse
+    "jpeg_decode_stats",  # r11: REAL baseline JPEG entropy decode
     "media_sniff",  # r10: magic-byte container dispatcher over mixed media
     "media_profile",  # r10: per-format corpus inventory over the dispatcher
     # SQL DDL statement path (translator overhead ~0: same operators)

@@ -14169,6 +14169,105 @@ ORDER BY doc_id
 """
 
 
+JPEGDEC_MAX_ID = 120
+JPEGDEC_OUT = 4  # decode_and_featurize output grid (height == width)
+
+
+def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL baseline JPEG codec path hash-verified end-to-end (r11 —
+    png_decode_stats' entropy-coded sibling; JPEG was meta-only until
+    this round): per doc, a spec-correct baseline JPEG is encoded from
+    deterministic per-block QUANTIZED DC coefficients
+    ``dc(by,bx) = (doc_id·31 + by·7 + bx·3) % 17 − 8`` (signed — real
+    negative DC diffs through the prediction chain) with the standard
+    Annex K Huffman tables, then decoded by
+    operators/multimodal.py::decode_jpeg (stdlib+numpy: marker walk,
+    canonical Huffman build from DHT, byte unstuffing, DC prediction,
+    EOB run-length AC, dequant, float64 IDCT) inside
+    decode_and_featurize's Arrow batch, nearest-neighbor resized and
+    summed. DC-only blocks make the decode CLOSED-FORM
+    (IDCT of a DC-only block is exactly F00·q00/8 ⇒ pixel =
+    dc·2 + 128 at q00=16), so the oracle recomputes resize index math
+    and the pixel formula in pure SQL — a wrong Huffman table, EXTEND
+    sign, prediction order, dequant, or IDCT scale all break the hash.
+    The full-AC path (runs/ZRL/stuffing) is pinned by pytest
+    round-trips; image dims vary per doc (W = 8·(1+id%3),
+    H = 8·(1+id%2)) so the NN grid is non-trivial."""
+    _prep(spark)
+    import pyspark.sql.types as T  # noqa: PLC0415
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+        decode_and_featurize,
+        encode_jpeg,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < JPEGDEC_MAX_ID
+    ).select("doc_id")
+
+    def _make(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                bw, bh = 1 + did % 3, 1 + did % 2
+                coefs = np.zeros((bh, bw, 8, 8), dtype=np.int64)
+                for by in range(bh):
+                    for bx in range(bw):
+                        coefs[by, bx, 0, 0] = (
+                            did * 31 + by * 7 + bx * 3
+                        ) % 17 - 8
+                q = np.full((8, 8), 16, dtype=np.int64)
+                payloads.append(
+                    bytearray(encode_jpeg([coefs], q, bh * 8, bw * 8))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(
+        _make,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    out = decode_and_featurize(
+        media, id_col="doc_id", height=JPEGDEC_OUT, width=JPEGDEC_OUT,
+        decoder="jpeg",
+    )
+    return out.select("doc_id", "height", "width", "intensity_sum").orderBy(
+        "doc_id"
+    )
+
+
+def _sql_jpeg_decode_stats() -> str:
+    g = JPEGDEC_OUT
+    return f"""
+WITH d AS (SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+           FROM documents WHERE doc_id < {JPEGDEC_MAX_ID}),
+cells AS (SELECT d.doc_id,
+                 ((i * d.h) // {g}) // 8 AS by, ((j * d.w) // {g}) // 8 AS bx
+          FROM d,
+               unnest(range(0, {g})) AS a(i),
+               unnest(range(0, {g})) AS b(j)),
+px AS (SELECT doc_id,
+              ((doc_id * 31 + by * 7 + bx * 3) % 17 - 8) * 2 + 128 AS v
+       FROM cells)
+SELECT doc_id,
+       CAST({g} AS INT) AS height, CAST({g} AS INT) AS width,
+       CAST(sum(v) * 3 AS BIGINT) AS intensity_sum
+FROM px
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-11 rotation (VERDICT r10 #2): the first 14 entries are this
@@ -14233,6 +14332,9 @@ QUERIES: dict[str, QuerySpec] = {
         q_quantile_normalize, SQL_QUANTILE_NORMALIZE
     ),
     "md_structure": QuerySpec(q_md_structure, SQL_MD_STRUCTURE),
+    "jpeg_decode_stats": QuerySpec(
+        q_jpeg_decode_stats, _sql_jpeg_decode_stats()
+    ),
     # ---- ballast: r10-externally-green lines (incl. every entry whose
     # code the r11 refactors touched: cusum_changepoint / ks_drift /
     # png_decode_stats below, vocab_coverage_sweep / pca_power /
@@ -14249,7 +14351,6 @@ QUERIES: dict[str, QuerySpec] = {
     "cdc_chunks": QuerySpec(q_cdc_chunks, SQL_CDC_CHUNKS),
     "topic_keywords": QuerySpec(q_topic_keywords, _sql_topic_keywords()),
     "dsir_weights": QuerySpec(q_dsir_weights, _sql_dsir_weights()),
-    "theil_sen_trend": QuerySpec(q_theil_sen_trend, SQL_THEIL_SEN_TREND),
     "knn_classify": QuerySpec(q_knn_classify, SQL_KNN_CLASSIFY),
     # the route-flip demonstration (VERDICT r9 #2) shares knn_classify's
     # oracle — identical semantics, non-broadcast IVF-probe plan
@@ -14295,6 +14396,7 @@ QUERIES: dict[str, QuerySpec] = {
         q_cumulative_distinct, SQL_CUMULATIVE_DISTINCT
     ),
     "oov_rate": QuerySpec(q_oov_rate, _sql_oov_rate()),
+    "theil_sen_trend": QuerySpec(q_theil_sen_trend, SQL_THEIL_SEN_TREND),
     "char_entropy": QuerySpec(q_char_entropy, SQL_CHAR_ENTROPY),
     "attribution": QuerySpec(q_attribution, SQL_ATTRIBUTION),
     "png_meta": QuerySpec(q_png_meta, SQL_PNG_META),

@@ -30,7 +30,7 @@ def test_entry_contract_shape():
     # driver window occupy the front with the re-encoded context_windows
     # (scalar ctx columns, VERDICT r10 #1) and the three NEW r11
     # entries (ann_hamming / mmr_rerank / knn_hubness / hamming_recall_eval
-    # / mmr_diversity_eval / semantic_decontaminate / knn_hubness_ivf / quantile_normalize / md_structure — new work goes
+    # / mmr_diversity_eval / semantic_decontaminate / knn_hubness_ivf / quantile_normalize / md_structure / jpeg_decode_stats — new work goes
     # straight into the window so it cannot re-open the external-
     # evidence ledger); the rest is r10-hash-green
     # ballast (canonical known-good lines rag_pipeline_verified /
@@ -47,6 +47,7 @@ def test_entry_contract_shape():
         "langid_eval",  # externally checked r10; rotated out mid-r11 (slot handed to knn_hubness_ivf)
         "cumulative_distinct",  # externally checked r10; rotated out mid-r11 (slot handed to quantile_normalize)
         "oov_rate",  # externally checked r10; rotated out mid-r11 (slot handed to md_structure)
+        "theil_sen_trend",  # externally checked r10; rotated out mid-r11 (slot handed to jpeg_decode_stats)
         "char_entropy",  # externally checked r10; rotated out r11 (slot handed to the late-r10 pack)
         "attribution",  # externally checked r10; rotated out r11 (slot handed to the late-r10 pack)
         "png_meta",  # externally checked r10; rotated out r11 (slot handed to the late-r10 pack)

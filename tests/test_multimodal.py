@@ -290,3 +290,69 @@ def test_decode_wav_and_audio_features(spark):
     # sign changes: 0+,1000+,-1000-,1000+,0+,-2000- -> crossings at 3 spots
     assert a.zero_crossings == 3
     assert got["bad"].is_decoded is False and got["bad"].sumsq is None
+
+
+def test_decode_jpeg_baseline_roundtrip():
+    """REAL baseline JPEG decode (r11): encode known QUANTIZED
+    coefficients with the standard Annex K tables and require exact
+    coefficient-level recovery — DC prediction with negative diffs,
+    run-length AC incl. ZRL and EOB, byte stuffing, dequant, float64
+    IDCT, and the JFIF color transform all on the path. Expected pixels
+    are computed independently from the same coefficients."""
+    import numpy as np
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        _IDCT_M,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    q = np.full((8, 8), 16, dtype=np.int64)
+
+    def plane(c):
+        by, bx = c.shape[:2]
+        out = np.zeros((by * 8, bx * 8))
+        for y in range(by):
+            for x in range(bx):
+                out[y*8:(y+1)*8, x*8:(x+1)*8] = (
+                    _IDCT_M.T @ (c[y, x] * q).astype(float) @ _IDCT_M
+                )
+        return out
+
+    rng = np.random.RandomState(3)
+    # grayscale with sparse AC (runs > 16 force ZRL; tails force EOB)
+    cg = np.zeros((3, 2, 8, 8), dtype=np.int64)
+    mask = rng.rand(3, 2, 8, 8) < 0.15
+    cg[mask] = rng.randint(-30, 31, mask.sum())
+    cg[:, :, 0, 0] = rng.randint(-100, 101, (3, 2))
+    got = decode_jpeg(encode_jpeg([cg], q, 24, 16))
+    g = np.clip(np.floor(plane(cg) + 128.0 + 0.5), 0, 255).astype(np.uint8)
+    assert np.array_equal(got, np.repeat(g[:, :, None], 3, axis=2))
+    # 3-component 4:4:4 color
+    cy = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    cb = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    cr = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    cy[:, :, 0, 0] = [[10, -5], [3, 60]]
+    cb[:, :, 0, 0] = [[4, 0], [-6, 2]]
+    cr[:, :, 0, 0] = [[-3, 8], [0, -1]]
+    cb[0, 0, 2, 3], cr[1, 1, 5, 1], cy[0, 1, 1, 1] = 12, -9, 25
+    got3 = decode_jpeg(encode_jpeg([cy, cb, cr], q, 16, 16))
+    Y, CB, CR = plane(cy) + 128.0, plane(cb) + 128.0, plane(cr) + 128.0
+    r = Y + 1.402 * (CR - 128.0)
+    gg = Y - 0.344136 * (CB - 128.0) - 0.714136 * (CR - 128.0)
+    b = Y + 1.772 * (CB - 128.0)
+    exp3 = np.clip(
+        np.floor(np.stack([r, gg, b], axis=2) + 0.5), 0, 255
+    ).astype(np.uint8)
+    assert np.array_equal(got3, exp3)
+    # progressive refuses loudly (documented seam): flip SOF0 -> SOF2
+    pay = bytearray(encode_jpeg([cg], q, 24, 16))
+    idx = bytes(pay).find(b"\xff\xc0")
+    pay[idx + 1] = 0xC2
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(pay))
+    # non-JPEG refuses loudly
+    with _pytest.raises(ValueError):
+        decode_jpeg(b"not a jpeg")

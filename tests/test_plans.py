@@ -69,7 +69,10 @@ def test_relational_queries_stay_jvm_side(spark):
                  # png_decode_stats IS the real-codec mapInPandas chain the
                  # oracle value-checks (encode -> stdlib-zlib decode)
                  "knn_classify_ivf", "knn_hubness_ivf", "ddl_reference_pipeline",
-                 "png_decode_stats", "wav_decode_stats"}
+                 "png_decode_stats", "wav_decode_stats",
+                 # r11: the real baseline-JPEG codec chain —
+                 # the Python stage IS what the oracle checks
+                 "jpeg_decode_stats"}
     for name, spec in QUERIES.items():
         if spec.sql is None or name in python_ok:
             continue  # model/multimodal pipelines legitimately use Python
