@@ -13,9 +13,11 @@ scanline unfilter, ``decoder='png'``, hash-verified by
 byte unstuffing, DC prediction, run-length AC, dequant, float64 IDCT —
 ``decoder='jpeg'``, hash-verified by ``jpeg_decode_stats``) and
 :func:`decode_wav` (stdlib ``wave``, PCM — ``wav_decode_stats``), with
-:func:`nn_resize` as the pure-numpy resize stage. Progressive JPEG,
-subsampled chroma, WebP, lossy audio, and video demux need libraries
-not present in this container, so those paths stay STUBBED: ``decoder='fake'`` (default) derives a deterministic small
+:func:`nn_resize` as the pure-numpy resize stage. JPEG covers
+grayscale and 4:4:4 / 4:2:2 / 4:2:0 chroma (interleaved T.81 §A.2.3
+MCU order, replicated upsampling). Progressive JPEG, WebP, lossy
+audio, and video demux need libraries not present in this container,
+so those paths stay STUBBED: ``decoder='fake'`` (default) derives a deterministic small
 tensor from the bytes (md5-seeded) so every downstream stage — feature
 extraction, frame sampling, batching shapes — is real and testable;
 ``decoder='real'`` raises ``NotImplementedError`` at the exact seam where
@@ -866,9 +868,11 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     DQT/DHT/SOF0/SOS parse, byte-unstuffed Huffman entropy decode with
     DC prediction and run-length AC, dezigzag, dequant, float64 IDCT
     (T.81 §A.3.3), level shift, JFIF YCbCr→RGB. Returns (H, W, 3)
-    uint8. Supported: SOF0/SOF1 8-bit, grayscale or 3-component 4:4:4,
-    no restart intervals; SOF2 progressive / subsampled chroma /
-    restarts raise NotImplementedError (the narrowed documented seam).
+    uint8. Supported: SOF0/SOF1 8-bit, grayscale or 3-component with
+    sampling factors in {1,2} (4:4:4 / 4:2:2 / 4:2:0 — interleaved
+    T.81 §A.2.3 MCU order, subsampled planes upsampled by replication),
+    no restart intervals; SOF2 progressive / restarts / factors > 2
+    raise NotImplementedError (the narrowed documented seam).
     Rounding convention everywhere: floor(x + 0.5) — reproducible in
     closed-form SQL oracles (no bankers' rounding)."""
     import struct  # noqa: PLC0415
@@ -918,11 +922,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             comps = []
             for c in range(ncomp):
                 cid, samp, qid = data[6 + 3 * c : 9 + 3 * c]
-                if samp != 0x11:
+                sh, sv = samp >> 4, samp & 0xF
+                if sh not in (1, 2) or sv not in (1, 2):
                     raise NotImplementedError(
-                        "subsampled chroma unsupported (4:4:4 only)"
+                        f"sampling factor {sh}x{sv} unsupported"
                     )
-                comps.append((cid, qid))
+                comps.append((cid, qid, sh, sv))
             frame = (h, w, comps)
         elif marker == 0xC2:
             raise NotImplementedError("progressive JPEG unsupported")
@@ -955,43 +960,73 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     if frame is None or scan is None:
         raise ValueError("JPEG without SOF/SOS")
     h, w, comps = frame
-    if (h % 8) or (w % 8):
-        raise NotImplementedError("non-multiple-of-8 dims unsupported")
     sel, data = scan
-    qid_by_cid = dict(comps)
+    meta_by_cid = {cid: (qid, sh, sv) for cid, qid, sh, sv in comps}
+    hmax = max(sh for _, _, sh, _ in comps)
+    vmax = max(sv for _, _, _, sv in comps)
+    if (h % (8 * vmax)) or (w % (8 * hmax)):
+        raise NotImplementedError(
+            "dims must be MCU-aligned (no edge-padding support)"
+        )
     reader = _BitReader(data)
-    by, bx = h // 8, w // 8
-    planes = {cid: np.zeros((h, w)) for cid, _, _ in sel}
+    mcus_y, mcus_x = h // (8 * vmax), w // (8 * hmax)
+    planes = {
+        cid: np.zeros((h * meta_by_cid[cid][2] // vmax,
+                       w * meta_by_cid[cid][1] // hmax))
+        for cid, _, _ in sel
+    }
     pred = {cid: 0 for cid, _, _ in sel}
-    for yb in range(by):
-        for xb in range(bx):
-            for cid, dc_id, ac_id in sel:  # 4:4:4 MCU = 1 block/comp
-                dct, act = huff[(0, dc_id)], huff[(1, ac_id)]
-                coefs = np.zeros(64, dtype=np.int64)
-                cat = reader.decode_symbol(dct)
-                diff = _extend(reader.read_bits(cat), cat) if cat else 0
-                pred[cid] += diff
-                coefs[0] = pred[cid]
-                k = 1
-                while k < 64:
-                    rs = reader.decode_symbol(act)
-                    r, s = rs >> 4, rs & 0xF
-                    if rs == 0x00:  # EOB
-                        break
-                    if rs == 0xF0:  # ZRL: 16 zeros
-                        k += 16
-                        continue
-                    k += r
-                    if k > 63:
-                        raise ValueError("JPEG AC run overflow")
-                    coefs[k] = _extend(reader.read_bits(s), s)
-                    k += 1
-                block = np.zeros((8, 8), dtype=np.int64)
-                for kk in range(64):
-                    block[_ZIGZAG[kk]] = coefs[kk]
-                fq = block * qtables[qid_by_cid[cid]]
-                pix = _IDCT_M.T @ fq.astype(np.float64) @ _IDCT_M
-                planes[cid][yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8] = pix
+
+    def _decode_block(cid: int, dc_id: int, ac_id: int) -> np.ndarray:
+        dct, act = huff[(0, dc_id)], huff[(1, ac_id)]
+        coefs = np.zeros(64, dtype=np.int64)
+        cat = reader.decode_symbol(dct)
+        diff = _extend(reader.read_bits(cat), cat) if cat else 0
+        pred[cid] += diff
+        coefs[0] = pred[cid]
+        k = 1
+        while k < 64:
+            rs = reader.decode_symbol(act)
+            r, s = rs >> 4, rs & 0xF
+            if rs == 0x00:  # EOB
+                break
+            if rs == 0xF0:  # ZRL: 16 zeros
+                k += 16
+                continue
+            k += r
+            if k > 63:
+                raise ValueError("JPEG AC run overflow")
+            coefs[k] = _extend(reader.read_bits(s), s)
+            k += 1
+        block = np.zeros((8, 8), dtype=np.int64)
+        for kk in range(64):
+            block[_ZIGZAG[kk]] = coefs[kk]
+        fq = block * qtables[meta_by_cid[cid][0]]
+        return _IDCT_M.T @ fq.astype(np.float64) @ _IDCT_M
+
+    # interleaved MCU order (T.81 §A.2.3): per MCU, each scan component
+    # contributes sh×sv blocks in raster order within the MCU
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for cid, dc_id, ac_id in sel:
+                _, sh, sv = meta_by_cid[cid]
+                for bv in range(sv):
+                    for bh in range(sh):
+                        pix = _decode_block(cid, dc_id, ac_id)
+                        yy = (my * sv + bv) * 8
+                        xx = (mx * sh + bh) * 8
+                        planes[cid][yy : yy + 8, xx : xx + 8] = pix
+    # upsample subsampled planes to full resolution by pixel replication
+    # (nearest-neighbor — the simplest T.81-legal reconstruction; the
+    # fixture encoder produces box-constant chroma so this is exact)
+    for cid in list(planes):
+        _, sh, sv = meta_by_cid[cid]
+        if sh != hmax or sv != vmax:
+            planes[cid] = np.repeat(
+                np.repeat(planes[cid], vmax // sv, axis=0),
+                hmax // sh,
+                axis=1,
+            )
     # level shift + floor(x+.5) rounding, then color convert
     if len(sel) == 1:
         g = np.clip(np.floor(planes[sel[0][0]] + 128.0 + 0.5), 0, 255)
@@ -1009,16 +1044,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
 
 
 def encode_jpeg(
-    coefs_by_comp: list[np.ndarray], q: np.ndarray, height: int, width: int
+    coefs_by_comp: list[np.ndarray],
+    q: np.ndarray,
+    height: int,
+    width: int,
+    sampling: list[tuple[int, int]] | None = None,
 ) -> bytes:
     """Minimal spec-correct baseline JPEG encoder (fixture helper — the
     encode_png discipline): takes per-component QUANTIZED coefficient
-    blocks ((by, bx, 8, 8) int arrays; 1 comp = grayscale, 3 = YCbCr
-    4:4:4) + one 8-bit quant table, writes SOI/DQT/DHT (the standard
-    Annex K luminance tables)/SOF0/SOS with real DC prediction,
-    run-length AC (EOB/ZRL), and FF-byte stuffing, so round-trips
-    through :func:`decode_jpeg` exercise the full entropy pipeline with
-    real data."""
+    blocks ((by, bx, 8, 8) int arrays; 1 comp = grayscale, 3 = YCbCr)
+    + one 8-bit quant table, writes SOI/DQT/DHT (the standard Annex K
+    luminance tables)/SOF0/SOS with real DC prediction, run-length AC
+    (EOB/ZRL), FF-byte stuffing and — when ``sampling`` gives
+    per-component (h, v) factors, e.g. [(2,2),(1,1),(1,1)] for 4:2:0 —
+    the interleaved T.81 §A.2.3 MCU block order, so round-trips through
+    :func:`decode_jpeg` exercise the full entropy pipeline with real
+    data at every supported chroma layout. Component i's block grid
+    must be (mcus_y·v_i, mcus_x·h_i)."""
     import struct  # noqa: PLC0415
 
     dc_codes = _huff_codes(_STD_DC_BITS, _STD_DC_VALS)
@@ -1038,42 +1080,54 @@ def encode_jpeg(
         return cat
 
     ncomp = len(coefs_by_comp)
-    by, bx = coefs_by_comp[0].shape[0], coefs_by_comp[0].shape[1]
+    if sampling is None:
+        sampling = [(1, 1)] * ncomp
+    sv0, sh0 = sampling[0][1], sampling[0][0]
+    mcus_y = coefs_by_comp[0].shape[0] // sv0
+    mcus_x = coefs_by_comp[0].shape[1] // sh0
     pred = [0] * ncomp
-    for yb in range(by):
-        for xb in range(bx):
-            for ci in range(ncomp):
-                block = coefs_by_comp[ci][yb, xb]
-                zz = [int(block[_ZIGZAG[k]]) for k in range(64)]
-                diff = zz[0] - pred[ci]
-                pred[ci] = zz[0]
-                cat = put_val(diff)
-                c, ln = dc_codes[cat]
+
+    def _encode_block(ci: int, yb: int, xb: int) -> None:
+        block = coefs_by_comp[ci][yb, xb]
+        zz = [int(block[_ZIGZAG[k]]) for k in range(64)]
+        diff = zz[0] - pred[ci]
+        pred[ci] = zz[0]
+        cat = put_val(diff)
+        c, ln = dc_codes[cat]
+        put(c, ln)
+        if cat:
+            bits = diff if diff >= 0 else diff + (1 << cat) - 1
+            put(bits, cat)
+        run = 0
+        last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+        for k in range(1, 64):
+            if k > last_nz:
+                c, ln = ac_codes[0x00]  # EOB
                 put(c, ln)
-                if cat:
-                    bits = diff if diff >= 0 else diff + (1 << cat) - 1
-                    put(bits, cat)
-                run = 0
-                last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
-                for k in range(1, 64):
-                    if k > last_nz:
-                        c, ln = ac_codes[0x00]  # EOB
-                        put(c, ln)
-                        break
-                    v = zz[k]
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        c, ln = ac_codes[0xF0]  # ZRL
-                        put(c, ln)
-                        run -= 16
-                    s = put_val(v)
-                    c, ln = ac_codes[(run << 4) | s]
-                    put(c, ln)
-                    bits = v if v >= 0 else v + (1 << s) - 1
-                    put(bits, s)
-                    run = 0
+                break
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                c, ln = ac_codes[0xF0]  # ZRL
+                put(c, ln)
+                run -= 16
+            s = put_val(v)
+            c, ln = ac_codes[(run << 4) | s]
+            put(c, ln)
+            bits = v if v >= 0 else v + (1 << s) - 1
+            put(bits, s)
+            run = 0
+
+    # interleaved MCU order (T.81 §A.2.3) — matches the decoder exactly
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                sh, sv = sampling[ci]
+                for bv in range(sv):
+                    for bh in range(sh):
+                        _encode_block(ci, my * sv + bv, mx * sh + bh)
     while len(bitbuf) % 8:
         bitbuf.append(1)  # pad with 1s (spec §F.1.2.3)
     ent = bytearray()
@@ -1096,7 +1150,10 @@ def encode_jpeg(
         + b"\x10" + bytes(_STD_AC_BITS) + bytes(_STD_AC_VALS),
     )
     sof_comps = b"".join(
-        struct.pack(">BBB", cid + 1, 0x11, 0) for cid in range(ncomp)
+        struct.pack(
+            ">BBB", cid + 1, (sampling[cid][0] << 4) | sampling[cid][1], 0
+        )
+        for cid in range(ncomp)
     )
     sof = seg(
         0xC0, struct.pack(">BHHB", 8, height, width, ncomp) + sof_comps

@@ -14190,9 +14190,14 @@ def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     dc·2 + 128 at q00=16), so the oracle recomputes resize index math
     and the pixel formula in pure SQL — a wrong Huffman table, EXTEND
     sign, prediction order, dequant, or IDCT scale all break the hash.
-    The full-AC path (runs/ZRL/stuffing) is pinned by pytest
-    round-trips; image dims vary per doc (W = 8·(1+id%3),
-    H = 8·(1+id%2)) so the NN grid is non-trivial."""
+    ODD doc_ids encode 4:2:0 COLOR (the layout most real JPEGs use):
+    interleaved T.81 MCU block order, replicated chroma upsampling and
+    the JFIF color transform are then on the hash path too — the
+    oracle replays the float color math on exact integer planes
+    (floor(x+0.5); the DC value grid keeps every channel 0.005+ away
+    from a rounding boundary, 12 orders above float64 noise). The
+    full-AC path (runs/ZRL/stuffing) is pinned by pytest round-trips;
+    image dims vary per doc so the NN grid is non-trivial."""
     _prep(spark)
     import pyspark.sql.types as T  # noqa: PLC0415
 
@@ -14213,19 +14218,37 @@ def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not len(pdf):
                 continue
             payloads = []
+            q = np.full((8, 8), 16, dtype=np.int64)
             for did in pdf["doc_id"]:
                 did = int(did)
-                bw, bh = 1 + did % 3, 1 + did % 2
-                coefs = np.zeros((bh, bw, 8, 8), dtype=np.int64)
-                for by in range(bh):
-                    for bx in range(bw):
-                        coefs[by, bx, 0, 0] = (
-                            did * 31 + by * 7 + bx * 3
-                        ) % 17 - 8
-                q = np.full((8, 8), 16, dtype=np.int64)
-                payloads.append(
-                    bytearray(encode_jpeg([coefs], q, bh * 8, bw * 8))
-                )
+                if did % 2 == 0:  # grayscale 4:4:4
+                    bw, bh = 1 + did % 3, 1 + did % 2
+                    coefs = np.zeros((bh, bw, 8, 8), dtype=np.int64)
+                    for by in range(bh):
+                        for bx in range(bw):
+                            coefs[by, bx, 0, 0] = (
+                                did * 31 + by * 7 + bx * 3
+                            ) % 17 - 8
+                    payloads.append(
+                        bytearray(encode_jpeg([coefs], q, bh * 8, bw * 8))
+                    )
+                else:  # 4:2:0 color — interleaved MCUs, replicated chroma
+                    mx = 1 + did % 2  # MCUs across; 1 MCU down
+                    ybk = np.zeros((2, 2 * mx, 8, 8), dtype=np.int64)
+                    for by in range(2):
+                        for bx in range(2 * mx):
+                            ybk[by, bx, 0, 0] = (
+                                did * 31 + by * 7 + bx * 3
+                            ) % 17 - 8
+                    cbk = np.zeros((1, mx, 8, 8), dtype=np.int64)
+                    rbk = np.zeros((1, mx, 8, 8), dtype=np.int64)
+                    for cx in range(mx):
+                        cbk[0, cx, 0, 0] = (did * 13 + cx * 5) % 11 - 5
+                        rbk[0, cx, 0, 0] = (did * 19 + cx * 7) % 13 - 6
+                    payloads.append(bytearray(encode_jpeg(
+                        [ybk, cbk, rbk], q, 16, 16 * mx,
+                        sampling=[(2, 2), (1, 1), (1, 1)],
+                    )))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     media = docs.mapInPandas(
@@ -14249,19 +14272,35 @@ def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sql_jpeg_decode_stats() -> str:
     g = JPEGDEC_OUT
     return f"""
-WITH d AS (SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + doc_id % 2) AS h
+WITH d AS (SELECT doc_id,
+                  CASE WHEN doc_id % 2 = 0 THEN 8 * (1 + doc_id % 3)
+                       ELSE 16 * (1 + doc_id % 2) END AS w,
+                  CASE WHEN doc_id % 2 = 0 THEN 8 * (1 + doc_id % 2)
+                       ELSE 16 END AS h
            FROM documents WHERE doc_id < {JPEGDEC_MAX_ID}),
 cells AS (SELECT d.doc_id,
-                 ((i * d.h) // {g}) // 8 AS by, ((j * d.w) // {g}) // 8 AS bx
+                 (i * d.h) // {g} AS y, (j * d.w) // {g} AS x
           FROM d,
                unnest(range(0, {g})) AS a(i),
                unnest(range(0, {g})) AS b(j)),
+-- DC-only blocks: Y = ydc*2+128 per 8x8 block; chroma constant per
+-- 16x16 MCU (4:2:0 replication); values stay inside 0..255 so the
+-- clamp never fires and floor(x+0.5) is the only rounding
 px AS (SELECT doc_id,
-              ((doc_id * 31 + by * 7 + bx * 3) % 17 - 8) * 2 + 128 AS v
+              ((doc_id * 31 + (y // 8) * 7 + (x // 8) * 3) % 17 - 8) * 2
+                + 128 AS yv,
+              ((doc_id * 13 + (x // 16) * 5) % 11 - 5) * 2 + 128 AS cbv,
+              ((doc_id * 19 + (x // 16) * 7) % 13 - 6) * 2 + 128 AS crv,
+              doc_id % 2 AS odd
        FROM cells)
 SELECT doc_id,
        CAST({g} AS INT) AS height, CAST({g} AS INT) AS width,
-       CAST(sum(v) * 3 AS BIGINT) AS intensity_sum
+       CAST(sum(CASE WHEN odd = 0 THEN yv * 3
+                ELSE CAST(floor(yv + 1.402 * (crv - 128) + 0.5) AS BIGINT)
+                   + CAST(floor(yv - 0.344136 * (cbv - 128)
+                                - 0.714136 * (crv - 128) + 0.5) AS BIGINT)
+                   + CAST(floor(yv + 1.772 * (cbv - 128) + 0.5) AS BIGINT)
+                END) AS BIGINT) AS intensity_sum
 FROM px
 GROUP BY doc_id
 ORDER BY doc_id

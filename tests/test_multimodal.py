@@ -345,6 +345,29 @@ def test_decode_jpeg_baseline_roundtrip():
         np.floor(np.stack([r, gg, b], axis=2) + 0.5), 0, 255
     ).astype(np.uint8)
     assert np.array_equal(got3, exp3)
+    # 4:2:0 subsampled chroma (the layout most real JPEGs use):
+    # interleaved MCU order + replicated chroma upsampling
+    cy4 = np.zeros((4, 4, 8, 8), dtype=np.int64)
+    cy4[:, :, 0, 0] = rng.randint(-50, 51, (4, 4))
+    m4 = rng.rand(4, 4, 8, 8) < 0.1
+    cy4[m4] = rng.randint(-20, 21, m4.sum())
+    cb4 = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    cr4 = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    cb4[:, :, 0, 0] = [[10, -10], [5, 0]]
+    cr4[:, :, 0, 0] = [[-4, 8], [0, 12]]
+    got420 = decode_jpeg(encode_jpeg(
+        [cy4, cb4, cr4], q, 32, 32, sampling=[(2, 2), (1, 1), (1, 1)]
+    ))
+    Y4 = plane(cy4) + 128.0
+    CB4 = np.repeat(np.repeat(plane(cb4) + 128.0, 2, axis=0), 2, axis=1)
+    CR4 = np.repeat(np.repeat(plane(cr4) + 128.0, 2, axis=0), 2, axis=1)
+    r4 = Y4 + 1.402 * (CR4 - 128.0)
+    g4 = Y4 - 0.344136 * (CB4 - 128.0) - 0.714136 * (CR4 - 128.0)
+    b4 = Y4 + 1.772 * (CB4 - 128.0)
+    exp420 = np.clip(
+        np.floor(np.stack([r4, g4, b4], axis=2) + 0.5), 0, 255
+    ).astype(np.uint8)
+    assert np.array_equal(got420, exp420)
     # progressive refuses loudly (documented seam): flip SOF0 -> SOF2
     pay = bytearray(encode_jpeg([cg], q, 24, 16))
     idx = bytes(pay).find(b"\xff\xc0")
