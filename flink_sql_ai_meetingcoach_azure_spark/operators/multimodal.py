@@ -871,8 +871,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     uint8. Supported: SOF0/SOF1 8-bit, grayscale or 3-component with
     sampling factors in {1,2} (4:4:4 / 4:2:2 / 4:2:0 — interleaved
     T.81 §A.2.3 MCU order, subsampled planes upsampled by replication),
-    no restart intervals; SOF2 progressive / restarts / factors > 2
-    raise NotImplementedError (the narrowed documented seam).
+    restart intervals (DRI/RSTn resync with predictor reset) handled;
+    SOF2 progressive / sampling factors > 2 raise NotImplementedError
+    (the narrowed documented seam).
     Rounding convention everywhere: floor(x + 0.5) — reproducible in
     closed-form SQL oracles (no bankers' rounding)."""
     import struct  # noqa: PLC0415
@@ -882,6 +883,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     payload = bytes(payload)
     pos = 2
     qtables: dict[int, np.ndarray] = {}
+    dri = 0  # restart interval in MCUs (0 = none)
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
     frame = None  # (h, w, comps) ; comps = [(cid, qid)]
     scan = None  # [(cid, dc_id, ac_id)], entropy data
@@ -931,8 +933,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             frame = (h, w, comps)
         elif marker == 0xC2:
             raise NotImplementedError("progressive JPEG unsupported")
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals unsupported")
+        elif marker == 0xDD:  # DRI: restart interval in MCUs (0 = off)
+            (dri,) = struct.unpack(">H", data[:2])
         elif marker == 0xDA:  # SOS — entropy data follows the header
             ns = data[0]
             sel = []
@@ -940,8 +942,9 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 cid, tt = data[1 + 2 * c], data[2 + 2 * c]
                 sel.append((cid, tt >> 4, tt & 0xF))
             raw = payload[pos + 2 + seg_len :]
-            # unstuff: FF00 -> FF; any other FFxx ends the scan
-            out = bytearray()
+            # unstuff FF00 -> FF; split on RSTn (FFD0-FFD7) into restart
+            # segments; any other FFxx ends the scan
+            segs, out = [], bytearray()
             j = 0
             while j < len(raw):
                 b = raw[j]
@@ -951,16 +954,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         out.append(0xFF)
                         j += 2
                         continue
+                    if 0xD0 <= nxt <= 0xD7:  # RSTn: new restart segment
+                        segs.append(bytes(out))
+                        out = bytearray()
+                        j += 2
+                        continue
                     break
                 out.append(b)
                 j += 1
-            scan = (sel, bytes(out))
+            segs.append(bytes(out))
+            scan = (sel, segs)
             break
         pos += 2 + seg_len
     if frame is None or scan is None:
         raise ValueError("JPEG without SOF/SOS")
     h, w, comps = frame
-    sel, data = scan
+    sel, segs = scan
     meta_by_cid = {cid: (qid, sh, sv) for cid, qid, sh, sv in comps}
     hmax = max(sh for _, _, sh, _ in comps)
     vmax = max(sv for _, _, _, sv in comps)
@@ -968,7 +977,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         raise NotImplementedError(
             "dims must be MCU-aligned (no edge-padding support)"
         )
-    reader = _BitReader(data)
+    reader = _BitReader(segs[0])
     mcus_y, mcus_x = h // (8 * vmax), w // (8 * hmax)
     planes = {
         cid: np.zeros((h * meta_by_cid[cid][2] // vmax,
@@ -1005,9 +1014,20 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         return _IDCT_M.T @ fq.astype(np.float64) @ _IDCT_M
 
     # interleaved MCU order (T.81 §A.2.3): per MCU, each scan component
-    # contributes sh×sv blocks in raster order within the MCU
+    # contributes sh×sv blocks in raster order within the MCU; with a
+    # DRI in force, every `dri` MCUs the stream re-aligns at an RSTn
+    # marker (its own unstuffed segment) and DC predictors reset
+    n_mcu = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if dri and n_mcu and n_mcu % dri == 0:
+                seg_idx = n_mcu // dri
+                if seg_idx >= len(segs):
+                    raise ValueError("JPEG missing RST marker")
+                reader = _BitReader(segs[seg_idx])
+                for c in pred:
+                    pred[c] = 0
+            n_mcu += 1
             for cid, dc_id, ac_id in sel:
                 _, sh, sv = meta_by_cid[cid]
                 for bv in range(sv):
@@ -1049,6 +1069,7 @@ def encode_jpeg(
     height: int,
     width: int,
     sampling: list[tuple[int, int]] | None = None,
+    restart_interval: int = 0,
 ) -> bytes:
     """Minimal spec-correct baseline JPEG encoder (fixture helper — the
     encode_png discipline): takes per-component QUANTIZED coefficient
@@ -1060,7 +1081,10 @@ def encode_jpeg(
     the interleaved T.81 §A.2.3 MCU block order, so round-trips through
     :func:`decode_jpeg` exercise the full entropy pipeline with real
     data at every supported chroma layout. Component i's block grid
-    must be (mcus_y·v_i, mcus_x·h_i)."""
+    must be (mcus_y·v_i, mcus_x·h_i). ``restart_interval`` > 0 emits a
+    DRI segment and a byte-aligned RSTn marker (n cycling 0-7, DC
+    predictors reset) every that-many MCUs — the resync machinery real
+    encoders emit by default."""
     import struct  # noqa: PLC0415
 
     dc_codes = _huff_codes(_STD_DC_BITS, _STD_DC_VALS)
@@ -1120,24 +1144,37 @@ def encode_jpeg(
             put(bits, s)
             run = 0
 
+    ent = bytearray()
+
+    def _flush_bits() -> None:
+        while len(bitbuf) % 8:
+            bitbuf.append(1)  # pad with 1s (spec §F.1.2.3)
+        for i in range(0, len(bitbuf), 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | bitbuf[i + j]
+            ent.append(b)
+            if b == 0xFF:
+                ent.append(0x00)  # byte stuffing
+        bitbuf.clear()
+
     # interleaved MCU order (T.81 §A.2.3) — matches the decoder exactly
+    n_mcu, rst = 0, 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                _flush_bits()
+                ent.extend((0xFF, 0xD0 + rst))
+                rst = (rst + 1) % 8
+                for ci in range(ncomp):
+                    pred[ci] = 0
+            n_mcu += 1
             for ci in range(ncomp):
                 sh, sv = sampling[ci]
                 for bv in range(sv):
                     for bh in range(sh):
                         _encode_block(ci, my * sv + bv, mx * sh + bh)
-    while len(bitbuf) % 8:
-        bitbuf.append(1)  # pad with 1s (spec §F.1.2.3)
-    ent = bytearray()
-    for i in range(0, len(bitbuf), 8):
-        b = 0
-        for j in range(8):
-            b = (b << 1) | bitbuf[i + j]
-        ent.append(b)
-        if b == 0xFF:
-            ent.append(0x00)  # byte stuffing
+    _flush_bits()
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
@@ -1162,6 +1199,12 @@ def encode_jpeg(
         struct.pack(">BB", cid + 1, 0x00) for cid in range(ncomp)
     )
     sos = seg(0xDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
-        b"\xff\xd8" + dqt + dht + sof + sos + bytes(ent) + b"\xff\xd9"
+        b"\xff\xd8" + dqt + dht + dri + sof + sos + bytes(ent)
+        + b"\xff\xd9"
     )

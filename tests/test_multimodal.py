@@ -368,6 +368,15 @@ def test_decode_jpeg_baseline_roundtrip():
         np.floor(np.stack([r4, g4, b4], axis=2) + 0.5), 0, 255
     ).astype(np.uint8)
     assert np.array_equal(got420, exp420)
+    # restart intervals (DRI + RSTn resync, DC predictors reset —
+    # what real encoders emit by default): byte-aligned restart
+    # segments must reproduce the no-restart pixels exactly
+    for ri in (1, 3, 7):
+        got_r = decode_jpeg(encode_jpeg([cg], q, 24, 16,
+                                        restart_interval=ri))
+        assert np.array_equal(
+            got_r, np.repeat(g[:, :, None], 3, axis=2)
+        ), ri
     # progressive refuses loudly (documented seam): flip SOF0 -> SOF2
     pay = bytearray(encode_jpeg([cg], q, 24, 16))
     idx = bytes(pay).find(b"\xff\xc0")
