@@ -178,3 +178,77 @@ def test_span_hash_duckdb_matches_python(texts, window):
         ).fetchall()
     )
     assert got == expected
+
+
+@given(st.data())
+@settings(max_examples=25, deadline=None)
+def test_jpeg_codec_roundtrip_property(data):
+    """Any quantized-coefficient image, any supported layout, any
+    restart interval: encode→decode must reproduce the independently
+    computed IDCT pixels exactly (the entropy pipeline — canonical
+    Huffman, DC prediction, run-length AC, stuffing, restarts — is
+    lossless by construction, so a single wrong bit anywhere breaks
+    equality)."""
+    import numpy as np
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        _IDCT_M,
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    q = np.full((8, 8), 16, dtype=np.int64)
+    mcus_y = data.draw(st.integers(1, 2))
+    mcus_x = data.draw(st.integers(1, 3))
+    layout = data.draw(st.sampled_from(["gray", "444", "420"]))
+    ri = data.draw(st.sampled_from([0, 1, 3]))
+    seed = data.draw(st.integers(0, 2**31 - 1))
+    rng = np.random.RandomState(seed)
+
+    def blocks(by, bx):
+        c = np.zeros((by, bx, 8, 8), dtype=np.int64)
+        c[:, :, 0, 0] = rng.randint(-80, 81, (by, bx))
+        m = rng.rand(by, bx, 8, 8) < 0.12
+        c[m] = rng.randint(-25, 26, m.sum())
+        return c
+
+    def plane(c):
+        by, bx = c.shape[:2]
+        out = np.zeros((by * 8, bx * 8))
+        for y in range(by):
+            for x in range(bx):
+                out[y*8:(y+1)*8, x*8:(x+1)*8] = (
+                    _IDCT_M.T @ (c[y, x] * q).astype(float) @ _IDCT_M
+                )
+        return out
+
+    if layout == "gray":
+        c = blocks(mcus_y, mcus_x)
+        got = decode_jpeg(encode_jpeg(
+            [c], q, mcus_y * 8, mcus_x * 8, restart_interval=ri))
+        g = np.clip(np.floor(plane(c) + 128.5), 0, 255).astype(np.uint8)
+        assert np.array_equal(got, np.repeat(g[:, :, None], 3, axis=2))
+        return
+    if layout == "444":
+        comps = [blocks(mcus_y, mcus_x) for _ in range(3)]
+        samp = [(1, 1)] * 3
+        h, w = mcus_y * 8, mcus_x * 8
+        up = lambda p: p  # noqa: E731
+    else:
+        comps = [blocks(2 * mcus_y, 2 * mcus_x),
+                 blocks(mcus_y, mcus_x), blocks(mcus_y, mcus_x)]
+        samp = [(2, 2), (1, 1), (1, 1)]
+        h, w = mcus_y * 16, mcus_x * 16
+        up = lambda p: np.repeat(np.repeat(p, 2, axis=0), 2, axis=1)  # noqa: E731
+    got = decode_jpeg(encode_jpeg(comps, q, h, w, sampling=samp,
+                                  restart_interval=ri))
+    Y = plane(comps[0]) + 128.0
+    CB = up(plane(comps[1])) + 128.0
+    CR = up(plane(comps[2])) + 128.0
+    r = Y + 1.402 * (CR - 128.0)
+    g = Y - 0.344136 * (CB - 128.0) - 0.714136 * (CR - 128.0)
+    b = Y + 1.772 * (CB - 128.0)
+    exp = np.clip(
+        np.floor(np.stack([r, g, b], axis=2) + 0.5), 0, 255
+    ).astype(np.uint8)
+    assert np.array_equal(got, exp)
