@@ -273,6 +273,8 @@ BENCH_QUERIES = [
     "png_meta",
     "jpeg_meta",  # r10: SOF segment-walk parse
     "jpeg_decode_stats",  # r11: REAL baseline JPEG entropy decode
+    "image_neardup",  # r12: dHash perceptual near-dup over the real PNG path
+    "dhash_recall_eval",  # r12: dHash recall/precision vs exact pixel L1
     "media_sniff",  # r10: magic-byte container dispatcher over mixed media
     "media_profile",  # r10: per-format corpus inventory over the dispatcher
     # SQL DDL statement path (translator overhead ~0: same operators)

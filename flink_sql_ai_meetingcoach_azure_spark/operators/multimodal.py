@@ -702,6 +702,113 @@ def decode_and_featurize(
     return df.mapInPandas(_proc, schema=out_schema)
 
 
+DHASH_H, DHASH_W = 8, 9  # dHash grid: 8 rows x 9 cols -> 64 sign bits
+
+
+def dhash_signatures(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decoder: str = "png",
+) -> DataFrame:
+    """Perceptual dHash over REAL decoded pixels (difference hash — the
+    image near-dup signature web-scale corpora dedup on): decode with
+    the real codec, :func:`nn_resize` to the 8x9 grid, integer
+    grayscale ``(299·R + 587·G + 114·B) // 1000``, then the 64
+    adjacent-column sign bits ``gray[i][j+1] > gray[i][j]`` packed
+    row-major into TWO 32-bit BIGINT words (``sig0`` = bits 0..31,
+    ``sig1`` = bits 32..63) — the same two-word convention as
+    ``quantize.sign_signature_exprs`` and for the same reason: bit 63
+    would overflow the oracle's signed BIGINT shift, and 32-bit words
+    keep every packed term exact in both engines.
+
+    Reference anchor: the reference dedups text by md5 only
+    (terraform/generate_personalized_commands.sh INSERT dedup keys);
+    image near-dup is its multimodal scale sibling. Runs inside one
+    ``mapInPandas`` Arrow batch — embarrassingly parallel per file
+    split, and only the 16-byte signature (never the decoded image)
+    reaches the shuffle."""
+    if decoder not in ("png", "jpeg"):
+        raise ValueError(f"unknown real decoder {decoder!r}")
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("sig0", T.LongType()),
+            T.StructField("sig1", T.LongType()),
+        ]
+    )
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = decode_png if decoder == "png" else decode_jpeg
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            grays = []
+            for p in pdf[payload_col]:
+                img = nn_resize(dec(p), DHASH_H, DHASH_W).astype(np.int64)
+                grays.append(
+                    (
+                        img[:, :, 0] * 299
+                        + img[:, :, 1] * 587
+                        + img[:, :, 2] * 114
+                    )
+                    // 1000
+                )
+            g = np.stack(grays)  # (n, 8, 9) int64
+            n = len(pdf)
+            bits = (g[:, :, 1:] > g[:, :, :-1]).astype(np.int64).reshape(n, 64)
+            pw = 1 << np.arange(32, dtype=np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "sig0": (bits[:, :32] * pw).sum(axis=1),
+                    "sig1": (bits[:, 32:] * pw).sum(axis=1),
+                },
+                columns=[f.name for f in out_schema.fields],
+            )
+
+    return df.mapInPandas(_proc, schema=out_schema)
+
+
+def decode_pixels(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decoder: str = "png",
+) -> DataFrame:
+    """Decode each payload and emit the FULL pixel stream as one
+    ``array<bigint>`` column (row-major y, x, channel) — the exact
+    ground-truth seam for pixel-distance evals (``dhash_recall_eval``).
+    Bounded eval samples only: at corpus scale ship the 16-byte
+    :func:`dhash_signatures` output, never raw pixels."""
+    if decoder not in ("png", "jpeg"):
+        raise ValueError(f"unknown real decoder {decoder!r}")
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("pixels", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = decode_png if decoder == "png" else decode_jpeg
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "pixels": [
+                        dec(p).astype(np.int64).reshape(-1).tolist()
+                        for p in pdf[payload_col]
+                    ],
+                },
+                columns=[f.name for f in out_schema.fields],
+            )
+
+    return df.mapInPandas(_proc, schema=out_schema)
+
+
 def sample_video_frames(
     df: DataFrame,
     payload_col: str = "payload",
@@ -887,11 +994,22 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
     frame = None  # (h, w, comps) ; comps = [(cid, qid)]
     scan = None  # [(cid, dc_id, ac_id)], entropy data
-    while pos + 4 <= len(payload):
+    while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before the
+        # marker id — skip them (real-world encoders emit these)
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            # parameterless markers: TEM / stray RSTn outside a scan —
+            # zero-length, no segment header follows (T.81 B.1.1.3)
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
             break
         (seg_len,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         data = payload[pos + 4 : pos + 2 + seg_len]

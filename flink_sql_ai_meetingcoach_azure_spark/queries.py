@@ -13475,7 +13475,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "qid",
             "id_a",
             "id_b",
-            (F.round(cosine_similarity_col("va", "vb"), 6) * 1_000_000)
+            F.round(F.round(cosine_similarity_col("va", "vb"), 6) * 1_000_000)
             .cast("bigint")
             .alias("sim_dd_ppm"),
         )
@@ -13720,7 +13720,11 @@ def q_knn_hubness_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     knn_hubness's oracle: the route flip is value-invisible (round_sim=6
     pins the k-cut to the oracle's ranking on both routes). The packed
     result array is rank-ordered, so self-exclusion = drop the qid
-    element of the top-(k+1) — no re-ranking join needed."""
+    element of the top-(k+1) and keep the first HUB_K remaining by
+    array position (positions encode the (sim DESC, vec_id ASC)
+    ranking, so this is the same re-rank q_knn_hubness applies — and
+    it guards the ties-at-1.000000 edge where self misses its own
+    top-(k+1) and k+1 rows would otherwise survive)."""
     _prep(spark)
     from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # noqa: PLC0415
         vector_search_ivf_parquet,
@@ -13739,9 +13743,16 @@ def q_knn_hubness_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_col="search_results",
         round_sim=6,
     )
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    w = Window.partitionBy("qid").orderBy(F.asc("pos"))
     topk = (
-        hits.select("qid", F.explode("search_results").alias("__s"))
+        hits.select(
+            "qid", F.posexplode("search_results").alias("pos", "__s")
+        )
         .filter(F.col("__s.vec_id") != F.col("qid"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HUB_K)
         .select("qid", F.col("__s.vec_id").alias("vec_id"))
     )
     occ = topk.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_hits"))
@@ -13859,7 +13870,9 @@ def q_mmr_diversity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("id_a") < F.col("id_b"))
             .select(
                 "qid",
-                (F.round(cosine_similarity_col("va", "vb"), 6) * 1_000_000)
+                F.round(
+                    F.round(cosine_similarity_col("va", "vb"), 6) * 1_000_000
+                )
                 .cast("bigint")
                 .alias("ps"),
             )
@@ -13990,7 +14003,10 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "eval_id",
-            (F.round(cosine_similarity_col("embedding", "__ev"), 6) * 1_000_000)
+            F.round(
+                F.round(cosine_similarity_col("embedding", "__ev"), 6)
+                * 1_000_000
+            )
             .cast("bigint")
             .alias("sim_ppm"),
         )
@@ -14307,6 +14323,296 @@ ORDER BY doc_id
 """
 
 
+DHASH_MAX_ID = 160  # 40 groups of 4 members
+DHASH_T = 7  # 8 bands x 8 bits: pigeonhole-lossless for hamming <= 7
+DHASH_PD_T = 4000  # exact-L1 pixel-distance ground-truth threshold
+
+
+def _dhash_fixture_media(docs: DataFrame) -> DataFrame:
+    """Deterministic PNG near-dup corpus for the image-dedup entries:
+    doc_id//4 picks a GROUP whose 8 per-row gradient DIRECTIONS
+    ``d_k = ((gid·37 + k·11) % 5) % 2`` define the image; doc_id%4
+    picks the MEMBER perturbation — m=0 base, m=1 uniform +4
+    brightness (dHash-invariant), m=2 flips comparisons k>=7 on the
+    bottom row only (2 signature bits), m=3 flips k>=4 on every row
+    (40 bits — a different image, not a near-dup). Cells are 2x2
+    pixel blocks (16x18 image) so the real nn_resize to the 8x9 dHash
+    grid lands exactly on cell corners; channels are (G, G+1, G+2) so
+    integer grayscale recovers G exactly. Values stay in 14..230 —
+    no wrap, no clamp, closed-form for the SQL oracle."""
+    import pyspark.sql.types as T  # noqa: PLC0415
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+        encode_png,
+    )
+
+    def _make(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                gid, m = did // 4, did % 4
+                k = np.arange(1, 9)
+                d = ((gid * 37 + k * 11) % 5) % 2  # (8,) direction bits
+                eff = np.tile(d, (8, 1))  # (row i, comparison k)
+                if m == 2:
+                    eff[7, 6:] = 1 - eff[7, 6:]
+                elif m == 3:
+                    eff[:, 3:] = 1 - eff[:, 3:]
+                s = np.concatenate(
+                    [np.zeros((8, 1), dtype=np.int64), np.cumsum(eff, axis=1)],
+                    axis=1,
+                )  # (8, 9) prefix direction sums
+                j = np.arange(9)
+                gcell = (
+                    110
+                    + 2 * np.arange(8)[:, None]
+                    + 12 * (2 * s - j[None, :])
+                )
+                if m == 1:
+                    gcell = gcell + 4
+                gpix = np.repeat(np.repeat(gcell, 2, axis=0), 2, axis=1)
+                img = np.stack(
+                    [gpix, gpix + 1, gpix + 2], axis=2
+                ).astype("uint8")
+                h = img.shape[0]
+                payloads.append(
+                    bytearray(encode_png(img, 2, [r % 5 for r in range(h)]))
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(
+        _make,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def _dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH dHash pair search shared by image_neardup and
+    dhash_recall_eval: signatures via the REAL PNG codec
+    (multimodal.dhash_signatures), then 8 bands of 8 bits each — by
+    pigeonhole, any pair at hamming <= 7 agrees exactly on >= 1 band,
+    so the band join is a LOSSLESS prefilter at this threshold (never
+    all-pairs; at 100 TB each band bucket holds only byte-equal
+    signature slices). Exact hamming = bit_count(xor) over the two
+    32-bit words confirms candidates."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+        dhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < DHASH_MAX_ID
+    ).select("doc_id")
+    media = _dhash_fixture_media(docs)
+    sigs = dhash_signatures(media, id_col="doc_id").localCheckpoint(
+        eager=False  # feeds both sides of the band self-join
+    )
+    banded = sigs.select(
+        "doc_id",
+        "sig0",
+        "sig1",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col(f"sig{b // 4}"), 8 * (b % 4))
+                        .bitwiseAND(F.lit(255))
+                        .alias("bval"),
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("bb"),
+    ).select("doc_id", "sig0", "sig1", "bb.band", "bb.bval")
+    a = banded.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("sig0").alias("a0"),
+        F.col("sig1").alias("a1"),
+        "band",
+        "bval",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("sig0").alias("b0"),
+        F.col("sig1").alias("b1"),
+        "band",
+        "bval",
+    )
+    ham = (
+        F.bit_count(F.col("a0").bitwiseXOR(F.col("b0")))
+        + F.bit_count(F.col("a1").bitwiseXOR(F.col("b1")))
+    ).cast("bigint")
+    return (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "a0", "a1", "b0", "b1")
+        .distinct()  # a pair may share several bands
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= DHASH_T)
+    )
+
+
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE near-dup over the REAL PNG codec path —
+    the multimodal member of the dedup family (VERDICT r11 #1:
+    near-identical images dominate web-scale corpora; text/embedding
+    dedup alone leaves them in). Per doc a spec-correct PNG is encoded
+    from the closed-form near-dup fixture (_dhash_fixture_media),
+    decoded by operators/multimodal.py::decode_png, nn-resized to the
+    8x9 dHash grid, grayscaled in exact integers and sign-bit-packed
+    (dhash_signatures); pairs at hamming <= 7 surface via the
+    pigeonhole-LOSSLESS 8x8-bit band join (never all-pairs — the same
+    banding contract as lsh_pairs/simhash_pairs, quantize
+    sign-signature convention for the words). The oracle replays
+    direction bits, packing, and hamming in pure SQL, so a wrong
+    inflate, unfilter branch, resize index, grayscale truncation, bit
+    order, or band math all break the hash."""
+    _prep(spark)
+    return _dhash_pairs(spark, sf_dir).orderBy("doc_a", "doc_b")
+
+
+def _sql_dhash_sig_ctes() -> str:
+    """Shared oracle CTE block: closed-form per-doc dHash direction
+    bits and the packed 2x32-bit signature words."""
+    return f"""
+d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+      FROM documents WHERE doc_id < {DHASH_MAX_ID}),
+eff AS (SELECT doc_id, m, i, k,
+               CASE WHEN (m = 2 AND i = 7 AND k >= 7) OR (m = 3 AND k >= 4)
+                    THEN 1 - ((gid * 37 + k * 11) % 5) % 2
+                    ELSE ((gid * 37 + k * 11) % 5) % 2 END AS dk
+        FROM d, unnest(range(0, 8)) AS ii(i), unnest(range(1, 9)) AS kk(k)),
+sig AS (SELECT doc_id,
+               CAST(sum(CASE WHEN i * 8 + k - 1 < 32
+                             THEN dk * (1::BIGINT << (i * 8 + k - 1))
+                             ELSE 0 END) AS BIGINT) AS sig0,
+               CAST(sum(CASE WHEN i * 8 + k - 1 >= 32
+                             THEN dk * (1::BIGINT << (i * 8 + k - 33))
+                             ELSE 0 END) AS BIGINT) AS sig1
+        FROM eff GROUP BY doc_id)
+"""
+
+
+def _sql_image_neardup() -> str:
+    return f"""
+WITH {_sql_dhash_sig_ctes()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig0, b.sig0))
+            + bit_count(xor(a.sig1, b.sig1)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig0, b.sig0)) + bit_count(xor(a.sig1, b.sig1))
+      <= {DHASH_T}
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_dhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the dHash band pair search against EXACT
+    pixel-distance ground truth — the eval-discipline sibling every
+    approximate dedup rung in this repo ships with (lsh_recall_eval,
+    simhash_recall_eval; a perceptual hash without a measured recall
+    is a guess). Ground truth = pairs whose exact L1 distance over the
+    REAL decoded full-resolution pixels (decode_pixels; 16x18x3
+    integers) is <= DHASH_PD_T (4000); predicted = the hamming<=7 band
+    pairs. One summary row of exact integer counts + ppm rates. Note
+    what it measures: a uniform +4 brightness shift is a LARGE L1
+    move but hamming 0 (caught), while a single cross-group
+    last-column direction flip is a small L1 move at hamming 8
+    (missed) — exactly the trade a gradient hash makes."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+        decode_pixels,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < DHASH_MAX_ID
+    ).select("doc_id")
+    media = _dhash_fixture_media(docs)
+    px = decode_pixels(media, id_col="doc_id").select(
+        "doc_id", F.posexplode("pixels").alias("pos", "val")
+    )
+    pa = px.select(
+        F.col("doc_id").alias("doc_a"), "pos", F.col("val").alias("va")
+    )
+    pb = px.select(
+        F.col("doc_id").alias("doc_b"), "pos", F.col("val").alias("vb")
+    )
+    truth = (
+        pa.join(pb, "pos")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.abs(F.col("va") - F.col("vb"))).alias("pdist"))
+        .filter(F.col("pdist") <= DHASH_PD_T)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    pred = _dhash_pairs(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint(
+        eager=False
+    )
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_pred = pred.agg(F.count(F.lit(1)).alias("n_pred"))
+    n_hit = truth.join(pred, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_true.crossJoin(n_pred)
+        .crossJoin(n_hit)
+        .select(
+            F.col("n_true").cast("bigint").alias("n_true"),
+            F.col("n_pred").cast("bigint").alias("n_pred"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.expr("n_hit * 1000000L div n_true").alias("recall_ppm"),
+            F.expr("n_hit * 1000000L div n_pred").alias("precision_ppm"),
+        )
+    )
+
+
+def _sql_dhash_recall_eval() -> str:
+    return f"""
+WITH {_sql_dhash_sig_ctes()},
+g AS (SELECT doc_id, i, j,
+             110 + 2 * i + 12 * (2 * s - j)
+               + CASE WHEN m = 1 THEN 4 ELSE 0 END AS gv
+      FROM (
+        SELECT doc_id, m, i, k AS j,
+               sum(dk) OVER (PARTITION BY doc_id, i ORDER BY k) AS s
+        FROM eff
+        UNION ALL
+        SELECT DISTINCT doc_id, m, i, 0 AS j, 0 AS s FROM eff
+      )),
+dist AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                12 * sum(abs(a.gv - b.gv)) AS pdist
+         FROM g a JOIN g b ON a.i = b.i AND a.j = b.j
+                          AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+truth AS (SELECT doc_a, doc_b FROM dist WHERE pdist <= {DHASH_PD_T}),
+pred AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig0, b.sig0))
+               + bit_count(xor(a.sig1, b.sig1)) <= {DHASH_T}),
+hit AS (SELECT count(*) AS n_hit FROM truth JOIN pred USING (doc_a, doc_b))
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM pred) AS BIGINT) AS n_pred,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(n_hit * 1000000 // (SELECT count(*) FROM truth) AS BIGINT)
+         AS recall_ppm,
+       CAST(n_hit * 1000000 // (SELECT count(*) FROM pred) AS BIGINT)
+         AS precision_ppm
+FROM hit
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # ---- driver-verified window (entries 1-50) ----
     # Round-11 rotation (VERDICT r10 #2): the first 14 entries are this
@@ -14373,6 +14679,12 @@ QUERIES: dict[str, QuerySpec] = {
     "md_structure": QuerySpec(q_md_structure, SQL_MD_STRUCTURE),
     "jpeg_decode_stats": QuerySpec(
         q_jpeg_decode_stats, _sql_jpeg_decode_stats()
+    ),
+    # r12 additions — straight into the window (header note): the
+    # image-dedup family over the REAL PNG codec path
+    "image_neardup": QuerySpec(q_image_neardup, _sql_image_neardup()),
+    "dhash_recall_eval": QuerySpec(
+        q_dhash_recall_eval, _sql_dhash_recall_eval()
     ),
     # ---- ballast: r10-externally-green lines (incl. every entry whose
     # code the r11 refactors touched: cusum_changepoint / ks_drift /

@@ -28,7 +28,7 @@ def test_entry_contract_shape():
     # out-of-window set. Round 11 rotated the window again (VERDICT r10
     # #2): the 13 late-r10 additions that had never been in an external
     # driver window occupy the front with the re-encoded context_windows
-    # (scalar ctx columns, VERDICT r10 #1) and the three NEW r11
+    # (scalar ctx columns, VERDICT r10 #1) and the ten NEW r11
     # entries (ann_hamming / mmr_rerank / knn_hubness / hamming_recall_eval
     # / mmr_diversity_eval / semantic_decontaminate / knn_hubness_ivf / quantile_normalize / md_structure / jpeg_decode_stats — new work goes
     # straight into the window so it cannot re-open the external-
@@ -38,6 +38,12 @@ def test_entry_contract_shape():
     # Every tail entry below was externally hash-checked in at least one
     # r1-r10 driver window. All further changes are gated here.
     assert list(qs)[50:] == [
+        # r12 interim: image_neardup + dhash_recall_eval entered the
+        # window on addition (header rule), displacing the two entries
+        # below to the tail head; the full r12 stale-evidence rotation
+        # (VERDICT r11 #4) happens later this round
+        "simhash_recall_eval",  # externally checked r11; displaced by the r12 additions
+        "ddl_reference_pipeline",  # externally checked r11; displaced by the r12 additions
         "source_overlap",  # externally checked r10; rotated out mid-r11 (slot handed to the r11 additions)
         "ngram_novelty",  # externally checked r10; rotated out mid-r11 (slot handed to the r11 additions)
         "event_rate_anomaly",  # externally checked r10; rotated out mid-r11 (slot handed to the r11 additions)

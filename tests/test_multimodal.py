@@ -388,3 +388,135 @@ def test_decode_jpeg_baseline_roundtrip():
     # non-JPEG refuses loudly
     with _pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
+
+
+def test_dhash_signature_brightness_invariant(spark):
+    """dHash over the REAL PNG path: a uniform brightness shift leaves
+    the signature untouched (gradient hash), a gradient-direction flip
+    moves exactly the flipped bits, and the packed words match an
+    independent bit-by-bit recomputation from the source pixels."""
+    import numpy as np
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        dhash_signatures,
+        encode_png,
+        nn_resize,
+    )
+
+    rng = np.random.RandomState(7)
+    base = rng.randint(10, 240, (16, 18, 3)).astype(np.uint8)
+    shifted = np.clip(base.astype(np.int64) + 5, 0, 255).astype(np.uint8)
+    rows = [
+        (1, bytearray(encode_png(base, 2, [r % 5 for r in range(16)]))),
+        (2, bytearray(encode_png(shifted, 2, [r % 5 for r in range(16)]))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: (r.sig0, r.sig1) for r in
+           dhash_signatures(df).collect()}
+    # independent recomputation from the source array
+    g = nn_resize(base, 8, 9).astype(np.int64)
+    gray = (g[:, :, 0] * 299 + g[:, :, 1] * 587 + g[:, :, 2] * 114) // 1000
+    bits = (gray[:, 1:] > gray[:, :-1]).astype(np.int64).reshape(64)
+    pw = 1 << np.arange(32, dtype=np.int64)
+    exp = (int((bits[:32] * pw).sum()), int((bits[32:] * pw).sum()))
+    assert got[1] == exp
+    # +5 everywhere cannot move any within-row comparison
+    assert got[2] == got[1]
+    assert 0 <= exp[0] < 2**32 and 0 <= exp[1] < 2**32
+
+
+def test_dhash_band_prefilter_lossless(spark):
+    """The 8x8-bit band join is a LOSSLESS prefilter at hamming <= 7
+    (pigeonhole: 8 differing bands would mean hamming >= 8) — the
+    banded pair set over the fixture corpus equals the brute-force
+    all-pairs filter, and every reported hamming is the true bit
+    distance."""
+    from flink_sql_ai_meetingcoach_azure_spark.queries import (
+        DHASH_T,
+        _dhash_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in _dhash_pairs(spark, sf).collect()
+    }
+    # brute force over the same signatures
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        dhash_signatures,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.queries import (
+        DHASH_MAX_ID,
+        _dhash_fixture_media,
+        _t,
+    )
+
+    docs = _t(spark, sf, "documents").filter(
+        F.col("doc_id") < DHASH_MAX_ID
+    ).select("doc_id")
+    sigs = {
+        r.doc_id: (r.sig0, r.sig1)
+        for r in dhash_signatures(
+            _dhash_fixture_media(docs), id_col="doc_id"
+        ).collect()
+    }
+    exp = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sigs[a][0] ^ sigs[b][0]).count("1") + bin(
+                sigs[a][1] ^ sigs[b][1]
+            ).count("1")
+            if h <= DHASH_T:
+                exp[(a, b)] = h
+    assert got == exp
+    assert len(exp) > 0  # the fixture actually produces near-dups
+
+
+def test_decode_pixels_roundtrip(spark):
+    """decode_pixels emits the exact row-major pixel stream of the
+    encoded image — the ground-truth seam for pixel-distance evals."""
+    import numpy as np
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        decode_pixels,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (6, 7, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(9, bytearray(encode_png(img, 2, [r % 5 for r in range(6)])))],
+        "media_id long, payload binary",
+    )
+    [row] = decode_pixels(df).collect()
+    assert row.pixels == [int(v) for v in img.reshape(-1)]
+
+
+def test_decode_jpeg_fill_bytes_and_tem():
+    """T.81-legal noise real encoders emit: 0xFF fill bytes padding
+    before a marker and the parameterless TEM (0x01) marker must not
+    desync the marker walk (ADVICE r11)."""
+    import numpy as np
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    q = np.full((8, 8), 16, dtype=np.int64)
+    cg = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    cg[:, :, 0, 0] = [[4, -8], [2, 7]]
+    clean = encode_jpeg([cg], q, 16, 16)
+    expect = decode_jpeg(clean)
+    # inject fill bytes + TEM right after SOI, and fill bytes before SOS
+    sos = clean.find(b"\xff\xda")
+    noisy = (
+        clean[:2]
+        + b"\xff\xff\xff\x01"  # fill, fill, TEM
+        + clean[2:sos]
+        + b"\xff"  # a fill byte gluing onto SOS's own 0xFF
+        + clean[sos:]
+    )
+    got = decode_jpeg(noisy)
+    assert np.array_equal(got, expect)
