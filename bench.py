@@ -248,6 +248,7 @@ BENCH_QUERIES = [
     "dsir_weights",
     "knn_classify",
     "knn_classify_ivf",  # the route-flip form (IVF-parquet probe)
+    "semantic_decontaminate_ivf",  # r12: decontamination route-flip (eval-set IVF)
     "cusum_changepoint",
     "fk_integrity",
     "group_moments",

@@ -14044,6 +14044,112 @@ ORDER BY vec_id
 """
 
 
+SEMDECON_IVF_CEILING = 16  # rows: deliberately below the eval-set size
+
+
+def _semdecon_ivf_index_path(spark: SparkSession, sf_dir: str) -> str:
+    """On-disk IVF index over the EVAL stand-in set — the artifact
+    ``q_semantic_decontaminate_ivf`` probes when the eval side is
+    declared over the broadcast ceiling. Same (applicationId, sf_dir)
+    cache discipline as :func:`_ivf_index_path`; nlist=4 so
+    ``fallback_nprobe=4`` makes the probe exhaustive (exact,
+    oracle-shared results)."""
+    import hashlib  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # noqa: PLC0415
+        build_ivf_index,
+        write_ivf_index,
+    )
+
+    app = spark.sparkContext.applicationId
+    key = (app, sf_dir, "semdecon_eval")
+    path = _IVF_CACHE.get(key)
+    if path is None:
+        emb = _t(spark, sf_dir, "embeddings")
+        ev = emb.filter(
+            (F.col("vec_id") % SEMDECON_MOD == 0)
+            & (F.col("vec_id") < SEMDECON_EVAL_MAX)
+        ).select("vec_id", "embedding")
+        ivf, centroids = build_ivf_index(ev, nlist=4)
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = f"{tempfile.gettempdir()}/ivf_semdecon_{app}_{tag}/index"
+        write_ivf_index(ivf, centroids, path)
+        _IVF_CACHE[key] = path
+    return path
+
+
+def q_semantic_decontaminate_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``semantic_decontaminate`` through the NON-broadcast route — the
+    proof of its docstring's claim that the predicate "routes through
+    the IVF rungs when the eval set outgrows broadcast" (VERDICT r11
+    #6; the knn_classify_ivf treatment applied to decontamination).
+    The eval side is declared over the broadcast ceiling
+    (``max_index_rows=SEMDECON_IVF_CEILING`` < eval rows at every SF),
+    so :func:`operators.vector_search.vector_search` takes its guarded
+    fallback and each train vector probes the on-disk IVF index over
+    the eval set (parquet PARTITIONED BY centroid_id, pruned at the
+    scan). ``fallback_nprobe == nlist`` probes every cell, so the
+    top-1 eval neighbor is EXACT and the entry SHARES
+    semantic_decontaminate's oracle; ``round_sim=6`` pins the
+    (sim DESC, eval_id ASC) argmax to the oracle's ranking on both
+    routes. sim_ppm is then re-derived on the (train, top-1) pair —
+    one bounded join against the eval-sized side, never a second
+    corpus pass."""
+    _prep(spark)
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # noqa: PLC0415
+        vector_search,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    ev = emb.filter(
+        (F.col("vec_id") % SEMDECON_MOD == 0)
+        & (F.col("vec_id") < SEMDECON_EVAL_MAX)
+    ).select("vec_id", "embedding")
+    train = emb.filter(F.col("vec_id") % SEMDECON_MOD != 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    hits = vector_search(
+        train,
+        ev,
+        k=1,
+        payload_cols=["vec_id"],
+        max_index_rows=SEMDECON_IVF_CEILING,
+        fallback_path=_semdecon_ivf_index_path(spark, sf_dir),
+        fallback_nprobe=4,
+        round_sim=6,
+    )
+    top1 = hits.select(
+        "qid", "embedding", F.explode("search_results").alias("__s")
+    ).select("qid", "embedding", F.col("__s.vec_id").alias("eval_id"))
+    evv = ev.select(
+        F.col("vec_id").alias("eval_id"), F.col("embedding").alias("__ev")
+    )
+    # guard the ties-at-top edge exactly like the broadcast form's
+    # row_number pin: k=1 already returns one row per qid, but re-assert
+    sims = top1.join(F.broadcast(evv), "eval_id").select(
+        F.col("qid").alias("vec_id"),
+        "eval_id",
+        F.round(
+            F.round(cosine_similarity_col("embedding", "__ev"), 6)
+            * 1_000_000
+        )
+        .cast("bigint")
+        .alias("sim_ppm"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("sim_ppm"), F.asc("eval_id")
+    )
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter((F.col("rk") == 1) & (F.col("sim_ppm") >= SEMDECON_TAU_PPM))
+        .select("vec_id", "eval_id", "sim_ppm")
+        .orderBy("vec_id")
+    )
+
+
 def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source QUANTILE NORMALIZATION of a document metric onto the
     global distribution — the batch-effect correction a multi-source
@@ -14672,6 +14778,11 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "semantic_decontaminate": QuerySpec(
         q_semantic_decontaminate, _sql_semantic_decontaminate()
+    ),
+    # r12: route-flip sibling — shares the oracle (nprobe == nlist makes
+    # the eval-index probe exhaustive, so the flag set is value-identical)
+    "semantic_decontaminate_ivf": QuerySpec(
+        q_semantic_decontaminate_ivf, _sql_semantic_decontaminate()
     ),
     "quantile_normalize": QuerySpec(
         q_quantile_normalize, SQL_QUANTILE_NORMALIZE

@@ -42,6 +42,7 @@ def test_entry_contract_shape():
         # window on addition (header rule), displacing the two entries
         # below to the tail head; the full r12 stale-evidence rotation
         # (VERDICT r11 #4) happens later this round
+        "wav_decode_stats",  # externally checked r11; displaced by the r12 additions
         "simhash_recall_eval",  # externally checked r11; displaced by the r12 additions
         "ddl_reference_pipeline",  # externally checked r11; displaced by the r12 additions
         "source_overlap",  # externally checked r10; rotated out mid-r11 (slot handed to the r11 additions)
