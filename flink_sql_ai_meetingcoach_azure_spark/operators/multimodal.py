@@ -652,15 +652,15 @@ def decode_and_featurize(
             if not len(pdf):
                 continue
             if decoder == "real":
-                # REAL-DECODER SEAM (narrowed again in r11: baseline JPEG
-                # decodes for real via decoder='jpeg' — stdlib+numpy
-                # entropy decode + IDCT; PNG via decoder='png' since r10):
-                # this branch remains for progressive JPEG/WebP/..., which
+                # REAL-DECODER SEAM (narrowed again in r12: progressive
+                # JPEG now decodes for real via decoder='jpeg' — Annex G
+                # multi-scan path; baseline JPEG since r11, PNG since
+                # r10): this branch remains for WebP/AVIF/..., which
                 # need PIL/opencv
                 raise NotImplementedError(
-                    "progressive-JPEG/WebP decoding requires PIL/opencv "
-                    "(not in this container); use decoder='png'/'jpeg' "
-                    "for real baseline images or decoder='fake'"
+                    "WebP/AVIF decoding requires PIL/opencv (not in "
+                    "this container); use decoder='png'/'jpeg' for real "
+                    "PNG or baseline/progressive JPEG, or decoder='fake'"
                 )
             # decode per item (a real codec is per-item too), then compute
             # every statistic over the STACKED batch — one numpy pass
@@ -858,12 +858,14 @@ def sample_video_frames(
 # VERDICT r10 "What's missing" #3: JPEG was meta-only). Pure stdlib +
 # numpy: canonical Huffman tables from DHT, entropy decode with byte
 # unstuffing, DC prediction, run-length AC, dezigzag, dequant, float64
-# IDCT, level shift — the full baseline-sequential pipeline (ITU T.81
-# §F). Supported: SOF0/SOF1, 8-bit, grayscale or 3-component 4:4:4,
-# no restart markers, no progressive (SOF2) — those raise loudly, the
-# narrowed documented seam. Reference anchor: the reference app serves
-# static JPEG/PNG assets (app/static/) and its pipeline treats media as
-# opaque blobs; decode-side analytics is the beyond-reference layer.
+# IDCT, level shift — the baseline-sequential pipeline (ITU T.81 §F)
+# plus the PROGRESSIVE pipeline (Annex G: spectral selection,
+# successive approximation, EOB runs — r12). Supported: SOF0/SOF1/SOF2,
+# 8-bit, grayscale or 3-component with sampling factors in {1,2},
+# restart intervals (baseline scans). Remaining seams raise loudly.
+# Reference anchor: the reference app serves static JPEG/PNG assets
+# (app/static/) and its pipeline treats media as opaque blobs;
+# decode-side analytics is the beyond-reference layer.
 
 # zigzag scan order: _ZIGZAG[k] = (row, col) of the k-th coefficient
 _ZIGZAG = [
@@ -975,12 +977,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     DQT/DHT/SOF0/SOS parse, byte-unstuffed Huffman entropy decode with
     DC prediction and run-length AC, dezigzag, dequant, float64 IDCT
     (T.81 §A.3.3), level shift, JFIF YCbCr→RGB. Returns (H, W, 3)
-    uint8. Supported: SOF0/SOF1 8-bit, grayscale or 3-component with
-    sampling factors in {1,2} (4:4:4 / 4:2:2 / 4:2:0 — interleaved
-    T.81 §A.2.3 MCU order, subsampled planes upsampled by replication),
-    restart intervals (DRI/RSTn resync with predictor reset) handled;
-    SOF2 progressive / sampling factors > 2 raise NotImplementedError
-    (the narrowed documented seam).
+    uint8. Supported: SOF0/SOF1 baseline AND SOF2 progressive (T.81
+    Annex G via :func:`_decode_progressive` — spectral selection,
+    successive approximation, EOB runs; r12), 8-bit, grayscale or
+    3-component with sampling factors in {1,2} (4:4:4 / 4:2:2 / 4:2:0 —
+    interleaved T.81 §A.2.3 MCU order, subsampled planes upsampled by
+    replication), restart intervals in baseline scans (DRI/RSTn resync
+    with predictor reset); sampling factors > 2 and progressive restart
+    intervals raise NotImplementedError (the narrowed documented seam).
     Rounding convention everywhere: floor(x + 0.5) — reproducible in
     closed-form SQL oracles (no bankers' rounding)."""
     import struct  # noqa: PLC0415
@@ -994,6 +998,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     huff: dict[tuple[int, int], dict] = {}  # (class 0=DC/1=AC, id) -> table
     frame = None  # (h, w, comps) ; comps = [(cid, qid)]
     scan = None  # [(cid, dc_id, ac_id)], entropy data
+    progressive = False
+    scans: list = []  # SOF2: (sel, ss, se, ah, al, segs, huff-snapshot)
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
@@ -1036,7 +1042,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     (c, ln): sym for sym, (c, ln) in codes.items()
                 }
                 i += 17 + nv
-        elif marker in (0xC0, 0xC1):  # SOF0/1: baseline (extended) seq.
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog.
             h, w = struct.unpack(">HH", data[1:5])
             ncomp = data[5]
             comps = []
@@ -1049,8 +1055,7 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                     )
                 comps.append((cid, qid, sh, sv))
             frame = (h, w, comps)
-        elif marker == 0xC2:
-            raise NotImplementedError("progressive JPEG unsupported")
+            progressive = marker == 0xC2
         elif marker == 0xDD:  # DRI: restart interval in MCUs (0 = off)
             (dri,) = struct.unpack(">H", data[:2])
         elif marker == 0xDA:  # SOS — entropy data follows the header
@@ -1059,6 +1064,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ns):
                 cid, tt = data[1 + 2 * c], data[2 + 2 * c]
                 sel.append((cid, tt >> 4, tt & 0xF))
+            ss, se = data[1 + 2 * ns], data[2 + 2 * ns]
+            ah, al = data[3 + 2 * ns] >> 4, data[3 + 2 * ns] & 0xF
             raw = payload[pos + 2 + seg_len :]
             # unstuff FF00 -> FF; split on RSTn (FFD0-FFD7) into restart
             # segments; any other FFxx ends the scan
@@ -1081,12 +1088,24 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 out.append(b)
                 j += 1
             segs.append(bytes(out))
-            scan = (sel, segs)
-            break
+            if not progressive:
+                scan = (sel, segs)
+                break
+            # progressive: scans reference the tables in force when the
+            # scan starts (DHT may redefine ids between scans)
+            scans.append((sel, ss, se, ah, al, segs, dict(huff)))
+            if dri:
+                raise NotImplementedError(
+                    "restart intervals in progressive scans unsupported"
+                )
+            pos = pos + 2 + seg_len + j
+            continue
         pos += 2 + seg_len
-    if frame is None or scan is None:
+    if frame is None or (scan is None and not scans):
         raise ValueError("JPEG without SOF/SOS")
     h, w, comps = frame
+    if progressive:
+        return _decode_progressive(h, w, comps, qtables, scans)
     sel, segs = scan
     meta_by_cid = {cid: (qid, sh, sv) for cid, qid, sh, sv in comps}
     hmax = max(sh for _, _, sh, _ in comps)
@@ -1154,6 +1173,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         yy = (my * sv + bv) * 8
                         xx = (mx * sh + bh) * 8
                         planes[cid][yy : yy + 8, xx : xx + 8] = pix
+    return _jpeg_planes_to_rgb(
+        planes, [cid for cid, _, _ in sel], meta_by_cid, hmax, vmax
+    )
+
+
+def _jpeg_planes_to_rgb(
+    planes: dict, order: list[int], meta_by_cid: dict, hmax: int, vmax: int
+) -> np.ndarray:
+    """Shared JPEG reconstruction tail (baseline + progressive):
+    replication upsample of subsampled planes, level shift,
+    floor(x+.5) rounding, JFIF YCbCr→RGB."""
     # upsample subsampled planes to full resolution by pixel replication
     # (nearest-neighbor — the simplest T.81-legal reconstruction; the
     # fixture encoder produces box-constant chroma so this is exact)
@@ -1166,19 +1196,177 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 axis=1,
             )
     # level shift + floor(x+.5) rounding, then color convert
-    if len(sel) == 1:
-        g = np.clip(np.floor(planes[sel[0][0]] + 128.0 + 0.5), 0, 255)
+    if len(order) == 1:
+        g = np.clip(np.floor(planes[order[0]] + 128.0 + 0.5), 0, 255)
         return np.repeat(g.astype(np.uint8)[:, :, None], 3, axis=2)
-    if len(sel) != 3:
-        raise NotImplementedError(f"{len(sel)}-component JPEG unsupported")
-    y = planes[sel[0][0]] + 128.0
-    cb = planes[sel[1][0]] + 128.0
-    cr = planes[sel[2][0]] + 128.0
+    if len(order) != 3:
+        raise NotImplementedError(f"{len(order)}-component JPEG unsupported")
+    y = planes[order[0]] + 128.0
+    cb = planes[order[1]] + 128.0
+    cr = planes[order[2]] + 128.0
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     b = y + 1.772 * (cb - 128.0)
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.floor(rgb + 0.5), 0, 255).astype(np.uint8)
+
+
+def _decode_progressive(
+    h: int, w: int, comps: list, qtables: dict, scans: list
+) -> np.ndarray:
+    """SOF2 progressive decode (T.81 Annex G, Huffman): coefficients
+    accumulate across scans in zigzag order — DC first scans carry the
+    point-transformed value << Al with prediction, DC refinement scans
+    one bit per block, AC first scans spectral bands with EOB-run
+    coding, AC refinement scans correction bits (G.1.2.3) — then one
+    dequant + float64 IDCT per block exactly as the baseline path.
+    Interleaved MCU order for multi-component DC scans; raster order
+    over the component's block grid for single-component scans."""
+    meta_by_cid = {cid: (qid, sh, sv) for cid, qid, sh, sv in comps}
+    hmax = max(sh for _, _, sh, _ in comps)
+    vmax = max(sv for _, _, _, sv in comps)
+    if (h % (8 * vmax)) or (w % (8 * hmax)):
+        raise NotImplementedError(
+            "dims must be MCU-aligned (no edge-padding support)"
+        )
+    mcus_y, mcus_x = h // (8 * vmax), w // (8 * hmax)
+    # zigzag-order coefficient store per component block grid
+    coef = {
+        cid: np.zeros((mcus_y * sv, mcus_x * sh, 64), dtype=np.int64)
+        for cid, _, sh, sv in comps
+    }
+
+    def _blocks_interleaved(sel):
+        """MCU block order (T.81 §A.2.3) for a multi-component scan."""
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for cid, dc_id, ac_id in sel:
+                    _, sh, sv = meta_by_cid[cid]
+                    for bv in range(sv):
+                        for bh in range(sh):
+                            yield cid, dc_id, ac_id, my * sv + bv, mx * sh + bh
+
+    def _blocks_raster(sel):
+        """Raster order over the single component's own block grid."""
+        [(cid, dc_id, ac_id)] = sel
+        _, sh, sv = meta_by_cid[cid]
+        for by in range(mcus_y * sv):
+            for bx in range(mcus_x * sh):
+                yield cid, dc_id, ac_id, by, bx
+
+    for sel, ss, se, ah, al, segs, huff in scans:
+        reader = _BitReader(segs[0])
+        blocks = (
+            _blocks_interleaved(sel) if len(sel) > 1 else _blocks_raster(sel)
+        )
+        if ss == 0:  # DC scan (must be the whole band 0..0)
+            if se != 0:
+                raise ValueError("invalid progressive scan: DC band with AC")
+            if ah == 0:  # first DC scan: predicted, point-transformed
+                pred = {cid: 0 for cid, _, _ in sel}
+                for cid, dc_id, _, by, bx in blocks:
+                    cat = reader.decode_symbol(huff[(0, dc_id)])
+                    diff = _extend(reader.read_bits(cat), cat) if cat else 0
+                    pred[cid] += diff
+                    coef[cid][by, bx, 0] = pred[cid] << al
+            else:  # DC refinement: one bit per block
+                p1 = 1 << al
+                for cid, _, _, by, bx in blocks:
+                    if reader.read_bit():
+                        coef[cid][by, bx, 0] |= p1
+        else:  # AC scan: T.81 requires a single component
+            if len(sel) != 1:
+                raise ValueError("invalid progressive scan: interleaved AC")
+            [(_, _, ac_id)] = sel
+            act = huff[(1, ac_id)]
+            eobrun = 0
+            p1, m1 = 1 << al, -1 << al
+            if ah == 0:  # first AC scan for this band: EOB-run coding
+                for cid, _, _, by, bx in blocks:
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    blk = coef[cid][by, bx]
+                    k = ss
+                    while k <= se:
+                        rs = reader.decode_symbol(act)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r != 15:  # EOBn: run of 2^r (+ ext bits)
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += reader.read_bits(r)
+                                break
+                            k += 16  # ZRL
+                            continue
+                        k += r
+                        if k > se:
+                            raise ValueError("JPEG AC run overflow")
+                        blk[k] = _extend(reader.read_bits(s), s) << al
+                        k += 1
+            else:  # AC refinement (G.1.2.3): correction bits
+                for cid, _, _, by, bx in blocks:
+                    blk = coef[cid][by, bx]
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = reader.decode_symbol(act)
+                            r, s = rs >> 4, rs & 0xF
+                            val = 0
+                            if s == 0:
+                                if r != 15:
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += reader.read_bits(r)
+                                    break
+                                # r == 15: skip 16 zero-history coefs
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "invalid AC refinement size"
+                                    )
+                                val = p1 if reader.read_bit() else m1
+                            while k <= se:
+                                if blk[k] != 0:
+                                    if (
+                                        reader.read_bit()
+                                        and (blk[k] & p1) == 0
+                                    ):
+                                        blk[k] += p1 if blk[k] >= 0 else m1
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if val and k <= se:
+                                blk[k] = val
+                            k += 1
+                    if eobrun > 0:
+                        # correction sweep over the rest of the band
+                        while k <= se:
+                            if blk[k] != 0:
+                                if reader.read_bit() and (blk[k] & p1) == 0:
+                                    blk[k] += p1 if blk[k] >= 0 else m1
+                            k += 1
+                        eobrun -= 1
+    # dequant + IDCT per block — identical math to the baseline path
+    planes = {}
+    for cid, qid, sh, sv in comps:
+        grid = coef[cid]
+        plane = np.zeros((grid.shape[0] * 8, grid.shape[1] * 8))
+        for by in range(grid.shape[0]):
+            for bx in range(grid.shape[1]):
+                block = np.zeros((8, 8), dtype=np.int64)
+                for kk in range(64):
+                    block[_ZIGZAG[kk]] = grid[by, bx, kk]
+                fq = block * qtables[qid]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _IDCT_M.T @ fq.astype(np.float64) @ _IDCT_M
+                )
+        planes[cid] = plane
+    return _jpeg_planes_to_rgb(
+        planes, [cid for cid, _, _, _ in comps], meta_by_cid, hmax, vmax
+    )
 
 
 def encode_jpeg(
@@ -1326,3 +1514,277 @@ def encode_jpeg(
         b"\xff\xd8" + dqt + dht + dri + sof + sos + bytes(ent)
         + b"\xff\xd9"
     )
+
+
+# progressive fixture AC table: every symbol the progressive encoder may
+# emit — EOBn ((r<<4)|0, r 0..14), ZRL (0xF0), and (run, size) for any
+# run 0..15 at sizes 1..10 — all at canonical code length 9 (176 codes
+# in 512 slots: valid Kraft, and the last code is not the all-ones
+# pattern). Annex K's baseline AC table lacks the EOBn symbols, which is
+# why progressive encoders ship their own DHT.
+_PROG_AC_VALS = (
+    [r << 4 for r in range(15)]
+    + [0xF0]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+)
+_PROG_AC_BITS = [0] * 8 + [len(_PROG_AC_VALS)] + [0] * 7
+
+
+def encode_jpeg_progressive(
+    coefs_by_comp: list[np.ndarray],
+    q: np.ndarray,
+    height: int,
+    width: int,
+    sampling: list[tuple[int, int]] | None = None,
+    al: int = 1,
+) -> bytes:
+    """Minimal spec-correct PROGRESSIVE (SOF2) JPEG encoder — the
+    fixture helper that lets round-trips exercise :func:`decode_jpeg`'s
+    Annex G path with real data (the :func:`encode_jpeg` discipline).
+    Scan script, the libjpeg-style successive-approximation ladder: one
+    DC first scan at Al=``al`` (interleaved when ncomp > 1),
+    per-component spectral-selection AC first scans (bands 1-5 and
+    6-63) at Al=``al``, then — for ``al=1`` — the DC refinement scan
+    and per-component AC refinement scans at Ah=1/Al=0: all four Annex
+    G scan kinds, with EOB-run accumulation across blocks and the
+    ZRL/correction-bit buffering of G.1.2.3. DC point transform is the
+    spec's arithmetic right shift; AC is the magnitude shift
+    (sign·(|v|>>Al))."""
+    import struct  # noqa: PLC0415
+
+    if al not in (0, 1):
+        raise ValueError("al must be 0 or 1")
+    dc_codes = _huff_codes(_STD_DC_BITS, _STD_DC_VALS)
+    ac_codes = _huff_codes(_PROG_AC_BITS, _PROG_AC_VALS)
+    ncomp = len(coefs_by_comp)
+    if sampling is None:
+        sampling = [(1, 1)] * ncomp
+    sv0, sh0 = sampling[0][1], sampling[0][0]
+    mcus_y = coefs_by_comp[0].shape[0] // sv0
+    mcus_x = coefs_by_comp[0].shape[1] // sh0
+    bitbuf: list[int] = []
+
+    def zz(ci: int, by: int, bx: int, k: int) -> int:
+        return int(coefs_by_comp[ci][by, bx][_ZIGZAG[k]])
+
+    def put(code: int, length: int) -> None:
+        for i in range(length - 1, -1, -1):
+            bitbuf.append((code >> i) & 1)
+
+    def cat_of(v: int) -> int:
+        c, a = 0, abs(int(v))
+        while a:
+            c += 1
+            a >>= 1
+        return c
+
+    def flush_scan() -> bytes:
+        while len(bitbuf) % 8:
+            bitbuf.append(1)  # pad with 1s (spec §F.1.2.3)
+        out = bytearray()
+        for i in range(0, len(bitbuf), 8):
+            b = 0
+            for j in range(8):
+                b = (b << 1) | bitbuf[i + j]
+            out.append(b)
+            if b == 0xFF:
+                out.append(0x00)  # byte stuffing
+        bitbuf.clear()
+        return bytes(out)
+
+    def blocks_interleaved(cis):
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                for ci in cis:
+                    sh, sv = sampling[ci]
+                    for bv in range(sv):
+                        for bh in range(sh):
+                            yield ci, my * sv + bv, mx * sh + bh
+
+    def blocks_raster(ci):
+        sh, sv = sampling[ci]
+        for by in range(mcus_y * sv):
+            for bx in range(mcus_x * sh):
+                yield ci, by, bx
+
+    def dc_first_scan(cis, al_):
+        pred = {ci: 0 for ci in cis}
+        it = (
+            blocks_interleaved(cis) if len(cis) > 1 else blocks_raster(cis[0])
+        )
+        for ci, by, bx in it:
+            v = zz(ci, by, bx, 0) >> al_  # DC: arithmetic shift (G.1.2.1)
+            diff = v - pred[ci]
+            pred[ci] = v
+            c = cat_of(diff)
+            code, ln = dc_codes[c]
+            put(code, ln)
+            if c:
+                put(diff if diff >= 0 else diff + (1 << c) - 1, c)
+
+    def dc_refine_scan(cis, al_):
+        it = (
+            blocks_interleaved(cis) if len(cis) > 1 else blocks_raster(cis[0])
+        )
+        for ci, by, bx in it:
+            put((zz(ci, by, bx, 0) >> al_) & 1, 1)
+
+    def ac_first_scan(ci, ss, se, al_):
+        eobrun = 0
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_codes[r << 4]
+                put(code, ln)
+                if r:
+                    put(eobrun - (1 << r), r)
+                eobrun = 0
+
+        for _, by, bx in blocks_raster(ci):
+            band = []
+            for k in range(ss, se + 1):
+                v = zz(ci, by, bx, k)
+                band.append((1 if v >= 0 else -1) * (abs(v) >> al_))
+            if not any(band):
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+                continue
+            flush_eobrun()
+            run = 0
+            last_nz = max(i for i, v in enumerate(band) if v)
+            for i, v in enumerate(band):
+                if i > last_nz:
+                    break
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    put(code, ln)
+                    run -= 16
+                s = cat_of(v)
+                code, ln = ac_codes[(run << 4) | s]
+                put(code, ln)
+                put(v if v >= 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last_nz < se - ss:
+                eobrun = 1  # trailing zeros: this block ends with an EOB
+        flush_eobrun()
+
+    def ac_refine_scan(ci, ss, se, al_):
+        eobrun = 0
+        be: list[int] = []  # correction bits buffered across the EOB run
+
+        def flush_eobrun():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                code, ln = ac_codes[r << 4]
+                put(code, ln)
+                if r:
+                    put(eobrun - (1 << r), r)
+                eobrun = 0
+                for bit in be:
+                    put(bit, 1)
+                be.clear()
+
+        for _, by, bx in blocks_raster(ci):
+            absv, sgn = [], []
+            for k in range(ss, se + 1):
+                v = zz(ci, by, bx, k)
+                absv.append(abs(v) >> al_)
+                sgn.append(1 if v >= 0 else 0)
+            eob_i = -1  # index of the LAST newly-significant coefficient
+            for i, t in enumerate(absv):
+                if t == 1:
+                    eob_i = i
+            r = 0
+            br: list[int] = []  # pending correction bits within the block
+            for i, t in enumerate(absv):
+                if t == 0:
+                    r += 1
+                    continue
+                # ZRLs required, unless foldable into the EOB (G.1.2.3)
+                while r > 15 and i <= eob_i:
+                    flush_eobrun()
+                    code, ln = ac_codes[0xF0]
+                    put(code, ln)
+                    r -= 16
+                    for bit in br:
+                        put(bit, 1)
+                    br = []
+                if t > 1:  # already significant: one correction bit
+                    br.append(t & 1)
+                    continue
+                # newly significant: (run, 1) + sign bit
+                flush_eobrun()
+                code, ln = ac_codes[(r << 4) | 1]
+                put(code, ln)
+                put(sgn[i], 1)
+                for bit in br:
+                    put(bit, 1)
+                br = []
+                r = 0
+            if r > 0 or br:
+                eobrun += 1
+                be.extend(br)
+                if eobrun == 0x7FFF:
+                    flush_eobrun()
+        flush_eobrun()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    parts = [b"\xff\xd8"]
+    zzq = bytes(int(q[_ZIGZAG[k]]) for k in range(64))
+    parts.append(seg(0xDB, b"\x00" + zzq))
+    parts.append(
+        seg(
+            0xC4,
+            b"\x00" + bytes(_STD_DC_BITS) + bytes(_STD_DC_VALS)
+            + b"\x10" + bytes(_PROG_AC_BITS) + bytes(_PROG_AC_VALS),
+        )
+    )
+    sof_comps = b"".join(
+        struct.pack(
+            ">BBB", ci + 1, (sampling[ci][0] << 4) | sampling[ci][1], 0
+        )
+        for ci in range(ncomp)
+    )
+    parts.append(
+        seg(0xC2, struct.pack(">BHHB", 8, height, width, ncomp) + sof_comps)
+    )
+
+    def sos(cis, ss, se, ah, al_, emitter):
+        hdr = (
+            bytes([len(cis)])
+            + b"".join(struct.pack(">BB", ci + 1, 0x00) for ci in cis)
+            + bytes([ss, se, (ah << 4) | al_])
+        )
+        emitter()
+        parts.append(seg(0xDA, hdr) + flush_scan())
+
+    all_cis = list(range(ncomp))
+    sos(all_cis, 0, 0, 0, al, lambda: dc_first_scan(all_cis, al))
+    for ci in all_cis:
+        sos([ci], 1, 5, 0, al, lambda ci=ci: ac_first_scan(ci, 1, 5, al))
+        sos([ci], 6, 63, 0, al, lambda ci=ci: ac_first_scan(ci, 6, 63, al))
+    if al:
+        sos(
+            all_cis, 0, 0, al, al - 1,
+            lambda: dc_refine_scan(all_cis, al - 1),
+        )
+        for ci in all_cis:
+            sos(
+                [ci], 1, 5, al, al - 1,
+                lambda ci=ci: ac_refine_scan(ci, 1, 5, al - 1),
+            )
+            sos(
+                [ci], 6, 63, al, al - 1,
+                lambda ci=ci: ac_refine_scan(ci, 6, 63, al - 1),
+            )
+    parts.append(b"\xff\xd9")
+    return b"".join(parts)

@@ -14317,15 +14317,23 @@ def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the JFIF color transform are then on the hash path too — the
     oracle replays the float color math on exact integer planes
     (floor(x+0.5); the DC value grid keeps every channel 0.005+ away
-    from a rounding boundary, 12 orders above float64 noise). The
-    full-AC path (runs/ZRL/stuffing) is pinned by pytest round-trips;
-    image dims vary per doc so the NN grid is non-trivial."""
+    from a rounding boundary, 12 orders above float64 noise).
+    doc_id % 4 == 2 encodes PROGRESSIVE (SOF2, r12): the full Annex G
+    successive-approximation ladder — DC first scan at Al=1, spectral-
+    selection AC scans (pure EOB-run streams over the zero bands), the
+    DC refinement bit scan and AC refinement scans — is then on the
+    hash path with the SAME closed-form pixel values, so the oracle
+    stays layout-blind (the png_decode_stats 16-bit discipline). The
+    full-AC paths (runs/ZRL/stuffing, progressive correction bits) are
+    pinned by pytest round-trips; image dims vary per doc so the NN
+    grid is non-trivial."""
     _prep(spark)
     import pyspark.sql.types as T  # noqa: PLC0415
 
     from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
         decode_and_featurize,
         encode_jpeg,
+        encode_jpeg_progressive,
     )
 
     docs = _t(spark, sf_dir, "documents").filter(
@@ -14351,6 +14359,17 @@ def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                             coefs[by, bx, 0, 0] = (
                                 did * 31 + by * 7 + bx * 3
                             ) % 17 - 8
+                    if did % 4 == 2:
+                        # r12: PROGRESSIVE (SOF2) fixture — the full
+                        # successive-approximation ladder (DC first
+                        # Al=1, AC spectral bands as EOB runs, DC+AC
+                        # refinement scans); same DC values, so the
+                        # closed-form oracle stays layout-blind exactly
+                        # like png_decode_stats' 16-bit arm
+                        payloads.append(bytearray(encode_jpeg_progressive(
+                            [coefs], q, bh * 8, bw * 8
+                        )))
+                        continue
                     payloads.append(
                         bytearray(encode_jpeg([coefs], q, bh * 8, bw * 8))
                     )

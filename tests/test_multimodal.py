@@ -377,17 +377,83 @@ def test_decode_jpeg_baseline_roundtrip():
         assert np.array_equal(
             got_r, np.repeat(g[:, :, None], 3, axis=2)
         ), ri
-    # progressive refuses loudly (documented seam): flip SOF0 -> SOF2
+    # a baseline stream relabeled SOF2 is an ILLEGAL progressive scan
+    # (Ss=0 band with Se=63) — must refuse, not misdecode (r12: SOF2
+    # itself now decodes for real, see the progressive tests below)
     pay = bytearray(encode_jpeg([cg], q, 24, 16))
     idx = bytes(pay).find(b"\xff\xc0")
     pay[idx + 1] = 0xC2
     import pytest as _pytest
 
-    with _pytest.raises(NotImplementedError, match="progressive"):
+    with _pytest.raises(ValueError, match="progressive scan"):
         decode_jpeg(bytes(pay))
     # non-JPEG refuses loudly
     with _pytest.raises(ValueError):
         decode_jpeg(b"not a jpeg")
+
+
+def test_decode_jpeg_progressive_roundtrip():
+    """REAL progressive JPEG decode (r12, T.81 Annex G): the SOF2
+    fixture encoder's full successive-approximation ladder — DC first
+    scan at Al=1, spectral-selection AC first scans (bands 1-5 / 6-63),
+    DC refinement, AC refinement with EOB-run accumulation, ZRL and
+    correction-bit buffering (G.1.2.3) — must reproduce the baseline
+    decode of the SAME coefficients bit-exactly, across grayscale,
+    4:4:4 and 4:2:0 layouts, sparse through dense spectra, and both
+    al=0 (pure spectral selection) and al=1 ladders."""
+    import numpy as np
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    q = np.full((8, 8), 16, dtype=np.int64)
+    # grayscale sweep: density 0 (pure EOB runs) -> 0.9 (ZRL +
+    # correction-heavy refinement), magnitudes up to +-500 (multi-bit
+    # refinement history)
+    for seed in range(8):
+        rng = np.random.RandomState(seed)
+        by, bx = rng.randint(1, 5), rng.randint(1, 5)
+        c = np.zeros((by, bx, 8, 8), dtype=np.int64)
+        dens = [0.0, 0.03, 0.3, 0.9][seed % 4]
+        m = rng.rand(by, bx, 8, 8) < dens
+        c[m] = rng.randint(-500, 501, m.sum())
+        c[:, :, 0, 0] = rng.randint(-800, 801, (by, bx))
+        base = decode_jpeg(encode_jpeg([c], q, by * 8, bx * 8))
+        for al in (0, 1):
+            prog = decode_jpeg(
+                encode_jpeg_progressive([c], q, by * 8, bx * 8, al=al)
+            )
+            assert np.array_equal(prog, base), (seed, al, dens)
+    # 3-component 4:4:4 and 4:2:0 color
+    rng = np.random.RandomState(99)
+    cy = np.zeros((4, 4, 8, 8), dtype=np.int64)
+    cy[:, :, 0, 0] = rng.randint(-50, 51, (4, 4))
+    m4 = rng.rand(4, 4, 8, 8) < 0.15
+    cy[m4] = rng.randint(-20, 21, m4.sum())
+    cb = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    cr = np.zeros((2, 2, 8, 8), dtype=np.int64)
+    cb[:, :, 0, 0] = [[10, -10], [5, 0]]
+    cr[:, :, 0, 0] = [[-4, 8], [0, 12]]
+    cb[0, 0, 2, 3], cr[1, 1, 5, 1] = 12, -9
+    s420 = [(2, 2), (1, 1), (1, 1)]
+    base420 = decode_jpeg(encode_jpeg([cy, cb, cr], q, 32, 32, sampling=s420))
+    for al in (0, 1):
+        prog420 = decode_jpeg(
+            encode_jpeg_progressive(
+                [cy, cb, cr], q, 32, 32, sampling=s420, al=al
+            )
+        )
+        assert np.array_equal(prog420, base420), al
+    cyf = cy[:2, :2]
+    s444 = [(1, 1)] * 3
+    base444 = decode_jpeg(encode_jpeg([cyf, cb, cr], q, 16, 16, sampling=s444))
+    prog444 = decode_jpeg(
+        encode_jpeg_progressive([cyf, cb, cr], q, 16, 16, sampling=s444)
+    )
+    assert np.array_equal(prog444, base444)
 
 
 def test_dhash_signature_brightness_invariant(spark):
