@@ -24,6 +24,11 @@ Scale shape:
 - Centroids are FROZEN at ingest time (classic IVF ingest): drift is
   handled by periodic offline re-clustering, not per-batch (re-assigning
   old vectors would rewrite the whole index — the documented tradeoff).
+- With ``signature_dim`` set, the sink ALSO maintains the sign-bit Hamming
+  signature words (``sig0``/``sig1`` — the ``ann_hamming`` rung's 16-byte
+  sketch) on every ingested row: a map-only codegen projection riding the
+  same batch pass, so the one continuously-maintained index serves both
+  the IVF probe and the Hamming prefilter (VERDICT r11 #5).
 """
 
 from __future__ import annotations
@@ -40,9 +45,24 @@ class StreamingIvfIngest:
     ``build_ivf_index`` + ``write_ivf_index``); its ``_centroids.json``
     sidecar defines the frozen coarse quantizer."""
 
-    def __init__(self, index_path: str, index_col: str = "embedding") -> None:
+    def __init__(
+        self,
+        index_path: str,
+        index_col: str = "embedding",
+        signature_dim: int | None = None,
+        signature_words: int = 2,
+    ) -> None:
+        """``signature_dim``: when set, every ingested row ALSO carries
+        the sign-bit Hamming signature words ``sig0..sig{words-1}``
+        (``operators/quantize.sign_signature_exprs`` — the ann_hamming
+        rung's 16-byte binary sketch), so the continuously-maintained
+        index serves BOTH the IVF probe and the Hamming prefilter.
+        The projection is map-only codegen riding the same batch pass —
+        no extra scan, no shuffle beyond the existing cell shuffle."""
         self.index_path = index_path
         self.index_col = index_col
+        self.signature_dim = signature_dim
+        self.signature_words = signature_words
         self._centroids = None
         self._bc = None  # broadcast once, reused by every micro-batch
 
@@ -91,4 +111,15 @@ class StreamingIvfIngest:
             d = np.linalg.norm(m[:, None, :] - cent[None, :, :], axis=2)
             return pd.Series(d.argmin(axis=1))
 
-        return batch_df.withColumn("centroid_id", _a(F.col(self.index_col)))
+        out = batch_df.withColumn("centroid_id", _a(F.col(self.index_col)))
+        if self.signature_dim is not None:
+            from flink_sql_ai_meetingcoach_azure_spark.operators.quantize import (  # noqa: PLC0415
+                sign_signature_exprs,
+            )
+
+            exprs = sign_signature_exprs(
+                self.index_col, self.signature_dim, self.signature_words
+            )
+            for i, e in enumerate(exprs):
+                out = out.withColumn(f"sig{i}", F.expr(e))
+        return out

@@ -2650,3 +2650,71 @@ def test_streaming_top_terms_composes_from_aggregate_sink(spark, tmp_path):
     assert got() == want
     sink.compact()
     assert got() == want
+
+
+def test_streaming_ivf_ingest_maintains_hamming_signatures(spark, tmp_path):
+    """VERDICT r11 #5: with signature_dim set, the vector sink maintains
+    the 2x32-bit sign-bit signature words alongside centroid_id, so a
+    vector ingested MID-STREAM is retrievable via the Hamming prefilter
+    over the INDEX-STORED words (no recompute at query time)."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.quantize import (
+        sign_signature_exprs,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (
+        build_ivf_index,
+        write_ivf_index,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.vector_sink import (
+        StreamingIvfIngest,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exprs = sign_signature_exprs("embedding", 64, 2)
+    base = emb.filter(F.col("vec_id") % 2 == 0).select(
+        "vec_id",
+        "embedding",
+        *[F.expr(e).alias(f"sig{i}") for i, e in enumerate(exprs)],
+    )
+    path = str(tmp_path / "ivf_ham")
+    ivf, centroids = build_ivf_index(base, nlist=4)
+    write_ivf_index(ivf, centroids, path)
+
+    sink = StreamingIvfIngest(path, signature_dim=64)
+    incoming = emb.filter(F.col("vec_id") % 2 == 1).select(
+        "vec_id", "embedding"
+    )
+    sink(incoming, 0)
+
+    idx = spark.read.parquet(path)
+    assert {"sig0", "sig1"} <= set(idx.columns)
+    assert idx.count() == emb.count()
+    # every row — pre-built and mid-stream — carries a complete sketch
+    assert idx.filter("sig0 IS NULL OR sig1 IS NULL").count() == 0
+    # the stored signature of a mid-stream vector equals the projection
+    # of its float vector (the sink computed it, not the reader)
+    target = 7  # odd => arrived via the stream
+    [want] = (
+        emb.filter(F.col("vec_id") == target)
+        .select(*[F.expr(e).alias(f"sig{i}") for i, e in enumerate(exprs)])
+        .collect()
+    )
+    [got] = idx.filter(F.col("vec_id") == target).select(
+        "sig0", "sig1"
+    ).collect()
+    assert (got["sig0"], got["sig1"]) == (want["sig0"], want["sig1"])
+    # Hamming prefilter over the STORED words: querying with the target's
+    # own signature must surface it at distance 0 inside the M=32 pool
+    pool = (
+        idx.withColumn(
+            "hamming",
+            F.expr(
+                f"bit_count(sig0 ^ {got['sig0']}L) +"
+                f" bit_count(sig1 ^ {got['sig1']}L)"
+            ),
+        )
+        .orderBy(F.asc("hamming"), F.asc("vec_id"))
+        .limit(32)
+        .collect()
+    )
+    by_id = {r["vec_id"]: r["hamming"] for r in pool}
+    assert by_id.get(target) == 0
