@@ -112,9 +112,16 @@ ENTRIES = [
     "knn_hubness",
     # pinned-exhaustive IVF form (nprobe == nlist for oracle-exactness):
     # still workload-proportional; the production knob (nlist ∝ corpus,
-    # nprobe fixed) is measured by the knn_classify knob-scaled variant,
-    # which exercises the IDENTICAL probe machinery
+    # nprobe fixed) is measured on the hubness workload ITSELF below
+    # (knn_hubness_knob_scaled, VERDICT r11 #2 — the borrow from
+    # knn_classify_knob_scaled is retired)
     "knn_hubness_ivf",
+    # r12: decontamination route-flip — fixed-size eval-set IVF index,
+    # train side probes it once per vector — expect ~linear.
+    # image_neardup / dhash_recall_eval are MAX_ID-bounded fixture
+    # corpora (flat by construction, like the decode-stats entries —
+    # not listed).
+    "semantic_decontaminate_ivf",
 ]
 N_DOCS_BASE = 5000
 N_VECS_BASE = 2000
@@ -278,6 +285,56 @@ def knob_scaled_knn_seconds(spark, sf_dir: str, nlist: int, scale: int) -> float
     return round(time.time() - t0, 3)
 
 
+def knob_scaled_hubness_seconds(
+    spark, sf_dir: str, nlist: int, scale: int
+) -> float:
+    """knn_hubness's documented linear path, measured on the hubness
+    workload ITSELF (VERDICT r11 #2 — previously borrowed from the
+    knn_classify knob row): the IVF index over the WHOLE corpus grows
+    its cell count with the corpus (nlist ∝ scale) at FIXED nprobe=8,
+    so each of the 20% workload queries touches a constant corpus
+    fraction; the k-occurrence histogram is two combinable aggregates
+    over the hit list. Includes the per-corpus index build (one linear
+    assignment pass)."""
+    import tempfile
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (
+        build_ivf_index,
+        vector_search_ivf_parquet,
+        write_ivf_index,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.queries import (
+        HUB_K,
+        HUB_Q_MOD,
+    )
+    from pyspark.sql.window import Window
+
+    t0 = time.time()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ivf, cents = build_ivf_index(emb.select("vec_id", "embedding"), nlist=nlist)
+    path = f"{tempfile.gettempdir()}/scaling_hub_idx_x{scale}/index"
+    write_ivf_index(ivf, cents, path)
+    queries = emb.filter(F.col("vec_id") % HUB_Q_MOD == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    hits = vector_search_ivf_parquet(
+        queries, path, k=HUB_K + 1, nprobe=8, payload_cols=["vec_id"],
+        round_sim=6,
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("pos"))
+    topk = (
+        hits.select("qid", F.posexplode("search_results").alias("pos", "__s"))
+        .filter(F.col("__s.vec_id") != F.col("qid"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= HUB_K)
+        .select("qid", F.col("__s.vec_id").alias("vec_id"))
+    )
+    occ = topk.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n_hits"))
+    hist = occ.groupBy("n_hits").agg(F.count(F.lit(1)).alias("n_vecs"))
+    hist.write.format("noop").mode("overwrite").save()
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     scales = [1, 2, 4]
     entries = ENTRIES
@@ -345,6 +402,28 @@ def main() -> None:
         report["knn_classify_knob_scaled"] = {
             "seconds": kknob,
             "exponent": round(math.log(kknob[hi] / kknob[1]) / math.log(hi), 2),
+        }
+
+    # hubness knob-scaled linear path, measured on its own workload
+    # (VERDICT r11 #2); skipped when --entries excludes knn_hubness
+    if "knn_hubness" in entries:
+        import math
+
+        hknob = {}
+        for s in scales:
+            hknob[s] = knob_scaled_hubness_seconds(
+                spark, dirs[s], nlist=8 * s, scale=s
+            )
+            print(
+                f"knn_hubness[nlist=8*{s}, nprobe=8]: {hknob[s]}",
+                file=sys.stderr,
+            )
+        hi = max(scales)
+        report["knn_hubness_knob_scaled"] = {
+            "seconds": hknob,
+            "exponent": round(
+                math.log(hknob[hi] / hknob[1]) / math.log(hi), 2
+            ),
         }
     print(json.dumps(report))
     spark.stop()
