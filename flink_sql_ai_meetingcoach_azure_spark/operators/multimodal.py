@@ -6,16 +6,21 @@ Design: media payloads are opaque ``binary`` columns with typed metadata
 Arrow-batched pandas functions over ``mapInPandas`` so each task processes
 a whole batch with NumPy, and partitioning/pushdown stay Spark-native.
 
-Codec status (r11): PNG (8/16-bit), baseline JPEG and WAV decode FOR
-REAL with stdlib+numpy alone — :func:`decode_png` (zlib inflate +
-scanline unfilter, ``decoder='png'``, hash-verified by
-``png_decode_stats``), :func:`decode_jpeg` (canonical Huffman from DHT,
-byte unstuffing, DC prediction, run-length AC, dequant, float64 IDCT —
-``decoder='jpeg'``, hash-verified by ``jpeg_decode_stats``) and
-:func:`decode_wav` (stdlib ``wave``, PCM — ``wav_decode_stats``), with
-:func:`nn_resize` as the pure-numpy resize stage. JPEG covers
-grayscale and 4:4:4 / 4:2:2 / 4:2:0 chroma (interleaved T.81 §A.2.3
-MCU order, replicated upsampling). Progressive JPEG, WebP, lossy
+Codec status (r12): PNG (8/16-bit), JPEG — baseline AND progressive
+(SOF2, T.81 Annex G) — and WAV decode FOR REAL with stdlib+numpy alone
+— :func:`decode_png` (zlib inflate + scanline unfilter,
+``decoder='png'``, hash-verified by ``png_decode_stats``),
+:func:`decode_jpeg` (canonical Huffman from DHT, byte unstuffing, DC
+prediction, run-length AC, dequant, float64 IDCT; progressive spectral
+selection / successive approximation / EOB runs via
+:func:`_decode_progressive` — ``decoder='jpeg'``, hash-verified by
+``jpeg_decode_stats`` incl. an SOF2 fixture arm) and :func:`decode_wav`
+(stdlib ``wave``, PCM — ``wav_decode_stats``), with :func:`nn_resize`
+as the pure-numpy resize stage. JPEG covers grayscale and 4:4:4 /
+4:2:2 / 4:2:0 chroma (interleaved T.81 §A.2.3 MCU order, replicated
+upsampling). On top of the codecs sit the image-dedup signatures:
+:func:`dhash_signatures` (gradient hash) and :func:`phash_signatures`
+(DCT sign hash), both hash-verified near-dup entries. WebP, lossy
 audio, and video demux need libraries not present in this container,
 so those paths stay STUBBED: ``decoder='fake'`` (default) derives a deterministic small
 tensor from the bytes (md5-seeded) so every downstream stage — feature
@@ -763,6 +768,76 @@ def dhash_signatures(
                     id_col: pdf[id_col].to_numpy(),
                     "sig0": (bits[:, :32] * pw).sum(axis=1),
                     "sig1": (bits[:, 32:] * pw).sum(axis=1),
+                },
+                columns=[f.name for f in out_schema.fields],
+            )
+
+    return df.mapInPandas(_proc, schema=out_schema)
+
+
+PHASH_N = 32  # pHash DCT grid (32x32 gray -> low 8x8 spectral block)
+
+
+def _dct_matrix(n: int) -> np.ndarray:
+    """Orthonormal DCT-II matrix (float64): X = D @ g @ D.T."""
+    k = np.arange(n)[:, None]
+    j = np.arange(n)[None, :]
+    d = np.cos(np.pi * (2 * j + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    d[0] /= np.sqrt(2.0)
+    return d
+
+
+def phash_signatures(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    decoder: str = "png",
+) -> DataFrame:
+    """Spectral perceptual hash over REAL decoded pixels — the
+    DCT-domain sibling of :func:`dhash_signatures` (pHash family:
+    low-frequency sign structure survives compression/noise that moves
+    every pixel, while dHash tracks local gradients): decode, resize to
+    the 32x32 grid, integer grayscale, orthonormal 2D DCT-II (float64),
+    then the SIGN bits of the low-frequency 8x8 coefficient block
+    (row-major u·8+v, DC included) packed into the same two 32-bit
+    BIGINT words as every other sign sketch in this repo. High-
+    frequency edits are invisible by construction — the property the
+    fixture corpus and the recall eval measure. One mapInPandas Arrow
+    batch; 16 bytes/image reach the shuffle."""
+    if decoder not in ("png", "jpeg"):
+        raise ValueError(f"unknown real decoder {decoder!r}")
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("sig0", T.LongType()),
+            T.StructField("sig1", T.LongType()),
+        ]
+    )
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dec = decode_png if decoder == "png" else decode_jpeg
+        d = _dct_matrix(PHASH_N)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sigs0, sigs1 = [], []
+            pw = 1 << np.arange(32, dtype=np.int64)
+            for p in pdf[payload_col]:
+                img = nn_resize(dec(p), PHASH_N, PHASH_N).astype(np.int64)
+                gray = (
+                    img[:, :, 0] * 299
+                    + img[:, :, 1] * 587
+                    + img[:, :, 2] * 114
+                ) // 1000
+                spec = d @ gray.astype(np.float64) @ d.T
+                bits = (spec[:8, :8] > 0).astype(np.int64).reshape(64)
+                sigs0.append(int((bits[:32] * pw).sum()))
+                sigs1.append(int((bits[32:] * pw).sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "sig0": sigs0,
+                    "sig1": sigs1,
                 },
                 columns=[f.name for f in out_schema.fields],
             )

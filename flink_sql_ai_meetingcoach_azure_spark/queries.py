@@ -14522,26 +14522,16 @@ def _dhash_fixture_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def _dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded-LSH dHash pair search shared by image_neardup and
-    dhash_recall_eval: signatures via the REAL PNG codec
-    (multimodal.dhash_signatures), then 8 bands of 8 bits each — by
-    pigeonhole, any pair at hamming <= 7 agrees exactly on >= 1 band,
-    so the band join is a LOSSLESS prefilter at this threshold (never
-    all-pairs; at 100 TB each band bucket holds only byte-equal
-    signature slices). Exact hamming = bit_count(xor) over the two
-    32-bit words confirms candidates."""
-    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
-        dhash_signatures,
-    )
-
-    docs = _t(spark, sf_dir, "documents").filter(
-        F.col("doc_id") < DHASH_MAX_ID
-    ).select("doc_id")
-    media = _dhash_fixture_media(docs)
-    sigs = dhash_signatures(media, id_col="doc_id").localCheckpoint(
-        eager=False  # feeds both sides of the band self-join
-    )
+def _sig_band_pairs(sigs: DataFrame, threshold: int) -> DataFrame:
+    """Banded pair search over 2x32-bit signature words (doc_id, sig0,
+    sig1): 8 bands of 8 bits each — by pigeonhole, any pair at hamming
+    <= 7 agrees exactly on >= 1 band, so the band join is a LOSSLESS
+    prefilter at threshold <= 7 (never all-pairs; at 100 TB each band
+    bucket holds only byte-equal signature slices). Exact hamming =
+    bit_count(xor) over the two words confirms candidates. Shared by
+    the dHash and pHash image near-dup rungs."""
+    if threshold > 7:
+        raise ValueError("8x8-bit banding is lossless only for t <= 7")
     banded = sigs.select(
         "doc_id",
         "sig0",
@@ -14584,8 +14574,26 @@ def _dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "a0", "a1", "b0", "b1")
         .distinct()  # a pair may share several bands
         .select("doc_a", "doc_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= DHASH_T)
+        .filter(F.col("hamming") <= threshold)
     )
+
+
+def _dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash pair search shared by image_neardup and dhash_recall_eval:
+    signatures via the REAL PNG codec (multimodal.dhash_signatures),
+    pairs via the lossless 8x8-bit band join (_sig_band_pairs)."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+        dhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < DHASH_MAX_ID
+    ).select("doc_id")
+    media = _dhash_fixture_media(docs)
+    sigs = dhash_signatures(media, id_col="doc_id").localCheckpoint(
+        eager=False  # feeds both sides of the band self-join
+    )
+    return _sig_band_pairs(sigs, DHASH_T)
 
 
 def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -14738,6 +14746,146 @@ FROM hit
 """
 
 
+PHASH_MAX_ID = 160  # 40 groups of 4 members
+PHASH_T = 7  # 8x8-bit banding: pigeonhole-lossless for hamming <= 7
+PHASH_AC = 28  # low-block AC magnitude: > the worst-case rounding drift
+
+
+def _phash_signs(gid: int, m: int):
+    """The closed-form low-block sign pattern shared by the fixture
+    builder and (re-expressed in SQL) the oracle: s(u,v) in {0,1} for
+    the 8x8 DCT block; DC is always 1."""
+    import numpy as np  # noqa: PLC0415
+
+    u = np.arange(8)[:, None]
+    v = np.arange(8)[None, :]
+    s = ((gid * 41 + u * 13 + v * 7) % 5) % 2
+    if m == 2:  # flip ONE in-block coefficient -> hamming 1
+        s[1 + gid % 7, 1 + gid % 5] = 1 - s[1 + gid % 7, 1 + gid % 5]
+    elif m == 3:  # flip ~half the block -> a different image
+        flip = (u * 5 + v * 3 + gid) % 2 == 0
+        s = np.where(flip, 1 - s, s)
+    s[0, 0] = 1  # DC: positive by construction (mean 128)
+    return s
+
+
+def _phash_fixture_media(docs: DataFrame) -> DataFrame:
+    """Deterministic PNG corpus for the SPECTRAL near-dup entry: each
+    image is the rounded inverse DCT of a KNOWN coefficient grid — the
+    jpeg_decode_stats trick applied to pHash: the forward DCT the
+    operator computes recovers the planted coefficients to within
+    rounding drift (provably < PHASH_AC), so the oracle needs only the
+    planted SIGNS, in closed form. doc_id//4 picks the sign pattern;
+    doc_id%4 the member: m=0 base, m=1 adds HIGH-FREQUENCY content
+    outside the low block (every pixel moves, pHash provably identical
+    — the perceptual-invariance property), m=2 flips one in-block sign
+    (hamming 1), m=3 flips ~half the block (far). Values stay in
+    ~16..240: no clip, channels (G, G+1, G+2) recover G exactly."""
+    import pyspark.sql.types as T  # noqa: PLC0415
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+        PHASH_N,
+        _dct_matrix,
+        encode_png,
+    )
+
+    def _make(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        d = _dct_matrix(PHASH_N)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                gid, m = did // 4, did % 4
+                s = _phash_signs(gid, m)
+                c = np.zeros((PHASH_N, PHASH_N))
+                c[:8, :8] = (2 * s - 1) * PHASH_AC
+                c[0, 0] = 128.0 * PHASH_N  # orthonormal DC for mean 128
+                if m == 1:  # high-frequency edits: invisible to pHash
+                    c[17, 19] = 60.0
+                    c[25, 9] = -60.0
+                g = np.floor(d.T @ c @ d + 0.5).astype(np.int64)
+                img = np.stack([g, g + 1, g + 2], axis=2).astype("uint8")
+                payloads.append(bytearray(
+                    encode_png(img, 2, [r % 5 for r in range(PHASH_N)])
+                ))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(
+        _make,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def q_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPECTRAL image near-dup — the pHash rung beside image_neardup's
+    dHash (two perceptual hashes, two failure modes: dHash tracks local
+    gradients and misses global recolors; pHash keeps low-frequency
+    sign structure and is PROVABLY blind to high-frequency edits — the
+    m=1 members move every pixel yet hash identically, which is the
+    whole point of a perceptual hash). REAL PNG decode → 32x32 resize →
+    integer grayscale → orthonormal float64 DCT-II → sign bits of the
+    low 8x8 block → the same 2x32-bit words and lossless 8x8-bit band
+    join as the dHash rung (_sig_band_pairs). The oracle knows the
+    planted coefficient signs in closed form (inverse-DCT fixture), so
+    a wrong decode, resize, grayscale, DCT normalization, bit order or
+    band math all break the hash."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+        phash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < PHASH_MAX_ID
+    ).select("doc_id")
+    sigs = phash_signatures(
+        _phash_fixture_media(docs), id_col="doc_id"
+    ).localCheckpoint(eager=False)
+    return _sig_band_pairs(sigs, PHASH_T).orderBy("doc_a", "doc_b")
+
+
+def _sql_phash_neardup() -> str:
+    # the oracle re-derives _phash_signs in SQL: base pattern, the m=2
+    # single-coefficient flip, the m=3 half-block flip, DC pinned to 1
+    return f"""
+WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+           FROM documents WHERE doc_id < {PHASH_MAX_ID}),
+bits AS (SELECT doc_id, u, v,
+                CASE WHEN u = 0 AND v = 0 THEN 1
+                     WHEN m = 2 AND u = 1 + gid % 7 AND v = 1 + gid % 5
+                       THEN 1 - ((gid * 41 + u * 13 + v * 7) % 5) % 2
+                     WHEN m = 3 AND (u * 5 + v * 3 + gid) % 2 = 0
+                       THEN 1 - ((gid * 41 + u * 13 + v * 7) % 5) % 2
+                     ELSE ((gid * 41 + u * 13 + v * 7) % 5) % 2
+                END AS b
+         FROM d, unnest(range(0, 8)) AS uu(u), unnest(range(0, 8)) AS vv(v)),
+sig AS (SELECT doc_id,
+               CAST(sum(CASE WHEN u * 8 + v < 32
+                             THEN b * (1::BIGINT << (u * 8 + v))
+                             ELSE 0 END) AS BIGINT) AS sig0,
+               CAST(sum(CASE WHEN u * 8 + v >= 32
+                             THEN b * (1::BIGINT << (u * 8 + v - 32))
+                             ELSE 0 END) AS BIGINT) AS sig1
+        FROM bits GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig0, b.sig0))
+            + bit_count(xor(a.sig1, b.sig1)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig0, b.sig0)) + bit_count(xor(a.sig1, b.sig1))
+      <= {PHASH_T}
+ORDER BY doc_a, doc_b
+"""
+
+
 _ALL_QUERIES: dict[str, QuerySpec] = {
     # DEFINITION ORDER ONLY (historical — comments below record when
     # each block landed). The driver-checked window is _WINDOW_R12
@@ -14807,6 +14955,7 @@ _ALL_QUERIES: dict[str, QuerySpec] = {
     "dhash_recall_eval": QuerySpec(
         q_dhash_recall_eval, _sql_dhash_recall_eval()
     ),
+    "phash_neardup": QuerySpec(q_phash_neardup, _sql_phash_neardup()),
     # ---- ballast: r10-externally-green lines (incl. every entry whose
     # code the r11 refactors touched: cusum_changepoint / ks_drift /
     # png_decode_stats below, vocab_coverage_sweep / pca_power /
@@ -15060,8 +15209,9 @@ _ALL_QUERIES: dict[str, QuerySpec] = {
 # ledger (tools/evidence_ledger.py; VERDICT r11 #4 + #8 — computed, not
 # hand-claimed; test_entry_contract.py::test_window_rotation_matches_ledger
 # re-derives and enforces every rule below on each pytest run):
-#   1. the 3 r12 additions, never externally checked, go straight in
-#      (image_neardup / dhash_recall_eval / semantic_decontaminate_ivf);
+#   1. the 4 r12 additions, never externally checked, go straight in
+#      (image_neardup / dhash_recall_eval / phash_neardup /
+#      semantic_decontaminate_ivf);
 #   2. the 5 entries whose code r12 CHANGED re-verify externally: the
 #      outer-round ppm fix (ADVICE r11 high) in mmr_rerank /
 #      mmr_diversity_eval / semantic_decontaminate, the posexplode
@@ -15070,13 +15220,14 @@ _ALL_QUERIES: dict[str, QuerySpec] = {
 #   3. 3 canonical known-good ballast lines (rag_pipeline_verified /
 #      tpch_q1 / ann_topk) distinguish a broken driver run from entry
 #      failures;
-#   4. the remaining 39 slots rotate in the STALEST external evidence —
+#   4. the remaining 38 slots rotate in the STALEST external evidence —
 #      every r03/r04/r05-evidence entry (31) plus the alphabetically
-#      first 8 r06 entries — raising the out-of-window evidence floor
+#      first 7 r06 entries — raising the out-of-window evidence floor
 #      from r03 to r06.
 _WINDOW_R12 = [
     "image_neardup",
     "dhash_recall_eval",
+    "phash_neardup",
     "semantic_decontaminate_ivf",
     "mmr_rerank",
     "mmr_diversity_eval",
@@ -15124,7 +15275,6 @@ _WINDOW_R12 = [
     "countmin_sketch",
     "cube_revenue",
     "curation_pipeline",
-    "ddl_ctas_topn",
 ]
 
 QUERIES: dict[str, QuerySpec] = {

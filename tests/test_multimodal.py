@@ -586,3 +586,66 @@ def test_decode_jpeg_fill_bytes_and_tem():
     )
     got = decode_jpeg(noisy)
     assert np.array_equal(got, expect)
+
+
+def test_phash_spectral_invariance(spark):
+    """pHash (DCT sign hash) over the REAL PNG path: high-frequency
+    edits that move EVERY pixel leave the signature untouched (the
+    perceptual property), one planted low-block sign flip moves exactly
+    one bit, and the packed words equal the planted coefficient signs —
+    the inverse-DCT fixture's rounding drift provably stays below the
+    planted magnitude."""
+    import numpy as np
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        PHASH_N,
+        _dct_matrix,
+        encode_png,
+        phash_signatures,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.queries import (
+        PHASH_AC,
+        _phash_signs,
+    )
+
+    d = _dct_matrix(PHASH_N)
+
+    def img_for(gid, m):
+        s = _phash_signs(gid, m)
+        c = np.zeros((PHASH_N, PHASH_N))
+        c[:8, :8] = (2 * s - 1) * PHASH_AC
+        c[0, 0] = 128.0 * PHASH_N
+        if m == 1:
+            c[17, 19] = 60.0
+            c[25, 9] = -60.0
+        g = np.floor(d.T @ c @ d + 0.5).astype(np.int64)
+        assert g.min() >= 0 and g.max() <= 253  # no clip by construction
+        return np.stack([g, g + 1, g + 2], axis=2).astype(np.uint8), s
+
+    rows, expected = [], {}
+    for did, (gid, m) in enumerate([(3, 0), (3, 1), (3, 2), (9, 0)]):
+        img, s = img_for(gid, m)
+        rows.append((did, bytearray(
+            encode_png(img, 2, [r % 5 for r in range(PHASH_N)])
+        )))
+        bits = s.reshape(64)
+        pw = 1 << np.arange(32, dtype=np.int64)
+        expected[did] = (int((bits[:32] * pw).sum()),
+                         int((bits[32:] * pw).sum()))
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: (r.sig0, r.sig1) for r in
+           phash_signatures(df).collect()}
+    # the DCT recovered every planted sign
+    assert got == expected
+    # m=1 moved pixels (different payloads) but not the hash
+    assert rows[0][1] != rows[1][1] and got[0] == got[1]
+    # m=2 is exactly one bit away
+    h = bin(got[0][0] ^ got[2][0]).count("1") + bin(
+        got[0][1] ^ got[2][1]
+    ).count("1")
+    assert h == 1
+    # a different group is far
+    hg = bin(got[0][0] ^ got[3][0]).count("1") + bin(
+        got[0][1] ^ got[3][1]
+    ).count("1")
+    assert hg > 7
