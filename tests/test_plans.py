@@ -72,7 +72,13 @@ def test_relational_queries_stay_jvm_side(spark):
                  "png_decode_stats", "wav_decode_stats",
                  # r11: the real baseline-JPEG codec chain —
                  # the Python stage IS what the oracle checks
-                 "jpeg_decode_stats"}
+                 "jpeg_decode_stats",
+                 # r12: the image-dedup rungs run the real PNG codec +
+                 # signature mapInPandas chains their oracles value-check;
+                 # the decontamination route-flip probes the IVF index via
+                 # the same centroid pandas UDF as knn_classify_ivf
+                 "image_neardup", "dhash_recall_eval", "phash_neardup",
+                 "semantic_decontaminate_ivf"}
     for name, spec in QUERIES.items():
         if spec.sql is None or name in python_ok:
             continue  # model/multimodal pipelines legitimately use Python
