@@ -14746,6 +14746,66 @@ FROM hit
 """
 
 
+def q_image_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVE image near-dup clusters + canonical keep decision —
+    the step that makes image_neardup's pair list actionable, exactly
+    as dup_clusters/neardup_keep_best do for text (a pair list alone
+    over-deletes chains: A~B, B~C must collapse to ONE kept image even
+    when A~C missed the hamming cut): dHash band pairs → alternating
+    large-star/small-star connected components (diameter-independent
+    O(log² n) shuffle rounds, operators/components.py) → every image
+    labeled with its cluster (= component min doc_id), the cluster
+    size, and keep = (doc_id == cluster) — the canonical
+    smallest-id-wins retention rule. The oracle computes the exact
+    transitive closure (recursive CTE) over the closed-form signature
+    pairs, so a wrong component fold or keep rule breaks the hash."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.components import (  # noqa: PLC0415
+        duplicate_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < DHASH_MAX_ID
+    ).select("doc_id")
+    pairs = _dhash_pairs(spark, sf_dir).select(
+        F.col("doc_a").alias("id_a"), F.col("doc_b").alias("id_b")
+    )
+    return (
+        duplicate_clusters(docs, pairs, "doc_id")
+        .select(
+            "doc_id",
+            "cluster",
+            F.col("cluster_size").cast("bigint").alias("cluster_size"),
+            (F.col("doc_id") == F.col("cluster")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_image_dup_clusters() -> str:
+    return f"""
+WITH RECURSIVE {_sql_dhash_sig_ctes()},
+pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sig0, b.sig0))
+                + bit_count(xor(a.sig1, b.sig1)) <= {DHASH_T}),
+edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(a, b) AS (SELECT u, v FROM edges
+                UNION
+                SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u),
+comp AS (SELECT a AS node, least(a, min(b)) AS component FROM reach GROUP BY a),
+base AS (SELECT doc_id FROM documents WHERE doc_id < {DHASH_MAX_ID}),
+lab AS (SELECT b.doc_id, coalesce(c.component, b.doc_id) AS cluster
+        FROM base b LEFT JOIN comp c ON c.node = b.doc_id),
+sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS cluster_size
+       FROM lab GROUP BY cluster)
+SELECT l.doc_id, l.cluster, s.cluster_size, l.doc_id = l.cluster AS keep
+FROM lab l JOIN sz s USING (cluster)
+ORDER BY l.doc_id
+"""
+
+
 PHASH_MAX_ID = 160  # 40 groups of 4 members
 PHASH_T = 7  # 8x8-bit banding: pigeonhole-lossless for hamming <= 7
 PHASH_AC = 28  # low-block AC magnitude: > the worst-case rounding drift
@@ -14956,6 +15016,9 @@ _ALL_QUERIES: dict[str, QuerySpec] = {
         q_dhash_recall_eval, _sql_dhash_recall_eval()
     ),
     "phash_neardup": QuerySpec(q_phash_neardup, _sql_phash_neardup()),
+    "image_dup_clusters": QuerySpec(
+        q_image_dup_clusters, _sql_image_dup_clusters()
+    ),
     # ---- ballast: r10-externally-green lines (incl. every entry whose
     # code the r11 refactors touched: cusum_changepoint / ks_drift /
     # png_decode_stats below, vocab_coverage_sweep / pca_power /
@@ -15209,9 +15272,9 @@ _ALL_QUERIES: dict[str, QuerySpec] = {
 # ledger (tools/evidence_ledger.py; VERDICT r11 #4 + #8 — computed, not
 # hand-claimed; test_entry_contract.py::test_window_rotation_matches_ledger
 # re-derives and enforces every rule below on each pytest run):
-#   1. the 4 r12 additions, never externally checked, go straight in
+#   1. the 5 r12 additions, never externally checked, go straight in
 #      (image_neardup / dhash_recall_eval / phash_neardup /
-#      semantic_decontaminate_ivf);
+#      image_dup_clusters / semantic_decontaminate_ivf);
 #   2. the 5 entries whose code r12 CHANGED re-verify externally: the
 #      outer-round ppm fix (ADVICE r11 high) in mmr_rerank /
 #      mmr_diversity_eval / semantic_decontaminate, the posexplode
@@ -15220,14 +15283,15 @@ _ALL_QUERIES: dict[str, QuerySpec] = {
 #   3. 3 canonical known-good ballast lines (rag_pipeline_verified /
 #      tpch_q1 / ann_topk) distinguish a broken driver run from entry
 #      failures;
-#   4. the remaining 38 slots rotate in the STALEST external evidence —
+#   4. the remaining 37 slots rotate in the STALEST external evidence —
 #      every r03/r04/r05-evidence entry (31) plus the alphabetically
-#      first 7 r06 entries — raising the out-of-window evidence floor
+#      first 6 r06 entries — raising the out-of-window evidence floor
 #      from r03 to r06.
 _WINDOW_R12 = [
     "image_neardup",
     "dhash_recall_eval",
     "phash_neardup",
+    "image_dup_clusters",
     "semantic_decontaminate_ivf",
     "mmr_rerank",
     "mmr_diversity_eval",
@@ -15274,7 +15338,6 @@ _WINDOW_R12 = [
     "chunk_embed_ingest",
     "countmin_sketch",
     "cube_revenue",
-    "curation_pipeline",
 ]
 
 QUERIES: dict[str, QuerySpec] = {

