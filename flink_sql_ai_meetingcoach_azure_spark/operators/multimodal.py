@@ -521,10 +521,12 @@ def nn_resize(img: np.ndarray, height: int, width: int) -> np.ndarray:
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """REAL WAV (PCM) decode with the standard library only (the `wave`
     module ships with CPython): returns (mono int64 samples, sample
-    rate). 16-bit samples pass through; 8-bit unsigned is centered and
-    scaled to the 16-bit range; multi-channel mixes down by exact
-    integer mean (sum div channels). Compressed WAV raises — the
-    documented ffmpeg seam covers non-PCM audio."""
+    rate), NORMALIZED to the 16-bit range — 16-bit samples pass
+    through; 8-bit unsigned is centered and scaled up; 24-bit signed
+    (r12: the studio-PCM width) is sign-extended and scaled DOWN by an
+    arithmetic >> 8 (the mirror convention); multi-channel mixes down
+    by exact integer mean (sum div channels). Compressed WAV raises —
+    the documented ffmpeg seam covers non-PCM audio."""
     import io  # noqa: PLC0415
     import wave  # noqa: PLC0415
 
@@ -537,6 +539,11 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
         x = np.frombuffer(frames, dtype="<i2").astype(np.int64)
     elif sw == 1:
         x = (np.frombuffer(frames, dtype=np.uint8).astype(np.int64) - 128) * 256
+    elif sw == 3:
+        b = np.frombuffer(frames, dtype=np.uint8).reshape(-1, 3).astype(np.int64)
+        raw = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16)  # little-endian
+        raw = np.where(raw >= 1 << 23, raw - (1 << 24), raw)  # sign extend
+        x = raw >> 8  # arithmetic: floor toward -inf, 16-bit range
     else:
         raise NotImplementedError(f"sample width {sw} needs a codec library")
     if ch > 1:
@@ -1098,13 +1105,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             i = 0
             while i < len(data):
                 prec, tid = data[i] >> 4, data[i] & 0xF
-                if prec != 0:
-                    raise NotImplementedError("16-bit DQT unsupported")
                 tbl = np.zeros((8, 8), dtype=np.int64)
-                for k in range(64):
-                    tbl[_ZIGZAG[k]] = data[i + 1 + k]
+                if prec == 0:  # 8-bit entries
+                    for k in range(64):
+                        tbl[_ZIGZAG[k]] = data[i + 1 + k]
+                    i += 65
+                else:  # 16-bit big-endian entries (r12)
+                    for k in range(64):
+                        tbl[_ZIGZAG[k]] = (
+                            (data[i + 1 + 2 * k] << 8)
+                            | data[i + 2 + 2 * k]
+                        )
+                    i += 129
                 qtables[tid] = tbl
-                i += 65
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0
             while i < len(data):

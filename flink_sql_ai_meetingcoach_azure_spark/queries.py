@@ -3006,14 +3006,19 @@ WAVDEC_RATE = 8000
 
 def q_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL WAV codec path hash-verified end-to-end (png_decode_stats'
-    audio twin): per doc, a PCM16 mono WAV is written with the stdlib
+    audio twin): per doc, a PCM mono WAV is written with the stdlib
     `wave` module from the deterministic sample stream
     ``s_k = (doc_id·13 + k·7) % 2001 − 1000`` (n = 16 + id%16 samples),
     decoded back by operators/multimodal.py::decode_wav inside
     audio_features' Arrow batch, and reduced to exact integers
-    (duration_ms, Σs², zero crossings). The oracle replays the sample
-    formula in closed form — a wrong endianness, sample width, header
-    offset, or sign convention all break the hash."""
+    (duration_ms, Σs², zero crossings). ODD doc_ids write 24-BIT PCM
+    (r12, the studio width): the formula value sits in the high 16
+    bits with deliberate junk ``(s·11+5) % 256`` in the low byte, so
+    the 3-byte little-endian unpack, sign extension and the
+    arithmetic->>8 16-bit normalization are all on the hash path while
+    the oracle stays width-blind (the png 16-bit discipline). A wrong
+    endianness, sample width, header offset, sign convention or shift
+    direction all break the hash."""
     _prep(spark)
     import pyspark.sql.types as T  # noqa: PLC0415
 
@@ -3045,11 +3050,21 @@ def q_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 buf = io.BytesIO()
                 with wave.open(buf, "wb") as wf:
                     wf.setnchannels(1)
-                    wf.setsampwidth(2)
                     wf.setframerate(WAVDEC_RATE)
-                    wf.writeframes(
-                        b"".join(struct.pack("<h", s) for s in samples)
-                    )
+                    if did % 2:  # 24-bit: formula high 16 bits, junk low
+                        wf.setsampwidth(3)
+                        wf.writeframes(b"".join(
+                            struct.pack(
+                                "<i",
+                                (s << 8) | ((s * 11 + 5) % 256),
+                            )[:3]
+                            for s in samples
+                        ))
+                    else:
+                        wf.setsampwidth(2)
+                        wf.writeframes(
+                            b"".join(struct.pack("<h", s) for s in samples)
+                        )
                 payloads.append(bytearray(buf.getvalue()))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
@@ -15275,17 +15290,18 @@ _ALL_QUERIES: dict[str, QuerySpec] = {
 #   1. the 5 r12 additions, never externally checked, go straight in
 #      (image_neardup / dhash_recall_eval / phash_neardup /
 #      image_dup_clusters / semantic_decontaminate_ivf);
-#   2. the 5 entries whose code r12 CHANGED re-verify externally: the
+#   2. the 6 entries whose code r12 CHANGED re-verify externally: the
 #      outer-round ppm fix (ADVICE r11 high) in mmr_rerank /
 #      mmr_diversity_eval / semantic_decontaminate, the posexplode
 #      re-rank in knn_hubness_ivf, the progressive-JPEG fixture arm in
-#      jpeg_decode_stats;
+#      jpeg_decode_stats, the 24-bit-PCM fixture arm in
+#      wav_decode_stats (listed last, in cube_revenue's former slot);
 #   3. 3 canonical known-good ballast lines (rag_pipeline_verified /
 #      tpch_q1 / ann_topk) distinguish a broken driver run from entry
 #      failures;
-#   4. the remaining 37 slots rotate in the STALEST external evidence —
+#   4. the remaining 36 slots rotate in the STALEST external evidence —
 #      every r03/r04/r05-evidence entry (31) plus the alphabetically
-#      first 6 r06 entries — raising the out-of-window evidence floor
+#      first 5 r06 entries — raising the out-of-window evidence floor
 #      from r03 to r06.
 _WINDOW_R12 = [
     "image_neardup",
@@ -15337,7 +15353,10 @@ _WINDOW_R12 = [
     "cache_hit_join",
     "chunk_embed_ingest",
     "countmin_sketch",
-    "cube_revenue",
+    # wav_decode_stats: r11 evidence, but its code CHANGED in r12 (the
+    # 24-bit PCM fixture arm) — changed code re-verifies externally,
+    # taking the slot of the next stale candidate (cube_revenue, r06)
+    "wav_decode_stats",
 ]
 
 QUERIES: dict[str, QuerySpec] = {

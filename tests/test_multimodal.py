@@ -678,3 +678,73 @@ def test_image_dup_clusters_chain_collapse(spark):
         keepers = [r.doc_id for r in members if r.keep]
         assert keepers == [min(r.doc_id for r in members)] == [cid]
         assert all(r.cluster_size == len(members) for r in members)
+
+
+def test_decode_wav_24bit_high_byte_normalization():
+    """24-bit PCM (r12): 3-byte little-endian unpack, sign extension,
+    and the arithmetic >>8 normalization to the 16-bit range — the
+    low byte is deliberate junk so a wrong endianness, shift, or sign
+    convention changes the output; negative samples exercise the
+    floor-toward--inf shift."""
+    import io
+    import struct
+    import wave
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    samples = [0, 1000, -1000, 32767, -32768, -1]
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(3)
+        wf.setframerate(8000)
+        wf.writeframes(b"".join(
+            struct.pack("<i", (s << 8) | ((s * 7 + 13) % 256))[:3]
+            for s in samples
+        ))
+    x, rate = decode_wav(buf.getvalue())
+    assert rate == 8000
+    assert list(x) == samples  # junk byte dropped exactly
+    # sample width 4 still refuses loudly (the documented seam)
+    buf2 = io.BytesIO()
+    with wave.open(buf2, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(4)
+        wf.setframerate(8000)
+        wf.writeframes(b"\x00" * 8)
+    import pytest as _pytest
+
+    with _pytest.raises(NotImplementedError):
+        decode_wav(buf2.getvalue())
+
+
+def test_decode_jpeg_16bit_dqt():
+    """16-bit DQT entries (r12): rewrite a baseline stream's 8-bit DQT
+    segment into the 2-byte big-endian form with identical values —
+    decode must be bit-identical to the 8-bit original."""
+    import struct
+
+    import numpy as np
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    q = np.full((8, 8), 16, dtype=np.int64)
+    cg = np.zeros((2, 3, 8, 8), dtype=np.int64)
+    cg[:, :, 0, 0] = [[7, -3, 12], [0, 5, -9]]
+    cg[0, 1, 1, 2], cg[1, 2, 3, 1] = 4, -6
+    clean = encode_jpeg([cg], q, 16, 24)
+    expect = decode_jpeg(clean)
+    i = clean.find(b"\xff\xdb")
+    (seg_len,) = struct.unpack(">H", clean[i + 2 : i + 4])
+    entries = clean[i + 5 : i + 2 + seg_len]  # 64 8-bit values
+    assert len(entries) == 64
+    wide = b"".join(struct.pack(">H", v) for v in entries)
+    seg16 = b"\xff\xdb" + struct.pack(">H", 2 + 1 + 128) + b"\x10" + wide
+    noisy = clean[:i] + seg16 + clean[i + 2 + seg_len:]
+    got = decode_jpeg(noisy)
+    assert np.array_equal(got, expect)
