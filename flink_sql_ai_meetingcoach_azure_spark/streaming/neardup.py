@@ -100,6 +100,17 @@ class StreamingNearDupDedup:
             f"{self.state_path.rstrip('/')}_batches/{int(batch_id)}"
         )
 
+    # -- signature -> band keys (overridden by the image sibling) ----------
+    def _band_keys(self, batch_df: DataFrame) -> DataFrame:
+        """(id, band, bh) bucket keys for this batch's rows."""
+        sigs = minhash_signatures(
+            batch_df, self.id_col, self.text_col,
+            self.num_hashes, self.shingle_n,
+        )
+        return lsh_band_keys(
+            sigs, self.id_col, self.num_hashes, self.band_size
+        )
+
     # -- per micro-batch ---------------------------------------------------
     def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -115,10 +126,7 @@ class StreamingNearDupDedup:
         if batch_df.isEmpty():
             fs.create(marker, True).close()
             return
-        sigs = minhash_signatures(
-            batch_df, idc, self.text_col, self.num_hashes, self.shingle_n
-        )
-        keys = lsh_band_keys(sigs, idc, self.num_hashes, self.band_size)
+        keys = self._band_keys(batch_df)
         # one small materialization: keys feed the dup decision AND the
         # state append; recomputing means re-running the signature subtree
         keys = keys.localCheckpoint()
@@ -156,3 +164,56 @@ class StreamingNearDupDedup:
             "band", "bh", F.col("__bmin").alias("min_id")
         ).write.mode("append").parquet(self.state_path)
         fs.create(marker, True).close()
+
+
+class StreamingImageNearDup(StreamingNearDupDedup):
+    """Continuous IMAGE near-dup dedup — the text sink's band-bucket
+    state machinery (LSM min-merge state, replay markers, compaction)
+    with dHash signatures over REAL decoded pixels
+    (``operators/multimodal.dhash_signatures``): an image arriving in
+    any micro-batch is dropped when any of its 8 signature BYTES
+    matches an earlier-id image's same-position byte — the streaming
+    form of the batch ``image_neardup`` band prefilter, with the same
+    greedy smallest-witness drop rule as the text sink. Decode + hash
+    run inside the batch's mapInPandas Arrow pass; only 16-byte
+    signatures reach the state join."""
+
+    def __init__(
+        self,
+        state_path: str,
+        output_path: str,
+        id_col: str = "doc_id",
+        payload_col: str = "payload",
+        decoder: str = "png",
+    ) -> None:
+        super().__init__(state_path, output_path, id_col=id_col)
+        self.payload_col = payload_col
+        self.decoder = decoder
+
+    def _band_keys(self, batch_df: DataFrame) -> DataFrame:
+        from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+            dhash_signatures,
+        )
+
+        sigs = dhash_signatures(
+            batch_df,
+            payload_col=self.payload_col,
+            id_col=self.id_col,
+            decoder=self.decoder,
+        )
+        return sigs.select(
+            self.id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright(F.col(f"sig{b // 4}"), 8 * (b % 4))
+                            .bitwiseAND(F.lit(255))
+                            .alias("bh"),
+                        )
+                        for b in range(8)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(self.id_col, "bb.band", "bb.bh")

@@ -2718,3 +2718,81 @@ def test_streaming_ivf_ingest_maintains_hamming_signatures(spark, tmp_path):
     )
     by_id = {r["vec_id"]: r["hamming"] for r in pool}
     assert by_id.get(target) == 0
+
+
+def test_streaming_image_neardup_composes_and_replays(spark, tmp_path):
+    """Continuous IMAGE near-dup (r12): the dHash band-bucket sink must
+    (a) equal the batch greedy smallest-witness rule over the union of
+    all batches, (b) drop a batch-2 brightness-shifted copy of a
+    batch-1 image by STATE alone, and (c) replay as a no-op."""
+    import numpy as np
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        dhash_signatures,
+        encode_png,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.neardup import (
+        StreamingImageNearDup,
+    )
+
+    rng = np.random.RandomState(5)
+
+    def png(img):
+        return bytearray(encode_png(img, 2, [r % 5 for r in range(len(img))]))
+
+    base_a = rng.randint(10, 240, (16, 18, 3)).astype(np.uint8)
+    base_c = rng.randint(10, 240, (16, 18, 3)).astype(np.uint8)
+    shift = lambda im, d: np.clip(  # noqa: E731
+        im.astype(np.int64) + d, 0, 255
+    ).astype(np.uint8)
+    imgs = {
+        1: base_a,
+        2: base_c,
+        3: shift(base_a, 4),   # near-dup of 1 (identical signature)
+        4: shift(base_c, 3),   # near-dup of 2
+        5: rng.randint(10, 240, (16, 18, 3)).astype(np.uint8),
+    }
+    b1 = spark.createDataFrame(
+        [(i, png(imgs[i])) for i in (1, 2)], "doc_id long, payload binary"
+    )
+    b2 = spark.createDataFrame(
+        [(i, png(imgs[i])) for i in (3, 4, 5)], "doc_id long, payload binary"
+    )
+    sink = StreamingImageNearDup(
+        str(tmp_path / "img_state"), str(tmp_path / "img_out")
+    )
+    sink(b1, 0)
+    sink(b2, 1)
+    out = spark.read.parquet(str(tmp_path / "img_out"))
+    # batch-greedy expectation over the UNION: drop any image sharing a
+    # band byte with a smaller id
+    sigs = {
+        r.doc_id: (r.sig0, r.sig1)
+        for r in dhash_signatures(
+            b1.unionByName(b2), id_col="doc_id"
+        ).collect()
+    }
+
+    def bands(s0, s1):
+        w = [s0, s0, s0, s0, s1, s1, s1, s1]
+        return [(b, (w[b] >> (8 * (b % 4))) & 255) for b in range(8)]
+
+    expect = set()
+    for i in sorted(sigs):
+        drop = any(
+            set(bands(*sigs[i])) & set(bands(*sigs[j]))
+            for j in sigs
+            if j < i
+        )
+        if not drop:
+            expect.add(i)
+    got = {r.doc_id for r in out.collect()}
+    assert got == expect
+    assert {1, 2} <= got and 3 not in got and 4 not in got
+    # cross-batch came from state (3 and 4 had no smaller id IN batch 2)
+    b2_admitted = {r.doc_id for r in out.filter("batch_id = 1").collect()}
+    assert 5 in b2_admitted and not {3, 4} & b2_admitted
+    # replay: marker short-circuits, no duplicate output rows
+    n = out.count()
+    sink(b2, 1)
+    assert spark.read.parquet(str(tmp_path / "img_out")).count() == n
