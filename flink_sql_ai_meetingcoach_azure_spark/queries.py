@@ -14611,6 +14611,97 @@ def _dhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sig_band_pairs(sigs, DHASH_T)
 
 
+def _dhash_fixture_media_jpeg(docs: DataFrame) -> DataFrame:
+    """The dHash near-dup fixture re-expressed as JPEGs: the SAME gray
+    cell formula G(i,j) as _dhash_fixture_media, but each cell is an
+    8x8 DC-ONLY JPEG block (dc = (G-128)//2 at q00=16 ⇒ decoded pixel
+    = G exactly, the jpeg_decode_stats closed form) in a 64x72 image —
+    nn_resize to the 8x9 dHash grid lands on block corners, so the
+    signature bits equal the SAME direction bits and the entry SHARES
+    image_neardup's oracle. ODD groups encode PROGRESSIVE (SOF2), so
+    the Annex G path is on the image-dedup hash too."""
+    import pyspark.sql.types as T  # noqa: PLC0415
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    def _make(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        q = np.full((8, 8), 16, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                gid, m = did // 4, did % 4
+                k = np.arange(1, 9)
+                d = ((gid * 37 + k * 11) % 5) % 2
+                eff = np.tile(d, (8, 1))
+                if m == 2:
+                    eff[7, 6:] = 1 - eff[7, 6:]
+                elif m == 3:
+                    eff[:, 3:] = 1 - eff[:, 3:]
+                s = np.concatenate(
+                    [np.zeros((8, 1), dtype=np.int64), np.cumsum(eff, axis=1)],
+                    axis=1,
+                )
+                j = np.arange(9)
+                gcell = (
+                    110
+                    + 2 * np.arange(8)[:, None]
+                    + 12 * (2 * s - j[None, :])
+                )
+                if m == 1:
+                    gcell = gcell + 4
+                coefs = np.zeros((8, 9, 8, 8), dtype=np.int64)
+                coefs[:, :, 0, 0] = (gcell - 128) // 2  # even G ⇒ exact
+                enc = encode_jpeg_progressive if gid % 2 else encode_jpeg
+                payloads.append(bytearray(enc([coefs], q, 64, 72)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(
+        _make,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def q_image_neardup_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``image_neardup`` through the JPEG codec — the codec-flip
+    sibling (the knn_classify_ivf treatment applied to image dedup):
+    the same gray-cell near-dup structure arrives as DC-only JPEGs
+    (odd groups PROGRESSIVE SOF2), is decoded by
+    operators/multimodal.py::decode_jpeg / _decode_progressive, and
+    flows through the identical dHash + lossless-band-join chain.
+    Decoded pixels equal the PNG fixture's cells exactly (the
+    jpeg_decode_stats closed form), so the entry SHARES
+    image_neardup's oracle — the codec flip is value-invisible, and a
+    wrong Huffman decode, DC prediction, progressive refinement, IDCT
+    scale or upsample all break the shared hash."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+        dhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < DHASH_MAX_ID
+    ).select("doc_id")
+    media = _dhash_fixture_media_jpeg(docs)
+    sigs = dhash_signatures(
+        media, id_col="doc_id", decoder="jpeg"
+    ).localCheckpoint(eager=False)
+    return _sig_band_pairs(sigs, DHASH_T).orderBy("doc_a", "doc_b")
+
+
 def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash IMAGE near-dup over the REAL PNG codec path —
     the multimodal member of the dedup family (VERDICT r11 #1:
@@ -15027,6 +15118,11 @@ _ALL_QUERIES: dict[str, QuerySpec] = {
     # r12 additions — straight into the window (header note): the
     # image-dedup family over the REAL PNG codec path
     "image_neardup": QuerySpec(q_image_neardup, _sql_image_neardup()),
+    # codec-flip sibling: shares the oracle (DC-only JPEG blocks decode
+    # to the PNG fixture's exact gray cells)
+    "image_neardup_jpeg": QuerySpec(
+        q_image_neardup_jpeg, _sql_image_neardup()
+    ),
     "dhash_recall_eval": QuerySpec(
         q_dhash_recall_eval, _sql_dhash_recall_eval()
     ),
@@ -15287,9 +15383,9 @@ _ALL_QUERIES: dict[str, QuerySpec] = {
 # ledger (tools/evidence_ledger.py; VERDICT r11 #4 + #8 — computed, not
 # hand-claimed; test_entry_contract.py::test_window_rotation_matches_ledger
 # re-derives and enforces every rule below on each pytest run):
-#   1. the 5 r12 additions, never externally checked, go straight in
-#      (image_neardup / dhash_recall_eval / phash_neardup /
-#      image_dup_clusters / semantic_decontaminate_ivf);
+#   1. the 6 r12 additions, never externally checked, go straight in
+#      (image_neardup / image_neardup_jpeg / dhash_recall_eval /
+#      phash_neardup / image_dup_clusters / semantic_decontaminate_ivf);
 #   2. the 6 entries whose code r12 CHANGED re-verify externally: the
 #      outer-round ppm fix (ADVICE r11 high) in mmr_rerank /
 #      mmr_diversity_eval / semantic_decontaminate, the posexplode
@@ -15299,12 +15395,13 @@ _ALL_QUERIES: dict[str, QuerySpec] = {
 #   3. 3 canonical known-good ballast lines (rag_pipeline_verified /
 #      tpch_q1 / ann_topk) distinguish a broken driver run from entry
 #      failures;
-#   4. the remaining 36 slots rotate in the STALEST external evidence —
+#   4. the remaining 35 slots rotate in the STALEST external evidence —
 #      every r03/r04/r05-evidence entry (31) plus the alphabetically
-#      first 5 r06 entries — raising the out-of-window evidence floor
+#      first 4 r06 entries — raising the out-of-window evidence floor
 #      from r03 to r06.
 _WINDOW_R12 = [
     "image_neardup",
+    "image_neardup_jpeg",
     "dhash_recall_eval",
     "phash_neardup",
     "image_dup_clusters",
@@ -15352,7 +15449,6 @@ _WINDOW_R12 = [
     "bm25_topk",
     "cache_hit_join",
     "chunk_embed_ingest",
-    "countmin_sketch",
     # wav_decode_stats: r11 evidence, but its code CHANGED in r12 (the
     # 24-bit PCM fixture arm) — changed code re-verifies externally,
     # taking the slot of the next stale candidate (cube_revenue, r06)
