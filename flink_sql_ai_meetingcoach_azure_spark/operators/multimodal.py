@@ -782,6 +782,66 @@ def dhash_signatures(
     return df.mapInPandas(_proc, schema=out_schema)
 
 
+AUDIO_SIG_POINTS = 65  # resampled envelope points -> 64 delta sign bits
+
+
+def audio_delta_signatures(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Sign-of-delta audio fingerprint over REAL decoded WAV samples —
+    the audio member of the perceptual near-dup family (dHash for the
+    waveform envelope: gain/offset changes leave it untouched, local
+    edits flip few bits): :func:`decode_wav` (PCM, any supported
+    width, mono mixdown), nearest-neighbor resample to 65 points with
+    the :func:`nn_resize` index math (``(k·n)//65``), then the 64
+    adjacent-sample sign bits ``x[k+1] > x[k]`` packed row-major into
+    the repo's standard two 32-bit BIGINT words. Undecodable payloads
+    yield NULL words (route with parse_wav_header first). One
+    mapInPandas Arrow batch; 16 bytes/clip reach the shuffle."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("sig0", T.LongType()),
+            T.StructField("sig1", T.LongType()),
+        ]
+    )
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pw = 1 << np.arange(32, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            sigs0, sigs1 = [], []
+            for p in pdf[payload_col]:
+                try:
+                    x, _ = decode_wav(p)
+                    if len(x) == 0:
+                        raise ValueError("empty audio")
+                except Exception:  # noqa: BLE001 — undecodable payload
+                    sigs0.append(None)
+                    sigs1.append(None)
+                    continue
+                idx = (
+                    np.arange(AUDIO_SIG_POINTS, dtype=np.int64) * len(x)
+                ) // AUDIO_SIG_POINTS
+                env = x[idx]
+                bits = (env[1:] > env[:-1]).astype(np.int64)
+                sigs0.append(int((bits[:32] * pw).sum()))
+                sigs1.append(int((bits[32:] * pw).sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "sig0": pd.array(sigs0, dtype="Int64"),
+                    "sig1": pd.array(sigs1, dtype="Int64"),
+                },
+                columns=[f.name for f in out_schema.fields],
+            )
+
+    return df.mapInPandas(_proc, schema=out_schema)
+
+
 PHASH_N = 32  # pHash DCT grid (32x32 gray -> low 8x8 spectral block)
 
 

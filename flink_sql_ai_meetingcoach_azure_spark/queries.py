@@ -14912,6 +14912,121 @@ ORDER BY l.doc_id
 """
 
 
+AUDIONEAR_MAX_ID = 160  # 40 groups of 4 members
+AUDIONEAR_T = 7  # 8x8-bit banding threshold (shared _sig_band_pairs)
+
+
+def _audio_neardup_fixture_media(docs: DataFrame) -> DataFrame:
+    """Deterministic WAV near-dup corpus: the dHash fixture discipline
+    applied to waveforms — 65 envelope cells (2 samples each, so the
+    (k·130)//65 resample lands on cell starts) whose 64 step DIRECTIONS
+    come from the closed-form bit formula; m=0 base, m=1 uniform +4
+    gain offset (signature-invariant), m=2 flips the last two steps
+    (hamming 2), m=3 flips ~half (a different clip). 16-bit PCM via
+    the stdlib wave module; values stay within ±772."""
+    import pyspark.sql.types as T  # noqa: PLC0415
+
+    def _make(batches):
+        import io  # noqa: PLC0415
+        import struct  # noqa: PLC0415
+        import wave  # noqa: PLC0415
+
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                gid, m = did // 4, did % 4
+                k = np.arange(1, 65)
+                d = ((gid * 37 + k * 11) % 5) % 2
+                if m == 2:
+                    d[62:] = 1 - d[62:]  # steps k=63,64
+                elif m == 3:
+                    flip = (k * 3 + gid) % 2 == 0
+                    d = np.where(flip, 1 - d, d)
+                s = np.concatenate([[0], np.cumsum(d)])
+                c = np.arange(65)
+                v = 12 * (2 * s - c) + (4 if m == 1 else 0)
+                samples = np.repeat(v, 2).astype(int)
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(b"".join(
+                        struct.pack("<h", int(x)) for x in samples
+                    ))
+                payloads.append(bytearray(buf.getvalue()))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(
+        _make,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO near-dup — the waveform member completing the perceptual
+    near-dup family across all three modalities (text: minhash/simhash;
+    image: dHash/pHash; audio: this): REAL WAV decode → nearest-
+    neighbor envelope resample → 64 sign-of-delta bits
+    (multimodal.audio_delta_signatures) → the SAME 2x32-bit words and
+    lossless 8x8-bit band join as the image rungs (_sig_band_pairs).
+    Gain/offset changes are provably invisible (the m=1 members);
+    local edits flip few bits. The oracle replays the closed-form step
+    directions, so a wrong PCM unpack, mixdown, resample index, sign
+    convention, bit order or band math all break the hash."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+        audio_delta_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < AUDIONEAR_MAX_ID
+    ).select("doc_id")
+    sigs = audio_delta_signatures(
+        _audio_neardup_fixture_media(docs), id_col="doc_id"
+    ).localCheckpoint(eager=False)
+    return _sig_band_pairs(sigs, AUDIONEAR_T).orderBy("doc_a", "doc_b")
+
+
+def _sql_audio_neardup() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+           FROM documents WHERE doc_id < {AUDIONEAR_MAX_ID}),
+eff AS (SELECT doc_id, k,
+               CASE WHEN (m = 2 AND k >= 63)
+                         OR (m = 3 AND (k * 3 + gid) % 2 = 0)
+                    THEN 1 - ((gid * 37 + k * 11) % 5) % 2
+                    ELSE ((gid * 37 + k * 11) % 5) % 2 END AS dk
+        FROM d, unnest(range(1, 65)) AS kk(k)),
+sig AS (SELECT doc_id,
+               CAST(sum(CASE WHEN k - 1 < 32
+                             THEN dk * (1::BIGINT << (k - 1))
+                             ELSE 0 END) AS BIGINT) AS sig0,
+               CAST(sum(CASE WHEN k - 1 >= 32
+                             THEN dk * (1::BIGINT << (k - 33))
+                             ELSE 0 END) AS BIGINT) AS sig1
+        FROM eff GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig0, b.sig0))
+            + bit_count(xor(a.sig1, b.sig1)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig0, b.sig0)) + bit_count(xor(a.sig1, b.sig1))
+      <= {AUDIONEAR_T}
+ORDER BY doc_a, doc_b
+"""
+
+
 PHASH_MAX_ID = 160  # 40 groups of 4 members
 PHASH_T = 7  # 8x8-bit banding: pigeonhole-lossless for hamming <= 7
 PHASH_AC = 28  # low-block AC magnitude: > the worst-case rounding drift
@@ -15130,6 +15245,7 @@ _ALL_QUERIES: dict[str, QuerySpec] = {
     "image_dup_clusters": QuerySpec(
         q_image_dup_clusters, _sql_image_dup_clusters()
     ),
+    "audio_neardup": QuerySpec(q_audio_neardup, _sql_audio_neardup()),
     # ---- ballast: r10-externally-green lines (incl. every entry whose
     # code the r11 refactors touched: cusum_changepoint / ks_drift /
     # png_decode_stats below, vocab_coverage_sweep / pca_power /
@@ -15383,9 +15499,10 @@ _ALL_QUERIES: dict[str, QuerySpec] = {
 # ledger (tools/evidence_ledger.py; VERDICT r11 #4 + #8 — computed, not
 # hand-claimed; test_entry_contract.py::test_window_rotation_matches_ledger
 # re-derives and enforces every rule below on each pytest run):
-#   1. the 6 r12 additions, never externally checked, go straight in
+#   1. the 7 r12 additions, never externally checked, go straight in
 #      (image_neardup / image_neardup_jpeg / dhash_recall_eval /
-#      phash_neardup / image_dup_clusters / semantic_decontaminate_ivf);
+#      phash_neardup / image_dup_clusters / audio_neardup /
+#      semantic_decontaminate_ivf);
 #   2. the 6 entries whose code r12 CHANGED re-verify externally: the
 #      outer-round ppm fix (ADVICE r11 high) in mmr_rerank /
 #      mmr_diversity_eval / semantic_decontaminate, the posexplode
@@ -15395,9 +15512,9 @@ _ALL_QUERIES: dict[str, QuerySpec] = {
 #   3. 3 canonical known-good ballast lines (rag_pipeline_verified /
 #      tpch_q1 / ann_topk) distinguish a broken driver run from entry
 #      failures;
-#   4. the remaining 35 slots rotate in the STALEST external evidence —
+#   4. the remaining 34 slots rotate in the STALEST external evidence —
 #      every r03/r04/r05-evidence entry (31) plus the alphabetically
-#      first 4 r06 entries — raising the out-of-window evidence floor
+#      first 3 r06 entries — raising the out-of-window evidence floor
 #      from r03 to r06.
 _WINDOW_R12 = [
     "image_neardup",
@@ -15405,6 +15522,7 @@ _WINDOW_R12 = [
     "dhash_recall_eval",
     "phash_neardup",
     "image_dup_clusters",
+    "audio_neardup",
     "semantic_decontaminate_ivf",
     "mmr_rerank",
     "mmr_diversity_eval",
@@ -15448,7 +15566,6 @@ _WINDOW_R12 = [
     "ann_ivf_topk",
     "bm25_topk",
     "cache_hit_join",
-    "chunk_embed_ingest",
     # wav_decode_stats: r11 evidence, but its code CHANGED in r12 (the
     # 24-bit PCM fixture arm) — changed code re-verifies externally,
     # taking the slot of the next stale candidate (cube_revenue, r06)

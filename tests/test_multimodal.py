@@ -748,3 +748,58 @@ def test_decode_jpeg_16bit_dqt():
     noisy = clean[:i] + seg16 + clean[i + 2 + seg_len:]
     got = decode_jpeg(noisy)
     assert np.array_equal(got, expect)
+
+
+def test_audio_delta_signature_gain_invariant(spark):
+    """Audio sign-of-delta fingerprint over the REAL WAV path: a
+    uniform gain offset leaves the signature untouched, a local edit
+    flips only the touched deltas, and undecodable payloads yield NULL
+    words instead of poisoning the batch."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        AUDIO_SIG_POINTS,
+        audio_delta_signatures,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(-900, 900, 130)
+
+    def wav(samples):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(b"".join(
+                struct.pack("<h", int(x)) for x in samples
+            ))
+        return bytearray(buf.getvalue())
+
+    edited = base.copy()
+    edited[-4:] = [2000, -2000, 2000, -2000]  # touch the tail deltas only
+    rows = [
+        (1, wav(base)),
+        (2, wav(base + 7)),     # uniform gain offset
+        (3, wav(edited)),
+        (4, bytearray(b"not audio")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: (r.sig0, r.sig1) for r in
+           audio_delta_signatures(df).collect()}
+    # independent recompute from the raw samples
+    idx = (np.arange(AUDIO_SIG_POINTS, dtype=np.int64) * 130) // AUDIO_SIG_POINTS
+    env = base[idx]
+    bits = (env[1:] > env[:-1]).astype(np.int64)
+    pw = 1 << np.arange(32, dtype=np.int64)
+    assert got[1] == (int((bits[:32] * pw).sum()), int((bits[32:] * pw).sum()))
+    assert got[2] == got[1]  # gain offset: zero bits moved
+    h = bin(got[1][0] ^ got[3][0]).count("1") + bin(
+        got[1][1] ^ got[3][1]
+    ).count("1")
+    assert 0 < h <= 8  # local edit: few bits
+    assert got[4] == (None, None)
