@@ -842,6 +842,40 @@ def audio_delta_signatures(
     return df.mapInPandas(_proc, schema=out_schema)
 
 
+def decode_samples(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Decode each WAV payload and emit the FULL normalized sample
+    stream as one ``array<bigint>`` column — decode_pixels' audio twin:
+    the exact ground-truth seam for sample-distance evals
+    (``audio_recall_eval``). Bounded eval samples only; at corpus scale
+    ship the 16-byte :func:`audio_delta_signatures` output."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("samples", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "samples": [
+                        decode_wav(p)[0].tolist() for p in pdf[payload_col]
+                    ],
+                },
+                columns=[f.name for f in out_schema.fields],
+            )
+
+    return df.mapInPandas(_proc, schema=out_schema)
+
+
 PHASH_N = 32  # pHash DCT grid (32x32 gray -> low 8x8 spectral block)
 
 

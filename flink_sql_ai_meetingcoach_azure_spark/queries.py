@@ -14999,6 +14999,121 @@ def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sig_band_pairs(sigs, AUDIONEAR_T).orderBy("doc_a", "doc_b")
 
 
+AUDIO_PD_T = 1000  # exact-L1 sample-distance ground-truth threshold
+
+
+def q_audio_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall/precision of the audio fingerprint band search against
+    EXACT sample-distance ground truth — the eval-discipline sibling
+    every approximate rung in this repo ships (dhash_recall_eval for
+    images, lsh/simhash_recall_eval for text): ground truth = pairs
+    whose exact L1 over the REAL decoded sample streams
+    (decode_samples) is <= AUDIO_PD_T (1000); predicted = the
+    hamming<=7 band pairs. One summary row of exact integer counts +
+    ppm rates. What it measures: a uniform gain offset is a LARGE L1
+    move at hamming 0 (caught by the fingerprint, missed by raw
+    distance-thinking), while a cross-group single-step direction
+    difference can be a small L1 move the bands still separate."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+        audio_delta_signatures,
+        decode_samples,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < AUDIONEAR_MAX_ID
+    ).select("doc_id")
+    media = _audio_neardup_fixture_media(docs)
+    px = decode_samples(media, id_col="doc_id").select(
+        "doc_id", F.posexplode("samples").alias("pos", "val")
+    )
+    pa = px.select(
+        F.col("doc_id").alias("doc_a"), "pos", F.col("val").alias("va")
+    )
+    pb = px.select(
+        F.col("doc_id").alias("doc_b"), "pos", F.col("val").alias("vb")
+    )
+    truth = (
+        pa.join(pb, "pos")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.abs(F.col("va") - F.col("vb"))).alias("pdist"))
+        .filter(F.col("pdist") <= AUDIO_PD_T)
+        .select("doc_a", "doc_b")
+        .localCheckpoint(eager=False)
+    )
+    sigs = audio_delta_signatures(
+        _audio_neardup_fixture_media(docs), id_col="doc_id"
+    ).localCheckpoint(eager=False)
+    pred = _sig_band_pairs(sigs, AUDIONEAR_T).select(
+        "doc_a", "doc_b"
+    ).localCheckpoint(eager=False)
+    n_true = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    n_pred = pred.agg(F.count(F.lit(1)).alias("n_pred"))
+    n_hit = truth.join(pred, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    return (
+        n_true.crossJoin(n_pred)
+        .crossJoin(n_hit)
+        .select(
+            F.col("n_true").cast("bigint").alias("n_true"),
+            F.col("n_pred").cast("bigint").alias("n_pred"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.expr("n_hit * 1000000L div n_true").alias("recall_ppm"),
+            F.expr("n_hit * 1000000L div n_pred").alias("precision_ppm"),
+        )
+    )
+
+
+def _sql_audio_recall_eval() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+           FROM documents WHERE doc_id < {AUDIONEAR_MAX_ID}),
+eff AS (SELECT doc_id, m, k,
+               CASE WHEN (m = 2 AND k >= 63)
+                         OR (m = 3 AND (k * 3 + gid) % 2 = 0)
+                    THEN 1 - ((gid * 37 + k * 11) % 5) % 2
+                    ELSE ((gid * 37 + k * 11) % 5) % 2 END AS dk
+        FROM d, unnest(range(1, 65)) AS kk(k)),
+sig AS (SELECT doc_id,
+               CAST(sum(CASE WHEN k - 1 < 32
+                             THEN dk * (1::BIGINT << (k - 1))
+                             ELSE 0 END) AS BIGINT) AS sig0,
+               CAST(sum(CASE WHEN k - 1 >= 32
+                             THEN dk * (1::BIGINT << (k - 33))
+                             ELSE 0 END) AS BIGINT) AS sig1
+        FROM eff GROUP BY doc_id),
+v AS (SELECT doc_id, c,
+             12 * (2 * s - c) + CASE WHEN m = 1 THEN 4 ELSE 0 END AS vv
+      FROM (
+        SELECT doc_id, m, k AS c,
+               sum(dk) OVER (PARTITION BY doc_id ORDER BY k) AS s
+        FROM eff
+        UNION ALL
+        SELECT DISTINCT doc_id, m, 0 AS c, 0 AS s FROM eff
+      )),
+dist AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                2 * sum(abs(a.vv - b.vv)) AS pdist
+         FROM v a JOIN v b ON a.c = b.c AND a.doc_id < b.doc_id
+         GROUP BY 1, 2),
+truth AS (SELECT doc_a, doc_b FROM dist WHERE pdist <= {AUDIO_PD_T}),
+pred AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig0, b.sig0))
+               + bit_count(xor(a.sig1, b.sig1)) <= {AUDIONEAR_T}),
+hit AS (SELECT count(*) AS n_hit FROM truth JOIN pred USING (doc_a, doc_b))
+SELECT CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_true,
+       CAST((SELECT count(*) FROM pred) AS BIGINT) AS n_pred,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CAST(n_hit * 1000000 // (SELECT count(*) FROM truth) AS BIGINT)
+         AS recall_ppm,
+       CAST(n_hit * 1000000 // (SELECT count(*) FROM pred) AS BIGINT)
+         AS precision_ppm
+FROM hit
+"""
+
+
 def _sql_audio_neardup() -> str:
     return f"""
 WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
@@ -15246,6 +15361,9 @@ _ALL_QUERIES: dict[str, QuerySpec] = {
         q_image_dup_clusters, _sql_image_dup_clusters()
     ),
     "audio_neardup": QuerySpec(q_audio_neardup, _sql_audio_neardup()),
+    "audio_recall_eval": QuerySpec(
+        q_audio_recall_eval, _sql_audio_recall_eval()
+    ),
     # ---- ballast: r10-externally-green lines (incl. every entry whose
     # code the r11 refactors touched: cusum_changepoint / ks_drift /
     # png_decode_stats below, vocab_coverage_sweep / pca_power /
@@ -15499,10 +15617,10 @@ _ALL_QUERIES: dict[str, QuerySpec] = {
 # ledger (tools/evidence_ledger.py; VERDICT r11 #4 + #8 — computed, not
 # hand-claimed; test_entry_contract.py::test_window_rotation_matches_ledger
 # re-derives and enforces every rule below on each pytest run):
-#   1. the 7 r12 additions, never externally checked, go straight in
+#   1. the 8 r12 additions, never externally checked, go straight in
 #      (image_neardup / image_neardup_jpeg / dhash_recall_eval /
 #      phash_neardup / image_dup_clusters / audio_neardup /
-#      semantic_decontaminate_ivf);
+#      audio_recall_eval / semantic_decontaminate_ivf);
 #   2. the 6 entries whose code r12 CHANGED re-verify externally: the
 #      outer-round ppm fix (ADVICE r11 high) in mmr_rerank /
 #      mmr_diversity_eval / semantic_decontaminate, the posexplode
@@ -15512,9 +15630,9 @@ _ALL_QUERIES: dict[str, QuerySpec] = {
 #   3. 3 canonical known-good ballast lines (rag_pipeline_verified /
 #      tpch_q1 / ann_topk) distinguish a broken driver run from entry
 #      failures;
-#   4. the remaining 34 slots rotate in the STALEST external evidence —
+#   4. the remaining 33 slots rotate in the STALEST external evidence —
 #      every r03/r04/r05-evidence entry (31) plus the alphabetically
-#      first 3 r06 entries — raising the out-of-window evidence floor
+#      first 2 r06 entries — raising the out-of-window evidence floor
 #      from r03 to r06.
 _WINDOW_R12 = [
     "image_neardup",
@@ -15523,6 +15641,7 @@ _WINDOW_R12 = [
     "phash_neardup",
     "image_dup_clusters",
     "audio_neardup",
+    "audio_recall_eval",
     "semantic_decontaminate_ivf",
     "mmr_rerank",
     "mmr_diversity_eval",
@@ -15565,7 +15684,6 @@ _WINDOW_R12 = [
     "tumbling_window",
     "ann_ivf_topk",
     "bm25_topk",
-    "cache_hit_join",
     # wav_decode_stats: r11 evidence, but its code CHANGED in r12 (the
     # 24-bit PCM fixture arm) — changed code re-verifies externally,
     # taking the slot of the next stale candidate (cube_revenue, r06)
