@@ -547,6 +547,21 @@ def main() -> None:
     spark = get_spark("bench")
     # JVM/codegen warmup so query timings measure the plan, not JIT
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # Context-honest first line (VERDICT r12 #2): the first TIMED query
+    # historically pays the run's one-time costs — cold page cache for
+    # the parquet files, scan/codegen compilation, parquet footer reads —
+    # which in driver-context runs showed up as a 2-3x "regression" on
+    # tpch_q1 that the dedicated quiet runs could never reproduce. Run
+    # the first suite line ONCE untimed so every timed line (including
+    # the first) measures the plan under the same warm-cache conditions
+    # the pins were measured under. This is a measurement-context fix,
+    # not a speedup: the warmup cost is paid, just not attributed to an
+    # arbitrary victim line.
+    first = (subset or BENCH_QUERIES)[0]
+    if first != "ann_ivf_topk":  # never pre-warm the cold-build line
+        QUERIES[first].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
 
     def run_once(name: str) -> float:
         t0 = time.time()

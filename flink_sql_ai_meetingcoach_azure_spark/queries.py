@@ -15042,8 +15042,10 @@ def q_audio_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .localCheckpoint(eager=False)
     )
+    # Reuse the one fixture-media subtree for both the decode and the
+    # signature sides (ADVICE r12) — the per-row WAV encode runs once.
     sigs = audio_delta_signatures(
-        _audio_neardup_fixture_media(docs), id_col="doc_id"
+        media, id_col="doc_id"
     ).localCheckpoint(eager=False)
     pred = _sig_band_pairs(sigs, AUDIONEAR_T).select(
         "doc_a", "doc_b"

@@ -669,7 +669,7 @@ def test_image_dup_clusters_chain_collapse(spark):
     g0 = [rows[i] for i in (0, 1, 2)]
     assert {r.cluster for r in g0} == {0}  # one component, min-id label
     assert [r.keep for r in g0] == [True, False, False]
-    assert rows[3].cluster != 0 or rows[3].keep or True  # m=3 independent
+    assert rows[3].cluster == 3 and rows[3].keep  # m=3 independent singleton
     # every cluster's keeper is its min id, exactly one keeper per cluster
     by_cluster = {}
     for r in rows.values():

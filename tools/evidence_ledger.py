@@ -43,11 +43,16 @@ def latest_evidence(repo: str = REPO) -> dict[str, int | None]:
         for name, row in rec.items():
             if not isinstance(row, dict):
                 continue
+            # Positive evidence required (ADVICE r12): an empty or
+            # truncated per-entry dict (driver crash mid-write) must NOT
+            # count as a green external check. hash_match=None is the
+            # driver's documented rows-only mode, so it stays admissible
+            # only when rows+schema affirmatively matched.
             green = (
                 row.get("err") is None
-                and row.get("rows_match") is not False
-                and row.get("schema_match") is not False
-                and row.get("hash_match") is not False
+                and row.get("rows_match") is True
+                and row.get("schema_match") is True
+                and row.get("hash_match") in (True, None)
             )
             if green:
                 seen[name] = max(seen.get(name, 0), rnd)
