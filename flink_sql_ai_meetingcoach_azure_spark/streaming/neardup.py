@@ -111,26 +111,16 @@ class StreamingNearDupDedup:
             sigs, self.id_col, self.num_hashes, self.band_size
         )
 
-    # -- per micro-batch ---------------------------------------------------
-    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        idc = self.id_col
-        # batch marker (same discipline as StreamingIvfIngest): the state
-        # log is replay-idempotent by construction (min-merge), but the
-        # SURVIVOR append is not — a replayed batch would duplicate output
-        # rows without this
-        marker = self._marker(spark, batch_id)
-        fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.exists(marker):
-            return
-        if batch_df.isEmpty():
-            fs.create(marker, True).close()
-            return
-        keys = self._band_keys(batch_df)
-        # one small materialization: keys feed the dup decision AND the
-        # state append; recomputing means re-running the signature subtree
-        keys = keys.localCheckpoint()
+    # -- dup decision (overridden by the media siblings) --------------------
+    def _decide(self, spark, keys: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """(dup ids, state rows to append) for this batch's ``keys``.
 
+        Text rule: a doc is a duplicate iff some bucket it lands in has a
+        smaller id among everything seen so far INCLUDING this batch —
+        the bucket minimum is always a sufficient witness because sharing
+        any band bucket IS the drop criterion for MinHash-LSH (the batch
+        ``neardup_survivors`` rule)."""
+        idc = self.id_col
         batch_min = keys.groupBy("band", "bh").agg(F.min(idc).alias("__bmin"))
         state = self._read_state(spark)
         if state is not None:
@@ -154,55 +144,75 @@ class StreamingNearDupDedup:
             .select(idc)
             .distinct()
         )
+        # appended minima are idempotent under replay: a re-append can
+        # only repeat, never raise, a bucket minimum
+        return dups, batch_min.select(
+            "band", "bh", F.col("__bmin").alias("min_id")
+        )
+
+    # -- per micro-batch ---------------------------------------------------
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        idc = self.id_col
+        # batch marker (same discipline as StreamingIvfIngest): the state
+        # log is replay-idempotent by construction (min/distinct-merge),
+        # but the SURVIVOR append is not — a replayed batch would
+        # duplicate output rows without this
+        marker = self._marker(spark, batch_id)
+        fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(marker):
+            return
+        if batch_df.isEmpty():
+            fs.create(marker, True).close()
+            return
+        keys = self._band_keys(batch_df)
+        # one small materialization: keys feed the dup decision AND the
+        # state append; recomputing means re-running the signature subtree
+        keys = keys.localCheckpoint()
+
+        dups, state_append = self._decide(spark, keys)
         admitted = batch_df.join(dups, idc, "left_anti")
         admitted.withColumn("batch_id", F.lit(int(batch_id))).write.mode(
             "append"
         ).parquet(self.output_path)
-        # append this batch's bucket minima (idempotent under replay: a
-        # re-append can only repeat, never raise, a bucket minimum)
-        batch_min.select(
-            "band", "bh", F.col("__bmin").alias("min_id")
-        ).write.mode("append").parquet(self.state_path)
+        state_append.write.mode("append").parquet(self.state_path)
         fs.create(marker, True).close()
 
 
-class StreamingImageNearDup(StreamingNearDupDedup):
-    """Continuous IMAGE near-dup dedup — the text sink's band-bucket
-    state machinery (LSM min-merge state, replay markers, compaction)
-    with dHash signatures over REAL decoded pixels
-    (``operators/multimodal.dhash_signatures``): an image arriving in
-    any micro-batch is dropped when any of its 8 signature BYTES
-    matches an earlier-id image's same-position byte — the streaming
-    form of the batch ``image_neardup`` band prefilter, with the same
-    greedy smallest-witness drop rule as the text sink. Decode + hash
-    run inside the batch's mapInPandas Arrow pass; only 16-byte
-    signatures reach the state join."""
+class StreamingSignatureNearDup(StreamingNearDupDedup):
+    """Shared machinery for the MEDIA near-dup sinks (image/audio): the
+    text sink's LSM state + replay markers + compaction, but over the
+    repo's standard 2x32-bit perceptual signature words, and — unlike
+    the text LSH rule, where bucket co-membership IS the drop criterion
+    — the 8x8-bit band bucket here is only a PREFILTER: a row is
+    dropped iff some earlier-id witness shares a band bucket AND the
+    exact Hamming distance over the full 64 signature bits is
+    ``<= hamming_t`` (mirrors the batch ``_sig_band_pairs`` confirm —
+    ADVICE r12: byte buckets saturate at a few hundred distinct media,
+    so an unconfirmed byte match would false-drop nearly everything).
 
-    def __init__(
-        self,
-        state_path: str,
-        output_path: str,
-        id_col: str = "doc_id",
-        payload_col: str = "payload",
-        decoder: str = "png",
-    ) -> None:
-        super().__init__(state_path, output_path, id_col=id_col)
-        self.payload_col = payload_col
-        self.decoder = decoder
+    State is therefore a per-id signature-band table
+    ``(id, band, bh, sig0, sig1)`` — 8 rows x 16 bytes per media row —
+    not the text sink's one-row-per-bucket minima: the bucket minimum
+    alone is not a sufficient witness once a Hamming confirm applies
+    (the minimum may fail the confirm while another co-bucketed id
+    passes). Appends stay replay-idempotent (distinct-merge on read);
+    only 16-byte signatures ever reach the state join — decode + hash
+    run inside the batch's mapInPandas Arrow pass."""
+
+    #: pigeonhole guarantee of the 8x8-bit banding: lossless only for
+    #: hamming <= 7 (same bound queries._sig_band_pairs enforces)
+    hamming_t: int = 7
+
+    def _signatures(self, batch_df: DataFrame) -> DataFrame:
+        raise NotImplementedError  # pragma: no cover — subclass seam
 
     def _band_keys(self, batch_df: DataFrame) -> DataFrame:
-        from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
-            dhash_signatures,
-        )
-
-        sigs = dhash_signatures(
-            batch_df,
-            payload_col=self.payload_col,
-            id_col=self.id_col,
-            decoder=self.decoder,
-        )
+        sigs = self._signatures(batch_df)
         return sigs.select(
             self.id_col,
+            "sig0",
+            "sig1",
             F.explode(
                 F.array(
                     *[
@@ -216,4 +226,112 @@ class StreamingImageNearDup(StreamingNearDupDedup):
                     ]
                 )
             ).alias("bb"),
-        ).select(self.id_col, "bb.band", "bb.bh")
+        ).select(self.id_col, "bb.band", "bb.bh", "sig0", "sig1")
+
+    def _read_state(self, spark) -> DataFrame | None:
+        from flink_sql_ai_meetingcoach_azure_spark.streaming.maintenance import (  # noqa: PLC0415
+            recover_log,
+        )
+
+        recover_log(spark, self.state_path)
+        try:
+            log = spark.read.parquet(self.state_path)
+        except Exception:  # noqa: BLE001 — first batch: no state yet
+            return None
+        # distinct-merge: replayed appends repeat rows, never change them
+        return log.distinct()
+
+    def _decide(self, spark, keys: DataFrame) -> tuple[DataFrame, DataFrame]:
+        idc = self.id_col
+        wit = keys.select(
+            F.col(idc).alias("__wid"),
+            "band",
+            "bh",
+            F.col("sig0").alias("__w0"),
+            F.col("sig1").alias("__w1"),
+        )
+        state = self._read_state(spark)
+        if state is not None:
+            wit = wit.unionByName(
+                state.select(
+                    F.col(idc).alias("__wid"),
+                    "band",
+                    "bh",
+                    F.col("sig0").alias("__w0"),
+                    F.col("sig1").alias("__w1"),
+                )
+            )
+        ham = (
+            F.bit_count(F.col("sig0").bitwiseXOR(F.col("__w0")))
+            + F.bit_count(F.col("sig1").bitwiseXOR(F.col("__w1")))
+        ).cast("bigint")
+        dups = (
+            keys.join(wit, ["band", "bh"])
+            .filter(F.col("__wid") < F.col(idc))
+            .filter(ham <= self.hamming_t)
+            .select(idc)
+            .distinct()
+        )
+        # greedy drop-every-id_b semantics (same as the batch family): a
+        # dropped row still witnesses later arrivals, so EVERY batch
+        # row's signature bands enter the state
+        return dups, keys
+
+    def __init__(
+        self,
+        state_path: str,
+        output_path: str,
+        id_col: str = "doc_id",
+        payload_col: str = "payload",
+    ) -> None:
+        super().__init__(state_path, output_path, id_col=id_col)
+        self.payload_col = payload_col
+
+
+class StreamingImageNearDup(StreamingSignatureNearDup):
+    """Continuous IMAGE near-dup dedup: dHash signatures over REAL
+    decoded pixels (``operators/multimodal.dhash_signatures``) through
+    the band-prefilter + exact-Hamming-confirm state sink — the
+    streaming form of the batch ``image_neardup`` entry."""
+
+    def __init__(
+        self,
+        state_path: str,
+        output_path: str,
+        id_col: str = "doc_id",
+        payload_col: str = "payload",
+        decoder: str = "png",
+    ) -> None:
+        super().__init__(
+            state_path, output_path, id_col=id_col, payload_col=payload_col
+        )
+        self.decoder = decoder
+
+    def _signatures(self, batch_df: DataFrame) -> DataFrame:
+        from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+            dhash_signatures,
+        )
+
+        return dhash_signatures(
+            batch_df,
+            payload_col=self.payload_col,
+            id_col=self.id_col,
+            decoder=self.decoder,
+        )
+
+
+class StreamingAudioNearDup(StreamingSignatureNearDup):
+    """Continuous AUDIO near-dup dedup (VERDICT r12 #3): sign-of-delta
+    waveform fingerprints over REAL WAV decode
+    (``operators/multimodal.audio_delta_signatures``) through the same
+    band-prefilter + exact-Hamming-confirm state sink — a continuous
+    ingest pipeline can now dedup arriving text, images AND clips."""
+
+    def _signatures(self, batch_df: DataFrame) -> DataFrame:
+        from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+            audio_delta_signatures,
+        )
+
+        return audio_delta_signatures(
+            batch_df, payload_col=self.payload_col, id_col=self.id_col
+        )

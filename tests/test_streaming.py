@@ -2721,10 +2721,14 @@ def test_streaming_ivf_ingest_maintains_hamming_signatures(spark, tmp_path):
 
 
 def test_streaming_image_neardup_composes_and_replays(spark, tmp_path):
-    """Continuous IMAGE near-dup (r12): the dHash band-bucket sink must
-    (a) equal the batch greedy smallest-witness rule over the union of
-    all batches, (b) drop a batch-2 brightness-shifted copy of a
-    batch-1 image by STATE alone, and (c) replay as a no-op."""
+    """Continuous IMAGE near-dup (r12, confirm rule r13): the dHash
+    band-bucket sink must (a) equal the batch rule over the union of
+    all batches — band-byte co-bucket is only a PREFILTER, the drop
+    needs exact hamming <= 7 (ADVICE r12: unconfirmed byte matches
+    saturate at a few hundred images) — (b) drop a batch-2
+    brightness-shifted copy of a batch-1 image by STATE alone, (c)
+    ADMIT a crafted image that shares a band byte with an earlier id
+    but sits 56 bits away, and (d) replay as a no-op."""
     import numpy as np
 
     from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
@@ -2763,24 +2767,55 @@ def test_streaming_image_neardup_composes_and_replays(spark, tmp_path):
     )
     sink(b1, 0)
     sink(b2, 1)
+
+    # batch 3: image 6 crafted so its dHash row 0 equals image 1's
+    # band-0 byte while rows 1-7 are COMPLEMENTED — a band-bucket hit
+    # at hamming 56. The pre-r13 unconfirmed-byte rule false-drops it;
+    # the confirmed rule must admit it.
+    s1_sig = {
+        r.doc_id: (r.sig0, r.sig1)
+        for r in dhash_signatures(b1, id_col="doc_id").collect()
+    }[1]
+    bits1 = [
+        ((s1_sig[0] if k < 32 else s1_sig[1]) >> (k % 32)) & 1
+        for k in range(64)
+    ]
+    img6 = np.zeros((8, 9, 3), np.uint8)
+    for i in range(8):
+        v = 100
+        row = [v]
+        for j in range(8):
+            want = bits1[8 * i + j] if i == 0 else 1 - bits1[8 * i + j]
+            v = v + 10 if want else v - 10
+            row.append(v)
+        img6[i, :, :] = np.array(row, np.uint8)[:, None]
+    b3 = spark.createDataFrame(
+        [(6, png(img6))], "doc_id long, payload binary"
+    )
+    sink(b3, 2)
+
     out = spark.read.parquet(str(tmp_path / "img_out"))
-    # batch-greedy expectation over the UNION: drop any image sharing a
-    # band byte with a smaller id
+    # batch expectation over the UNION: drop any image sharing a band
+    # byte with a smaller id AND within hamming 7 of it (the
+    # _sig_band_pairs prefilter+confirm rule)
+    all_imgs = b1.unionByName(b2).unionByName(b3)
     sigs = {
         r.doc_id: (r.sig0, r.sig1)
-        for r in dhash_signatures(
-            b1.unionByName(b2), id_col="doc_id"
-        ).collect()
+        for r in dhash_signatures(all_imgs, id_col="doc_id").collect()
     }
 
     def bands(s0, s1):
         w = [s0, s0, s0, s0, s1, s1, s1, s1]
         return [(b, (w[b] >> (8 * (b % 4))) & 255) for b in range(8)]
 
+    def ham(a, b):
+        return bin((a[0] ^ b[0]) | ((a[1] ^ b[1]) << 32)).count("1")
+
     expect = set()
     for i in sorted(sigs):
         drop = any(
             set(bands(*sigs[i])) & set(bands(*sigs[j]))
+            and ham(sigs[i], sigs[j]) <= 7
             for j in sigs
             if j < i
         )
@@ -2792,7 +2827,83 @@ def test_streaming_image_neardup_composes_and_replays(spark, tmp_path):
     # cross-batch came from state (3 and 4 had no smaller id IN batch 2)
     b2_admitted = {r.doc_id for r in out.filter("batch_id = 1").collect()}
     assert 5 in b2_admitted and not {3, 4} & b2_admitted
+    # the crafted band-collision-at-hamming-56 image was ADMITTED: the
+    # byte bucket alone no longer drops
+    assert set(bands(*sigs[6])) & set(bands(*sigs[1]))
+    assert ham(sigs[6], sigs[1]) == 56
+    assert 6 in got
     # replay: marker short-circuits, no duplicate output rows
     n = out.count()
     sink(b2, 1)
     assert spark.read.parquet(str(tmp_path / "img_out")).count() == n
+
+
+def test_streaming_audio_neardup_composes_and_replays(spark, tmp_path):
+    """Continuous AUDIO near-dup (r13): the sign-of-delta fingerprint
+    through the band-prefilter + exact-Hamming-confirm state sink — a
+    mid-stream gain-offset copy of a batch-1 clip is dropped by STATE
+    alone (gain invariance is the fingerprint's defining property), a
+    genuinely different clip is admitted, and a replayed batch is a
+    no-op."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.neardup import (
+        StreamingAudioNearDup,
+    )
+
+    def clip(direction_bits, gain=0):
+        s = np.concatenate([[0], np.cumsum(direction_bits)])
+        c = np.arange(65)
+        v = 12 * (2 * s - c) + gain
+        samples = np.repeat(v, 2).astype(int)
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(2)
+            wf.setframerate(8000)
+            wf.writeframes(
+                b"".join(struct.pack("<h", int(x)) for x in samples)
+            )
+        return bytearray(buf.getvalue())
+
+    k = np.arange(1, 65)
+    d_a = (k * 11 % 5) % 2
+    d_b = np.where((k * 3) % 2 == 0, 1 - d_a, d_a)  # ~half flipped
+    d_c = 1 - d_a  # all 64 bits flipped
+    b1 = spark.createDataFrame(
+        [(1, clip(d_a)), (2, clip(d_b))], "doc_id long, payload binary"
+    )
+    b2 = spark.createDataFrame(
+        [(3, clip(d_a, gain=4)), (4, clip(d_c))],
+        "doc_id long, payload binary",
+    )
+    sink = StreamingAudioNearDup(
+        str(tmp_path / "aud_state"), str(tmp_path / "aud_out")
+    )
+    sink(b1, 0)
+    sink(b2, 1)
+    out = spark.read.parquet(str(tmp_path / "aud_out"))
+    got = {r.doc_id for r in out.collect()}
+    # 3 is a hamming-0 gain copy of 1 -> dropped cross-batch by state;
+    # 2 (~32 bits away) and 4 (64 bits away) are admitted
+    assert got == {1, 2, 4}
+    b2_admitted = {r.doc_id for r in out.filter("batch_id = 1").collect()}
+    assert b2_admitted == {4}
+    # replay: marker short-circuits, no duplicate output rows
+    n = out.count()
+    sink(b2, 1)
+    assert spark.read.parquet(str(tmp_path / "aud_out")).count() == n
+    # compaction preserves decisions: a post-compact batch replaying a
+    # known clip is still dropped
+    sink.compact(spark)
+    b3 = spark.createDataFrame(
+        [(5, clip(d_a, gain=8)), (6, clip(d_b, gain=-4))],
+        "doc_id long, payload binary",
+    )
+    sink(b3, 2)
+    out2 = spark.read.parquet(str(tmp_path / "aud_out"))
+    assert {r.doc_id for r in out2.collect()} == {1, 2, 4}
