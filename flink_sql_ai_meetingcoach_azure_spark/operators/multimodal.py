@@ -1159,7 +1159,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     3-component with sampling factors in {1,2} (4:4:4 / 4:2:2 / 4:2:0 —
     interleaved T.81 §A.2.3 MCU order, subsampled planes upsampled by
     replication), restart intervals in baseline scans (DRI/RSTn resync
-    with predictor reset); sampling factors > 2 and progressive restart
+    with predictor reset), and — r13 — NON-MCU-ALIGNED dimensions
+    (T.81 A.2.4: the edge MCUs are coded complete; decode the ceil-MCU
+    grid, crop to the declared h x w — the real-photo case, e.g.
+    1000x750); sampling factors > 2 and progressive restart
     intervals raise NotImplementedError (the narrowed documented seam).
     Rounding convention everywhere: floor(x + 0.5) — reproducible in
     closed-form SQL oracles (no bankers' rounding)."""
@@ -1292,15 +1295,16 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     meta_by_cid = {cid: (qid, sh, sv) for cid, qid, sh, sv in comps}
     hmax = max(sh for _, _, sh, _ in comps)
     vmax = max(sv for _, _, _, sv in comps)
-    if (h % (8 * vmax)) or (w % (8 * hmax)):
-        raise NotImplementedError(
-            "dims must be MCU-aligned (no edge-padding support)"
-        )
     reader = _BitReader(segs[0])
-    mcus_y, mcus_x = h // (8 * vmax), w // (8 * hmax)
+    # T.81 A.2.4: non-MCU-aligned dims are coded as COMPLETE MCUs (the
+    # encoder pads the edge); decode the full ceil-MCU grid and crop to
+    # the declared h x w at reconstruction (r13 — most real photos,
+    # e.g. 1000x750, land here)
+    mcus_y = -(-h // (8 * vmax))
+    mcus_x = -(-w // (8 * hmax))
     planes = {
-        cid: np.zeros((h * meta_by_cid[cid][2] // vmax,
-                       w * meta_by_cid[cid][1] // hmax))
+        cid: np.zeros((mcus_y * meta_by_cid[cid][2] * 8,
+                       mcus_x * meta_by_cid[cid][1] * 8))
         for cid, _, _ in sel
     }
     pred = {cid: 0 for cid, _, _ in sel}
@@ -1356,16 +1360,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         xx = (mx * sh + bh) * 8
                         planes[cid][yy : yy + 8, xx : xx + 8] = pix
     return _jpeg_planes_to_rgb(
-        planes, [cid for cid, _, _ in sel], meta_by_cid, hmax, vmax
+        planes, [cid for cid, _, _ in sel], meta_by_cid, hmax, vmax, h, w
     )
 
 
 def _jpeg_planes_to_rgb(
-    planes: dict, order: list[int], meta_by_cid: dict, hmax: int, vmax: int
+    planes: dict,
+    order: list[int],
+    meta_by_cid: dict,
+    hmax: int,
+    vmax: int,
+    h: int,
+    w: int,
 ) -> np.ndarray:
     """Shared JPEG reconstruction tail (baseline + progressive):
-    replication upsample of subsampled planes, level shift,
-    floor(x+.5) rounding, JFIF YCbCr→RGB."""
+    replication upsample of subsampled planes, crop of the ceil-MCU
+    decode grid to the declared ``h x w`` (T.81 A.2.4 edge padding),
+    level shift, floor(x+.5) rounding, JFIF YCbCr→RGB."""
     # upsample subsampled planes to full resolution by pixel replication
     # (nearest-neighbor — the simplest T.81-legal reconstruction; the
     # fixture encoder produces box-constant chroma so this is exact)
@@ -1377,6 +1388,9 @@ def _jpeg_planes_to_rgb(
                 hmax // sh,
                 axis=1,
             )
+        # drop the encode-side edge padding: only the declared pixels
+        # are image content
+        planes[cid] = planes[cid][:h, :w]
     # level shift + floor(x+.5) rounding, then color convert
     if len(order) == 1:
         g = np.clip(np.floor(planes[order[0]] + 128.0 + 0.5), 0, 255)
@@ -1407,11 +1421,10 @@ def _decode_progressive(
     meta_by_cid = {cid: (qid, sh, sv) for cid, qid, sh, sv in comps}
     hmax = max(sh for _, _, sh, _ in comps)
     vmax = max(sv for _, _, _, sv in comps)
-    if (h % (8 * vmax)) or (w % (8 * hmax)):
-        raise NotImplementedError(
-            "dims must be MCU-aligned (no edge-padding support)"
-        )
-    mcus_y, mcus_x = h // (8 * vmax), w // (8 * hmax)
+    # T.81 A.2.4: ceil-MCU grid; the declared dims are restored by the
+    # crop in _jpeg_planes_to_rgb (r13)
+    mcus_y = -(-h // (8 * vmax))
+    mcus_x = -(-w // (8 * hmax))
     # zigzag-order coefficient store per component block grid
     coef = {
         cid: np.zeros((mcus_y * sv, mcus_x * sh, 64), dtype=np.int64)
@@ -1419,7 +1432,8 @@ def _decode_progressive(
     }
 
     def _blocks_interleaved(sel):
-        """MCU block order (T.81 §A.2.3) for a multi-component scan."""
+        """MCU block order (T.81 §A.2.3) for a multi-component scan —
+        covers the full padded MCU grid."""
         for my in range(mcus_y):
             for mx in range(mcus_x):
                 for cid, dc_id, ac_id in sel:
@@ -1429,11 +1443,18 @@ def _decode_progressive(
                             yield cid, dc_id, ac_id, my * sv + bv, mx * sh + bh
 
     def _blocks_raster(sel):
-        """Raster order over the single component's own block grid."""
+        """Raster order over the single component's OWN block grid —
+        T.81 A.2.2: a non-interleaved scan codes ceil(comp_dim/8)
+        blocks per axis from the component's true dimensions, NOT the
+        MCU-padded grid (they differ for non-aligned dims: a 100px
+        luma row in 4:2:0 is 13 raster blocks but 14 padded-grid
+        columns)."""
         [(cid, dc_id, ac_id)] = sel
         _, sh, sv = meta_by_cid[cid]
-        for by in range(mcus_y * sv):
-            for bx in range(mcus_x * sh):
+        comp_h = -(-(h * sv) // vmax)
+        comp_w = -(-(w * sh) // hmax)
+        for by in range(-(-comp_h // 8)):
+            for bx in range(-(-comp_w // 8)):
                 yield cid, dc_id, ac_id, by, bx
 
     for sel, ss, se, ah, al, segs, huff in scans:
@@ -1547,7 +1568,7 @@ def _decode_progressive(
                 )
         planes[cid] = plane
     return _jpeg_planes_to_rgb(
-        planes, [cid for cid, _, _, _ in comps], meta_by_cid, hmax, vmax
+        planes, [cid for cid, _, _, _ in comps], meta_by_cid, hmax, vmax, h, w
     )
 
 
@@ -1784,9 +1805,16 @@ def encode_jpeg_progressive(
                             yield ci, my * sv + bv, mx * sh + bh
 
     def blocks_raster(ci):
+        # T.81 A.2.2: non-interleaved scans code the component's OWN
+        # ceil(dim/8) block grid, not the MCU-padded grid — must match
+        # the decoder exactly for non-aligned dims (r13)
         sh, sv = sampling[ci]
-        for by in range(mcus_y * sv):
-            for bx in range(mcus_x * sh):
+        hmax_ = max(s for s, _ in sampling)
+        vmax_ = max(s for _, s in sampling)
+        comp_h = -(-(height * sv) // vmax_)
+        comp_w = -(-(width * sh) // hmax_)
+        for by in range(-(-comp_h // 8)):
+            for bx in range(-(-comp_w // 8)):
                 yield ci, by, bx
 
     def dc_first_scan(cis, al_):

@@ -14338,7 +14338,11 @@ def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection AC scans (pure EOB-run streams over the zero bands), the
     DC refinement bit scan and AC refinement scans — is then on the
     hash path with the SAME closed-form pixel values, so the oracle
-    stays layout-blind (the png_decode_stats 16-bit discipline). The
+    stays layout-blind (the png_decode_stats 16-bit discipline). Every
+    doc's declared dims sit ``doc_id % 5`` / ``(doc_id // 2) % 4``
+    short of the MCU grid (r13): T.81 A.2.4 edge-padded encode +
+    ceil-MCU decode + crop are on the hash path for all three arms —
+    the real-photo case (most photos are not multiples of 8/16). The
     full-AC paths (runs/ZRL/stuffing, progressive correction bits) are
     pinned by pytest round-trips; image dims vary per doc so the NN
     grid is non-trivial."""
@@ -14366,6 +14370,13 @@ def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             q = np.full((8, 8), 16, dtype=np.int64)
             for did in pdf["doc_id"]:
                 did = int(did)
+                # r13: NON-MCU-ALIGNED declared dims — the coefficient
+                # grids stay MCU-complete (T.81 A.2.4 edge padding) but
+                # SOF declares h/w short of the grid by these margins,
+                # so the ceil-MCU decode + crop is on the hash path for
+                # every arm (crop 0 keeps aligned coverage too)
+                crop_w = did % 5
+                crop_h = (did // 2) % 4
                 if did % 2 == 0:  # grayscale 4:4:4
                     bw, bh = 1 + did % 3, 1 + did % 2
                     coefs = np.zeros((bh, bw, 8, 8), dtype=np.int64)
@@ -14382,12 +14393,12 @@ def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         # closed-form oracle stays layout-blind exactly
                         # like png_decode_stats' 16-bit arm
                         payloads.append(bytearray(encode_jpeg_progressive(
-                            [coefs], q, bh * 8, bw * 8
+                            [coefs], q, bh * 8 - crop_h, bw * 8 - crop_w
                         )))
                         continue
-                    payloads.append(
-                        bytearray(encode_jpeg([coefs], q, bh * 8, bw * 8))
-                    )
+                    payloads.append(bytearray(encode_jpeg(
+                        [coefs], q, bh * 8 - crop_h, bw * 8 - crop_w
+                    )))
                 else:  # 4:2:0 color — interleaved MCUs, replicated chroma
                     mx = 1 + did % 2  # MCUs across; 1 MCU down
                     ybk = np.zeros((2, 2 * mx, 8, 8), dtype=np.int64)
@@ -14402,7 +14413,7 @@ def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         cbk[0, cx, 0, 0] = (did * 13 + cx * 5) % 11 - 5
                         rbk[0, cx, 0, 0] = (did * 19 + cx * 7) % 13 - 6
                     payloads.append(bytearray(encode_jpeg(
-                        [ybk, cbk, rbk], q, 16, 16 * mx,
+                        [ybk, cbk, rbk], q, 16 - crop_h, 16 * mx - crop_w,
                         sampling=[(2, 2), (1, 1), (1, 1)],
                     )))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
@@ -14429,10 +14440,12 @@ def _sql_jpeg_decode_stats() -> str:
     g = JPEGDEC_OUT
     return f"""
 WITH d AS (SELECT doc_id,
+                  -- r13: declared dims sit doc_id%5 / (doc_id//2)%4
+                  -- short of the MCU grid (non-aligned decode + crop)
                   CASE WHEN doc_id % 2 = 0 THEN 8 * (1 + doc_id % 3)
-                       ELSE 16 * (1 + doc_id % 2) END AS w,
+                       ELSE 16 * (1 + doc_id % 2) END - doc_id % 5 AS w,
                   CASE WHEN doc_id % 2 = 0 THEN 8 * (1 + doc_id % 2)
-                       ELSE 16 END AS h
+                       ELSE 16 END - (doc_id // 2) % 4 AS h
            FROM documents WHERE doc_id < {JPEGDEC_MAX_ID}),
 cells AS (SELECT d.doc_id,
                  (i * d.h) // {g} AS y, (j * d.w) // {g} AS x

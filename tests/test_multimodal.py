@@ -803,3 +803,75 @@ def test_audio_delta_signature_gain_invariant(spark):
     ).count("1")
     assert 0 < h <= 8  # local edit: few bits
     assert got[4] == (None, None)
+
+
+def test_decode_jpeg_non_mcu_aligned_crop():
+    """Non-MCU-aligned dims (r13, T.81 A.2.4): the encoder codes
+    complete edge MCUs, SOF declares the true (smaller) dims, the
+    decoder decodes the ceil-MCU grid and crops — so a non-aligned
+    decode must equal the aligned decode of the same coefficient grid,
+    cropped. Covers full-AC baseline gray, baseline 4:2:0 (interleaved
+    pad MCUs), DRI resync across pad MCUs, and the progressive case
+    where the non-interleaved AC raster grid (ceil(comp_dim/8)) is
+    genuinely SMALLER than the padded MCU grid (17x18 at 4:2:0: Y
+    raster 3x3 vs padded 4x4 — a desync bug shifts every later
+    coefficient)."""
+    import numpy as np
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    q = np.full((8, 8), 16, dtype=np.int64)
+    rng = np.random.RandomState(7)
+
+    def sparse(shape, lo, hi, keep):
+        c = np.zeros(shape, dtype=np.int64)
+        mask = rng.rand(*shape) < keep
+        c[mask] = rng.randint(lo, hi, mask.sum())
+        return c
+
+    # baseline grayscale: 2x3 blocks, declared 13x20
+    cg = sparse((2, 3, 8, 8), -20, 21, 0.2)
+    full = decode_jpeg(encode_jpeg([cg], q, 16, 24))
+    crop = decode_jpeg(encode_jpeg([cg], q, 13, 20))
+    assert crop.shape == (13, 20, 3)
+    assert np.array_equal(crop, full[:13, :20])
+
+    # 4:2:0 color on a 2x2-MCU (32x32) grid, declared 17x18: the
+    # divergent-grid case for progressive; interleaved for baseline
+    cy = sparse((4, 4, 8, 8), -15, 16, 0.15)
+    cb = sparse((2, 2, 8, 8), -8, 9, 0.15)
+    cr = sparse((2, 2, 8, 8), -8, 9, 0.15)
+    samp = [(2, 2), (1, 1), (1, 1)]
+    full_b = decode_jpeg(encode_jpeg([cy, cb, cr], q, 32, 32, sampling=samp))
+    crop_b = decode_jpeg(encode_jpeg([cy, cb, cr], q, 17, 18, sampling=samp))
+    assert crop_b.shape == (17, 18, 3)
+    assert np.array_equal(crop_b, full_b[:17, :18])
+
+    # + restart intervals: RSTn resync MCU counting includes pad MCUs
+    crop_r = decode_jpeg(
+        encode_jpeg(
+            [cy, cb, cr], q, 17, 18, sampling=samp, restart_interval=2
+        )
+    )
+    assert np.array_equal(crop_r, full_b[:17, :18])
+
+    # progressive 4:2:0, same divergent grid (AC scans code 3x3 luma
+    # raster blocks while DC scans cover the padded 4x4)
+    full_p = decode_jpeg(
+        encode_jpeg_progressive([cy, cb, cr], q, 32, 32, sampling=samp)
+    )
+    crop_p = decode_jpeg(
+        encode_jpeg_progressive([cy, cb, cr], q, 17, 18, sampling=samp)
+    )
+    assert crop_p.shape == (17, 18, 3)
+    assert np.array_equal(crop_p, full_p[:17, :18])
+
+    # progressive grayscale non-aligned
+    cg2 = sparse((2, 2, 8, 8), -12, 13, 0.2)
+    full_g = decode_jpeg(encode_jpeg_progressive([cg2], q, 16, 16))
+    crop_g = decode_jpeg(encode_jpeg_progressive([cg2], q, 11, 14))
+    assert np.array_equal(crop_g, full_g[:11, :14])
