@@ -324,63 +324,30 @@ def attach_media_metadata(
     return out
 
 
-def decode_png(payload: bytes) -> np.ndarray:
-    """REAL PNG decode with the standard library only (zlib is baked into
-    CPython — no PIL needed): parse chunks, inflate the concatenated IDAT
-    stream, and invert the per-scanline filters (None/Sub/Up/Average/
-    Paeth, PNG spec §6). Supports 8-bit AND 16-bit gray / gray+alpha /
-    RGB / RGBA, non-interlaced — effectively all non-interlaced PNGs
-    (filters operate BYTEwise per spec §6 whatever the depth, with
-    bpp = channels·depth/8; 16-bit samples are big-endian, spec §7.1,
-    and are reduced to 8-bit by taking the high byte). Adam7 interlace
-    raises NotImplementedError (the remaining documented seam).
-    Returns (H, W, 3) uint8 RGB (gray replicated, alpha dropped).
+# Adam7 pass lattice (PNG spec §8.2): (x_start, y_start, x_step, y_step)
+_ADAM7_PASSES = [
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+]
 
-    This closes most of the 'real decoders need PIL' gap for PNG: the
-    unfilter loop is per-scanline Python over numpy rows — decoding is
-    inherently per-item work inside the Arrow batch, exactly where the
-    mapInPandas seam puts it."""
-    import struct  # noqa: PLC0415
-    import zlib  # noqa: PLC0415
 
-    if not payload or len(payload) < 8 or bytes(payload[:8]) != b"\x89PNG\r\n\x1a\n":
-        raise ValueError("not a PNG payload")
-    payload = bytes(payload)
-    pos, idat, meta = 8, b"", None
-    while pos + 8 <= len(payload):
-        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
-        typ = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + ln]
-        if typ == b"IHDR":
-            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            meta = (w, h, depth, ctype, interlace)
-        elif typ == b"IDAT":
-            idat += data
-        elif typ == b"IEND":
-            break
-        pos += 12 + ln
-    if meta is None:
-        raise ValueError("PNG without IHDR")
-    w, h, depth, ctype, interlace = meta
-    if depth not in (8, 16) or interlace != 0:
-        raise NotImplementedError(
-            "decode_png supports 8/16-bit non-interlaced PNGs; "
-            f"got depth={depth} interlace={interlace}"
-        )
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
-    if channels is None:
-        raise NotImplementedError(f"unsupported PNG color type {ctype}")
-    raw = zlib.decompress(idat)
-    sample_bytes = depth // 8
-    stride, bpp = w * channels * sample_bytes, channels * sample_bytes
-    if len(raw) < (stride + 1) * h:
+def _png_unfilter(
+    raw: bytes, off: int, nrows: int, stride: int, bpp: int
+) -> tuple[np.ndarray, int]:
+    """Invert the per-scanline filters (spec §6) over one (sub-)image of
+    ``nrows`` scanlines of ``stride`` bytes starting at ``off``; returns
+    (unfiltered rows, next offset). Prev-row state starts at zero — each
+    Adam7 pass is filtered as an independent image."""
+    if len(raw) < off + (stride + 1) * nrows:
         raise ValueError("truncated PNG pixel stream")
-    out = np.zeros((h, stride), dtype=np.uint8)
+    out = np.zeros((nrows, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int64)
-    off = 0
-    for y in range(h):
+    for y in range(nrows):
         f = raw[off]
         off += 1
         cur = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=off).astype(
@@ -411,6 +378,80 @@ def decode_png(payload: bytes) -> np.ndarray:
             raise ValueError(f"invalid PNG filter type {f}")
         out[y] = cur.astype(np.uint8)
         prev = cur
+    return out, off
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """REAL PNG decode with the standard library only (zlib is baked into
+    CPython — no PIL needed): parse chunks, inflate the concatenated IDAT
+    stream, and invert the per-scanline filters (None/Sub/Up/Average/
+    Paeth, PNG spec §6). Supports 8-bit AND 16-bit gray / gray+alpha /
+    RGB / RGBA, non-interlaced AND Adam7-interlaced (r13, spec §8.2:
+    seven passes, each an independently filtered sub-image — prev-row
+    state resets per pass — scattered back onto the 8x8 pixel lattice;
+    empty passes for small dims contribute no bytes). Filters operate
+    BYTEwise per spec §6 whatever the depth, with bpp =
+    channels·depth/8; 16-bit samples are big-endian, spec §7.1, and
+    are reduced to 8-bit by taking the high byte.
+    Returns (H, W, 3) uint8 RGB (gray replicated, alpha dropped).
+
+    This closes most of the 'real decoders need PIL' gap for PNG: the
+    unfilter loop is per-scanline Python over numpy rows — decoding is
+    inherently per-item work inside the Arrow batch, exactly where the
+    mapInPandas seam puts it."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    if not payload or len(payload) < 8 or bytes(payload[:8]) != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    payload = bytes(payload)
+    pos, idat, meta = 8, b"", None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            meta = (w, h, depth, ctype, interlace)
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if meta is None:
+        raise ValueError("PNG without IHDR")
+    w, h, depth, ctype, interlace = meta
+    if depth not in (8, 16) or interlace not in (0, 1):
+        raise NotImplementedError(
+            "decode_png supports 8/16-bit non/Adam7-interlaced PNGs; "
+            f"got depth={depth} interlace={interlace}"
+        )
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(f"unsupported PNG color type {ctype}")
+    raw = zlib.decompress(idat)
+    sample_bytes = depth // 8
+    stride, bpp = w * channels * sample_bytes, channels * sample_bytes
+    if interlace == 0:
+        if len(raw) < (stride + 1) * h:
+            raise ValueError("truncated PNG pixel stream")
+        out, _ = _png_unfilter(raw, 0, h, stride, bpp)
+    else:  # Adam7 (spec §8.2): 7 independently-filtered sub-images
+        out = np.zeros((h, stride), dtype=np.uint8)
+        lattice = out.reshape(h, w, bpp)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass: zero bytes in the stream
+            sub, off = _png_unfilter(raw, off, ph, pw * bpp, bpp)
+            lattice[np.ix_(y0 + dy * np.arange(ph),
+                           x0 + dx * np.arange(pw))] = sub.reshape(
+                ph, pw, bpp
+            )
     if depth == 16:
         # big-endian 16-bit samples (spec §7.1); reduce to 8-bit via the
         # high byte — after the BYTEwise unfilter above, that is simply
@@ -432,37 +473,13 @@ def decode_png(payload: bytes) -> np.ndarray:
     return img
 
 
-def encode_png(
-    img: np.ndarray, color_type: int = 2, filters=None, depth: int = 8
-) -> bytes:
-    """Minimal spec-correct PNG encoder (test/fixture helper — stdlib
-    zlib + CRC32): 8- or 16-bit, non-interlaced, one IDAT. ``filters``
-    picks the per-row filter type (default all 0) and APPLIES the
-    forward filter — BYTEwise with bpp = channels·depth/8, exactly as
-    the spec defines for any depth — so round-trips through
-    :func:`decode_png` exercise every unfilter branch with real
-    filtered data at both depths. 16-bit input must be uint16; samples
-    are serialized big-endian (spec §7.1)."""
-    import struct  # noqa: PLC0415
-    import zlib  # noqa: PLC0415
-
-    if depth not in (8, 16):
-        raise ValueError(f"depth must be 8 or 16, got {depth}")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
-    h, w = img.shape[0], img.shape[1]
-    if depth == 16:
-        # serialize big-endian, then filter over the BYTE stream
-        be = img.reshape(h, w * channels).astype(np.uint16).astype(">u2")
-        px = np.frombuffer(be.tobytes(), dtype=np.uint8).reshape(
-            h, w * channels * 2
-        ).astype(np.int64)
-    else:
-        px = img.reshape(h, w * channels).astype(np.int64)
-    filters = list(filters or [0] * h)
-    bpp = channels * (depth // 8)
+def _png_filter_rows(px: np.ndarray, filters: list[int], bpp: int) -> bytes:
+    """Apply the forward per-scanline filters (spec §6) to one
+    (sub-)image of byte rows; prev-row state starts at zero (each Adam7
+    pass filters independently)."""
     lines = b""
     prev = np.zeros(px.shape[1], dtype=np.int64)
-    for y in range(h):
+    for y in range(px.shape[0]):
         row, f = px[y], filters[y]
         if f == 0:
             enc = row.copy()
@@ -490,6 +507,68 @@ def encode_png(
             raise ValueError(f"invalid filter {f}")
         lines += bytes([f]) + bytes(enc.astype(np.uint8))
         prev = row
+    return lines
+
+
+def encode_png(
+    img: np.ndarray,
+    color_type: int = 2,
+    filters=None,
+    depth: int = 8,
+    interlace: int = 0,
+) -> bytes:
+    """Minimal spec-correct PNG encoder (test/fixture helper — stdlib
+    zlib + CRC32): 8- or 16-bit, non-interlaced or Adam7 (r13), one
+    IDAT. ``filters`` picks the per-row filter type (default all 0) and
+    APPLIES the forward filter — BYTEwise with bpp = channels·depth/8,
+    exactly as the spec defines for any depth — so round-trips through
+    :func:`decode_png` exercise every unfilter branch with real
+    filtered data at both depths. With ``interlace=1`` the rows are
+    split into the seven Adam7 sub-images (spec §8.2), each filtered
+    independently; ``filters`` then applies sequentially across the
+    passes' scanlines (sum of pass heights entries). 16-bit input must
+    be uint16; samples are serialized big-endian (spec §7.1)."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    if depth not in (8, 16):
+        raise ValueError(f"depth must be 8 or 16, got {depth}")
+    if interlace not in (0, 1):
+        raise ValueError(f"interlace must be 0 or 1, got {interlace}")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    h, w = img.shape[0], img.shape[1]
+    if depth == 16:
+        # serialize big-endian, then filter over the BYTE stream
+        be = img.reshape(h, w * channels).astype(np.uint16).astype(">u2")
+        px = np.frombuffer(be.tobytes(), dtype=np.uint8).reshape(
+            h, w * channels * 2
+        ).astype(np.int64)
+    else:
+        px = img.reshape(h, w * channels).astype(np.int64)
+    bpp = channels * (depth // 8)
+    if interlace == 0:
+        filters = list(filters or [0] * h)
+        lines = _png_filter_rows(px, filters, bpp)
+    else:
+        lattice = px.reshape(h, w, bpp)
+        subs = []
+        for x0, y0, dx, dy in _ADAM7_PASSES:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw <= 0 or ph <= 0:
+                continue
+            subs.append(
+                lattice[np.ix_(y0 + dy * np.arange(ph),
+                               x0 + dx * np.arange(pw))].reshape(
+                    ph, pw * bpp
+                )
+            )
+        total = sum(s.shape[0] for s in subs)
+        filters = list(filters or [0] * total)
+        lines, used = b"", 0
+        for s in subs:
+            lines += _png_filter_rows(s, filters[used : used + s.shape[0]], bpp)
+            used += s.shape[0]
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -499,7 +578,7 @@ def encode_png(
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)

@@ -2917,11 +2917,17 @@ def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     the HIGH byte and deliberate junk ``(v·7+3)%256`` in the low byte,
     so the byte-doubled filter arithmetic (bpp=6), the big-endian
     sample order, and the high-byte 16→8 reduction are all on the hash
-    path while the closed-form oracle stays depth-blind. The oracle
-    recomputes the resize index math and the pixel formula in closed
-    form — a wrong inflate, unfilter branch, channel order, byte order,
-    or resize index all break the hash. Image dims vary per doc
-    (W = 5 + id%4, H = 4 + id%3) so the NN grid is non-trivial."""
+    path while the closed-form oracle stays depth-blind. doc_id % 3
+    == 0 encodes ADAM7-INTERLACED (r13, spec §8.2): the seven-pass
+    sub-image split, per-pass filter state reset, and lattice scatter
+    are then on the hash path at both depths, with the oracle still
+    blind (interlace permutes the stream, never the pixels). The
+    oracle recomputes the resize index math and the pixel formula in
+    closed form — a wrong inflate, unfilter branch, channel order,
+    byte order, pass lattice, or resize index all break the hash.
+    Image dims vary per doc (W = 5 + id%4, H = 4 + id%3) so the NN
+    grid is non-trivial and small dims leave some Adam7 passes
+    empty."""
     _prep(spark)
     import pyspark.sql.types as T  # noqa: PLC0415
 
@@ -2949,15 +2955,36 @@ def q_png_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     np.arange(h), np.arange(w), np.arange(3), indexing="ij"
                 )
                 img = ((did * 31 + y * 7 + x * 3 + c) % 256).astype("uint8")
+                # r13: doc_id % 3 == 0 encodes ADAM7-interlaced — the
+                # seven-pass sub-image split/scatter is then on the
+                # hash path (both depths, since the split is
+                # independent of the odd/even 16-bit arm below); the
+                # oracle stays blind because interlace permutes the
+                # stream, never the pixels. Filters still cycle 0-4
+                # across the passes' scanlines.
+                il = 1 if did % 3 == 0 else 0
+                if il:
+                    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415,E501
+                        _ADAM7_PASSES,
+                    )
+
+                    nrows = sum(
+                        -(-(h - y0) // dy)
+                        for x0, y0, dx, dy in _ADAM7_PASSES
+                        if h > y0 and w > x0 and -(-(w - x0) // dx) > 0
+                    )
+                else:
+                    nrows = h
+                filt = [r % 5 for r in range(nrows)]
                 if did % 2:  # 16-bit: formula in high byte, junk low byte
                     v = img.astype("uint16")
                     img = (v << 8) | ((v * 7 + 3) % 256)
                     payloads.append(bytearray(encode_png(
-                        img, 2, [r % 5 for r in range(h)], depth=16
+                        img, 2, filt, depth=16, interlace=il
                     )))
                 else:
                     payloads.append(bytearray(
-                        encode_png(img, 2, [r % 5 for r in range(h)])
+                        encode_png(img, 2, filt, interlace=il)
                     ))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 

@@ -180,7 +180,9 @@ def test_decode_png_16bit_high_byte_reduction():
     arithmetic (bpp = 2·channels), big-endian sample order, and the
     high-byte 16→8 reduction. The low byte is deliberate junk so a
     wrong byte order or low-byte pick changes the output; every filter
-    type is exercised at depth 16. Adam7 stays a documented seam."""
+    type is exercised at depth 16. A stream RELABELED as interlaced
+    (without re-splitting into passes) must fail loudly, not decode to
+    silently shuffled pixels."""
     import numpy as np
     import pytest as _pytest
 
@@ -202,18 +204,21 @@ def test_decode_png_16bit_high_byte_reduction():
     assert np.array_equal(
         got, np.repeat((ga[:, :, :1] >> 8).astype(np.uint8), 3, axis=2)
     )
-    # Adam7 interlace still refuses loudly (documented seam)
+    # a NON-interlaced stream relabeled Adam7 (r13: interlace now
+    # decodes for real) has too few bytes for the seven per-pass
+    # filter-type prefixes — the decoder must reject it as truncated,
+    # never emit silently shuffled pixels
     import struct as _struct
 
     raw = bytearray(encode_png(hi.astype(np.uint8), 2))
     # IHDR data starts at offset 16; interlace byte is the 13th data byte
     raw[16 + 12] = 1
-    # fix the IHDR CRC so the refusal is about interlace, not corruption
+    # fix the IHDR CRC so the failure is about the stream, not corruption
     import zlib as _zlib
 
     crc = _zlib.crc32(bytes(raw[12:29])) & 0xFFFFFFFF
     raw[29:33] = _struct.pack(">I", crc)
-    with _pytest.raises(NotImplementedError, match="interlace"):
+    with _pytest.raises(ValueError, match="truncated|invalid PNG filter"):
         decode_png(bytes(raw))
 
 
@@ -875,3 +880,51 @@ def test_decode_jpeg_non_mcu_aligned_crop():
     full_g = decode_jpeg(encode_jpeg_progressive([cg2], q, 16, 16))
     crop_g = decode_jpeg(encode_jpeg_progressive([cg2], q, 11, 14))
     assert np.array_equal(crop_g, full_g[:11, :14])
+
+
+def test_decode_png_adam7_interlace():
+    """Adam7 interlace (r13, PNG spec §8.2): seven independently
+    filtered sub-images scattered onto the 8x8 lattice. An interlaced
+    encode of any image must decode identically to its non-interlaced
+    encode — across odd dims (empty passes), every filter type inside
+    passes, all color types, and 16-bit depth."""
+    import numpy as np
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        _ADAM7_PASSES,
+        decode_png,
+        encode_png,
+    )
+
+    # the lattice itself: every pixel covered exactly once
+    cover = np.zeros((16, 16), int)
+    for x0, y0, dx, dy in _ADAM7_PASSES:
+        cover[y0::dy, x0::dx] += 1
+    assert (cover == 1).all()
+
+    rng = np.random.RandomState(11)
+    for h, w, ct, ch, depth in [
+        (13, 11, 2, 3, 8),   # odd dims: ragged pass grids
+        (5, 3, 0, 1, 8),     # tiny: passes 2 and 4 partially empty
+        (8, 8, 6, 4, 8),     # RGBA
+        (1, 1, 2, 3, 8),     # single pixel: only pass 1 nonempty
+        (2, 9, 4, 2, 8),     # gray+alpha
+        (16, 10, 2, 3, 16),  # 16-bit: byte-doubled bpp in passes
+        (7, 2, 0, 1, 16),
+    ]:
+        img = (
+            rng.randint(0, 256, (h, w, ch), dtype=np.uint8)
+            if depth == 8
+            else rng.randint(0, 65536, (h, w, ch), dtype=np.uint16)
+        )
+        nrows = sum(
+            -(-(h - y0) // dy)
+            for x0, y0, dx, dy in _ADAM7_PASSES
+            if h > y0 and w > x0 and -(-(w - x0) // dx) > 0
+        )
+        filters = [i % 5 for i in range(nrows)]
+        got_i = decode_png(
+            encode_png(img, ct, filters, depth=depth, interlace=1)
+        )
+        got_p = decode_png(encode_png(img, ct, depth=depth))
+        assert np.array_equal(got_i, got_p), (h, w, ct, depth)
