@@ -281,6 +281,7 @@ BENCH_QUERIES = [
     "image_neardup_jpeg",  # r12: codec-flip sibling (DC-only + progressive JPEG)
     "audio_neardup",  # r12: waveform sign-of-delta fingerprint near-dup
     "audio_recall_eval",  # r12: fingerprint recall vs exact sample L1
+    "video_neardup",  # r13: APNG demux + per-frame dHash majority vote
     "media_sniff",  # r10: magic-byte container dispatcher over mixed media
     "media_profile",  # r10: per-format corpus inventory over the dispatcher
     # SQL DDL statement path (translator overhead ~0: same operators)

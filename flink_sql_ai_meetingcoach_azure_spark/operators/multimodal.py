@@ -431,7 +431,17 @@ def decode_png(payload: bytes) -> np.ndarray:
     channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
     if channels is None:
         raise NotImplementedError(f"unsupported PNG color type {ctype}")
-    raw = zlib.decompress(idat)
+    return _png_reconstruct(zlib.decompress(idat), w, h, depth, channels,
+                            interlace)
+
+
+def _png_reconstruct(
+    raw: bytes, w: int, h: int, depth: int, channels: int, interlace: int
+) -> np.ndarray:
+    """Inflated stream -> (H, W, 3) uint8: unfilter (sequential or
+    Adam7), 16->8 high-byte reduction, channel normalization. Shared by
+    decode_png and the APNG frame demux (each APNG frame is its own
+    filtered stream over the same IHDR parameters)."""
     sample_bytes = depth // 8
     stride, bpp = w * channels * sample_bytes, channels * sample_bytes
     if interlace == 0:
@@ -471,6 +481,89 @@ def decode_png(payload: bytes) -> np.ndarray:
     if channels == 4:
         return np.ascontiguousarray(img[:, :, :3])
     return img
+
+
+def decode_apng_frames(payload: bytes) -> list[np.ndarray]:
+    """REAL APNG (animated PNG) demux — the video-container member of
+    the stdlib codec family (APNG is part of the W3C PNG spec, 3rd
+    edition; the only animation container decodable with zlib alone):
+    walk the chunk stream, read acTL (frame count), and reassemble each
+    frame's compressed stream — the IDAT chunks when an fcTL precedes
+    IDAT (the default image is frame 0), else the fdAT chunks (4-byte
+    sequence number stripped, spec: fdAT carries the same data as
+    IDAT). Each frame inflates and unfilters independently through
+    :func:`_png_reconstruct` with the IHDR parameters (frames are
+    never interlaced). Supported: full-frame frames (width/height ==
+    IHDR, zero offsets) with blend_op SOURCE — the frame-sequence
+    shape a training corpus dedups; sub-region frames and OVER
+    blending raise NotImplementedError (documented seam: they require
+    canvas compositing state). A plain PNG (no acTL) returns its
+    single image, so the demux subsumes the still decoder."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    if not payload or len(payload) < 8 or bytes(payload[:8]) != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    payload = bytes(payload)
+    pos, meta = 8, None
+    n_frames = None
+    idat = b""
+    fctl_before_idat = False
+    fctls: list[tuple] = []  # (w, h, x, y, blend)
+    fdat_streams: list[bytes] = []  # one entry per fcTL-after-IDAT frame
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            meta = (w, h, depth, ctype, interlace)
+        elif typ == b"acTL":
+            (n_frames,) = struct.unpack(">I", data[:4])
+        elif typ == b"fcTL":
+            fw, fh, fx, fy = struct.unpack(">IIII", data[4:20])
+            blend = data[25]
+            fctls.append((fw, fh, fx, fy, blend))
+            if not idat:
+                fctl_before_idat = True
+            else:
+                fdat_streams.append(b"")
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"fdAT":
+            if not fdat_streams:
+                raise ValueError("APNG fdAT without a preceding fcTL")
+            fdat_streams[-1] += data[4:]  # strip the sequence number
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if meta is None:
+        raise ValueError("PNG without IHDR")
+    w, h, depth, ctype, interlace = meta
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+    if channels is None:
+        raise NotImplementedError(f"unsupported PNG color type {ctype}")
+    if n_frames is None:  # plain PNG: one frame
+        return [_png_reconstruct(zlib.decompress(idat), w, h, depth,
+                                 channels, interlace)]
+    for fw, fh, fx, fy, blend in fctls:
+        if (fw, fh, fx, fy) != (w, h, 0, 0) or blend != 0:
+            raise NotImplementedError(
+                "APNG sub-region frames / OVER blending unsupported "
+                "(requires canvas compositing)"
+            )
+    streams = ([idat] if fctl_before_idat else []) + fdat_streams
+    if len(streams) != n_frames or len(fctls) != n_frames:
+        raise ValueError(
+            f"APNG frame count mismatch: acTL {n_frames}, "
+            f"fcTL {len(fctls)}, streams {len(streams)}"
+        )
+    return [
+        _png_reconstruct(zlib.decompress(s), w, h, depth, channels, 0)
+        for s in streams
+    ]
 
 
 def _png_filter_rows(px: np.ndarray, filters: list[int], bpp: int) -> bytes:
@@ -585,6 +678,76 @@ def encode_png(
         + chunk(b"IDAT", zlib.compress(lines))
         + chunk(b"IEND", b"")
     )
+
+
+def encode_apng(
+    frames: list[np.ndarray],
+    color_type: int = 2,
+    filters=None,
+    depth: int = 8,
+) -> bytes:
+    """Minimal spec-correct APNG encoder (fixture helper, the
+    encode_png discipline): full-frame frames, blend SOURCE, frame 0
+    carried by IDAT (fcTL before IDAT), later frames by fdAT chunks
+    with running sequence numbers. ``filters`` (optional, per frame:
+    list of per-row filter lists) applies the forward scanline filters
+    inside each frame's own stream, so round-trips exercise the
+    per-frame unfilter reset."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    if not frames:
+        raise ValueError("APNG needs at least one frame")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    h, w = frames[0].shape[0], frames[0].shape[1]
+    bpp = channels * (depth // 8)
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    def frame_stream(img: np.ndarray, filt) -> bytes:
+        if img.shape[:2] != (h, w):
+            raise ValueError("APNG frames must share the IHDR dims")
+        if depth == 16:
+            be = img.reshape(h, w * channels).astype(np.uint16).astype(">u2")
+            px = np.frombuffer(be.tobytes(), dtype=np.uint8).reshape(
+                h, w * channels * 2
+            ).astype(np.int64)
+        else:
+            px = img.reshape(h, w * channels).astype(np.int64)
+        return zlib.compress(_png_filter_rows(px, list(filt or [0] * h), bpp))
+
+    seq = 0
+
+    def fctl() -> bytes:
+        nonlocal seq
+        body = struct.pack(
+            ">IIIIIHHBB", seq, w, h, 0, 0, 1, 10, 0, 0
+        )  # full frame, 1/10 s, dispose NONE, blend SOURCE
+        seq += 1
+        return chunk(b"fcTL", body)
+
+    parts = [
+        b"\x89PNG\r\n\x1a\n",
+        chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type,
+                                   0, 0, 0)),
+        chunk(b"acTL", struct.pack(">II", len(frames), 0)),
+    ]
+    filters = filters or [None] * len(frames)
+    parts.append(fctl())
+    parts.append(chunk(b"IDAT", frame_stream(frames[0], filters[0])))
+    for img, filt in zip(frames[1:], filters[1:]):
+        parts.append(fctl())
+        body = struct.pack(">I", seq) + frame_stream(img, filt)
+        seq += 1
+        parts.append(chunk(b"fdAT", body))
+    parts.append(chunk(b"IEND", b""))
+    return b"".join(parts)
 
 
 def nn_resize(img: np.ndarray, height: int, width: int) -> np.ndarray:
@@ -854,6 +1017,68 @@ def dhash_signatures(
                     id_col: pdf[id_col].to_numpy(),
                     "sig0": (bits[:, :32] * pw).sum(axis=1),
                     "sig1": (bits[:, 32:] * pw).sum(axis=1),
+                },
+                columns=[f.name for f in out_schema.fields],
+            )
+
+    return df.mapInPandas(_proc, schema=out_schema)
+
+
+def video_dhash_signatures(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Perceptual VIDEO (clip) near-dup signature — the moving-picture
+    member of the family (text: minhash/simhash; image: dHash/pHash;
+    audio: sign-of-delta; video: this): demux the APNG container
+    (:func:`decode_apng_frames` — real zlib frames, no ffmpeg), dHash
+    every frame with the image rung's exact math (nn_resize to 8x9,
+    integer grayscale, adjacent-column sign bits), then MAJORITY-VOTE
+    each of the 64 bits across frames (bit = 1 iff 2·Σ > n_frames;
+    ties → 0) into one clip signature packed as the repo's standard
+    two 32-bit BIGINT words. Majority voting makes the signature
+    robust to per-frame noise (a bit flipped in a minority of frames
+    vanishes) while a re-encoded or brightness-shifted copy of the
+    whole clip keeps all 64 bits. Runs inside one mapInPandas Arrow
+    batch; only (n_frames, 16-byte signature) reaches the shuffle —
+    the same scale contract as every signature rung."""
+    out_schema = T.StructType(
+        [
+            df.schema[id_col],
+            T.StructField("n_frames", T.IntegerType()),
+            T.StructField("sig0", T.LongType()),
+            T.StructField("sig1", T.LongType()),
+        ]
+    )
+
+    def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nf, s0, s1 = [], [], []
+            for p in pdf[payload_col]:
+                frames = decode_apng_frames(p)
+                votes = np.zeros(64, dtype=np.int64)
+                for img in frames:
+                    g = nn_resize(img, DHASH_H, DHASH_W).astype(np.int64)
+                    gray = (
+                        g[:, :, 0] * 299 + g[:, :, 1] * 587 + g[:, :, 2] * 114
+                    ) // 1000
+                    votes += (
+                        (gray[:, 1:] > gray[:, :-1]).astype(np.int64).reshape(64)
+                    )
+                bits = (2 * votes > len(frames)).astype(np.int64)
+                pw = 1 << np.arange(32, dtype=np.int64)
+                nf.append(len(frames))
+                s0.append(int((bits[:32] * pw).sum()))
+                s1.append(int((bits[32:] * pw).sum()))
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "n_frames": nf,
+                    "sig0": s0,
+                    "sig1": s1,
                 },
                 columns=[f.name for f in out_schema.fields],
             )

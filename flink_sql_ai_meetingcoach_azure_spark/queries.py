@@ -15184,6 +15184,149 @@ ORDER BY doc_a, doc_b
 """
 
 
+VIDEONEAR_MAX_ID = 160  # 40 groups of 4 members
+VIDEONEAR_T = 7  # 8x8-bit banding threshold (shared _sig_band_pairs)
+VIDEONEAR_FRAMES = 3  # frames per fixture clip (odd: no majority ties)
+
+
+def _video_neardup_fixture_media(docs: DataFrame) -> DataFrame:
+    """Deterministic APNG near-dup clip corpus: the dHash fixture
+    discipline extended in TIME — each clip is 3 full-frame APNG
+    frames of the image fixture's 2x2-cell gray formula, where frame
+    f additionally flips the single direction bit (i=f, k=f+1). Each
+    per-frame flip lands in only 1 of 3 frames, so the MAJORITY vote
+    cancels them and the clip signature equals the member bits — the
+    vote is exercised by construction, not vacuously. Members: m=0
+    base, m=1 uniform +4 brightness on every frame (vote-invariant),
+    m=2 flips (i=7, k>=7) in ALL frames (hamming 2), m=3 flips k>=4
+    everywhere (40 bits — a different clip)."""
+    import pyspark.sql.types as T  # noqa: PLC0415
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+        encode_apng,
+    )
+
+    def _make(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                gid, m = did // 4, did % 4
+                k = np.arange(1, 9)
+                d = ((gid * 37 + k * 11) % 5) % 2
+                eff = np.tile(d, (8, 1))
+                if m == 2:
+                    eff[7, 6:] = 1 - eff[7, 6:]
+                elif m == 3:
+                    eff[:, 3:] = 1 - eff[:, 3:]
+                frames = []
+                for f in range(VIDEONEAR_FRAMES):
+                    eff_f = eff.copy()
+                    eff_f[f, f] = 1 - eff_f[f, f]  # bit (i=f, k=f+1)
+                    s = np.concatenate(
+                        [np.zeros((8, 1), dtype=np.int64),
+                         np.cumsum(eff_f, axis=1)],
+                        axis=1,
+                    )
+                    j = np.arange(9)
+                    gcell = (
+                        110
+                        + 2 * np.arange(8)[:, None]
+                        + 12 * (2 * s - j[None, :])
+                    )
+                    if m == 1:
+                        gcell = gcell + 4
+                    gpix = np.repeat(np.repeat(gcell, 2, axis=0), 2, axis=1)
+                    frames.append(np.stack(
+                        [gpix, gpix + 1, gpix + 2], axis=2
+                    ).astype("uint8"))
+                h = frames[0].shape[0]
+                payloads.append(bytearray(encode_apng(
+                    frames, 2, [[r % 5 for r in range(h)]] * len(frames)
+                )))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(
+        _make,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO (clip) near-dup — the rung completing perceptual dedup
+    across all four modalities (text: minhash/simhash; image:
+    dHash/pHash; audio: sign-of-delta; video: this): REAL APNG demux
+    (multimodal.decode_apng_frames — per-frame zlib streams, fcTL/fdAT
+    sequence walk), per-frame dHash with the image rung's exact math,
+    per-bit MAJORITY vote across frames into one clip signature
+    (multimodal.video_dhash_signatures), then the SAME lossless
+    8x8-bit band join as every signature rung (_sig_band_pairs). The
+    fixture puts a different single-bit flip in each frame, so the
+    oracle — which replays member bits, per-frame flips and the
+    majority vote in pure SQL — breaks under a wrong demux order,
+    frame filter reset, vote threshold, bit order or band math.
+
+    Reference anchor: the reference treats media as opaque blobs
+    (app/static/); clip-level dedup is the beyond-reference multimodal
+    curation layer."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+        video_dhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < VIDEONEAR_MAX_ID
+    ).select("doc_id")
+    sigs = video_dhash_signatures(
+        _video_neardup_fixture_media(docs), id_col="doc_id"
+    ).select("doc_id", "sig0", "sig1").localCheckpoint(eager=False)
+    return _sig_band_pairs(sigs, VIDEONEAR_T).orderBy("doc_a", "doc_b")
+
+
+def _sql_video_neardup() -> str:
+    return f"""
+WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
+           FROM documents WHERE doc_id < {VIDEONEAR_MAX_ID}),
+fb AS (SELECT doc_id, i, k, f,
+              (((gid * 37 + k * 11) % 5) % 2
+               + CASE WHEN (m = 2 AND i = 7 AND k >= 7)
+                           OR (m = 3 AND k >= 4) THEN 1 ELSE 0 END
+               + CASE WHEN i = f AND k = f + 1 THEN 1 ELSE 0 END) % 2
+                AS dk
+       FROM d, unnest(range(0, 8)) AS ii(i), unnest(range(1, 9)) AS kk(k),
+            unnest(range(0, {VIDEONEAR_FRAMES})) AS ff(f)),
+vote AS (SELECT doc_id, i, k,
+                CASE WHEN 2 * sum(dk) > {VIDEONEAR_FRAMES}
+                     THEN 1 ELSE 0 END AS dk
+         FROM fb GROUP BY doc_id, i, k),
+sig AS (SELECT doc_id,
+               CAST(sum(CASE WHEN i * 8 + k - 1 < 32
+                             THEN dk * (1::BIGINT << (i * 8 + k - 1))
+                             ELSE 0 END) AS BIGINT) AS sig0,
+               CAST(sum(CASE WHEN i * 8 + k - 1 >= 32
+                             THEN dk * (1::BIGINT << (i * 8 + k - 33))
+                             ELSE 0 END) AS BIGINT) AS sig1
+        FROM vote GROUP BY doc_id)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.sig0, b.sig0))
+            + bit_count(xor(a.sig1, b.sig1)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig0, b.sig0)) + bit_count(xor(a.sig1, b.sig1))
+      <= {VIDEONEAR_T}
+ORDER BY doc_a, doc_b
+"""
+
+
 PHASH_MAX_ID = 160  # 40 groups of 4 members
 PHASH_T = 7  # 8x8-bit banding: pigeonhole-lossless for hamming <= 7
 PHASH_AC = 28  # low-block AC magnitude: > the worst-case rounding drift
@@ -15326,7 +15469,7 @@ ORDER BY doc_a, doc_b
 
 _ALL_QUERIES: dict[str, QuerySpec] = {
     # DEFINITION ORDER ONLY (historical — comments below record when
-    # each block landed). The driver-checked window is _WINDOW_R12
+    # each block landed). The driver-checked window is _WINDOW_R13
     # after this dict: since r12 the window membership is COMPUTED from
     # the CORRECTNESS_r*.json ledger (tools/evidence_ledger.py) and
     # enforced by tests/test_entry_contract.py — never hand-claimed
@@ -15406,6 +15549,7 @@ _ALL_QUERIES: dict[str, QuerySpec] = {
     "audio_recall_eval": QuerySpec(
         q_audio_recall_eval, _sql_audio_recall_eval()
     ),
+    "video_neardup": QuerySpec(q_video_neardup, _sql_video_neardup()),
     # ---- ballast: r10-externally-green lines (incl. every entry whose
     # code the r11 refactors touched: cusum_changepoint / ks_drift /
     # png_decode_stats below, vocab_coverage_sweep / pca_power /
@@ -15654,85 +15798,79 @@ _ALL_QUERIES: dict[str, QuerySpec] = {
 }
 
 
-# ---- driver-verified window (entries 1-50), round 12 ----
+# ---- driver-verified window (entries 1-50), round 13 ----
 # Membership DERIVED from the CORRECTNESS_r*.json external-evidence
 # ledger (tools/evidence_ledger.py; VERDICT r11 #4 + #8 — computed, not
 # hand-claimed; test_entry_contract.py::test_window_rotation_matches_ledger
 # re-derives and enforces every rule below on each pytest run):
-#   1. the 8 r12 additions, never externally checked, go straight in
-#      (image_neardup / image_neardup_jpeg / dhash_recall_eval /
-#      phash_neardup / image_dup_clusters / audio_neardup /
-#      audio_recall_eval / semantic_decontaminate_ivf);
-#   2. the 6 entries whose code r12 CHANGED re-verify externally: the
-#      outer-round ppm fix (ADVICE r11 high) in mmr_rerank /
-#      mmr_diversity_eval / semantic_decontaminate, the posexplode
-#      re-rank in knn_hubness_ivf, the progressive-JPEG fixture arm in
-#      jpeg_decode_stats, the 24-bit-PCM fixture arm in
-#      wav_decode_stats (listed last, in cube_revenue's former slot);
-#   3. 3 canonical known-good ballast lines (rag_pipeline_verified /
-#      tpch_q1 / ann_topk) distinguish a broken driver run from entry
-#      failures;
-#   4. the remaining 33 slots rotate in the STALEST external evidence —
-#      every r03/r04/r05-evidence entry (31) plus the alphabetically
-#      first 2 r06 entries — raising the out-of-window evidence floor
-#      from r03 to r06.
-_WINDOW_R12 = [
-    "image_neardup",
-    "image_neardup_jpeg",
-    "dhash_recall_eval",
-    "phash_neardup",
-    "image_dup_clusters",
-    "audio_neardup",
-    "audio_recall_eval",
-    "semantic_decontaminate_ivf",
-    "mmr_rerank",
-    "mmr_diversity_eval",
-    "semantic_decontaminate",
-    "knn_hubness_ivf",
+#   1. the r13 addition, never externally checked, goes straight in
+#      (video_neardup — APNG demux + per-frame dHash majority vote);
+#   2. the 3 entries whose code/fixtures r13 CHANGED re-verify
+#      externally: jpeg_decode_stats (non-MCU-aligned arms),
+#      png_decode_stats (Adam7 arm), audio_recall_eval (fixture-media
+#      reuse, ADVICE r12) — the decode-path refactors they ride are
+#      exactly the code the other media entries share, so these are
+#      the most direct external probes of the r13 codec work;
+#   3. 2 canonical known-good ballast lines (rag_pipeline_verified /
+#      tpch_q1) distinguish a broken driver run from entry failures
+#      (tpch_q1 also re-measures under the r13 bench warmup fix);
+#   4. the remaining 44 slots rotate in EVERY r06-evidence entry —
+#      the complete stale tail — raising the out-of-window evidence
+#      floor from r06 to r08 (no r07-evidence entries exist).
+_WINDOW_R13 = [
+    "video_neardup",
     "jpeg_decode_stats",
+    "png_decode_stats",
+    "audio_recall_eval",
     "rag_pipeline_verified",
     "tpch_q1",
-    "ann_topk",
-    "multimodal_meta",
-    "rag_retrieval",
-    "anti_join",
-    "array_ops",
-    "concat_prompt",
-    "deterministic_split",
-    "embedding_cosine_pairs",
-    "minhash_signatures",
-    "order_limit",
-    "quality_score",
-    "salted_join",
-    "simhash",
-    "stratified_sample",
-    "token_stats",
-    "vocab_size",
-    "window_running_sum",
-    "asof_join",
-    "case_dispatch",
-    "dedup_keep_best",
-    "filter_route",
-    "fingerprint",
-    "json_cleanup_extract",
-    "length_percentiles",
-    "line_dedup",
-    "ngram_jaccard",
-    "null_guard",
-    "path_extract",
-    "rollup_revenue",
-    "set_ops",
-    "top_terms",
-    "tumbling_window",
-    "ann_ivf_topk",
-    "bm25_topk",
-    # wav_decode_stats: r11 evidence, but its code CHANGED in r12 (the
-    # 24-bit PCM fixture arm) — changed code re-verifies externally,
-    # taking the slot of the next stale candidate (cube_revenue, r06)
-    "wav_decode_stats",
+    "cache_hit_join",
+    "chunk_embed_ingest",
+    "countmin_sketch",
+    "cube_revenue",
+    "curation_pipeline",
+    "ddl_ctas_topn",
+    "ddl_struct_array",
+    "decontaminate",
+    "dedup_exact",
+    "dup_spans",
+    "edit_distance_pairs",
+    "embedding_lsh_pairs",
+    "explode_chunks",
+    "hll_vocab",
+    "hybrid_rrf",
+    "interval_join",
+    "join_revenue_by_nation",
+    "keyword_trigger",
+    "kmv_overlap",
+    "lang_id",
+    "lm_bigram_score",
+    "lsh_pairs",
+    "mask_spans",
+    "mixture_sample",
+    "multimodal_features",
+    "neardup_dedup",
+    "pack_sequences",
+    "pagerank",
+    "pii_redact",
+    "quality_filter",
+    "rag_pipeline_bulk",
+    "recent_history",
+    "repetition_scores",
+    "scd2_history",
+    "session_window",
+    "simhash_pairs",
+    "span_pairs",
+    "topn_per_user",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q6",
+    "triangle_count",
+    "window_analytics",
+    "zorder_key",
 ]
 
 QUERIES: dict[str, QuerySpec] = {
-    **{n: _ALL_QUERIES[n] for n in _WINDOW_R12},
-    **{n: s for n, s in _ALL_QUERIES.items() if n not in set(_WINDOW_R12)},
+    **{n: _ALL_QUERIES[n] for n in _WINDOW_R13},
+    **{n: s for n, s in _ALL_QUERIES.items() if n not in set(_WINDOW_R13)},
 }

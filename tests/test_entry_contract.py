@@ -25,7 +25,7 @@ def test_entry_contract_shape():
     rows_only = set(qs) - set(oracles)
     assert rows_only == set(), rows_only
     # the driver checks the FIRST 50 entries; since r12 the window
-    # membership lives in queries._WINDOW_R12 and is DERIVED from the
+    # membership lives in queries._WINDOW_R13 and is DERIVED from the
     # CORRECTNESS_r*.json ledger — the rotation rules are enforced
     # against the ledger itself in test_window_rotation_matches_ledger
     # below (VERDICT r11 #8: computed, not hand-claimed).
@@ -36,12 +36,12 @@ def test_window_rotation_matches_ledger():
     """The r10 stale-claim bug class, made impossible (VERDICT r11 #8):
     every window/rotation claim is re-derived from the driver's own
     CORRECTNESS_r*.json records on each pytest run —
-      1. the registry order actually starts with _WINDOW_R12;
+      1. the registry order actually starts with _WINDOW_R13;
       2. every never-externally-checked entry is IN the window (new
          work cannot re-open the external-evidence ledger);
       3. every out-of-window entry has external green evidence at or
-         above the rotation floor (r12 rotated every r03-r05-evidence
-         entry into the window — the tail floor is r06);
+         above the rotation floor (r13 rotated every r06-evidence
+         entry into the window — the tail floor is r08);
       4. the window's stale-rotation slots really are the stalest: no
          tail entry's evidence is older than any rotated-in entry's
          evidence round."""
@@ -50,16 +50,16 @@ def test_window_rotation_matches_ledger():
     import __spark_entry__ as e
     from evidence_ledger import latest_evidence
 
-    from flink_sql_ai_meetingcoach_azure_spark.queries import _WINDOW_R12
+    from flink_sql_ai_meetingcoach_azure_spark.queries import _WINDOW_R13
 
     qs = list(e.queries())
     window, tail = qs[:50], qs[50:]
-    assert window == _WINDOW_R12
+    assert window == _WINDOW_R13
     led = latest_evidence()
     assert set(led) == set(qs)
     never = {n for n, r in led.items() if r is None}
     assert never <= set(window), never - set(window)
-    TAIL_EVIDENCE_FLOOR = 6  # raise on each future rotation
+    TAIL_EVIDENCE_FLOOR = 8  # raise on each future rotation
     tail_rounds = {n: led[n] for n in tail}
     assert all(r is not None and r >= TAIL_EVIDENCE_FLOOR
                for r in tail_rounds.values()), {

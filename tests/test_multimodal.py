@@ -928,3 +928,67 @@ def test_decode_png_adam7_interlace():
         )
         got_p = decode_png(encode_png(img, ct, depth=depth))
         assert np.array_equal(got_i, got_p), (h, w, ct, depth)
+
+
+def test_video_dhash_majority_vote(spark):
+    """Clip signatures (r13): per-frame dHash bits majority-voted
+    across APNG frames — a bit flipped in a MINORITY of frames leaves
+    the signature untouched; flipped in a majority it lands. Also: a
+    whole-clip brightness shift is signature-invariant, and n_frames
+    reports the real demux count."""
+    import numpy as np
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        encode_apng,
+        video_dhash_signatures,
+    )
+
+    def frame(bits, bright=0):
+        # 8x9 cells, 2x2 px each: direction bits -> monotone gray walk
+        eff = np.asarray(bits, dtype=np.int64).reshape(8, 8)
+        s = np.concatenate(
+            [np.zeros((8, 1), dtype=np.int64), np.cumsum(eff, axis=1)], axis=1
+        )
+        j = np.arange(9)
+        g = 110 + 2 * np.arange(8)[:, None] + 12 * (2 * s - j[None, :]) + bright
+        gp = np.repeat(np.repeat(g, 2, axis=0), 2, axis=1)
+        return np.stack([gp, gp + 1, gp + 2], axis=2).astype(np.uint8)
+
+    rng = np.random.RandomState(9)
+    base = rng.randint(0, 2, 64)
+    flip_one = base.copy()
+    flip_one[17] = 1 - flip_one[17]
+    clips = {
+        # minority flip: frame 1 differs in one bit -> vote keeps base
+        1: [frame(base), frame(flip_one), frame(base)],
+        # majority flip: 2 of 3 frames differ -> vote takes the flip
+        2: [frame(base), frame(flip_one), frame(flip_one)],
+        # brightness-shifted copy of clip 1
+        3: [frame(base, 4), frame(flip_one, 4), frame(base, 4)],
+        # 4 frames incl. a 2-2 TIE on bit 17 -> tie breaks to 0
+        4: [frame(base), frame(base), frame(flip_one), frame(flip_one)],
+    }
+    df = spark.createDataFrame(
+        [(i, bytearray(encode_apng(f))) for i, f in clips.items()],
+        "doc_id long, payload binary",
+    )
+    rows = {
+        r.doc_id: r
+        for r in video_dhash_signatures(df, id_col="doc_id").collect()
+    }
+
+    def bits_of(r):
+        return [
+            (r.sig0 >> k) & 1 if k < 32 else (r.sig1 >> (k - 32)) & 1
+            for k in range(64)
+        ]
+
+    assert rows[1].n_frames == 3 and rows[4].n_frames == 4
+    assert bits_of(rows[1]) == list(base)
+    assert bits_of(rows[2]) == list(flip_one)
+    assert (rows[3].sig0, rows[3].sig1) == (rows[1].sig0, rows[1].sig1)
+    # the tie bit resolves to 0 regardless of base's value there
+    assert bits_of(rows[4])[17] == (0 if base[17] == 1 else 0) == 0
+    tie_expected = list(base)
+    tie_expected[17] = 0
+    assert bits_of(rows[4]) == tie_expected
