@@ -760,23 +760,72 @@ def nn_resize(img: np.ndarray, height: int, width: int) -> np.ndarray:
     return img[ys][:, xs]
 
 
+def _wav_manual_chunks(data: bytes) -> tuple[int, int, int, int, bytes]:
+    """Little-endian RIFF chunk walk (the parse_wav_header logic at the
+    decode layer): returns (fmt_code, channels, rate, bits_per_sample,
+    raw data-chunk bytes). Used for the formats the stdlib `wave`
+    module refuses — IEEE-float WAV (fmt code 3, r13)."""
+    import struct  # noqa: PLC0415
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, fmt, frames = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (ln,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + ln]
+        if cid == b"fmt " and len(body) >= 16:
+            code, ch, rate = struct.unpack("<HHI", body[:8])
+            bits = struct.unpack("<H", body[14:16])[0]
+            fmt = (code, ch, rate, bits)
+        elif cid == b"data":
+            frames = body
+        pos += 8 + ln + (ln & 1)  # RIFF even padding
+    if fmt is None or frames is None:
+        raise ValueError("WAV without fmt/data chunk")
+    return (*fmt, frames)
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """REAL WAV (PCM) decode with the standard library only (the `wave`
+    """REAL WAV decode with the standard library only (the `wave`
     module ships with CPython): returns (mono int64 samples, sample
     rate), NORMALIZED to the 16-bit range — 16-bit samples pass
     through; 8-bit unsigned is centered and scaled up; 24-bit signed
     (r12: the studio-PCM width) is sign-extended and scaled DOWN by an
     arithmetic >> 8 (the mirror convention); multi-channel mixes down
-    by exact integer mean (sum div channels). Compressed WAV raises —
-    the documented ffmpeg seam covers non-PCM audio."""
+    by exact integer mean (sum div channels). IEEE-FLOAT WAV (fmt code
+    3, 32/64-bit — r13, the DAW export format the wave module refuses)
+    routes through a manual RIFF walk and maps [-1, 1) to the same
+    16-bit range by floor(clamp(f)·32768) clamped to int16 — floor,
+    not banker's rounding, so the convention is closed-form for SQL
+    oracles. Other compressed formats raise — the documented ffmpeg
+    seam."""
     import io  # noqa: PLC0415
     import wave  # noqa: PLC0415
 
-    with wave.open(io.BytesIO(bytes(payload))) as wf:
-        rate = wf.getframerate()
-        ch = wf.getnchannels()
-        sw = wf.getsampwidth()
-        frames = wf.readframes(wf.getnframes())
+    try:
+        with wave.open(io.BytesIO(bytes(payload))) as wf:
+            rate = wf.getframerate()
+            ch = wf.getnchannels()
+            sw = wf.getsampwidth()
+            frames = wf.readframes(wf.getnframes())
+    except wave.Error:
+        code, ch, rate, bits, frames = _wav_manual_chunks(bytes(payload))
+        if code != 3 or bits not in (32, 64):
+            raise NotImplementedError(
+                f"WAV format code {code} ({bits}-bit) needs a codec library"
+            ) from None
+        f = np.frombuffer(
+            frames, dtype="<f4" if bits == 32 else "<f8"
+        ).astype(np.float64)
+        x = np.clip(
+            np.floor(np.clip(f, -1.0, 1.0) * 32768.0), -32768, 32767
+        ).astype(np.int64)
+        if ch > 1:
+            x = x[: (len(x) // ch) * ch].reshape(-1, ch)
+            sign = np.where(x.sum(axis=1) < 0, -1, 1)
+            x = sign * (np.abs(x.sum(axis=1)) // ch)
+        return x, rate
     if sw == 2:
         x = np.frombuffer(frames, dtype="<i2").astype(np.int64)
     elif sw == 1:
@@ -1443,6 +1492,38 @@ class _BitReader:
         raise ValueError("invalid JPEG Huffman code")
 
 
+class _RestartReader:
+    """_BitReader plus DRI resync (r13, progressive scans): the scan's
+    entropy data arrives pre-split on RSTn markers; ``sync(u)`` swaps
+    to restart segment ``u // dri`` when unit ``u`` (MCU for
+    interleaved scans, block for non-interleaved) crosses a boundary,
+    returning True so the caller resets its DC-predictor / EOB-run
+    state (T.81 F.2.1.3.1: restarts re-align byte boundaries and kill
+    all inter-MCU state)."""
+
+    def __init__(self, segs: list[bytes], dri: int) -> None:
+        self.segs, self.dri, self.seg = segs, dri, 0
+        self.r = _BitReader(segs[0])
+
+    def sync(self, u: int) -> bool:
+        if not self.dri or u // self.dri == self.seg:
+            return False
+        si = u // self.dri
+        if si >= len(self.segs):
+            raise ValueError("JPEG missing RST marker")
+        self.seg, self.r = si, _BitReader(self.segs[si])
+        return True
+
+    def read_bit(self) -> int:
+        return self.r.read_bit()
+
+    def read_bits(self, n: int) -> int:
+        return self.r.read_bits(n)
+
+    def decode_symbol(self, table: dict) -> int:
+        return self.r.decode_symbol(table)
+
+
 def _extend(bits_val: int, category: int) -> int:
     """T.81 §F.2.2.1 EXTEND: map category bits to the signed value."""
     if category == 0:
@@ -1462,12 +1543,14 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     successive approximation, EOB runs; r12), 8-bit, grayscale or
     3-component with sampling factors in {1,2} (4:4:4 / 4:2:2 / 4:2:0 —
     interleaved T.81 §A.2.3 MCU order, subsampled planes upsampled by
-    replication), restart intervals in baseline scans (DRI/RSTn resync
-    with predictor reset), and — r13 — NON-MCU-ALIGNED dimensions
+    replication), restart intervals in BOTH baseline and progressive
+    scans (DRI/RSTn resync with predictor + EOB-run reset; restart
+    units are MCUs in interleaved scans, blocks in non-interleaved
+    ones — r13), and — r13 — NON-MCU-ALIGNED dimensions
     (T.81 A.2.4: the edge MCUs are coded complete; decode the ceil-MCU
     grid, crop to the declared h x w — the real-photo case, e.g.
-    1000x750); sampling factors > 2 and progressive restart
-    intervals raise NotImplementedError (the narrowed documented seam).
+    1000x750); sampling factors > 2 raise NotImplementedError (the
+    narrowed documented seam).
     Rounding convention everywhere: floor(x + 0.5) — reproducible in
     closed-form SQL oracles (no bankers' rounding)."""
     import struct  # noqa: PLC0415
@@ -1580,13 +1663,10 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if not progressive:
                 scan = (sel, segs)
                 break
-            # progressive: scans reference the tables in force when the
-            # scan starts (DHT may redefine ids between scans)
-            scans.append((sel, ss, se, ah, al, segs, dict(huff)))
-            if dri:
-                raise NotImplementedError(
-                    "restart intervals in progressive scans unsupported"
-                )
+            # progressive: scans reference the tables AND restart
+            # interval in force when the scan starts (DHT/DRI may
+            # change between scans)
+            scans.append((sel, ss, se, ah, al, segs, dict(huff), dri))
             pos = pos + 2 + seg_len + j
             continue
         pos += 2 + seg_len
@@ -1737,14 +1817,18 @@ def _decode_progressive(
 
     def _blocks_interleaved(sel):
         """MCU block order (T.81 §A.2.3) for a multi-component scan —
-        covers the full padded MCU grid."""
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
+        covers the full padded MCU grid. Yields (mcu_index, ...): the
+        restart interval counts MCUs."""
+        u = 0
+        for _my in range(mcus_y):
+            for _mx in range(mcus_x):
                 for cid, dc_id, ac_id in sel:
                     _, sh, sv = meta_by_cid[cid]
                     for bv in range(sv):
                         for bh in range(sh):
-                            yield cid, dc_id, ac_id, my * sv + bv, mx * sh + bh
+                            yield (u, cid, dc_id, ac_id,
+                                   _my * sv + bv, _mx * sh + bh)
+                u += 1
 
     def _blocks_raster(sel):
         """Raster order over the single component's OWN block grid —
@@ -1752,17 +1836,19 @@ def _decode_progressive(
         blocks per axis from the component's true dimensions, NOT the
         MCU-padded grid (they differ for non-aligned dims: a 100px
         luma row in 4:2:0 is 13 raster blocks but 14 padded-grid
-        columns)."""
+        columns). Each block IS one restart unit here."""
         [(cid, dc_id, ac_id)] = sel
         _, sh, sv = meta_by_cid[cid]
         comp_h = -(-(h * sv) // vmax)
         comp_w = -(-(w * sh) // hmax)
+        u = 0
         for by in range(-(-comp_h // 8)):
             for bx in range(-(-comp_w // 8)):
-                yield cid, dc_id, ac_id, by, bx
+                yield u, cid, dc_id, ac_id, by, bx
+                u += 1
 
-    for sel, ss, se, ah, al, segs, huff in scans:
-        reader = _BitReader(segs[0])
+    for sel, ss, se, ah, al, segs, huff, dri in scans:
+        reader = _RestartReader(segs, dri)
         blocks = (
             _blocks_interleaved(sel) if len(sel) > 1 else _blocks_raster(sel)
         )
@@ -1771,14 +1857,17 @@ def _decode_progressive(
                 raise ValueError("invalid progressive scan: DC band with AC")
             if ah == 0:  # first DC scan: predicted, point-transformed
                 pred = {cid: 0 for cid, _, _ in sel}
-                for cid, dc_id, _, by, bx in blocks:
+                for u, cid, dc_id, _, by, bx in blocks:
+                    if reader.sync(u):  # RSTn: predictors reset (F.2.1.3.1)
+                        pred = {c: 0 for c in pred}
                     cat = reader.decode_symbol(huff[(0, dc_id)])
                     diff = _extend(reader.read_bits(cat), cat) if cat else 0
                     pred[cid] += diff
                     coef[cid][by, bx, 0] = pred[cid] << al
             else:  # DC refinement: one bit per block
                 p1 = 1 << al
-                for cid, _, _, by, bx in blocks:
+                for u, cid, _, _, by, bx in blocks:
+                    reader.sync(u)  # no predictor state to reset
                     if reader.read_bit():
                         coef[cid][by, bx, 0] |= p1
         else:  # AC scan: T.81 requires a single component
@@ -1789,7 +1878,9 @@ def _decode_progressive(
             eobrun = 0
             p1, m1 = 1 << al, -1 << al
             if ah == 0:  # first AC scan for this band: EOB-run coding
-                for cid, _, _, by, bx in blocks:
+                for u, cid, _, _, by, bx in blocks:
+                    if reader.sync(u):  # RSTn: EOB run cannot span it
+                        eobrun = 0
                     if eobrun > 0:
                         eobrun -= 1
                         continue
@@ -1812,7 +1903,9 @@ def _decode_progressive(
                         blk[k] = _extend(reader.read_bits(s), s) << al
                         k += 1
             else:  # AC refinement (G.1.2.3): correction bits
-                for cid, _, _, by, bx in blocks:
+                for u, cid, _, _, by, bx in blocks:
+                    if reader.sync(u):
+                        eobrun = 0
                     blk = coef[cid][by, bx]
                     k = ss
                     if eobrun == 0:
@@ -2044,6 +2137,7 @@ def encode_jpeg_progressive(
     width: int,
     sampling: list[tuple[int, int]] | None = None,
     al: int = 1,
+    restart_interval: int = 0,
 ) -> bytes:
     """Minimal spec-correct PROGRESSIVE (SOF2) JPEG encoder — the
     fixture helper that lets round-trips exercise :func:`decode_jpeg`'s
@@ -2099,14 +2193,35 @@ def encode_jpeg_progressive(
         bitbuf.clear()
         return bytes(out)
 
+    # restart machinery (r13): scan_tail accumulates the scan's already
+    # byte-aligned restart segments + RSTn markers; emitters call
+    # maybe_restart(u, before=...) at each unit, where `before` codes
+    # any PENDING symbols (EOB runs + buffered correction bits) into
+    # the closing segment first -- runs never span a restart
+    scan_tail = bytearray()
+    rst_state = {"seg": 0, "n": 0}
+
+    def maybe_restart(u, before=None) -> bool:
+        if not restart_interval or u // restart_interval == rst_state["seg"]:
+            return False
+        if before:
+            before()
+        rst_state["seg"] = u // restart_interval
+        scan_tail.extend(flush_scan())
+        scan_tail.extend((0xFF, 0xD0 + rst_state["n"]))
+        rst_state["n"] = (rst_state["n"] + 1) % 8
+        return True
+
     def blocks_interleaved(cis):
+        u = 0
         for my in range(mcus_y):
             for mx in range(mcus_x):
                 for ci in cis:
                     sh, sv = sampling[ci]
                     for bv in range(sv):
                         for bh in range(sh):
-                            yield ci, my * sv + bv, mx * sh + bh
+                            yield u, ci, my * sv + bv, mx * sh + bh
+                u += 1
 
     def blocks_raster(ci):
         # T.81 A.2.2: non-interleaved scans code the component's OWN
@@ -2117,16 +2232,20 @@ def encode_jpeg_progressive(
         vmax_ = max(s for _, s in sampling)
         comp_h = -(-(height * sv) // vmax_)
         comp_w = -(-(width * sh) // hmax_)
+        u = 0
         for by in range(-(-comp_h // 8)):
             for bx in range(-(-comp_w // 8)):
-                yield ci, by, bx
+                yield u, ci, by, bx
+                u += 1
 
     def dc_first_scan(cis, al_):
         pred = {ci: 0 for ci in cis}
         it = (
             blocks_interleaved(cis) if len(cis) > 1 else blocks_raster(cis[0])
         )
-        for ci, by, bx in it:
+        for u, ci, by, bx in it:
+            if maybe_restart(u):
+                pred = {c: 0 for c in pred}  # F.2.1.3.1 predictor reset
             v = zz(ci, by, bx, 0) >> al_  # DC: arithmetic shift (G.1.2.1)
             diff = v - pred[ci]
             pred[ci] = v
@@ -2140,7 +2259,8 @@ def encode_jpeg_progressive(
         it = (
             blocks_interleaved(cis) if len(cis) > 1 else blocks_raster(cis[0])
         )
-        for ci, by, bx in it:
+        for u, ci, by, bx in it:
+            maybe_restart(u)  # no predictor state in a refinement scan
             put((zz(ci, by, bx, 0) >> al_) & 1, 1)
 
     def ac_first_scan(ci, ss, se, al_):
@@ -2156,7 +2276,8 @@ def encode_jpeg_progressive(
                     put(eobrun - (1 << r), r)
                 eobrun = 0
 
-        for _, by, bx in blocks_raster(ci):
+        for u, _, by, bx in blocks_raster(ci):
+            maybe_restart(u, before=flush_eobrun)
             band = []
             for k in range(ss, se + 1):
                 v = zz(ci, by, bx, k)
@@ -2205,7 +2326,8 @@ def encode_jpeg_progressive(
                     put(bit, 1)
                 be.clear()
 
-        for _, by, bx in blocks_raster(ci):
+        for u, _, by, bx in blocks_raster(ci):
+            maybe_restart(u, before=flush_eobrun)
             absv, sgn = [], []
             for k in range(ss, se + 1):
                 v = zz(ci, by, bx, k)
@@ -2271,6 +2393,8 @@ def encode_jpeg_progressive(
     parts.append(
         seg(0xC2, struct.pack(">BHHB", 8, height, width, ncomp) + sof_comps)
     )
+    if restart_interval:
+        parts.append(seg(0xDD, struct.pack(">H", restart_interval)))
 
     def sos(cis, ss, se, ah, al_, emitter):
         hdr = (
@@ -2278,8 +2402,10 @@ def encode_jpeg_progressive(
             + b"".join(struct.pack(">BB", ci + 1, 0x00) for ci in cis)
             + bytes([ss, se, (ah << 4) | al_])
         )
+        scan_tail.clear()
+        rst_state["seg"], rst_state["n"] = 0, 0
         emitter()
-        parts.append(seg(0xDA, hdr) + flush_scan())
+        parts.append(seg(0xDA, hdr) + bytes(scan_tail) + flush_scan())
 
     all_cis = list(range(ncomp))
     sos(all_cis, 0, 0, 0, al, lambda: dc_first_scan(all_cis, al))

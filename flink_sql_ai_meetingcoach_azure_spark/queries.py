@@ -3043,9 +3043,13 @@ def q_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     bits with deliberate junk ``(s·11+5) % 256`` in the low byte, so
     the 3-byte little-endian unpack, sign extension and the
     arithmetic->>8 16-bit normalization are all on the hash path while
-    the oracle stays width-blind (the png 16-bit discipline). A wrong
-    endianness, sample width, header offset, sign convention or shift
-    direction all break the hash."""
+    the oracle stays width-blind (the png 16-bit discipline).
+    doc_id % 4 == 2 writes IEEE-FLOAT WAV (fmt code 3, r13): the
+    manual RIFF walk + floor(clamp(f)*32768) float normalization are
+    then on the hash path too — f = s/32768 is float32-exact so the
+    oracle stays format-blind. A wrong endianness, sample width,
+    header offset, sign convention, shift direction or float rounding
+    all break the hash."""
     _prep(spark)
     import pyspark.sql.types as T  # noqa: PLC0415
 
@@ -3074,6 +3078,26 @@ def q_wav_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 samples = [
                     (did * 13 + k * 7) % 2001 - 1000 for k in range(n)
                 ]
+                if did % 4 == 2:
+                    # r13: IEEE-FLOAT WAV (fmt code 3 — the wave module
+                    # can't write it; raw RIFF). f = s/32768 is exact in
+                    # float32 (|s| <= 1000 < 2^11), so the decoder's
+                    # floor(f*32768) recovers s exactly and the oracle
+                    # stays format-blind
+                    data = b"".join(
+                        struct.pack("<f", s / 32768.0) for s in samples
+                    )
+                    fmt = struct.pack(
+                        "<HHIIHH", 3, 1, WAVDEC_RATE, WAVDEC_RATE * 4, 4, 32
+                    )
+                    body = (
+                        b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+                        + b"data" + struct.pack("<I", len(data)) + data
+                    )
+                    payloads.append(bytearray(
+                        b"RIFF" + struct.pack("<I", len(body)) + body
+                    ))
+                    continue
                 buf = io.BytesIO()
                 with wave.open(buf, "wb") as wf:
                     wf.setnchannels(1)
@@ -14418,9 +14442,13 @@ def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         # Al=1, AC spectral bands as EOB runs, DC+AC
                         # refinement scans); same DC values, so the
                         # closed-form oracle stays layout-blind exactly
-                        # like png_decode_stats' 16-bit arm
+                        # like png_decode_stats' 16-bit arm.
+                        # did % 8 == 6 adds a DRI (r13): RSTn resync +
+                        # predictor/EOB-run reset inside progressive
+                        # scans is then on the hash path too
                         payloads.append(bytearray(encode_jpeg_progressive(
-                            [coefs], q, bh * 8 - crop_h, bw * 8 - crop_w
+                            [coefs], q, bh * 8 - crop_h, bw * 8 - crop_w,
+                            restart_interval=2 if did % 8 == 6 else 0,
                         )))
                         continue
                     payloads.append(bytearray(encode_jpeg(
@@ -15811,9 +15839,11 @@ _ALL_QUERIES: dict[str, QuerySpec] = {
 #      reuse, ADVICE r12) — the decode-path refactors they ride are
 #      exactly the code the other media entries share, so these are
 #      the most direct external probes of the r13 codec work;
-#   3. 2 canonical known-good ballast lines (rag_pipeline_verified /
-#      tpch_q1) distinguish a broken driver run from entry failures
-#      (tpch_q1 also re-measures under the r13 bench warmup fix);
+#   3. 1 canonical known-good ballast line (tpch_q1) distinguishes a
+#      broken driver run from entry failures (it also re-measures under
+#      the r13 bench warmup fix); wav_decode_stats takes the second
+#      ballast slot because its code changed late in r13 (IEEE-float
+#      arm) and changed code re-verifies externally;
 #   4. the remaining 44 slots rotate in EVERY r06-evidence entry —
 #      the complete stale tail — raising the out-of-window evidence
 #      floor from r06 to r08 (no r07-evidence entries exist).
@@ -15822,7 +15852,7 @@ _WINDOW_R13 = [
     "jpeg_decode_stats",
     "png_decode_stats",
     "audio_recall_eval",
-    "rag_pipeline_verified",
+    "wav_decode_stats",
     "tpch_q1",
     "cache_hit_join",
     "chunk_embed_ingest",

@@ -992,3 +992,110 @@ def test_video_dhash_majority_vote(spark):
     tie_expected = list(base)
     tie_expected[17] = 0
     assert bits_of(rows[4]) == tie_expected
+
+
+def test_decode_jpeg_progressive_restart_intervals():
+    """Progressive DRI (r13, closes the named seam): RSTn resync inside
+    SOF2 scans — restart units are MCUs in the interleaved DC scan but
+    BLOCKS in non-interleaved AC scans; predictors and EOB runs reset
+    at each boundary and runs never span one. A restarted encode must
+    decode identically to the unrestarted encode of the same
+    coefficients, across gray/4:2:0, non-aligned dims, and the al=0
+    ladder (no refinement scans)."""
+    import numpy as np
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        decode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(5)
+    q = np.full((8, 8), 16, dtype=np.int64)
+
+    def sparse(shape, lo, hi, keep):
+        c = np.zeros(shape, dtype=np.int64)
+        m = rng.rand(*shape) < keep
+        c[m] = rng.randint(lo, hi, m.sum())
+        return c
+
+    cg = sparse((4, 5, 8, 8), -20, 21, 0.2)
+    ref = decode_jpeg(encode_jpeg_progressive([cg], q, 32, 40))
+    for ri in (1, 2, 3, 7):
+        got = decode_jpeg(
+            encode_jpeg_progressive([cg], q, 32, 40, restart_interval=ri)
+        )
+        assert np.array_equal(got, ref), f"gray ri={ri}"
+
+    cy = sparse((4, 4, 8, 8), -15, 16, 0.2)
+    cb = sparse((2, 2, 8, 8), -8, 9, 0.2)
+    cr = sparse((2, 2, 8, 8), -8, 9, 0.2)
+    samp = [(2, 2), (1, 1), (1, 1)]
+    ref3 = decode_jpeg(
+        encode_jpeg_progressive([cy, cb, cr], q, 17, 18, sampling=samp)
+    )
+    for ri in (1, 2, 3):
+        got = decode_jpeg(
+            encode_jpeg_progressive(
+                [cy, cb, cr], q, 17, 18, sampling=samp, restart_interval=ri
+            )
+        )
+        assert np.array_equal(got, ref3), f"color ri={ri}"
+
+    ref0 = decode_jpeg(encode_jpeg_progressive([cg], q, 32, 40, al=0))
+    got0 = decode_jpeg(
+        encode_jpeg_progressive([cg], q, 32, 40, al=0, restart_interval=2)
+    )
+    assert np.array_equal(got0, ref0)
+
+
+def test_decode_wav_ieee_float():
+    """IEEE-float WAV (r13, fmt code 3 — the DAW export the stdlib wave
+    module refuses): manual RIFF walk + floor(clamp(f)·32768) mapped to
+    the 16-bit range. Covers float32 exactness, the ±1.0 clamp edges
+    (+1.0 floors to 32768 then clamps to 32767), float64, stereo exact
+    integer mixdown, and a loud refusal for unknown format codes."""
+    import struct
+
+    import numpy as np
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        decode_wav,
+    )
+
+    def wav(code, ch, rate, bits, data):
+        fmt = struct.pack(
+            "<HHIIHH", code, ch, rate, rate * ch * bits // 8,
+            ch * bits // 8, bits,
+        )
+        body = (
+            b"WAVEfmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    vals = [0.0, 0.5, -0.5, 1.0, -1.0, 123 / 32768.0, -999 / 32768.0]
+    f32 = wav(3, 1, 8000, 32, b"".join(struct.pack("<f", v) for v in vals))
+    x, rate = decode_wav(f32)
+    assert rate == 8000
+    assert x.tolist() == [0, 16384, -16384, 32767, -32768, 123, -999]
+
+    f64 = wav(3, 1, 16000, 64, b"".join(struct.pack("<d", v) for v in vals))
+    x64, rate64 = decode_wav(f64)
+    assert rate64 == 16000 and x64.tolist() == x.tolist()
+
+    # out-of-range input clamps before scaling
+    loud = wav(3, 1, 8000, 32, struct.pack("<ff", 2.5, -3.0))
+    assert decode_wav(loud)[0].tolist() == [32767, -32768]
+
+    # stereo mixdown: exact trunc-toward-zero mean
+    st = wav(3, 2, 8000, 32, struct.pack(
+        "<ffff", 100 / 32768.0, 101 / 32768.0, -100 / 32768.0, -101 / 32768.0
+    ))
+    assert decode_wav(st)[0].tolist() == [100, -100]
+
+    # unknown compressed format still refuses loudly
+    import pytest as _pytest
+
+    alaw = wav(6, 1, 8000, 8, b"\x00" * 8)
+    with _pytest.raises(NotImplementedError, match="format code 6"):
+        decode_wav(alaw)
