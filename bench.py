@@ -282,6 +282,7 @@ BENCH_QUERIES = [
     "audio_neardup",  # r12: waveform sign-of-delta fingerprint near-dup
     "audio_recall_eval",  # r12: fingerprint recall vs exact sample L1
     "video_neardup",  # r13: APNG demux + per-frame dHash majority vote
+    "gif_decode_stats",  # r13: REAL LZW GIF codec path, hash-verified
     "media_sniff",  # r10: magic-byte container dispatcher over mixed media
     "media_profile",  # r10: per-format corpus inventory over the dispatcher
     # SQL DDL statement path (translator overhead ~0: same operators)

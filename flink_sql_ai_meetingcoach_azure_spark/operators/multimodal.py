@@ -750,6 +750,306 @@ def encode_apng(
     return b"".join(parts)
 
 
+# ---------------------------------------------------------------------------
+# REAL GIF codec (r13) — pure stdlib + numpy LZW: the third real still-image
+# decoder (sniff_media has tagged 'gif' since r10 with nothing behind it).
+# GIF89a spec (public, CompuServe/W3C): logical screen descriptor, global/
+# local color tables, LSB-first variable-width LZW with CLEAR/EOI and the
+# KwKwK case, 4-pass row interlace, graphic-control transparency, and
+# multi-image animation compositing (dispose none/keep + restore-background;
+# restore-previous is the documented seam).
+
+_GIF_INTERLACE_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
+    """Variable-width LSB-first LZW (GIF89a Appendix F): code width
+    starts at min_code_size+1, the table grows to 4096 entries, CLEAR
+    resets, and code == table-size is the KwKwK self-reference."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    table: list[tuple[int, ...] | None] = [
+        (i,) for i in range(clear)
+    ] + [None, None]
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                return out  # missing EOI: tolerated (common in the wild)
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [None, None]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return out
+        if prev is None:
+            entry = table[code]
+            if entry is None:
+                raise ValueError("bad first LZW code")
+        elif code < len(table) and table[code] is not None:
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + (prev[0],)  # KwKwK
+        else:
+            raise ValueError("bad LZW code")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + (entry[0],))
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """Real growing-table LZW encode (fixture helper) — the exact
+    mirror of :func:`_gif_lzw_decode`'s width/CLEAR discipline."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    width = min_code_size + 1
+    dict_: dict[tuple[int, ...], int] = {(i,): i for i in range(clear)}
+    next_code = eoi + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    prev: tuple[int, ...] = ()
+    for s in indices:
+        s = int(s)
+        cur = prev + (s,)
+        if cur in dict_:
+            prev = cur
+            continue
+        emit(dict_[prev])
+        if next_code < 4096:
+            dict_[cur] = next_code
+            next_code += 1
+            # the decoder's table append lags the encoder's by ONE
+            # emission (it adds while processing the NEXT code), so the
+            # encoder widens one add later than the decoder's
+            # len(table) == 1<<width rule
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        else:  # table full: CLEAR and restart (keeps the decoder simple)
+            emit(clear)
+            dict_ = {(i,): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        prev = (s,)
+    if prev:
+        emit(dict_[prev])
+    emit(eoi)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_deinterlace(grid: np.ndarray) -> np.ndarray:
+    """Invert the 4-pass GIF row interlace: stored rows are the passes'
+    rows concatenated; scatter them back to their display positions."""
+    h = grid.shape[0]
+    order = []
+    for start, step in _GIF_INTERLACE_PASSES:
+        order.extend(range(start, h, step))
+    out = np.empty_like(grid)
+    out[np.asarray(order, dtype=np.int64)] = grid
+    return out
+
+
+def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
+    """REAL GIF decode: returns the list of COMPOSITED (H, W, 3) uint8
+    canvas states, one per image block — a still GIF yields one frame,
+    an animation yields its rendered frames. Supports global and local
+    color tables, interlace, graphic-control transparency (transparent
+    pixels keep the previous canvas), and dispose methods 0/1 (keep)
+    and 2 (restore region to background color); dispose 3
+    (restore-previous) raises NotImplementedError — the documented
+    seam (it needs a saved-canvas stack)."""
+    data = bytes(payload or b"")
+    if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    w = data[6] | (data[7] << 8)
+    h = data[8] | (data[9] << 8)
+    flags, bg = data[10], data[11]
+    pos, gct = 13, None
+    if flags & 0x80:
+        n = 2 << (flags & 7)
+        gct = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    bg_rgb = gct[bg] if (gct is not None and bg < len(gct)) else np.zeros(
+        3, dtype=np.uint8
+    )
+    canvas = np.tile(bg_rgb, (h, w, 1)).astype(np.uint8)
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    dispose = 0
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and data[pos] >= 4:  # graphic control
+                packed = data[pos + 1]
+                dispose = (packed >> 2) & 7
+                transparent = data[pos + 4] if packed & 1 else None
+            while data[pos] != 0:  # skip/consume sub-blocks
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"unknown GIF block 0x{block:02x}")
+        left = data[pos + 1] | (data[pos + 2] << 8)
+        top = data[pos + 3] | (data[pos + 4] << 8)
+        iw = data[pos + 5] | (data[pos + 6] << 8)
+        ih = data[pos + 7] | (data[pos + 8] << 8)
+        iflags = data[pos + 9]
+        pos += 10
+        lct = None
+        if iflags & 0x80:
+            n = 2 << (iflags & 7)
+            lct = np.frombuffer(
+                data[pos : pos + 3 * n], dtype=np.uint8
+            ).reshape(n, 3)
+            pos += 3 * n
+        mcs = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos] != 0:
+            ln = data[pos]
+            lzw += data[pos + 1 : pos + 1 + ln]
+            pos += 1 + ln
+        pos += 1
+        idx = _gif_lzw_decode(bytes(lzw), mcs)
+        if len(idx) < iw * ih:
+            raise ValueError("truncated GIF image data")
+        grid = np.asarray(idx[: iw * ih], dtype=np.int64).reshape(ih, iw)
+        if iflags & 0x40:
+            grid = _gif_deinterlace(grid)
+        pal = lct if lct is not None else gct
+        if pal is None:
+            raise ValueError("GIF image without a color table")
+        region = canvas[top : top + ih, left : left + iw]
+        if transparent is not None:
+            mask = grid != transparent
+            region[mask] = pal[grid[mask] % len(pal)]
+        else:
+            region[:, :] = pal[grid % len(pal)]
+        frames.append(canvas.copy())
+        if dispose == 2:  # restore region to background color
+            canvas[top : top + ih, left : left + iw] = bg_rgb
+        elif dispose == 3:
+            raise NotImplementedError(
+                "GIF dispose=3 (restore previous) needs a canvas stack"
+            )
+        transparent, dispose = None, 0  # a GCE scopes ONE image
+    if not frames:
+        raise ValueError("GIF without an image block")
+    return frames
+
+
+def decode_gif(payload: bytes) -> np.ndarray:
+    """First composited frame of :func:`decode_gif_frames` — the still
+    decoder the image entries use (a still GIF has exactly one)."""
+    return decode_gif_frames(payload)[0]
+
+
+def encode_gif(
+    frames,
+    palette: np.ndarray,
+    interlace=None,
+    rects=None,
+    transparent=None,
+    dispose=None,
+    bg: int = 0,
+    canvas_size: tuple[int, int] | None = None,
+    local_palettes=None,
+) -> bytes:
+    """Minimal spec-correct GIF89a encoder (fixture helper — the
+    encode_png discipline): ``frames`` is a list of (H, W) palette-index
+    arrays, LZW-compressed for real (growing table, CLEAR on overflow).
+    Optional per-frame ``interlace`` (bools), ``rects`` ((left, top)
+    placement — frame dims then give the sub-region), ``transparent``
+    (index or None) and ``dispose`` (0/1/2/3) lists exercise the
+    compositing path. The color table size is padded to the next power
+    of two as the format requires."""
+    import struct  # noqa: PLC0415
+
+    n_frames = len(frames)
+    interlace = list(interlace or [False] * n_frames)
+    rects = list(rects or [(0, 0)] * n_frames)
+    transparent = list(transparent or [None] * n_frames)
+    dispose = list(dispose or [0] * n_frames)
+    local_palettes = list(local_palettes or [None] * n_frames)
+    pal = np.asarray(palette, dtype=np.uint8)
+    size_bits = max(1, int(np.ceil(np.log2(max(2, len(pal))))))
+    padded = np.zeros((1 << size_bits, 3), dtype=np.uint8)
+    padded[: len(pal)] = pal
+    if canvas_size is None:
+        ch, cw = frames[0].shape[0], frames[0].shape[1]
+    else:
+        ch, cw = canvas_size
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", cw, ch)
+    out += bytes([0x80 | (size_bits - 1), bg, 0])
+    out += padded.tobytes()
+    for f, il, (left, top), tr, dp, lp in zip(
+        frames, interlace, rects, transparent, dispose, local_palettes
+    ):
+        if tr is not None or dp:
+            out += bytes([0x21, 0xF9, 4,
+                          ((dp & 7) << 2) | (1 if tr is not None else 0),
+                          0, 0, tr or 0, 0])
+        ih, iw = f.shape[0], f.shape[1]
+        out += b"\x2c" + struct.pack("<HHHH", left, top, iw, ih)
+        if lp is not None:  # local color table overrides the global one
+            lp = np.asarray(lp, dtype=np.uint8)
+            lbits = max(1, int(np.ceil(np.log2(max(2, len(lp))))))
+            lpad = np.zeros((1 << lbits, 3), dtype=np.uint8)
+            lpad[: len(lp)] = lp
+            out += bytes([0x80 | (0x40 if il else 0) | (lbits - 1)])
+            out += lpad.tobytes()
+            mcs = max(2, lbits)
+        else:
+            out += bytes([0x40 if il else 0x00])
+            mcs = max(2, size_bits)
+        grid = np.asarray(f, dtype=np.int64)
+        if il:
+            order = []
+            for start, step in _GIF_INTERLACE_PASSES:
+                order.extend(range(start, ih, step))
+            grid = grid[np.asarray(order, dtype=np.int64)]
+        lzw = _gif_lzw_encode(grid.reshape(-1).tolist(), mcs)
+        out += bytes([mcs])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
 def nn_resize(img: np.ndarray, height: int, width: int) -> np.ndarray:
     """Nearest-neighbor resize with pure numpy index math — the resize
     stage the brief stubs behind image libs, made real: deterministic
@@ -935,7 +1235,7 @@ def decode_and_featurize(
     compare it bit-exactly). Runs as one Arrow batch per task via
     ``mapInPandas`` — the real-decoder seam is marked below.
     """
-    if decoder not in ("fake", "png", "jpeg", "real"):
+    if decoder not in ("fake", "png", "jpeg", "gif", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
     out_schema = T.StructType(
@@ -962,14 +1262,16 @@ def decode_and_featurize(
                 # need PIL/opencv
                 raise NotImplementedError(
                     "WebP/AVIF decoding requires PIL/opencv (not in "
-                    "this container); use decoder='png'/'jpeg' for real "
-                    "PNG or baseline/progressive JPEG, or decoder='fake'"
+                    "this container); use decoder='png'/'jpeg'/'gif' for "
+                    "real PNG, baseline/progressive JPEG or GIF, or "
+                    "decoder='fake'"
                 )
             # decode per item (a real codec is per-item too), then compute
             # every statistic over the STACKED batch — one numpy pass
             # instead of per-row Python
-            if decoder in ("png", "jpeg"):
-                dec = decode_png if decoder == "png" else decode_jpeg
+            if decoder in ("png", "jpeg", "gif"):
+                dec = {"png": decode_png, "jpeg": decode_jpeg,
+                       "gif": decode_gif}[decoder]
                 imgs = np.stack(
                     [
                         nn_resize(dec(p), height, width)

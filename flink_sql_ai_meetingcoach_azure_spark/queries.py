@@ -3163,6 +3163,118 @@ ORDER BY doc_id
 """
 
 
+GIFDEC_MAX_ID = 120
+GIFDEC_OUT = 4  # decode_and_featurize output grid (height == width)
+
+
+def q_gif_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL GIF codec path hash-verified end-to-end (r13 —
+    png/jpeg/wav_decode_stats' LZW sibling; sniff_media has tagged
+    'gif' since r10 with nothing behind it): per doc a spec-correct
+    GIF89a is encoded from the deterministic index grid
+    ``idx(y,x) = (doc_id·31 + y·7 + x·3) % 64`` against the
+    closed-form 64-color palette ``(i·37+11, i·59+23, i·83+47) % 256``,
+    then decoded by operators/multimodal.py::decode_gif — REAL
+    variable-width LSB-first LZW (CLEAR/EOI, growing table, KwKwK) —
+    inside decode_and_featurize's Arrow batch, nn-resized and summed.
+    doc_id % 3 == 0 encodes INTERLACED (the 4-pass row shuffle);
+    doc_id % 4 == 1 carries a LOCAL color table with a different
+    channel formula ``(i·29+5, i·53+17, i·71+31) % 256``, so the
+    GCT/LCT override is value-visible. The oracle replays index grid,
+    palette arithmetic and resize index math in pure SQL — a wrong
+    LZW width bump, bit order, interlace pass, or table override all
+    break the hash. Animation compositing (transparency, dispose) is
+    pinned by pytest round-trips."""
+    _prep(spark)
+    import pyspark.sql.types as T  # noqa: PLC0415
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+        decode_and_featurize,
+        encode_gif,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < GIFDEC_MAX_ID
+    ).select("doc_id")
+
+    def _make(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        i = np.arange(64)
+        gpal = np.stack(
+            [(i * 37 + 11) % 256, (i * 59 + 23) % 256, (i * 83 + 47) % 256],
+            axis=1,
+        ).astype(np.uint8)
+        lpal = np.stack(
+            [(i * 29 + 5) % 256, (i * 53 + 17) % 256, (i * 71 + 31) % 256],
+            axis=1,
+        ).astype(np.uint8)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 5 + did % 4, 4 + did % 3
+                y, x = np.meshgrid(
+                    np.arange(h), np.arange(w), indexing="ij"
+                )
+                idx = (did * 31 + y * 7 + x * 3) % 64
+                payloads.append(bytearray(encode_gif(
+                    [idx],
+                    gpal,
+                    interlace=[did % 3 == 0],
+                    local_palettes=[lpal if did % 4 == 1 else None],
+                )))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(
+        _make,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    out = decode_and_featurize(
+        media, id_col="doc_id", height=GIFDEC_OUT, width=GIFDEC_OUT,
+        decoder="gif",
+    )
+    return out.select("doc_id", "height", "width", "intensity_sum").orderBy(
+        "doc_id"
+    )
+
+
+def _sql_gif_decode_stats() -> str:
+    g = GIFDEC_OUT
+    return f"""
+WITH d AS (SELECT doc_id, 5 + doc_id % 4 AS w, 4 + doc_id % 3 AS h
+           FROM documents WHERE doc_id < {GIFDEC_MAX_ID}),
+cells AS (SELECT d.doc_id,
+                 (i * d.h) // {g} AS y, (j * d.w) // {g} AS x
+          FROM d,
+               unnest(range(0, {g})) AS a(i),
+               unnest(range(0, {g})) AS b(j)),
+px AS (SELECT doc_id,
+              (doc_id * 31 + y * 7 + x * 3) % 64 AS ci,
+              doc_id % 4 AS m4
+       FROM cells)
+SELECT doc_id,
+       CAST({g} AS INT) AS height, CAST({g} AS INT) AS width,
+       CAST(sum(CASE WHEN m4 = 1
+                THEN (ci * 29 + 5) % 256 + (ci * 53 + 17) % 256
+                     + (ci * 71 + 31) % 256
+                ELSE (ci * 37 + 11) % 256 + (ci * 59 + 23) % 256
+                     + (ci * 83 + 47) % 256 END) AS BIGINT)
+         AS intensity_sum
+FROM px
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 MM_MAX_ID = 100
 MM_H = MM_W = 16
 
@@ -15609,6 +15721,7 @@ _ALL_QUERIES: dict[str, QuerySpec] = {
     "rate_autocorr": QuerySpec(q_rate_autocorr, SQL_RATE_AUTOCORR),
     "png_decode_stats": QuerySpec(q_png_decode_stats, _sql_png_decode_stats()),
     "wav_decode_stats": QuerySpec(q_wav_decode_stats, _sql_wav_decode_stats()),
+    "gif_decode_stats": QuerySpec(q_gif_decode_stats, _sql_gif_decode_stats()),
     "simhash_recall_eval": QuerySpec(
         q_simhash_recall_eval, _sql_simhash_recall_eval()
     ),
@@ -15831,14 +15944,18 @@ _ALL_QUERIES: dict[str, QuerySpec] = {
 # ledger (tools/evidence_ledger.py; VERDICT r11 #4 + #8 — computed, not
 # hand-claimed; test_entry_contract.py::test_window_rotation_matches_ledger
 # re-derives and enforces every rule below on each pytest run):
-#   1. the r13 addition, never externally checked, goes straight in
-#      (video_neardup — APNG demux + per-frame dHash majority vote);
-#   2. the 3 entries whose code/fixtures r13 CHANGED re-verify
-#      externally: jpeg_decode_stats (non-MCU-aligned arms),
-#      png_decode_stats (Adam7 arm), audio_recall_eval (fixture-media
-#      reuse, ADVICE r12) — the decode-path refactors they ride are
-#      exactly the code the other media entries share, so these are
-#      the most direct external probes of the r13 codec work;
+#   1. the 2 r13 additions, never externally checked, go straight in
+#      (video_neardup — APNG demux + per-frame dHash majority vote;
+#      gif_decode_stats — the real LZW GIF codec path);
+#   2. the 2 entries whose fixtures r13 CHANGED re-verify externally:
+#      jpeg_decode_stats (non-MCU-aligned + progressive-DRI arms),
+#      png_decode_stats (Adam7 arm) — the decode-path refactors they
+#      ride are exactly the code the other media entries share, so
+#      these are the most direct external probes of the r13 codec
+#      work. (audio_recall_eval's r13 change — reusing the fixture
+#      subtree, ADVICE r12 — is oracle-identical and locally
+#      re-verified; it yields its slot to the never-checked GIF
+#      entry);
 #   3. 1 canonical known-good ballast line (tpch_q1) distinguishes a
 #      broken driver run from entry failures (it also re-measures under
 #      the r13 bench warmup fix); wav_decode_stats takes the second
@@ -15851,7 +15968,7 @@ _WINDOW_R13 = [
     "video_neardup",
     "jpeg_decode_stats",
     "png_decode_stats",
-    "audio_recall_eval",
+    "gif_decode_stats",
     "wav_decode_stats",
     "tpch_q1",
     "cache_hit_join",
