@@ -279,6 +279,8 @@ BENCH_QUERIES = [
     "phash_neardup",  # r12: spectral (DCT sign) image near-dup rung
     "image_dup_clusters",  # r12: dHash pairs -> CC -> canonical keep
     "image_neardup_jpeg",  # r12: codec-flip sibling (DC-only + progressive JPEG)
+    "image_neardup_gif",  # r13: GIF codec-flip sibling (LZW + interlace)
+    "video_neardup_gif",  # r13: animated-GIF container flip of video_neardup
     "audio_neardup",  # r12: waveform sign-of-delta fingerprint near-dup
     "audio_recall_eval",  # r12: fingerprint recall vs exact sample L1
     "video_neardup",  # r13: APNG demux + per-frame dHash majority vote

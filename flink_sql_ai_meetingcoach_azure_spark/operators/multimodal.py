@@ -1333,7 +1333,7 @@ def dhash_signatures(
     ``mapInPandas`` Arrow batch — embarrassingly parallel per file
     split, and only the 16-byte signature (never the decoded image)
     reaches the shuffle."""
-    if decoder not in ("png", "jpeg"):
+    if decoder not in ("png", "jpeg", "gif"):
         raise ValueError(f"unknown real decoder {decoder!r}")
     out_schema = T.StructType(
         [
@@ -1344,7 +1344,8 @@ def dhash_signatures(
     )
 
     def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        dec = decode_png if decoder == "png" else decode_jpeg
+        dec = {"png": decode_png, "jpeg": decode_jpeg,
+               "gif": decode_gif}[decoder]
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1379,11 +1380,13 @@ def video_dhash_signatures(
     df: DataFrame,
     payload_col: str = "payload",
     id_col: str = "media_id",
+    container: str = "apng",
 ) -> DataFrame:
     """Perceptual VIDEO (clip) near-dup signature — the moving-picture
     member of the family (text: minhash/simhash; image: dHash/pHash;
-    audio: sign-of-delta; video: this): demux the APNG container
-    (:func:`decode_apng_frames` — real zlib frames, no ffmpeg), dHash
+    audio: sign-of-delta; video: this): demux the APNG or animated-GIF
+    container (:func:`decode_apng_frames` / :func:`decode_gif_frames` —
+    real zlib/LZW frames, no ffmpeg), dHash
     every frame with the image rung's exact math (nn_resize to 8x9,
     integer grayscale, adjacent-column sign bits), then MAJORITY-VOTE
     each of the 64 bits across frames (bit = 1 iff 2·Σ > n_frames;
@@ -1403,13 +1406,19 @@ def video_dhash_signatures(
         ]
     )
 
+    if container not in ("apng", "gif"):
+        raise ValueError(f"unknown video container {container!r}")
+
     def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        demux = (
+            decode_apng_frames if container == "apng" else decode_gif_frames
+        )
         for pdf in batches:
             if not len(pdf):
                 continue
             nf, s0, s1 = [], [], []
             for p in pdf[payload_col]:
-                frames = decode_apng_frames(p)
+                frames = demux(p)
                 votes = np.zeros(64, dtype=np.int64)
                 for img in frames:
                     g = nn_resize(img, DHASH_H, DHASH_W).astype(np.int64)
@@ -1560,7 +1569,7 @@ def phash_signatures(
     frequency edits are invisible by construction — the property the
     fixture corpus and the recall eval measure. One mapInPandas Arrow
     batch; 16 bytes/image reach the shuffle."""
-    if decoder not in ("png", "jpeg"):
+    if decoder not in ("png", "jpeg", "gif"):
         raise ValueError(f"unknown real decoder {decoder!r}")
     out_schema = T.StructType(
         [
@@ -1571,7 +1580,8 @@ def phash_signatures(
     )
 
     def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        dec = decode_png if decoder == "png" else decode_jpeg
+        dec = {"png": decode_png, "jpeg": decode_jpeg,
+               "gif": decode_gif}[decoder]
         d = _dct_matrix(PHASH_N)
         for pdf in batches:
             if not len(pdf):
@@ -1612,7 +1622,7 @@ def decode_pixels(
     ground-truth seam for pixel-distance evals (``dhash_recall_eval``).
     Bounded eval samples only: at corpus scale ship the 16-byte
     :func:`dhash_signatures` output, never raw pixels."""
-    if decoder not in ("png", "jpeg"):
+    if decoder not in ("png", "jpeg", "gif"):
         raise ValueError(f"unknown real decoder {decoder!r}")
     out_schema = T.StructType(
         [
@@ -1622,7 +1632,8 @@ def decode_pixels(
     )
 
     def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        dec = decode_png if decoder == "png" else decode_jpeg
+        dec = {"png": decode_png, "jpeg": decode_jpeg,
+               "gif": decode_gif}[decoder]
         for pdf in batches:
             if not len(pdf):
                 continue

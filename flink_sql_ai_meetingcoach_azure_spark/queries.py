@@ -14882,6 +14882,98 @@ def q_image_neardup_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sig_band_pairs(sigs, DHASH_T).orderBy("doc_a", "doc_b")
 
 
+def _dhash_fixture_media_gif(docs: DataFrame) -> DataFrame:
+    """The dHash near-dup fixture re-expressed as GIFs: the SAME gray
+    cell formula G(i,j) as _dhash_fixture_media, with a per-doc palette
+    mapping each distinct cell value v to the exact (v, v+1, v+2)
+    channel triple the PNG fixture carries — decoded pixels are
+    byte-identical across containers, so the entry SHARES
+    image_neardup's oracle. Odd groups encode INTERLACED (the 4-pass
+    row shuffle is then on the shared hash path)."""
+    import pyspark.sql.types as T  # noqa: PLC0415
+
+    def _make(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415,E501
+            encode_gif,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                gid, m = did // 4, did % 4
+                k = np.arange(1, 9)
+                d = ((gid * 37 + k * 11) % 5) % 2
+                eff = np.tile(d, (8, 1))
+                if m == 2:
+                    eff[7, 6:] = 1 - eff[7, 6:]
+                elif m == 3:
+                    eff[:, 3:] = 1 - eff[:, 3:]
+                s = np.concatenate(
+                    [np.zeros((8, 1), dtype=np.int64),
+                     np.cumsum(eff, axis=1)],
+                    axis=1,
+                )
+                j = np.arange(9)
+                gcell = (
+                    110
+                    + 2 * np.arange(8)[:, None]
+                    + 12 * (2 * s - j[None, :])
+                )
+                if m == 1:
+                    gcell = gcell + 4
+                gpix = np.repeat(np.repeat(gcell, 2, axis=0), 2, axis=1)
+                vals = np.unique(gpix)
+                pal = np.stack(
+                    [vals, vals + 1, vals + 2], axis=1
+                ).astype(np.uint8)
+                idx = np.searchsorted(vals, gpix)
+                payloads.append(bytearray(encode_gif(
+                    [idx], pal, interlace=[gid % 2 == 1]
+                )))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(
+        _make,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def q_image_neardup_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``image_neardup`` through the GIF codec — the second codec-flip
+    sibling (r13): the same gray-cell near-dup structure arrives as
+    palette-indexed LZW streams (odd groups interlaced), is decoded by
+    operators/multimodal.py::decode_gif, and flows through the
+    identical dHash + lossless-band-join chain. The per-doc palette
+    maps value v to (v, v+1, v+2), so decoded pixels equal the PNG
+    fixture's exactly and the entry SHARES image_neardup's oracle —
+    a wrong LZW width bump, bit order, palette lookup or interlace
+    pass all break the shared hash."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+        dhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < DHASH_MAX_ID
+    ).select("doc_id")
+    media = _dhash_fixture_media_gif(docs)
+    sigs = dhash_signatures(
+        media, id_col="doc_id", decoder="gif"
+    ).localCheckpoint(eager=False)
+    return _sig_band_pairs(sigs, DHASH_T).orderBy("doc_a", "doc_b")
+
+
 def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual-hash IMAGE near-dup over the REAL PNG codec path —
     the multimodal member of the dedup family (VERDICT r11 #1:
@@ -15433,6 +15525,106 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sig_band_pairs(sigs, VIDEONEAR_T).orderBy("doc_a", "doc_b")
 
 
+def _video_neardup_fixture_media_gif(docs: DataFrame) -> DataFrame:
+    """The video near-dup fixture re-expressed as ANIMATED GIFs: the
+    same 3 per-frame cell grids, each frame a full-canvas palette image
+    mapping value v to the exact (v, v+1, v+2) triple — decoded frames
+    are byte-identical to the APNG fixture's, so the entry SHARES
+    video_neardup's oracle. Frame 1 of each clip encodes INTERLACED
+    (the pass shuffle inside an animation is then on the hash path)."""
+    import pyspark.sql.types as T  # noqa: PLC0415
+
+    def _make(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415,E501
+            encode_gif,
+        )
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                gid, m = did // 4, did % 4
+                k = np.arange(1, 9)
+                d = ((gid * 37 + k * 11) % 5) % 2
+                eff = np.tile(d, (8, 1))
+                if m == 2:
+                    eff[7, 6:] = 1 - eff[7, 6:]
+                elif m == 3:
+                    eff[:, 3:] = 1 - eff[:, 3:]
+                gpixs = []
+                for f in range(VIDEONEAR_FRAMES):
+                    eff_f = eff.copy()
+                    eff_f[f, f] = 1 - eff_f[f, f]
+                    s = np.concatenate(
+                        [np.zeros((8, 1), dtype=np.int64),
+                         np.cumsum(eff_f, axis=1)],
+                        axis=1,
+                    )
+                    j = np.arange(9)
+                    gcell = (
+                        110
+                        + 2 * np.arange(8)[:, None]
+                        + 12 * (2 * s - j[None, :])
+                    )
+                    if m == 1:
+                        gcell = gcell + 4
+                    gpixs.append(
+                        np.repeat(np.repeat(gcell, 2, axis=0), 2, axis=1)
+                    )
+                vals = np.unique(np.stack(gpixs))
+                pal = np.stack(
+                    [vals, vals + 1, vals + 2], axis=1
+                ).astype(np.uint8)
+                frames = [np.searchsorted(vals, g) for g in gpixs]
+                payloads.append(bytearray(encode_gif(
+                    frames, pal,
+                    interlace=[False, True, False][: len(frames)],
+                )))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.mapInPandas(
+        _make,
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+
+
+def q_video_neardup_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``video_neardup`` through the animated-GIF container — the
+    codec-flip sibling (r13): the same per-frame single-bit-flip clip
+    structure arrives as full-canvas LZW frames (frame 1 interlaced),
+    is demuxed by operators/multimodal.py::decode_gif_frames, and
+    flows through the identical per-frame dHash majority vote and band
+    join. Decoded frames equal the APNG fixture's exactly, so the
+    entry SHARES video_neardup's oracle — the container flip is
+    value-invisible, and a wrong LZW decode, frame boundary, palette
+    lookup, interlace pass or compositing step all break the shared
+    hash."""
+    _prep(spark)
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+        video_dhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < VIDEONEAR_MAX_ID
+    ).select("doc_id")
+    sigs = video_dhash_signatures(
+        _video_neardup_fixture_media_gif(docs),
+        id_col="doc_id",
+        container="gif",
+    ).select("doc_id", "sig0", "sig1").localCheckpoint(eager=False)
+    return _sig_band_pairs(sigs, VIDEONEAR_T).orderBy("doc_a", "doc_b")
+
+
 def _sql_video_neardup() -> str:
     return f"""
 WITH d AS (SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS m
@@ -15690,6 +15882,8 @@ _ALL_QUERIES: dict[str, QuerySpec] = {
         q_audio_recall_eval, _sql_audio_recall_eval()
     ),
     "video_neardup": QuerySpec(q_video_neardup, _sql_video_neardup()),
+    "image_neardup_gif": QuerySpec(q_image_neardup_gif, _sql_image_neardup()),
+    "video_neardup_gif": QuerySpec(q_video_neardup_gif, _sql_video_neardup()),
     # ---- ballast: r10-externally-green lines (incl. every entry whose
     # code the r11 refactors touched: cusum_changepoint / ks_drift /
     # png_decode_stats below, vocab_coverage_sweep / pca_power /
@@ -15944,33 +16138,34 @@ _ALL_QUERIES: dict[str, QuerySpec] = {
 # ledger (tools/evidence_ledger.py; VERDICT r11 #4 + #8 — computed, not
 # hand-claimed; test_entry_contract.py::test_window_rotation_matches_ledger
 # re-derives and enforces every rule below on each pytest run):
-#   1. the 2 r13 additions, never externally checked, go straight in
+#   1. the 4 r13 additions, never externally checked, go straight in
 #      (video_neardup — APNG demux + per-frame dHash majority vote;
-#      gif_decode_stats — the real LZW GIF codec path);
+#      gif_decode_stats — the real LZW GIF codec path;
+#      image_neardup_gif / video_neardup_gif — the GIF codec-flip
+#      siblings sharing the PNG/APNG entries' oracles);
 #   2. the 2 entries whose fixtures r13 CHANGED re-verify externally:
 #      jpeg_decode_stats (non-MCU-aligned + progressive-DRI arms),
 #      png_decode_stats (Adam7 arm) — the decode-path refactors they
 #      ride are exactly the code the other media entries share, so
 #      these are the most direct external probes of the r13 codec
-#      work. (audio_recall_eval's r13 change — reusing the fixture
-#      subtree, ADVICE r12 — is oracle-identical and locally
-#      re-verified; it yields its slot to the never-checked GIF
-#      entry);
-#   3. 1 canonical known-good ballast line (tpch_q1) distinguishes a
-#      broken driver run from entry failures (it also re-measures under
-#      the r13 bench warmup fix); wav_decode_stats takes the second
-#      ballast slot because its code changed late in r13 (IEEE-float
-#      arm) and changed code re-verifies externally;
-#   4. the remaining 44 slots rotate in EVERY r06-evidence entry —
+#      work. The window is zero-sum at 50, so the two lower-risk r13
+#      changes yield their slots to the never-checked newcomers:
+#      audio_recall_eval (fixture-subtree reuse, oracle-identical) and
+#      wav_decode_stats (IEEE-float arm) — both locally hash-verified
+#      at sf0.01 this round AND re-verified at sf0.001 on every pytest
+#      run by test_out_of_window_oracles_stay_green; tpch_q1's r13
+#      gate is the BENCH warmup fix, which the driver's bench run
+#      measures regardless of correctness-window membership;
+#   3. the remaining 44 slots rotate in EVERY r06-evidence entry —
 #      the complete stale tail — raising the out-of-window evidence
 #      floor from r06 to r08 (no r07-evidence entries exist).
 _WINDOW_R13 = [
     "video_neardup",
+    "image_neardup_gif",
+    "video_neardup_gif",
     "jpeg_decode_stats",
     "png_decode_stats",
     "gif_decode_stats",
-    "wav_decode_stats",
-    "tpch_q1",
     "cache_hit_join",
     "chunk_embed_ingest",
     "countmin_sketch",

@@ -335,3 +335,36 @@ class StreamingAudioNearDup(StreamingSignatureNearDup):
         return audio_delta_signatures(
             batch_df, payload_col=self.payload_col, id_col=self.id_col
         )
+
+
+class StreamingVideoNearDup(StreamingSignatureNearDup):
+    """Continuous VIDEO (clip) near-dup dedup (r13): per-frame dHash
+    majority-voted clip signatures (``multimodal.video_dhash_signatures``
+    over APNG or animated-GIF payloads) through the same band-prefilter
+    + exact-Hamming-confirm state sink — the streaming modality
+    quartet: text, images, clips and audio all dedup continuously."""
+
+    def __init__(
+        self,
+        state_path: str,
+        output_path: str,
+        id_col: str = "doc_id",
+        payload_col: str = "payload",
+        container: str = "apng",
+    ) -> None:
+        super().__init__(
+            state_path, output_path, id_col=id_col, payload_col=payload_col
+        )
+        self.container = container
+
+    def _signatures(self, batch_df: DataFrame) -> DataFrame:
+        from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
+            video_dhash_signatures,
+        )
+
+        return video_dhash_signatures(
+            batch_df,
+            payload_col=self.payload_col,
+            id_col=self.id_col,
+            container=self.container,
+        )

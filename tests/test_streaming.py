@@ -2907,3 +2907,52 @@ def test_streaming_audio_neardup_composes_and_replays(spark, tmp_path):
     sink(b3, 2)
     out2 = spark.read.parquet(str(tmp_path / "aud_out"))
     assert {r.doc_id for r in out2.collect()} == {1, 2, 4}
+
+
+def test_streaming_video_neardup_drops_duplicate_clip(spark, tmp_path):
+    """Continuous VIDEO near-dup (r13): clip signatures through the
+    band-prefilter + exact-Hamming-confirm sink — a batch-2
+    brightness-shifted copy of a batch-1 clip is dropped by STATE
+    alone; a different clip is admitted; replay is a no-op. Completes
+    the streaming modality quartet (text/image/audio/video)."""
+    import numpy as np
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        encode_apng,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.streaming.neardup import (
+        StreamingVideoNearDup,
+    )
+
+    def frame(bits, bright=0):
+        eff = np.asarray(bits, dtype=np.int64).reshape(8, 8)
+        s = np.concatenate(
+            [np.zeros((8, 1), dtype=np.int64), np.cumsum(eff, axis=1)], axis=1
+        )
+        j = np.arange(9)
+        g = 110 + 2 * np.arange(8)[:, None] + 12 * (2 * s - j[None, :]) + bright
+        gp = np.repeat(np.repeat(g, 2, axis=0), 2, axis=1)
+        return np.stack([gp, gp + 1, gp + 2], axis=2).astype(np.uint8)
+
+    rng = np.random.RandomState(21)
+    base = rng.randint(0, 2, 64)
+    far = 1 - base
+    clip = lambda bits, br=0: bytearray(  # noqa: E731
+        encode_apng([frame(bits, br), frame(bits, br), frame(bits, br)])
+    )
+    b1 = spark.createDataFrame(
+        [(1, clip(base))], "doc_id long, payload binary"
+    )
+    b2 = spark.createDataFrame(
+        [(2, clip(base, 4)), (3, clip(far))], "doc_id long, payload binary"
+    )
+    sink = StreamingVideoNearDup(
+        str(tmp_path / "vid_state"), str(tmp_path / "vid_out")
+    )
+    sink(b1, 0)
+    sink(b2, 1)
+    out = spark.read.parquet(str(tmp_path / "vid_out"))
+    assert {r.doc_id for r in out.collect()} == {1, 3}
+    n = out.count()
+    sink(b2, 1)  # replay: marker short-circuits
+    assert spark.read.parquet(str(tmp_path / "vid_out")).count() == n
