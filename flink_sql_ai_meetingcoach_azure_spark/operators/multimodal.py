@@ -442,6 +442,22 @@ def _png_reconstruct(
     Adam7), 16->8 high-byte reduction, channel normalization. Shared by
     decode_png and the APNG frame demux (each APNG frame is its own
     filtered stream over the same IHDR parameters)."""
+    img = _png_reconstruct_raw(raw, w, h, depth, channels, interlace)
+    if channels == 1:
+        return np.repeat(img, 3, axis=2)
+    if channels == 2:
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    if channels == 4:
+        return np.ascontiguousarray(img[:, :, :3])
+    return img
+
+
+def _png_reconstruct_raw(
+    raw: bytes, w: int, h: int, depth: int, channels: int, interlace: int
+) -> np.ndarray:
+    """Like :func:`_png_reconstruct` but keeps the ORIGINAL channel
+    layout (H, W, channels) — the APNG compositor needs the alpha
+    plane the RGB normalization drops."""
     sample_bytes = depth // 8
     stride, bpp = w * channels * sample_bytes, channels * sample_bytes
     if interlace == 0:
@@ -474,13 +490,28 @@ def _png_reconstruct(
         ).astype(np.uint8)
     else:
         img = out.reshape(h, w, channels)
-    if channels == 1:
-        return np.repeat(img, 3, axis=2)
-    if channels == 2:
-        return np.repeat(img[:, :, :1], 3, axis=2)
-    if channels == 4:
-        return np.ascontiguousarray(img[:, :, :3])
     return img
+
+
+def _to_rgba(img: np.ndarray) -> np.ndarray:
+    """(H, W, channels) raw PNG samples -> (H, W, 4) RGBA float64 in
+    0..255 (gray replicated, missing alpha = opaque) for compositing."""
+    c = img.shape[2]
+    f = img.astype(np.float64)
+    if c == 1:
+        return np.concatenate(
+            [np.repeat(f, 3, axis=2), np.full((*f.shape[:2], 1), 255.0)],
+            axis=2,
+        )
+    if c == 2:
+        return np.concatenate(
+            [np.repeat(f[:, :, :1], 3, axis=2), f[:, :, 1:2]], axis=2
+        )
+    if c == 3:
+        return np.concatenate(
+            [f, np.full((*f.shape[:2], 1), 255.0)], axis=2
+        )
+    return f
 
 
 def decode_apng_frames(payload: bytes) -> list[np.ndarray]:
@@ -491,14 +522,18 @@ def decode_apng_frames(payload: bytes) -> list[np.ndarray]:
     frame's compressed stream — the IDAT chunks when an fcTL precedes
     IDAT (the default image is frame 0), else the fdAT chunks (4-byte
     sequence number stripped, spec: fdAT carries the same data as
-    IDAT). Each frame inflates and unfilters independently through
-    :func:`_png_reconstruct` with the IHDR parameters (frames are
-    never interlaced). Supported: full-frame frames (width/height ==
-    IHDR, zero offsets) with blend_op SOURCE — the frame-sequence
-    shape a training corpus dedups; sub-region frames and OVER
-    blending raise NotImplementedError (documented seam: they require
-    canvas compositing state). A plain PNG (no acTL) returns its
-    single image, so the demux subsumes the still decoder."""
+    IDAT). Each frame inflates and unfilters independently with the
+    IHDR parameters (frames are never interlaced), then composites
+    onto a persistent RGBA canvas (r13 — the seam closed): sub-region
+    frames render at their fcTL (x, y) offsets, blend_op SOURCE
+    replaces while OVER is Porter-Duff non-premultiplied alpha
+    compositing, and dispose_op none / background (region cleared to
+    transparent black) / previous (region reverted to its pre-render
+    contents) all apply before the next frame. Returned frames are
+    the composited canvas snapshots as (H, W, 3) uint8 (alpha dropped
+    after compositing, floor(x+.5) rounding — the decode_png
+    convention). A plain PNG (no acTL) returns its single image, so
+    the demux subsumes the still decoder."""
     import struct  # noqa: PLC0415
     import zlib  # noqa: PLC0415
 
@@ -524,8 +559,8 @@ def decode_apng_frames(payload: bytes) -> list[np.ndarray]:
             (n_frames,) = struct.unpack(">I", data[:4])
         elif typ == b"fcTL":
             fw, fh, fx, fy = struct.unpack(">IIII", data[4:20])
-            blend = data[25]
-            fctls.append((fw, fh, fx, fy, blend))
+            dispose, blend = data[24], data[25]
+            fctls.append((fw, fh, fx, fy, dispose, blend))
             if not idat:
                 fctl_before_idat = True
             else:
@@ -548,22 +583,47 @@ def decode_apng_frames(payload: bytes) -> list[np.ndarray]:
     if n_frames is None:  # plain PNG: one frame
         return [_png_reconstruct(zlib.decompress(idat), w, h, depth,
                                  channels, interlace)]
-    for fw, fh, fx, fy, blend in fctls:
-        if (fw, fh, fx, fy) != (w, h, 0, 0) or blend != 0:
-            raise NotImplementedError(
-                "APNG sub-region frames / OVER blending unsupported "
-                "(requires canvas compositing)"
-            )
     streams = ([idat] if fctl_before_idat else []) + fdat_streams
     if len(streams) != n_frames or len(fctls) != n_frames:
         raise ValueError(
             f"APNG frame count mismatch: acTL {n_frames}, "
             f"fcTL {len(fctls)}, streams {len(streams)}"
         )
-    return [
-        _png_reconstruct(zlib.decompress(s), w, h, depth, channels, 0)
-        for s in streams
-    ]
+    canvas = np.zeros((h, w, 4), dtype=np.float64)  # transparent black
+    frames_out: list[np.ndarray] = []
+    for (fw, fh, fx, fy, dispose, blend), s in zip(fctls, streams):
+        if fx + fw > w or fy + fh > h or fw == 0 or fh == 0:
+            raise ValueError("APNG frame region outside the canvas")
+        src = _to_rgba(_png_reconstruct_raw(
+            zlib.decompress(s), fw, fh, depth, channels, 0
+        ))
+        region = canvas[fy : fy + fh, fx : fx + fw]
+        saved = region.copy() if dispose == 2 else None
+        if blend == 0:  # SOURCE: replace, alpha included
+            region[:, :, :] = src
+        elif blend == 1:  # OVER: Porter-Duff non-premultiplied
+            sa = src[:, :, 3:4] / 255.0
+            da = region[:, :, 3:4] / 255.0
+            oa = sa + da * (1.0 - sa)
+            oc = src[:, :, :3] * sa + region[:, :, :3] * da * (1.0 - sa)
+            region[:, :, :3] = np.where(
+                oa > 0.0, oc / np.maximum(oa, 1e-12), 0.0
+            )
+            region[:, :, 3:4] = oa * 255.0
+        else:
+            raise ValueError(f"invalid APNG blend_op {blend}")
+        frames_out.append(
+            np.clip(np.floor(canvas[:, :, :3] + 0.5), 0, 255).astype(
+                np.uint8
+            )
+        )
+        if dispose == 1:  # BACKGROUND: region -> transparent black
+            canvas[fy : fy + fh, fx : fx + fw] = 0.0
+        elif dispose == 2:  # PREVIOUS: revert the region
+            canvas[fy : fy + fh, fx : fx + fw] = saved
+        elif dispose != 0:
+            raise ValueError(f"invalid APNG dispose_op {dispose}")
+    return frames_out
 
 
 def _png_filter_rows(px: np.ndarray, filters: list[int], bpp: int) -> bytes:
@@ -685,14 +745,20 @@ def encode_apng(
     color_type: int = 2,
     filters=None,
     depth: int = 8,
+    rects=None,
+    blend=None,
+    dispose=None,
 ) -> bytes:
     """Minimal spec-correct APNG encoder (fixture helper, the
-    encode_png discipline): full-frame frames, blend SOURCE, frame 0
-    carried by IDAT (fcTL before IDAT), later frames by fdAT chunks
-    with running sequence numbers. ``filters`` (optional, per frame:
-    list of per-row filter lists) applies the forward scanline filters
+    encode_png discipline): frame 0 carried by IDAT (fcTL before IDAT,
+    full canvas — the default image), later frames by fdAT chunks with
+    running sequence numbers. ``filters`` (optional, per frame: list
+    of per-row filter lists) applies the forward scanline filters
     inside each frame's own stream, so round-trips exercise the
-    per-frame unfilter reset."""
+    per-frame unfilter reset. r13 compositing knobs: ``rects`` gives
+    later frames' (x, y) offsets (their array dims are then the
+    sub-region dims), ``blend`` per-frame 0=SOURCE/1=OVER, ``dispose``
+    per-frame 0=none/1=background/2=previous."""
     import struct  # noqa: PLC0415
     import zlib  # noqa: PLC0415
 
@@ -701,6 +767,10 @@ def encode_apng(
     channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     h, w = frames[0].shape[0], frames[0].shape[1]
     bpp = channels * (depth // 8)
+    n = len(frames)
+    rects = list(rects or [(0, 0)] * n)
+    blend = list(blend or [0] * n)
+    dispose = list(dispose or [0] * n)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         return (
@@ -711,38 +781,44 @@ def encode_apng(
         )
 
     def frame_stream(img: np.ndarray, filt) -> bytes:
-        if img.shape[:2] != (h, w):
-            raise ValueError("APNG frames must share the IHDR dims")
+        fh, fw = img.shape[0], img.shape[1]
         if depth == 16:
-            be = img.reshape(h, w * channels).astype(np.uint16).astype(">u2")
+            be = img.reshape(fh, fw * channels).astype(np.uint16).astype(">u2")
             px = np.frombuffer(be.tobytes(), dtype=np.uint8).reshape(
-                h, w * channels * 2
+                fh, fw * channels * 2
             ).astype(np.int64)
         else:
-            px = img.reshape(h, w * channels).astype(np.int64)
-        return zlib.compress(_png_filter_rows(px, list(filt or [0] * h), bpp))
+            px = img.reshape(fh, fw * channels).astype(np.int64)
+        return zlib.compress(
+            _png_filter_rows(px, list(filt or [0] * fh), bpp)
+        )
 
     seq = 0
 
-    def fctl() -> bytes:
+    def fctl(img, rect, bl, dp) -> bytes:
         nonlocal seq
         body = struct.pack(
-            ">IIIIIHHBB", seq, w, h, 0, 0, 1, 10, 0, 0
-        )  # full frame, 1/10 s, dispose NONE, blend SOURCE
+            ">IIIIIHHBB", seq, img.shape[1], img.shape[0],
+            rect[0], rect[1], 1, 10, dp, bl,
+        )
         seq += 1
         return chunk(b"fcTL", body)
 
+    if frames[0].shape[:2] != (h, w) or rects[0] != (0, 0):
+        raise ValueError("APNG frame 0 is the default image: full canvas")
     parts = [
         b"\x89PNG\r\n\x1a\n",
         chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type,
                                    0, 0, 0)),
-        chunk(b"acTL", struct.pack(">II", len(frames), 0)),
+        chunk(b"acTL", struct.pack(">II", n, 0)),
     ]
-    filters = filters or [None] * len(frames)
-    parts.append(fctl())
+    filters = filters or [None] * n
+    parts.append(fctl(frames[0], rects[0], blend[0], dispose[0]))
     parts.append(chunk(b"IDAT", frame_stream(frames[0], filters[0])))
-    for img, filt in zip(frames[1:], filters[1:]):
-        parts.append(fctl())
+    for img, filt, rect, bl, dp in zip(
+        frames[1:], filters[1:], rects[1:], blend[1:], dispose[1:]
+    ):
+        parts.append(fctl(img, rect, bl, dp))
         body = struct.pack(">I", seq) + frame_stream(img, filt)
         seq += 1
         parts.append(chunk(b"fdAT", body))
@@ -756,8 +832,8 @@ def encode_apng(
 # GIF89a spec (public, CompuServe/W3C): logical screen descriptor, global/
 # local color tables, LSB-first variable-width LZW with CLEAR/EOI and the
 # KwKwK case, 4-pass row interlace, graphic-control transparency, and
-# multi-image animation compositing (dispose none/keep + restore-background;
-# restore-previous is the documented seam).
+# multi-image animation compositing (all four dispose methods: none/keep,
+# restore-background, restore-previous).
 
 _GIF_INTERLACE_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]
 
@@ -879,10 +955,9 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
     canvas states, one per image block — a still GIF yields one frame,
     an animation yields its rendered frames. Supports global and local
     color tables, interlace, graphic-control transparency (transparent
-    pixels keep the previous canvas), and dispose methods 0/1 (keep)
-    and 2 (restore region to background color); dispose 3
-    (restore-previous) raises NotImplementedError — the documented
-    seam (it needs a saved-canvas stack)."""
+    pixels keep the previous canvas), and all dispose methods: 0/1
+    (keep), 2 (restore region to background color), 3 (restore the
+    region to its pre-render contents — r13)."""
     data = bytes(payload or b"")
     if len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
@@ -951,6 +1026,7 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
         if pal is None:
             raise ValueError("GIF image without a color table")
         region = canvas[top : top + ih, left : left + iw]
+        saved = region.copy() if dispose == 3 else None
         if transparent is not None:
             mask = grid != transparent
             region[mask] = pal[grid[mask] % len(pal)]
@@ -959,10 +1035,8 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
         frames.append(canvas.copy())
         if dispose == 2:  # restore region to background color
             canvas[top : top + ih, left : left + iw] = bg_rgb
-        elif dispose == 3:
-            raise NotImplementedError(
-                "GIF dispose=3 (restore previous) needs a canvas stack"
-            )
+        elif dispose == 3:  # restore previous: revert the region (r13)
+            canvas[top : top + ih, left : left + iw] = saved
         transparent, dispose = None, 0  # a GCE scopes ONE image
     if not frames:
         raise ValueError("GIF without an image block")

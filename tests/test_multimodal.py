@@ -1164,7 +1164,69 @@ def test_gif_lzw_roundtrip_and_compositing(spark):
     exp2[0:2, 0:2] = gpal[5]
     assert np.array_equal(frames[2], exp2)
 
-    with _pytest.raises(NotImplementedError, match="dispose=3"):
-        decode_gif_frames(encode_gif([f0, f1], gpal, dispose=[3, 0]))
+    # dispose=3 (restore previous): the patched region reverts fully
+    f3 = decode_gif_frames(encode_gif(
+        [f0, f1, np.full((2, 2), 5)], gpal,
+        rects=[(0, 0), (2, 1), (0, 0)], dispose=[0, 3, 0],
+    ))[2]
+    exp3 = gpal[f0].copy()
+    exp3[0:2, 0:2] = gpal[5]
+    assert np.array_equal(f3, exp3)
     with _pytest.raises(ValueError):
         decode_gif(b"not a gif")
+
+
+def test_apng_compositing_subregion_over_dispose():
+    """APNG canvas compositing (r13, closes the r12 seam): sub-region
+    frames render at fcTL offsets; blend OVER is Porter-Duff
+    non-premultiplied alpha compositing (checked against an
+    independently computed float expectation); dispose background
+    clears the region to transparent black and dispose previous
+    reverts it."""
+    import numpy as np
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        decode_apng_frames,
+        encode_apng,
+    )
+
+    rng = np.random.RandomState(4)
+    f0 = rng.randint(0, 256, (8, 10, 3), np.uint8)
+    sub = rng.randint(0, 256, (3, 4, 3), np.uint8)
+
+    # sub-region SOURCE patch at x=2, y=1
+    got = decode_apng_frames(encode_apng([f0, sub], rects=[(0, 0), (2, 1)]))
+    exp1 = f0.copy()
+    exp1[1:4, 2:6] = sub
+    assert np.array_equal(got[0], f0) and np.array_equal(got[1], exp1)
+
+    # OVER: 50%-alpha overlay onto an opaque canvas
+    f0a = np.dstack([f0, np.full((8, 10), 255, np.uint8)])
+    ov = np.zeros((3, 4, 4), np.uint8)
+    ov[:, :, :3], ov[:, :, 3] = 200, 128
+    got = decode_apng_frames(encode_apng(
+        [f0a, ov], color_type=6, rects=[(0, 0), (2, 1)], blend=[0, 1]
+    ))
+    sa = 128 / 255.0
+    exp = f0.astype(np.float64)
+    exp[1:4, 2:6] = 200 * sa + exp[1:4, 2:6] * (1 - sa)
+    exp = np.clip(np.floor(exp + 0.5), 0, 255).astype(np.uint8)
+    assert np.array_equal(got[1], exp)
+
+    # dispose background (region -> transparent black) then a new frame
+    f2 = rng.randint(0, 256, (2, 2, 3), np.uint8)
+    got = decode_apng_frames(encode_apng(
+        [f0, sub, f2], rects=[(0, 0), (2, 1), (0, 0)], dispose=[0, 1, 0]
+    ))
+    exp2 = f0.copy()
+    exp2[1:4, 2:6] = 0
+    exp2[0:2, 0:2] = f2
+    assert np.array_equal(got[2], exp2)
+
+    # dispose previous: the patch reverts entirely
+    got = decode_apng_frames(encode_apng(
+        [f0, sub, f2], rects=[(0, 0), (2, 1), (0, 0)], dispose=[0, 2, 0]
+    ))
+    exp2p = f0.copy()
+    exp2p[0:2, 0:2] = f2
+    assert np.array_equal(got[2], exp2p)
