@@ -1928,16 +1928,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     uint8. Supported: SOF0/SOF1 baseline AND SOF2 progressive (T.81
     Annex G via :func:`_decode_progressive` — spectral selection,
     successive approximation, EOB runs; r12), 8-bit, grayscale or
-    3-component with sampling factors in {1,2} (4:4:4 / 4:2:2 / 4:2:0 —
-    interleaved T.81 §A.2.3 MCU order, subsampled planes upsampled by
+    3-component with sampling factors 1-4 where every factor divides
+    the max (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1 / 4:1:0 — r13; interleaved
+    T.81 §A.2.3 MCU order, subsampled planes upsampled by
     replication), restart intervals in BOTH baseline and progressive
     scans (DRI/RSTn resync with predictor + EOB-run reset; restart
     units are MCUs in interleaved scans, blocks in non-interleaved
     ones — r13), and — r13 — NON-MCU-ALIGNED dimensions
     (T.81 A.2.4: the edge MCUs are coded complete; decode the ceil-MCU
     grid, crop to the declared h x w — the real-photo case, e.g.
-    1000x750); sampling factors > 2 raise NotImplementedError (the
-    narrowed documented seam).
+    1000x750); non-divisible factor mixes (e.g. 3 vs 2) raise
+    NotImplementedError (the narrowed documented seam: they need
+    fractional resampling).
     Rounding convention everywhere: floor(x + 0.5) — reproducible in
     closed-form SQL oracles (no bankers' rounding)."""
     import struct  # noqa: PLC0415
@@ -2008,11 +2010,23 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             for c in range(ncomp):
                 cid, samp, qid = data[6 + 3 * c : 9 + 3 * c]
                 sh, sv = samp >> 4, samp & 0xF
-                if sh not in (1, 2) or sv not in (1, 2):
+                if not (1 <= sh <= 4) or not (1 <= sv <= 4):
                     raise NotImplementedError(
-                        f"sampling factor {sh}x{sv} unsupported"
+                        f"sampling factor {sh}x{sv} outside T.81's 1-4"
                     )
                 comps.append((cid, qid, sh, sv))
+            # replication upsampling needs integer ratios: every
+            # component factor must divide the max (covers 4:4:4,
+            # 4:2:2, 4:2:0, 4:1:1, 4:1:0 — r13; a 3-vs-2 mix would
+            # need fractional resampling and stays a loud seam)
+            hm = max(sh for _, _, sh, _ in comps)
+            vm = max(sv for _, _, _, sv in comps)
+            for _, _, sh, sv in comps:
+                if hm % sh or vm % sv:
+                    raise NotImplementedError(
+                        f"non-divisible sampling ratio {sh}x{sv} vs "
+                        f"{hm}x{vm} needs fractional resampling"
+                    )
             frame = (h, w, comps)
             progressive = marker == 0xC2
         elif marker == 0xDD:  # DRI: restart interval in MCUs (0 = off)

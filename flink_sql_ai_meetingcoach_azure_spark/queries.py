@@ -14496,6 +14496,9 @@ def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the float color math on exact integer planes
     (floor(x+0.5); the DC value grid keeps every channel 0.005+ away
     from a rounding boundary, 12 orders above float64 noise).
+    doc_id % 8 == 7 encodes 4:1:1 (r13 — sampling factor 4, the
+    DV/camera layout): one 32x8 MCU with four horizontal Y blocks and
+    MCU-constant chroma.
     doc_id % 4 == 2 encodes PROGRESSIVE (SOF2, r12): the full Annex G
     successive-approximation ladder — DC first scan at Al=1, spectral-
     selection AC scans (pure EOB-run streams over the zero bands), the
@@ -14566,6 +14569,22 @@ def q_jpeg_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     payloads.append(bytearray(encode_jpeg(
                         [coefs], q, bh * 8 - crop_h, bw * 8 - crop_w
                     )))
+                elif did % 8 == 7:
+                    # r13: 4:1:1 color (the DV/camera chroma layout —
+                    # sampling factor 4 on the hash path): one 32x8
+                    # MCU, Y = 4 horizontal blocks, chroma constant
+                    # across the whole MCU width
+                    ybk = np.zeros((1, 4, 8, 8), dtype=np.int64)
+                    for bx in range(4):
+                        ybk[0, bx, 0, 0] = (did * 31 + bx * 3) % 17 - 8
+                    cbk = np.zeros((1, 1, 8, 8), dtype=np.int64)
+                    rbk = np.zeros((1, 1, 8, 8), dtype=np.int64)
+                    cbk[0, 0, 0, 0] = (did * 13) % 11 - 5
+                    rbk[0, 0, 0, 0] = (did * 19) % 13 - 6
+                    payloads.append(bytearray(encode_jpeg(
+                        [ybk, cbk, rbk], q, 8 - crop_h, 32 - crop_w,
+                        sampling=[(4, 1), (1, 1), (1, 1)],
+                    )))
                 else:  # 4:2:0 color — interleaved MCUs, replicated chroma
                     mx = 1 + did % 2  # MCUs across; 1 MCU down
                     ybk = np.zeros((2, 2 * mx, 8, 8), dtype=np.int64)
@@ -14608,10 +14627,12 @@ def _sql_jpeg_decode_stats() -> str:
     return f"""
 WITH d AS (SELECT doc_id,
                   -- r13: declared dims sit doc_id%5 / (doc_id//2)%4
-                  -- short of the MCU grid (non-aligned decode + crop)
+                  -- short of the MCU grid (non-aligned decode + crop);
+                  -- doc_id%8==7 is the 4:1:1 arm (one 32x8 MCU)
                   CASE WHEN doc_id % 2 = 0 THEN 8 * (1 + doc_id % 3)
                        ELSE 16 * (1 + doc_id % 2) END - doc_id % 5 AS w,
                   CASE WHEN doc_id % 2 = 0 THEN 8 * (1 + doc_id % 2)
+                       WHEN doc_id % 8 = 7 THEN 8
                        ELSE 16 END - (doc_id // 2) % 4 AS h
            FROM documents WHERE doc_id < {JPEGDEC_MAX_ID}),
 cells AS (SELECT d.doc_id,
@@ -14625,8 +14646,13 @@ cells AS (SELECT d.doc_id,
 px AS (SELECT doc_id,
               ((doc_id * 31 + (y // 8) * 7 + (x // 8) * 3) % 17 - 8) * 2
                 + 128 AS yv,
-              ((doc_id * 13 + (x // 16) * 5) % 11 - 5) * 2 + 128 AS cbv,
-              ((doc_id * 19 + (x // 16) * 7) % 13 - 6) * 2 + 128 AS crv,
+              -- 4:1:1 arm: chroma constant across the 32-wide MCU
+              ((doc_id * 13 + (x // CASE WHEN doc_id % 8 = 7 THEN 32
+                                         ELSE 16 END) * 5) % 11 - 5) * 2
+                + 128 AS cbv,
+              ((doc_id * 19 + (x // CASE WHEN doc_id % 8 = 7 THEN 32
+                                         ELSE 16 END) * 7) % 13 - 6) * 2
+                + 128 AS crv,
               doc_id % 2 AS odd
        FROM cells)
 SELECT doc_id,

@@ -1230,3 +1230,92 @@ def test_apng_compositing_subregion_over_dispose():
     exp2p = f0.copy()
     exp2p[0:2, 0:2] = f2
     assert np.array_equal(got[2], exp2p)
+
+
+def test_decode_jpeg_sampling_factor_four():
+    """Sampling factors up to 4 (r13, T.81 allows 1-4): 4:1:1 (one
+    32x8 MCU, four horizontal Y blocks), a (4,2) deep-chroma layout,
+    and a three-tier (4,4)/(2,2)/(1,1) mix — baseline AND progressive,
+    aligned and cropped, with DRI. Expectations are reconstructed
+    independently (IDCT per block, replication upsample, crop, JFIF
+    transform). Non-divisible mixes still refuse loudly."""
+    import numpy as np
+    import pytest as _pytest
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        _IDCT_M,
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(9)
+    q = np.full((8, 8), 16, dtype=np.int64)
+
+    def plane(c):
+        by, bx = c.shape[:2]
+        out = np.zeros((by * 8, bx * 8))
+        for y in range(by):
+            for x in range(bx):
+                out[y*8:(y+1)*8, x*8:(x+1)*8] = (
+                    _IDCT_M.T @ (c[y, x] * q).astype(float) @ _IDCT_M
+                )
+        return out
+
+    def expected(cy, cb, cr, samp, h, w):
+        hm = max(s for s, _ in samp)
+        vm = max(s for _, s in samp)
+        planes = []
+        for c, (sh, sv) in zip([cy, cb, cr], samp):
+            pl = plane(c)
+            pl = np.repeat(np.repeat(pl, vm // sv, 0), hm // sh, 1)
+            planes.append(pl[:h, :w] + 128.0)
+        Y, CB, CR = planes
+        r = Y + 1.402 * (CR - 128)
+        g = Y - 0.344136 * (CB - 128) - 0.714136 * (CR - 128)
+        b = Y + 1.772 * (CB - 128)
+        return np.clip(
+            np.floor(np.stack([r, g, b], 2) + 0.5), 0, 255
+        ).astype(np.uint8)
+
+    def sparse(shape, keep=0.15):
+        c = np.zeros(shape, np.int64)
+        m = rng.rand(*shape) < keep
+        c[m] = rng.randint(-10, 11, m.sum())
+        return c
+
+    samp = [(4, 1), (1, 1), (1, 1)]  # 4:1:1
+    cy = sparse((2, 8, 8, 8))
+    cb, cr = sparse((2, 2, 8, 8)), sparse((2, 2, 8, 8))
+    got = decode_jpeg(encode_jpeg([cy, cb, cr], q, 16, 64, sampling=samp))
+    assert np.array_equal(got, expected(cy, cb, cr, samp, 16, 64))
+    got_c = decode_jpeg(encode_jpeg([cy, cb, cr], q, 13, 57, sampling=samp))
+    assert np.array_equal(got_c, expected(cy, cb, cr, samp, 13, 57))
+
+    samp2 = [(4, 2), (1, 1), (1, 1)]
+    cy2 = sparse((4, 8, 8, 8))
+    cb2, cr2 = sparse((2, 2, 8, 8)), sparse((2, 2, 8, 8))
+    got2 = decode_jpeg(encode_jpeg([cy2, cb2, cr2], q, 32, 64, sampling=samp2))
+    assert np.array_equal(got2, expected(cy2, cb2, cr2, samp2, 32, 64))
+
+    samp3 = [(4, 4), (2, 2), (1, 1)]  # three-tier divisible mix
+    cy3, cb3, cr3 = sparse((4, 4, 8, 8)), sparse((2, 2, 8, 8)), sparse((1, 1, 8, 8))
+    got3 = decode_jpeg(encode_jpeg([cy3, cb3, cr3], q, 32, 32, sampling=samp3))
+    assert np.array_equal(got3, expected(cy3, cb3, cr3, samp3, 32, 32))
+
+    gotp = decode_jpeg(
+        encode_jpeg_progressive([cy, cb, cr], q, 16, 64, sampling=samp)
+    )
+    assert np.array_equal(gotp, expected(cy, cb, cr, samp, 16, 64))
+    gotpc = decode_jpeg(encode_jpeg_progressive(
+        [cy, cb, cr], q, 13, 57, sampling=samp, restart_interval=1
+    ))
+    assert np.array_equal(gotpc, expected(cy, cb, cr, samp, 13, 57))
+
+    # 3-vs-2: legal per T.81 but needs fractional resampling — loud seam
+    bad = encode_jpeg(
+        [sparse((2, 3, 8, 8)), sparse((2, 2, 8, 8)), sparse((2, 2, 8, 8))],
+        q, 16, 24, sampling=[(3, 2), (2, 2), (2, 2)],
+    )
+    with _pytest.raises(NotImplementedError, match="non-divisible"):
+        decode_jpeg(bad)
