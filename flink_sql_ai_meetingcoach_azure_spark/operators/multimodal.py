@@ -523,7 +523,8 @@ def decode_apng_frames(payload: bytes) -> list[np.ndarray]:
     IDAT (the default image is frame 0), else the fdAT chunks (4-byte
     sequence number stripped, spec: fdAT carries the same data as
     IDAT). Each frame inflates and unfilters independently with the
-    IHDR parameters (frames are never interlaced), then composites
+    IHDR parameters (fdAT frames are never interlaced; the IDAT
+    default image honors IHDR's interlace method), then composites
     onto a persistent RGBA canvas (r13 — the seam closed): sub-region
     frames render at their fcTL (x, y) offsets, blend_op SOURCE
     replaces while OVER is Porter-Duff non-premultiplied alpha
@@ -584,6 +585,13 @@ def decode_apng_frames(payload: bytes) -> list[np.ndarray]:
         return [_png_reconstruct(zlib.decompress(idat), w, h, depth,
                                  channels, interlace)]
     streams = ([idat] if fctl_before_idat else []) + fdat_streams
+    # only the IDAT-backed default image inherits IHDR's interlace
+    # method; fdAT frames are never interlaced (APNG spec — and a
+    # silent interlace=0 misread of an Adam7 default image would pass
+    # the truncation check and decode garbage, code-review r13)
+    ilaces = ([interlace] if fctl_before_idat else []) + [0] * len(
+        fdat_streams
+    )
     if len(streams) != n_frames or len(fctls) != n_frames:
         raise ValueError(
             f"APNG frame count mismatch: acTL {n_frames}, "
@@ -591,11 +599,13 @@ def decode_apng_frames(payload: bytes) -> list[np.ndarray]:
         )
     canvas = np.zeros((h, w, 4), dtype=np.float64)  # transparent black
     frames_out: list[np.ndarray] = []
-    for (fw, fh, fx, fy, dispose, blend), s in zip(fctls, streams):
+    for (fw, fh, fx, fy, dispose, blend), s, il in zip(
+        fctls, streams, ilaces
+    ):
         if fx + fw > w or fy + fh > h or fw == 0 or fh == 0:
             raise ValueError("APNG frame region outside the canvas")
         src = _to_rgba(_png_reconstruct_raw(
-            zlib.decompress(s), fw, fh, depth, channels, 0
+            zlib.decompress(s), fw, fh, depth, channels, il
         ))
         region = canvas[fy : fy + fh, fx : fx + fw]
         saved = region.copy() if dispose == 2 else None
@@ -869,9 +879,9 @@ def _gif_lzw_decode(data: bytes, min_code_size: int) -> list[int]:
         if code == eoi:
             return out
         if prev is None:
-            entry = table[code]
-            if entry is None:
+            if code >= len(table) or table[code] is None:
                 raise ValueError("bad first LZW code")
+            entry = table[code]
         elif code < len(table) and table[code] is not None:
             entry = table[code]
         elif code == len(table):
@@ -975,6 +985,21 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
         3, dtype=np.uint8
     )
     canvas = np.tile(bg_rgb, (h, w, 1)).astype(np.uint8)
+    try:
+        frames = _gif_image_walk(data, pos, canvas, gct, bg_rgb)
+    except IndexError:
+        # a truncated stream must fail with the codec's documented
+        # ValueError contract, never a raw IndexError (code-review r13)
+        raise ValueError("truncated GIF stream") from None
+    if not frames:
+        raise ValueError("GIF without an image block")
+    return frames
+
+
+def _gif_image_walk(data, pos, canvas, gct, bg_rgb):
+    """Block walk + LZW decode + compositing for decode_gif_frames,
+    split out so a truncated stream's IndexError converts to the
+    codec's ValueError contract at one seam."""
     frames: list[np.ndarray] = []
     transparent: int | None = None
     dispose = 0
@@ -1038,8 +1063,6 @@ def decode_gif_frames(payload: bytes) -> list[np.ndarray]:
         elif dispose == 3:  # restore previous: revert the region (r13)
             canvas[top : top + ih, left : left + iw] = saved
         transparent, dispose = None, 0  # a GCE scopes ONE image
-    if not frames:
-        raise ValueError("GIF without an image block")
     return frames
 
 

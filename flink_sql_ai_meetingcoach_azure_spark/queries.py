@@ -14670,6 +14670,53 @@ ORDER BY doc_id
 
 
 DHASH_MAX_ID = 160  # 40 groups of 4 members
+
+
+def _dhash_gcell(gid: int, m: int, frame_flip=None, mask=None):
+    """The ONE closed-form gray-cell grid behind every image/video
+    near-dup fixture (PNG / JPEG / GIF / APNG / the scaling knob — a
+    formula fix lands everywhere at once, and the codec-flip entries'
+    shared-oracle "byte-identical across containers" invariant cannot
+    silently fork): direction bits ``d_k = ((gid·37 + k·11) % 5) % 2``
+    per (row i, comparison k); member m=2 flips (i=7, k>=7), m=3 flips
+    k>=4 everywhere, m=1 adds +4 brightness; ``frame_flip=f``
+    additionally flips the single bit (i=f, k=f+1) (the video
+    fixtures' per-frame variation); ``mask`` XORs an (8, 8) bit grid
+    (the scaling knob's Hamming isometry). Returns the (8, 9) int64
+    cell-value grid — callers render it as 2x2 pixel blocks with
+    channels (G, G+1, G+2), or as DC-only JPEG coefficients."""
+    import numpy as np  # noqa: PLC0415
+
+    k = np.arange(1, 9)
+    d = ((gid * 37 + k * 11) % 5) % 2
+    eff = np.tile(d, (8, 1))
+    if m == 2:
+        eff[7, 6:] = 1 - eff[7, 6:]
+    elif m == 3:
+        eff[:, 3:] = 1 - eff[:, 3:]
+    if frame_flip is not None:
+        eff[frame_flip, frame_flip] = 1 - eff[frame_flip, frame_flip]
+    if mask is not None:
+        eff = eff ^ mask
+    s = np.concatenate(
+        [np.zeros((8, 1), dtype=np.int64), np.cumsum(eff, axis=1)], axis=1
+    )
+    j = np.arange(9)
+    gcell = 110 + 2 * np.arange(8)[:, None] + 12 * (2 * s - j[None, :])
+    if m == 1:
+        gcell = gcell + 4
+    return gcell
+
+
+def _dhash_gpix_image(gid: int, m: int, frame_flip=None, mask=None):
+    """(16, 18, 3) uint8 render of :func:`_dhash_gcell`: 2x2 pixel
+    blocks, channels (G, G+1, G+2) so integer grayscale recovers G."""
+    import numpy as np  # noqa: PLC0415
+
+    gcell = _dhash_gcell(gid, m, frame_flip=frame_flip, mask=mask)
+    gpix = np.repeat(np.repeat(gcell, 2, axis=0), 2, axis=1)
+    return np.stack([gpix, gpix + 1, gpix + 2], axis=2).astype("uint8")
+
 DHASH_T = 7  # 8 bands x 8 bits: pigeonhole-lossless for hamming <= 7
 DHASH_PD_T = 4000  # exact-L1 pixel-distance ground-truth threshold
 
@@ -14702,30 +14749,7 @@ def _dhash_fixture_media(docs: DataFrame) -> DataFrame:
             payloads = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                gid, m = did // 4, did % 4
-                k = np.arange(1, 9)
-                d = ((gid * 37 + k * 11) % 5) % 2  # (8,) direction bits
-                eff = np.tile(d, (8, 1))  # (row i, comparison k)
-                if m == 2:
-                    eff[7, 6:] = 1 - eff[7, 6:]
-                elif m == 3:
-                    eff[:, 3:] = 1 - eff[:, 3:]
-                s = np.concatenate(
-                    [np.zeros((8, 1), dtype=np.int64), np.cumsum(eff, axis=1)],
-                    axis=1,
-                )  # (8, 9) prefix direction sums
-                j = np.arange(9)
-                gcell = (
-                    110
-                    + 2 * np.arange(8)[:, None]
-                    + 12 * (2 * s - j[None, :])
-                )
-                if m == 1:
-                    gcell = gcell + 4
-                gpix = np.repeat(np.repeat(gcell, 2, axis=0), 2, axis=1)
-                img = np.stack(
-                    [gpix, gpix + 1, gpix + 2], axis=2
-                ).astype("uint8")
+                img = _dhash_gpix_image(did // 4, did % 4)
                 h = img.shape[0]
                 payloads.append(
                     bytearray(encode_png(img, 2, [r % 5 for r in range(h)]))
@@ -14844,26 +14868,8 @@ def _dhash_fixture_media_jpeg(docs: DataFrame) -> DataFrame:
             payloads = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                gid, m = did // 4, did % 4
-                k = np.arange(1, 9)
-                d = ((gid * 37 + k * 11) % 5) % 2
-                eff = np.tile(d, (8, 1))
-                if m == 2:
-                    eff[7, 6:] = 1 - eff[7, 6:]
-                elif m == 3:
-                    eff[:, 3:] = 1 - eff[:, 3:]
-                s = np.concatenate(
-                    [np.zeros((8, 1), dtype=np.int64), np.cumsum(eff, axis=1)],
-                    axis=1,
-                )
-                j = np.arange(9)
-                gcell = (
-                    110
-                    + 2 * np.arange(8)[:, None]
-                    + 12 * (2 * s - j[None, :])
-                )
-                if m == 1:
-                    gcell = gcell + 4
+                gid = did // 4
+                gcell = _dhash_gcell(gid, did % 4)
                 coefs = np.zeros((8, 9, 8, 8), dtype=np.int64)
                 coefs[:, :, 0, 0] = (gcell - 128) // 2  # even G ⇒ exact
                 enc = encode_jpeg_progressive if gid % 2 else encode_jpeg
@@ -14932,28 +14938,9 @@ def _dhash_fixture_media_gif(docs: DataFrame) -> DataFrame:
             payloads = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                gid, m = did // 4, did % 4
-                k = np.arange(1, 9)
-                d = ((gid * 37 + k * 11) % 5) % 2
-                eff = np.tile(d, (8, 1))
-                if m == 2:
-                    eff[7, 6:] = 1 - eff[7, 6:]
-                elif m == 3:
-                    eff[:, 3:] = 1 - eff[:, 3:]
-                s = np.concatenate(
-                    [np.zeros((8, 1), dtype=np.int64),
-                     np.cumsum(eff, axis=1)],
-                    axis=1,
-                )
-                j = np.arange(9)
-                gcell = (
-                    110
-                    + 2 * np.arange(8)[:, None]
-                    + 12 * (2 * s - j[None, :])
-                )
-                if m == 1:
-                    gcell = gcell + 4
-                gpix = np.repeat(np.repeat(gcell, 2, axis=0), 2, axis=1)
+                gid = did // 4
+                gpix = np.repeat(np.repeat(
+                    _dhash_gcell(gid, did % 4), 2, axis=0), 2, axis=1)
                 vals = np.unique(gpix)
                 pal = np.stack(
                     [vals, vals + 1, vals + 2], axis=1
@@ -15475,34 +15462,10 @@ def _video_neardup_fixture_media(docs: DataFrame) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 gid, m = did // 4, did % 4
-                k = np.arange(1, 9)
-                d = ((gid * 37 + k * 11) % 5) % 2
-                eff = np.tile(d, (8, 1))
-                if m == 2:
-                    eff[7, 6:] = 1 - eff[7, 6:]
-                elif m == 3:
-                    eff[:, 3:] = 1 - eff[:, 3:]
-                frames = []
-                for f in range(VIDEONEAR_FRAMES):
-                    eff_f = eff.copy()
-                    eff_f[f, f] = 1 - eff_f[f, f]  # bit (i=f, k=f+1)
-                    s = np.concatenate(
-                        [np.zeros((8, 1), dtype=np.int64),
-                         np.cumsum(eff_f, axis=1)],
-                        axis=1,
-                    )
-                    j = np.arange(9)
-                    gcell = (
-                        110
-                        + 2 * np.arange(8)[:, None]
-                        + 12 * (2 * s - j[None, :])
-                    )
-                    if m == 1:
-                        gcell = gcell + 4
-                    gpix = np.repeat(np.repeat(gcell, 2, axis=0), 2, axis=1)
-                    frames.append(np.stack(
-                        [gpix, gpix + 1, gpix + 2], axis=2
-                    ).astype("uint8"))
+                frames = [
+                    _dhash_gpix_image(gid, m, frame_flip=f)
+                    for f in range(VIDEONEAR_FRAMES)
+                ]
                 h = frames[0].shape[0]
                 payloads.append(bytearray(encode_apng(
                     frames, 2, [[r % 5 for r in range(h)]] * len(frames)
@@ -15575,33 +15538,12 @@ def _video_neardup_fixture_media_gif(docs: DataFrame) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 gid, m = did // 4, did % 4
-                k = np.arange(1, 9)
-                d = ((gid * 37 + k * 11) % 5) % 2
-                eff = np.tile(d, (8, 1))
-                if m == 2:
-                    eff[7, 6:] = 1 - eff[7, 6:]
-                elif m == 3:
-                    eff[:, 3:] = 1 - eff[:, 3:]
-                gpixs = []
-                for f in range(VIDEONEAR_FRAMES):
-                    eff_f = eff.copy()
-                    eff_f[f, f] = 1 - eff_f[f, f]
-                    s = np.concatenate(
-                        [np.zeros((8, 1), dtype=np.int64),
-                         np.cumsum(eff_f, axis=1)],
-                        axis=1,
-                    )
-                    j = np.arange(9)
-                    gcell = (
-                        110
-                        + 2 * np.arange(8)[:, None]
-                        + 12 * (2 * s - j[None, :])
-                    )
-                    if m == 1:
-                        gcell = gcell + 4
-                    gpixs.append(
-                        np.repeat(np.repeat(gcell, 2, axis=0), 2, axis=1)
-                    )
+                gpixs = [
+                    np.repeat(np.repeat(
+                        _dhash_gcell(gid, m, frame_flip=f), 2, axis=0),
+                        2, axis=1)
+                    for f in range(VIDEONEAR_FRAMES)
+                ]
                 vals = np.unique(np.stack(gpixs))
                 pal = np.stack(
                     [vals, vals + 1, vals + 2], axis=1

@@ -1106,9 +1106,10 @@ def test_gif_lzw_roundtrip_and_compositing(spark):
     across table growth, width bumps, the 4096 CLEAR boundary, and
     repetitive KwKwK-heavy data; still/interlaced/LCT decode recovers
     exact palette pixels; animation compositing honors sub-region
-    placement, transparency (pixels keep the previous canvas), and
-    dispose=2 (region restored to background); dispose=3 stays a loud
-    seam."""
+    placement, transparency (pixels keep the previous canvas),
+    dispose=2 (region restored to background) and dispose=3 (region
+    reverted to its pre-render contents); malformed streams fail with
+    the codec's ValueError contract, never a raw IndexError."""
     import numpy as np
     import pytest as _pytest
 
@@ -1174,6 +1175,12 @@ def test_gif_lzw_roundtrip_and_compositing(spark):
     assert np.array_equal(f3, exp3)
     with _pytest.raises(ValueError):
         decode_gif(b"not a gif")
+    # truncated stream / out-of-range first LZW code: ValueError, not
+    # IndexError (code-review r13)
+    with _pytest.raises(ValueError):
+        decode_gif(encode_gif([f0], gpal)[:40])
+    with _pytest.raises(ValueError, match="bad first LZW code"):
+        _gif_lzw_decode(b"\x07", 2)
 
 
 def test_apng_compositing_subregion_over_dispose():
@@ -1319,3 +1326,46 @@ def test_decode_jpeg_sampling_factor_four():
     )
     with _pytest.raises(NotImplementedError, match="non-divisible"):
         decode_jpeg(bad)
+
+
+def test_apng_interlaced_default_image():
+    """An APNG whose DEFAULT IMAGE (IDAT, fcTL-before-IDAT) is
+    Adam7-interlaced must decode frame 0 through the interlaced path —
+    a silent interlace=0 misread passes the truncation check and
+    returns garbage pixels (code-review r13). fdAT frames stay
+    non-interlaced per spec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        _ADAM7_PASSES,
+        decode_apng_frames,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 256, (9, 7, 3), np.uint8)
+    nrows = sum(
+        -(-(9 - y0) // dy)
+        for x0, y0, dx, dy in _ADAM7_PASSES
+        if 9 > y0 and 7 > x0 and -(-(7 - x0) // dx) > 0
+    )
+    png = encode_png(img, 2, [i % 5 for i in range(nrows)], interlace=1)
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr_end = 8 + 12 + 13
+    apng = (
+        png[:ihdr_end]
+        + chunk(b"acTL", struct.pack(">II", 1, 0))
+        + chunk(b"fcTL", struct.pack(">IIIIIHHBB", 0, 7, 9, 0, 0, 1, 10, 0, 0))
+        + png[ihdr_end:]
+    )
+    frames = decode_apng_frames(apng)
+    assert len(frames) == 1 and np.array_equal(frames[0], img)

@@ -367,7 +367,28 @@ def knob_scaled_image_neardup_seconds(spark, scale: int) -> float:
         from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415,E501
             encode_png,
         )
+        from flink_sql_ai_meetingcoach_azure_spark.queries import (  # noqa: PLC0415,E501
+            _dhash_gpix_image,
+        )
 
+        # per-copy XOR masks depend only on the copy index — hoist them
+        # out of the per-doc loop (64 md5 calls per DOC otherwise, all
+        # attributed to the measured seconds; code-review r13)
+        masks = {
+            c: np.array(
+                [
+                    [
+                        hashlib.md5(
+                            f"imgknob-{c}-{i}-{kk}".encode()
+                        ).digest()[0] % 2
+                        for kk in range(8)
+                    ]
+                    for i in range(8)
+                ],
+                dtype=np.int64,
+            )
+            for c in range(1, scale)
+        }
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -375,45 +396,9 @@ def knob_scaled_image_neardup_seconds(spark, scale: int) -> float:
             for did in pdf["doc_id"]:
                 did = int(did)
                 c, local = did // DHASH_MAX_ID, did % DHASH_MAX_ID
-                gid, m = local // 4, local % 4
-                k = np.arange(1, 9)
-                d = ((gid * 37 + k * 11) % 5) % 2
-                eff = np.tile(d, (8, 1))
-                if m == 2:
-                    eff[7, 6:] = 1 - eff[7, 6:]
-                elif m == 3:
-                    eff[:, 3:] = 1 - eff[:, 3:]
-                if c:  # per-copy XOR mask (Hamming isometry)
-                    mask = np.array(
-                        [
-                            [
-                                hashlib.md5(
-                                    f"imgknob-{c}-{i}-{kk}".encode()
-                                ).digest()[0]
-                                % 2
-                                for kk in range(8)
-                            ]
-                            for i in range(8)
-                        ],
-                        dtype=np.int64,
-                    )
-                    eff = eff ^ mask
-                s = np.concatenate(
-                    [np.zeros((8, 1), dtype=np.int64),
-                     np.cumsum(eff, axis=1)],
-                    axis=1,
+                img = _dhash_gpix_image(
+                    local // 4, local % 4, mask=masks.get(c)
                 )
-                j = np.arange(9)
-                gcell = (
-                    110 + 2 * np.arange(8)[:, None]
-                    + 12 * (2 * s - j[None, :])
-                )
-                if m == 1:
-                    gcell = gcell + 4
-                gpix = np.repeat(np.repeat(gcell, 2, axis=0), 2, axis=1)
-                img = np.stack(
-                    [gpix, gpix + 1, gpix + 2], axis=2
-                ).astype("uint8")
                 payloads.append(bytearray(
                     encode_png(img, 2, [r % 5 for r in range(img.shape[0])])
                 ))
@@ -480,7 +465,11 @@ def main() -> None:
     if "semantic_dedup" in entries:
         knob = {}
         for s in scales:
-            knob[s] = knob_scaled_semdedup_seconds(spark, dirs[s], k=64 * s)
+            r = [
+                knob_scaled_semdedup_seconds(spark, dirs[s], k=64 * s)
+                for _ in range(2 if s == 1 else 1)
+            ]
+            knob[s] = min(r)  # base runs twice: stable denominator (r13)
             print(f"semantic_dedup[k=64*{s}]: {knob[s]}", file=sys.stderr)
         import math
 
@@ -497,7 +486,11 @@ def main() -> None:
 
         kknob = {}
         for s in scales:
-            kknob[s] = knob_scaled_knn_seconds(spark, dirs[s], nlist=8 * s, scale=s)
+            r = [
+                knob_scaled_knn_seconds(spark, dirs[s], nlist=8 * s, scale=s)
+                for _ in range(2 if s == 1 else 1)
+            ]
+            kknob[s] = min(r)
             print(f"knn_classify[nlist=8*{s}, nprobe=8]: {kknob[s]}", file=sys.stderr)
         hi = max(scales)
         report["knn_classify_knob_scaled"] = {
@@ -512,9 +505,13 @@ def main() -> None:
 
         hknob = {}
         for s in scales:
-            hknob[s] = knob_scaled_hubness_seconds(
-                spark, dirs[s], nlist=8 * s, scale=s
-            )
+            r = [
+                knob_scaled_hubness_seconds(
+                    spark, dirs[s], nlist=8 * s, scale=s
+                )
+                for _ in range(2 if s == 1 else 1)
+            ]
+            hknob[s] = min(r)
             print(
                 f"knn_hubness[nlist=8*{s}, nprobe=8]: {hknob[s]}",
                 file=sys.stderr,
