@@ -1951,18 +1951,18 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     uint8. Supported: SOF0/SOF1 baseline AND SOF2 progressive (T.81
     Annex G via :func:`_decode_progressive` — spectral selection,
     successive approximation, EOB runs; r12), 8-bit, grayscale or
-    3-component with sampling factors 1-4 where every factor divides
-    the max (4:4:4 / 4:2:2 / 4:2:0 / 4:1:1 / 4:1:0 — r13; interleaved
-    T.81 §A.2.3 MCU order, subsampled planes upsampled by
-    replication), restart intervals in BOTH baseline and progressive
+    3-component with ANY sampling factors 1-4 (4:4:4 / 4:2:2 / 4:2:0 /
+    4:1:1 / 4:1:0 and non-divisible mixes like 3-vs-2 — r13;
+    interleaved T.81 §A.2.3 MCU order, subsampled planes upsampled by
+    nearest-neighbor index gather), restart intervals in BOTH baseline and progressive
     scans (DRI/RSTn resync with predictor + EOB-run reset; restart
     units are MCUs in interleaved scans, blocks in non-interleaved
     ones — r13), and — r13 — NON-MCU-ALIGNED dimensions
     (T.81 A.2.4: the edge MCUs are coded complete; decode the ceil-MCU
     grid, crop to the declared h x w — the real-photo case, e.g.
-    1000x750); non-divisible factor mixes (e.g. 3 vs 2) raise
-    NotImplementedError (the narrowed documented seam: they need
-    fractional resampling).
+    1000x750). The remaining refusals are malformed streams, >4
+    factors, and unsupported component counts — every T.81 sampling
+    layout decodes.
     Rounding convention everywhere: floor(x + 0.5) — reproducible in
     closed-form SQL oracles (no bankers' rounding)."""
     import struct  # noqa: PLC0415
@@ -2038,18 +2038,6 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                         f"sampling factor {sh}x{sv} outside T.81's 1-4"
                     )
                 comps.append((cid, qid, sh, sv))
-            # replication upsampling needs integer ratios: every
-            # component factor must divide the max (covers 4:4:4,
-            # 4:2:2, 4:2:0, 4:1:1, 4:1:0 — r13; a 3-vs-2 mix would
-            # need fractional resampling and stays a loud seam)
-            hm = max(sh for _, _, sh, _ in comps)
-            vm = max(sv for _, _, _, sv in comps)
-            for _, _, sh, sv in comps:
-                if hm % sh or vm % sv:
-                    raise NotImplementedError(
-                        f"non-divisible sampling ratio {sh}x{sv} vs "
-                        f"{hm}x{vm} needs fractional resampling"
-                    )
             frame = (h, w, comps)
             progressive = marker == 0xC2
         elif marker == 0xDD:  # DRI: restart interval in MCUs (0 = off)
@@ -2185,20 +2173,21 @@ def _jpeg_planes_to_rgb(
     replication upsample of subsampled planes, crop of the ceil-MCU
     decode grid to the declared ``h x w`` (T.81 A.2.4 edge padding),
     level shift, floor(x+.5) rounding, JFIF YCbCr→RGB."""
-    # upsample subsampled planes to full resolution by pixel replication
-    # (nearest-neighbor — the simplest T.81-legal reconstruction; the
-    # fixture encoder produces box-constant chroma so this is exact)
+    # upsample subsampled planes to full resolution by nearest-neighbor
+    # index gather plane[y, x] = comp[(y*sv)//vmax, (x*sh)//hmax] — the
+    # simplest T.81-legal reconstruction; identical to pixel
+    # replication for divisible ratios (hash-stable) and well-defined
+    # for ANY factor mix incl. 3-vs-2 (r13: the fractional-resampling
+    # seam closed). The gather also drops the encode-side edge padding
+    # by only reading the declared h x w lattice.
     for cid in list(planes):
         _, sh, sv = meta_by_cid[cid]
         if sh != hmax or sv != vmax:
-            planes[cid] = np.repeat(
-                np.repeat(planes[cid], vmax // sv, axis=0),
-                hmax // sh,
-                axis=1,
-            )
-        # drop the encode-side edge padding: only the declared pixels
-        # are image content
-        planes[cid] = planes[cid][:h, :w]
+            ys = (np.arange(h) * sv) // vmax
+            xs = (np.arange(w) * sh) // hmax
+            planes[cid] = planes[cid][np.ix_(ys, xs)]
+        else:
+            planes[cid] = planes[cid][:h, :w]
     # level shift + floor(x+.5) rounding, then color convert
     if len(order) == 1:
         g = np.clip(np.floor(planes[order[0]] + 128.0 + 0.5), 0, 255)

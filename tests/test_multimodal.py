@@ -1319,13 +1319,43 @@ def test_decode_jpeg_sampling_factor_four():
     ))
     assert np.array_equal(gotpc, expected(cy, cb, cr, samp, 13, 57))
 
-    # 3-vs-2: legal per T.81 but needs fractional resampling — loud seam
-    bad = encode_jpeg(
-        [sparse((2, 3, 8, 8)), sparse((2, 2, 8, 8)), sparse((2, 2, 8, 8))],
-        q, 16, 24, sampling=[(3, 2), (2, 2), (2, 2)],
+    # 3-vs-2 non-divisible mix (r13: the fractional-resampling seam
+    # closed via NN index gather) — expectation mirrors the gather
+    _pytest  # noqa: B018 — kept for other refusal checks above
+
+    def expected_gather(cy_, cb_, cr_, samp_, h_, w_):
+        hm = max(s for s, _ in samp_)
+        vm = max(s for _, s in samp_)
+        planes = []
+        for c, (sh, sv) in zip([cy_, cb_, cr_], samp_):
+            pl = plane(c)
+            ys = (np.arange(h_) * sv) // vm
+            xs = (np.arange(w_) * sh) // hm
+            planes.append(pl[np.ix_(ys, xs)] + 128.0)
+        Y, CB, CR = planes
+        r = Y + 1.402 * (CR - 128)
+        g = Y - 0.344136 * (CB - 128) - 0.714136 * (CR - 128)
+        b = Y + 1.772 * (CB - 128)
+        return np.clip(
+            np.floor(np.stack([r, g, b], 2) + 0.5), 0, 255
+        ).astype(np.uint8)
+
+    samp32 = [(3, 2), (2, 2), (2, 2)]
+    cy32 = sparse((2, 3, 8, 8))
+    cb32, cr32 = sparse((2, 2, 8, 8)), sparse((2, 2, 8, 8))
+    got32 = decode_jpeg(
+        encode_jpeg([cy32, cb32, cr32], q, 16, 24, sampling=samp32)
     )
-    with _pytest.raises(NotImplementedError, match="non-divisible"):
-        decode_jpeg(bad)
+    assert np.array_equal(
+        got32, expected_gather(cy32, cb32, cr32, samp32, 16, 24)
+    )
+    # and cropped
+    got32c = decode_jpeg(
+        encode_jpeg([cy32, cb32, cr32], q, 11, 20, sampling=samp32)
+    )
+    assert np.array_equal(
+        got32c, expected_gather(cy32, cb32, cr32, samp32, 11, 20)
+    )
 
 
 def test_apng_interlaced_default_image():
