@@ -248,7 +248,7 @@ def sniff_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     extraction over an opaque binary column — the route-by-format pass a
     mixed-media corpus runs at the scan, BEFORE any per-format parser or
     decode UDF: one codegen projection tags every payload png / jpeg /
-    gif / bmp / wav / unknown, so the expensive per-format paths
+    gif / bmp / wav / avi / unknown, so the expensive per-format paths
     (parse_jpeg_header's segment walk, the decode UDFs) each see only
     their own rows. Pure Catalyst, zero Python, zero shuffle.
 
@@ -288,12 +288,16 @@ def sniff_media(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     is_wav = (pfx(4) == F.lit("52494646")) & (
         F.hex(F.substring(b, 9, 4)) == F.lit("57415645")
     )
+    is_avi = (pfx(4) == F.lit("52494646")) & (
+        F.hex(F.substring(b, 9, 4)) == F.lit("41564920")  # "AVI " (r13)
+    )
     fmt = (
         F.when(is_png, "png")
         .when(is_jpeg, "jpeg")
         .when(is_gif, "gif")
         .when(is_bmp, "bmp")
         .when(is_wav, "wav")
+        .when(is_avi, "avi")
         .otherwise("unknown")
     )
     width = (
@@ -1072,6 +1076,99 @@ def decode_gif(payload: bytes) -> np.ndarray:
     return decode_gif_frames(payload)[0]
 
 
+# ---------------------------------------------------------------------------
+# AVI (RIFF) Motion-JPEG demux (r13) — the camera-video container: the WAV
+# chunk-walk machinery applied to RIFF 'AVI ' LISTs, each '..dc'/'..db'
+# movi sub-chunk an entropy-coded JPEG frame through the real decoder.
+
+
+def decode_avi_mjpeg_frames(payload: bytes) -> list[np.ndarray]:
+    """REAL AVI Motion-JPEG demux: walk the RIFF tree (chunks pad to
+    even sizes; LIST chunks carry a 4-byte list type then sub-chunks),
+    find every ``LIST movi``, collect its video-data sub-chunks (ids
+    ending ``dc``/``db`` — compressed/uncompressed DIB slots; MJPEG
+    payloads are complete JPEG streams) in stream order, and decode
+    each through :func:`decode_jpeg`. Returns (H, W, 3) uint8 frames.
+    MJPEG is what motion cameras and capture cards actually write —
+    every frame independently coded, which is exactly why it demuxes
+    with a chunk walk and no inter-frame codec. Streams whose frames
+    are not JPEG raise through decode_jpeg's loud contract."""
+    data = bytes(payload or b"")
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    frames: list[np.ndarray] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            ln = int.from_bytes(data[pos + 4 : pos + 8], "little")
+            body_start, body_end = pos + 8, pos + 8 + ln
+            if body_end > end:
+                raise ValueError("truncated AVI chunk")
+            if cid == b"LIST":
+                ltype = data[body_start : body_start + 4]
+                if ltype == b"movi":
+                    sub = body_start + 4
+                    while sub + 8 <= body_end:
+                        scid = data[sub : sub + 4]
+                        sln = int.from_bytes(
+                            data[sub + 4 : sub + 8], "little"
+                        )
+                        if scid[2:4] in (b"dc", b"db") and sln:
+                            frames.append(decode_jpeg(
+                                data[sub + 8 : sub + 8 + sln]
+                            ))
+                        sub += 8 + sln + (sln & 1)
+                else:
+                    walk(body_start + 4, body_end)
+            pos = body_end + (ln & 1)
+
+    walk(12, len(data))
+    if not frames:
+        raise ValueError("AVI without MJPEG frames")
+    return frames
+
+
+def encode_avi_mjpeg(
+    jpeg_frames: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Minimal spec-correct AVI-MJPEG writer (fixture helper): RIFF
+    'AVI ' with a LIST hdrl (avih + one LIST strl: strh 'vids'/'MJPG'
+    + strf BITMAPINFOHEADER) and a LIST movi of '00dc' chunks, each a
+    complete JPEG stream, even-padded per RIFF."""
+    import struct  # noqa: PLC0415
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    n = len(jpeg_frames)
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps, 0, 0, 0x10, n, 0, 1, 0, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1,
+                                        fps, 0, n, 0, 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", f) for f in jpeg_frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
 def encode_gif(
     frames,
     palette: np.ndarray,
@@ -1481,9 +1578,11 @@ def video_dhash_signatures(
 ) -> DataFrame:
     """Perceptual VIDEO (clip) near-dup signature — the moving-picture
     member of the family (text: minhash/simhash; image: dHash/pHash;
-    audio: sign-of-delta; video: this): demux the APNG or animated-GIF
-    container (:func:`decode_apng_frames` / :func:`decode_gif_frames` —
-    real zlib/LZW frames, no ffmpeg), dHash
+    audio: sign-of-delta; video: this): demux the APNG, animated-GIF
+    or AVI-MJPEG container (:func:`decode_apng_frames` /
+    :func:`decode_gif_frames` / :func:`decode_avi_mjpeg_frames` — real
+    zlib/LZW/JPEG frames, no ffmpeg; ``container='auto'`` dispatches
+    per payload by magic bytes, the mixed-corpus shape), dHash
     every frame with the image rung's exact math (nn_resize to 8x9,
     integer grayscale, adjacent-column sign bits), then MAJORITY-VOTE
     each of the 64 bits across frames (bit = 1 iff 2·Σ > n_frames;
@@ -1503,13 +1602,29 @@ def video_dhash_signatures(
         ]
     )
 
-    if container not in ("apng", "gif"):
+    if container not in ("apng", "gif", "avi", "auto"):
         raise ValueError(f"unknown video container {container!r}")
 
+    def _demux_auto(p):
+        """Per-payload magic-byte dispatch — the mixed-container corpus
+        shape (r13): a real ingest stream carries APNG, animated GIF
+        and AVI-MJPEG side by side."""
+        b = bytes(p[:12])
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            return decode_apng_frames(p)
+        if b[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif_frames(p)
+        if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            return decode_avi_mjpeg_frames(p)
+        raise ValueError("unrecognized video container")
+
     def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        demux = (
-            decode_apng_frames if container == "apng" else decode_gif_frames
-        )
+        demux = {
+            "apng": decode_apng_frames,
+            "gif": decode_gif_frames,
+            "avi": decode_avi_mjpeg_frames,
+            "auto": _demux_auto,
+        }[container]
         for pdf in batches:
             if not len(pdf):
                 continue

@@ -15435,26 +15435,38 @@ VIDEONEAR_FRAMES = 3  # frames per fixture clip (odd: no majority ties)
 
 
 def _video_neardup_fixture_media(docs: DataFrame) -> DataFrame:
-    """Deterministic APNG near-dup clip corpus: the dHash fixture
-    discipline extended in TIME — each clip is 3 full-frame APNG
-    frames of the image fixture's 2x2-cell gray formula, where frame
-    f additionally flips the single direction bit (i=f, k=f+1). Each
-    per-frame flip lands in only 1 of 3 frames, so the MAJORITY vote
-    cancels them and the clip signature equals the member bits — the
-    vote is exercised by construction, not vacuously. Members: m=0
-    base, m=1 uniform +4 brightness on every frame (vote-invariant),
-    m=2 flips (i=7, k>=7) in ALL frames (hamming 2), m=3 flips k>=4
-    everywhere (40 bits — a different clip)."""
+    """Deterministic MIXED-CONTAINER near-dup clip corpus (r13): the
+    dHash fixture discipline extended in TIME — each clip is 3
+    full-frame renders of the image fixture's 2x2-cell gray formula,
+    where frame f additionally flips the single direction bit
+    (i=f, k=f+1). Each per-frame flip lands in only 1 of 3 frames, so
+    the MAJORITY vote cancels them and the clip signature equals the
+    member bits — the vote is exercised by construction, not
+    vacuously. Members: m=0 base, m=1 uniform +4 brightness on every
+    frame (vote-invariant), m=2 flips (i=7, k>=7) in ALL frames
+    (hamming 2), m=3 flips k>=4 everywhere (40 bits — a different
+    clip). The CONTAINER rotates by doc_id % 3 — APNG (zlib frames),
+    animated GIF (palette LZW frames, v → (v, v+1, v+2) exact), and
+    AVI-MJPEG (DC-only grayscale JPEG frames at 64x72: one 8x8 block
+    per cell at q00=16 so the decoded pixel IS G, the
+    jpeg_decode_stats closed form; grayscale replication keeps dHash's
+    integer gray == G) — all three decode to the SAME direction bits,
+    so one oracle covers the mixed corpus and the per-payload
+    magic-byte dispatch (container='auto') is on the hash path."""
     import pyspark.sql.types as T  # noqa: PLC0415
 
     from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415
         encode_apng,
+        encode_avi_mjpeg,
+        encode_gif,
+        encode_jpeg,
     )
 
     def _make(batches):
         import numpy as np  # noqa: PLC0415
         import pandas as pd  # noqa: PLC0415
 
+        q = np.full((8, 8), 16, dtype=np.int64)
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -15462,14 +15474,40 @@ def _video_neardup_fixture_media(docs: DataFrame) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 gid, m = did // 4, did % 4
-                frames = [
-                    _dhash_gpix_image(gid, m, frame_flip=f)
-                    for f in range(VIDEONEAR_FRAMES)
-                ]
-                h = frames[0].shape[0]
-                payloads.append(bytearray(encode_apng(
-                    frames, 2, [[r % 5 for r in range(h)]] * len(frames)
-                )))
+                route = did % 3
+                if route == 0:  # APNG
+                    frames = [
+                        _dhash_gpix_image(gid, m, frame_flip=f)
+                        for f in range(VIDEONEAR_FRAMES)
+                    ]
+                    h = frames[0].shape[0]
+                    payloads.append(bytearray(encode_apng(
+                        frames, 2, [[r % 5 for r in range(h)]] * len(frames)
+                    )))
+                elif route == 1:  # animated GIF, exact palette
+                    gpixs = [
+                        np.repeat(np.repeat(
+                            _dhash_gcell(gid, m, frame_flip=f), 2, axis=0),
+                            2, axis=1)
+                        for f in range(VIDEONEAR_FRAMES)
+                    ]
+                    vals = np.unique(np.stack(gpixs))
+                    pal = np.stack(
+                        [vals, vals + 1, vals + 2], axis=1
+                    ).astype(np.uint8)
+                    payloads.append(bytearray(encode_gif(
+                        [np.searchsorted(vals, g) for g in gpixs], pal
+                    )))
+                else:  # AVI-MJPEG: DC-only grayscale JPEG per frame
+                    jf = []
+                    for f in range(VIDEONEAR_FRAMES):
+                        gcell = _dhash_gcell(gid, m, frame_flip=f)
+                        coefs = np.zeros((8, 9, 8, 8), dtype=np.int64)
+                        coefs[:, :, 0, 0] = (gcell - 128) // 2
+                        jf.append(encode_jpeg([coefs], q, 64, 72))
+                    payloads.append(bytearray(
+                        encode_avi_mjpeg(jf, 72, 64)
+                    ))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
     return docs.mapInPandas(
@@ -15484,18 +15522,21 @@ def _video_neardup_fixture_media(docs: DataFrame) -> DataFrame:
 
 
 def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """VIDEO (clip) near-dup — the rung completing perceptual dedup
-    across all four modalities (text: minhash/simhash; image:
-    dHash/pHash; audio: sign-of-delta; video: this): REAL APNG demux
-    (multimodal.decode_apng_frames — per-frame zlib streams, fcTL/fdAT
-    sequence walk), per-frame dHash with the image rung's exact math,
-    per-bit MAJORITY vote across frames into one clip signature
-    (multimodal.video_dhash_signatures), then the SAME lossless
-    8x8-bit band join as every signature rung (_sig_band_pairs). The
-    fixture puts a different single-bit flip in each frame, so the
-    oracle — which replays member bits, per-frame flips and the
-    majority vote in pure SQL — breaks under a wrong demux order,
-    frame filter reset, vote threshold, bit order or band math.
+    """VIDEO (clip) near-dup over a MIXED-CONTAINER corpus — the rung
+    completing perceptual dedup across all four modalities (text:
+    minhash/simhash; image: dHash/pHash; audio: sign-of-delta; video:
+    this): clips arrive as APNG, animated GIF AND AVI-MJPEG by
+    doc_id % 3, dispatched per payload by magic bytes
+    (video_dhash_signatures container='auto' — the real ingest shape),
+    REAL demux (zlib fcTL/fdAT walk / LZW frames / RIFF movi chunks of
+    entropy-coded JPEGs), per-frame dHash with the image rung's exact
+    math, per-bit MAJORITY vote across frames into one clip signature,
+    then the SAME lossless 8x8-bit band join as every signature rung
+    (_sig_band_pairs). All three containers decode to identical
+    direction bits by construction, so ONE oracle — which replays
+    member bits, per-frame flips and the majority vote in pure SQL —
+    breaks under a wrong dispatch, demux order, frame filter reset,
+    JPEG entropy decode, vote threshold, bit order or band math.
 
     Reference anchor: the reference treats media as opaque blobs
     (app/static/); clip-level dedup is the beyond-reference multimodal
@@ -15509,7 +15550,8 @@ def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < VIDEONEAR_MAX_ID
     ).select("doc_id")
     sigs = video_dhash_signatures(
-        _video_neardup_fixture_media(docs), id_col="doc_id"
+        _video_neardup_fixture_media(docs), id_col="doc_id",
+        container="auto",
     ).select("doc_id", "sig0", "sig1").localCheckpoint(eager=False)
     return _sig_band_pairs(sigs, VIDEONEAR_T).orderBy("doc_a", "doc_b")
 

@@ -1399,3 +1399,68 @@ def test_apng_interlaced_default_image():
     )
     frames = decode_apng_frames(apng)
     assert len(frames) == 1 and np.array_equal(frames[0], img)
+
+
+def test_avi_mjpeg_demux_and_auto_dispatch(spark):
+    """AVI Motion-JPEG (r13): RIFF tree walk finds LIST movi, decodes
+    each ..dc chunk through the real JPEG decoder (even-padding
+    honored); container='auto' dispatches a MIXED corpus (APNG /
+    GIF / AVI) per payload by magic bytes and yields identical
+    signatures for identical content across containers."""
+    import numpy as np
+    import pytest as _pytest
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        decode_avi_mjpeg_frames,
+        decode_jpeg,
+        encode_apng,
+        encode_avi_mjpeg,
+        encode_gif,
+        encode_jpeg,
+        video_dhash_signatures,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.queries import (
+        _dhash_gcell,
+        _dhash_gpix_image,
+    )
+
+    q = np.full((8, 8), 16, dtype=np.int64)
+    rng = np.random.RandomState(8)
+
+    # demux round-trip incl. odd-length JPEG chunk (RIFF even padding)
+    jf = []
+    for _ in range(3):
+        c = np.zeros((2, 2, 8, 8), np.int64)
+        c[:, :, 0, 0] = rng.randint(-8, 9, (2, 2))
+        jf.append(encode_jpeg([c], q, 16, 16))
+    got = decode_avi_mjpeg_frames(encode_avi_mjpeg(jf, 16, 16))
+    assert len(got) == 3
+    for g, j in zip(got, jf):
+        assert np.array_equal(g, decode_jpeg(j))
+    with _pytest.raises(ValueError):
+        decode_avi_mjpeg_frames(b"RIFFxxxxWAVE")
+
+    # same clip content in all three containers -> identical signatures
+    gid, m = 3, 0
+    apng = encode_apng([_dhash_gpix_image(gid, m, frame_flip=f)
+                        for f in range(3)])
+    gpixs = [np.repeat(np.repeat(_dhash_gcell(gid, m, frame_flip=f),
+                                 2, 0), 2, 1) for f in range(3)]
+    vals = np.unique(np.stack(gpixs))
+    pal = np.stack([vals, vals + 1, vals + 2], 1).astype(np.uint8)
+    gif = encode_gif([np.searchsorted(vals, g) for g in gpixs], pal)
+    jfr = []
+    for f in range(3):
+        coefs = np.zeros((8, 9, 8, 8), np.int64)
+        coefs[:, :, 0, 0] = (_dhash_gcell(gid, m, frame_flip=f) - 128) // 2
+        jfr.append(encode_jpeg([coefs], q, 64, 72))
+    avi = encode_avi_mjpeg(jfr, 72, 64)
+    df = spark.createDataFrame(
+        [(1, bytearray(apng)), (2, bytearray(gif)), (3, bytearray(avi))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: (r.sig0, r.sig1, r.n_frames)
+            for r in video_dhash_signatures(
+                df, id_col="doc_id", container="auto").collect()}
+    assert rows[1] == rows[2] == rows[3]
+    assert rows[1][2] == 3

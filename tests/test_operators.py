@@ -2302,10 +2302,11 @@ def test_sniff_media_edges(spark):
                 + b"\x28\x00\x00\x00" + (32).to_bytes(4, "little")
                 + (-24).to_bytes(4, "little", signed=True) + b"\x01\x00\x18\x00")
     wav = b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE"
+    avi = b"RIFF" + b"\x24\x00\x00\x00" + b"AVI "  # r13: decodable now
     jpeg = bytes.fromhex("FFD8FFE000104A46494600010100000100010000")
     rows = [
         (1, png), (2, png_trunc), (3, gif), (4, bmp_up), (5, bmp_down),
-        (6, wav), (7, jpeg), (8, b"plain text"), (9, None),
+        (6, wav), (7, jpeg), (8, b"plain text"), (9, None), (10, avi),
     ]
     df = spark.createDataFrame(rows, "doc_id int, payload binary")
     got = {r["doc_id"]: r for r in sniff_media(df).collect()}
@@ -2318,6 +2319,7 @@ def test_sniff_media_edges(spark):
     assert got[7]["media_format"] == "jpeg" and got[7]["width"] is None
     assert got[8]["media_format"] == "unknown"
     assert got[9]["media_format"] == "unknown" and got[9]["width"] is None
+    assert got[10]["media_format"] == "avi" and got[10]["width"] is None
 
 
 def test_sniff_media_real_png_roundtrip(spark):
