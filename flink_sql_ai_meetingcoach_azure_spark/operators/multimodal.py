@@ -1076,6 +1076,101 @@ def decode_gif(payload: bytes) -> np.ndarray:
     return decode_gif_frames(payload)[0]
 
 
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """REAL BMP decode (r13 — the fourth still-image codec behind the
+    dispatcher; sniff_media has tagged 'bmp' since r10): BITMAPFILEHEADER
+    + BITMAPINFOHEADER little-endian parse, uncompressed (BI_RGB) 24/32-bit
+    BGR(A) or 8-bit paletted rows, 4-byte row padding, and the sign
+    convention sniff_media already reports — positive height is
+    BOTTOM-UP row order, negative is top-down. Returns (H, W, 3) uint8
+    RGB. Compressed BMPs (RLE/bitfields) raise — the documented seam."""
+    import struct  # noqa: PLC0415
+
+    data = bytes(payload or b"")
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack("<I", data[10:14])
+    (hdr_sz,) = struct.unpack("<I", data[14:18])
+    if hdr_sz < 40:
+        raise NotImplementedError(f"BMP header size {hdr_sz} unsupported")
+    w, h_signed = struct.unpack("<ii", data[18:26])
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    if compression != 0:
+        raise NotImplementedError(
+            f"BMP compression {compression} needs RLE/bitfields support"
+        )
+    if bpp not in (8, 24, 32):
+        raise NotImplementedError(f"{bpp}-bit BMP unsupported")
+    h = abs(h_signed)
+    if w <= 0 or h == 0:
+        raise ValueError("bad BMP dimensions")
+    pal = None
+    if bpp == 8:
+        (n_colors,) = struct.unpack("<I", data[46:50])
+        n_colors = n_colors or 256
+        pal_bytes = data[14 + hdr_sz : 14 + hdr_sz + 4 * n_colors]
+        pal = np.frombuffer(pal_bytes, dtype=np.uint8).reshape(-1, 4)
+        pal = pal[:, [2, 1, 0]]  # BGRX -> RGB
+    row_bytes = (w * bpp // 8 + 3) & ~3  # 4-byte aligned
+    if len(data) < pix_off + row_bytes * h:
+        raise ValueError("truncated BMP pixel array")
+    rows = np.frombuffer(
+        data, dtype=np.uint8, count=row_bytes * h, offset=pix_off
+    ).reshape(h, row_bytes)
+    if h_signed > 0:
+        rows = rows[::-1]  # bottom-up storage
+    if bpp == 8:
+        img = pal[rows[:, :w].astype(np.int64) % len(pal)]
+    else:
+        step = bpp // 8
+        px = rows[:, : w * step].reshape(h, w, step)
+        img = px[:, :, [2, 1, 0]]  # BGR(A) -> RGB, alpha dropped
+    return np.ascontiguousarray(img)
+
+
+def encode_bmp(
+    img: np.ndarray,
+    bpp: int = 24,
+    top_down: bool = False,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Minimal spec-correct BMP writer (fixture helper): BI_RGB 24/32-bit
+    BGR(A) or 8-bit paletted (``img`` then holds indices), 4-byte row
+    padding, bottom-up by default or top-down via negative height."""
+    import struct  # noqa: PLC0415
+
+    h, w = img.shape[0], img.shape[1]
+    if bpp == 8:
+        pal = np.asarray(palette, dtype=np.uint8)
+        pal_block = np.zeros((len(pal), 4), dtype=np.uint8)
+        pal_block[:, [2, 1, 0]] = pal  # RGB -> BGRX
+        pal_bytes = pal_block.tobytes()
+        px = np.asarray(img, dtype=np.uint8).reshape(h, w)
+    else:
+        pal_bytes = b""
+        arr = np.asarray(img, dtype=np.uint8)
+        step = bpp // 8
+        px = np.zeros((h, w, step), dtype=np.uint8)
+        px[:, :, [2, 1, 0]] = arr[:, :, :3]
+        px = px.reshape(h, w * step)
+    row_bytes = (px.shape[1] + 3) & ~3
+    padded = np.zeros((h, row_bytes), dtype=np.uint8)
+    padded[:, : px.shape[1]] = px.reshape(h, -1)
+    if not top_down:
+        padded = padded[::-1]
+    pix_off = 14 + 40 + len(pal_bytes)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, bpp, 0,
+        row_bytes * h, 0, 0,
+        len(pal_bytes) // 4 if pal_bytes else 0, 0,
+    )
+    file_hdr = struct.pack(
+        "<2sIHHI", b"BM", pix_off + row_bytes * h, 0, 0, pix_off
+    )
+    return file_hdr + info + pal_bytes + padded.tobytes()
+
+
 # ---------------------------------------------------------------------------
 # AVI (RIFF) Motion-JPEG demux (r13) — the camera-video container: the WAV
 # chunk-walk machinery applied to RIFF 'AVI ' LISTs, each '..dc'/'..db'
@@ -1429,7 +1524,7 @@ def decode_and_featurize(
     compare it bit-exactly). Runs as one Arrow batch per task via
     ``mapInPandas`` — the real-decoder seam is marked below.
     """
-    if decoder not in ("fake", "png", "jpeg", "gif", "real"):
+    if decoder not in ("fake", "png", "jpeg", "gif", "bmp", "real"):
         raise ValueError(f"unknown decoder {decoder!r}")
 
     out_schema = T.StructType(
@@ -1463,9 +1558,9 @@ def decode_and_featurize(
             # decode per item (a real codec is per-item too), then compute
             # every statistic over the STACKED batch — one numpy pass
             # instead of per-row Python
-            if decoder in ("png", "jpeg", "gif"):
+            if decoder in ("png", "jpeg", "gif", "bmp"):
                 dec = {"png": decode_png, "jpeg": decode_jpeg,
-                       "gif": decode_gif}[decoder]
+                       "gif": decode_gif, "bmp": decode_bmp}[decoder]
                 imgs = np.stack(
                     [
                         nn_resize(dec(p), height, width)
@@ -1527,7 +1622,7 @@ def dhash_signatures(
     ``mapInPandas`` Arrow batch — embarrassingly parallel per file
     split, and only the 16-byte signature (never the decoded image)
     reaches the shuffle."""
-    if decoder not in ("png", "jpeg", "gif"):
+    if decoder not in ("png", "jpeg", "gif", "bmp"):
         raise ValueError(f"unknown real decoder {decoder!r}")
     out_schema = T.StructType(
         [
@@ -1539,7 +1634,7 @@ def dhash_signatures(
 
     def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dec = {"png": decode_png, "jpeg": decode_jpeg,
-               "gif": decode_gif}[decoder]
+               "gif": decode_gif, "bmp": decode_bmp}[decoder]
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -1781,7 +1876,7 @@ def phash_signatures(
     frequency edits are invisible by construction — the property the
     fixture corpus and the recall eval measure. One mapInPandas Arrow
     batch; 16 bytes/image reach the shuffle."""
-    if decoder not in ("png", "jpeg", "gif"):
+    if decoder not in ("png", "jpeg", "gif", "bmp"):
         raise ValueError(f"unknown real decoder {decoder!r}")
     out_schema = T.StructType(
         [
@@ -1793,7 +1888,7 @@ def phash_signatures(
 
     def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dec = {"png": decode_png, "jpeg": decode_jpeg,
-               "gif": decode_gif}[decoder]
+               "gif": decode_gif, "bmp": decode_bmp}[decoder]
         d = _dct_matrix(PHASH_N)
         for pdf in batches:
             if not len(pdf):
@@ -1834,7 +1929,7 @@ def decode_pixels(
     ground-truth seam for pixel-distance evals (``dhash_recall_eval``).
     Bounded eval samples only: at corpus scale ship the 16-byte
     :func:`dhash_signatures` output, never raw pixels."""
-    if decoder not in ("png", "jpeg", "gif"):
+    if decoder not in ("png", "jpeg", "gif", "bmp"):
         raise ValueError(f"unknown real decoder {decoder!r}")
     out_schema = T.StructType(
         [
@@ -1845,7 +1940,7 @@ def decode_pixels(
 
     def _proc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dec = {"png": decode_png, "jpeg": decode_jpeg,
-               "gif": decode_gif}[decoder]
+               "gif": decode_gif, "bmp": decode_bmp}[decoder]
         for pdf in batches:
             if not len(pdf):
                 continue

@@ -1464,3 +1464,58 @@ def test_avi_mjpeg_demux_and_auto_dispatch(spark):
                 df, id_col="doc_id", container="auto").collect()}
     assert rows[1] == rows[2] == rows[3]
     assert rows[1][2] == 3
+
+
+def test_decode_bmp_roundtrip():
+    """REAL BMP decode (r13 — the fourth still codec behind the
+    dispatcher): 24/32-bit BGR(A) and 8-bit paletted, 4-byte row
+    padding (odd widths), bottom-up AND top-down row order (the sign
+    convention sniff_media reports), compressed/deep refusals loud."""
+    import numpy as np
+    import pytest as _pytest
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        decode_bmp,
+        encode_bmp,
+    )
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (7, 5, 3), np.uint8)  # odd width: padding
+    for td in (False, True):
+        assert np.array_equal(decode_bmp(encode_bmp(img, 24, top_down=td)), img)
+    assert np.array_equal(decode_bmp(encode_bmp(img, 32)), img)
+
+    pal = rng.randint(0, 256, (64, 3)).astype(np.uint8)
+    idx = rng.randint(0, 64, (6, 9))
+    assert np.array_equal(decode_bmp(encode_bmp(idx, 8, palette=pal)), pal[idx])
+    assert np.array_equal(
+        decode_bmp(encode_bmp(idx, 8, top_down=True, palette=pal)), pal[idx]
+    )
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"not a bmp")
+    # RLE8 compression: loud seam
+    rle = bytearray(encode_bmp(idx, 8, palette=pal))
+    rle[30:34] = (1).to_bytes(4, "little")
+    with _pytest.raises(NotImplementedError, match="compression"):
+        decode_bmp(bytes(rle))
+
+
+def test_dhash_decoder_bmp_matches_png():
+    """decoder='bmp' through dhash_signatures yields the same
+    signatures as the PNG path for identical pixels — the codec-flip
+    invariance the other three codecs already pin."""
+    import numpy as np
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        decode_bmp,
+        decode_png,
+        encode_bmp,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(12)
+    img = rng.randint(0, 256, (16, 18, 3), np.uint8)
+    assert np.array_equal(
+        decode_bmp(encode_bmp(img)), decode_png(encode_png(img, 2))
+    )
