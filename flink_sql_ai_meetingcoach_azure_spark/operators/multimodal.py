@@ -398,6 +398,12 @@ def decode_png(payload: bytes) -> np.ndarray:
     channels·depth/8; 16-bit samples are big-endian, spec §7.1, and
     are reduced to 8-bit by taking the high byte.
     Returns (H, W, 3) uint8 RGB (gray replicated, alpha dropped).
+    PALETTED PNGs (color type 3, r13 — the indexed-color files the web
+    is full of) decode via the PLTE chunk at depths 8/4/2/1: filters
+    run BYTEwise with bpp=1, then sub-byte depths unpack MSB-first
+    (spec §7.2) before the palette lookup; Adam7 at sub-byte depths
+    stays the narrowed seam (per-pass bit packing needs a bit-level
+    scatter).
 
     This closes most of the 'real decoders need PIL' gap for PNG: the
     unfilter loop is per-scanline Python over numpy rows — decoding is
@@ -409,7 +415,7 @@ def decode_png(payload: bytes) -> np.ndarray:
     if not payload or len(payload) < 8 or bytes(payload[:8]) != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG payload")
     payload = bytes(payload)
-    pos, idat, meta = 8, b"", None
+    pos, idat, meta, plte = 8, b"", None, None
     while pos + 8 <= len(payload):
         (ln,) = struct.unpack(">I", payload[pos : pos + 4])
         typ = payload[pos + 4 : pos + 8]
@@ -419,6 +425,8 @@ def decode_png(payload: bytes) -> np.ndarray:
                 ">IIBBBBB", data
             )
             meta = (w, h, depth, ctype, interlace)
+        elif typ == b"PLTE":
+            plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -427,6 +435,33 @@ def decode_png(payload: bytes) -> np.ndarray:
     if meta is None:
         raise ValueError("PNG without IHDR")
     w, h, depth, ctype, interlace = meta
+    if ctype == 3:  # paletted (r13)
+        if plte is None:
+            raise ValueError("paletted PNG without a PLTE chunk")
+        if depth not in (1, 2, 4, 8):
+            raise NotImplementedError(f"paletted PNG depth {depth}")
+        if interlace == 1 and depth != 8:
+            raise NotImplementedError(
+                "Adam7 at sub-byte depths needs bit-level pass scatter"
+            )
+        raw = zlib.decompress(idat)
+        if depth == 8:
+            if interlace:
+                idx8, _ = None, None
+                # reuse the byte-per-pixel lattice machinery
+                img1 = _png_reconstruct_raw(raw, w, h, 8, 1, 1)
+                idx = img1[:, :, 0].astype(np.int64)
+            else:
+                rows, _ = _png_unfilter(raw, 0, h, w, 1)
+                idx = rows.astype(np.int64)
+        else:
+            stride = -(-(w * depth) // 8)  # ceil bytes per scanline
+            rows, _ = _png_unfilter(raw, 0, h, stride, 1)
+            bits = np.unpackbits(rows, axis=1)  # MSB-first per spec §7.2
+            per = bits[:, : w * depth].reshape(h, w, depth)
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            idx = (per * weights).sum(axis=2).astype(np.int64)
+        return np.ascontiguousarray(plte[idx % len(plte)])
     if depth not in (8, 16) or interlace not in (0, 1):
         raise NotImplementedError(
             "decode_png supports 8/16-bit non/Adam7-interlaced PNGs; "
@@ -683,6 +718,7 @@ def encode_png(
     filters=None,
     depth: int = 8,
     interlace: int = 0,
+    palette: np.ndarray | None = None,
 ) -> bytes:
     """Minimal spec-correct PNG encoder (test/fixture helper — stdlib
     zlib + CRC32): 8- or 16-bit, non-interlaced or Adam7 (r13), one
@@ -698,12 +734,70 @@ def encode_png(
     import struct  # noqa: PLC0415
     import zlib  # noqa: PLC0415
 
-    if depth not in (8, 16):
-        raise ValueError(f"depth must be 8 or 16, got {depth}")
     if interlace not in (0, 1):
         raise ValueError(f"interlace must be 0 or 1, got {interlace}")
-    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     h, w = img.shape[0], img.shape[1]
+    if color_type == 3:  # paletted (r13): img holds indices
+        if depth not in (1, 2, 4, 8):
+            raise ValueError(f"paletted depth must be 1/2/4/8, got {depth}")
+        if interlace and depth != 8:
+            raise ValueError("Adam7 sub-byte packing not supported")
+        pal = np.asarray(palette, dtype=np.uint8)
+        idx = np.asarray(img, dtype=np.uint8).reshape(h, w)
+        if depth == 8:
+            px = idx.astype(np.int64)
+        else:
+            weights = np.arange(depth - 1, -1, -1)
+            bits = ((idx[:, :, None] >> weights) & 1).reshape(h, w * depth)
+            pad = (-bits.shape[1]) % 8
+            if pad:
+                bits = np.concatenate(
+                    [bits, np.zeros((h, pad), dtype=bits.dtype)], axis=1
+                )
+            px = np.packbits(bits.astype(np.uint8), axis=1).astype(np.int64)
+        if interlace:  # depth 8 only (guarded above): byte lattice
+            lattice = px.reshape(h, w, 1)
+            subs = []
+            for x0, y0, dx, dy in _ADAM7_PASSES:
+                pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+                ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+                if pw <= 0 or ph <= 0:
+                    continue
+                subs.append(
+                    lattice[np.ix_(y0 + dy * np.arange(ph),
+                                   x0 + dx * np.arange(pw))].reshape(ph, pw)
+                )
+            total = sum(s.shape[0] for s in subs)
+            filters = list(filters or [0] * total)
+            lines, used = b"", 0
+            for s in subs:
+                lines += _png_filter_rows(
+                    s, filters[used : used + s.shape[0]], 1
+                )
+                used += s.shape[0]
+        else:
+            filters = list(filters or [0] * h)
+            lines = _png_filter_rows(px, filters, 1)
+        import struct as _s  # noqa: PLC0415
+        import zlib as _z  # noqa: PLC0415
+
+        def _chunk(typ: bytes, data: bytes) -> bytes:
+            return (
+                _s.pack(">I", len(data)) + typ + data
+                + _s.pack(">I", _z.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk(b"IHDR", _s.pack(">IIBBBBB", w, h, depth, 3, 0, 0,
+                                      interlace))
+            + _chunk(b"PLTE", pal.tobytes())
+            + _chunk(b"IDAT", _z.compress(lines))
+            + _chunk(b"IEND", b"")
+        )
+    if depth not in (8, 16):
+        raise ValueError(f"depth must be 8 or 16, got {depth}")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
     if depth == 16:
         # serialize big-endian, then filter over the BYTE stream
         be = img.reshape(h, w * channels).astype(np.uint16).astype(">u2")

@@ -1519,3 +1519,47 @@ def test_dhash_decoder_bmp_matches_png():
     assert np.array_equal(
         decode_bmp(encode_bmp(img)), decode_png(encode_png(img, 2))
     )
+
+
+def test_decode_png_paletted():
+    """Paletted PNG (r13, color type 3 — the indexed files the web is
+    full of): PLTE lookup at depth 8 (sequential AND Adam7), sub-byte
+    depths 4/2/1 with MSB-first unpacking and partial trailing bytes
+    (odd widths), filters over the packed byte stream (bpp=1), and the
+    narrowed seams loud (no PLTE, Adam7 at sub-byte)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(9)
+    pal = rng.randint(0, 256, (64, 3)).astype(np.uint8)
+    idx = rng.randint(0, 64, (7, 9))
+    got = decode_png(encode_png(
+        idx, 3, [r % 5 for r in range(7)], depth=8, palette=pal
+    ))
+    assert np.array_equal(got, pal[idx])
+    got_i = decode_png(encode_png(idx, 3, depth=8, interlace=1, palette=pal))
+    assert np.array_equal(got_i, pal[idx])
+
+    for d in (4, 2, 1):
+        idxd = rng.randint(0, 1 << d, (5, 11))  # odd width: partial byte
+        pald = rng.randint(0, 256, (1 << d, 3)).astype(np.uint8)
+        got = decode_png(encode_png(
+            idxd, 3, [r % 5 for r in range(5)], depth=d, palette=pald
+        ))
+        assert np.array_equal(got, pald[idxd]), d
+
+    # paletted without PLTE: loud
+    raw = bytearray(encode_png(idx, 3, depth=8, palette=pal))
+    # excise the PLTE chunk (starts right after IHDR)
+    import struct
+
+    plte_start = 8 + 12 + 13
+    (plte_len,) = struct.unpack(">I", raw[plte_start : plte_start + 4])
+    del raw[plte_start : plte_start + 12 + plte_len]
+    with _pytest.raises(ValueError, match="PLTE"):
+        decode_png(bytes(raw))
