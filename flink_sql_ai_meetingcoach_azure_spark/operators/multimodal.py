@@ -462,6 +462,22 @@ def decode_png(payload: bytes) -> np.ndarray:
             weights = 1 << np.arange(depth - 1, -1, -1)
             idx = (per * weights).sum(axis=2).astype(np.int64)
         return np.ascontiguousarray(plte[idx % len(plte)])
+    if ctype == 0 and depth in (1, 2, 4):  # sub-byte grayscale (r13:
+        # 1-bit document scans, 2/4-bit gray) — bpp=1 BYTEwise filters
+        # over the packed stream, MSB-first unpack, max-scale to 8-bit
+        if interlace == 1:
+            raise NotImplementedError(
+                "Adam7 at sub-byte depths needs bit-level pass scatter"
+            )
+        raw = zlib.decompress(idat)
+        stride = -(-(w * depth) // 8)
+        rows, _ = _png_unfilter(raw, 0, h, stride, 1)
+        bits = np.unpackbits(rows, axis=1)
+        per = bits[:, : w * depth].reshape(h, w, depth)
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        v = (per * weights).sum(axis=2)
+        g = (v * 255 // ((1 << depth) - 1)).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
     if depth not in (8, 16) or interlace not in (0, 1):
         raise NotImplementedError(
             "decode_png supports 8/16-bit non/Adam7-interlaced PNGs; "
@@ -737,6 +753,34 @@ def encode_png(
     if interlace not in (0, 1):
         raise ValueError(f"interlace must be 0 or 1, got {interlace}")
     h, w = img.shape[0], img.shape[1]
+    if color_type == 0 and depth in (1, 2, 4):
+        # sub-byte grayscale (r13): img holds raw sample values
+        vals = np.asarray(img, dtype=np.uint8).reshape(h, w)
+        weights0 = np.arange(depth - 1, -1, -1)
+        bits0 = ((vals[:, :, None] >> weights0) & 1).reshape(h, w * depth)
+        pad0 = (-bits0.shape[1]) % 8
+        if pad0:
+            bits0 = np.concatenate(
+                [bits0, np.zeros((h, pad0), dtype=bits0.dtype)], axis=1
+            )
+        px0 = np.packbits(bits0.astype(np.uint8), axis=1).astype(np.int64)
+        filters = list(filters or [0] * h)
+        lines0 = _png_filter_rows(px0, filters, 1)
+        import struct as _s0  # noqa: PLC0415
+        import zlib as _z0  # noqa: PLC0415
+
+        def _chunk0(typ: bytes, data: bytes) -> bytes:
+            return (
+                _s0.pack(">I", len(data)) + typ + data
+                + _s0.pack(">I", _z0.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + _chunk0(b"IHDR", _s0.pack(">IIBBBBB", w, h, depth, 0, 0, 0, 0))
+            + _chunk0(b"IDAT", _z0.compress(lines0))
+            + _chunk0(b"IEND", b"")
+        )
     if color_type == 3:  # paletted (r13): img holds indices
         if depth not in (1, 2, 4, 8):
             raise ValueError(f"paletted depth must be 1/2/4/8, got {depth}")

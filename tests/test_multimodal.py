@@ -1563,3 +1563,27 @@ def test_decode_png_paletted():
     del raw[plte_start : plte_start + 12 + plte_len]
     with _pytest.raises(ValueError, match="PLTE"):
         decode_png(bytes(raw))
+
+
+def test_decode_png_subbyte_grayscale():
+    """Sub-byte GRAYSCALE PNG (r13, depths 1/2/4 — 1-bit document
+    scans, 2/4-bit gray): bpp=1 BYTEwise filters over the packed
+    stream, MSB-first unpack, max-scale to 8-bit (v·255/(2^d−1): 1-bit
+    maps to exactly 0/255), odd widths with partial trailing bytes."""
+    import numpy as np
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.RandomState(3)
+    for d in (1, 2, 4):
+        v = rng.randint(0, 1 << d, (6, 11))
+        got = decode_png(encode_png(v, 0, [r % 5 for r in range(6)], depth=d))
+        exp = (v * 255 // ((1 << d) - 1)).astype(np.uint8)
+        assert np.array_equal(got, np.repeat(exp[:, :, None], 3, 2)), d
+    # 1-bit checkerboard: pure black/white
+    cb = np.indices((4, 4)).sum(axis=0) % 2
+    got = decode_png(encode_png(cb, 0, depth=1))
+    assert set(np.unique(got)) == {0, 255}
