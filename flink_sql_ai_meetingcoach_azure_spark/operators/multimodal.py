@@ -6,27 +6,35 @@ Design: media payloads are opaque ``binary`` columns with typed metadata
 Arrow-batched pandas functions over ``mapInPandas`` so each task processes
 a whole batch with NumPy, and partitioning/pushdown stay Spark-native.
 
-Codec status (r12): PNG (8/16-bit), JPEG — baseline AND progressive
-(SOF2, T.81 Annex G) — and WAV decode FOR REAL with stdlib+numpy alone
-— :func:`decode_png` (zlib inflate + scanline unfilter,
-``decoder='png'``, hash-verified by ``png_decode_stats``),
-:func:`decode_jpeg` (canonical Huffman from DHT, byte unstuffing, DC
-prediction, run-length AC, dequant, float64 IDCT; progressive spectral
-selection / successive approximation / EOB runs via
-:func:`_decode_progressive` — ``decoder='jpeg'``, hash-verified by
-``jpeg_decode_stats`` incl. an SOF2 fixture arm) and :func:`decode_wav`
-(stdlib ``wave``, PCM — ``wav_decode_stats``), with :func:`nn_resize`
-as the pure-numpy resize stage. JPEG covers grayscale and 4:4:4 /
-4:2:2 / 4:2:0 chroma (interleaved T.81 §A.2.3 MCU order, replicated
-upsampling). On top of the codecs sit the image-dedup signatures:
-:func:`dhash_signatures` (gradient hash) and :func:`phash_signatures`
-(DCT sign hash), both hash-verified near-dup entries. WebP, lossy
-audio, and video demux need libraries not present in this container,
-so those paths stay STUBBED: ``decoder='fake'`` (default) derives a deterministic small
-tensor from the bytes (md5-seeded) so every downstream stage — feature
-extraction, frame sampling, batching shapes — is real and testable;
-``decoder='real'`` raises ``NotImplementedError`` at the exact seam where
-a PIL/ffmpeg call would go. Scan-side header metadata needs no decode at
+Codec status (r13): FIVE container families decode FOR REAL with
+stdlib+numpy alone — :func:`decode_png` (zlib inflate + scanline
+unfilter; 8/16-bit gray/GA/RGB/RGBA, sub-byte grayscale 1/2/4, PALETTED
+ctype 3, Adam7 interlace — ``decoder='png'``, hash-verified by
+``png_decode_stats``), :func:`decode_jpeg` (canonical Huffman from DHT,
+byte unstuffing, DC prediction, run-length AC, dequant, float64 IDCT;
+progressive SOF2 via :func:`_decode_progressive`; ANY T.81 sampling
+layout 1-4 via NN-gather upsample; non-MCU-aligned dims; DRI in both
+scan kinds — ``decoder='jpeg'``, ``jpeg_decode_stats``),
+:func:`decode_gif` (variable-width LZW, local palettes, interlace, full
+animation compositing — ``decoder='gif'``, ``gif_decode_stats``),
+:func:`decode_bmp` (BI_RGB 24/32-bit + 8-bit paletted, both row orders
+— ``decoder='bmp'``), and :func:`decode_wav` (PCM 8/16/24-bit + IEEE
+float — ``wav_decode_stats``); video containers demux for real too:
+:func:`decode_apng_frames` (RGBA canvas compositing),
+:func:`decode_gif_frames` and :func:`decode_avi_mjpeg_frames`
+(Motion-JPEG movi chunks), dispatched per payload by
+``video_dhash_signatures(container='auto')``. :func:`nn_resize` is the
+pure-numpy resize stage. On top of the codecs sit the perceptual-dedup
+signatures: :func:`dhash_signatures` / :func:`phash_signatures`
+(images), :func:`audio_delta_signatures`, :func:`video_dhash_signatures`
+— all hash-verified near-dup entries. WebP/AVIF and inter-frame video
+codecs (H.26x) genuinely need libraries not in this container, so those
+paths stay STUBBED: ``decoder='fake'`` (default) derives a
+deterministic small tensor from the bytes (md5-seeded) so every
+downstream stage — feature extraction, frame sampling, batching shapes
+— is real and testable; ``decoder='real'`` raises
+``NotImplementedError`` at the exact seam where a PIL/ffmpeg call would
+go. Scan-side header metadata needs no decode at
 all: :func:`parse_png_header` / :func:`parse_jpeg_header` /
 :func:`parse_wav_header` classify and size-filter in pure Catalyst.
 
