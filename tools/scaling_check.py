@@ -421,6 +421,107 @@ def knob_scaled_image_neardup_seconds(spark, scale: int) -> float:
     return round(time.time() - t0, 3)
 
 
+def knob_scaled_video_neardup_seconds(spark, scale: int) -> float:
+    """video_neardup's corpus-scale row (the image knob's XOR-isometry
+    protocol applied to clips): copy c masks every direction bit, so
+    within-copy clip near-dup structure is bit-preserved while
+    cross-copy clip signatures decorrelate; the fixture keeps the
+    registry entry's MIXED containers (APNG / animated GIF / AVI-MJPEG
+    by doc id) and the container='auto' dispatch, so the measured cost
+    is the real mixed-demux chain. Copy 0 IS the registry fixture."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (
+        video_dhash_signatures,
+    )
+    from flink_sql_ai_meetingcoach_azure_spark.queries import (
+        VIDEONEAR_FRAMES,
+        VIDEONEAR_MAX_ID,
+        VIDEONEAR_T,
+        _sig_band_pairs,
+    )
+
+    def _make(batches):
+        import numpy as np  # noqa: PLC0415
+        import pandas as pd  # noqa: PLC0415
+
+        from flink_sql_ai_meetingcoach_azure_spark.operators.multimodal import (  # noqa: PLC0415,E501
+            encode_apng,
+            encode_avi_mjpeg,
+            encode_gif,
+            encode_jpeg,
+        )
+        from flink_sql_ai_meetingcoach_azure_spark.queries import (  # noqa: PLC0415,E501
+            _dhash_gcell,
+        )
+
+        q = np.full((8, 8), 16, dtype=np.int64)
+        masks = {
+            c: np.array(
+                [
+                    [
+                        hashlib.md5(
+                            f"vidknob-{c}-{i}-{kk}".encode()
+                        ).digest()[0] % 2
+                        for kk in range(8)
+                    ]
+                    for i in range(8)
+                ],
+                dtype=np.int64,
+            )
+            for c in range(1, scale)
+        }
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                c, local = did // VIDEONEAR_MAX_ID, did % VIDEONEAR_MAX_ID
+                gid, m = local // 4, local % 4
+                mask = masks.get(c)
+                gcells = [
+                    _dhash_gcell(gid, m, frame_flip=f, mask=mask)
+                    for f in range(VIDEONEAR_FRAMES)
+                ]
+                route = local % 3
+                if route == 0:
+                    frames = []
+                    for g in gcells:
+                        gp = np.repeat(np.repeat(g, 2, 0), 2, 1)
+                        frames.append(np.stack(
+                            [gp, gp + 1, gp + 2], 2).astype("uint8"))
+                    payloads.append(bytearray(encode_apng(frames)))
+                elif route == 1:
+                    gpixs = [np.repeat(np.repeat(g, 2, 0), 2, 1)
+                             for g in gcells]
+                    vals = np.unique(np.stack(gpixs))
+                    pal = np.stack(
+                        [vals, vals + 1, vals + 2], 1).astype(np.uint8)
+                    payloads.append(bytearray(encode_gif(
+                        [np.searchsorted(vals, g) for g in gpixs], pal
+                    )))
+                else:
+                    jf = []
+                    for g in gcells:
+                        coefs = np.zeros((8, 9, 8, 8), dtype=np.int64)
+                        coefs[:, :, 0, 0] = (g - 128) // 2
+                        jf.append(encode_jpeg([coefs], q, 64, 72))
+                    payloads.append(bytearray(encode_avi_mjpeg(jf, 72, 64)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    t0 = time.time()
+    docs = spark.range(VIDEONEAR_MAX_ID * scale).select(
+        F.col("id").alias("doc_id")
+    ).repartition(8 * scale)
+    media = docs.mapInPandas(_make, schema="doc_id long, payload binary")
+    sigs = video_dhash_signatures(
+        media, id_col="doc_id", container="auto"
+    ).select("doc_id", "sig0", "sig1").localCheckpoint(eager=False)
+    _sig_band_pairs(sigs, VIDEONEAR_T).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     scales = [1, 2, 4]
     entries = ENTRIES
@@ -543,6 +644,20 @@ def main() -> None:
             "seconds": iknob,
             "exponent": round(
                 math.log(iknob[hi] / iknob[1]) / math.log(hi), 2
+            ),
+        }
+        vknob = {}
+        for s in scales:
+            r = [
+                knob_scaled_video_neardup_seconds(spark, s)
+                for _ in range(2 if s == 1 else 1)
+            ]
+            vknob[s] = min(r)
+            print(f"video_neardup[corpus x{s}]: {vknob[s]}", file=sys.stderr)
+        report["video_neardup_knob_scaled"] = {
+            "seconds": vknob,
+            "exponent": round(
+                math.log(vknob[hi] / vknob[1]) / math.log(hi), 2
             ),
         }
     print(json.dumps(report))
