@@ -120,6 +120,111 @@ def vector_search_topk_flat(
     )
 
 
+def _round_half_away(sims: np.ndarray, ndigits: int) -> np.ndarray:
+    """Round half AWAY from zero, matching SQL ``round()`` — ``np.round``
+    is half-to-even, which diverges from the oracle on an exact .5 at the
+    last kept decimal (the embed_and_search_numpy exact-mode contract)."""
+    scale = 10.0 ** ndigits
+    return np.sign(sims) * np.floor(np.abs(sims) * scale + 0.5) / scale
+
+
+def vector_search_topk_flat_gemm(
+    query_df: DataFrame,
+    index_df: DataFrame,
+    k: int = 3,
+    query_col: str = "embedding",
+    index_col: str = "embedding",
+    payload_cols: list[str] | None = None,
+    sim_col: str = "similarity",
+    rank_col: str = "search_rank",
+    round_sim: int | None = None,
+    max_index_rows: int | None = MAX_BROADCAST_INDEX_ROWS,
+) -> DataFrame:
+    """GEMM form of :func:`vector_search_topk_flat` — identical rows and
+    ordering (same ``round(dot/(|q|·|i|), round_sim)`` similarity, same
+    (sim DESC, payload ASC) tie-break), but the pair space never
+    materializes as JVM rows: each Arrow batch of queries runs ONE float64
+    GEMM against the broadcast index matrix and emits only the k winners.
+
+    Why: the cross-join form evaluates an interpreted ``zip_with`` +
+    ``aggregate`` lambda per PAIR ELEMENT (O(pairs·dim) catalyst lambda
+    calls) and then shuffles every pair into a per-query window sort. At
+    1k queries × 1k index × 64 dims that is ~10⁸ interpreted evaluations
+    for ~10⁷ FLOPs of actual math. Here the plan is map-only (no Exchange
+    at all): distribution cost is one broadcast of the index, per-task
+    work is vectorized BLAS (optimization guide §4.2).
+
+    Exactness contract (what lets oracle-verified entries swap freely):
+    float64 GEMM over the same float32-quantized inputs, similarity =
+    dot/(qnorm·inorm) with half-AWAY-from-zero rounding (SQL ``round``),
+    ties broken by the payload tuple ascending via a stable sort over the
+    payload-presorted index — exactly the ``row_number() OVER (ORDER BY
+    sim DESC, payload ASC)`` total order. Same broadcast-ceiling guard as
+    the numpy search (``IndexTooLargeError`` past ``max_index_rows``)."""
+    import pyspark.sql.types as T  # noqa: PLC0415
+
+    payload_cols = payload_cols or [c for c in index_df.columns if c != index_col]
+    spark = query_df.sparkSession
+    idx_rows = _collect_index_rows(
+        index_df, [*payload_cols, index_col], max_index_rows
+    )
+    out_schema = T.StructType(
+        list(query_df.schema.fields)
+        + [index_df.schema[c] for c in payload_cols]
+        + [
+            T.StructField(sim_col, T.DoubleType()),
+            T.StructField(rank_col, T.IntegerType()),
+        ]
+    )
+    if not idx_rows:
+        # empty index: the cross join yields no rows — same here
+        return spark.createDataFrame([], out_schema)
+    # presort the index by the payload tuple ASC once driver-side: a stable
+    # descending-sim sort over this order IS the (sim DESC, payload ASC)
+    # row_number ordering, so no per-query tie handling is ever needed
+    perm = sorted(
+        range(len(idx_rows)), key=lambda i: tuple(idx_rows[i][c] for c in payload_cols)
+    )
+    mat = np.asarray([idx_rows[i][index_col] for i in perm], dtype=np.float64)
+    inorm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+    inorm[inorm == 0] = 1.0
+    payload_vals = {
+        c: np.asarray([idx_rows[i][c] for i in perm], dtype=object)
+        for c in payload_cols
+    }
+    bc = spark.sparkContext.broadcast((mat, inorm, payload_vals))
+    n_idx = len(idx_rows)
+    q_cols = list(query_df.columns)
+
+    def _search(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mat_l, inorm_l, pay_l = bc.value
+        kk = min(k, n_idx)
+        ranks = np.arange(1, kk + 1, dtype=np.int32)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            qm = np.asarray(list(pdf[query_col]), dtype=np.float64)
+            qn = np.sqrt(np.einsum("ij,ij->i", qm, qm))
+            qn[qn == 0] = 1.0
+            sims = (qm @ mat_l.T) / (qn[:, None] * inorm_l[None, :])
+            if round_sim is not None:
+                sims = _round_half_away(sims, round_sim)
+            # stable argsort over the payload-ASC-presorted axis = the
+            # exact (sim DESC, payload ASC) ordering, ties included
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+            b = len(pdf)
+            qrep = np.repeat(np.arange(b), kk)
+            flat = top.ravel()
+            out = pdf.iloc[qrep].reset_index(drop=True)
+            for c in payload_cols:
+                out[c] = pd.Series(pay_l[c][flat])
+            out[sim_col] = sims[qrep, flat]
+            out[rank_col] = np.tile(ranks, b)
+            yield out[q_cols + payload_cols + [sim_col, rank_col]]
+
+    return query_df.mapInPandas(_search, schema=out_schema)
+
+
 def vector_search(
     query_df: DataFrame,
     index_df: DataFrame,
@@ -624,36 +729,74 @@ def vector_search_ivf(
     spark = query_df.sparkSession
     _probes = _probe_udf(centroids, nprobe, spark)
 
+    import pyspark.sql.types as T  # noqa: PLC0415
+
     q0 = query_df.withColumn(_QID, F.monotonically_increasing_id())
-    # norms are hoisted ONCE per side (the vector_search_topk_flat
-    # discipline): cosine per candidate pair then costs one zip_with dot
-    # instead of three array folds — at nprobe cells × index rows this is
-    # the difference between O(pairs·dim) and 3·O(pairs·dim) interpreted
-    # work (the r10 knn_classify_ivf pin dropped ~3× from this hoist)
-    q = q0.withColumn("centroid_id", F.explode(_probes(F.col(query_col)))).withColumn(
-        "__qnorm", norm_col(query_col)
+    # Per-CELL GEMM top-k (optimization guide §4.2): the old form joined
+    # every (query, candidate) pair as a JVM row and paid an interpreted
+    # zip_with dot per pair plus a corpus-candidate-sized window sort.
+    # Cogrouping query probes with the pruned index on centroid_id runs ONE
+    # float64 GEMM per cell and emits only k candidates per (query, cell);
+    # the global k-cut then sorts queries×nprobe×k rows instead of
+    # queries×(index/nlist)×nprobe. The per-cell cut is LOSSLESS: it keeps
+    # the top-k of each cell under the same (sim DESC, payload ASC) total
+    # order the global cut uses, and the global top-k is contained in the
+    # union of per-cell top-ks.
+    qp = q0.select(_QID, query_col).withColumn(
+        "centroid_id", F.explode(_probes(F.col(query_col)))
     )
-    # alias the index vector: query_col and index_col are usually both
-    # named "embedding", which would make the join output ambiguous
     idx = ivf_index_df.select(
         "centroid_id", *payload_cols, F.col(index_col).alias("__index_vec")
-    ).withColumn("__inorm", norm_col("__index_vec"))
-    joined = q.join(idx, on="centroid_id", how="inner")
-    sim = (
-        dot_col(F.col(query_col), F.col("__index_vec"))
-        / (F.col("__qnorm") * F.col("__inorm"))
-    ).alias("__sim")
-    if round_sim is not None:
-        sim = F.round(sim, round_sim).alias("__sim")
-    joined = joined.withColumn("__sim", sim)
-    w = Window.partitionBy(_QID).orderBy(F.desc("__sim"), *[F.asc(c) for c in payload_cols])
-    ranked = joined.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= k)
-    agg = ranked.groupBy(_QID).agg(
-        F.sort_array(
-            F.collect_list(
-                F.struct(F.col("__rk").alias("r"), F.struct(*[F.col(c) for c in payload_cols]).alias("s"))
-            )
-        ).alias("__pairs"),
+    )
+    pay_fields = [ivf_index_df.schema[c] for c in payload_cols]
+    cell_schema = T.StructType(
+        [T.StructField(_QID, T.LongType())]
+        + pay_fields
+        + [T.StructField("__sim", T.DoubleType())]
+    )
+
+    def _percell(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty or right.empty:
+            return pd.DataFrame({f.name: [] for f in cell_schema.fields})
+        # presort the cell by the payload tuple ASC: a stable descending-sim
+        # argsort over this order is exactly the (sim DESC, payload ASC)
+        # ranking, ties included
+        order = sorted(
+            range(len(right)),
+            key=lambda i: tuple(right.iloc[i][c] for c in payload_cols),
+        )
+        mat = np.asarray(list(right["__index_vec"].iloc[order]), dtype=np.float64)
+        inorm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        inorm[inorm == 0] = 1.0
+        qm = np.asarray(list(left[query_col]), dtype=np.float64)
+        qn = np.sqrt(np.einsum("ij,ij->i", qm, qm))
+        qn[qn == 0] = 1.0
+        sims = (qm @ mat.T) / (qn[:, None] * inorm[None, :])
+        if round_sim is not None:
+            sims = _round_half_away(sims, round_sim)
+        kk = min(k, sims.shape[1])
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        b = len(left)
+        qrep = np.repeat(np.arange(b), kk)
+        flat = top.ravel()
+        out = {_QID: left[_QID].to_numpy()[qrep]}
+        for c in payload_cols:
+            out[c] = right[c].iloc[order].to_numpy()[flat]
+        out["__sim"] = sims[qrep, flat]
+        return pd.DataFrame(out)
+
+    cell_hits = qp.groupBy("centroid_id").cogroup(
+        idx.groupBy("centroid_id")
+    ).applyInPandas(_percell, schema=cell_schema)
+    # global exact k-cut over the per-cell winners: sort key (−sim, payload
+    # ASC tuple) reproduces the old window's row_number ordering
+    sort_struct = F.struct(
+        (-F.col("__sim")).alias("ns"),
+        *[F.col(c).alias(f"p{i}") for i, c in enumerate(payload_cols)],
+        F.struct(*[F.col(c) for c in payload_cols]).alias("s"),
+    )
+    agg = cell_hits.groupBy(_QID).agg(
+        F.slice(F.array_sort(F.collect_list(sort_struct)), 1, k).alias("__pairs")
     )
     results = agg.select(
         _QID, F.transform(F.col("__pairs"), lambda p: p["s"]).alias(output_col)
@@ -661,8 +804,6 @@ def vector_search_ivf(
     # left-join back onto the original query rows: a query whose nprobe
     # probed cells contain no index rows must still appear (with an empty
     # search_results array) — the operator appends a column to EVERY row
-    import pyspark.sql.types as T  # noqa: PLC0415
-
     empty = F.array().cast(
         T.ArrayType(T.StructType([ivf_index_df.schema[c] for c in payload_cols]))
     )

@@ -50,6 +50,7 @@ from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (
 from flink_sql_ai_meetingcoach_azure_spark.operators.top_n import recent_top_n
 from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (
     vector_search_topk_flat,
+    vector_search_topk_flat_gemm,
 )
 
 # ---------------------------------------------------------------------------
@@ -1111,7 +1112,7 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < ANN_NQ).select(
         F.col("vec_id").alias("qid"), F.col("embedding")
     )
-    hits = vector_search_topk_flat(
+    hits = vector_search_topk_flat_gemm(
         queries,
         emb.select("vec_id", "embedding"),
         k=ANN_K,
@@ -4829,9 +4830,9 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = emb.filter(F.col("vec_id") < len(BM25_QUERIES)).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
     )
-    # reuse the audited flat-search operator (norms computed once per side,
-    # broadcast-ceiling guard + IVF auto-route included) for the vector half
-    vec = vector_search_topk_flat(
+    # reuse the audited flat-search operator (GEMM form: broadcast index,
+    # map-only plan, identical 6-dp ranking) for the vector half
+    vec = vector_search_topk_flat_gemm(
         qv,
         emb.select("vec_id", "embedding"),
         k=HYBRID_K,
@@ -11939,10 +11940,6 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     definition here — the IVF route swaps in when it isn't), queries
     stream map-side; votes are k rows per query."""
     _prep(spark)
-    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # noqa: PLC0415
-        vector_search_topk_flat,
-    )
-
     emb = _t(spark, sf_dir, "embeddings")
     labeled = emb.filter(F.col("vec_id") % 2 == 0).select(
         "vec_id", "embedding", "label"
@@ -11950,7 +11947,7 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 2 == 1).select(
         F.col("vec_id").alias("qid"), "embedding", F.col("label").alias("true_label")
     )
-    hits = vector_search_topk_flat(
+    hits = vector_search_topk_flat_gemm(
         queries,
         labeled,
         k=KNN_K,
@@ -13620,7 +13617,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < MMR_NQ).select(
         F.col("vec_id").alias("qid"), F.col("embedding")
     )
-    hits = vector_search_topk_flat(
+    hits = vector_search_topk_flat_gemm(
         queries,
         emb.select("vec_id", "embedding"),
         k=MMR_NCAND,
@@ -13823,7 +13820,7 @@ def q_knn_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % HUB_Q_MOD == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding")
     )
-    hits = vector_search_topk_flat(
+    hits = vector_search_topk_flat_gemm(
         queries,
         emb.select("vec_id", "embedding"),
         k=HUB_K + 1,  # self lands at rank 1 (sim 1.0); drop it below
@@ -14018,7 +14015,7 @@ def q_mmr_diversity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding")
     )
     top = (
-        vector_search_topk_flat(
+        vector_search_topk_flat_gemm(
             queries,
             emb.select("vec_id", "embedding"),
             k=MMR_K,
