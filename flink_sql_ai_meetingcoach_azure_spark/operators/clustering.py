@@ -31,14 +31,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from flink_sql_ai_meetingcoach_azure_spark.functions.hashing import md5_bigint_col
-from flink_sql_ai_meetingcoach_azure_spark.functions.vectors import cosine_similarity_col
 
 
 # k·dim above which lloyd_refine's assignment switches from inline plan
-# literals (map-only codegen) to the Arrow int64-matmul path — identical
-# exact values either way (pinned by test); module-level so tests can
-# force both paths over the same input
-INLINE_ASSIGN_BUDGET = 1024
+# literals to the Arrow int64-matmul path — identical exact values either
+# way (pinned by test); module-level so tests can force both paths over
+# the same input. Default 0: the inline form evaluates k interpreted
+# ``aggregate(zip_with(...))`` lambdas per row (higher-order functions
+# never enter codegen), so even at k=8/dim=64 the Arrow matmul halves the
+# refine wall-clock (measured r13: kmeans_refine 4.2s -> 1.9s warm); the
+# expr path remains for k=1 and as the pinned cross-check target.
+INLINE_ASSIGN_BUDGET = 0
 
 
 def _trunc_div(s: int, n: int) -> int:
@@ -254,32 +257,70 @@ def assign_nearest_centroid(
     """(id, cluster_id, sim): nearest centroid by cosine, 6-dp rounded,
     centroid-id ASC tie-break.
 
-    The argmax is one combinable ``min(struct(-sim, cid))`` aggregate —
-    partial aggregation collapses the k-way blowup map-side, so the
-    exchange carries ~one row per embedding.
+    GEMM form (optimization guide §4.2): the centroid model is collected
+    once (model-sized — k·dim, never data-sized) and each Arrow batch of
+    embeddings runs ONE float64 GEMM against it, so the plan is MAP-ONLY:
+    no k-way pair blowup in the JVM (the old broadcast nested loop paid an
+    interpreted 3-fold cosine per (row, centroid) pair) and no exchange at
+    all (the old min-struct argmax shuffled a row per embedding).
+
+    Exactness: similarity = round(dot/(|e|·|c|), 6) with half-AWAY
+    rounding (SQL ``round``); ``np.argmax`` returns the FIRST maximum over
+    the cid-ASC-ordered centroid axis — the same (sim DESC, cid ASC)
+    tie-break as ``min(struct(-sim, cid))``.
     """
-    pairs = embeddings.select(
-        F.col(id_col), F.col(vec_col)
-    ).crossJoin(
-        F.broadcast(
-            centroids.select(
-                F.col(centroid_id_col).alias("_cid"),
-                F.col(centroid_vec_col).alias("_cvec"),
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # noqa: PLC0415
+        _round_half_away,
+    )
+
+    cent_rows = centroids.select(
+        F.col(centroid_id_col).alias("_cid"), F.col(centroid_vec_col).alias("_cvec")
+    ).collect()
+    cent_rows.sort(key=lambda r: r["_cid"])
+    cids = np.asarray([r["_cid"] for r in cent_rows], dtype=np.int64)
+    cmat = np.asarray([r["_cvec"] for r in cent_rows], dtype=np.float64)
+    cnorm = np.sqrt(np.einsum("ij,ij->i", cmat, cmat))
+    cnorm[cnorm == 0] = 1.0
+    spark = embeddings.sparkSession
+    bc = spark.sparkContext.broadcast((cids, cmat, cnorm))
+    src = embeddings.select(id_col, vec_col)
+    id_field = src.schema[id_col]
+
+    def _assign(batches):
+        cids_l, cmat_l, cnorm_l = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            xn = np.sqrt(np.einsum("ij,ij->i", x, x))
+            xn[xn == 0] = 1.0
+            sims = _round_half_away(
+                (x @ cmat_l.T) / (xn[:, None] * cnorm_l[None, :]), 6
             )
-        )
-    ).withColumn(
-        "_sim", F.round(cosine_similarity_col(vec_col, "_cvec"), 6)
+            best = sims.argmax(axis=1)  # first max = cid-ASC tie-break
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "cluster_id": cids_l[best],
+                    "sim": sims[np.arange(len(best)), best],
+                }
+            )
+
+    import pyspark.sql.types as T  # noqa: PLC0415
+
+    out_schema = T.StructType(
+        [
+            id_field,
+            T.StructField(
+                "cluster_id", centroids.schema[centroid_id_col].dataType
+            ),
+            T.StructField("sim", T.DoubleType()),
+        ]
     )
-    best = (
-        pairs.groupBy(id_col)
-        .agg(F.min(F.struct((-F.col("_sim")).alias("ns"), F.col("_cid").alias("cid"))).alias("m"))
-        .select(
-            id_col,
-            F.col("m.cid").alias("cluster_id"),
-            (-F.col("m.ns")).alias("sim"),
-        )
-    )
-    return best
+    return src.mapInPandas(_assign, schema=out_schema)
 
 
 def cluster_balanced_sample(

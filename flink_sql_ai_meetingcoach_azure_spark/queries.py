@@ -38,7 +38,11 @@ from flink_sql_ai_meetingcoach_azure_spark.functions.text_analysis import (
     subword_count_col,
     token_count_col,
 )
-from flink_sql_ai_meetingcoach_azure_spark.functions.vectors import cosine_similarity_col
+from flink_sql_ai_meetingcoach_azure_spark.functions.vectors import (
+    cosine_similarity_col,
+    dot_col,
+    norm_col,
+)
 from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import (
     dedup_exact,
     embedding_cosine_pairs,
@@ -5337,25 +5341,37 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # read it (both sides of the within-cluster pair join + the final
     # anti-join): materialize it once instead of recomputing per branch
     assigned = assign_nearest_centroid(corpus, seeds).localCheckpoint(eager=False)
-    av = assigned.join(corpus.select("vec_id", "embedding"), "vec_id").localCheckpoint(
-        eager=False
-    )
+    # norms hoisted ONCE per row (the vector_search_topk_flat discipline):
+    # the within-cluster pair join then pays one zip_with dot per pair
+    # instead of three array folds — same doubles in the same order as
+    # cosine_similarity_col, just not recomputed per pair
+    av = assigned.join(corpus.select("vec_id", "embedding"), "vec_id").withColumn(
+        "__n", norm_col("embedding")
+    ).localCheckpoint(eager=False)
     left = av.select(
         F.col("cluster_id").alias("l_cid"),
         F.col("vec_id").alias("l_id"),
         F.col("embedding").alias("l_v"),
+        F.col("__n").alias("l_n"),
     )
     right = av.select(
         F.col("cluster_id").alias("r_cid"),
         F.col("vec_id").alias("r_id"),
         F.col("embedding").alias("r_v"),
+        F.col("__n").alias("r_n"),
     )
     dropped = (
         left.join(
             right,
             (F.col("l_cid") == F.col("r_cid")) & (F.col("l_id") < F.col("r_id")),
         )
-        .withColumn("cs", F.round(cosine_similarity_col("l_v", "r_v"), 6))
+        .withColumn(
+            "cs",
+            F.round(
+                dot_col(F.col("l_v"), F.col("r_v")) / (F.col("l_n") * F.col("r_n")),
+                6,
+            ),
+        )
         .filter(F.col("cs") >= SEMDEDUP_TAU)
         .select(F.col("r_id").alias("vec_id"))
         .distinct()
@@ -12629,36 +12645,48 @@ def q_silhouette_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     emb = _t(spark, sf_dir, "embeddings")
     seeds = _refined_seeds(spark, emb, CLUSTER_K)
-    pairs = emb.crossJoin(F.broadcast(seeds)).select(
-        "vec_id",
-        F.col("centroid_id").alias("cid"),
-        F.round(
-            cosine_similarity_col(
-                F.col("embedding").cast("array<double>"), F.col("centroid")
+    # GEMM top-2 (optimization guide §4.2): the old broadcast cross join
+    # paid an interpreted 3-fold cosine per (vec, centroid) pair plus one
+    # exchange for the per-vec top-2 aggregate; one float64 GEMM per Arrow
+    # batch against the k-row centroid model computes every sp and the
+    # (sp DESC, cid ASC) top-2 map-side — no Exchange before the
+    # per-cluster rollup. sp = round(cos·1e6) half-away (SQL round), ties
+    # by first-max over the cid-ASC centroid axis — identical to the old
+    # min-struct ordering.
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    cent_rows = sorted(seeds.collect(), key=lambda r: r["centroid_id"])
+    cmat = np.asarray([r["centroid"] for r in cent_rows], dtype=np.float64)
+    cnorm = np.sqrt(np.einsum("ij,ij->i", cmat, cmat))
+    cnorm[cnorm == 0] = 1.0
+    cids = np.asarray([r["centroid_id"] for r in cent_rows], dtype=np.int64)
+    bc = spark.sparkContext.broadcast((cids, cmat, cnorm))
+
+    def _top2(batches):
+        cids_l, cmat_l, cnorm_l = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+            xn = np.sqrt(np.einsum("ij,ij->i", x, x))
+            xn[xn == 0] = 1.0
+            cos = (x @ cmat_l.T) / (xn[:, None] * cnorm_l[None, :])
+            sp = (np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5)).astype(
+                np.int64
             )
-            * 1_000_000.0
-        )
-        .cast("bigint")
-        .alias("sp"),
-    )
-    top2 = (
-        pairs.groupBy("vec_id")
-        .agg(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct((-F.col("sp")).alias("ns"), F.col("cid"))
-                    )
-                ),
-                1,
-                2,
-            ).alias("t2")
-        )
-        .select(
-            F.col("t2")[0]["cid"].alias("cluster_id"),
-            (-F.col("t2")[0]["ns"]).alias("s1p"),
-            (-F.col("t2")[1]["ns"]).alias("s2p"),
-        )
+            top = np.argsort(-sp, axis=1, kind="stable")[:, :2]
+            rows = np.arange(len(sp))
+            yield pd.DataFrame(
+                {
+                    "cluster_id": cids_l[top[:, 0]].astype("int32"),
+                    "s1p": sp[rows, top[:, 0]],
+                    "s2p": sp[rows, top[:, 1]],
+                }
+            )
+
+    top2 = emb.select("embedding").mapInPandas(
+        _top2, schema="cluster_id int, s1p bigint, s2p bigint"
     )
     sil = top2.select(
         "cluster_id",
@@ -13634,98 +13662,64 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = (
         cv.join(F.broadcast(hits), "vec_id")  # hits is NQ x M — broadcast it
         .select("qid", "vec_id", "sim_ppm", "embedding")
-        .localCheckpoint(eager=False)  # bounded: NQ x M rows
     )
-    # candidate-pair sims within each query's pool: M^2 per query, exact
-    # integer ppm after the 6-dp round
-    a = cands.select(
-        "qid", F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")
+    # The greedy rounds fold per-QUERY state that is M-bounded by
+    # construction (M = MMR_NCAND candidates, M² pair sims), so the whole
+    # selection runs as ONE applyInPandas per query group instead of
+    # MMR_K driver-orchestrated join+checkpoint jobs over 100 rows
+    # (optimization guide §1.2: fix the distributed algorithm first — the
+    # old shape paid ~2·MMR_K job launches of pure scheduling overhead).
+    # Arithmetic is EXACTLY the unrolled-CTE oracle's: candidate-pair
+    # cosines in float64 rounded half-away to 6 dp then to integer ppm,
+    # greedy argmax of 7·sim − 3·maxsel in int64 with smallest-id ties.
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # noqa: PLC0415
+        _round_half_away,
     )
-    b = cands.select(
-        "qid", F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb")
-    )
-    cp = (  # M rows per query on each side — broadcast one
-        a.join(F.broadcast(b), "qid")
-        .select(
-            "qid",
-            "id_a",
-            "id_b",
-            F.round(F.round(cosine_similarity_col("va", "vb"), 6) * 1_000_000)
-            .cast("bigint")
-            .alias("sim_dd_ppm"),
-        )
-        .localCheckpoint(eager=False)
-    )
-    # greedy rounds over bounded state (qid, vec_id, sim_ppm, maxsel, sel)
-    st = cands.select(
-        "qid",
-        "vec_id",
-        "sim_ppm",
-        F.lit(-1_000_000).cast("bigint").alias("maxsel_ppm"),
-        F.lit(0).alias("sel"),
-    ).localCheckpoint()
-    picks = []
+
     lam, lam1 = MMR_LAMBDA_X10, 10 - MMR_LAMBDA_X10
-    for r in range(1, MMR_K + 1):
-        mmr = lam * F.col("sim_ppm") - lam1 * F.col("maxsel_ppm")
-        pick = (
-            st.filter(F.col("sel") == 0)
-            .groupBy("qid")
-            .agg(
-                F.min(
-                    F.struct(
-                        (-mmr).alias("nm"), F.col("vec_id").alias("vid")
-                    )
-                ).alias("__w")
-            )
-            .select(
-                "qid",
-                F.col("__w.vid").alias("pick_id"),
-                (-F.col("__w.nm")).cast("bigint").alias("mmr_x10"),
-                F.lit(r).alias("mmr_rank"),
-            )
+
+    def _greedy(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        sim_ppm = pdf["sim_ppm"].to_numpy(dtype=np.int64)
+        mat = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", mat, mat))
+        nrm[nrm == 0] = 1.0
+        cos6 = _round_half_away(
+            (mat @ mat.T) / (nrm[:, None] * nrm[None, :]), 6
         )
-        picks.append(pick.localCheckpoint())
-        st = (
-            st.join(F.broadcast(picks[-1].select("qid", "pick_id")), "qid")
-            .join(
-                F.broadcast(cp.select(
-                    "qid",
-                    F.col("id_a").alias("vec_id"),
-                    F.col("id_b").alias("pick_id"),
-                    "sim_dd_ppm",
-                )),
-                ["qid", "vec_id", "pick_id"],
-                "left",
-            )
-            .select(
-                "qid",
-                "vec_id",
-                "sim_ppm",
-                F.greatest(
-                    "maxsel_ppm", F.coalesce("sim_dd_ppm", F.lit(-1_000_000))
-                ).alias("maxsel_ppm"),
-                F.when(F.col("vec_id") == F.col("pick_id"), r)
-                .otherwise(F.col("sel"))
-                .alias("sel"),
-            )
-            .localCheckpoint()
+        dd_ppm = (np.sign(cos6) * np.floor(np.abs(cos6) * 1e6 + 0.5)).astype(
+            np.int64
         )
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionByName(p)
-    sims = cands.select(
-        "qid", F.col("vec_id").alias("pick_id"), "sim_ppm"
+        n = len(ids)
+        maxsel = np.full(n, -1_000_000, dtype=np.int64)
+        unsel = np.ones(n, dtype=bool)
+        out = []
+        for r in range(1, MMR_K + 1):
+            score = lam * sim_ppm - lam1 * maxsel
+            # argmax with smallest-id tie: ids are sorted ASC, argmax
+            # returns the first (= smallest-id) maximum
+            masked = np.where(unsel, score, np.iinfo(np.int64).min)
+            j = int(np.argmax(masked))
+            out.append((int(ids[j]), r, int(ids[j]), int(sim_ppm[j]), int(score[j])))
+            unsel[j] = False
+            maxsel = np.maximum(maxsel, dd_ppm[:, j])
+        qid = int(pdf["qid"].iloc[0])
+        return pd.DataFrame(
+            [(qid, rk, nid, sp, mx) for (_, rk, nid, sp, mx) in out],
+            columns=["qid", "mmr_rank", "neighbor_id", "sim_ppm", "mmr_x10"],
+        )
+
+    out_schema = (
+        "qid bigint, mmr_rank int, neighbor_id bigint, "
+        "sim_ppm bigint, mmr_x10 bigint"
     )
     return (
-        out.join(F.broadcast(sims), ["qid", "pick_id"])
-        .select(
-            "qid",
-            "mmr_rank",
-            F.col("pick_id").alias("neighbor_id"),
-            "sim_ppm",
-            "mmr_x10",
-        )
+        cands.groupBy("qid")
+        .applyInPandas(_greedy, schema=out_schema)
         .orderBy("qid", "mmr_rank")
     )
 
