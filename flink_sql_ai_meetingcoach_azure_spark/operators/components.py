@@ -83,6 +83,9 @@ def connected_components(
         # strictly-larger neighbor re-attaches to min(neighborhood ∪ self).
         sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        # the mid-round distinct stays: a size-c duplicate clique emits
+        # O(c²) large-star rows that collapse to O(c) distinct edges, and
+        # the small-star join must not see the inflated multiset at scale
         large = (
             sym.join(m, "u")
             .filter(F.col("v") > F.col("u"))
@@ -109,9 +112,13 @@ def connected_components(
         # can cost one extra verification job but never a wrong early stop.
         cur_stats = _stats(small)
         if cur_stats == prev_stats:
+            # one confirmation job, not two: union the two difference
+            # directions and probe for any surviving row
             changed = (
-                small.exceptAll(edges).limit(1).count()
-                + edges.exceptAll(small).limit(1).count()
+                small.exceptAll(edges)
+                .union(edges.exceptAll(small))
+                .limit(1)
+                .count()
             )
             if changed == 0:
                 edges = small

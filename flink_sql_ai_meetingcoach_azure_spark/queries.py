@@ -14167,29 +14167,55 @@ def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = emb.filter(F.col("vec_id") % SEMDECON_MOD != 0).select(
         "vec_id", "embedding"
     )
-    sims = (
-        train.join(F.broadcast(ev), how="cross")
-        .select(
-            "vec_id",
-            "eval_id",
-            F.round(
-                F.round(cosine_similarity_col("embedding", "__ev"), 6)
-                * 1_000_000
+    # GEMM form (optimization guide §4.2): the eval set is the broadcast
+    # model side by construction, so one float64 GEMM per Arrow batch of
+    # the streaming train side computes every pair sim AND the per-row
+    # (sim DESC, eval_id ASC) argmax map-side — no pair rows in the JVM,
+    # no per-vec window exchange. Row-wise first-max over the
+    # eval_id-ASC-sorted eval axis = the rk=1 pick; the τ filter commutes
+    # with the argmax (a row survives iff its max survives).
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.vector_search import (  # noqa: PLC0415
+        _round_half_away,
+    )
+
+    ev_rows = sorted(ev.collect(), key=lambda r: r["eval_id"])
+    eids = np.asarray([r["eval_id"] for r in ev_rows], dtype=np.int64)
+    emat = np.asarray([r["__ev"] for r in ev_rows], dtype=np.float64)
+    enorm = np.sqrt(np.einsum("ij,ij->i", emat, emat))
+    enorm[enorm == 0] = 1.0
+    bc = spark.sparkContext.broadcast((eids, emat, enorm))
+
+    def _flag(batches):
+        eids_l, emat_l, enorm_l = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+            xn = np.sqrt(np.einsum("ij,ij->i", x, x))
+            xn[xn == 0] = 1.0
+            cos6 = _round_half_away(
+                (x @ emat_l.T) / (xn[:, None] * enorm_l[None, :]), 6
             )
-            .cast("bigint")
-            .alias("sim_ppm"),
-        )
-        .filter(F.col("sim_ppm") >= SEMDECON_TAU_PPM)
-    )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.desc("sim_ppm"), F.asc("eval_id")
-    )
-    return (
-        sims.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", "eval_id", "sim_ppm")
-        .orderBy("vec_id")
-    )
+            ppm = (np.sign(cos6) * np.floor(np.abs(cos6) * 1e6 + 0.5)).astype(
+                np.int64
+            )
+            best = ppm.argmax(axis=1)  # first max = eval_id-ASC tie-break
+            bp = ppm[np.arange(len(best)), best]
+            keep = bp >= SEMDECON_TAU_PPM
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy()[keep],
+                    "eval_id": eids_l[best[keep]],
+                    "sim_ppm": bp[keep],
+                }
+            )
+
+    return train.mapInPandas(
+        _flag, schema="vec_id bigint, eval_id bigint, sim_ppm bigint"
+    ).orderBy("vec_id")
 
 
 def _sql_semantic_decontaminate() -> str:

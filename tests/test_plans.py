@@ -42,10 +42,15 @@ def test_join_revenue_broadcasts_dims(spark):
     assert "o_comment" not in plan and "o_orderdate" not in plan
 
 
-def test_ann_topk_broadcasts_index(spark):
+def test_ann_topk_is_map_only_gemm(spark):
+    """r13: flat search is one GEMM mapInPandas against the broadcast
+    index — the pair space never materializes as JVM rows and the plan
+    has no exchange at all (the old form cross-joined every pair and
+    window-sorted them per query)."""
     plan = _plan(spark, "ann_topk")
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "SortMergeJoin" not in plan
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
 def test_relational_queries_stay_jvm_side(spark):
@@ -116,9 +121,14 @@ def test_quality_filter_is_map_only(spark):
     assert "Join" not in plan and "Sort" not in plan
 
 
-def test_cluster_assignment_broadcasts_centroids(spark):
+def test_cluster_assignment_is_map_only_gemm(spark):
+    """r13: the centroid assignment is a single GEMM mapInPandas against
+    the collected model — no per-(row, centroid) pair blowup in the JVM
+    (the old BroadcastNestedLoopJoin) and no assignment-side exchange;
+    the only exchange left is the per-cluster sample window."""
     plan = _plan(spark, "cluster_sample")
-    assert "BroadcastNestedLoopJoin" in plan  # centroids broadcast
+    assert "MapInPandas" in plan  # GEMM assignment stage
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
 
 
