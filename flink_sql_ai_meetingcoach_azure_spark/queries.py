@@ -11821,8 +11821,6 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc, bucket) combinable aggregate — the model itself is
     constant-size by construction (that is DSIR's point)."""
     _prep(spark)
-    from pyspark.sql import Window as W  # noqa: PLC0415
-
     from flink_sql_ai_meetingcoach_azure_spark.functions.hashing import (  # noqa: PLC0415
         md5_int32_col,
     )
@@ -11831,20 +11829,27 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = _t(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", "lang", F.posexplode(tokens_col("text")).alias("__p", "__w")
-    )
-    win = W.partitionBy("doc_id").orderBy("__p")
+    # bigrams straight off the token ARRAY (zip the array with its own
+    # tail), so no per-token rows are ever shuffled: the old lag() window
+    # exchanged the whole exploded token stream by doc_id just to pair
+    # adjacent tokens that were already adjacent in the array
+    # (optimization guide §2.4 — remove shuffles outright). Same bigram
+    # multiset per doc; the md5 bucketing below is unchanged codegen.
     bg = (
-        tok.withColumn("__prev", F.lag("__w").over(win))
-        .filter(F.col("__prev").isNotNull())
+        docs.select("doc_id", "lang", tokens_col("text").alias("__t"))
         .select(
             "doc_id",
             "lang",
-            (
-                md5_int32_col(F.concat_ws(" ", "__prev", "__w"))
-                % DSIR_BUCKETS
-            ).alias("b"),
+            F.explode(
+                F.expr(
+                    "zip_with(slice(__t, 1, greatest(size(__t) - 1, 0)), "
+                    "slice(__t, 2, greatest(size(__t) - 1, 0)), "
+                    "(a, b) -> concat(a, ' ', b))"
+                )
+            ).alias("__bg"),
+        )
+        .select(
+            "doc_id", "lang", (md5_int32_col("__bg") % DSIR_BUCKETS).alias("b")
         )
     )
     raw = bg.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
@@ -12419,37 +12424,43 @@ def q_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     then one combinable per-label aggregate. Zero vectors (undefined
     cosine) are excluded by the norm guard — pinned."""
     _prep(spark)
-    from flink_sql_ai_meetingcoach_azure_spark.functions.vectors import (  # noqa: PLC0415
-        cosine_similarity_col,
-    )
-    from flink_sql_ai_meetingcoach_azure_spark.operators.quantize import (  # noqa: PLC0415
-        dequantize_col,
-        quantize_embeddings,
-    )
+    # One Arrow pass computes quantize → dequantize → cosine per batch
+    # (optimization guide §4.2): the old form chained ~8 interpreted
+    # higher-order array passes per row (maxabs transform, quantize
+    # transform, dequantize transform, norm-guard fold, 3 cosine folds),
+    # none of which enter codegen. Arithmetic is the oracle's, step for
+    # step in float64: s = max|v|/127, q = round-half-away(v/s) (SQL
+    # round-to-tinyint), x̂ = q·s, err = 1e6 − round-half-away(cos·1e6),
+    # zero-reconstruction rows excluded by the same |x̂|² > 0 guard.
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
 
     emb = _t(spark, sf_dir, "embeddings")
-    qdf = quantize_embeddings(
-        emb.select(
-            "vec_id",
-            "label",
-            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
-        ),
-        vec_col="v",
-    )
-    recon = qdf.withColumn("dv", dequantize_col("q_vec", "q_scale"))
-    per_vec = (
-        recon.filter(
-            F.expr("aggregate(dv, 0.0D, (acc, x) -> acc + x * x)") > 0
-        )
-        .select(
-            "label",
-            (
-                F.lit(1_000_000)
-                - F.round(cosine_similarity_col("v", "dv") * 1_000_000).cast(
-                    "bigint"
-                )
-            ).alias("err_micro"),
-        )
+
+    def _err(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.asarray(list(pdf["embedding"]), dtype=np.float64)
+            s = np.abs(v).max(axis=1) / 127.0
+            safe_s = np.where(s == 0, 1.0, s)
+            q = np.sign(v) * np.floor(np.abs(v / safe_s[:, None]) + 0.5)
+            dv = np.where(s[:, None] == 0, 0.0, q * safe_s[:, None])
+            dn2 = np.einsum("ij,ij->i", dv, dv)
+            keep = dn2 > 0
+            v, dv, dn2 = v[keep], dv[keep], dn2[keep]
+            cos = np.einsum("ij,ij->i", v, dv) / (
+                np.sqrt(np.einsum("ij,ij->i", v, v)) * np.sqrt(dn2)
+            )
+            err = 1_000_000 - (
+                np.sign(cos) * np.floor(np.abs(cos) * 1e6 + 0.5)
+            ).astype(np.int64)
+            yield pd.DataFrame(
+                {"label": pdf["label"].to_numpy()[keep], "err_micro": err}
+            )
+
+    per_vec = emb.select("label", "embedding").mapInPandas(
+        _err, schema="label int, err_micro bigint"
     )
     return (
         per_vec.groupBy("label")
