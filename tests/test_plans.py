@@ -537,9 +537,13 @@ def test_mmr_entries_stay_broadcast_only(spark):
         assert "CartesianProduct" not in plan, name
 
 
-def test_semantic_decontaminate_broadcasts_eval_side(spark):
+def test_semantic_decontaminate_is_map_side_gemm(spark):
+    """r13: the eval set is the broadcast model inside one GEMM
+    mapInPandas; pair rows never exist in the JVM and the per-train
+    argmax window is computed map-side (no pair Exchange, no Window —
+    the only exchange left is the output sort)."""
     plan = _plan(spark, "semantic_decontaminate")
-    assert "BroadcastNestedLoopJoin" in plan  # eval side broadcast
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
-    # the tau filter runs before the per-train argmax window
-    assert "Window" in plan
+    assert "Window" not in plan
