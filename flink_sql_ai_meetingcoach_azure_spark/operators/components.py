@@ -29,7 +29,7 @@ part of this repo's beyond-reference training-data curation layer.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Observation, functions as F
 
 
 def _canonical_edges(pairs: DataFrame, id_a: str, id_b: str) -> DataFrame:
@@ -55,62 +55,80 @@ def connected_components(
     node's component (so ``node == component`` marks the representative).
     Nodes with no edges don't appear — callers join back to the corpus.
 
-    Each large-star/small-star round is two shuffles keyed by node id
-    (map-side-combinable ``min`` aggregations + one self-join per pass);
-    the edge list only ever shrinks toward the star forest, never grows
-    past its input size, so per-round cost is bounded by the initial pair
-    count. Convergence is probed per round by a cheap order-invariant
-    checksum aggregate and confirmed exactly (two-sided ``exceptAll``)
-    only when the checksum first reports a stable edge set.
+    Each large-star/small-star round is two shuffles keyed by node id:
+    the symmetrized edges are hash-repartitioned ONCE per star and both
+    the ``min`` aggregation and the re-attach join read that same
+    exchange (ReusedExchange — r13: the groupBy/join pair used to shuffle
+    its input twice per star, 7 exchanges per round are now 4); the edge
+    list only ever shrinks toward the star forest, never grows past its
+    input size, so per-round cost is bounded by the initial pair count.
+    Convergence is probed per round by a cheap order-invariant checksum
+    computed as an ``observe`` metric DURING the per-round checkpoint
+    materialization (zero extra jobs — r13; AQE runs one job per
+    exchange, so driver-sequential jobs are the real round cost) and
+    confirmed exactly (two-sided ``exceptAll``) only when the checksum
+    first reports a stable edge set.
     """
-    def _stats(e: DataFrame) -> tuple[int, int]:
-        # unordered-set checksum of a distinct edge set: one map-side-
-        # combinable aggregate over the cached (localCheckpointed) blocks —
-        # replaces two exceptAll shuffle jobs per round as the convergence
-        # probe.  xxhash64 over both endpoints; bit_xor is order-invariant
-        # and cannot overflow under ANSI mode (a sum of hashes can).
-        r = e.agg(
+    def _edge_metrics() -> tuple[Observation, list]:
+        # unordered-set checksum of a distinct edge set: ``observe``
+        # metrics ride the checkpoint job.  xxhash64 over both endpoints;
+        # bit_xor is order-invariant and cannot overflow under ANSI mode
+        # (a sum of hashes can).
+        obs = Observation()
+        return obs, [
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
-        ).first()
-        return (r["n"], r["h"])
+        ]
 
-    edges = _canonical_edges(pairs, id_a, id_b).localCheckpoint()
-    prev_stats = _stats(edges)
+    obs0, m0 = _edge_metrics()
+    edges = _canonical_edges(pairs, id_a, id_b).observe(obs0, *m0).localCheckpoint()
+    prev_stats = (obs0.get["n"], obs0.get["h"])
 
     for _ in range(max_iter):
         # -- large-star: group the symmetrized edges by node; every
         # strictly-larger neighbor re-attaches to min(neighborhood ∪ self).
+        # One explicit hash repartition feeds BOTH the min-aggregate and
+        # the re-attach join, so neither adds its own exchange (no
+        # numPartitions given — AQE stays free to coalesce).
         sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        m = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        sym_p = sym.repartition("u")
+        m = sym_p.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
         # the mid-round distinct stays: a size-c duplicate clique emits
         # O(c²) large-star rows that collapse to O(c) distinct edges, and
         # the small-star join must not see the inflated multiset at scale
         large = (
-            sym.join(m, "u")
+            sym_p.join(m, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.least("v", "m").alias("u"), F.greatest("v", "m").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
         # -- small-star: group by the LARGER endpoint; it and all its
-        # smaller neighbors re-attach to the minimum of the group.
-        bigend = large.select(F.col("v").alias("c"), F.col("u").alias("n"))
+        # smaller neighbors re-attach to the minimum of the group (same
+        # single-repartition discipline).  The (c, m) union branch needs
+        # no pre-distinct of its own: the outer distinct's map-side
+        # partial aggregation collapses the per-partition duplicates
+        # before the shuffle, so a hot c emits at most one row per
+        # partition either way (r13: dropped — one exchange less).
+        bigend = large.select(F.col("v").alias("c"), F.col("u").alias("n")).repartition("c")
         sm = bigend.groupBy("c").agg(F.min("n").alias("m"))
         joined = bigend.join(sm, "c")
+        obs, mets = _edge_metrics()
         small = (
             joined.select(F.col("n").alias("x"), F.col("m"))
-            .union(joined.select(F.col("c").alias("x"), F.col("m")).distinct())
+            .union(joined.select(F.col("c").alias("x"), F.col("m")))
             .filter(F.col("x") != F.col("m"))
             .select(F.col("m").alias("u"), F.col("x").alias("v"))
             .distinct()
+            .observe(obs, *mets)
             .localCheckpoint()
         )
-        # cheap convergence probe: count + order-invariant checksum (one
-        # aggregate job).  Only when the checksum claims stability do we pay
-        # the exact two-sided exceptAll confirmation — so a 64-bit collision
-        # can cost one extra verification job but never a wrong early stop.
-        cur_stats = _stats(small)
+        # cheap convergence probe: count + order-invariant checksum read
+        # from the checkpoint job's observed metrics.  Only when the
+        # checksum claims stability do we pay the exact two-sided
+        # exceptAll confirmation — so a 64-bit collision can cost one
+        # extra verification job but never a wrong early stop.
+        cur_stats = (obs.get["n"], obs.get["h"])
         if cur_stats == prev_stats:
             # one confirmation job, not two: union the two difference
             # directions and probe for any surviving row

@@ -30,7 +30,7 @@ def main() -> None:
     names = args[1:]
     spark = get_spark("profile")
     for name in names:
-        fn = QUERIES[name]
+        fn = QUERIES[name].fn
         spark.sparkContext.setJobDescription(f"profile:{name}:warmup")
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         ts = []
