@@ -15069,6 +15069,44 @@ ORDER BY doc_a, doc_b
 """
 
 
+def _allpairs_l1_truth(decoded: DataFrame, arr_col: str, thresh: int) -> DataFrame:
+    """EXACT all-pairs L1 ground-truth pairs (``doc_a < doc_b``, distance
+    ``<= thresh``) over a MAX_ID-bounded eval fixture. The fixture corpus
+    is bounded by design (production ships 16-byte signatures — PLANS.md),
+    so the whole decoded matrix fits ONE ``applyInPandas`` group and every
+    pairwise distance is a single numpy int64 broadcast pass — replacing
+    the posexplode + position-join + pair groupBy that shuffled
+    |docs|·|arr| element rows (guide §4.2: hand the batch to vectorized
+    native code). Exactness: int64 ``|a-b|`` sums are the same integers
+    the SQL ``sum(abs(va - vb))`` computes; sorting ids ascending makes
+    ``triu(k=1)`` emit exactly the ``doc_a < doc_b`` pairs."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    def _pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf["doc_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        mat = np.stack(
+            [np.asarray(v, dtype=np.int64) for v in pdf[arr_col].to_numpy()[order]]
+        )
+        # one vectorized |row_i - rows| pass per doc: peak extra memory is
+        # one n×dim block, NOT the n²×dim broadcast cube (which churned
+        # hundreds of MB per call in the reused Python worker)
+        n = len(ids)
+        d = np.empty((n, n), dtype=np.int64)
+        for i in range(n):
+            d[i] = np.abs(mat[i] - mat).sum(axis=1)
+        ia, ib = np.nonzero(np.triu(d <= thresh, k=1))
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    return (
+        decoded.select("doc_id", arr_col)
+        .groupBy(F.lit(1).alias("__g"))
+        .applyInPandas(_pairs, "doc_a bigint, doc_b bigint")
+    )
+
+
 def q_dhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall/precision of the dHash band pair search against EXACT
     pixel-distance ground truth — the eval-discipline sibling every
@@ -15091,24 +15129,9 @@ def q_dhash_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < DHASH_MAX_ID
     ).select("doc_id")
     media = _dhash_fixture_media(docs)
-    px = decode_pixels(media, id_col="doc_id").select(
-        "doc_id", F.posexplode("pixels").alias("pos", "val")
-    )
-    pa = px.select(
-        F.col("doc_id").alias("doc_a"), "pos", F.col("val").alias("va")
-    )
-    pb = px.select(
-        F.col("doc_id").alias("doc_b"), "pos", F.col("val").alias("vb")
-    )
-    truth = (
-        pa.join(pb, "pos")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.abs(F.col("va") - F.col("vb"))).alias("pdist"))
-        .filter(F.col("pdist") <= DHASH_PD_T)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
-    )
+    truth = _allpairs_l1_truth(
+        decode_pixels(media, id_col="doc_id"), "pixels", DHASH_PD_T
+    ).localCheckpoint(eager=False)
     pred = _dhash_pairs(spark, sf_dir).select("doc_a", "doc_b").localCheckpoint(
         eager=False
     )
@@ -15337,24 +15360,9 @@ def q_audio_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") < AUDIONEAR_MAX_ID
     ).select("doc_id")
     media = _audio_neardup_fixture_media(docs)
-    px = decode_samples(media, id_col="doc_id").select(
-        "doc_id", F.posexplode("samples").alias("pos", "val")
-    )
-    pa = px.select(
-        F.col("doc_id").alias("doc_a"), "pos", F.col("val").alias("va")
-    )
-    pb = px.select(
-        F.col("doc_id").alias("doc_b"), "pos", F.col("val").alias("vb")
-    )
-    truth = (
-        pa.join(pb, "pos")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.abs(F.col("va") - F.col("vb"))).alias("pdist"))
-        .filter(F.col("pdist") <= AUDIO_PD_T)
-        .select("doc_a", "doc_b")
-        .localCheckpoint(eager=False)
-    )
+    truth = _allpairs_l1_truth(
+        decode_samples(media, id_col="doc_id"), "samples", AUDIO_PD_T
+    ).localCheckpoint(eager=False)
     # Reuse the one fixture-media subtree for both the decode and the
     # signature sides (ADVICE r12) — the per-row WAV encode runs once.
     sigs = audio_delta_signatures(

@@ -1587,3 +1587,43 @@ def test_decode_png_subbyte_grayscale():
     cb = np.indices((4, 4)).sum(axis=0) % 2
     got = decode_png(encode_png(cb, 0, depth=1))
     assert set(np.unique(got)) == {0, 255}
+
+
+def test_allpairs_l1_truth_matches_join_form(spark):
+    """r13: the recall-eval ground truth runs as ONE numpy pass over the
+    fixture-bounded decoded arrays — pin it against the definitional
+    posexplode/position-join form on a corpus with known L1 geometry
+    (including an exact-threshold tie and an unsorted id order)."""
+    from flink_sql_ai_meetingcoach_azure_spark.queries import _allpairs_l1_truth
+
+    rows = [
+        (30, [0, 0, 0, 0]),
+        (10, [1, 2, 3, 4]),   # d(10,30)=10, d(10,20)=4
+        (20, [1, 2, 3, 0]),   # d(20,30)=6
+        (40, [100, 100, 100, 100]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, arr array<bigint>")
+    got = sorted(
+        (r.doc_a, r.doc_b)
+        for r in _allpairs_l1_truth(df, "arr", 6).collect()
+    )
+    # threshold 6 keeps (10,20)=4 and the EXACT tie (20,30)=6; drops 10
+    assert got == [(10, 20), (20, 30)]
+
+    px = df.select("doc_id", F.posexplode("arr").alias("pos", "val"))
+    ref = sorted(
+        (r.doc_a, r.doc_b)
+        for r in (
+            px.alias("a")
+            .join(px.alias("b"), "pos")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.sum(F.abs(F.col("a.val") - F.col("b.val"))).alias("d"))
+            .filter(F.col("d") <= 6)
+            .collect()
+        )
+    )
+    assert got == ref
