@@ -233,6 +233,15 @@ def triangle_count(
     rank-high and receives edges instead of fanning out wedges.
 
     Returns one row: (n_nodes, n_edges, n_wedges, n_triangles).
+
+    r13 shape: the canonical edge set is ``localCheckpoint``-ed FIRST, so
+    the upstream pair computation (typically a SimHash/LSH band join —
+    the expensive part) runs exactly once; the old form recomputed it for
+    the ``n_edges`` and ``n_nodes`` aggregates. The wedge join likewise
+    runs once: wedges LEFT-join the (distinct) closing edge set with a
+    marker and ONE aggregate counts both ``n_wedges`` (all rows) and
+    ``n_triangles`` (marker hits) — closing is distinct so the left join
+    can't duplicate a wedge.
     """
     e = (
         pairs.select(
@@ -241,6 +250,7 @@ def triangle_count(
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint()
     )
     sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
     deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
@@ -263,12 +273,17 @@ def triangle_count(
     closing = oriented.select(
         F.col("u").alias("a"), F.col("v").alias("b")
     ).union(oriented.select(F.col("v").alias("a"), F.col("u").alias("b")))
-    tri = wedges.join(closing.distinct(), ["a", "b"])
+    wt = wedges.join(
+        closing.distinct().withColumn("__t", F.lit(1)), ["a", "b"], "left"
+    )
+    counts = wt.agg(
+        F.count(F.lit(1)).alias("n_wedges"),
+        F.count("__t").alias("n_triangles"),
+    )
     return (
-        e.agg(F.count(F.lit(1)).alias("n_edges"))
-        .crossJoin(deg.agg(F.count(F.lit(1)).alias("n_nodes")))
-        .crossJoin(wedges.agg(F.count(F.lit(1)).alias("n_wedges")))
-        .crossJoin(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+        deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+        .crossJoin(e.agg(F.count(F.lit(1)).alias("n_edges")))
+        .crossJoin(counts)
         .select("n_nodes", "n_edges", "n_wedges", "n_triangles")
     )
 
@@ -335,7 +350,11 @@ def pagerank(
                     + F.expr(f"({damping_pct} * coalesce(s, 0L)) div 100")
                 ).cast("long").alias("r"),
             )
-            .localCheckpoint()
+            # lazy: each rank vector is consumed exactly once (by the next
+            # iteration), so a fixed small ``iters`` chains into ONE job at
+            # the final action instead of one eager job per round; the
+            # checkpoint still truncates lineage when it materializes
+            .localCheckpoint(eager=False)
         )
     return ranks.select(
         "node", F.col("r").alias("rank_ppb")
@@ -360,8 +379,12 @@ def bfs_hops(
     radius) — the textbook distributed BFS; rounds are the radius bound,
     a deliberate knob (hop-bounded neighborhoods are the product shape:
     'everything within k links of a flagged doc'). Deterministic: BFS
-    levels are partition- and retry-invariant. Every round ends in
-    ``localCheckpoint`` to cut the iterative lineage (the CC seam)."""
+    levels are partition- and retry-invariant. Every frontier ends in
+    ``localCheckpoint`` to cut the iterative lineage (the CC seam);
+    the empty-frontier early exit reads an ``observe`` count metric off
+    the checkpoint job itself, and the visited set stays a LAZY union of
+    the (already checkpointed) frontiers — r13: two driver-sequential
+    jobs per round are now one."""
     edges = _canonical_edges(pairs, id_a, id_b)
     sym = edges.union(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -375,14 +398,18 @@ def bfs_hops(
             .select(F.col("v").alias("node"))
             .distinct()
         )
+        obs = Observation()
         frontier = (
             reached.join(dist, "node", "left_anti")
             .withColumn("hops", F.lit(i).cast("bigint"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        if frontier.limit(1).count() == 0:
+        if obs.get["n"] == 0:
             break
-        dist = dist.union(frontier).localCheckpoint()
+        # lazy union: every branch is a checkpointed frontier, so the
+        # lineage stays shallow without a per-round materialization job
+        dist = dist.union(frontier)
     return dist
 
 
