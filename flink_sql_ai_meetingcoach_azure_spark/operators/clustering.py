@@ -26,7 +26,7 @@ Scale design (100 TB embeddings, k ≤ ~1e5 centroids):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -115,25 +115,24 @@ def lloyd_refine(
     """
     if k < 1:
         raise ValueError(f"lloyd_refine: k must be >= 1, got {k}")
-    dim_row = embeddings.agg(
-        F.min(F.size(vec_col)).alias("dmin"), F.max(F.size(vec_col)).alias("dmax")
-    ).first()
-    if dim_row is None or dim_row["dmin"] is None:
-        raise ValueError("lloyd_refine: empty embeddings input")
-    if dim_row["dmin"] != dim_row["dmax"]:
-        # ragged vectors would make zip_with produce NULL distances that
-        # silently win the least() argmin — fail loudly instead
-        raise ValueError(
-            "lloyd_refine: ragged vector widths "
-            f"(min {dim_row['dmin']}, max {dim_row['dmax']})"
-        )
-    dim = dim_row["dmin"]
-    if k * dim > 2_000_000:
-        raise ValueError(
-            f"lloyd_refine: k*dim = {k * dim} exceeds the closure-shipped "
-            "centroid budget (~2e6); use the broadcast-join form "
-            "(assign_nearest_centroid) for larger models"
-        )
+
+    def _check_dims(dmin, dmax) -> int:
+        if dmin is None:
+            raise ValueError("lloyd_refine: empty embeddings input")
+        if dmin != dmax:
+            # ragged vectors would make zip_with produce NULL distances
+            # that silently win the least() argmin — fail loudly instead
+            raise ValueError(
+                f"lloyd_refine: ragged vector widths (min {dmin}, max {dmax})"
+            )
+        if k * dmin > 2_000_000:
+            raise ValueError(
+                f"lloyd_refine: k*dim = {k * dmin} exceeds the closure-"
+                "shipped centroid budget (~2e6); use the broadcast-join "
+                "form (assign_nearest_centroid) for larger models"
+            )
+        return dmin
+
     mv = embeddings.select(
         F.col(id_col),
         F.expr(
@@ -143,13 +142,36 @@ def lloyd_refine(
     ).localCheckpoint(eager=False)  # read iters+1 times
 
     if seeds is not None:
+        dim_row = embeddings.agg(
+            F.min(F.size(vec_col)).alias("dmin"),
+            F.max(F.size(vec_col)).alias("dmax"),
+        ).first()
+        dim = _check_dims(
+            None if dim_row is None else dim_row["dmin"],
+            None if dim_row is None else dim_row["dmax"],
+        )
         if len(seeds) != k:
             raise ValueError(f"lloyd_refine: len(seeds)={len(seeds)} != k={k}")
         if any(len(s) != dim for s in seeds):
             raise ValueError("lloyd_refine: seed width != data width")
         cents: list[list[int]] = [[int(v) for v in s] for s in seeds]
     else:
-        seed_rows = mv.orderBy(id_col).limit(k).collect()
+        # the width guard rides the seed TakeOrdered as observe metrics
+        # (r13: one job instead of a dedicated min/max-size aggregate);
+        # the metrics node sits below the sort+limit, so it sees every
+        # row even though only k survive the cut
+        obs = Observation()
+        seed_rows = (
+            mv.observe(
+                obs,
+                F.min(F.size("__mv")).alias("dmin"),
+                F.max(F.size("__mv")).alias("dmax"),
+            )
+            .orderBy(id_col)
+            .limit(k)
+            .collect()
+        )
+        dim = _check_dims(obs.get["dmin"], obs.get["dmax"])
         cents = [list(r["__mv"]) for r in seed_rows]
 
     def _assign_expr(centroids: list[list[int]]) -> DataFrame:
