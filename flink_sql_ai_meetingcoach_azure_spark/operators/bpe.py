@@ -68,10 +68,13 @@ def learn_bpe_merges(
     occurrences. The corpus is read once; every round after that runs over
     the distinct-word table only.
     """
+    # lazy checkpoints: each round's one-row argmax is the only action, so
+    # it materializes the (vocabulary-sized) checkpoint it reads — one job
+    # per round instead of an eager-checkpoint job PLUS the argmax job
     syms = (
         word_frequencies(df, text_col)
         .select("freq", F.split("w", "").alias("s"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     merges: list[tuple[str, str]] = []
     for _ in range(n_merges):
@@ -96,7 +99,7 @@ def learn_bpe_merges(
         merges.append((best["l"], best["r"]))
         syms = syms.select(
             "freq", _merge_expr(F.col("s"), best["l"], best["r"]).alias("s")
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return merges
 
 

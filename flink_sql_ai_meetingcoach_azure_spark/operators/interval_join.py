@@ -13,7 +13,10 @@ and PassJoin operators here.
 Scale design: each interval emits ``len/bucket_width + 1`` cell rows —
 pick the width near the typical interval length and the blow-up is ~2×;
 the join is hash-partitioned by cell; a pair sharing several cells is
-deduplicated by a ``distinct`` on the id pair. Skew mode: a cell where
+emitted ONCE by construction (kept only at the canonical first shared
+cell, the cell containing ``max(l_start, r_start)`` — it always lies in
+both intervals' cell ranges when they overlap), so no post-join
+``distinct`` exchange is needed. Skew mode: a cell where
 many intervals stack (incident pile-ups) squares inside that bucket —
 the same hot-key mode as shingle/segment joins, bounded upstream by
 capping per-cell membership if a workload needs it. Cell arithmetic is
@@ -44,9 +47,11 @@ def interval_overlap_join(
     bucket_width: int,
 ) -> DataFrame:
     """All (l_id, r_id) pairs whose half-open intervals ``[start, end)``
-    (BIGINT, e.g. epoch µs) overlap, with the overlap window. Exact —
-    blocking only reorganizes the candidate space, the overlap predicate
-    verifies every candidate."""
+    (BIGINT, e.g. epoch µs) overlap, with the overlap window — one row
+    per overlapping (left row, right row) pair. Exact — blocking only
+    reorganizes the candidate space, the overlap predicate verifies
+    every candidate, and the canonical-cell filter keeps exactly one
+    copy of each pair (no dedup shuffle over the output)."""
     lv = left.select(l_id, l_start, l_end).filter(F.col(l_end) > F.col(l_start))
     rv = right.select(r_id, r_start, r_end).filter(F.col(r_end) > F.col(r_start))
     lc = lv.select(
@@ -67,10 +72,23 @@ def interval_overlap_join(
             )
         ).alias("__cell"),
     )
+    # a pair sharing k cells would be found k times; keep it only at the
+    # cell of max(l_start, r_start). For an overlapping pair that cell is
+    # always shared: say r_start >= l_start — then cell(r_start) is r's
+    # first cell, and r_start < l_end gives cell(r_start) <= cell(l_end-1),
+    # so it also lies in l's range. Codegen per candidate row — no
+    # post-join distinct exchange over the (output-sized) pair list.
     return (
         lc.join(rc, "__cell")
         .filter(
             (F.col(l_start) < F.col(r_end)) & (F.col(r_start) < F.col(l_end))
+        )
+        .filter(
+            F.col("__cell")
+            == F.greatest(
+                _cell(F.col(l_start), bucket_width),
+                _cell(F.col(r_start), bucket_width),
+            )
         )
         .select(
             l_id,
@@ -78,5 +96,4 @@ def interval_overlap_join(
             F.greatest(F.col(l_start), F.col(r_start)).alias("overlap_start"),
             F.least(F.col(l_end), F.col(r_end)).alias("overlap_end"),
         )
-        .distinct()
     )

@@ -1259,7 +1259,8 @@ def test_interval_overlap_join_matches_brute_force_and_plans_equi(spark):
     out = interval_overlap_join(
         left, right, "lid", "ls", "le", "rid", "rs", "re", bucket_width=W
     )
-    got = {(r.lid, r.rid, r.overlap_start, r.overlap_end) for r in out.collect()}
+    rows = out.collect()
+    got = {(r.lid, r.rid, r.overlap_start, r.overlap_end) for r in rows}
     want = {
         (lid, rid, max(ls, rs), min(le, re))
         for (lid, ls, le) in lrows
@@ -1267,6 +1268,9 @@ def test_interval_overlap_join_matches_brute_force_and_plans_equi(spark):
         if ls < re and rs < le
     }
     assert got == want
+    # the canonical-cell filter must emit each pair exactly once — no
+    # dedup shuffle exists to hide a double-count
+    assert len(rows) == len(want)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
