@@ -5936,8 +5936,18 @@ def q_hdr_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = est.withColumn(
         "__r", F.expr("(q_ppm * n_rows + 999999) div 1000000")
     )
+    # boundary tightening: the smallest v with cum >= r is the unique row
+    # where ALSO cum - c < r (its predecessor's running sum is below the
+    # rank) — the broadcast range join emits exactly one row per quantile
+    # instead of every row at or above the rank (~half the distinct-value
+    # table flowing into the min aggregate); min over that singleton is
+    # unchanged, so the result is identical by construction
     exact = (
-        cum.join(F.broadcast(q), F.col("cum") >= F.col("__r"))
+        cum.join(
+            F.broadcast(q),
+            (F.col("cum") >= F.col("__r"))
+            & (F.col("cum") - F.col("c") < F.col("__r")),
+        )
         .groupBy("q_label", "q_ppm", "est_cents")
         .agg(F.min("v").alias("exact_cents"))
     )
