@@ -262,6 +262,11 @@ def unigram_lm_scores(
     """
     base = df.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
     tok = base.select(id_col, F.explode("__toks").alias("__term"))
+    # NO checkpoint on cnt: its two consumers (tot, lp) are identical
+    # aggregate subtrees, so ReuseExchange already shares the corpus
+    # shuffle — a localCheckpoint here measured SLOWER (r13: lm_score
+    # 1.19→1.28 s, curation_v2 3.33→4.39 s) by replacing the free reuse
+    # with a materialization barrier
     cnt = tok.groupBy("__term").agg(F.count("*").alias("__c"))
     tot = cnt.agg(
         F.sum("__c").alias("__n"), F.count("*").alias("__v")
@@ -425,18 +430,28 @@ def bigram_lm_scores(
     Returns ``(id_col, n_bigrams, sum_logp_micro, avg_logp)``; docs with
     fewer than two tokens report 0/0/0.
 
-    Scale shape: one posexplode pass; ``prev`` via one per-doc lag()
-    window; bigram and unigram counts are combinable groupBys; scoring
-    is one join keyed by (prev, w). Linear in corpus tokens.
+    Scale shape: bigrams are paired straight off the token array
+    (zip_with over two shifted slices — the dsir_weights discipline:
+    adjacent tokens are already adjacent in the array, so the old
+    posexplode + per-doc lag() window exchanged the whole token stream
+    by doc_id for nothing, twice — once per bi consumer); bigram and
+    unigram counts are combinable groupBys (uni's three consumers are
+    identical aggregate subtrees — ReuseExchange shares the shuffle, no
+    checkpoint needed); scoring is one join keyed by (prev, w). Linear
+    in corpus tokens, zero window exchanges.
     """
-    from pyspark.sql import Window as W  # noqa: PLC0415
-
     base = df.select(F.col(id_col), tokens_col(text_col).alias("__toks"))
-    tok = base.select(id_col, F.posexplode("__toks").alias("__pos", "__w"))
-    win = W.partitionBy(id_col).orderBy("__pos")
-    bi = tok.withColumn("__prev", F.lag("__w").over(win)).filter(
-        F.col("__prev").isNotNull()
-    )
+    tok = base.select(id_col, F.explode("__toks").alias("__w"))
+    bi = base.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "zip_with(slice(__toks, 1, greatest(size(__toks) - 1, 0)), "
+                "slice(__toks, 2, greatest(size(__toks) - 1, 0)), "
+                "(a, b) -> struct(a AS p, b AS w))"
+            )
+        ).alias("__bg"),
+    ).select(id_col, F.col("__bg.p").alias("__prev"), F.col("__bg.w").alias("__w"))
     uni = tok.groupBy("__w").agg(F.count("*").alias("__cw"))
     bic = bi.groupBy("__prev", "__w").agg(F.count("*").alias("__cb"))
     tot = uni.agg(F.sum("__cw").alias("__n"), F.count("*").alias("__v"))

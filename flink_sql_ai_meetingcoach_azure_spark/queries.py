@@ -4041,10 +4041,19 @@ def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     longest (id-ASC tie-break) survivor — the policy real pipelines run
     where `neardup_dedup`'s keep-smallest-id would throw away the best
     copy. Singletons survive untouched. Never n²: pair space is band
-    collisions; the pick is an aggregate, not a window."""
+    collisions; the pick is an aggregate, not a window.
+
+    One groupBy does ALL the per-cluster work: the winner's attributes
+    (n_chars, source) ride the min-struct as trailing fields — (−n_chars,
+    doc_id) is already unique per row, so the extra fields never decide
+    the min, they just carry the winning row — and cluster_size is a
+    count(*) in the same aggregate. The earlier form paid three shuffle
+    joins for this (cluster-sizes join inside duplicate_clusters, a
+    docs-attrs join before the aggregate, and a winner re-join with a
+    second docs scan after it)."""
     _prep(spark)
     from flink_sql_ai_meetingcoach_azure_spark.operators.components import (  # noqa: PLC0415
-        duplicate_clusters,
+        connected_components,
     )
 
     docs = _t(spark, sf_dir, "documents")
@@ -4052,20 +4061,33 @@ def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "doc_id", "text", num_hashes=MINHASH_N, shingle_n=SHINGLE_N
     )
     pairs = lsh_candidate_pairs(sigs, "doc_id", num_hashes=MINHASH_N, band_size=BAND_SIZE)
-    clusters = duplicate_clusters(docs.select("doc_id"), pairs, "doc_id")
-    joined = clusters.join(docs.select("doc_id", "n_chars", "source"), "doc_id")
-    best = joined.groupBy("cluster").agg(
+    comp = connected_components(pairs, "id_a", "id_b").withColumnRenamed(
+        "node", "doc_id"
+    )
+    labeled = (
+        docs.select("doc_id", "n_chars", "source")
+        .join(comp, "doc_id", "left")
+        .withColumn("cluster", F.coalesce(F.col("component"), F.col("doc_id")))
+        .drop("component")
+    )
+    best = labeled.groupBy("cluster").agg(
         F.min(
-            F.struct((-F.col("n_chars")).alias("nn"), F.col("doc_id").alias("did"))
+            F.struct(
+                (-F.col("n_chars")).alias("nn"),
+                F.col("doc_id").alias("did"),
+                F.col("n_chars").alias("nc"),
+                F.col("source").alias("src"),
+            )
         ).alias("b"),
-        F.max("cluster_size").alias("cluster_size"),
+        F.count(F.lit(1)).alias("cluster_size"),
     )
-    return (
-        best.select(F.col("b.did").alias("doc_id"), "cluster", "cluster_size")
-        .join(docs.select("doc_id", "n_chars", "source"), "doc_id")
-        .select("doc_id", "cluster", "cluster_size", "n_chars", "source")
-        .orderBy("doc_id")
-    )
+    return best.select(
+        F.col("b.did").alias("doc_id"),
+        "cluster",
+        "cluster_size",
+        F.col("b.nc").alias("n_chars"),
+        F.col("b.src").alias("source"),
+    ).orderBy("doc_id")
 
 
 def _sql_neardup_keep_best() -> str:
@@ -4969,7 +4991,12 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import shingles  # noqa: PLC0415
 
     docs = _t(spark, sf_dir, "documents")
-    sh = shingles(docs, "doc_id", "text", n=SHINGLE_N, distinct=True)
+    # lazy checkpoint: sh feeds BOTH the document-frequency aggregate and
+    # the join-back side — unmaterialized, the tokenize+explode+distinct
+    # corpus subtree runs twice (the ngram_jaccard_pairs rationale)
+    sh = shingles(docs, "doc_id", "text", n=SHINGLE_N, distinct=True).localCheckpoint(
+        eager=False
+    )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     per = (
         sh.join(dfreq, "shingle")
@@ -6387,12 +6414,17 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     _prep(spark)
     ev = _events(spark, sf_dir)
     cents = F.round(F.col("value") * 100).cast("bigint")
-    hourly = ev.groupBy(
-        "user_id", F.date_trunc("hour", "ts").alias("h")
-    ).agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents).alias("sum_cents"))
-    spans = ev.groupBy("user_id").agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    # spans derive FROM hourly (date_trunc is monotone, so
+    # min/max(trunc(ts)) == trunc(min/max(ts))) — the two consumers then
+    # share hourly's corpus aggregate via ReuseExchange: one events scan +
+    # one corpus-wide exchange instead of two of each (no checkpoint: the
+    # identical-subtree reuse is free, a barrier measured neutral-to-worse)
+    hourly = ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("h")).agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum(cents).alias("sum_cents")
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("h0"),
+        F.max("h").alias("h1"),
     )
     grid = spans.select(
         "user_id",
@@ -11243,7 +11275,14 @@ def q_topic_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.join(docs, assigned.vec_id == docs.doc_id)
         .select(F.col("cluster_id").alias("cid"), F.explode(tokens_col("text")).alias("term"))
     )
-    tf = dt.groupBy("cid", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # lazy checkpoint: tf feeds THREE consumers (dfq, ncl, scored) and Spark
+    # does not share the subtree — without it the corpus-scale assignment
+    # join + token explode + (cid, term) aggregate run three times
+    tf = (
+        dt.groupBy("cid", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfq = tf.groupBy("term").agg(F.countDistinct("cid").alias("df"))
     ncl = tf.agg(F.countDistinct("cid").alias("n_clusters"))
     scored = (
