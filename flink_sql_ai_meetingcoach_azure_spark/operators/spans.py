@@ -236,16 +236,28 @@ def mask_dup_spans(
     the span hashes are computed over; original spacing is not
     preserved, matching the operator's curation use).
 
-    Scale shape: duplicated hashes come from the SAME combinable
-    groupBy as the stats pass; coverage expansion is one bounded explode
-    (``window`` rows per duplicated span START, not per token); removal
-    is a left-anti join keyed by (doc, pos); reassembly is one
+    Scale shape: cross-doc duplication is decided with min/max window
+    functions over the span-hash partition — ONE pass over the postings
+    (an aggregate + join-back form re-ran the whole span_postings
+    subtree, including its per-doc lead() window exchange, once per
+    consumer: 2 token-stream exchanges and a duplicated corpus pass,
+    measured ~25% slower at sf0.1); coverage expansion is one bounded
+    explode (``window`` rows per duplicated span START, not per token);
+    removal is a left-anti join keyed by (doc, pos); reassembly is one
     per-doc aggregate of the surviving tokens. No self-joins, nothing
     quadratic."""
     w = int(window)
     postings = span_postings(df, id_col, text_col, w)
-    dup = duplicated_span_hashes(postings).select("span_hash")
-    starts = postings.join(dup, "span_hash").select("id", "pos")
+    # min(id) != max(id) over the hash partition == "hash occurs in >=2
+    # distinct docs" (the duplicated_span_hashes predicate) — same rows
+    # as the join-back on duplicated hashes, computed in the same pass
+    whash = Window.partitionBy("span_hash")
+    starts = (
+        postings.withColumn("__mn", F.min("id").over(whash))
+        .withColumn("__mx", F.max("id").over(whash))
+        .filter(F.col("__mn") != F.col("__mx"))
+        .select("id", "pos")
+    )
     cov = starts.select(
         "id",
         F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(w - 1))).alias(

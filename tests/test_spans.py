@@ -182,3 +182,22 @@ def test_mask_dup_spans_removes_shared_passage_only(spark):
     assert out[3][2] == "no shared content in this document at all whatsoever"
     # doc 4: shorter than the window — no spans, nothing removed
     assert out[4] == (2, 0, "tiny doc")
+
+
+def test_mask_dup_spans_keeps_within_doc_repeats(spark):
+    """A span repeated INSIDE one document (min(id) == max(id) over the
+    hash partition) is not cross-doc duplicated and must survive — the
+    edge the one-pass min/max-window rewrite has to preserve exactly."""
+    from flink_sql_ai_meetingcoach_azure_spark.operators.spans import mask_dup_spans
+
+    rep = "one two three four five six seven eight"
+    docs = spark.createDataFrame(
+        [(1, f"{rep} middle words {rep}"), (2, "entirely unrelated other text")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.n_removed, r.clean_text)
+        for r in mask_dup_spans(docs, "doc_id", "text", window=8).collect()
+    }
+    assert out[1] == (0, f"{rep} middle words {rep}")
+    assert out[2][0] == 0
