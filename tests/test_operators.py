@@ -47,6 +47,46 @@ def test_shingles_distinct(spark):
     assert len(rows) == len(set(rows))
 
 
+def test_shingles_matches_definitional_transform_form(spark):
+    """The explode-positions shingle builder (r13: array_join(slice) in
+    codegen instead of a transform HOF lambda) must emit exactly the rows
+    of the definitional per-row transform form — including the edge cases:
+    empty text, whitespace-only text, docs shorter than n (one truncated
+    shingle), and duplicate shingles preserved when distinct=False."""
+    from pyspark.sql import functions as F
+
+    from flink_sql_ai_meetingcoach_azure_spark.operators.dedup import tokens_col
+
+    rows = [
+        (0, ""),
+        (1, "   \t\n "),
+        (2, "one"),
+        (3, "one two"),
+        (4, "one two three"),
+        (5, "a b c a b c a b c"),  # duplicate shingles
+        (6, "  leading and trailing   spaces  "),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    n = 3
+    definitional = df.select(
+        "id", tokens_col("text").alias("__toks")
+    ).select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("__toks") - n, F.lit(0))),
+                lambda i: F.array_join(F.slice(F.col("__toks"), i + 1, n), " "),
+            )
+        ).alias("shingle"),
+    )
+    got = shingles(df, "id", "text", n=n, distinct=False)
+    want = sorted((r["id"], r["shingle"]) for r in definitional.collect())
+    have = sorted((r["id"], r["shingle"]) for r in got.collect())
+    assert have == want
+    # duplicates really are preserved (doc 5 repeats "a b c")
+    assert have.count((5, "a b c")) == 3
+
+
 def test_minhash_identical_docs_identical_sigs(spark):
     sigs = minhash_signatures(_docs(spark), "id", "text", num_hashes=8).collect()
     by_id = {r["id"]: tuple(r[f"h{i}"] for i in range(8)) for r in sigs}
