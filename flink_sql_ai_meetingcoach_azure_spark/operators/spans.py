@@ -270,9 +270,12 @@ def mask_dup_spans(
     rebuilt = kept.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s["tok"],
+            # .getField("tok") (GetArrayStructFields) is ordinary codegen;
+            # the transform-HOF form paid an interpreted lambda per
+            # surviving token (r13 A/B on the corpus reassembly pass:
+            # 0.614 -> 0.506 s, results exceptAll-equal)
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))).getField(
+                "tok"
             ),
             " ",
         ).alias("clean_text"),
